@@ -1,0 +1,86 @@
+"""Engine configuration.
+
+Mirrors the reference's hyperparameters (/root/reference/configurations.py:1-9)
+plus Ray-Data-native engine knobs (shard sizes, actor-pool sizing, sample caps)
+that have no reference equivalent because the reference is single-process.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+# --- reference hyperparameters (configurations.py:1-9) ---
+EMB_DIMENSION_SIZE = 300          # fastText word-vector dim (configurations.py:3)
+AE_EMB_DIMENSION_SIZE = 150       # AutoEncoder bottleneck (configurations.py:5)
+NUM_EPOCHS = 50                   # configurations.py:6
+BATCH_SIZE = 256                  # configurations.py:7
+RANDOM_SEED = 1234                # configurations.py:8
+LEARNING_RATE = 1e-3              # configurations.py:9
+
+# SIF defaults (tuple_embedding_models.py:83)
+SIF_WEIGHTING_PARAM = 1e-3
+SIF_MIN_FREQ = 0
+
+# Top-K default (main.py:32)
+DEFAULT_TOP_K = 50
+
+# CTT synthetic-pair defaults (tuple_embedding_models.py:187-188)
+SYNTH_TUPLES_PER_TUPLE = 5
+POS_TO_NEG_RATIO = 1
+MAX_PERTURBATION = 0.4
+
+
+@dataclass
+class EngineConfig:
+    """Knobs for the distributed engine. Defaults target the 32-CPU sandbox;
+    at cluster scale raise ``concurrency`` / shard counts proportionally."""
+
+    # word-embedding dimension; the deterministic hash-embedding table replaces
+    # the reference's 8 GB fastText binary (tuple_embedding_models.py:44)
+    emb_dim: int = EMB_DIMENSION_SIZE
+    ae_dim: int = AE_EMB_DIMENSION_SIZE
+    seed: int = RANDOM_SEED
+
+    # batch sizes for map_batches stages (rows)
+    embed_batch_size: int = 4096
+    query_batch_size: int = 2048
+    score_batch_size: int = 4096
+
+    # actor-pool sizes; None → let Ray autoscale tasks
+    embed_concurrency: int | None = None
+    query_concurrency: int | None = None
+
+    # rows per pinned index shard (exact pairing); shard × query_batch matmul
+    # tile must fit a worker heap: 65536 × 2048 × 4B ≈ 0.5 GiB sim tile max
+    index_shard_rows: int = 65536
+
+    # hash-partition bucket count for key-grouped exchanges (canonicalize,
+    # dedup). ≥4× total cores so stragglers rebalance.
+    num_buckets: int = 128
+
+    # driver-side training-sample cap (fit corpus at 10^12-turn scale cannot
+    # be materialized; self-supervised fit needs a representative sample —
+    # documented deviation from deep_blocker.py:57-58 which fits on everything)
+    train_sample_cap: int = 100_000
+
+    # training epochs (configurations.py:6); small corpora converge far sooner
+    num_epochs: int = NUM_EPOCHS
+
+    # pairwise-scoring knobs
+    score_text_cap: int = 256          # cap chars per turn for O(nm) edit distance
+    match_threshold: float = 0.60      # combined-score match cutoff
+
+    # IVF knobs
+    ivf_cells: int = 64
+    ivf_nprobe: int = 8
+
+    # broadcast-join threshold: sides smaller than this are ray.put-broadcast
+    # instead of hash-join shuffled
+    broadcast_rows_max: int = 2_000_000
+
+    extra: dict = field(default_factory=dict)
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))

@@ -1,0 +1,159 @@
+"""Unit tests for scalar functions: tokenizer, hash embedding, string sims."""
+
+import numpy as np
+import pytest
+
+from deepblocker_ray.functions.hash_embedding import HashEmbedding, mean_pool_embed
+from deepblocker_ray.functions.textsim import (
+    jaro,
+    jaro_winkler,
+    levenshtein,
+    levenshtein_ratio,
+)
+from deepblocker_ray.functions.tokenizer import tokenize
+
+
+class TestTokenizer:
+    # expected outputs follow torchtext basic_english's published rules
+    @pytest.mark.parametrize(
+        "text,expected",
+        [
+            ("You can now install TorchText using pip!",
+             ["you", "can", "now", "install", "torchtext", "using", "pip", "!"]),
+            ("Hello, World!", ["hello", ",", "world", "!"]),
+            ("don't stop", ["don", "'", "t", "stop"]),
+            ('she said "hi"', ["she", "said", "hi"]),
+            ("a.b.c", ["a", ".", "b", ".", "c"]),
+            ("semi;colon:here", ["semi", "colon", "here"]),
+            ("(parens)?", ["(", "parens", ")", "?"]),
+            ("line<br />break", ["line", "break"]),
+            ("  multiple   spaces  ", ["multiple", "spaces"]),
+            ("", []),
+            (" ", []),
+            ("Price: 7.5", ["price", "7", ".", "5"]),
+        ],
+    )
+    def test_basic_english(self, text, expected):
+        assert tokenize(text) == expected
+
+
+class TestHashEmbedding:
+    def test_deterministic_across_instances(self):
+        t1 = HashEmbedding(dim=32, seed=7)
+        t2 = HashEmbedding(dim=32, seed=7)
+        v1 = t1.get_word_vector("hello")
+        t2.get_word_vector("other")  # different insertion order
+        v2 = t2.get_word_vector("hello")
+        np.testing.assert_array_equal(v1, v2)
+
+    def test_seed_changes_vectors(self):
+        a = HashEmbedding(dim=32, seed=1).get_word_vector("x")
+        b = HashEmbedding(dim=32, seed=2).get_word_vector("x")
+        assert not np.array_equal(a, b)
+
+    def test_mean_pool_matches_reference_loop(self):
+        table = HashEmbedding(dim=16, seed=3)
+        tok_lists = [["a", "b", "a"], ["c"], [], ["b", "c"]]
+        out, empty = mean_pool_embed(tok_lists, table)
+        assert empty.tolist() == [False, False, True, False]
+        # reference semantics: np.mean over occurrence vectors
+        exp0 = np.mean(
+            [table.get_word_vector(t) for t in ["a", "b", "a"]], axis=0
+        )
+        np.testing.assert_allclose(out[0], exp0, rtol=1e-6)
+        np.testing.assert_array_equal(out[2], np.zeros(16))
+
+    def test_mean_pool_weighted(self):
+        table = HashEmbedding(dim=8, seed=3)
+        w = {"a": 0.5, "b": 2.0}
+        out, _ = mean_pool_embed([["a", "b"]], table, weights=w)
+        exp = (
+            table.get_word_vector("a") * 0.5 + table.get_word_vector("b") * 2.0
+        ) / 2.0
+        np.testing.assert_allclose(out[0], exp, rtol=1e-6)
+
+    def test_oov_weight(self):
+        table = HashEmbedding(dim=8, seed=3)
+        out, _ = mean_pool_embed([["zzz"]], table, weights={}, oov_weight=1.0)
+        np.testing.assert_allclose(
+            out[0], table.get_word_vector("zzz"), rtol=1e-6
+        )
+
+
+class TestLevenshtein:
+    @pytest.mark.parametrize(
+        "s1,s2,d",
+        [
+            ("kitten", "sitting", 3),
+            ("", "", 0),
+            ("abc", "", 3),
+            ("", "abc", 3),
+            ("abc", "abc", 0),
+            ("flaw", "lawn", 2),
+            ("gumbo", "gambol", 2),
+            ("ab", "ba", 2),
+            ("saturday", "sunday", 3),
+        ],
+    )
+    def test_known_values(self, s1, s2, d):
+        assert levenshtein(s1, s2) == d
+        assert levenshtein(s2, s1) == d
+
+    def test_against_bruteforce(self):
+        import random
+
+        def slow(a, b):
+            dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+            for i in range(len(a) + 1):
+                dp[i][0] = i
+            for j in range(len(b) + 1):
+                dp[0][j] = j
+            for i in range(1, len(a) + 1):
+                for j in range(1, len(b) + 1):
+                    dp[i][j] = min(
+                        dp[i - 1][j] + 1,
+                        dp[i][j - 1] + 1,
+                        dp[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                    )
+            return dp[-1][-1]
+
+        rng = random.Random(42)
+        for _ in range(60):
+            a = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 12)))
+            b = "".join(rng.choice("abcde") for _ in range(rng.randint(0, 12)))
+            assert levenshtein(a, b) == slow(a, b), (a, b)
+
+    def test_ratio(self):
+        assert levenshtein_ratio("", "") == 1.0
+        assert levenshtein_ratio("abc", "abc") == 1.0
+        assert levenshtein_ratio("abc", "abd") == pytest.approx(2 / 3)
+
+    def test_cap(self):
+        assert levenshtein("aaaaXX", "aaaaYY", cap=4) == 0
+
+
+class TestJaroWinkler:
+    @pytest.mark.parametrize(
+        "s1,s2,expected",
+        [
+            ("MARTHA", "MARHTA", 0.9444444),
+            ("DIXON", "DICKSONX", 0.7666666),
+            ("JELLYFISH", "SMELLYFISH", 0.8962962),
+            ("abc", "abc", 1.0),
+            ("", "", 1.0),
+            ("a", "", 0.0),
+        ],
+    )
+    def test_jaro_known(self, s1, s2, expected):
+        assert jaro(s1, s2) == pytest.approx(expected, abs=1e-6)
+
+    @pytest.mark.parametrize(
+        "s1,s2,expected",
+        [
+            ("MARTHA", "MARHTA", 0.9611111),
+            ("DIXON", "DICKSONX", 0.8133333),
+            ("duane", "dwayne", 0.8400000),
+        ],
+    )
+    def test_jaro_winkler_known(self, s1, s2, expected):
+        assert jaro_winkler(s1, s2) == pytest.approx(expected, abs=1e-6)
