@@ -1,0 +1,134 @@
+"""Canonicalize multi-turn transcripts into one tuple string per conversation.
+
+The reference's analogous step merges the blocking columns of a flat row into
+``_merged_text`` (/root/reference/deep_blocker.py:29-45: fillna(' '),
+astype(str), ' '.join). Our canonical input (BASELINE.json input_hint) is a
+transcript table ``(conv_id, turn_idx, role, text, tool, ts)``, one row per
+turn, arriving in arbitrary row order; the per-row invariant is **per-turn
+text equality under stable turn ordering**: the canonical tuple must equal the
+' '-join of per-turn fragments sorted by turn_idx.
+
+Distribution: hash-bucket exchange (conv_id → bucket) then vectorized pandas
+within each bucket — one shuffle keyed on a small int, group logic vectorized
+per bucket instead of one Python call per conversation, so cost scales with
+buckets × rows, not with the number of conversations. Skew guard: ``turn_cap``
+truncates pathological conversations (counted in the output).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import EngineConfig
+
+CANONICAL_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("tuple_text", pa.string()),
+        ("n_turns", pa.int32()),
+        ("truncated", pa.bool_()),
+        ("turn_texts", pa.list_(pa.string())),
+    ]
+)
+
+
+def bucket_of(keys: pd.Series | np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic hash bucket for string keys (stable across processes —
+    pandas' siphash with its fixed default key)."""
+    h = pd.util.hash_array(np.asarray(keys, dtype=object))
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def turn_fragment(
+    role: pd.Series, text: pd.Series, tool: pd.Series
+) -> pd.Series:
+    """One turn → 'role: text' (+ ' [tool]'). Null text → ' ' per the
+    reference's fillna(' ') semantics (deep_blocker.py:33-34); null role → ''.
+    """
+    frag = role.fillna("").astype(str) + ": " + text.fillna(" ").astype(str)
+    has_tool = tool.notna()
+    if has_tool.any():
+        frag = frag.where(
+            ~has_tool, frag + " [" + tool.astype("string").fillna("") + "]"
+        )
+    return frag
+
+
+def _canonicalize_bucket(
+    group: pd.DataFrame, turn_cap: int | None, on_duplicate: str
+) -> pa.Table:
+    g = group.sort_values(["conv_id", "turn_idx"], kind="stable")
+    dup = g.duplicated(["conv_id", "turn_idx"])
+    if dup.any():
+        if on_duplicate == "error":
+            bad = g.loc[dup, ["conv_id", "turn_idx"]].iloc[0]
+            raise ValueError(
+                f"duplicate turn_idx {bad['turn_idx']} in conversation "
+                f"{bad['conv_id']}"
+            )
+        g = g[~dup]
+
+    truncated = np.zeros(0, bool)
+    if turn_cap is not None:
+        rank = g.groupby("conv_id", sort=False).cumcount()
+        over = rank >= turn_cap
+        trunc_convs = set(g.loc[over, "conv_id"])
+        g = g[~over]
+    frag = turn_fragment(g["role"], g["text"], g["tool"])
+
+    grouped = frag.groupby(g["conv_id"].values, sort=False)
+    tuple_text = grouped.agg(" ".join)
+    n_turns = grouped.size()
+    texts = (
+        g["text"]
+        .fillna(" ")
+        .astype(str)
+        .groupby(g["conv_id"].values, sort=False)
+        .agg(list)
+    )
+    conv_ids = tuple_text.index.astype(str)
+    if turn_cap is not None:
+        truncated = np.fromiter(
+            (c in trunc_convs for c in conv_ids), bool, len(conv_ids)
+        )
+    else:
+        truncated = np.zeros(len(conv_ids), bool)
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "tuple_text": pa.array(tuple_text.values, pa.string()),
+            "n_turns": pa.array(n_turns.values.astype(np.int32)),
+            "truncated": pa.array(truncated),
+            "turn_texts": pa.array(list(texts.values), pa.list_(pa.string())),
+        },
+        schema=CANONICAL_SCHEMA,
+    )
+
+
+def canonicalize(
+    transcripts,
+    cfg: EngineConfig | None = None,
+    turn_cap: int | None = None,
+    on_duplicate: str = "error",
+):
+    """transcripts Dataset → canonical tuples Dataset (CANONICAL_SCHEMA).
+
+    One shuffle (groupby bucket); group bodies are vectorized pandas.
+    """
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["conv_id", "turn_idx", "role", "text", "tool"]]
+        return df.assign(_bucket=bucket_of(df["conv_id"], nb))
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        return _canonicalize_bucket(group, turn_cap, on_duplicate)
+
+    return (
+        transcripts.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

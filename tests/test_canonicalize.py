@@ -1,0 +1,128 @@
+"""Canonicalize stage: stable turn ordering, null handling, SQL conformance.
+
+Pins the per-row invariant from BASELINE.json input_hint: per-turn text
+equality under stable turn ordering.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from deepblocker_ray.config import EngineConfig
+from deepblocker_ray.fixtures import (
+    synth_transcripts,
+    transcripts_from_documents_pandas,
+    transcripts_from_documents_sql,
+)
+from deepblocker_ray.stages.canonicalize import canonicalize
+
+CFG = EngineConfig(num_buckets=8)
+
+
+def expected_canonical(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side oracle: sort by turn_idx per conv, join fragments."""
+    rows = []
+    for conv_id, g in df.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        frags = []
+        texts = []
+        for _, r in g.iterrows():
+            text = " " if pd.isna(r["text"]) else str(r["text"])
+            frag = f"{r['role']}: {text}"
+            if pd.notna(r["tool"]):
+                frag += f" [{r['tool']}]"
+            frags.append(frag)
+            texts.append(text)
+        rows.append((conv_id, " ".join(frags), len(g), texts))
+    return pd.DataFrame(
+        rows, columns=["conv_id", "tuple_text", "n_turns", "turn_texts"]
+    )
+
+
+class TestCanonicalize:
+    def test_invariant_on_shuffled_synth(self, ray_session):
+        import ray.data as rd
+
+        df, _ = synth_transcripts(n_base=60, seed=7)
+        ds = rd.from_pandas(df)
+        out = canonicalize(ds, CFG).to_pandas().sort_values("conv_id")
+        exp = expected_canonical(df).sort_values("conv_id")
+        assert list(out["conv_id"]) == list(exp["conv_id"])
+        assert list(out["tuple_text"]) == list(exp["tuple_text"])
+        assert list(out["n_turns"]) == list(exp["n_turns"])
+        for got, want in zip(out["turn_texts"], exp["turn_texts"]):
+            assert list(got) == want
+
+    def test_null_text_and_tool(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame(
+            {
+                "conv_id": pd.array(["c1", "c1", "c1"], dtype="string"),
+                "turn_idx": np.array([2, 0, 1], np.int32),
+                "role": pd.array(["user", "user", "assistant"], dtype="string"),
+                "text": pd.array(["end", None, "mid"], dtype="string"),
+                "tool": pd.array([None, "search", None], dtype="string"),
+                "ts": np.array(["2024-01-01"] * 3, dtype="datetime64[us]"),
+            }
+        )
+        out = canonicalize(rd.from_pandas(df), CFG).to_pandas()
+        assert out.loc[0, "tuple_text"] == "user:   [search] assistant: mid user: end"
+        assert list(out.loc[0, "turn_texts"]) == [" ", "mid", "end"]
+
+    def test_duplicate_turn_idx_rejected(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame(
+            {
+                "conv_id": pd.array(["c1", "c1"], dtype="string"),
+                "turn_idx": np.array([0, 0], np.int32),
+                "role": pd.array(["user", "user"], dtype="string"),
+                "text": pd.array(["a", "b"], dtype="string"),
+                "tool": pd.array([None, None], dtype="string"),
+                "ts": np.array(["2024-01-01"] * 2, dtype="datetime64[us]"),
+            }
+        )
+        with pytest.raises(Exception):
+            canonicalize(rd.from_pandas(df), CFG).materialize()
+
+    def test_turn_cap(self, ray_session):
+        import ray.data as rd
+
+        df, _ = synth_transcripts(n_base=20, seed=3)
+        out = canonicalize(rd.from_pandas(df), CFG, turn_cap=4).to_pandas()
+        assert (out["n_turns"] <= 4).all()
+        full = expected_canonical(df)
+        want_trunc = set(full.loc[full["n_turns"] > 4, "conv_id"])
+        got_trunc = set(out.loc[out["truncated"], "conv_id"])
+        assert got_trunc == want_trunc
+
+
+class TestDocumentDerivedTranscripts:
+    def test_pandas_matches_sql(self):
+        """The python generator and its DuckDB twin must agree byte-exact —
+        this is what lets the driver oracle-check canonicalize."""
+        con = duckdb.connect()
+        docs = con.execute(
+            "SELECT * FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ).df()
+        con.register("documents", docs)
+        got = (
+            con.execute(transcripts_from_documents_sql())
+            .df()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            transcripts_from_documents_pandas(docs)[
+                ["conv_id", "turn_idx", "role", "text"]
+            ]
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp)
+        assert list(got["conv_id"]) == list(exp["conv_id"])
+        assert list(got["turn_idx"].astype(int)) == list(exp["turn_idx"].astype(int))
+        assert list(got["role"]) == list(exp["role"])
+        assert list(got["text"]) == list(exp["text"])
