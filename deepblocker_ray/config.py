@@ -84,3 +84,22 @@ class EngineConfig:
 
 def default_parallelism() -> int:
     return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def actor_pool_size(configured: int | tuple | None) -> int | tuple:
+    """Actor-pool ``concurrency`` for callable-class map_batches stages (Ray
+    requires an explicit value for classes). Default: autoscale between 1 and
+    the session's CPU count, so pools shrink instead of starving other
+    stages."""
+    if configured is not None:
+        return configured
+    try:
+        import ray
+
+        if ray.is_initialized():
+            n = int(ray.cluster_resources().get("CPU", default_parallelism()))
+        else:
+            n = default_parallelism()
+    except Exception:
+        n = default_parallelism()
+    return (1, max(2, n))

@@ -1,0 +1,258 @@
+"""Tuple-embedding stages: Average and SIF (distributed fit + transform).
+
+Reference semantics (/root/reference/tuple_embedding_models.py):
+  - AverageEmbedding (:39-70): unweighted mean of token vectors.
+  - SIFEmbedding (:76-145): global token-frequency fit → w(t)=a/(a+p(t));
+    weighted mean per tuple; optional first-principal-component removal.
+
+Ray-Data-native decomposition:
+  - fit = per-batch partial token counts (map_batches) → groupby("token")
+    Sum — the combiner keeps the shuffle at vocabulary size, not corpus
+    size — → small weight dict broadcast via ray.put.
+  - transform = actor-pool map_batches (embedding table + weight dict built
+    once per actor in __init__), emitting a fixed_size_list(float32, D)
+    column (zero-copy numpy view both directions).
+  - PC removal = per-batch partial Gram XᵀX tree-aggregated to the driver
+    (D×D is tiny), top eigenvector via eigh — the exact equivalent of the
+    reference's uncentered TruncatedSVD (tuple_embedding_models.py:134-139)
+    — then a broadcast per-batch projection. NB the reference computes the
+    PC from each *queried* set, not at fit time; we preserve that.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..config import (
+    EngineConfig,
+    SIF_MIN_FREQ,
+    SIF_WEIGHTING_PARAM,
+    actor_pool_size,
+)
+from ..functions.hash_embedding import HashEmbedding, mean_pool_embed
+from ..functions.tokenizer import tokenize
+
+
+def emb_type(dim: int) -> pa.DataType:
+    return pa.list_(pa.float32(), dim)
+
+
+def emb_to_numpy(col: pa.ChunkedArray | pa.Array, dim: int) -> np.ndarray:
+    """fixed_size_list(float32, D) column → (n, D) float32 view (zero-copy)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten()
+    return np.asarray(flat).reshape(-1, dim)
+
+
+def numpy_to_emb(mat: np.ndarray) -> pa.Array:
+    mat = np.ascontiguousarray(mat, dtype=np.float32)
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.reshape(-1)), mat.shape[1]
+    )
+
+
+class _EmbedBatch:
+    """Actor-pool body: tokenize + (weighted) mean-pool one batch.
+
+    State (hash-embedding cache, weight dict) is built once per actor
+    (map_batches callable-class contract), mirroring the reference's
+    load-model-once-per-process (tuple_embedding_models.py:44).
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        seed: int,
+        id_col: str,
+        text_col: str,
+        weights_ref=None,
+        oov_weight: float = 1.0,
+    ):
+        self.table = HashEmbedding(dim=dim, seed=seed)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.weights = ray.get(weights_ref) if weights_ref is not None else None
+        self.oov_weight = oov_weight
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        toks = [tokenize(t) if t is not None else [] for t in texts]
+        mat, empty = mean_pool_embed(
+            toks, self.table, self.weights, self.oov_weight
+        )
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "emb": numpy_to_emb(mat),
+                "emb_empty": pa.array(empty),
+            }
+        )
+
+
+def _token_counts_batch(batch: pa.Table, text_col: str) -> pa.Table:
+    counts: Counter[str] = Counter()
+    for t in batch.column(text_col).to_pylist():
+        if t is not None:
+            counts.update(tokenize(t))
+    if not counts:
+        return pa.table(
+            {"token": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
+        )
+    toks, vals = zip(*counts.items())
+    return pa.table(
+        {"token": pa.array(toks, pa.string()), "count": pa.array(vals, pa.int64())}
+    )
+
+
+def token_frequencies(ds, text_col: str = "tuple_text"):
+    """Corpus-global token frequencies (A1): partial counts per batch, then a
+    vocabulary-sized groupby-sum shuffle. Returns a Dataset (token, count)."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        lambda b: _token_counts_batch(b, text_col), batch_format="pyarrow"
+    )
+    return partial.groupby("token").aggregate(Sum("count", alias_name="count"))
+
+
+def sif_weight_dict(
+    freq_df,
+    a: float = SIF_WEIGHTING_PARAM,
+    min_freq: int = SIF_MIN_FREQ,
+) -> tuple[dict[str, float], int]:
+    """tuple_embedding_models.py:111-119 over the collected frequency table."""
+    total = int(freq_df["count"].sum())
+    counts = freq_df["count"].to_numpy()
+    weights = np.where(
+        counts >= min_freq, a / (a + counts / total), 1.0
+    )
+    return dict(zip(freq_df["token"], weights)), total
+
+
+def _gram_partial(batch: pa.Table, dim: int) -> pa.Table:
+    x = emb_to_numpy(batch.column("emb"), dim).astype(np.float64)
+    g = x.T @ x
+    return pa.table(
+        {
+            "gram": pa.FixedSizeListArray.from_arrays(
+                pa.array(g.reshape(-1)), dim * dim
+            ),
+            "n": pa.array([len(batch)], pa.int64()),
+        }
+    )
+
+
+def top_pc(emb_ds, dim: int) -> np.ndarray:
+    """Distributed Gram aggregation + driver eigh (exact TruncatedSVD
+    equivalent on uncentered data). The per-batch partial keeps only D×D
+    floats in flight regardless of corpus size."""
+    partial = emb_ds.map_batches(
+        lambda b: _gram_partial(b, dim), batch_format="pyarrow"
+    )
+    gram = np.zeros((dim, dim), np.float64)
+    for b in partial.iter_batches(batch_format="pyarrow", batch_size=None):
+        for row in b.column("gram").to_pylist():
+            gram += np.asarray(row).reshape(dim, dim)
+    _vals, vecs = np.linalg.eigh(gram)
+    pc = vecs[:, -1]
+    idx = int(np.argmax(np.abs(pc)))
+    if pc[idx] < 0:
+        pc = -pc
+    return pc
+
+
+def remove_pc(emb_ds, pc: np.ndarray, dim: int):
+    pc32 = pc.astype(np.float64)
+
+    def project(batch: pa.Table) -> pa.Table:
+        x = emb_to_numpy(batch.column("emb"), dim).astype(np.float64)
+        x = x - np.outer(x @ pc32, pc32)
+        cols = {name: batch.column(name) for name in batch.column_names}
+        cols["emb"] = numpy_to_emb(x)
+        return pa.table(cols)
+
+    return emb_ds.map_batches(project, batch_format="pyarrow")
+
+
+class AverageEmbedder:
+    """T1 (tuple_embedding_models.py:39-70): no fit; unweighted mean."""
+
+    def __init__(self, cfg: EngineConfig | None = None):
+        self.cfg = cfg or EngineConfig()
+
+    def fit(self, ds, text_col: str = "tuple_text"):
+        return self
+
+    def transform(self, ds, id_col: str = "conv_id", text_col: str = "tuple_text"):
+        cfg = self.cfg
+        return ds.map_batches(
+            _EmbedBatch,
+            fn_constructor_kwargs=dict(
+                dim=cfg.emb_dim, seed=cfg.seed, id_col=id_col, text_col=text_col
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.embed_batch_size,
+            concurrency=actor_pool_size(cfg.embed_concurrency),
+        )
+
+
+class SIFEmbedder:
+    """T2 (tuple_embedding_models.py:76-145), distributed.
+
+    fit() computes the global token-frequency weight map; transform()
+    weighted-mean-embeds and (by default) removes the per-call first
+    principal component, exactly like the reference's get_tuple_embedding.
+    """
+
+    def __init__(
+        self,
+        cfg: EngineConfig | None = None,
+        a: float = SIF_WEIGHTING_PARAM,
+        remove_pc: bool = True,
+        min_freq: int = SIF_MIN_FREQ,
+    ):
+        self.cfg = cfg or EngineConfig()
+        self.a = a
+        self.remove_pc_flag = remove_pc
+        self.min_freq = min_freq
+        self.weights_ref = None
+        self.total_tokens = 0
+
+    def fit(self, ds, text_col: str = "tuple_text"):
+        freq = token_frequencies(ds, text_col).to_pandas()
+        weights, total = sif_weight_dict(freq, self.a, self.min_freq)
+        self.total_tokens = total
+        self.weights_ref = ray.put(weights)
+        return self
+
+    def transform(self, ds, id_col: str = "conv_id", text_col: str = "tuple_text"):
+        if self.weights_ref is None:
+            raise RuntimeError("SIFEmbedder.transform called before fit")
+        cfg = self.cfg
+        emb = ds.map_batches(
+            _EmbedBatch,
+            fn_constructor_kwargs=dict(
+                dim=cfg.emb_dim,
+                seed=cfg.seed,
+                id_col=id_col,
+                text_col=text_col,
+                weights_ref=self.weights_ref,
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.embed_batch_size,
+            concurrency=actor_pool_size(cfg.embed_concurrency),
+        )
+        if not self.remove_pc_flag:
+            return emb
+        # PC is computed from this transform's own output (reference quirk:
+        # per-call SVD, tuple_embedding_models.py:134-139), so the weighted
+        # embeddings are needed twice → cache in the object store.
+        emb = emb.materialize()
+        pc = top_pc(emb, cfg.emb_dim)
+        return remove_pc(emb, pc, cfg.emb_dim)

@@ -1,0 +1,125 @@
+"""SIF / Average embedding conformance vs the single-process numpy oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deepblocker_ray import oracle
+from deepblocker_ray.config import EngineConfig
+from deepblocker_ray.functions.hash_embedding import HashEmbedding
+from deepblocker_ray.stages.embed import (
+    AverageEmbedder,
+    SIFEmbedder,
+    emb_to_numpy,
+    sif_weight_dict,
+    token_frequencies,
+    top_pc,
+)
+
+DIM = 32
+CFG = EngineConfig(emb_dim=DIM, seed=1234, embed_batch_size=16, num_buckets=4)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "the five boxing wizards jump quickly",
+    "sphinx of black quartz, judge my vow!",
+    "the quick onyx goblin jumps over the lazy dwarf",
+    "how quickly daft jumping zebras vex.",
+    "quick zephyrs blow, vexing daft jim",
+    "the jay, pig, fox, zebra and my wolves quack",
+]
+
+
+def tuples_df():
+    return pd.DataFrame(
+        {
+            "conv_id": pd.array([f"t{i}" for i in range(len(CORPUS))], dtype="string"),
+            "tuple_text": pd.array(CORPUS, dtype="string"),
+        }
+    )
+
+
+def sorted_emb(ds, dim=DIM):
+    pdf = ds.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    return np.stack([np.asarray(e, np.float64) for e in pdf["emb"]]), pdf
+
+
+class TestTokenFrequencies:
+    def test_matches_oracle(self, ray_session):
+        import ray.data as rd
+
+        freq = token_frequencies(rd.from_pandas(tuples_df())).to_pandas()
+        w_oracle, total_oracle = oracle.sif_weights(CORPUS)
+        weights, total = sif_weight_dict(freq)
+        assert total == total_oracle
+        assert set(weights) == set(w_oracle)
+        for k in weights:
+            assert weights[k] == pytest.approx(w_oracle[k], rel=1e-12)
+
+
+class TestAverageEmbedder:
+    def test_matches_oracle(self, ray_session):
+        import ray.data as rd
+
+        ds = AverageEmbedder(CFG).transform(rd.from_pandas(tuples_df()))
+        got, _ = sorted_emb(ds)
+        table = HashEmbedding(dim=DIM, seed=1234)
+        want = oracle.average_embed(CORPUS, table)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestSIFEmbedder:
+    def test_matches_oracle_no_pc(self, ray_session):
+        import ray.data as rd
+
+        ds_in = rd.from_pandas(tuples_df())
+        emb = SIFEmbedder(CFG, remove_pc=False).fit(ds_in).transform(ds_in)
+        got, _ = sorted_emb(emb)
+        table = HashEmbedding(dim=DIM, seed=1234)
+        w, _ = oracle.sif_weights(CORPUS)
+        want = oracle.sif_embed(CORPUS, table, w, remove_pc=False)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_matches_oracle_with_pc(self, ray_session):
+        import ray.data as rd
+
+        ds_in = rd.from_pandas(tuples_df())
+        emb = SIFEmbedder(CFG, remove_pc=True).fit(ds_in).transform(ds_in)
+        got, _ = sorted_emb(emb)
+        table = HashEmbedding(dim=DIM, seed=1234)
+        w, _ = oracle.sif_weights(CORPUS)
+        want = oracle.sif_embed(CORPUS, table, w, remove_pc=True)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_empty_text_zero_row(self, ray_session):
+        import ray.data as rd
+
+        df = pd.DataFrame(
+            {
+                "conv_id": pd.array(["a", "b"], dtype="string"),
+                "tuple_text": pd.array([" ", "hello world"], dtype="string"),
+            }
+        )
+        emb = SIFEmbedder(CFG, remove_pc=False).fit(rd.from_pandas(df)).transform(
+            rd.from_pandas(df)
+        )
+        pdf = emb.to_pandas().sort_values("conv_id").reset_index(drop=True)
+        assert pdf.loc[0, "emb_empty"]
+        np.testing.assert_array_equal(np.asarray(pdf.loc[0, "emb"]), np.zeros(DIM))
+        assert not pdf.loc[1, "emb_empty"]
+
+
+class TestTopPC:
+    def test_matches_oracle(self, ray_session):
+        import ray.data as rd
+
+        ds_in = rd.from_pandas(tuples_df())
+        emb = SIFEmbedder(CFG, remove_pc=False).fit(ds_in).transform(ds_in)
+        pc = top_pc(emb, DIM)
+        table = HashEmbedding(dim=DIM, seed=1234)
+        w, _ = oracle.sif_weights(CORPUS)
+        x = oracle.sif_embed(CORPUS, table, w, remove_pc=False)
+        want = oracle.top_principal_component(x)
+        # engine stores embeddings as float32 → ~1e-7 wobble vs float64 oracle
+        np.testing.assert_allclose(np.abs(pc), np.abs(want), atol=1e-6)
