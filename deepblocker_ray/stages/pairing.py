@@ -1,0 +1,435 @@
+"""Vector pairing: top-K cosine blocking (exact and IVF-approximate).
+
+Reference semantics (/root/reference/vector_pairing_models.py:21-46): store the
+right-side embedding matrix, compute the dense N_q×N_x cosine matrix, take the
+per-row top-K (unstable argsort), then melt K-wide neighbors into candidate
+pairs (blocking_utils.py:3-13). That dense matrix is the reference's
+scalability cliff (8 TB at 1M×1M rows).
+
+Ray-Data-native design — no all-to-all shuffle at all:
+  - index(): one streaming pass normalizes the right side into fixed-size
+    shards pinned in the object store (``ray.put`` once; every query task on
+    a node reads them zero-copy from plasma). At cluster scale the shard list
+    is the broadcast small side; per-task memory is bounded by
+    query_batch × shard_rows tiles.
+  - query(): an actor-pool map_batches over the left side; each batch is
+    matmul'd against each shard in turn, keeping an exact running top-K per
+    row (per-shard top-K ∪ running → re-partition), so the full similarity
+    matrix never exists. Neighbors are emitted eagerly in long form
+    (left_id, right_id, rank, cosine) — the reference's melt, done per batch.
+  - Tie-break: the reference's argsort tie order is implementation-defined;
+    ours is deterministic on (−cosine, right_id) (SURVEY §2.6-J3).
+  - IVF mode: seeded k-means-lite centroids (fit on a bounded sample),
+    shards store rows sorted by cell with offsets; queries probe only their
+    top-``nprobe`` cells per shard — the FAISS-IVF-per-partition shape from
+    BASELINE.json's north_star, minus the external dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..config import DEFAULT_TOP_K, EngineConfig, actor_pool_size
+from .embed import emb_to_numpy, numpy_to_emb
+
+CANDIDATE_SCHEMA = pa.schema(
+    [
+        ("left_id", pa.string()),
+        ("right_id", pa.string()),
+        ("rank", pa.int32()),
+        ("cosine", pa.float32()),
+    ]
+)
+
+
+def _normalize_rows(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return (x / n).astype(np.float32)
+
+
+def _select_topk_tieaware(sims: np.ndarray, ks: int) -> np.ndarray:
+    """Per-row top-ks column indices with ties at the boundary resolved in
+    ascending column order (columns are in right_id order, so this is the
+    (−cosine, right_id) rule). argpartition fast path; the tie fallback only
+    touches rows whose kth value is duplicated across the boundary."""
+    part = np.argpartition(-sims, ks - 1, axis=1)[:, :ks]
+    psims = np.take_along_axis(sims, part, axis=1)
+    kth = psims.min(axis=1)
+    total_ties = (sims == kth[:, None]).sum(axis=1)
+    sel_ties = (psims == kth[:, None]).sum(axis=1)
+    for i in np.nonzero(total_ties > sel_ties)[0]:
+        v = kth[i]
+        above = np.nonzero(sims[i] > v)[0]
+        ties = np.nonzero(sims[i] == v)[0]  # ascending = id order
+        part[i] = np.concatenate([above, ties[: ks - len(above)]])
+    return part
+
+
+def _merge_topk_pos(
+    run_sims: np.ndarray | None,
+    run_pos: np.ndarray | None,
+    new_sims: np.ndarray,
+    new_pos: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge running per-row top-k (kept sorted by (−sim, pos)) with new
+    candidates; fully vectorized lexsort on (−sim, global-position) where the
+    position is the id rank in the sorted index → deterministic ties."""
+    if run_sims is not None:
+        new_sims = np.concatenate([run_sims, new_sims], axis=1)
+        new_pos = np.concatenate([run_pos, new_pos], axis=1)
+    order = np.lexsort((new_pos, -new_sims), axis=1)[:, :k]
+    return (
+        np.take_along_axis(new_sims, order, axis=1),
+        np.take_along_axis(new_pos, order, axis=1),
+    )
+
+
+class _ExactQuery:
+    """Query actor: holds zero-copy views of every index shard.
+
+    Index shards are globally sorted by right_id (see ExactTopKPairer.index),
+    so a row's global position doubles as its id-rank tie key.
+    """
+
+    def __init__(self, shard_refs, dim: int, k: int, exclude_self: bool, id_col: str):
+        self.dim = dim
+        self.k = k
+        self.exclude_self = exclude_self
+        self.id_col = id_col
+        self.shards = []
+        offsets = [0]
+        for ref in shard_refs:
+            t = ray.get(ref)
+            ids = t.column("_pair_id").combine_chunks()
+            mat = emb_to_numpy(t.column("emb"), dim)
+            self.shards.append((ids, mat))
+            offsets.append(offsets[-1] + len(t))
+        self.offsets = np.asarray(offsets, np.int64)
+
+    def _ids_for_positions(self, pos: np.ndarray) -> pa.Array:
+        """global positions (flat) → right_id strings, gathered per shard."""
+        shard_idx = np.searchsorted(self.offsets, pos, side="right") - 1
+        out = np.empty(len(pos), dtype=object)
+        for s in np.unique(shard_idx):
+            mask = shard_idx == s
+            local = pos[mask] - self.offsets[s]
+            taken = self.shards[s][0].take(pa.array(local))
+            out[mask] = taken.to_pylist()
+        return pa.array(out, pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        left_ids = batch.column(self.id_col).cast(pa.string())
+        q = _normalize_rows(emb_to_numpy(batch.column("emb"), self.dim))
+        nq = len(q)
+        fetch = self.k + 1 if self.exclude_self else self.k
+        run_sims = run_pos = None
+        for s, (_ids, mat) in enumerate(self.shards):
+            sims = q @ mat.T
+            ks = min(fetch, mat.shape[0])
+            part = _select_topk_tieaware(sims, ks)
+            psims = np.take_along_axis(sims, part, axis=1)
+            ppos = part.astype(np.int64) + self.offsets[s]
+            run_sims, run_pos = _merge_topk_pos(
+                run_sims, run_pos, psims, ppos, fetch
+            )
+        if run_sims is None:
+            return pa.table(
+                {
+                    "left_id": pa.array([], pa.string()),
+                    "right_id": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.int32()),
+                    "cosine": pa.array([], pa.float32()),
+                },
+                schema=CANDIDATE_SCHEMA,
+            )
+        w = run_sims.shape[1]
+        flat_rids = self._ids_for_positions(run_pos.reshape(-1))
+        flat_lids = pa.array(
+            np.repeat(np.asarray(left_ids.to_pylist(), object), w), pa.string()
+        )
+        keep = np.ones(nq * w, bool)
+        if self.exclude_self:
+            import pyarrow.compute as pc
+
+            keep &= ~pc.equal(flat_lids, flat_rids).to_numpy(zero_copy_only=False)
+        ranks = (keep.reshape(nq, w).cumsum(axis=1) - 1).reshape(-1)
+        keep &= ranks < self.k
+        idx = np.nonzero(keep)[0]
+        return pa.table(
+            {
+                "left_id": flat_lids.take(pa.array(idx)),
+                "right_id": flat_rids.take(pa.array(idx)),
+                "rank": pa.array(ranks[idx].astype(np.int32)),
+                "cosine": pa.array(run_sims.reshape(-1)[idx].astype(np.float32)),
+            },
+            schema=CANDIDATE_SCHEMA,
+        )
+
+
+class ExactTopKPairer:
+    """J1-J3: exact top-K cosine blocking without the dense N×N matrix."""
+
+    def __init__(
+        self,
+        k: int = DEFAULT_TOP_K,
+        cfg: EngineConfig | None = None,
+        exclude_self: bool = False,
+    ):
+        self.k = k
+        self.cfg = cfg or EngineConfig()
+        self.exclude_self = exclude_self
+        self.shard_refs: list | None = None
+
+    def index(self, right_ds, id_col: str = "conv_id"):
+        """Normalize + pin the right side as object-store shards, globally
+        sorted by id so row position is the deterministic tie key (the sort
+        is the one shuffle this operator pays; the query side pays none)."""
+        cfg = self.cfg
+
+        def normalize(batch: pa.Table) -> pa.Table:
+            mat = _normalize_rows(emb_to_numpy(batch.column("emb"), cfg.emb_dim))
+            return pa.table(
+                {
+                    "_pair_id": batch.column(id_col).cast(pa.string()),
+                    "emb": numpy_to_emb(mat),
+                }
+            )
+
+        shards = (
+            right_ds.map_batches(
+                normalize,
+                batch_format="pyarrow",
+                batch_size=cfg.index_shard_rows,
+            )
+            .sort("_pair_id")
+            .materialize()
+        )
+        self.shard_refs = shards.to_arrow_refs()
+        return self
+
+    def query(self, left_ds, id_col: str = "conv_id"):
+        if self.shard_refs is None:
+            raise RuntimeError("ExactTopKPairer.query called before index")
+        cfg = self.cfg
+        return left_ds.map_batches(
+            _ExactQuery,
+            fn_constructor_kwargs=dict(
+                shard_refs=self.shard_refs,
+                dim=cfg.emb_dim,
+                k=self.k,
+                exclude_self=self.exclude_self,
+                id_col=id_col,
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.query_batch_size,
+            concurrency=actor_pool_size(cfg.query_concurrency),
+        )
+
+
+def kmeans_lite(
+    x: np.ndarray, n_cells: int, seed: int, n_iter: int = 10
+) -> np.ndarray:
+    """Seeded spherical k-means on a driver-side sample (bounded by the
+    caller). Returns normalized centroids (n_cells, D)."""
+    rng = np.random.default_rng(seed)
+    xn = _normalize_rows(x.astype(np.float64)).astype(np.float64)
+    n_cells = min(n_cells, len(xn))
+    centroids = xn[rng.choice(len(xn), size=n_cells, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(xn @ centroids.T, axis=1)
+        for c in range(n_cells):
+            members = xn[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    centroids[c] = v / norm
+    return centroids.astype(np.float32)
+
+
+class _IVFQuery:
+    """IVF query actor: probes only top-nprobe cells per query per shard.
+
+    Each shard stores rows sorted by cell + a (n_cells+1) offsets array, so a
+    cell's rows are a contiguous zero-copy slice.
+    """
+
+    def __init__(
+        self, shard_refs, centroids_ref, dim, k, nprobe, exclude_self, id_col
+    ):
+        self.dim = dim
+        self.k = k
+        self.nprobe = nprobe
+        self.exclude_self = exclude_self
+        self.id_col = id_col
+        self.centroids = ray.get(centroids_ref)
+        self.shards = []
+        n_cells = len(self.centroids)
+        for ref in shard_refs:
+            t = ray.get(ref)
+            ids = np.asarray(t.column("_pair_id").to_pylist(), dtype=object)
+            mat = emb_to_numpy(t.column("emb"), dim)
+            cells = np.asarray(t.column("cell"))
+            offsets = np.searchsorted(cells, np.arange(n_cells + 1))
+            self.shards.append((ids, mat, offsets))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        left_ids = batch.column(self.id_col).to_pylist()
+        q = _normalize_rows(emb_to_numpy(batch.column("emb"), self.dim))
+        nq = len(left_ids)
+        fetch = self.k + 1 if self.exclude_self else self.k
+        cell_sims = q @ self.centroids.T
+        np_ = min(self.nprobe, self.centroids.shape[0])
+        probed = np.argpartition(-cell_sims, np_ - 1, axis=1)[:, :np_]
+
+        cap = fetch * 2
+        run_sims = np.full((nq, cap), -np.inf, np.float32)
+        run_ids = np.full((nq, cap), "", dtype=object)
+
+        # invert: cell → queries probing it (vectorized bucketing)
+        flat_cells = probed.reshape(-1)
+        flat_q = np.repeat(np.arange(nq), np_)
+        order = np.argsort(flat_cells, kind="stable")
+        flat_cells = flat_cells[order]
+        flat_q = flat_q[order]
+        bounds = np.searchsorted(
+            flat_cells, np.arange(self.centroids.shape[0] + 1)
+        )
+
+        for ids, mat, offsets in self.shards:
+            for c in np.unique(flat_cells):
+                qs = flat_q[bounds[c] : bounds[c + 1]]
+                s, e = offsets[c], offsets[c + 1]
+                if e <= s or len(qs) == 0:
+                    continue
+                sub = mat[s:e]
+                sims = q[qs] @ sub.T
+                ks = min(fetch, sub.shape[0])
+                part = np.argpartition(-sims, ks - 1, axis=1)[:, :ks]
+                psims = np.take_along_axis(sims, part, axis=1)
+                pids = ids[s:e][part]
+                merged_s = np.concatenate([run_sims[qs, :fetch], psims], axis=1)
+                merged_i = np.concatenate([run_ids[qs, :fetch], pids], axis=1)
+                kk = min(fetch, merged_s.shape[1])
+                part2 = np.argpartition(-merged_s, kk - 1, axis=1)[:, :kk]
+                run_sims[qs[:, None], np.arange(kk)[None, :]] = np.take_along_axis(
+                    merged_s, part2, axis=1
+                )
+                run_ids[qs[:, None], np.arange(kk)[None, :]] = np.take_along_axis(
+                    merged_i, part2, axis=1
+                )
+
+        keep = run_sims[:, :fetch] > -np.inf
+        # replace -inf pad with empty slots removed inside _emit_candidates by
+        # masking: set padded ids to a sentinel that sorts last and skip them
+        out = _emit_candidates_masked(
+            left_ids, run_sims[:, :fetch], run_ids[:, :fetch], keep,
+            self.k, self.exclude_self,
+        )
+        return out
+
+
+def _emit_candidates_masked(
+    left_ids, run_sims, run_ids, valid, k, exclude_self
+) -> pa.Table:
+    out_l, out_r, out_rank, out_cos = [], [], [], []
+    for i, lid in enumerate(left_ids):
+        sims = run_sims[i][valid[i]]
+        ids = run_ids[i][valid[i]]
+        order = np.lexsort((ids, -sims))
+        rank = 0
+        for j in order:
+            rid = ids[j]
+            if exclude_self and rid == lid:
+                continue
+            out_l.append(lid)
+            out_r.append(rid)
+            out_rank.append(rank)
+            out_cos.append(sims[j])
+            rank += 1
+            if rank >= k:
+                break
+    return pa.table(
+        {
+            "left_id": pa.array(out_l, pa.string()),
+            "right_id": pa.array(out_r, pa.string()),
+            "rank": pa.array(out_rank, pa.int32()),
+            "cosine": pa.array(np.asarray(out_cos, np.float32)),
+        },
+        schema=CANDIDATE_SCHEMA,
+    )
+
+
+class IVFTopKPairer:
+    """Approximate top-K via inverted-file cells (scale path for huge right
+    sides; recall controlled by nprobe/ivf_cells)."""
+
+    def __init__(
+        self,
+        k: int = DEFAULT_TOP_K,
+        cfg: EngineConfig | None = None,
+        exclude_self: bool = False,
+        sample_rows: int = 50_000,
+    ):
+        self.k = k
+        self.cfg = cfg or EngineConfig()
+        self.exclude_self = exclude_self
+        self.sample_rows = sample_rows
+        self.shard_refs = None
+        self.centroids_ref = None
+
+    def index(self, right_ds, id_col: str = "conv_id"):
+        cfg = self.cfg
+        right_ds = right_ds.materialize()
+        n = right_ds.count()
+        frac = min(1.0, self.sample_rows / max(n, 1))
+        sample = right_ds.random_sample(frac, seed=cfg.seed).to_pandas()
+        x = np.stack([np.asarray(e, np.float32) for e in sample["emb"]])
+        centroids = kmeans_lite(x, cfg.ivf_cells, cfg.seed)
+        self.centroids_ref = ray.put(centroids)
+        centroids_ref = self.centroids_ref
+        dim = cfg.emb_dim
+
+        def assign(batch: pa.Table) -> pa.Table:
+            c = ray.get(centroids_ref)
+            mat = _normalize_rows(emb_to_numpy(batch.column("emb"), dim))
+            cells = np.argmax(mat @ c.T, axis=1).astype(np.int32)
+            order = np.argsort(cells, kind="stable")
+            return pa.table(
+                {
+                    "_pair_id": batch.column(id_col).cast(pa.string()).take(order),
+                    "emb": numpy_to_emb(mat[order]),
+                    "cell": pa.array(cells[order]),
+                }
+            )
+
+        shards = right_ds.map_batches(
+            assign, batch_format="pyarrow", batch_size=cfg.index_shard_rows
+        ).materialize()
+        self.shard_refs = shards.to_arrow_refs()
+        return self
+
+    def query(self, left_ds, id_col: str = "conv_id"):
+        if self.shard_refs is None:
+            raise RuntimeError("IVFTopKPairer.query called before index")
+        cfg = self.cfg
+        return left_ds.map_batches(
+            _IVFQuery,
+            fn_constructor_kwargs=dict(
+                shard_refs=self.shard_refs,
+                centroids_ref=self.centroids_ref,
+                dim=cfg.emb_dim,
+                k=self.k,
+                nprobe=cfg.ivf_nprobe,
+                exclude_self=self.exclude_self,
+                id_col=id_col,
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.query_batch_size,
+            concurrency=actor_pool_size(cfg.query_concurrency),
+        )
