@@ -42,10 +42,13 @@ def emb_type(dim: int) -> pa.DataType:
     return pa.list_(pa.float32(), dim)
 
 
-def emb_to_numpy(col: pa.ChunkedArray | pa.Array, dim: int) -> np.ndarray:
-    """fixed_size_list(float32, D) column → (n, D) float32 view (zero-copy)."""
+def emb_to_numpy(col: pa.ChunkedArray | pa.Array, dim: int | None = None) -> np.ndarray:
+    """fixed_size_list(float32, D) column → (n, D) float32 view (zero-copy).
+    ``dim=None`` infers D from the Arrow type."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if dim is None:
+        dim = col.type.list_size
     flat = col.flatten()
     return np.asarray(flat).reshape(-1, dim)
 

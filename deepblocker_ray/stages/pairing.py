@@ -96,8 +96,7 @@ class _ExactQuery:
     so a row's global position doubles as its id-rank tie key.
     """
 
-    def __init__(self, shard_refs, dim: int, k: int, exclude_self: bool, id_col: str):
-        self.dim = dim
+    def __init__(self, shard_refs, k: int, exclude_self: bool, id_col: str):
         self.k = k
         self.exclude_self = exclude_self
         self.id_col = id_col
@@ -106,7 +105,7 @@ class _ExactQuery:
         for ref in shard_refs:
             t = ray.get(ref)
             ids = t.column("_pair_id").combine_chunks()
-            mat = emb_to_numpy(t.column("emb"), dim)
+            mat = emb_to_numpy(t.column("emb"))
             self.shards.append((ids, mat))
             offsets.append(offsets[-1] + len(t))
         self.offsets = np.asarray(offsets, np.int64)
@@ -124,7 +123,7 @@ class _ExactQuery:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         left_ids = batch.column(self.id_col).cast(pa.string())
-        q = _normalize_rows(emb_to_numpy(batch.column("emb"), self.dim))
+        q = _normalize_rows(emb_to_numpy(batch.column("emb")))
         nq = len(q)
         fetch = self.k + 1 if self.exclude_self else self.k
         run_sims = run_pos = None
@@ -192,7 +191,7 @@ class ExactTopKPairer:
         cfg = self.cfg
 
         def normalize(batch: pa.Table) -> pa.Table:
-            mat = _normalize_rows(emb_to_numpy(batch.column("emb"), cfg.emb_dim))
+            mat = _normalize_rows(emb_to_numpy(batch.column("emb")))
             return pa.table(
                 {
                     "_pair_id": batch.column(id_col).cast(pa.string()),
@@ -220,7 +219,6 @@ class ExactTopKPairer:
             _ExactQuery,
             fn_constructor_kwargs=dict(
                 shard_refs=self.shard_refs,
-                dim=cfg.emb_dim,
                 k=self.k,
                 exclude_self=self.exclude_self,
                 id_col=id_col,
@@ -260,9 +258,8 @@ class _IVFQuery:
     """
 
     def __init__(
-        self, shard_refs, centroids_ref, dim, k, nprobe, exclude_self, id_col
+        self, shard_refs, centroids_ref, k, nprobe, exclude_self, id_col
     ):
-        self.dim = dim
         self.k = k
         self.nprobe = nprobe
         self.exclude_self = exclude_self
@@ -273,14 +270,14 @@ class _IVFQuery:
         for ref in shard_refs:
             t = ray.get(ref)
             ids = np.asarray(t.column("_pair_id").to_pylist(), dtype=object)
-            mat = emb_to_numpy(t.column("emb"), dim)
+            mat = emb_to_numpy(t.column("emb"))
             cells = np.asarray(t.column("cell"))
             offsets = np.searchsorted(cells, np.arange(n_cells + 1))
             self.shards.append((ids, mat, offsets))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         left_ids = batch.column(self.id_col).to_pylist()
-        q = _normalize_rows(emb_to_numpy(batch.column("emb"), self.dim))
+        q = _normalize_rows(emb_to_numpy(batch.column("emb")))
         nq = len(left_ids)
         fetch = self.k + 1 if self.exclude_self else self.k
         cell_sims = q @ self.centroids.T
@@ -393,11 +390,10 @@ class IVFTopKPairer:
         centroids = kmeans_lite(x, cfg.ivf_cells, cfg.seed)
         self.centroids_ref = ray.put(centroids)
         centroids_ref = self.centroids_ref
-        dim = cfg.emb_dim
 
         def assign(batch: pa.Table) -> pa.Table:
             c = ray.get(centroids_ref)
-            mat = _normalize_rows(emb_to_numpy(batch.column("emb"), dim))
+            mat = _normalize_rows(emb_to_numpy(batch.column("emb")))
             cells = np.argmax(mat @ c.T, axis=1).astype(np.int32)
             order = np.argsort(cells, kind="stable")
             return pa.table(
@@ -423,7 +419,6 @@ class IVFTopKPairer:
             fn_constructor_kwargs=dict(
                 shard_refs=self.shard_refs,
                 centroids_ref=self.centroids_ref,
-                dim=cfg.emb_dim,
                 k=self.k,
                 nprobe=cfg.ivf_nprobe,
                 exclude_self=self.exclude_self,
