@@ -83,6 +83,14 @@ class EngineConfig:
 
 
 def default_parallelism() -> int:
+    """CPU count of the live Ray session, else the RAY_GRAFT_CPUS hint."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return max(1, int(ray.cluster_resources().get("CPU", 1)))
+    except Exception:
+        pass
     return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 

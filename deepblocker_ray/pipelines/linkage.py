@@ -1,0 +1,133 @@
+"""Flagship pipeline: transcript record linkage end-to-end (north_rule).
+
+read transcripts → canonicalize (groupby conv_id, stable turn sort) →
+fit + embed (SIF / AutoEncoder / CTT / Hybrid) → top-K cosine blocking
+(exact or IVF) → pairwise scoring (cosine + Jaro-Winkler + Levenshtein on
+per-turn text) → threshold → transitive clustering → (conv_id, cluster_id).
+
+Every stage is a Dataset transform; the only driver-side work is bounded
+(training sample, weight dicts, cluster fast path).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..config import EngineConfig
+from ..stages.canonicalize import canonicalize
+from ..stages.cluster import connected_components
+from ..stages.deep_embed import AutoEncoderEmbedder, CTTEmbedder, HybridEmbedder
+from ..stages.embed import AverageEmbedder, SIFEmbedder
+from ..stages.pairing import ExactTopKPairer, IVFTopKPairer
+from ..stages.scoring import score_candidates
+from .evaluate import normalize_pairs
+
+EMBEDDERS = {
+    "average": AverageEmbedder,
+    "sif": SIFEmbedder,
+    "autoencoder": AutoEncoderEmbedder,
+    "ctt": CTTEmbedder,
+    "hybrid": HybridEmbedder,
+}
+
+
+def make_embedder(name_or_obj, cfg: EngineConfig):
+    if not isinstance(name_or_obj, str):
+        return name_or_obj
+    try:
+        return EMBEDDERS[name_or_obj](cfg)
+    except KeyError:
+        raise KeyError(
+            f"unknown embedder {name_or_obj!r}; choose from {sorted(EMBEDDERS)}"
+        ) from None
+
+
+def link_transcripts(
+    transcripts,
+    cfg: EngineConfig | None = None,
+    embedder="sif",
+    k: int = 10,
+    pairing: str = "exact",
+    threshold: float | None = None,
+    turn_cap: int | None = 10_000,
+) -> dict:
+    """Self-linkage over one transcript table. Returns a dict of Datasets:
+    tuples, candidates, scored, matches (normalized pairs), clusters
+    (every conversation labeled; unmatched ones form singletons)."""
+    cfg = cfg or EngineConfig()
+    emb_model = make_embedder(embedder, cfg)
+
+    tuples = canonicalize(transcripts, cfg, turn_cap=turn_cap).materialize()
+    emb_model.fit(tuples, text_col="tuple_text")
+    emb = emb_model.transform(tuples, id_col="conv_id").materialize()
+
+    if pairing == "exact":
+        pairer = ExactTopKPairer(k=k, cfg=cfg, exclude_self=True)
+    elif pairing == "ivf":
+        pairer = IVFTopKPairer(k=k, cfg=cfg, exclude_self=True)
+    else:
+        raise KeyError(f"unknown pairing mode {pairing!r}")
+    pairer.index(emb, id_col="conv_id")
+    candidates = pairer.query(emb, id_col="conv_id")
+
+    scored = score_candidates(
+        candidates, tuples, cfg=cfg, threshold=threshold
+    ).materialize()
+    matches = normalize_pairs(
+        scored.filter(expr="is_match == True")
+    ).materialize()
+    comp = connected_components(matches, cfg, src="ltable_id", dst="rtable_id")
+
+    # singletons: conversations with no surviving match keep their own id.
+    # Matched-node labels are a small side (≤ 2×|matches| nodes) → broadcast
+    # lookup; beyond broadcast_rows_max fall back to a left-outer join.
+    if comp.count() <= cfg.broadcast_rows_max:
+        import ray
+
+        comp_df = comp.to_pandas()
+        labeled_ref = ray.put(dict(zip(comp_df["conv_id"], comp_df["cluster_id"])))
+
+        def assign(batch: pa.Table) -> pa.Table:
+            labeled = ray.get(labeled_ref)
+            ids = batch.column("conv_id").to_pylist()
+            return pa.table(
+                {
+                    "conv_id": pa.array(ids, pa.string()),
+                    "cluster_id": pa.array(
+                        [labeled.get(i, i) for i in ids], pa.string()
+                    ),
+                }
+            )
+
+        clusters = tuples.select_columns(["conv_id"]).map_batches(
+            assign, batch_format="pyarrow"
+        )
+    else:
+        from ..config import default_parallelism
+
+        joined = tuples.select_columns(["conv_id"]).join(
+            comp,
+            join_type="left_outer",
+            num_partitions=max(default_parallelism(), 8),
+            on=("conv_id",),
+        )
+        clusters = joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "conv_id": t.column("conv_id"),
+                    "cluster_id": pa.compute.coalesce(
+                        t.column("cluster_id"), t.column("conv_id")
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    return {
+        "tuples": tuples,
+        "embeddings": emb,
+        "candidates": candidates,
+        "scored": scored,
+        "matches": matches,
+        "clusters": clusters,
+    }

@@ -1,0 +1,171 @@
+"""Transitive clustering: connected components over match pairs (A7).
+
+No reference equivalent (the reference stops at blocking); required by
+BASELINE.json north_rule. Implemented as iterative min-label propagation —
+each round: every node adopts the minimum label among itself and its
+neighbors, via ``join`` (labels onto edge sources) + ``groupby(node).min``.
+Converges in O(graph diameter) rounds; entity-resolution components are
+shallow (near-cliques), so a handful of rounds suffices. For provably small
+edge sets a driver-side union-find fast path avoids the per-round shuffles
+(the BTS ICDE'24 load-balanced variant is the upgrade path for adversarial
+graphs — PAPERS.md).
+
+Convergence detection is a cheap label-signature pass (sum of row hashes),
+not a join of old vs new labels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import EngineConfig, default_parallelism
+
+
+def union_find_pandas(edges: pd.DataFrame, src: str, dst: str) -> pd.DataFrame:
+    """Driver-side union-find (path compression + union by label order:
+    smaller label wins, matching the distributed min-label semantics)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges[src], edges[dst]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    nodes = list(parent)
+    return pd.DataFrame(
+        {
+            "conv_id": pd.array(nodes, dtype="string"),
+            "cluster_id": pd.array([find(n) for n in nodes], dtype="string"),
+        }
+    )
+
+
+def _label_signature(labels_ds) -> int:
+    """Order-insensitive signature of (node, label) assignments."""
+    sig = np.uint64(0)
+    for b in labels_ds.iter_batches(batch_format="pandas", batch_size=65536):
+        h = pd.util.hash_pandas_object(
+            b["conv_id"].astype(str) + "\x00" + b["cluster_id"].astype(str),
+            index=False,
+        )
+        sig = np.bitwise_xor(sig, np.bitwise_xor.reduce(h.to_numpy(np.uint64)))
+    return int(sig)
+
+
+def connected_components(
+    edges_ds,
+    cfg: EngineConfig | None = None,
+    src: str = "left_id",
+    dst: str = "right_id",
+    max_iter: int = 25,
+    driver_threshold: int = 200_000,
+):
+    """edges Dataset → (conv_id, cluster_id) Dataset. cluster_id is the
+    minimum conv_id in the component (deterministic)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    cfg = cfg or EngineConfig()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return rd.from_pandas(
+            pd.DataFrame({"conv_id": pd.array([], dtype="string"),
+                          "cluster_id": pd.array([], dtype="string")})
+        )
+    if n_edges <= driver_threshold:
+        pdf = edges_ds.select_columns([src, dst]).to_pandas()
+        return rd.from_pandas(union_find_pandas(pdf, src, dst))
+
+    # Homogeneous triple encoding (key, val, is_label) lets one union +
+    # groupby implement "attach each node's label to its edges" without
+    # Dataset.join (whose aggregator-actor CPU reservation can deadlock
+    # against backpressured upstream tasks on small sessions).
+    from .canonicalize import bucket_of
+
+    nb = cfg.num_buckets
+
+    def to_edge(batch: pa.Table) -> pa.Table:
+        a = batch.column(src).cast(pa.string()).combine_chunks()
+        b = batch.column(dst).cast(pa.string()).combine_chunks()
+        key = pa.concat_arrays([a, b])
+        t = pa.table(
+            {
+                "key": key,
+                "val": pa.concat_arrays([b, a]),
+                "is_label": pa.array([False] * (len(a) + len(b))),
+            }
+        )
+        return t.append_column(
+            "_bucket", pa.array(bucket_of(key.to_pandas(), nb))
+        )
+
+    edges = edges_ds.map_batches(to_edge, batch_format="pyarrow").materialize()
+    labels = (
+        edges.groupby("key")
+        .aggregate(Min("val", alias_name="cluster_id"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "conv_id": t.column("key"),
+                    "cluster_id": pa.compute.min_element_wise(
+                        t.column("key"), t.column("cluster_id")
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    sig = _label_signature(labels)
+
+    def propagate(group: pd.DataFrame) -> pd.DataFrame:
+        """One bucket: map node→label, emit (nbr, node_label) per edge plus
+        the node's own label row (vectorized pandas merge)."""
+        lab = group[group["is_label"]]
+        edg = group[~group["is_label"]]
+        merged = edg.merge(
+            lab[["key", "val"]].rename(columns={"val": "label"}), on="key"
+        )
+        out_key = pd.concat([merged["val"], lab["key"]], ignore_index=True)
+        out_val = pd.concat([merged["label"], lab["val"]], ignore_index=True)
+        return pd.DataFrame({"conv_id": out_key, "cluster_id": out_val})
+
+    for _ in range(max_iter):
+        label_rows = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "key": t.column("conv_id"),
+                    "val": t.column("cluster_id"),
+                    "is_label": pa.array([True] * len(t)),
+                }
+            ).append_column(
+                "_bucket",
+                pa.array(bucket_of(t.column("conv_id").to_pandas(), nb)),
+            ),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            edges.union(label_rows)
+            .groupby("_bucket")
+            .map_groups(propagate, batch_format="pandas")
+            .groupby("conv_id")
+            .aggregate(Min("cluster_id", alias_name="cluster_id"))
+            .materialize()
+        )
+        new_sig = _label_signature(new_labels)
+        labels = new_labels
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return labels

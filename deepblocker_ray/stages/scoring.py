@@ -1,0 +1,173 @@
+"""Pairwise candidate scoring: embedding cosine + Jaro-Winkler + Levenshtein
+on per-turn text (BASELINE.json north_star; no reference equivalent — the
+reference stops at the candidate set).
+
+Candidates arrive as (left_id, right_id, rank, cosine). The scorer needs both
+sides' turn texts: the tuple table is broadcast once via ray.put when it fits
+(EngineConfig.broadcast_rows_max) — the common shape, since canonical tuples
+are ~10^3× smaller than turns — else it falls back to two hash joins
+(Dataset.join). Per-turn similarities are averaged over aligned turn indices
+(up to the shorter side), strings capped at ``score_text_cap`` chars to bound
+the O(n·m) edit distance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..config import EngineConfig, actor_pool_size, default_parallelism
+from ..functions.textsim import jaro_winkler, levenshtein_ratio
+
+SCORE_WEIGHTS = {"cosine": 0.4, "jw": 0.3, "lev": 0.3}
+
+
+def pair_similarity(
+    turns_a: list[str],
+    turns_b: list[str],
+    cosine: float,
+    cap: int,
+    weights: dict[str, float] = SCORE_WEIGHTS,
+) -> tuple[float, float, float]:
+    """(jw, lev, combined) for one candidate pair."""
+    n = min(len(turns_a), len(turns_b))
+    if n == 0:
+        jw = lev = 0.0
+    else:
+        jw = float(
+            np.mean([jaro_winkler(turns_a[i][:cap], turns_b[i][:cap]) for i in range(n)])
+        )
+        lev = float(
+            np.mean(
+                [levenshtein_ratio(turns_a[i], turns_b[i], cap=cap) for i in range(n)]
+            )
+        )
+    cos = max(0.0, min(1.0, float(cosine)))
+    total_w = sum(weights.values())
+    combined = (
+        weights["cosine"] * cos + weights["jw"] * jw + weights["lev"] * lev
+    ) / total_w
+    return jw, lev, combined
+
+
+class _ScoreBroadcast:
+    """Scoring actor holding broadcast id → turn_texts lookup tables."""
+
+    def __init__(self, left_ref, right_ref, cap: int, threshold: float):
+        self.left = ray.get(left_ref)
+        self.right = ray.get(right_ref) if right_ref is not None else self.left
+        self.cap = cap
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lids = batch.column("left_id").to_pylist()
+        rids = batch.column("right_id").to_pylist()
+        cosines = batch.column("cosine").to_pylist()
+        jws = np.empty(len(lids), np.float32)
+        levs = np.empty(len(lids), np.float32)
+        scores = np.empty(len(lids), np.float32)
+        for i, (l, r, c) in enumerate(zip(lids, rids, cosines)):
+            ta = self.left.get(l) or []
+            tb = self.right.get(r) or []
+            jw, lev, comb = pair_similarity(ta, tb, c, self.cap)
+            jws[i], levs[i], scores[i] = jw, lev, comb
+        return batch.append_column("jw", pa.array(jws)).append_column(
+            "lev", pa.array(levs)
+        ).append_column("score", pa.array(scores)).append_column(
+            "is_match", pa.array(scores >= self.threshold)
+        )
+
+
+def _turns_dict(tuples_ds, id_col: str) -> dict[str, list[str]]:
+    out: dict[str, list[str]] = {}
+    for b in tuples_ds.select_columns([id_col, "turn_texts"]).iter_batches(
+        batch_format="pyarrow", batch_size=8192
+    ):
+        for cid, turns in zip(
+            b.column(id_col).to_pylist(), b.column("turn_texts").to_pylist()
+        ):
+            out[cid] = turns
+    return out
+
+
+def score_candidates(
+    candidates,
+    tuples_ds,
+    right_tuples_ds=None,
+    cfg: EngineConfig | None = None,
+    threshold: float | None = None,
+    id_col: str = "conv_id",
+):
+    """candidates + canonical tuples → scored pairs with ``is_match``.
+
+    ``right_tuples_ds=None`` means self-linkage (both sides from tuples_ds).
+    """
+    cfg = cfg or EngineConfig()
+    threshold = cfg.match_threshold if threshold is None else threshold
+
+    n_left = tuples_ds.count()
+    n_right = right_tuples_ds.count() if right_tuples_ds is not None else 0
+    if max(n_left, n_right) > cfg.broadcast_rows_max:
+        return _score_via_join(
+            candidates, tuples_ds, right_tuples_ds, cfg, threshold, id_col
+        )
+
+    left_ref = ray.put(_turns_dict(tuples_ds, id_col))
+    right_ref = (
+        ray.put(_turns_dict(right_tuples_ds, id_col))
+        if right_tuples_ds is not None
+        else None
+    )
+    return candidates.map_batches(
+        _ScoreBroadcast,
+        fn_constructor_kwargs=dict(
+            left_ref=left_ref,
+            right_ref=right_ref,
+            cap=cfg.score_text_cap,
+            threshold=threshold,
+        ),
+        batch_format="pyarrow",
+        batch_size=cfg.score_batch_size,
+        concurrency=actor_pool_size(cfg.embed_concurrency),
+    )
+
+
+def _score_via_join(candidates, tuples_ds, right_tuples_ds, cfg, threshold, id_col):
+    """Large-side path: two hash joins to attach turn texts, then a stateless
+    scoring map. Partition count sized to the session parallelism."""
+    nparts = max(default_parallelism(), 8)
+    left_side = tuples_ds.select_columns([id_col, "turn_texts"]).rename_columns(
+        {id_col: "left_id", "turn_texts": "_lt"}
+    )
+    right_src = right_tuples_ds if right_tuples_ds is not None else tuples_ds
+    right_side = right_src.select_columns([id_col, "turn_texts"]).rename_columns(
+        {id_col: "right_id", "turn_texts": "_rt"}
+    )
+    joined = candidates.join(
+        left_side, join_type="inner", num_partitions=nparts, on=("left_id",)
+    ).join(right_side, join_type="inner", num_partitions=nparts, on=("right_id",))
+
+    cap = cfg.score_text_cap
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        lts = batch.column("_lt").to_pylist()
+        rts = batch.column("_rt").to_pylist()
+        cosines = batch.column("cosine").to_pylist()
+        jws = np.empty(len(lts), np.float32)
+        levs = np.empty(len(lts), np.float32)
+        scores = np.empty(len(lts), np.float32)
+        for i, (ta, tb, c) in enumerate(zip(lts, rts, cosines)):
+            jw, lev, comb = pair_similarity(ta or [], tb or [], c, cap)
+            jws[i], levs[i], scores[i] = jw, lev, comb
+        batch = batch.drop_columns(["_lt", "_rt"])
+        return batch.append_column("jw", pa.array(jws)).append_column(
+            "lev", pa.array(levs)
+        ).append_column("score", pa.array(scores)).append_column(
+            "is_match", pa.array(scores >= threshold)
+        )
+
+    return joined.map_batches(
+        score_batch, batch_format="pyarrow", batch_size=cfg.score_batch_size
+    )

@@ -1,0 +1,107 @@
+"""End-to-end linkage on the planted-duplicate fixture: blocking recall,
+pair F1 ≥ 0.99, cluster equality to planted truth (north_rule targets)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deepblocker_ray.config import EngineConfig
+from deepblocker_ray.fixtures import golden_pairs, synth_transcripts
+from deepblocker_ray.pipelines.evaluate import (
+    blocking_statistics,
+    normalize_pairs,
+    pair_f1,
+)
+from deepblocker_ray.pipelines.linkage import link_transcripts
+from deepblocker_ray.stages.cluster import connected_components, union_find_pandas
+
+CFG = EngineConfig(
+    emb_dim=64,
+    num_buckets=8,
+    embed_batch_size=512,
+    query_batch_size=512,
+    index_shard_rows=512,
+)
+
+
+class TestClusterStage:
+    def test_union_find_shapes(self):
+        edges = pd.DataFrame(
+            {
+                "a": ["n1", "n2", "n5", "n7", "n9"],
+                "b": ["n2", "n3", "n6", "n7", "n8"],
+            }
+        )
+        out = union_find_pandas(edges, "a", "b").set_index("conv_id")["cluster_id"]
+        assert out["n1"] == out["n2"] == out["n3"] == "n1"
+        assert out["n5"] == out["n6"] == "n5"
+        assert out["n7"] == "n7"  # self-pair
+        assert out["n9"] == out["n8"] == "n8"
+
+    def test_distributed_label_propagation(self, ray_session):
+        """Force the distributed path with driver_threshold=0: chain, star,
+        two components."""
+        import ray.data as rd
+
+        edges = pd.DataFrame(
+            {
+                "left_id": ["c1", "c2", "c3", "s0", "s0", "s0", "x1"],
+                "right_id": ["c2", "c3", "c4", "s1", "s2", "s3", "x2"],
+            }
+        )
+        out = (
+            connected_components(
+                rd.from_pandas(edges), CFG, driver_threshold=0
+            )
+            .to_pandas()
+            .set_index("conv_id")["cluster_id"]
+        )
+        for n in ["c1", "c2", "c3", "c4"]:
+            assert out[n] == "c1"
+        for n in ["s0", "s1", "s2", "s3"]:
+            assert out[n] == "s0"
+        assert out["x1"] == out["x2"] == "x1"
+
+
+class TestLinkageE2E:
+    @pytest.fixture(scope="class")
+    def result(self, ray_session):
+        import ray.data as rd
+
+        df, clusters = synth_transcripts(n_base=120, seed=7, dup_fraction=0.4)
+        ds = rd.from_pandas(df)
+        res = link_transcripts(ds, CFG, embedder="sif", k=8)
+        return res, clusters
+
+    def test_blocking_recall(self, result):
+        res, clusters = result
+        golden = golden_pairs(clusters)
+        n = res["tuples"].count()
+        stats = blocking_statistics(res["candidates"], golden, n, n)
+        assert stats["recall"] >= 0.98, stats
+        assert stats["cssr"] < 0.2, stats
+
+    def test_pair_f1(self, result):
+        res, clusters = result
+        golden = golden_pairs(clusters)
+        metrics = pair_f1(res["matches"], golden, already_normalized=True)
+        assert metrics["f1"] >= 0.99, metrics
+
+    def test_cluster_equality(self, result):
+        res, clusters = result
+        got = res["clusters"].to_pandas()
+        truth = clusters.set_index("conv_id")["entity_id"]
+        pred = got.set_index("conv_id")["cluster_id"]
+        assert set(pred.index) == set(truth.index)
+        # same partition: conv pairs co-clustered iff same entity
+        df = pd.DataFrame({"pred": pred, "truth": truth.loc[pred.index]})
+        by_truth = df.groupby("truth")["pred"].nunique()
+        by_pred = df.groupby("pred")["truth"].nunique()
+        assert (by_truth == 1).mean() >= 0.99, "split clusters"
+        assert (by_pred == 1).mean() >= 0.99, "merged clusters"
+
+    def test_every_conv_labeled_once(self, result):
+        res, clusters = result
+        got = res["clusters"].to_pandas()
+        assert got["conv_id"].is_unique
+        assert len(got) == len(clusters)
