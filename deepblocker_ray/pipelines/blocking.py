@@ -44,8 +44,20 @@ def preprocess_flat(ds, cols_to_block: list[str], id_col: str = "id"):
             # BEFORE stringify, matching fillna-then-astype order
             # (deep_blocker.py:33-37).
             if pa.types.is_floating(col.type):
-                col = pc.cast(col, pa.float64())
-            col = pc.cast(col, pa.string())
+                col = pc.cast(pc.cast(col, pa.float64()), pa.string())
+                # pandas str(float) renders integral floats with a '.0'
+                # suffix ('774.0'); Arrow renders '774' — append it where no
+                # '.', exponent, or nan/inf marker is present
+                plain_int = pc.invert(
+                    pc.match_substring_regex(col, r"[.eEn]")
+                )
+                col = pc.if_else(
+                    plain_int,
+                    pc.binary_join_element_wise(col, ".0", ""),
+                    col,
+                )
+            else:
+                col = pc.cast(col, pa.string())
             col = pc.fill_null(col, " ")
             parts.append(col)
         merged = pc.binary_join_element_wise(*parts, " ") if parts else pa.array(

@@ -171,8 +171,12 @@ def _components_output(ds, pairs, cfg, id_col):
     import ray
 
     comp = connected_components(pairs, cfg, src="left_id", dst="right_id")
-    comp_df = comp.to_pandas()
-    labeled_ref = ray.put(dict(zip(comp_df["conv_id"], comp_df["cluster_id"])))
+    if comp.count() > 0:
+        comp_df = comp.to_pandas()
+        labeled = dict(zip(comp_df["conv_id"], comp_df["cluster_id"]))
+    else:
+        labeled = {}
+    labeled_ref = ray.put(labeled)
 
     def assign(batch: pa.Table) -> pa.Table:
         labeled = ray.get(labeled_ref)
@@ -323,9 +327,10 @@ class _SimHashBatch:
         ):
             toks = tokenize(text or "")
             acc = np.zeros(64, np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
             for t in toks:
-                h = int(_stable_hash64(t.encode()))
-                bits = (h >> np.arange(64)) & 1
+                h = _stable_hash64(t.encode())
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
                 acc += np.where(bits == 1, 1, -1)
             fp = np.uint64(0)
             for bit in range(64):

@@ -1,0 +1,87 @@
+"""Driver simulation: run each __ray_entry__ query and its DuckDB oracle at
+sf0.001 and compare row-count + schema-names + order-insensitive values —
+the same contract CORRECTNESS_r{N}.json grades."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        try:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        except duckdb.IOException:
+            pass
+    return c
+
+
+def to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()
+
+
+def canonical(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object or str(df[c].dtype) == "string":
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+SQL_CHECKED = sorted(entrymod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(ray_session, con, name):
+    got = canonical(to_pandas(entrymod.queries()[name](SF_DIR)))
+    want = canonical(con.execute(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), (
+        got.columns,
+        want.columns,
+    )
+    assert len(got) == len(want)
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            pd.testing.assert_series_equal(
+                g.astype(float), w.astype(float), check_names=False,
+                rtol=1e-12, atol=1e-12,
+            )
+        else:
+            assert (
+                g.astype(str).tolist() == w.astype(str).tolist()
+            ), f"column {c} mismatch"
+
+
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(SQL_CHECKED))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(ray_session, name):
+    got = to_pandas(entrymod.queries()[name](SF_DIR))
+    assert len(got) >= 0
+    assert len(got.columns) >= 1
+
+
+def test_entry_smoke(ray_session):
+    out = to_pandas(entrymod.entry())
+    assert len(out) > 0
+    assert set(out.columns) == {"conv_id", "cluster_id"}
