@@ -184,8 +184,10 @@ def q_blocking_sif(sf_dir: str):
     from deepblocker_ray.stages.embed import SIFEmbedder
     from deepblocker_ray.stages.pairing import ExactTopKPairer
 
+    from deepblocker_ray.config import parallel_blocks
+
     cfg = _cfg()
-    tuples = canonicalize(_transcripts(sf_dir), cfg).materialize()
+    tuples = parallel_blocks(canonicalize(_transcripts(sf_dir), cfg)).materialize()
     emb = SIFEmbedder(cfg).fit(tuples).transform(tuples).materialize()
     pairer = ExactTopKPairer(k=5, cfg=cfg, exclude_self=True).index(emb)
     out = pairer.query(emb)

@@ -1,0 +1,169 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+under ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
+"sf", "num_cpus"}.
+
+``--scaling`` runs the headline pipeline twice in fresh subprocesses
+(num_cpus=8 then 32) on the same input and reports throughput at both plus
+scaling efficiency — the sandbox substitute for the north_rule's N vs 4N
+node criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# headline linkage scale: number of base conversations in the planted-dup
+# corpus (scaled to keep pairing quadratic work meaningful but bounded)
+LINKAGE_BASE = int(os.environ.get("GRAFT_LINKAGE_BASE", "12000"))
+
+
+def _linkage_input():
+    """Planted-duplicate transcript corpus for the headline pipeline —
+    deterministic, generated once and cached to parquet under /tmp."""
+    import ray.data as rd
+
+    cache = f"/tmp/graft_bench/transcripts_{LINKAGE_BASE}"
+    if not os.path.exists(os.path.join(cache, "_DONE")):
+        from deepblocker_ray.fixtures import synth_transcripts
+
+        df, clusters = synth_transcripts(
+            n_base=LINKAGE_BASE, seed=7, dup_fraction=0.3, big_cluster=50
+        )
+        os.makedirs(cache, exist_ok=True)
+        df.to_parquet(os.path.join(cache, "transcripts.parquet"))
+        clusters.to_parquet(os.path.join(cache, "clusters.parquet"))
+        open(os.path.join(cache, "_DONE"), "w").write("ok")
+    return rd.read_parquet(os.path.join(cache, "transcripts.parquet"))
+
+
+def bench_linkage() -> dict:
+    """Headline: full transcript linkage (canonicalize → SIF → exact top-K →
+    score → cluster)."""
+    from deepblocker_ray.config import EngineConfig
+    from deepblocker_ray.pipelines.linkage import link_transcripts
+
+    cfg = EngineConfig(num_buckets=max(64, NUM_CPUS * 4))
+    ds = _linkage_input()
+    n_turns = ds.count()  # warms the page cache before timing
+    t0 = time.perf_counter()
+    res = link_transcripts(ds, cfg, embedder="sif", k=8)
+    n_clusters = res["clusters"].count()
+    sec = time.perf_counter() - t0
+    return {"sec": sec, "rows": n_turns, "out_rows": n_clusters}
+
+
+def bench_query(fn) -> dict:
+    t0 = time.perf_counter()
+    out = fn(SF_DIR)
+    n = out.count() if hasattr(out, "count") else len(out)
+    return {"sec": time.perf_counter() - t0, "out_rows": int(n)}
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    queries: dict[str, float] = {}
+    details: dict[str, dict] = {}
+
+    r = bench_linkage()
+    queries["linkage_headline"] = round(r["sec"], 3)
+    details["linkage_headline"] = r
+
+    q = entrymod.queries()
+    for name in [
+        "canonicalize",
+        "blocking_sif",
+        "dedup_exact",
+        "minhash_dedup",
+        "simhash_dedup",
+        "knn_exact",
+        "token_count",
+        "token_stats",
+        "lang_id",
+        "fingerprint",
+    ]:
+        r = bench_query(q[name])
+        queries[name] = round(r["sec"], 3)
+        details[name] = r
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "deepblocker_ray_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "detail": details,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm page cache + fixture cache once, untimed
+    run(8)
+    lo = run(8)
+    hi = run(32)
+    t_lo = lo["queries"]["linkage_headline"]
+    t_hi = hi["queries"]["linkage_headline"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "fraction",
+                "sec_8cpu": t_lo,
+                "sec_32cpu": t_hi,
+                "total_sec_8cpu": lo["value"],
+                "total_sec_32cpu": hi["value"],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -43,9 +43,9 @@ class EngineConfig:
     seed: int = RANDOM_SEED
 
     # batch sizes for map_batches stages (rows)
-    embed_batch_size: int = 4096
+    embed_batch_size: int = 2048
     query_batch_size: int = 2048
-    score_batch_size: int = 4096
+    score_batch_size: int = 1024
 
     # actor-pool sizes; None → let Ray autoscale tasks
     embed_concurrency: int | None = None
@@ -68,7 +68,7 @@ class EngineConfig:
     num_epochs: int = NUM_EPOCHS
 
     # pairwise-scoring knobs
-    score_text_cap: int = 256          # cap chars per turn for O(nm) edit distance
+    score_text_cap: int = 128          # cap chars per turn for O(nm) edit distance
     match_threshold: float = 0.60      # combined-score match cutoff
 
     # IVF knobs
@@ -110,4 +110,22 @@ def actor_pool_size(configured: int | tuple | None) -> int | tuple:
             n = default_parallelism()
     except Exception:
         n = default_parallelism()
-    return (1, max(2, n))
+    n = max(2, n)
+    # start several actors immediately — autoscaling from 1 ramps too slowly
+    # for short stages; idle actors release on downscale
+    return (min(8, n), n)
+
+
+def parallel_blocks(ds, factor: int = 2):
+    """Repartition a Dataset to ≥ factor × session CPUs blocks when it has
+    fewer. Ray's map parallelism is per-block: a groupby or small read can
+    collapse output into one block and serialize every downstream stage.
+    Call at pipeline seams right before a materialize/heavy map."""
+    target = default_parallelism() * factor
+    try:
+        nb = ds.num_blocks()
+    except Exception:
+        nb = None
+    if nb is not None and nb >= target:
+        return ds
+    return ds.repartition(target)

@@ -60,18 +60,18 @@ def jaro(s1: str, s2: str) -> float:
     match_window = max(len1, len2) // 2 - 1
     a = np.frombuffer(s1.encode("utf-32-le"), np.uint32)
     b = np.frombuffer(s2.encode("utf-32-le"), np.uint32)
-    b_taken = np.zeros(len2, bool)
+    free = np.ones(len2, bool)
     m1 = []
     m2_idx = []
     for i in range(len1):
         lo = max(0, i - match_window)
         hi = min(len2, i + match_window + 1)
-        for j in range(lo, hi):
-            if not b_taken[j] and b[j] == a[i]:
-                b_taken[j] = True
-                m1.append(a[i])
-                m2_idx.append(j)
-                break
+        cand = np.nonzero((b[lo:hi] == a[i]) & free[lo:hi])[0]
+        if cand.size:
+            j = lo + int(cand[0])
+            free[j] = False
+            m1.append(a[i])
+            m2_idx.append(j)
     m = len(m1)
     if m == 0:
         return 0.0
@@ -90,6 +90,133 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
             break
         prefix += 1
     return j + prefix * prefix_weight * (1.0 - j)
+
+
+def jaro_winkler_batch(
+    pairs_a: list[str], pairs_b: list[str], prefix_weight: float = 0.1
+) -> np.ndarray:
+    """Vectorized Jaro-Winkler for many pairs: the greedy window matching
+    runs across all pairs simultaneously (numpy ops on (n, max_len)
+    matrices); only the O(m) transposition count stays per-pair."""
+    n = len(pairs_a)
+    if n == 0:
+        return np.zeros(0, np.float64)
+    len_a = np.asarray([len(s) for s in pairs_a], np.int64)
+    len_b = np.asarray([len(s) for s in pairs_b], np.int64)
+    out = np.zeros(n, np.float64)
+    equal = np.asarray([a == b for a, b in zip(pairs_a, pairs_b)], bool)
+    out[equal] = 1.0
+    todo = ~equal & (len_a > 0) & (len_b > 0)
+    if not todo.any():
+        return out
+    idx = np.nonzero(todo)[0]
+    la = len_a[idx]
+    lb = len_b[idx]
+    max_a = int(la.max())
+    max_b = int(lb.max())
+    A = np.full((len(idx), max_a), np.uint32(0xFFFFFFFE))
+    B = np.full((len(idx), max_b), np.uint32(0xFFFFFFFF))
+    for r, p in enumerate(idx):
+        A[r, : la[r]] = np.frombuffer(pairs_a[p].encode("utf-32-le"), np.uint32)
+        B[r, : lb[r]] = np.frombuffer(pairs_b[p].encode("utf-32-le"), np.uint32)
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    free = np.ones_like(B, bool)
+    matched_a = np.zeros_like(A, bool)
+    matched_b = np.zeros_like(B, bool)
+    cols = np.arange(max_b)
+    for i in range(max_a):
+        lo = np.maximum(i - window, 0)
+        hi = np.minimum(i + window + 1, lb)
+        win = (cols >= lo[:, None]) & (cols < hi[:, None])
+        eq = (B == A[:, i : i + 1]) & free & win
+        has = eq.any(axis=1)
+        j = eq.argmax(axis=1)
+        rows = np.nonzero(has)[0]
+        free[rows, j[rows]] = False
+        matched_a[rows, i] = True
+        matched_b[rows, j[rows]] = True
+    m = matched_a.sum(axis=1)
+    jaro_v = np.zeros(len(idx))
+    nz = np.nonzero(m > 0)[0]
+    trans = np.zeros(len(idx), np.int64)
+    for r in nz:
+        m1 = A[r][matched_a[r]]
+        m2 = B[r][matched_b[r]]
+        trans[r] = int(np.count_nonzero(m1 != m2)) // 2
+    jaro_v[nz] = (
+        m[nz] / la[nz] + m[nz] / lb[nz] + (m[nz] - trans[nz]) / m[nz]
+    ) / 3.0
+    # Winkler prefix boost (common prefix ≤ 4) where jaro > 0.7
+    pref_len = np.minimum(np.minimum(la, lb), 4)
+    maxp = min(4, max_a, max_b)
+    prefix = np.zeros(len(idx), np.int64)
+    if maxp > 0:
+        eqp = A[:, :maxp] == B[:, :maxp]
+        still = np.ones(len(idx), bool)
+        for i in range(maxp):
+            still &= eqp[:, i] & (i < pref_len)
+            prefix += still
+    boost = jaro_v > 0.7
+    jaro_v[boost] += prefix[boost] * prefix_weight * (1.0 - jaro_v[boost])
+    out[idx] = jaro_v
+    return out
+
+
+def levenshtein_ratio_batch(
+    pairs_a: list[str], pairs_b: list[str], cap: int | None = None
+) -> np.ndarray:
+    """Vectorized edit-distance ratios for many string pairs at once: one DP
+    whose row updates run across ALL pairs simultaneously (numpy ops on
+    (n_pairs, max_len) matrices). This is what makes the pairwise scorer's
+    hot path batch-vectorized instead of a per-pair Python DP."""
+    n = len(pairs_a)
+    if n == 0:
+        return np.zeros(0, np.float64)
+    if cap is not None:
+        pairs_a = [s[:cap] for s in pairs_a]
+        pairs_b = [s[:cap] for s in pairs_b]
+    len_a = np.asarray([len(s) for s in pairs_a], np.int64)
+    len_b = np.asarray([len(s) for s in pairs_b], np.int64)
+    max_a = int(len_a.max())
+    max_b = int(len_b.max())
+    out = np.zeros(n, np.int64)
+    max_len = np.maximum(len_a, len_b)
+    if max_a == 0 or max_b == 0:
+        out = max_len.copy()  # one side empty → dist = other side's length
+        ratio = np.ones(n, np.float64)
+        nz = max_len > 0
+        ratio[nz] = 1.0 - out[nz] / max_len[nz]
+        return ratio
+
+    # pad to (n, max) uint32 with a sentinel that never matches
+    A = np.zeros((n, max_a), np.uint32)
+    B = np.full((n, max_b), np.uint32(0xFFFFFFFF))
+    for i, s in enumerate(pairs_a):
+        if s:
+            A[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+    for i, s in enumerate(pairs_b):
+        if s:
+            B[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+
+    rng = np.arange(max_b + 1, dtype=np.int32)
+    prev = np.broadcast_to(rng, (n, max_b + 1)).copy()
+    out[len_a == 0] = len_b[len_a == 0]
+    for i in range(max_a):
+        cost = (B != A[:, i : i + 1]).astype(np.int32)
+        cur = np.empty_like(prev)
+        cur[:, 0] = i + 1
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=cur[:, 1:])
+        cur -= rng
+        np.minimum.accumulate(cur, axis=1, out=cur)
+        cur += rng
+        done = len_a == i + 1
+        if done.any():
+            out[done] = cur[done, len_b[done]]
+        prev = cur
+    ratio = np.ones(n, np.float64)
+    nz = max_len > 0
+    ratio[nz] = 1.0 - out[nz] / max_len[nz]
+    return ratio
 
 
 def cosine(u: np.ndarray, v: np.ndarray) -> float:

@@ -13,7 +13,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..config import EngineConfig
+from ..config import EngineConfig, parallel_blocks
 from ..stages.pairing import ExactTopKPairer
 
 
@@ -87,8 +87,8 @@ class DeepBlockerRay:
         on the union corpus → embed left and right → index right → query
         left → melt (done inside the pairing stage).
         """
-        left = preprocess_flat(left_ds, cols_to_block).materialize()
-        right = preprocess_flat(right_ds, cols_to_block).materialize()
+        left = parallel_blocks(preprocess_flat(left_ds, cols_to_block)).materialize()
+        right = parallel_blocks(preprocess_flat(right_ds, cols_to_block)).materialize()
         corpus = left.union(right)
         self.embedder.fit(corpus, text_col="tuple_text")
         left_emb = self.embedder.transform(

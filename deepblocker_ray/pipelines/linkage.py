@@ -14,7 +14,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-from ..config import EngineConfig
+from ..config import EngineConfig, parallel_blocks
 from ..stages.canonicalize import canonicalize
 from ..stages.cluster import connected_components
 from ..stages.deep_embed import AutoEncoderEmbedder, CTTEmbedder, HybridEmbedder
@@ -58,7 +58,9 @@ def link_transcripts(
     cfg = cfg or EngineConfig()
     emb_model = make_embedder(embedder, cfg)
 
-    tuples = canonicalize(transcripts, cfg, turn_cap=turn_cap).materialize()
+    tuples = parallel_blocks(
+        canonicalize(transcripts, cfg, turn_cap=turn_cap)
+    ).materialize()
     emb_model.fit(tuples, text_col="tuple_text")
     emb = emb_model.transform(tuples, id_col="conv_id").materialize()
 

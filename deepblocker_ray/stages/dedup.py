@@ -116,33 +116,57 @@ def exact_dedup(
     )
 
 
-def _pairs_from_buckets(
-    bucketed,
-    key_cols: list[str],
+def _pairs_from_keys(
+    keyed,
     id_col: str,
     max_bucket: int,
+    cfg: EngineConfig,
+    key_col: str = "bkey",
 ):
-    """groupby LSH-bucket → all intra-bucket candidate pairs (l < r)."""
+    """rows (id, bkey) → intra-key candidate pairs (left_id < right_id).
+
+    One groupby on a small int hash bucket; inside each bucket the self-join
+    per key is a vectorized pandas merge (not a Python call per LSH key —
+    LSH produces thousands of tiny keys). Keys with more than ``max_bucket``
+    members are truncated to their first members by id (hot keys =
+    degenerate shingles; all-pairs there is O(B²) junk) — truncation is
+    surfaced in an ``n_truncated_keys`` column on the first output row, not
+    silent."""
+    nb = cfg.num_buckets
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, key_col]].copy()
+        out[id_col] = out[id_col].astype(str)
+        out["_bucket"] = (
+            out[key_col].astype(np.uint64) % np.uint64(nb)
+        ).astype(np.int32)
+        return out
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(map(str, g[id_col].unique()))
-        if len(ids) > max_bucket:
-            ids = ids[:max_bucket]  # reported by caller via truncation count
-        if len(ids) < 2:
-            return pd.DataFrame({"left_id": [], "right_id": []}, dtype=str)
-        l, r = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                l.append(ids[i])
-                r.append(ids[j])
-        return pd.DataFrame(
+        g = g.drop_duplicates([id_col, key_col]).sort_values([key_col, id_col])
+        sizes = g.groupby(key_col, sort=False)[id_col].transform("size")
+        truncated = 0
+        over = sizes > max_bucket
+        if over.any():
+            rank = g.groupby(key_col, sort=False).cumcount()
+            truncated = g.loc[over, key_col].nunique()
+            g = g[rank < max_bucket]
+        m = g.merge(g, on=key_col)
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        out = pd.DataFrame(
             {
-                "left_id": pd.array(l, dtype="string"),
-                "right_id": pd.array(r, dtype="string"),
+                "left_id": pd.array(m[f"{id_col}_x"].values, dtype="string"),
+                "right_id": pd.array(m[f"{id_col}_y"].values, dtype="string"),
             }
-        )
+        ).drop_duplicates()
+        out["n_truncated_keys"] = np.int64(truncated)
+        return out
 
-    return bucketed.groupby(key_cols).map_groups(pairs, batch_format="pandas")
+    return (
+        keyed.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
 
 
 def _dedup_pairs(pairs_ds, cfg: EngineConfig):
@@ -205,7 +229,8 @@ class _MinHashBatch:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, band_ids, band_hashes = [], [], []
+        ids, bkeys = [], []
+        mix = np.uint64(0x9E3779B97F4A7C15)
         for did, text in zip(
             batch.column(self.id_col).to_pylist(),
             batch.column(self.text_col).to_pylist(),
@@ -216,15 +241,14 @@ class _MinHashBatch:
             for b in range(self.bands):
                 seg = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
                 ids.append(str(did))
-                band_ids.append(b)
-                band_hashes.append(int(_stable_hash64(seg.tobytes())))
+                with np.errstate(over="ignore"):
+                    bkeys.append(
+                        _stable_hash64(seg.tobytes()) ^ (np.uint64(b + 1) * mix)
+                    )
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.string()),
-                "band": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(
-                    np.asarray(band_hashes, dtype=np.uint64)
-                ),
+                "bkey": pa.array(np.asarray(bkeys, dtype=np.uint64)),
             }
         )
 
@@ -267,7 +291,7 @@ def minhash_lsh_dedup(
         batch_size=cfg.embed_batch_size,
         concurrency=actor_pool_size(None),
     )
-    cand = _pairs_from_buckets(sigs, ["band", "band_hash"], "doc_id", max_bucket)
+    cand = _pairs_from_keys(sigs, "doc_id", max_bucket, cfg)
     cand = _dedup_pairs(cand, cfg)
 
     # verify with exact shingle Jaccard: broadcast the shingle sets when the
@@ -371,25 +395,26 @@ def simhash_dedup(
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         h = np.asarray(batch.column("simhash"))
-        out_id, out_band, out_key = [], [], []
+        mix = np.uint64(0x9E3779B97F4A7C15)
+        out_id, out_key = [], []
         for b in range(4):
             seg = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            with np.errstate(over="ignore"):
+                key = seg ^ (np.uint64(b + 1) * mix)
             out_id.extend(ids)
-            out_band.extend([b] * len(ids))
-            out_key.extend(seg.tolist())
+            out_key.extend(key.tolist())
         return pa.table(
             {
                 "doc_id": pa.array(out_id, pa.string()),
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(np.asarray(out_key, np.uint64)),
+                "bkey": pa.array(np.asarray(out_key, np.uint64)),
             }
         )
 
-    cand = _pairs_from_buckets(
+    cand = _pairs_from_keys(
         fps.map_batches(explode_bands, batch_format="pyarrow"),
-        ["band", "band_hash"],
         "doc_id",
         max_bucket,
+        cfg,
     )
     cand = _dedup_pairs(cand, cfg)
 
@@ -473,15 +498,15 @@ def ngram_jaccard_dedup(
         return pa.table(
             {
                 "doc_id": pa.array(out_id, pa.string()),
-                "anchor": pa.array(np.asarray(out_anchor, np.uint64)),
+                "bkey": pa.array(np.asarray(out_anchor, np.uint64)),
             }
         )
 
-    cand = _pairs_from_buckets(
+    cand = _pairs_from_keys(
         ds.map_batches(anchors, batch_format="pyarrow"),
-        ["anchor"],
         "doc_id",
         max_bucket,
+        cfg,
     )
     cand = _dedup_pairs(cand, cfg)
 

@@ -52,23 +52,26 @@ def _collect_matrix(emb_ds, dim: int) -> tuple[list[str], np.ndarray]:
     return ids, np.vstack(mats)
 
 
-class _ForwardBatch:
-    """Inference actor: applies broadcast numpy weights to each batch."""
+def _forward_stage(ds, cfg: EngineConfig, weights_ref, kind: str):
+    """Inference map stage applying broadcast numpy weights (MLP forward) —
+    task pool with per-process weight cache (see state/broadcast.py)."""
 
-    def __init__(self, weights_ref, kind: str, dim: int):
-        self.params = ray.get(weights_ref)
-        self.kind = kind
-        self.dim = dim
+    def forward_fn(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached_get
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        x = emb_to_numpy(batch.column("emb"), self.dim).astype(np.float64)
-        if self.kind == "ae":
-            out = AutoEncoderNet.encode(self.params, x)
+        params = cached_get(weights_ref)
+        x = emb_to_numpy(batch.column("emb")).astype(np.float64)
+        if kind == "ae":
+            out = AutoEncoderNet.encode(params, x)
         else:
-            out = CTTNet.summarize(self.params, x)
+            out = CTTNet.summarize(params, x)
         cols = {n: batch.column(n) for n in batch.column_names if n != "emb"}
         cols["emb"] = numpy_to_emb(out)
         return pa.table(cols)
+
+    return ds.map_batches(
+        forward_fn, batch_format="pyarrow", batch_size=cfg.embed_batch_size
+    )
 
 
 def _embed_texts_distributed(sif: SIFEmbedder, texts: list[str], dim: int) -> np.ndarray:
@@ -114,15 +117,7 @@ class AutoEncoderEmbedder:
             raise RuntimeError("AutoEncoderEmbedder.transform before fit")
         cfg = self.cfg
         sif_emb = self.sif.transform(ds, id_col=id_col, text_col=text_col)
-        return sif_emb.map_batches(
-            _ForwardBatch,
-            fn_constructor_kwargs=dict(
-                weights_ref=self.weights_ref, kind="ae", dim=cfg.emb_dim
-            ),
-            batch_format="pyarrow",
-            batch_size=cfg.embed_batch_size,
-            concurrency=actor_pool_size(cfg.embed_concurrency),
-        )
+        return _forward_stage(sif_emb, cfg, self.weights_ref, "ae")
 
     @property
     def output_dim(self) -> int:
@@ -187,18 +182,7 @@ class CTTEmbedder:
         agg = self.aggregator.transform(ds, id_col=id_col, text_col=text_col)
         if not self.apply_summarizer:
             return agg  # reference quirk: trained model unused (:271-273)
-        cfg = self.cfg
-        return agg.map_batches(
-            _ForwardBatch,
-            fn_constructor_kwargs=dict(
-                weights_ref=self.weights_ref,
-                kind="ctt",
-                dim=self._agg_dim(),
-            ),
-            batch_format="pyarrow",
-            batch_size=cfg.embed_batch_size,
-            concurrency=actor_pool_size(cfg.embed_concurrency),
-        )
+        return _forward_stage(agg, self.cfg, self.weights_ref, "ctt")
 
     def _agg_dim(self) -> int:
         if isinstance(self.aggregator, SIFEmbedder):

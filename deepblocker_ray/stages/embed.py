@@ -60,13 +60,30 @@ def numpy_to_emb(mat: np.ndarray) -> pa.Array:
     )
 
 
-class _EmbedBatch:
-    """Actor-pool body: tokenize + (weighted) mean-pool one batch.
+def _embed_table_batch(
+    batch: pa.Table,
+    table: HashEmbedding,
+    weights,
+    id_col: str,
+    text_col: str,
+    oov_weight: float,
+) -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    toks = [tokenize(t) if t is not None else [] for t in texts]
+    mat, empty = mean_pool_embed(toks, table, weights, oov_weight)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "emb": numpy_to_emb(mat),
+            "emb_empty": pa.array(empty),
+        }
+    )
 
-    State (hash-embedding cache, weight dict) is built once per actor
-    (map_batches callable-class contract), mirroring the reference's
-    load-model-once-per-process (tuple_embedding_models.py:44).
-    """
+
+class _EmbedBatch:
+    """Actor-pool body for explicit actor mode (EngineConfig.embed_concurrency
+    set): state built once per actor, mirroring the reference's
+    load-model-once-per-process (tuple_embedding_models.py:44)."""
 
     def __init__(
         self,
@@ -84,18 +101,47 @@ class _EmbedBatch:
         self.oov_weight = oov_weight
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        toks = [tokenize(t) if t is not None else [] for t in texts]
-        mat, empty = mean_pool_embed(
-            toks, self.table, self.weights, self.oov_weight
+        return _embed_table_batch(
+            batch, self.table, self.weights, self.id_col, self.text_col,
+            self.oov_weight,
         )
-        return pa.table(
-            {
-                self.id_col: batch.column(self.id_col),
-                "emb": numpy_to_emb(mat),
-                "emb_empty": pa.array(empty),
-            }
+
+
+def _embed_stage(ds, cfg: EngineConfig, id_col, text_col, weights_ref=None,
+                 oov_weight: float = 1.0):
+    """Embedding map stage. Default: task pool with per-process caches
+    (state/broadcast.py) — long-lived workers, no per-execution actor spawn.
+    Set EngineConfig.embed_concurrency for a dedicated actor pool (the right
+    choice when per-worker state is heavyweight, e.g. a GPU model)."""
+    if cfg.embed_concurrency is not None:
+        return ds.map_batches(
+            _EmbedBatch,
+            fn_constructor_kwargs=dict(
+                dim=cfg.emb_dim,
+                seed=cfg.seed,
+                id_col=id_col,
+                text_col=text_col,
+                weights_ref=weights_ref,
+                oov_weight=oov_weight,
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.embed_batch_size,
+            concurrency=actor_pool_size(cfg.embed_concurrency),
         )
+    dim, seed = cfg.emb_dim, cfg.seed
+
+    def embed_fn(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached_get, process_embedding_table
+
+        table = process_embedding_table(dim, seed)
+        weights = cached_get(weights_ref) if weights_ref is not None else None
+        return _embed_table_batch(
+            batch, table, weights, id_col, text_col, oov_weight
+        )
+
+    return ds.map_batches(
+        embed_fn, batch_format="pyarrow", batch_size=cfg.embed_batch_size
+    )
 
 
 def _token_counts_batch(batch: pa.Table, text_col: str) -> pa.Table:
@@ -193,16 +239,7 @@ class AverageEmbedder:
         return self
 
     def transform(self, ds, id_col: str = "conv_id", text_col: str = "tuple_text"):
-        cfg = self.cfg
-        return ds.map_batches(
-            _EmbedBatch,
-            fn_constructor_kwargs=dict(
-                dim=cfg.emb_dim, seed=cfg.seed, id_col=id_col, text_col=text_col
-            ),
-            batch_format="pyarrow",
-            batch_size=cfg.embed_batch_size,
-            concurrency=actor_pool_size(cfg.embed_concurrency),
-        )
+        return _embed_stage(ds, self.cfg, id_col, text_col)
 
 
 class SIFEmbedder:
@@ -238,19 +275,7 @@ class SIFEmbedder:
         if self.weights_ref is None:
             raise RuntimeError("SIFEmbedder.transform called before fit")
         cfg = self.cfg
-        emb = ds.map_batches(
-            _EmbedBatch,
-            fn_constructor_kwargs=dict(
-                dim=cfg.emb_dim,
-                seed=cfg.seed,
-                id_col=id_col,
-                text_col=text_col,
-                weights_ref=self.weights_ref,
-            ),
-            batch_format="pyarrow",
-            batch_size=cfg.embed_batch_size,
-            concurrency=actor_pool_size(cfg.embed_concurrency),
-        )
+        emb = _embed_stage(ds, cfg, id_col, text_col, self.weights_ref)
         if not self.remove_pc_flag:
             return emb
         # PC is computed from this transform's own output (reference quirk:

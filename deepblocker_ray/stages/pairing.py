@@ -89,84 +89,100 @@ def _merge_topk_pos(
     )
 
 
-class _ExactQuery:
-    """Query actor: holds zero-copy views of every index shard.
+def _parse_shards(shard_refs) -> tuple[list, np.ndarray]:
+    """Fetch + view index shards (zero-copy from plasma); memoized per
+    worker process via state/broadcast.cached_compute."""
+    shards = []
+    offsets = [0]
+    for ref in shard_refs:
+        t = ray.get(ref)
+        ids = t.column("_pair_id").combine_chunks()
+        mat = emb_to_numpy(t.column("emb"))
+        shards.append((ids, mat))
+        offsets.append(offsets[-1] + len(t))
+    return shards, np.asarray(offsets, np.int64)
 
-    Index shards are globally sorted by right_id (see ExactTopKPairer.index),
-    so a row's global position doubles as its id-rank tie key.
-    """
+
+def _ids_for_positions(shards, offsets, pos: np.ndarray) -> pa.Array:
+    """global positions (flat) → right_id strings, gathered per shard."""
+    shard_idx = np.searchsorted(offsets, pos, side="right") - 1
+    out = np.empty(len(pos), dtype=object)
+    for s in np.unique(shard_idx):
+        mask = shard_idx == s
+        local = pos[mask] - offsets[s]
+        out[mask] = shards[s][0].take(pa.array(local)).to_pylist()
+    return pa.array(out, pa.string())
+
+
+_EMPTY_CANDIDATES = pa.table(
+    {
+        "left_id": pa.array([], pa.string()),
+        "right_id": pa.array([], pa.string()),
+        "rank": pa.array([], pa.int32()),
+        "cosine": pa.array([], pa.float32()),
+    },
+    schema=CANDIDATE_SCHEMA,
+)
+
+
+def _exact_query_batch(
+    batch: pa.Table, shards, offsets, k: int, exclude_self: bool, id_col: str
+) -> pa.Table:
+    """Index shards are globally sorted by right_id (ExactTopKPairer.index),
+    so a row's global position doubles as its id-rank tie key."""
+    left_ids = batch.column(id_col).cast(pa.string())
+    q = _normalize_rows(emb_to_numpy(batch.column("emb")))
+    nq = len(q)
+    fetch = k + 1 if exclude_self else k
+    run_sims = run_pos = None
+    for s, (_ids, mat) in enumerate(shards):
+        sims = q @ mat.T
+        ks = min(fetch, mat.shape[0])
+        part = _select_topk_tieaware(sims, ks)
+        psims = np.take_along_axis(sims, part, axis=1)
+        ppos = part.astype(np.int64) + offsets[s]
+        run_sims, run_pos = _merge_topk_pos(run_sims, run_pos, psims, ppos, fetch)
+    if run_sims is None:
+        return _EMPTY_CANDIDATES
+    w = run_sims.shape[1]
+    flat_rids = _ids_for_positions(shards, offsets, run_pos.reshape(-1))
+    flat_lids = pa.array(
+        np.repeat(np.asarray(left_ids.to_pylist(), object), w), pa.string()
+    )
+    keep = np.ones(nq * w, bool)
+    if exclude_self:
+        import pyarrow.compute as pc
+
+        keep &= ~pc.equal(flat_lids, flat_rids).to_numpy(zero_copy_only=False)
+    ranks = (keep.reshape(nq, w).cumsum(axis=1) - 1).reshape(-1)
+    keep &= ranks < k
+    idx = np.nonzero(keep)[0]
+    return pa.table(
+        {
+            "left_id": flat_lids.take(pa.array(idx)),
+            "right_id": flat_rids.take(pa.array(idx)),
+            "rank": pa.array(ranks[idx].astype(np.int32)),
+            "cosine": pa.array(run_sims.reshape(-1)[idx].astype(np.float32)),
+        },
+        schema=CANDIDATE_SCHEMA,
+    )
+
+
+class _ExactQuery:
+    """Actor-mode query body (EngineConfig.query_concurrency set): shards
+    pinned once per actor — the right mode when shards are re-parsed state
+    too big to memoize per task worker."""
 
     def __init__(self, shard_refs, k: int, exclude_self: bool, id_col: str):
         self.k = k
         self.exclude_self = exclude_self
         self.id_col = id_col
-        self.shards = []
-        offsets = [0]
-        for ref in shard_refs:
-            t = ray.get(ref)
-            ids = t.column("_pair_id").combine_chunks()
-            mat = emb_to_numpy(t.column("emb"))
-            self.shards.append((ids, mat))
-            offsets.append(offsets[-1] + len(t))
-        self.offsets = np.asarray(offsets, np.int64)
-
-    def _ids_for_positions(self, pos: np.ndarray) -> pa.Array:
-        """global positions (flat) → right_id strings, gathered per shard."""
-        shard_idx = np.searchsorted(self.offsets, pos, side="right") - 1
-        out = np.empty(len(pos), dtype=object)
-        for s in np.unique(shard_idx):
-            mask = shard_idx == s
-            local = pos[mask] - self.offsets[s]
-            taken = self.shards[s][0].take(pa.array(local))
-            out[mask] = taken.to_pylist()
-        return pa.array(out, pa.string())
+        self.shards, self.offsets = _parse_shards(shard_refs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        left_ids = batch.column(self.id_col).cast(pa.string())
-        q = _normalize_rows(emb_to_numpy(batch.column("emb")))
-        nq = len(q)
-        fetch = self.k + 1 if self.exclude_self else self.k
-        run_sims = run_pos = None
-        for s, (_ids, mat) in enumerate(self.shards):
-            sims = q @ mat.T
-            ks = min(fetch, mat.shape[0])
-            part = _select_topk_tieaware(sims, ks)
-            psims = np.take_along_axis(sims, part, axis=1)
-            ppos = part.astype(np.int64) + self.offsets[s]
-            run_sims, run_pos = _merge_topk_pos(
-                run_sims, run_pos, psims, ppos, fetch
-            )
-        if run_sims is None:
-            return pa.table(
-                {
-                    "left_id": pa.array([], pa.string()),
-                    "right_id": pa.array([], pa.string()),
-                    "rank": pa.array([], pa.int32()),
-                    "cosine": pa.array([], pa.float32()),
-                },
-                schema=CANDIDATE_SCHEMA,
-            )
-        w = run_sims.shape[1]
-        flat_rids = self._ids_for_positions(run_pos.reshape(-1))
-        flat_lids = pa.array(
-            np.repeat(np.asarray(left_ids.to_pylist(), object), w), pa.string()
-        )
-        keep = np.ones(nq * w, bool)
-        if self.exclude_self:
-            import pyarrow.compute as pc
-
-            keep &= ~pc.equal(flat_lids, flat_rids).to_numpy(zero_copy_only=False)
-        ranks = (keep.reshape(nq, w).cumsum(axis=1) - 1).reshape(-1)
-        keep &= ranks < self.k
-        idx = np.nonzero(keep)[0]
-        return pa.table(
-            {
-                "left_id": flat_lids.take(pa.array(idx)),
-                "right_id": flat_rids.take(pa.array(idx)),
-                "rank": pa.array(ranks[idx].astype(np.int32)),
-                "cosine": pa.array(run_sims.reshape(-1)[idx].astype(np.float32)),
-            },
-            schema=CANDIDATE_SCHEMA,
+        return _exact_query_batch(
+            batch, self.shards, self.offsets, self.k, self.exclude_self,
+            self.id_col,
         )
 
 
@@ -215,17 +231,33 @@ class ExactTopKPairer:
         if self.shard_refs is None:
             raise RuntimeError("ExactTopKPairer.query called before index")
         cfg = self.cfg
+        if cfg.query_concurrency is not None:
+            return left_ds.map_batches(
+                _ExactQuery,
+                fn_constructor_kwargs=dict(
+                    shard_refs=self.shard_refs,
+                    k=self.k,
+                    exclude_self=self.exclude_self,
+                    id_col=id_col,
+                ),
+                batch_format="pyarrow",
+                batch_size=cfg.query_batch_size,
+                concurrency=actor_pool_size(cfg.query_concurrency),
+            )
+        shard_refs = self.shard_refs
+        k, exclude_self = self.k, self.exclude_self
+        cache_key = "exact-shards:" + ",".join(r.hex() for r in shard_refs)
+
+        def query_fn(batch: pa.Table) -> pa.Table:
+            from ..state.broadcast import cached_compute
+
+            shards, offsets = cached_compute(
+                cache_key, lambda: _parse_shards(shard_refs)
+            )
+            return _exact_query_batch(batch, shards, offsets, k, exclude_self, id_col)
+
         return left_ds.map_batches(
-            _ExactQuery,
-            fn_constructor_kwargs=dict(
-                shard_refs=self.shard_refs,
-                k=self.k,
-                exclude_self=self.exclude_self,
-                id_col=id_col,
-            ),
-            batch_format="pyarrow",
-            batch_size=cfg.query_batch_size,
-            concurrency=actor_pool_size(cfg.query_concurrency),
+            query_fn, batch_format="pyarrow", batch_size=cfg.query_batch_size
         )
 
 
@@ -414,17 +446,32 @@ class IVFTopKPairer:
         if self.shard_refs is None:
             raise RuntimeError("IVFTopKPairer.query called before index")
         cfg = self.cfg
+        kwargs = dict(
+            shard_refs=self.shard_refs,
+            centroids_ref=self.centroids_ref,
+            k=self.k,
+            nprobe=cfg.ivf_nprobe,
+            exclude_self=self.exclude_self,
+            id_col=id_col,
+        )
+        if cfg.query_concurrency is not None:
+            return left_ds.map_batches(
+                _IVFQuery,
+                fn_constructor_kwargs=kwargs,
+                batch_format="pyarrow",
+                batch_size=cfg.query_batch_size,
+                concurrency=actor_pool_size(cfg.query_concurrency),
+            )
+        cache_key = "ivf:" + ",".join(
+            r.hex() for r in [self.centroids_ref, *self.shard_refs]
+        )
+
+        def query_fn(batch: pa.Table) -> pa.Table:
+            from ..state.broadcast import cached_compute
+
+            actor = cached_compute(cache_key, lambda: _IVFQuery(**kwargs))
+            return actor(batch)
+
         return left_ds.map_batches(
-            _IVFQuery,
-            fn_constructor_kwargs=dict(
-                shard_refs=self.shard_refs,
-                centroids_ref=self.centroids_ref,
-                k=self.k,
-                nprobe=cfg.ivf_nprobe,
-                exclude_self=self.exclude_self,
-                id_col=id_col,
-            ),
-            batch_format="pyarrow",
-            batch_size=cfg.query_batch_size,
-            concurrency=actor_pool_size(cfg.query_concurrency),
+            query_fn, batch_format="pyarrow", batch_size=cfg.query_batch_size
         )

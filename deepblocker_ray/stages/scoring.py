@@ -18,8 +18,18 @@ import pyarrow as pa
 
 import ray
 
-from ..config import EngineConfig, actor_pool_size, default_parallelism
-from ..functions.textsim import jaro_winkler, levenshtein_ratio
+from ..config import (
+    EngineConfig,
+    actor_pool_size,
+    default_parallelism,
+    parallel_blocks,
+)
+from ..functions.textsim import (
+    jaro_winkler,
+    jaro_winkler_batch,
+    levenshtein_ratio,
+    levenshtein_ratio_batch,
+)
 
 SCORE_WEIGHTS = {"cosine": 0.4, "jw": 0.3, "lev": 0.3}
 
@@ -31,7 +41,8 @@ def pair_similarity(
     cap: int,
     weights: dict[str, float] = SCORE_WEIGHTS,
 ) -> tuple[float, float, float]:
-    """(jw, lev, combined) for one candidate pair."""
+    """(jw, lev, combined) for one candidate pair — scalar reference version;
+    the hot path uses score_pairs_batch."""
     n = min(len(turns_a), len(turns_b))
     if n == 0:
         jw = lev = 0.0
@@ -52,6 +63,45 @@ def pair_similarity(
     return jw, lev, combined
 
 
+def score_pairs_batch(
+    turns_a_list: list[list[str]],
+    turns_b_list: list[list[str]],
+    cosines,
+    cap: int,
+    weights: dict[str, float] = SCORE_WEIGHTS,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch scorer: one vectorized Levenshtein DP over every aligned turn
+    pair of the whole candidate batch, Jaro-Winkler per turn pair (numpy
+    inner loop). Returns (jw, lev, combined) float arrays."""
+    n = len(turns_a_list)
+    counts = np.empty(n, np.int64)
+    flat_a: list[str] = []
+    flat_b: list[str] = []
+    for i, (ta, tb) in enumerate(zip(turns_a_list, turns_b_list)):
+        m = min(len(ta), len(tb))
+        counts[i] = m
+        for j in range(m):
+            flat_a.append(ta[j][:cap])
+            flat_b.append(tb[j][:cap])
+    lev_flat = levenshtein_ratio_batch(flat_a, flat_b)
+    jw_flat = jaro_winkler_batch(flat_a, flat_b)
+    jw = np.zeros(n)
+    lev = np.zeros(n)
+    nonempty = counts > 0
+    if nonempty.any():
+        offsets = np.zeros(n, np.int64)
+        np.cumsum(counts[:-1], out=offsets[1:])
+        starts = offsets[nonempty]
+        jw[nonempty] = np.add.reduceat(jw_flat, starts) / counts[nonempty]
+        lev[nonempty] = np.add.reduceat(lev_flat, starts) / counts[nonempty]
+    cos = np.clip(np.asarray(cosines, np.float64), 0.0, 1.0)
+    total_w = sum(weights.values())
+    combined = (
+        weights["cosine"] * cos + weights["jw"] * jw + weights["lev"] * lev
+    ) / total_w
+    return jw, lev, combined
+
+
 class _ScoreBroadcast:
     """Scoring actor holding broadcast id → turn_texts lookup tables."""
 
@@ -65,18 +115,15 @@ class _ScoreBroadcast:
         lids = batch.column("left_id").to_pylist()
         rids = batch.column("right_id").to_pylist()
         cosines = batch.column("cosine").to_pylist()
-        jws = np.empty(len(lids), np.float32)
-        levs = np.empty(len(lids), np.float32)
-        scores = np.empty(len(lids), np.float32)
-        for i, (l, r, c) in enumerate(zip(lids, rids, cosines)):
-            ta = self.left.get(l) or []
-            tb = self.right.get(r) or []
-            jw, lev, comb = pair_similarity(ta, tb, c, self.cap)
-            jws[i], levs[i], scores[i] = jw, lev, comb
-        return batch.append_column("jw", pa.array(jws)).append_column(
-            "lev", pa.array(levs)
-        ).append_column("score", pa.array(scores)).append_column(
-            "is_match", pa.array(scores >= self.threshold)
+        ta = [self.left.get(l) or [] for l in lids]
+        tb = [self.right.get(r) or [] for r in rids]
+        jw, lev, score = score_pairs_batch(ta, tb, cosines, self.cap)
+        return batch.append_column(
+            "jw", pa.array(jw.astype(np.float32))
+        ).append_column("lev", pa.array(lev.astype(np.float32))).append_column(
+            "score", pa.array(score.astype(np.float32))
+        ).append_column(
+            "is_match", pa.array(score >= self.threshold)
         )
 
 
@@ -120,17 +167,29 @@ def score_candidates(
         if right_tuples_ds is not None
         else None
     )
-    return candidates.map_batches(
-        _ScoreBroadcast,
-        fn_constructor_kwargs=dict(
-            left_ref=left_ref,
-            right_ref=right_ref,
-            cap=cfg.score_text_cap,
-            threshold=threshold,
-        ),
-        batch_format="pyarrow",
-        batch_size=cfg.score_batch_size,
-        concurrency=actor_pool_size(cfg.embed_concurrency),
+    cap = cfg.score_text_cap
+
+    def score_fn(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached_get
+
+        left = cached_get(left_ref)
+        right = cached_get(right_ref) if right_ref is not None else left
+        lids = batch.column("left_id").to_pylist()
+        rids = batch.column("right_id").to_pylist()
+        cosines = batch.column("cosine").to_pylist()
+        ta = [left.get(l) or [] for l in lids]
+        tb = [right.get(r) or [] for r in rids]
+        jw, lev, score = score_pairs_batch(ta, tb, cosines, cap)
+        return batch.append_column(
+            "jw", pa.array(jw.astype(np.float32))
+        ).append_column("lev", pa.array(lev.astype(np.float32))).append_column(
+            "score", pa.array(score.astype(np.float32))
+        ).append_column(
+            "is_match", pa.array(score >= threshold)
+        )
+
+    return parallel_blocks(candidates).map_batches(
+        score_fn, batch_format="pyarrow", batch_size=cfg.score_batch_size
     )
 
 
@@ -152,20 +211,17 @@ def _score_via_join(candidates, tuples_ds, right_tuples_ds, cfg, threshold, id_c
     cap = cfg.score_text_cap
 
     def score_batch(batch: pa.Table) -> pa.Table:
-        lts = batch.column("_lt").to_pylist()
-        rts = batch.column("_rt").to_pylist()
+        lts = [t or [] for t in batch.column("_lt").to_pylist()]
+        rts = [t or [] for t in batch.column("_rt").to_pylist()]
         cosines = batch.column("cosine").to_pylist()
-        jws = np.empty(len(lts), np.float32)
-        levs = np.empty(len(lts), np.float32)
-        scores = np.empty(len(lts), np.float32)
-        for i, (ta, tb, c) in enumerate(zip(lts, rts, cosines)):
-            jw, lev, comb = pair_similarity(ta or [], tb or [], c, cap)
-            jws[i], levs[i], scores[i] = jw, lev, comb
+        jw, lev, score = score_pairs_batch(lts, rts, cosines, cap)
         batch = batch.drop_columns(["_lt", "_rt"])
-        return batch.append_column("jw", pa.array(jws)).append_column(
-            "lev", pa.array(levs)
-        ).append_column("score", pa.array(scores)).append_column(
-            "is_match", pa.array(scores >= threshold)
+        return batch.append_column(
+            "jw", pa.array(jw.astype(np.float32))
+        ).append_column("lev", pa.array(lev.astype(np.float32))).append_column(
+            "score", pa.array(score.astype(np.float32))
+        ).append_column(
+            "is_match", pa.array(score >= threshold)
         )
 
     return joined.map_batches(
