@@ -1,0 +1,142 @@
+"""Dedup suite semantics on planted duplicates (not just rows-only)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deepblocker_ray.config import EngineConfig
+from deepblocker_ray.stages.dedup import (
+    _shingle_hashes,
+    embedding_neardup,
+    exact_dedup,
+    jaccard,
+    minhash_lsh_dedup,
+    minhash_signature,
+    _minhash_params,
+    ngram_jaccard_dedup,
+    simhash_dedup,
+)
+
+CFG = EngineConfig(num_buckets=8)
+
+
+def corpus_with_dups(n_base=60, seed=5):
+    """Docs 0..n_base-1 distinct; each doc in the dup set gets a near-copy
+    (small token edits) and doc 0 also an exact copy."""
+    rng = np.random.default_rng(seed)
+    vocab = np.asarray([f"w{i}" for i in range(300)], object)
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(30, 60))))
+        for _ in range(n_base)
+    ]
+    rows_id, rows_text, truth = [], [], {}
+    for i, t in enumerate(texts):
+        rows_id.append(i)
+        rows_text.append(t)
+        truth[str(i)] = str(i)
+    next_id = n_base
+    # exact copy of doc 0
+    rows_id.append(next_id)
+    rows_text.append(texts[0])
+    truth[str(next_id)] = "0"
+    next_id += 1
+    # near-copies of docs 1..15 (drop 2 tokens)
+    for i in range(1, 16):
+        toks = texts[i].split()
+        for _ in range(2):
+            toks.pop(int(rng.integers(0, len(toks))))
+        rows_id.append(next_id)
+        rows_text.append(" ".join(toks))
+        truth[str(next_id)] = str(i)
+        next_id += 1
+    df = pd.DataFrame({"doc_id": rows_id, "text": rows_text})
+    return df, truth
+
+
+def clusters_agree(out: pd.DataFrame, truth: dict[str, str]) -> float:
+    """fraction of docs whose predicted co-cluster set == planted set."""
+    pred = dict(zip(out["doc_id"], out["cluster_id"]))
+    by_pred = {}
+    by_truth = {}
+    for d in truth:
+        by_pred.setdefault(pred[d], set()).add(d)
+        by_truth.setdefault(truth[d], set()).add(d)
+    ok = sum(
+        1 for d in truth if by_pred[pred[d]] == by_truth[truth[d]]
+    )
+    return ok / len(truth)
+
+
+class TestUnits:
+    def test_minhash_similarity_estimate(self):
+        a, b = _minhash_params(256, seed=1)
+        s1 = _shingle_hashes("the quick brown fox jumps over the lazy dog", 5)
+        s2 = _shingle_hashes("the quick brown fox jumped over the lazy dog", 5)
+        sig1 = minhash_signature(s1, a, b)
+        sig2 = minhash_signature(s2, a, b)
+        est = (sig1 == sig2).mean()
+        true_j = jaccard(s1, s2)
+        assert abs(est - true_j) < 0.15
+
+    def test_shingles_deterministic(self):
+        np.testing.assert_array_equal(
+            _shingle_hashes("hello world", 5), _shingle_hashes("hello world", 5)
+        )
+
+
+class TestExactDedup:
+    def test_exact(self, ray_session):
+        import ray.data as rd
+
+        df, _ = corpus_with_dups()
+        out = exact_dedup(rd.from_pandas(df), cfg=CFG).to_pandas()
+        # exactly one exact duplicate pair planted (doc 0 and its copy)
+        assert len(out) == len(df) - 1
+        dup_row = out[out["n_dups"] == 2]
+        assert len(dup_row) == 1
+        assert int(dup_row.iloc[0]["doc_id"]) == 0
+
+
+class TestNearDedup:
+    @pytest.mark.parametrize(
+        "fn,kwargs",
+        [
+            (minhash_lsh_dedup, dict(threshold=0.5)),
+            (simhash_dedup, dict(max_hamming=6)),
+            (ngram_jaccard_dedup, dict(threshold=0.4)),
+        ],
+    )
+    def test_finds_planted_near_dups(self, ray_session, fn, kwargs):
+        import ray.data as rd
+
+        df, truth = corpus_with_dups()
+        out = fn(rd.from_pandas(df), cfg=CFG, **kwargs).to_pandas()
+        assert set(out["doc_id"]) == set(truth)
+        agreement = clusters_agree(out, truth)
+        assert agreement >= 0.9, (fn.__name__, agreement)
+        # distinct docs must NOT merge into giant clusters
+        assert out["cluster_id"].nunique() >= 55
+
+
+class TestEmbeddingNearDup:
+    def test_finds_planted_vector_dups(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from deepblocker_ray.stages.embed import numpy_to_emb
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((50, 32)).astype(np.float32)
+        near = base[:10] + rng.normal(0, 0.01, (10, 32)).astype(np.float32)
+        mat = np.vstack([base, near])
+        ids = [f"{i:04d}" for i in range(60)]
+        emb = pa.table({"vec_id": pa.array(ids), "emb": numpy_to_emb(mat)})
+        out = embedding_neardup(
+            rd.from_arrow(emb), cfg=EngineConfig(num_buckets=8), id_col="vec_id",
+            threshold=0.98, k=5,
+        ).to_pandas()
+        pred = dict(zip(out["doc_id"], out["cluster_id"]))
+        for i in range(10):
+            assert pred[f"{i:04d}"] == pred[f"{50 + i:04d}"]
+        assert out["cluster_id"].nunique() == 50
+        assert out["is_duplicate"].sum() == 10
