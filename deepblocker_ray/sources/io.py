@@ -32,3 +32,29 @@ def read_table(path: str, columns: list[str] | None = None):
 def write_partitioned(ds, path: str, min_rows_per_file: int = 500_000) -> None:
     """Partitioned parquet sink — one directory of part files."""
     ds.write_parquet(path, min_rows_per_file=min_rows_per_file)
+
+
+def process_match_files(folder_root: str, out_path: str | None = None):
+    """blocking_utils.process_files (/root/reference/blocking_utils.py:40-51)
+    rebuilt: read train/valid/test (csv or parquet), keep label==1, union,
+    project (ltable_id, rtable_id), optionally write matches parquet.
+    NB the reference's comment says it 'filters the duplicates' but the code
+    only filters label==1 — we reproduce the code, not the comment."""
+    import os
+
+    parts = []
+    for name in ["train", "valid", "test"]:
+        for ext in [".parquet", ".csv"]:
+            p = os.path.join(folder_root, name + ext)
+            if os.path.exists(p):
+                parts.append(read_table(p))
+                break
+    if not parts:
+        raise FileNotFoundError(f"no train/valid/test files in {folder_root}")
+    ds = parts[0]
+    for other in parts[1:]:
+        ds = ds.union(other)
+    out = ds.filter(expr="label == 1").select_columns(["ltable_id", "rtable_id"])
+    if out_path:
+        out.write_parquet(out_path)
+    return out

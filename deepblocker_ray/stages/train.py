@@ -233,6 +233,23 @@ def train_ctt(
     return net.params
 
 
+def save_weights(params: dict[str, np.ndarray], path: str) -> None:
+    """S4 (dl_models.py:107-113): persist trained weights. npz instead of a
+    torch state_dict; atomic via temp + rename so a crashed save never leaves
+    a half-written checkpoint."""
+    import os
+
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **params)
+    os.replace(tmp, path)
+
+
+def load_weights(path: str) -> dict[str, np.ndarray]:
+    """S4 (dl_models.py:179-185)."""
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
 def generate_synthetic_training_data(
     list_of_tuples: list[str],
     synth_tuples_per_tuple: int = SYNTH_TUPLES_PER_TUPLE,
@@ -270,3 +287,87 @@ def generate_synthetic_training_data(
             labels[i] = 0
             i += 1
     return left, right, labels
+
+
+def synthetic_pairs_dataset(
+    tuples_ds,
+    text_col: str = "tuple_text",
+    synth_tuples_per_tuple: int = SYNTH_TUPLES_PER_TUPLE,
+    pos_to_neg_ratio: int = POS_TO_NEG_RATIO,
+    max_perturbation: float = MAX_PERTURBATION,
+    seed: int = RANDOM_SEED,
+    reservoir_size: int = 10_000,
+):
+    """Distributed T4: the reference's synthetic-pair generator as a Dataset
+    transform for corpora too big to collect.
+
+    Deviations vs tuple_embedding_models.py:187-232 (both deliberate,
+    SURVEY §2.6-O5): RNG streams are derived per batch from
+    (seed, first-tuple hash) so output is deterministic across retries and
+    cluster sizes but not the reference's single global stream; negatives are
+    drawn uniformly from a seeded broadcast reservoir sample instead of the
+    full corpus (labels are self-supervised, semantics unchanged).
+    Output rows: (left_text, right_text, label).
+    """
+    import pyarrow as pa
+
+    import ray
+
+    n = tuples_ds.count()
+    frac = min(1.0, reservoir_size * 1.2 / max(n, 1))
+    reservoir = [
+        r[text_col]
+        for r in tuples_ds.random_sample(frac, seed=seed)
+        .limit(reservoir_size)
+        .select_columns([text_col])
+        .take_all()
+    ]
+    reservoir_ref = ray.put(reservoir)
+    num_pos = synth_tuples_per_tuple
+    num_neg = synth_tuples_per_tuple * pos_to_neg_ratio
+
+    def gen(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached_get
+
+        res = cached_get(reservoir_ref)
+        texts = batch.column(text_col).to_pylist()
+        if not texts:
+            return pa.table(
+                {
+                    "left_text": pa.array([], pa.string()),
+                    "right_text": pa.array([], pa.string()),
+                    "label": pa.array([], pa.int32()),
+                }
+            )
+        import hashlib
+
+        h = hashlib.blake2b(
+            (texts[0] or "").encode(), digest_size=8,
+            key=seed.to_bytes(8, "little"),
+        )
+        rng = np.random.default_rng(int.from_bytes(h.digest(), "little"))
+        out_l, out_r, out_y = [], [], []
+        for tup in texts:
+            toks = tokenize(tup or "")
+            max_rm = int(len(toks) * max_perturbation)
+            for _ in range(num_pos):
+                copy = toks[:]
+                n_rm = int(rng.integers(0, max_rm + 1))
+                for _ in range(n_rm):
+                    copy.pop(int(rng.integers(0, len(copy))))
+                out_l.append(tup)
+                out_r.append(" ".join(copy))
+                out_y.append(1)
+            for _ in range(num_neg):
+                out_l.append(tup)
+                out_r.append(res[int(rng.integers(0, len(res)))])
+                out_y.append(0)
+        return pa.table(
+            {
+                "left_text": pa.array(out_l, pa.string()),
+                "right_text": pa.array(out_r, pa.string()),
+                "label": pa.array(np.asarray(out_y, np.int32)),
+            }
+        )
+
+    return tuples_ds.map_batches(gen, batch_format="pyarrow")
