@@ -190,31 +190,139 @@ def _dedup_pairs(pairs_ds, cfg: EngineConfig):
     )
 
 
+def _attach_pair_texts(pairs_ds, ds, id_col: str, text_col: str, cfg):
+    """Scale path: attach both sides' text to candidate pairs via two hash
+    joins (Dataset.join) instead of a driver-built broadcast dict."""
+    import pyarrow.compute as pc
+
+    from ..config import default_parallelism
+
+    nparts = max(default_parallelism(), 8)
+
+    def side(name, alias):
+        return ds.map_batches(
+            lambda t, n=name, a=alias: pa.table(
+                {n: t.column(id_col).cast(pa.string()), a: t.column(text_col)}
+            ),
+            batch_format="pyarrow",
+        )
+
+    return pairs_ds.join(
+        side("left_id", "_lt"), join_type="inner", num_partitions=nparts,
+        on=("left_id",),
+    ).join(
+        side("right_id", "_rt"), join_type="inner", num_partitions=nparts,
+        on=("right_id",),
+    )
+
+
+def _verify_pairs(cand, ds, id_col, text_col, cfg, pair_fn):
+    """Run ``pair_fn(left_text, right_text) -> keep`` over candidate pairs.
+    Broadcast-dict mode under broadcast_rows_max; join mode above it."""
+    import ray
+
+    if ds.count() <= cfg.broadcast_rows_max:
+        texts = {}
+        for b in ds.select_columns([id_col, text_col]).iter_batches(
+            batch_format="pyarrow", batch_size=8192
+        ):
+            for did, t in zip(
+                b.column(id_col).to_pylist(), b.column(text_col).to_pylist()
+            ):
+                texts[str(did)] = t
+        texts_ref = ray.put(texts)
+
+        def verify(batch: pa.Table) -> pa.Table:
+            from ..state.broadcast import cached_get
+
+            lookup = cached_get(texts_ref)
+            ls = batch.column("left_id").to_pylist()
+            rs = batch.column("right_id").to_pylist()
+            return pair_fn(
+                ls, rs, [lookup.get(l) for l in ls],
+                [lookup.get(r) for r in rs],
+            )
+
+        return cand.map_batches(verify, batch_format="pyarrow")
+
+    joined = _attach_pair_texts(cand, ds, id_col, text_col, cfg)
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        return pair_fn(
+            batch.column("left_id").to_pylist(),
+            batch.column("right_id").to_pylist(),
+            batch.column("_lt").to_pylist(),
+            batch.column("_rt").to_pylist(),
+        )
+
+    return joined.map_batches(verify_joined, batch_format="pyarrow")
+
+
 def _components_output(ds, pairs, cfg, id_col):
-    """edges → components; every doc labeled (singletons = own id)."""
+    """edges → components; every doc labeled (singletons = own id).
+    Component labels are broadcast under broadcast_rows_max, else attached
+    via a left-outer hash join."""
+    import pyarrow.compute as pc
+
     import ray
 
     comp = connected_components(pairs, cfg, src="left_id", dst="right_id")
-    if comp.count() > 0:
-        comp_df = comp.to_pandas()
-        labeled = dict(zip(comp_df["conv_id"], comp_df["cluster_id"]))
-    else:
-        labeled = {}
-    labeled_ref = ray.put(labeled)
+    n_comp = comp.count()
+    if n_comp <= cfg.broadcast_rows_max:
+        if n_comp > 0:
+            comp_df = comp.to_pandas()
+            labeled = dict(zip(comp_df["conv_id"], comp_df["cluster_id"]))
+        else:
+            labeled = {}
+        labeled_ref = ray.put(labeled)
 
-    def assign(batch: pa.Table) -> pa.Table:
-        labeled = ray.get(labeled_ref)
-        ids = [str(x) for x in batch.column(id_col).to_pylist()]
-        cl = [labeled.get(i, i) for i in ids]
-        return pa.table(
+        def assign(batch: pa.Table) -> pa.Table:
+            from ..state.broadcast import cached_get
+
+            labeled = cached_get(labeled_ref)
+            ids = [str(x) for x in batch.column(id_col).to_pylist()]
+            cl = [labeled.get(i, i) for i in ids]
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.string()),
+                    "cluster_id": pa.array(cl, pa.string()),
+                    "is_duplicate": pa.array(
+                        [c != i for i, c in zip(ids, cl)]
+                    ),
+                }
+            )
+
+        return ds.map_batches(assign, batch_format="pyarrow")
+
+    from ..config import default_parallelism
+
+    docs = ds.map_batches(
+        lambda t: pa.table({"doc_id": t.column(id_col).cast(pa.string())}),
+        batch_format="pyarrow",
+    )
+    joined = docs.join(
+        comp.rename_columns({"conv_id": "doc_id"}),
+        join_type="left_outer",
+        num_partitions=max(default_parallelism(), 8),
+        on=("doc_id",),
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
             {
-                "doc_id": pa.array(ids, pa.string()),
-                "cluster_id": pa.array(cl, pa.string()),
-                "is_duplicate": pa.array([c != i for i, c in zip(ids, cl)]),
+                "doc_id": t.column("doc_id"),
+                "cluster_id": pc.coalesce(
+                    t.column("cluster_id"), t.column("doc_id")
+                ),
+                "is_duplicate": pc.invert(
+                    pc.equal(
+                        pc.coalesce(t.column("cluster_id"), t.column("doc_id")),
+                        t.column("doc_id"),
+                    )
+                ),
             }
-        )
-
-    return ds.map_batches(assign, batch_format="pyarrow")
+        ),
+        batch_format="pyarrow",
+    )
 
 
 class _MinHashBatch:
@@ -294,30 +402,12 @@ def minhash_lsh_dedup(
     cand = _pairs_from_keys(sigs, "doc_id", max_bucket, cfg)
     cand = _dedup_pairs(cand, cfg)
 
-    # verify with exact shingle Jaccard: broadcast the shingle sets when the
-    # corpus fits, else join texts back (same pattern as the scorer)
-    import ray
-
-    texts = {}
-    for b in ds.select_columns([id_col, text_col]).iter_batches(
-        batch_format="pyarrow", batch_size=8192
-    ):
-        for did, t in zip(
-            b.column(id_col).to_pylist(), b.column(text_col).to_pylist()
-        ):
-            texts[str(did)] = t or ""
-    texts_ref = ray.put(texts)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(texts_ref)
+    def jaccard_verify(ls, rs, lt, rt) -> pa.Table:
         keep_l, keep_r, sims = [], [], []
-        for l, r in zip(
-            batch.column("left_id").to_pylist(),
-            batch.column("right_id").to_pylist(),
-        ):
+        for l, r, a, b in zip(ls, rs, lt, rt):
             ja = jaccard(
-                _shingle_hashes(lookup.get(l, ""), shingle_k),
-                _shingle_hashes(lookup.get(r, ""), shingle_k),
+                _shingle_hashes(a or "", shingle_k),
+                _shingle_hashes(b or "", shingle_k),
             )
             if ja >= threshold:
                 keep_l.append(l)
@@ -331,7 +421,9 @@ def minhash_lsh_dedup(
             }
         )
 
-    verified = cand.map_batches(verify, batch_format="pyarrow").materialize()
+    verified = _verify_pairs(
+        cand, ds, id_col, text_col, cfg, jaccard_verify
+    ).materialize()
     return _components_output(ds, verified, cfg, id_col)
 
 
@@ -418,24 +510,10 @@ def simhash_dedup(
     )
     cand = _dedup_pairs(cand, cfg)
 
-    import ray
-
-    fp_map = {}
-    for b in fps.iter_batches(batch_format="pyarrow", batch_size=8192):
-        for did, fp in zip(
-            b.column("doc_id").to_pylist(), b.column("simhash").to_pylist()
-        ):
-            fp_map[did] = int(fp)
-    fp_ref = ray.put(fp_map)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(fp_ref)
+    def hamming_verify(ls, rs, lfp, rfp) -> pa.Table:
         keep_l, keep_r, dists = [], [], []
-        for l, r in zip(
-            batch.column("left_id").to_pylist(),
-            batch.column("right_id").to_pylist(),
-        ):
-            d = bin(lookup.get(l, 0) ^ lookup.get(r, 0)).count("1")
+        for l, r, a, b in zip(ls, rs, lfp, rfp):
+            d = bin(int(a or 0) ^ int(b or 0)).count("1")
             if d <= max_hamming:
                 keep_l.append(l)
                 keep_r.append(r)
@@ -448,7 +526,10 @@ def simhash_dedup(
             }
         )
 
-    verified = cand.map_batches(verify, batch_format="pyarrow").materialize()
+    # fingerprints (8 B/doc) are the broadcast side; join fallback beyond cap
+    verified = _verify_pairs(
+        cand, fps, "doc_id", "simhash", cfg, hamming_verify
+    ).materialize()
     return _components_output(ds, verified, cfg, id_col)
 
 
@@ -510,26 +591,10 @@ def ngram_jaccard_dedup(
     )
     cand = _dedup_pairs(cand, cfg)
 
-    import ray
-
-    texts = {}
-    for b in ds.select_columns([id_col, text_col]).iter_batches(
-        batch_format="pyarrow", batch_size=8192
-    ):
-        for did, t in zip(
-            b.column(id_col).to_pylist(), b.column(text_col).to_pylist()
-        ):
-            texts[str(did)] = t or ""
-    texts_ref = ray.put(texts)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(texts_ref)
+    def ngram_verify(ls, rs, lt, rt) -> pa.Table:
         keep_l, keep_r, sims = [], [], []
-        for l, r in zip(
-            batch.column("left_id").to_pylist(),
-            batch.column("right_id").to_pylist(),
-        ):
-            ja = jaccard(ngram_set(lookup.get(l, "")), ngram_set(lookup.get(r, "")))
+        for l, r, a, b in zip(ls, rs, lt, rt):
+            ja = jaccard(ngram_set(a or ""), ngram_set(b or ""))
             if ja >= threshold:
                 keep_l.append(l)
                 keep_r.append(r)
@@ -542,7 +607,9 @@ def ngram_jaccard_dedup(
             }
         )
 
-    verified = cand.map_batches(verify, batch_format="pyarrow").materialize()
+    verified = _verify_pairs(
+        cand, ds, id_col, text_col, cfg, ngram_verify
+    ).materialize()
     return _components_output(ds, verified, cfg, id_col)
 
 
