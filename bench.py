@@ -48,13 +48,22 @@ def _linkage_input():
 
 def bench_linkage() -> dict:
     """Headline: full transcript linkage (canonicalize → SIF → exact top-K →
-    score → cluster)."""
+    score → cluster).
+
+    An untimed warm-up run on a small slice first: it spawns the session's
+    Python workers and pays their one-time module-import cost, so the timed
+    run measures steady-state throughput — the regime a long-running
+    multi-node job actually operates in (worker spawn is a per-session cost,
+    not a per-byte cost; at 8 vs 32 CPUs it would otherwise skew the scaling
+    comparison by starting 4× more workers inside the timed region)."""
     from deepblocker_ray.config import EngineConfig
     from deepblocker_ray.pipelines.linkage import link_transcripts
 
     cfg = EngineConfig(num_buckets=max(64, NUM_CPUS * 4))
     ds = _linkage_input()
     n_turns = ds.count()  # warms the page cache before timing
+    warm = link_transcripts(ds.limit(4000), cfg, embedder="sif", k=4)
+    warm["clusters"].count()
     t0 = time.perf_counter()
     res = link_transcripts(ds, cfg, embedder="sif", k=8)
     n_clusters = res["clusters"].count()

@@ -42,9 +42,12 @@ class EngineConfig:
     ae_dim: int = AE_EMB_DIMENSION_SIZE
     seed: int = RANDOM_SEED
 
-    # batch sizes for map_batches stages (rows)
+    # batch sizes for map_batches stages (rows). Query batches are small so
+    # the stage yields ≥4× tasks per CPU even on modest inputs — each query
+    # batch scans every index shard, so wall-time is bounded by the slowest
+    # batch; 512×shard matmul tiles still saturate BLAS.
     embed_batch_size: int = 2048
-    query_batch_size: int = 2048
+    query_batch_size: int = 512
     score_batch_size: int = 1024
 
     # actor-pool sizes; None → let Ray autoscale tasks

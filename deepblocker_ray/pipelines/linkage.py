@@ -84,7 +84,18 @@ def link_transcripts(
     # singletons: conversations with no surviving match keep their own id.
     # Matched-node labels are a small side (≤ 2×|matches| nodes) → broadcast
     # lookup; beyond broadcast_rows_max fall back to a left-outer join.
-    if comp.count() <= cfg.broadcast_rows_max:
+    n_comp = comp.count()
+    if n_comp == 0:
+        # no matches at all — every conversation is its own cluster (an empty
+        # Dataset has no schema, so the broadcast path below would KeyError)
+        clusters = tuples.select_columns(["conv_id"]).map_batches(
+            lambda t: pa.table(
+                {"conv_id": t.column("conv_id"),
+                 "cluster_id": t.column("conv_id")}
+            ),
+            batch_format="pyarrow",
+        )
+    elif n_comp <= cfg.broadcast_rows_max:
         import ray
 
         comp_df = comp.to_pandas()

@@ -176,6 +176,8 @@ def sif_weight_dict(
     min_freq: int = SIF_MIN_FREQ,
 ) -> tuple[dict[str, float], int]:
     """tuple_embedding_models.py:111-119 over the collected frequency table."""
+    if len(freq_df) == 0:  # empty corpus → empty Dataset has no columns
+        return {}, 0
     total = int(freq_df["count"].sum())
     counts = freq_df["count"].to_numpy()
     weights = np.where(

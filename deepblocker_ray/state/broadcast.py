@@ -48,18 +48,16 @@ def cached_compute(key: str, fn) -> Any:
 
 
 _TABLES: dict[tuple[int, int], Any] = {}
-_TABLE_VOCAB_CAP = 500_000
 
 
 def process_embedding_table(dim: int, seed: int):
-    """Per-process HashEmbedding cache. The table builds token vectors on
-    demand and is shared by every task in this worker; reset when the cached
-    vocabulary exceeds the cap so worker heaps stay bounded."""
+    """Per-process HashEmbedding cache (the Gaussian pool matrix is built
+    once per worker and shared by every task in this process)."""
     from ..functions.hash_embedding import HashEmbedding
 
     key = (dim, seed)
     table = _TABLES.get(key)
-    if table is None or len(table._ids) > _TABLE_VOCAB_CAP:
+    if table is None:
         table = HashEmbedding(dim=dim, seed=seed)
         _TABLES[key] = table
     return table
