@@ -24,7 +24,9 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # headline linkage scale: number of base conversations in the planted-dup
 # corpus (scaled to keep pairing quadratic work meaningful but bounded)
-LINKAGE_BASE = int(os.environ.get("GRAFT_LINKAGE_BASE", "12000"))
+LINKAGE_BASE = int(os.environ.get("GRAFT_LINKAGE_BASE", "40000"))
+# restrict main() to the headline pipeline (used by --scaling runs)
+BENCH_ONLY = os.environ.get("GRAFT_BENCH_ONLY", "")
 
 
 def _linkage_input():
@@ -59,7 +61,9 @@ def bench_linkage() -> dict:
     from deepblocker_ray.config import EngineConfig
     from deepblocker_ray.pipelines.linkage import link_transcripts
 
-    cfg = EngineConfig(num_buckets=max(64, NUM_CPUS * 4))
+    # num_buckets stays CPU-independent so the 8- vs 32-CPU scaling runs do
+    # byte-identical shuffle work (the config default is already fixed)
+    cfg = EngineConfig()
     ds = _linkage_input()
     n_turns = ds.count()  # warms the page cache before timing
     warm = link_transcripts(ds.limit(4000), cfg, embedder="sif", k=4)
@@ -103,7 +107,7 @@ def main() -> None:
     details["linkage_headline"] = r
 
     q = entrymod.queries()
-    for name in [
+    query_names = [] if BENCH_ONLY == "linkage" else [
         "canonicalize",
         "blocking_sif",
         "dedup_exact",
@@ -114,7 +118,8 @@ def main() -> None:
         "token_stats",
         "lang_id",
         "fingerprint",
-    ]:
+    ]
+    for name in query_names:
         r = bench_query(q[name])
         queries[name] = round(r["sec"], 3)
         details[name] = r
@@ -137,8 +142,15 @@ def main() -> None:
 
 
 def scaling() -> None:
+    """Same headline job at num_cpus=8 and num_cpus=32 in fresh processes on
+    the same input — the sandbox substitute for the north_rule's N vs 4N node
+    criterion (see BASELINE.md). Only the linkage pipeline runs (the
+    per-query micro-benches stay in the default mode)."""
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY="linkage"
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -148,12 +160,23 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # warm page cache + fixture cache once, untimed
-    run(8)
+    # warm page cache + fixture cache once, untimed (small scale)
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=dict(
+            os.environ,
+            RAY_GRAFT_CPUS="8",
+            GRAFT_BENCH_ONLY="linkage",
+            GRAFT_LINKAGE_BASE="4000",
+        ),
+        capture_output=True,
+        check=True,
+    )
     lo = run(8)
     hi = run(32)
     t_lo = lo["queries"]["linkage_headline"]
     t_hi = hi["queries"]["linkage_headline"]
+    rows = lo["detail"]["linkage_headline"]["rows"]
     eff = (t_lo / t_hi) / (32 / 8)
     print(
         json.dumps(
@@ -163,8 +186,9 @@ def scaling() -> None:
                 "unit": "fraction",
                 "sec_8cpu": t_lo,
                 "sec_32cpu": t_hi,
-                "total_sec_8cpu": lo["value"],
-                "total_sec_32cpu": hi["value"],
+                "turns_per_sec_8cpu": round(rows / t_lo, 1),
+                "turns_per_sec_32cpu": round(rows / t_hi, 1),
+                "input_turns": rows,
                 "sf": SF_DIR,
             }
         )

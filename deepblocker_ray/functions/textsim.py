@@ -109,26 +109,41 @@ def jaro_winkler_batch(
     todo = ~equal & (len_a > 0) & (len_b > 0)
     if not todo.any():
         return out
-    idx = np.nonzero(todo)[0]
+    tidx = np.nonzero(todo)[0]
+    # descending iteration-length sort → the active row set is a shrinking
+    # prefix (same bandwidth trick as levenshtein_ratio_batch)
+    order = np.argsort(-len_a[tidx], kind="stable")
+    idx = tidx[order]
     la = len_a[idx]
     lb = len_b[idx]
-    max_a = int(la.max())
+    max_a = int(la[0])
     max_b = int(lb.max())
     A = np.full((len(idx), max_a), np.uint32(0xFFFFFFFE))
     B = np.full((len(idx), max_b), np.uint32(0xFFFFFFFF))
     for r, p in enumerate(idx):
         A[r, : la[r]] = np.frombuffer(pairs_a[p].encode("utf-32-le"), np.uint32)
         B[r, : lb[r]] = np.frombuffer(pairs_b[p].encode("utf-32-le"), np.uint32)
+    # pure-Latin-1 batches run the match loop on uint8 (sentinels 254/255
+    # stay distinct from every real char and from each other)
+    if np.all((A < 254) | (A == 0xFFFFFFFE)) and np.all(
+        (B < 254) | (B == 0xFFFFFFFF)
+    ):
+        A = np.where(A == 0xFFFFFFFE, 254, A).astype(np.uint8)
+        B = np.where(B == 0xFFFFFFFF, 255, B).astype(np.uint8)
     window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
     free = np.ones_like(B, bool)
-    matched_a = np.zeros_like(A, bool)
-    matched_b = np.zeros_like(B, bool)
+    matched_a = np.zeros((len(idx), max_a), bool)
+    matched_b = np.zeros_like(free)
     cols = np.arange(max_b)
+    active = np.searchsorted(-la, -np.arange(1, max_a + 1), side="right")
     for i in range(max_a):
-        lo = np.maximum(i - window, 0)
-        hi = np.minimum(i + window + 1, lb)
+        m = int(active[i])
+        if m == 0:
+            break
+        lo = np.maximum(i - window[:m], 0)
+        hi = np.minimum(i + window[:m] + 1, lb[:m])
         win = (cols >= lo[:, None]) & (cols < hi[:, None])
-        eq = (B == A[:, i : i + 1]) & free & win
+        eq = (B[:m] == A[:m, i : i + 1]) & free[:m] & win
         has = eq.any(axis=1)
         j = eq.argmax(axis=1)
         rows = np.nonzero(has)[0]
@@ -138,11 +153,15 @@ def jaro_winkler_batch(
     m = matched_a.sum(axis=1)
     jaro_v = np.zeros(len(idx))
     nz = np.nonzero(m > 0)[0]
-    trans = np.zeros(len(idx), np.int64)
-    for r in nz:
-        m1 = A[r][matched_a[r]]
-        m2 = B[r][matched_b[r]]
-        trans[r] = int(np.count_nonzero(m1 != m2)) // 2
+    # transpositions, vectorized across rows: np.nonzero is row-major with
+    # ascending columns, so the t-th matched char per row lines up between
+    # the a-order and b-order flattenings; per-row mismatch count via bincount
+    rows_a, cols_a = np.nonzero(matched_a)
+    rows_b, cols_b = np.nonzero(matched_b)
+    mismatch = A[rows_a, cols_a] != B[rows_b, cols_b]
+    trans = np.bincount(rows_a, weights=mismatch, minlength=len(idx)).astype(
+        np.int64
+    ) // 2
     jaro_v[nz] = (
         m[nz] / la[nz] + m[nz] / lb[nz] + (m[nz] - trans[nz]) / m[nz]
     ) / 3.0
@@ -168,51 +187,93 @@ def levenshtein_ratio_batch(
     """Vectorized edit-distance ratios for many string pairs at once: one DP
     whose row updates run across ALL pairs simultaneously (numpy ops on
     (n_pairs, max_len) matrices). This is what makes the pairwise scorer's
-    hot path batch-vectorized instead of a per-pair Python DP."""
+    hot path batch-vectorized instead of a per-pair Python DP.
+
+    Bandwidth engineering (this kernel is memory-traffic-bound):
+      - per pair, the LONGER string is the iteration axis and the shorter is
+        the DP-row axis, so the row arrays are as narrow as possible;
+      - pairs are processed in descending iteration-length order, so the
+        active row set is a prefix that shrinks as the DP proceeds — total
+        work is Σ len_long·width, not max·n·width;
+      - int16 DP cells (distances ≤ cap ≪ 32767; the prefix-min scan needs a
+        signed type) and uint8 character codes when the batch is pure
+        Latin-1, uint32 otherwise.
+    """
     n = len(pairs_a)
     if n == 0:
         return np.zeros(0, np.float64)
     if cap is not None:
         pairs_a = [s[:cap] for s in pairs_a]
         pairs_b = [s[:cap] for s in pairs_b]
-    len_a = np.asarray([len(s) for s in pairs_a], np.int64)
-    len_b = np.asarray([len(s) for s in pairs_b], np.int64)
-    max_a = int(len_a.max())
-    max_b = int(len_b.max())
+    la0 = np.asarray([len(s) for s in pairs_a], np.int64)
+    lb0 = np.asarray([len(s) for s in pairs_b], np.int64)
+    max_len = np.maximum(la0, lb0)
     out = np.zeros(n, np.int64)
-    max_len = np.maximum(len_a, len_b)
-    if max_a == 0 or max_b == 0:
+    if int(la0.max()) == 0 or int(lb0.max()) == 0:
         out = max_len.copy()  # one side empty → dist = other side's length
         ratio = np.ones(n, np.float64)
         nz = max_len > 0
         ratio[nz] = 1.0 - out[nz] / max_len[nz]
         return ratio
 
-    # pad to (n, max) uint32 with a sentinel that never matches
-    A = np.zeros((n, max_a), np.uint32)
-    B = np.full((n, max_b), np.uint32(0xFFFFFFFF))
-    for i, s in enumerate(pairs_a):
+    # per-pair swap: long side → iteration axis (edit distance is symmetric)
+    swap = lb0 > la0
+    longs = [b if sw else a for a, b, sw in zip(pairs_a, pairs_b, swap)]
+    shorts = [a if sw else b for a, b, sw in zip(pairs_a, pairs_b, swap)]
+    len_l = np.where(swap, lb0, la0)
+    len_s = np.where(swap, la0, lb0)
+
+    order = np.argsort(-len_l, kind="stable")
+    longs = [longs[i] for i in order]
+    shorts = [shorts[i] for i in order]
+    len_l = len_l[order]
+    len_s = len_s[order]
+    max_l = int(len_l[0])
+    max_s = int(len_s.max())
+
+    # character matrices; padding needs no sentinel — cell (r, j ≤ len_s[r])
+    # never depends on columns right of j, and we only read cur[r, len_s[r]]
+    A = np.zeros((n, max_l), np.uint32)
+    B = np.zeros((n, max_s), np.uint32)
+    for i, s in enumerate(longs):
         if s:
             A[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), np.uint32)
-    for i, s in enumerate(pairs_b):
+    for i, s in enumerate(shorts):
         if s:
             B[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+    if int(A.max(initial=0)) < 256 and int(B.max(initial=0)) < 256:
+        A = A.astype(np.uint8)
+        B = B.astype(np.uint8)
 
-    rng = np.arange(max_b + 1, dtype=np.int32)
-    prev = np.broadcast_to(rng, (n, max_b + 1)).copy()
-    out[len_a == 0] = len_b[len_a == 0]
-    for i in range(max_a):
-        cost = (B != A[:, i : i + 1]).astype(np.int32)
-        cur = np.empty_like(prev)
-        cur[:, 0] = i + 1
-        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=cur[:, 1:])
-        cur -= rng
-        np.minimum.accumulate(cur, axis=1, out=cur)
-        cur += rng
-        done = len_a == i + 1
-        if done.any():
-            out[done] = cur[done, len_b[done]]
-        prev = cur
+    rng = np.arange(max_s + 1, dtype=np.int16)
+    prev = np.broadcast_to(rng, (n, max_s + 1)).copy()
+    cur = np.empty_like(prev)
+    out_sorted = np.zeros(n, np.int64)
+    # active-prefix size per iteration i: #rows with len_l ≥ i+1
+    # (len_l sorted desc ⇒ -len_l asc; count(-len_l ≤ -(i+1)) via 'right')
+    active = np.searchsorted(-len_l, -np.arange(1, max_l + 1), side="right")
+    for i in range(max_l):
+        m = int(active[i])
+        if m == 0:
+            break
+        cost = B[:m] != A[:m, i : i + 1]
+        cur[:m, 0] = i + 1
+        np.minimum(
+            prev[:m, 1:] + np.int16(1),
+            prev[:m, :-1] + cost,
+            out=cur[:m, 1:],
+        )
+        # insertion chain cur[j] = min(cur[j], cur[j-1]+1) is a prefix-min
+        # scan of (cur - j): min over j' ≤ j of cur[j'] + (j - j')
+        cur[:m] -= rng
+        np.minimum.accumulate(cur[:m], axis=1, out=cur[:m])
+        cur[:m] += rng
+        m_next = int(active[i + 1]) if i + 1 < max_l else 0
+        if m_next < m:  # rows [m_next, m) have len_l == i+1 → finished
+            rows = np.arange(m_next, m)
+            out_sorted[rows] = cur[rows, len_s[rows]]
+        prev, cur = cur, prev
+    out[order] = out_sorted
     ratio = np.ones(n, np.float64)
     nz = max_len > 0
     ratio[nz] = 1.0 - out[nz] / max_len[nz]
