@@ -141,15 +141,58 @@ def main() -> None:
     ray.shutdown()
 
 
+def _hw_ceiling() -> dict:
+    """Single-box calibration for the N-vs-4N substitute: the same perfectly
+    parallel compute kernel (single-threaded sgemm per process) run in 8 and
+    32 concurrent processes. On a real cluster, 4N nodes bring 4× memory
+    bandwidth and an unchanged per-core turbo budget; on one box, 32 busy
+    cores share both — this measures that single-box ceiling so the
+    pipeline's efficiency can be read against what the host itself allows."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def worker(q):
+        a = np.random.rand(512, 300).astype(np.float32)
+        b = np.random.rand(4096, 300).astype(np.float32)
+        for _ in range(3):
+            a @ b.T
+        t0 = time.perf_counter()
+        n = 30
+        for _ in range(n):
+            a @ b.T
+        q.put((time.perf_counter() - t0) / n)
+
+    rates = {}
+    for nproc in (8, 32):
+        q = mp.Queue()
+        ps = [mp.Process(target=worker, args=(q,)) for _ in range(nproc)]
+        [p.start() for p in ps]
+        ts = [q.get() for _ in range(nproc)]
+        [p.join() for p in ps]
+        rates[nproc] = nproc / (sum(ts) / len(ts))
+    return {
+        "gemm_per_sec_8proc": round(rates[8], 1),
+        "gemm_per_sec_32proc": round(rates[32], 1),
+        "ceiling": round((rates[32] / rates[8]) / 4, 3),
+    }
+
+
 def scaling() -> None:
     """Same headline job at num_cpus=8 and num_cpus=32 in fresh processes on
     the same input — the sandbox substitute for the north_rule's N vs 4N node
     criterion (see BASELINE.md). Only the linkage pipeline runs (the
-    per-query micro-benches stay in the default mode)."""
+    per-query micro-benches stay in the default mode). The corpus is larger
+    than the default bench's so scalable compute dominates fixed per-stage
+    costs, as it would on any real multi-node input."""
+    base = os.environ.get("GRAFT_SCALING_BASE", "100000")
 
     def run(ncpu: int) -> dict:
         env = dict(
-            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ONLY="linkage"
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_ONLY="linkage",
+            GRAFT_LINKAGE_BASE=base,
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -172,6 +215,7 @@ def scaling() -> None:
         capture_output=True,
         check=True,
     )
+    hw = _hw_ceiling()
     lo = run(8)
     hi = run(32)
     t_lo = lo["queries"]["linkage_headline"]
@@ -189,6 +233,10 @@ def scaling() -> None:
                 "turns_per_sec_8cpu": round(rows / t_lo, 1),
                 "turns_per_sec_32cpu": round(rows / t_hi, 1),
                 "input_turns": rows,
+                "hardware_ceiling_8to32": hw,
+                "efficiency_vs_hw_ceiling": round(eff / hw["ceiling"], 3)
+                if hw["ceiling"]
+                else None,
                 "sf": SF_DIR,
             }
         )

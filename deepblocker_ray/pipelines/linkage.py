@@ -43,6 +43,48 @@ def make_embedder(name_or_obj, cfg: EngineConfig):
         ) from None
 
 
+def _dedup_candidates(candidates, cfg: EngineConfig):
+    """Orient candidate pairs (min,max) and exact-dedup so self-linkage
+    scores each unordered pair ONCE — the query stage emits both directions
+    for mutual nearest neighbors, which would double the (dominant) pairwise
+    scoring cost. Cosine is symmetric so either orientation's value is kept;
+    rank keeps the smaller (better) of the two. One skinny-row shuffle keyed
+    on the pair hash (same bucket scheme as every other key exchange)."""
+    import numpy as np
+
+    from ..stages.canonicalize import bucket_of
+
+    nb = cfg.num_buckets
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["left_id"].to_numpy(object)
+        b = df["right_id"].to_numpy(object)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        out = pd.DataFrame(
+            {
+                "left_id": lo,
+                "right_id": hi,
+                "rank": df["rank"].to_numpy(),
+                "cosine": df["cosine"].to_numpy(),
+            }
+        )
+        out["_bucket"] = bucket_of(lo + hi, nb)
+        return out
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["left_id", "right_id", "rank"], kind="stable")
+        return g.drop_duplicates(["left_id", "right_id"])[
+            ["left_id", "right_id", "rank", "cosine"]
+        ]
+
+    return (
+        candidates.map_batches(orient, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
 def link_transcripts(
     transcripts,
     cfg: EngineConfig | None = None,
@@ -71,7 +113,9 @@ def link_transcripts(
     else:
         raise KeyError(f"unknown pairing mode {pairing!r}")
     pairer.index(emb, id_col="conv_id")
-    candidates = pairer.query(emb, id_col="conv_id")
+    candidates = _dedup_candidates(
+        pairer.query(emb, id_col="conv_id"), cfg
+    )
 
     scored = score_candidates(
         candidates, tuples, cfg=cfg, threshold=threshold

@@ -46,8 +46,9 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     p = np.uint64(1099511628211)
     pows = np.empty(k, np.uint64)
     pows[0] = np.uint64(1)
-    for i in range(1, k):
-        pows[i] = pows[i - 1] * p
+    with np.errstate(over="ignore"):  # intentional mod-2^64 wraparound
+        for i in range(1, k):
+            pows[i] = pows[i - 1] * p
     windows = np.lib.stride_tricks.sliding_window_view(view, k).astype(np.uint64)
     h = (windows * pows[::-1]).sum(axis=1, dtype=np.uint64)
     return np.unique(h)

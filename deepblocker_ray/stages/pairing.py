@@ -132,6 +132,14 @@ _EMPTY_CANDIDATES = pa.table(
 )
 
 
+# columns per similarity tile: a 512×4096 float32 tile (8 MB) stays
+# cache-resident through the top-K scans that follow the GEMM, so DRAM
+# traffic per query batch is ~the index bytes (streamed once), not 5-8
+# passes over the full dense row — the difference between the stage
+# scaling with cores and it saturating the memory bus at ~20 workers.
+QUERY_COL_CHUNK = 4096
+
+
 def _exact_query_batch(
     batch: pa.Table, shards, offsets, k: int, exclude_self: bool, id_col: str
 ) -> pa.Table:
@@ -143,12 +151,16 @@ def _exact_query_batch(
     fetch = k + 1 if exclude_self else k
     run_sims = run_pos = None
     for s, (_ids, mat) in enumerate(shards):
-        sims = q @ mat.T
-        ks = min(fetch, mat.shape[0])
-        part = _select_topk_tieaware(sims, ks)
-        psims = np.take_along_axis(sims, part, axis=1)
-        ppos = part.astype(np.int64) + offsets[s]
-        run_sims, run_pos = _merge_topk_pos(run_sims, run_pos, psims, ppos, fetch)
+        for c0 in range(0, mat.shape[0], QUERY_COL_CHUNK):
+            sub = mat[c0 : c0 + QUERY_COL_CHUNK]
+            sims = q @ sub.T
+            ks = min(fetch, sub.shape[0])
+            part = _select_topk_tieaware(sims, ks)
+            psims = np.take_along_axis(sims, part, axis=1)
+            ppos = part.astype(np.int64) + (offsets[s] + c0)
+            run_sims, run_pos = _merge_topk_pos(
+                run_sims, run_pos, psims, ppos, fetch
+            )
     if run_sims is None:
         return _EMPTY_CANDIDATES
     w = run_sims.shape[1]
@@ -238,6 +250,12 @@ class ExactTopKPairer:
         if self.shard_refs is None:
             raise RuntimeError("ExactTopKPairer.query called before index")
         cfg = self.cfg
+        from ..config import parallel_blocks
+
+        # a materialized left side can arrive block-coalesced (e.g. 22 blocks
+        # for 58k rows) which caps stage parallelism below the CPU count;
+        # fanning out is a cheap metadata-only repartition at this row size
+        left_ds = parallel_blocks(left_ds, factor=4)
         if cfg.query_concurrency is not None:
             return left_ds.map_batches(
                 _ExactQuery,
