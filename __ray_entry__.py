@@ -207,6 +207,62 @@ def q_linkage_full(sf_dir: str):
     return res["clusters"]
 
 
+def q_string_sims(sf_dir: str):
+    """Levenshtein + Jaro-Winkler on adjacent-document text pairs via the
+    batched kernels — SQL-checkable against DuckDB's native levenshtein()
+    and jaro_winkler_similarity()."""
+    import numpy as np
+
+    from deepblocker_ray.functions.textsim import (
+        jaro_winkler_batch,
+        levenshtein_batch,
+    )
+
+    def pair_key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "text": df["text"],
+                "_pair": df["doc_id"] // 2,
+            }
+        )
+
+    def score_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        evens = g[g["doc_id"] % 2 == 0]
+        odds = g[g["doc_id"] % 2 == 1]
+        m = pd.merge(
+            evens.assign(_pair=evens["doc_id"] // 2),
+            odds.assign(_pair=odds["doc_id"] // 2),
+            on="_pair",
+            suffixes=("_l", "_r"),
+        )
+        if len(m) == 0:
+            return pd.DataFrame(
+                {"left_id": pd.Series(dtype="int64"),
+                 "right_id": pd.Series(dtype="int64"),
+                 "lev": pd.Series(dtype="int64"),
+                 "jw": pd.Series(dtype="float64")}
+            )
+        ta = list(m["text_l"].astype(str))
+        tb = list(m["text_r"].astype(str))
+        return pd.DataFrame(
+            {
+                "left_id": m["doc_id_l"],
+                "right_id": m["doc_id_r"],
+                "lev": levenshtein_batch(ta, tb),
+                "jw": np.round(jaro_winkler_batch(ta, tb), 6),
+            }
+        )
+
+    return (
+        _documents(sf_dir)
+        .map_batches(pair_key, batch_format="pandas")
+        .groupby("_pair")
+        .map_groups(score_group, batch_format="pandas")
+    )
+
+
 def q_media_features(sf_dir: str):
     import ray.data as rd
 
@@ -245,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "blocking_sif": q_blocking_sif,
         "linkage_full": q_linkage_full,
+        "string_sims": q_string_sims,
         "media_features": q_media_features,
     }
 
@@ -312,6 +369,14 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                        AS md5
             FROM documents
+        """,
+        "string_sims": """
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   levenshtein(a.text, b.text) AS lev,
+                   round(jaro_winkler_similarity(a.text, b.text), 6) AS jw
+            FROM documents a
+            JOIN documents b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 2 = 0
         """,
         "knn_exact": """
             WITH sims AS (

@@ -280,6 +280,24 @@ def levenshtein_ratio_batch(
     return ratio
 
 
+def levenshtein_batch(
+    pairs_a: list[str], pairs_b: list[str], cap: int | None = None
+) -> np.ndarray:
+    """Raw edit distances for many pairs (same vectorized DP as
+    levenshtein_ratio_batch, inverted from the ratio exactly)."""
+    if len(pairs_a) == 0:
+        return np.zeros(0, np.int64)
+    if cap is not None:
+        pairs_a = [s[:cap] for s in pairs_a]
+        pairs_b = [s[:cap] for s in pairs_b]
+    max_len = np.maximum(
+        np.asarray([len(s) for s in pairs_a], np.int64),
+        np.asarray([len(s) for s in pairs_b], np.int64),
+    )
+    ratio = levenshtein_ratio_batch(pairs_a, pairs_b)
+    return np.rint((1.0 - ratio) * max_len).astype(np.int64)
+
+
 def cosine(u: np.ndarray, v: np.ndarray) -> float:
     nu, nv = np.linalg.norm(u), np.linalg.norm(v)
     if nu == 0.0 or nv == 0.0:
