@@ -113,9 +113,13 @@ def link_transcripts(
     else:
         raise KeyError(f"unknown pairing mode {pairing!r}")
     pairer.index(emb, id_col="conv_id")
-    candidates = _dedup_candidates(
-        pairer.query(emb, id_col="conv_id"), cfg
-    )
+    # materialize between the heavy query map and the dedup shuffle: when a
+    # compute-heavy map feeds an AllToAll in one streaming execution, the
+    # executor's resource reservation for the shuffle throttles the map to
+    # 1-2 concurrent tasks on small-CPU sessions (observed 280s vs 104s for
+    # the same query at 8 CPUs). Candidates are skinny rows — cheap to pin.
+    raw_candidates = pairer.query(emb, id_col="conv_id").materialize()
+    candidates = _dedup_candidates(raw_candidates, cfg)
 
     scored = score_candidates(
         candidates, tuples, cfg=cfg, threshold=threshold
