@@ -399,7 +399,10 @@ def minhash_lsh_dedup(
         batch_format="pyarrow",
         batch_size=cfg.embed_batch_size,
         concurrency=actor_pool_size(None),
-    )
+    ).materialize()
+    # ^ seam before the LSH groupby: a compute-heavy map feeding an AllToAll
+    # in one execution gets throttled by shuffle resource reservation
+    # (see pipelines/linkage.py query→dedup note); signatures are skinny.
     cand = _pairs_from_keys(sigs, "doc_id", max_bucket, cfg)
     cand = _dedup_pairs(cand, cfg)
 
@@ -585,7 +588,9 @@ def ngram_jaccard_dedup(
         )
 
     cand = _pairs_from_keys(
-        ds.map_batches(anchors, batch_format="pyarrow"),
+        # seam before the groupby — same shuffle-reservation throttling note
+        # as minhash_lsh_dedup; anchor rows are skinny
+        ds.map_batches(anchors, batch_format="pyarrow").materialize(),
         "doc_id",
         max_bucket,
         cfg,
