@@ -132,12 +132,42 @@ _EMPTY_CANDIDATES = pa.table(
 )
 
 
-# columns per similarity tile: a 512×4096 float32 tile (8 MB) stays
+# columns per similarity tile: a 512×1024 float32 tile (2 MB) stays
 # cache-resident through the top-K scans that follow the GEMM, so DRAM
 # traffic per query batch is ~the index bytes (streamed once), not 5-8
 # passes over the full dense row — the difference between the stage
 # scaling with cores and it saturating the memory bus at ~20 workers.
-QUERY_COL_CHUNK = 4096
+# (Measured 8→32-process scaling: 0.87 efficiency at 1024 cols; larger
+# tiles lose a few % to shared-LLC pressure.)
+QUERY_COL_CHUNK = 1024
+
+
+def _exact_query_block(
+    batch: pa.Table,
+    shards,
+    offsets,
+    k: int,
+    exclude_self: bool,
+    id_col: str,
+    row_chunk: int,
+) -> pa.Table:
+    """Process one whole input block, slicing query rows internally.
+
+    Letting the map stage take whole blocks (batch_size=None) and chunking
+    rows here avoids remainder batches — with a fixed external batch_size,
+    every block ships a final sub-size batch that still pays a full scan of
+    every index shard (25% of all batches at 32 CPUs in the 100k-corpus
+    bench) — while ``row_chunk`` keeps the similarity tile bounded no matter
+    how large Ray makes the block."""
+    if len(batch) <= row_chunk:
+        return _exact_query_batch(batch, shards, offsets, k, exclude_self, id_col)
+    parts = [
+        _exact_query_batch(
+            batch.slice(r0, row_chunk), shards, offsets, k, exclude_self, id_col
+        )
+        for r0 in range(0, len(batch), row_chunk)
+    ]
+    return pa.concat_tables(parts)
 
 
 def _exact_query_batch(
@@ -271,6 +301,7 @@ class ExactTopKPairer:
             )
         shard_refs = self.shard_refs
         k, exclude_self = self.k, self.exclude_self
+        row_chunk = cfg.query_batch_size
         cache_key = "exact-shards:" + ",".join(r.hex() for r in shard_refs)
 
         def query_fn(batch: pa.Table) -> pa.Table:
@@ -279,10 +310,14 @@ class ExactTopKPairer:
             shards, offsets = cached_compute(
                 cache_key, lambda: _parse_shards(shard_refs)
             )
-            return _exact_query_batch(batch, shards, offsets, k, exclude_self, id_col)
+            return _exact_query_block(
+                batch, shards, offsets, k, exclude_self, id_col, row_chunk
+            )
 
+        # batch_size=None: one batch per block; rows are chunked inside
+        # _exact_query_block (see its docstring for why)
         return left_ds.map_batches(
-            query_fn, batch_format="pyarrow", batch_size=cfg.query_batch_size
+            query_fn, batch_format="pyarrow", batch_size=None
         )
 
 
