@@ -440,28 +440,57 @@ class _SimHashBatch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.tokenizer import tokenize
 
-        ids, fps = [], []
-        for did, text in zip(
-            batch.column(self.id_col).to_pylist(),
-            batch.column(self.text_col).to_pylist(),
-        ):
-            toks = tokenize(text or "")
-            acc = np.zeros(64, np.int64)
+        ids = [str(d) for d in batch.column(self.id_col).to_pylist()]
+        tok_lists = [
+            tokenize(t or "") for t in batch.column(self.text_col).to_pylist()
+        ]
+        n = len(ids)
+        counts = np.fromiter((len(t) for t in tok_lists), np.int64, n)
+        total = int(counts.sum())
+        fps = np.zeros(n, np.uint64)
+        if total:
+            # hash each occurrence once; bit-expand all occurrences at once
+            # and segment-sum the ±1 contributions per doc (same math as the
+            # former per-token loop, minus the per-token numpy dispatch)
+            import pandas as pd
+
+            flat = np.empty(total, object)
+            pos = 0
+            for toks in tok_lists:
+                flat[pos : pos + len(toks)] = toks
+                pos += len(toks)
+            inv, uniq = pd.factorize(flat, sort=False)
+            uh = np.fromiter(
+                (_stable_hash64(t.encode()) for t in uniq), np.uint64, len(uniq)
+            )
             shifts = np.arange(64, dtype=np.uint64)
-            for t in toks:
-                h = _stable_hash64(t.encode())
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                acc += np.where(bits == 1, 1, -1)
-            fp = np.uint64(0)
-            for bit in range(64):
-                if acc[bit] > 0:
-                    fp |= np.uint64(1) << np.uint64(bit)
-            ids.append(str(did))
-            fps.append(fp)
+            ubits = (
+                (uh[:, None] >> shifts[None, :]) & np.uint64(1)
+            ).astype(np.int8)
+            contrib = (2 * ubits - 1).astype(np.int32)  # (n_uniq, 64) ±1
+            rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+            # occurrence-weighted: count matrix (doc × uniq) @ contrib
+            nu = len(uniq)
+            acc = np.zeros((n, 64), np.int64)
+            chunk_rows = max(64, (64 << 20) // (8 * max(nu, 1)))
+            offsets = np.zeros(n + 1, np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            for r0 in range(0, n, chunk_rows):
+                r1 = min(r0 + chunk_rows, n)
+                lo, hi = offsets[r0], offsets[r1]
+                if lo == hi:
+                    continue
+                key = (rows[lo:hi] - r0) * nu + inv[lo:hi]
+                c = np.bincount(key, minlength=(r1 - r0) * nu).reshape(
+                    r1 - r0, nu
+                )
+                acc[r0:r1] = c @ contrib.astype(np.int64)
+            pos_bits = (acc > 0).astype(np.uint64)
+            fps = (pos_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.string()),
-                "simhash": pa.array(np.asarray(fps, np.uint64)),
+                "simhash": pa.array(fps),
             }
         )
 
