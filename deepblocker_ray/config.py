@@ -82,6 +82,17 @@ class EngineConfig:
     # instead of hash-join shuffled
     broadcast_rows_max: int = 2_000_000
 
+    # byte cap for plasma-block-lookup broadcast sides (state/lookup): sides
+    # above this fall back to a hash join even if the row count fits — the
+    # lookup index must fit a worker heap
+    broadcast_bytes_max: int = 2 << 30
+
+    # GPUs reserved per embed/inference actor (north_star "GPU actor pools");
+    # None/0 = CPU-only (default — the sandbox has no GPU). When set, the
+    # deep-embed forward/train stages request num_gpus so Ray schedules them
+    # onto GPU nodes at cluster scale.
+    num_gpus_per_actor: float | None = None
+
     extra: dict = field(default_factory=dict)
 
 

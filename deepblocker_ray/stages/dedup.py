@@ -12,14 +12,27 @@ document with its cluster id.
   - simhash_dedup: 64-bit SimHash over token hashes → 4×16-bit band buckets
     → Hamming-distance verify → components.
   - ngram_jaccard_dedup: rarest-shingle blocking → exact n-gram Jaccard.
-  - embedding_neardup: cosine ≥ τ pairs from the exact pairer → components.
+  - embedding_neardup: cosine ≥ τ pairs from the top-K pairer (exact or IVF)
+    → components.
 
-Buckets with more than ``max_bucket`` docs are truncated and counted (hot
-buckets = degenerate shingles; salting them would only produce O(B²) junk
-pairs) — the truncation is reported, never silent.
+Scale posture:
+  - signatures + per-doc shingle/gram sets are computed ONCE in the signature
+    stage, batched and vectorized; the verify stage re-uses them via a
+    byte-capped plasma-block lookup (state/lookup.ColumnLookup) or, beyond
+    the cap, a hash join — never a driver-side Python dict and never a
+    per-pair recompute.
+  - hot LSH keys are SALTED AND SPLIT (north_rule): a key with B > max_bucket
+    members is divided into ceil(B/max_bucket) salt groups and every
+    unordered salt pair becomes its own sub-key, so per-task all-pairs work
+    is bounded by ~max_bucket² while the candidate set stays exact.
+    Degenerate keys beyond ``hard_mult × max_bucket`` members are
+    deterministically subsampled and surfaced via the ``stats_out`` dict —
+    never silently.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -30,36 +43,104 @@ from ..stages.canonicalize import bucket_of
 from ..stages.cluster import connected_components
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_POLY = np.uint64(1099511628211)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+_U64_MAX = np.uint64(np.iinfo(np.uint64).max)
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.uint8)
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct k-char-shingle hashes (uint64, stable across processes)."""
-    if len(text) < k:
-        data = text.encode()
-        return np.asarray([_stable_hash64(data)], np.uint64)
-    b = text.encode("utf-8", "surrogatepass")
-    # byte-level rolling shingles (cheap, deterministic); decode-safe because
-    # we only hash
-    n = len(b) - k + 1
-    view = np.frombuffer(b, np.uint8)
-    # polynomial hash per window, vectorized via cumulative powers
-    p = np.uint64(1099511628211)
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (numpy<2 has no bitwise_count)."""
+    x = np.ascontiguousarray(x, np.uint64)
+    return _POP8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1).astype(np.int32)
+
+
+def _stable_hash64(data: bytes) -> np.uint64:
+    """Lower 64 bits of MD5 in DuckDB's ``md5_number_lower`` convention
+    (digest bytes 8..16, little-endian). Deliberately md5 rather than blake2b:
+    token/gram fingerprints computed here have an exact SQL twin
+    (``md5_number_lower(tok)``), which is what makes the simhash driver
+    oracle exactly checkable end-to-end."""
+    return np.uint64(
+        int.from_bytes(hashlib.md5(data).digest()[8:16], "little")
+    )
+
+
+# ------------------------------------------------------------- shingling --
+
+
+def _shingle_hashes_batch(
+    texts: list, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted-unique k-byte-shingle hashes for EVERY doc of a batch in one
+    vectorized pass: one concatenated byte buffer, one sliding-window
+    polynomial hash over it (cross-doc windows masked out), one global
+    lexsort for the per-doc sort+unique. Returns (values, offsets[n+1]).
+
+    Docs shorter than k bytes fall back to a single md5 hash of the whole
+    text (same rule as the scalar version)."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    bufs = [(t or "").encode("utf-8", "surrogatepass") for t in texts]
+    lens = np.fromiter((len(b) for b in bufs), np.int64, n)
+    short = lens < k
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    cat = np.frombuffer(b"".join(bufs), np.uint8)
     pows = np.empty(k, np.uint64)
     pows[0] = np.uint64(1)
     with np.errstate(over="ignore"):  # intentional mod-2^64 wraparound
         for i in range(1, k):
-            pows[i] = pows[i - 1] * p
-    windows = np.lib.stride_tricks.sliding_window_view(view, k).astype(np.uint64)
-    h = (windows * pows[::-1]).sum(axis=1, dtype=np.uint64)
-    return np.unique(h)
+            pows[i] = pows[i - 1] * _POLY
+        if len(cat) >= k:
+            win = np.lib.stride_tricks.sliding_window_view(cat, k)
+            h_all = (win * pows[::-1][None, :]).sum(axis=1, dtype=np.uint64)
+        else:
+            h_all = np.empty(0, np.uint64)
+    long_idx = np.nonzero(~short)[0]
+    wc = (lens - k + 1)[long_idx]
+    total_w = int(wc.sum())
+    if total_w:
+        base = np.repeat(starts[long_idx], wc)
+        within = np.arange(total_w, dtype=np.int64) - np.repeat(
+            np.cumsum(wc) - wc, wc
+        )
+        docs = np.repeat(long_idx, wc)
+        vals = h_all[base + within]
+    else:
+        docs = np.empty(0, np.int64)
+        vals = np.empty(0, np.uint64)
+    short_idx = np.nonzero(short)[0]
+    if len(short_idx):
+        svals = np.fromiter(
+            (_stable_hash64(bufs[d]) for d in short_idx),
+            np.uint64,
+            len(short_idx),
+        )
+        docs = np.concatenate([docs, short_idx])
+        vals = np.concatenate([vals, svals])
+    order = np.lexsort((vals, docs))
+    docs = docs[order]
+    vals = vals[order]
+    if len(vals):
+        keep = np.ones(len(vals), bool)
+        keep[1:] = (vals[1:] != vals[:-1]) | (docs[1:] != docs[:-1])
+        docs = docs[keep]
+        vals = vals[keep]
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(docs, minlength=n), out=offsets[1:])
+    return vals, offsets
 
 
-def _stable_hash64(data: bytes) -> np.uint64:
-    import hashlib
-
-    return np.uint64(
-        int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
-    )
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-char-shingle hashes of one doc (scalar twin of the batch
+    path — bit-identical; kept for tests and the scalar API)."""
+    vals, _ = _shingle_hashes_batch([text], k)
+    return vals
 
 
 def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -72,13 +153,56 @@ def _minhash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 def minhash_signature(
     shingles: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
-    """(a·x + b) mod p universal hashing, min per permutation."""
+    """(a·x + b) mod p universal hashing, min per permutation (scalar twin of
+    minhash_signatures_batch)."""
     if len(shingles) == 0:
-        return np.full(len(a), np.iinfo(np.uint64).max, np.uint64)
+        return np.full(len(a), _U64_MAX, np.uint64)
     x = shingles[:, None]
     with np.errstate(over="ignore"):
         h = (x * a[None, :] + b[None, :]) % _MERSENNE
     return h.min(axis=0)
+
+
+def minhash_signatures_batch(
+    vals: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """All docs' signatures in one pass: broadcast hash + minimum.reduceat
+    over the per-doc segments, chunked over permutations to bound the
+    transient (total_shingles × chunk) matrix. Bit-identical to the scalar
+    minhash_signature per doc."""
+    n = len(offsets) - 1
+    num_perm = len(a)
+    out = np.full((n, num_perm), _U64_MAX, np.uint64)
+    if n == 0 or len(vals) == 0:
+        return out
+    counts = np.diff(offsets)
+    nz = counts > 0
+    starts = offsets[:-1][nz]
+    x = vals[:, None]
+    chunk = max(1, min(16, (64 << 20) // (8 * max(len(vals), 1))))
+    with np.errstate(over="ignore"):
+        for c0 in range(0, num_perm, chunk):
+            h = (x * a[None, c0 : c0 + chunk] + b[None, c0 : c0 + chunk]) % _MERSENNE
+            out[nz, c0 : c0 + chunk] = np.minimum.reduceat(h, starts, axis=0)
+    return out
+
+
+def _band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) signatures → (n, bands) band keys: FNV-style fold of
+    each band's rows, salted by the band index — vectorized across docs."""
+    n, num_perm = sig.shape
+    r = num_perm // bands
+    keys = np.empty((n, bands), np.uint64)
+    with np.errstate(over="ignore"):
+        for bnd in range(bands):
+            h = np.full(n, np.uint64(14695981039346656037))
+            for j in range(r):
+                h = (h ^ sig[:, bnd * r + j]) * _POLY
+            keys[:, bnd] = h ^ (np.uint64(bnd + 1) * _MIX)
+    return keys
+
+
+# ------------------------------------------------------------ exact dedup --
 
 
 def exact_dedup(
@@ -117,51 +241,167 @@ def exact_dedup(
     )
 
 
+# --------------------------------------------------------- candidate pairs --
+
+
 def _pairs_from_keys(
     keyed,
     id_col: str,
     max_bucket: int,
     cfg: EngineConfig,
     key_col: str = "bkey",
+    hard_mult: int = 32,
+    stats_out: dict | None = None,
 ):
     """rows (id, bkey) → intra-key candidate pairs (left_id < right_id).
 
-    One groupby on a small int hash bucket; inside each bucket the self-join
-    per key is a vectorized pandas merge (not a Python call per LSH key —
-    LSH produces thousands of tiny keys). Keys with more than ``max_bucket``
-    members are truncated to their first members by id (hot keys =
-    degenerate shingles; all-pairs there is O(B²) junk) — truncation is
-    surfaced in an ``n_truncated_keys`` column on the first output row, not
-    silent."""
+    Two passes. Pass 1 aggregates per-key sizes (pre-combined inside each
+    batch, then one skinny groupby) and pulls the HOT keys (> max_bucket
+    members) to the driver — a bounded set by construction. Pass 2 re-keys:
+    cold keys pass through; hot keys are salted into ceil(B/max_bucket) salt
+    groups, each unordered salt pair (si ≤ sj) becoming its own sub-key, so
+    the per-task all-pairs merge is bounded by ~max_bucket² members while the
+    emitted pair set stays EXACT. Keys beyond hard_mult × max_bucket members
+    are deterministically subsampled by id hash (all-pairs there is O(B²)
+    junk from degenerate shingles) — counted in ``stats_out``
+    (n_hot_keys / n_subsampled_keys / max_key_size), never silent."""
+    import ray
+
     nb = cfg.num_buckets
+    hard_cap = max_bucket * hard_mult
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(key_col, sort=False).size()
+        return pd.DataFrame(
+            {key_col: c.index.values, "cnt": c.values.astype(np.int64)}
+        )
+
+    hot_pdf = (
+        keyed.map_batches(partial_counts, batch_format="pandas")
+        .groupby(key_col)
+        .sum("cnt")
+        .map_batches(
+            lambda df: df[df["sum(cnt)"] > max_bucket].rename(
+                columns={"sum(cnt)": "cnt"}
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    ns_map: dict[int, int] = {}
+    mod_map: dict[int, int] = {}
+    max_size = 0
+    if key_col not in hot_pdf.columns:  # empty result → column-less frame
+        hot_pdf = pd.DataFrame({key_col: [], "cnt": []})
+    for k_, c_ in zip(hot_pdf[key_col].to_numpy(), hot_pdf["cnt"].to_numpy()):
+        c_ = int(c_)
+        max_size = max(max_size, c_)
+        m = -(-c_ // hard_cap) if c_ > hard_cap else 1
+        kept = c_ / m
+        ns_map[int(k_)] = max(1, -(-int(kept) // max_bucket))
+        mod_map[int(k_)] = m
+    if stats_out is not None:
+        stats_out.update(
+            n_hot_keys=len(ns_map),
+            n_subsampled_keys=sum(1 for m in mod_map.values() if m > 1),
+            max_key_size=max_size,
+        )
+    hot_ref = ray.put((ns_map, mod_map)) if ns_map else None
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[[id_col, key_col]].copy()
-        out[id_col] = out[id_col].astype(str)
-        out["_bucket"] = (
-            out[key_col].astype(np.uint64) % np.uint64(nb)
-        ).astype(np.int32)
-        return out
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates([id_col, key_col]).sort_values([key_col, id_col])
-        sizes = g.groupby(key_col, sort=False)[id_col].transform("size")
-        truncated = 0
-        over = sizes > max_bucket
-        if over.any():
-            rank = g.groupby(key_col, sort=False).cumcount()
-            truncated = g.loc[over, key_col].nunique()
-            g = g[rank < max_bucket]
-        m = g.merge(g, on=key_col)
-        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         out = pd.DataFrame(
             {
-                "left_id": pd.array(m[f"{id_col}_x"].values, dtype="string"),
-                "right_id": pd.array(m[f"{id_col}_y"].values, dtype="string"),
+                id_col: df[id_col].astype(str),
+                "_key": df[key_col].to_numpy().astype(np.uint64),
+            }
+        )
+        if hot_ref is None:
+            out["_skey"] = out["_key"]
+            out["_side"] = np.int8(0)
+        else:
+            from ..state.broadcast import cached_get
+
+            ns_map_, mod_map_ = cached_get(hot_ref)
+            keys_int = out["_key"].to_numpy()
+            hot_mask = np.isin(
+                keys_int, np.fromiter(ns_map_, np.uint64, len(ns_map_))
+            )
+            cold = out[~hot_mask].copy()
+            cold["_skey"] = cold["_key"]
+            cold["_side"] = np.int8(0)
+            hot = out[hot_mask]
+            parts = [cold]
+            if len(hot):
+                ids = hot[id_col].to_numpy(object)
+                keys = hot["_key"].to_numpy()
+                ns = np.fromiter(
+                    (ns_map_[int(k)] for k in keys), np.int64, len(keys)
+                )
+                mod = np.fromiter(
+                    (mod_map_[int(k)] for k in keys), np.int64, len(keys)
+                )
+                h = pd.util.hash_array(ids)
+                keep = (h % mod.astype(np.uint64)) == 0
+                ids, keys, ns, h = ids[keep], keys[keep], ns[keep], h[keep]
+                salt = ((h >> np.uint64(32)) % ns.astype(np.uint64)).astype(
+                    np.int64
+                )
+                # one replica per other-salt t: sub-key (min(s,t), max(s,t))
+                rep_ids = np.repeat(ids, ns)
+                rep_keys = np.repeat(keys, ns)
+                rep_salt = np.repeat(salt, ns)
+                t = np.arange(int(ns.sum()), dtype=np.int64) - np.repeat(
+                    np.cumsum(ns) - ns, ns
+                )
+                si = np.minimum(rep_salt, t)
+                sj = np.maximum(rep_salt, t)
+                with np.errstate(over="ignore"):
+                    skey = (
+                        rep_keys * _POLY
+                        ^ (si * 65536 + sj + 1).astype(np.uint64)
+                    ) * _MIX
+                side = np.where(
+                    rep_salt == t, 0, np.where(rep_salt < t, 1, 2)
+                ).astype(np.int8)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            id_col: rep_ids,
+                            "_key": rep_keys,
+                            "_skey": skey,
+                            "_side": side,
+                        }
+                    )
+                )
+            out = pd.concat(parts, ignore_index=True)
+        out["_bucket"] = (
+            out["_skey"].to_numpy() % np.uint64(nb)
+        ).astype(np.int32)
+        return out[[id_col, "_skey", "_side", "_bucket"]]
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([id_col, "_skey", "_side"])
+        both = g[g["_side"] == 0]
+        m = both.merge(both, on="_skey")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        la = m[f"{id_col}_x"].to_numpy(object)
+        ra = m[f"{id_col}_y"].to_numpy(object)
+        lo = g[g["_side"] == 1]
+        hi = g[g["_side"] == 2]
+        if len(lo) and len(hi):
+            m2 = lo.merge(hi, on="_skey")
+            if len(m2):
+                a = m2[f"{id_col}_x"].to_numpy(object)
+                b = m2[f"{id_col}_y"].to_numpy(object)
+                keep = a != b
+                la = np.concatenate([la, np.minimum(a[keep], b[keep])])
+                ra = np.concatenate([ra, np.maximum(a[keep], b[keep])])
+        return pd.DataFrame(
+            {
+                "left_id": pd.array(la, dtype="string"),
+                "right_id": pd.array(ra, dtype="string"),
             }
         ).drop_duplicates()
-        out["n_truncated_keys"] = np.int64(truncated)
-        return out
 
     return (
         keyed.map_batches(add_bucket, batch_format="pandas")
@@ -191,72 +431,138 @@ def _dedup_pairs(pairs_ds, cfg: EngineConfig):
     )
 
 
-def _attach_pair_texts(pairs_ds, ds, id_col: str, text_col: str, cfg):
-    """Scale path: attach both sides' text to candidate pairs via two hash
-    joins (Dataset.join) instead of a driver-built broadcast dict."""
-    import pyarrow.compute as pc
+# ------------------------------------------------------------ pair verify --
+
+
+def _verify_pairs(cand, payload_ds, id_col, payload_col, cfg, pair_fn):
+    """Attach each side's precomputed payload (shingle set / fingerprint /
+    gram set — computed ONCE in the signature stage) to the candidate pairs
+    and run ``pair_fn(left_ids, right_ids, left_payload, right_payload)``
+    (payloads are pa.Arrays; missing ids are nulls).
+
+    Small payload side: materialized Arrow block refs + worker-side
+    ColumnLookup (plasma zero-copy; cap bounds BYTES via size_bytes, not just
+    rows). Large side: two hash joins. The driver never builds a dict of the
+    table."""
+    skinny = payload_ds.map_batches(
+        lambda t, i=id_col, p=payload_col: pa.table(
+            {"_pid": t.column(i).cast(pa.string()), "_payload": t.column(p)}
+        ),
+        batch_format="pyarrow",
+    )
+    n = payload_ds.count()
+    fits = n <= cfg.broadcast_rows_max
+    if fits:
+        mat = skinny.materialize()
+        if mat.size_bytes() > cfg.broadcast_bytes_max:
+            fits = False
+    if fits:
+        refs = mat.to_arrow_refs()
+        cache_key = "paylookup:" + ",".join(r.hex() for r in refs)
+
+        def verify(batch: pa.Table) -> pa.Table:
+            from ..state.broadcast import cached_compute
+            from ..state.lookup import ColumnLookup
+
+            lk = cached_compute(
+                cache_key, lambda: ColumnLookup(refs, "_pid", "_payload")
+            )
+            ls = batch.column("left_id").to_pylist()
+            rs = batch.column("right_id").to_pylist()
+            return pair_fn(ls, rs, lk.take(ls), lk.take(rs))
+
+        return cand.map_batches(verify, batch_format="pyarrow")
 
     from ..config import default_parallelism
 
     nparts = max(default_parallelism(), 8)
-
-    def side(name, alias):
-        return ds.map_batches(
-            lambda t, n=name, a=alias: pa.table(
-                {n: t.column(id_col).cast(pa.string()), a: t.column(text_col)}
-            ),
-            batch_format="pyarrow",
-        )
-
-    return pairs_ds.join(
-        side("left_id", "_lt"), join_type="inner", num_partitions=nparts,
+    joined = cand.join(
+        skinny.rename_columns({"_pid": "left_id", "_payload": "_lp"}),
+        join_type="inner",
+        num_partitions=nparts,
         on=("left_id",),
     ).join(
-        side("right_id", "_rt"), join_type="inner", num_partitions=nparts,
+        skinny.rename_columns({"_pid": "right_id", "_payload": "_rp"}),
+        join_type="inner",
+        num_partitions=nparts,
         on=("right_id",),
     )
-
-
-def _verify_pairs(cand, ds, id_col, text_col, cfg, pair_fn):
-    """Run ``pair_fn(left_text, right_text) -> keep`` over candidate pairs.
-    Broadcast-dict mode under broadcast_rows_max; join mode above it."""
-    import ray
-
-    if ds.count() <= cfg.broadcast_rows_max:
-        texts = {}
-        for b in ds.select_columns([id_col, text_col]).iter_batches(
-            batch_format="pyarrow", batch_size=8192
-        ):
-            for did, t in zip(
-                b.column(id_col).to_pylist(), b.column(text_col).to_pylist()
-            ):
-                texts[str(did)] = t
-        texts_ref = ray.put(texts)
-
-        def verify(batch: pa.Table) -> pa.Table:
-            from ..state.broadcast import cached_get
-
-            lookup = cached_get(texts_ref)
-            ls = batch.column("left_id").to_pylist()
-            rs = batch.column("right_id").to_pylist()
-            return pair_fn(
-                ls, rs, [lookup.get(l) for l in ls],
-                [lookup.get(r) for r in rs],
-            )
-
-        return cand.map_batches(verify, batch_format="pyarrow")
-
-    joined = _attach_pair_texts(cand, ds, id_col, text_col, cfg)
 
     def verify_joined(batch: pa.Table) -> pa.Table:
         return pair_fn(
             batch.column("left_id").to_pylist(),
             batch.column("right_id").to_pylist(),
-            batch.column("_lt").to_pylist(),
-            batch.column("_rt").to_pylist(),
+            batch.column("_lp").combine_chunks(),
+            batch.column("_rp").combine_chunks(),
         )
 
     return joined.map_batches(verify_joined, batch_format="pyarrow")
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two SORTED unique uint64 arrays (empty∧empty → 1)."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    if len(a) == 0 or len(b) == 0:
+        return 0.0
+    if len(a) > len(b):
+        a, b = b, a
+    idx = np.searchsorted(b, a)
+    m = idx < len(b)
+    inter = int((b[idx[m]] == a[m]).sum())
+    return inter / (len(a) + len(b) - inter)
+
+
+def _jaccard_verify_fn(threshold: float):
+    """pair_fn: exact set Jaccard over precomputed sorted-unique hash sets."""
+
+    def fn(ls, rs, lp, rp) -> pa.Table:
+        from ..state.lookup import np_lists
+
+        la = np_lists(lp)
+        ra = np_lists(rp)
+        n = len(ls)
+        sims = np.empty(n, np.float64)
+        for i in range(n):
+            sims[i] = jaccard(la[i], ra[i])
+        idx = np.nonzero(sims >= threshold)[0]
+        ls = np.asarray(ls, object)
+        rs = np.asarray(rs, object)
+        return pa.table(
+            {
+                "left_id": pa.array(ls[idx], pa.string()),
+                "right_id": pa.array(rs[idx], pa.string()),
+                "jaccard": pa.array(sims[idx].astype(np.float32)),
+            }
+        )
+
+    return fn
+
+
+def _hamming_verify_fn(max_hamming: int):
+    """pair_fn: popcount(xor) over precomputed 64-bit fingerprints."""
+
+    def fn(ls, rs, lp, rp) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = np.asarray(pc.fill_null(lp, 0)).astype(np.uint64)
+        b = np.asarray(pc.fill_null(rp, 0)).astype(np.uint64)
+        d = popcount64(a ^ b)
+        idx = np.nonzero(d <= max_hamming)[0]
+        ls = np.asarray(ls, object)
+        rs = np.asarray(rs, object)
+        return pa.table(
+            {
+                "left_id": pa.array(ls[idx], pa.string()),
+                "right_id": pa.array(rs[idx], pa.string()),
+                "hamming": pa.array(d[idx].astype(np.int32)),
+            }
+        )
+
+    return fn
+
+
+# -------------------------------------------------------------- components --
 
 
 def _components_output(ds, pairs, cfg, id_col):
@@ -326,47 +632,59 @@ def _components_output(ds, pairs, cfg, id_col):
     )
 
 
-class _MinHashBatch:
-    """Signature actor: shingle + minhash + band keys per batch."""
+# ----------------------------------------------------------------- minhash --
 
-    def __init__(self, num_perm, bands, shingle_k, seed, id_col, text_col):
-        self.a, self.b = _minhash_params(num_perm, seed)
-        self.bands = bands
-        self.rows_per_band = num_perm // bands
-        self.k = shingle_k
-        self.id_col = id_col
-        self.text_col = text_col
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, bkeys = [], []
-        mix = np.uint64(0x9E3779B97F4A7C15)
-        for did, text in zip(
-            batch.column(self.id_col).to_pylist(),
-            batch.column(self.text_col).to_pylist(),
-        ):
-            sig = minhash_signature(
-                _shingle_hashes(text or "", self.k), self.a, self.b
-            )
-            for b in range(self.bands):
-                seg = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                ids.append(str(did))
-                with np.errstate(over="ignore"):
-                    bkeys.append(
-                        _stable_hash64(seg.tobytes()) ^ (np.uint64(b + 1) * mix)
-                    )
+def _minhash_map(num_perm, bands, shingle_k, seed, id_col, text_col):
+    """Stateless signature map (task fn, not an actor — the (a,b) permutation
+    params are a 2 KB closure): per batch, vectorized shingling → batched
+    min-reduce signatures → folded band keys. Emits one row per doc carrying
+    the doc's sorted-unique shingle set (reused by the verify stage — no
+    per-pair recompute)."""
+    a, b = _minhash_params(num_perm, seed)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        vals, offsets = _shingle_hashes_batch(texts, shingle_k)
+        sig = minhash_signatures_batch(vals, offsets, a, b)
+        keys = _band_keys(sig, bands)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.string()),
-                "bkey": pa.array(np.asarray(bkeys, dtype=np.uint64)),
+                "doc_id": batch.column(id_col).cast(pa.string()),
+                "shingles": pa.LargeListArray.from_arrays(
+                    pa.array(offsets), pa.array(vals)
+                ),
+                "bkeys": pa.FixedSizeListArray.from_arrays(
+                    pa.array(keys.reshape(-1)), bands
+                ),
             }
         )
 
+    return fn
 
-def jaccard(a: np.ndarray, b: np.ndarray) -> float:
-    if len(a) == 0 and len(b) == 0:
-        return 1.0
-    inter = len(np.intersect1d(a, b, assume_unique=True))
-    return inter / (len(a) + len(b) - inter)
+
+def _explode_fixed(batch: pa.Table, col: str = "bkeys") -> pa.Table:
+    lst = batch.column(col).combine_chunks()
+    width = lst.type.list_size
+    take = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), width))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").combine_chunks().take(take),
+            "bkey": lst.flatten(),
+        }
+    )
+
+
+def _explode_list(batch: pa.Table, col: str) -> pa.Table:
+    lst = batch.column(col).combine_chunks()
+    cnt = np.diff(np.asarray(lst.offsets))
+    take = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), cnt))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id").combine_chunks().take(take),
+            "bkey": lst.flatten(),
+        }
+    )
 
 
 def minhash_lsh_dedup(
@@ -375,85 +693,59 @@ def minhash_lsh_dedup(
     id_col: str = "doc_id",
     cfg: EngineConfig | None = None,
     num_perm: int = 128,
-    bands: int = 16,
+    bands: int = 32,
     shingle_k: int = 5,
     threshold: float = 0.6,
     max_bucket: int = 200,
+    stats_out: dict | None = None,
 ):
     """MinHash+LSH near-dup: shingle→minhash→band→bucket groupby→verify→CC.
-    Output: (doc_id, cluster_id, is_duplicate)."""
-    from ..config import actor_pool_size
-
+    Output: (doc_id, cluster_id, is_duplicate). bands=32 (r=4 rows/band)
+    puts the S-curve's steep part below threshold 0.6: P(miss) at J=0.6 is
+    (1−0.6⁴)^32 ≈ 9e-3 and at J=0.9 ≈ 1e-15, and the exact-Jaccard verify
+    removes every false positive, so the output is exact on any corpus whose
+    near-dups sit above ~0.7."""
     cfg = cfg or EngineConfig()
     ds = ds.materialize()
     sigs = ds.map_batches(
-        _MinHashBatch,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm,
-            bands=bands,
-            shingle_k=shingle_k,
-            seed=cfg.seed,
-            id_col=id_col,
-            text_col=text_col,
-        ),
+        _minhash_map(num_perm, bands, shingle_k, cfg.seed, id_col, text_col),
         batch_format="pyarrow",
         batch_size=cfg.embed_batch_size,
-        concurrency=actor_pool_size(None),
     ).materialize()
     # ^ seam before the LSH groupby: a compute-heavy map feeding an AllToAll
     # in one execution gets throttled by shuffle resource reservation
     # (see pipelines/linkage.py query→dedup note); signatures are skinny.
-    cand = _pairs_from_keys(sigs, "doc_id", max_bucket, cfg)
+    keys = sigs.map_batches(_explode_fixed, batch_format="pyarrow")
+    cand = _pairs_from_keys(
+        keys, "doc_id", max_bucket, cfg, stats_out=stats_out
+    )
     cand = _dedup_pairs(cand, cfg)
-
-    def jaccard_verify(ls, rs, lt, rt) -> pa.Table:
-        keep_l, keep_r, sims = [], [], []
-        for l, r, a, b in zip(ls, rs, lt, rt):
-            ja = jaccard(
-                _shingle_hashes(a or "", shingle_k),
-                _shingle_hashes(b or "", shingle_k),
-            )
-            if ja >= threshold:
-                keep_l.append(l)
-                keep_r.append(r)
-                sims.append(ja)
-        return pa.table(
-            {
-                "left_id": pa.array(keep_l, pa.string()),
-                "right_id": pa.array(keep_r, pa.string()),
-                "jaccard": pa.array(np.asarray(sims, np.float32)),
-            }
-        )
-
     verified = _verify_pairs(
-        cand, ds, id_col, text_col, cfg, jaccard_verify
+        cand, sigs, "doc_id", "shingles", cfg, _jaccard_verify_fn(threshold)
     ).materialize()
     return _components_output(ds, verified, cfg, id_col)
 
 
-class _SimHashBatch:
-    def __init__(self, id_col, text_col, seed):
-        self.id_col = id_col
-        self.text_col = text_col
-        self.seed = seed
+# ----------------------------------------------------------------- simhash --
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+
+def _simhash_map(id_col, text_col):
+    """64-bit SimHash per doc: tokenize, hash UNIQUE tokens once (md5-lower64
+    — the SQL-twinnable hash), ±1 bit contributions summed occurrence-
+    weighted via count-matrix @ contribution-matrix (BLAS), sign → bits."""
+
+    def fn(batch: pa.Table) -> pa.Table:
         from ..functions.tokenizer import tokenize
 
-        ids = [str(d) for d in batch.column(self.id_col).to_pylist()]
+        ids = batch.column(id_col).cast(pa.string())
         tok_lists = [
-            tokenize(t or "") for t in batch.column(self.text_col).to_pylist()
+            tokenize(t or "") for t in batch.column(text_col).to_pylist()
         ]
-        n = len(ids)
+        n = len(tok_lists)
         counts = np.fromiter((len(t) for t in tok_lists), np.int64, n)
         total = int(counts.sum())
         fps = np.zeros(n, np.uint64)
         if total:
-            # hash each occurrence once; bit-expand all occurrences at once
-            # and segment-sum the ±1 contributions per doc (same math as the
-            # former per-token loop, minus the per-token numpy dispatch)
-            import pandas as pd
-
             flat = np.empty(total, object)
             pos = 0
             for toks in tok_lists:
@@ -464,12 +756,11 @@ class _SimHashBatch:
                 (_stable_hash64(t.encode()) for t in uniq), np.uint64, len(uniq)
             )
             shifts = np.arange(64, dtype=np.uint64)
-            ubits = (
-                (uh[:, None] >> shifts[None, :]) & np.uint64(1)
-            ).astype(np.int8)
+            ubits = ((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                np.int8
+            )
             contrib = (2 * ubits - 1).astype(np.int32)  # (n_uniq, 64) ±1
             rows = np.repeat(np.arange(n, dtype=np.int64), counts)
-            # occurrence-weighted: count matrix (doc × uniq) @ contrib
             nu = len(uniq)
             acc = np.zeros((n, 64), np.int64)
             chunk_rows = max(64, (64 << 20) // (8 * max(nu, 1)))
@@ -487,12 +778,9 @@ class _SimHashBatch:
                 acc[r0:r1] = c @ contrib.astype(np.int64)
             pos_bits = (acc > 0).astype(np.uint64)
             fps = (pos_bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.string()),
-                "simhash": pa.array(fps),
-            }
-        )
+        return pa.table({"doc_id": ids, "simhash": pa.array(fps)})
+
+    return fn
 
 
 def simhash_dedup(
@@ -502,36 +790,32 @@ def simhash_dedup(
     cfg: EngineConfig | None = None,
     max_hamming: int = 3,
     max_bucket: int = 200,
+    stats_out: dict | None = None,
 ):
     """SimHash near-dup: 64-bit fingerprint, 4×16-bit band blocking (any pair
-    within Hamming ≤ 3 shares at least one exact band), Hamming verify, CC."""
-    from ..config import actor_pool_size
-
+    within Hamming ≤ 3 shares at least one exact band — pigeonhole, so the
+    candidate set is EXACT), vectorized Hamming verify, CC."""
     cfg = cfg or EngineConfig()
     ds = ds.materialize()
     fps = ds.map_batches(
-        _SimHashBatch,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col, seed=cfg.seed),
+        _simhash_map(id_col, text_col),
         batch_format="pyarrow",
         batch_size=cfg.embed_batch_size,
-        concurrency=actor_pool_size(None),
     ).materialize()
 
     def explode_bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
+        ids = batch.column("doc_id").combine_chunks()
         h = np.asarray(batch.column("simhash"))
-        mix = np.uint64(0x9E3779B97F4A7C15)
-        out_id, out_key = [], []
-        for b in range(4):
-            seg = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-            with np.errstate(over="ignore"):
-                key = seg ^ (np.uint64(b + 1) * mix)
-            out_id.extend(ids)
-            out_key.extend(key.tolist())
+        out_key = np.empty((4, len(h)), np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(4):
+                seg = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+                out_key[b] = seg ^ (np.uint64(b + 1) * _MIX)
+        take = pa.array(np.tile(np.arange(len(h), dtype=np.int64), 4))
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.string()),
-                "bkey": pa.array(np.asarray(out_key, np.uint64)),
+                "doc_id": ids.take(take),
+                "bkey": pa.array(out_key.reshape(-1)),
             }
         )
 
@@ -540,30 +824,111 @@ def simhash_dedup(
         "doc_id",
         max_bucket,
         cfg,
+        stats_out=stats_out,
     )
     cand = _dedup_pairs(cand, cfg)
+    # fingerprints (8 B/doc) are the payload side; join fallback beyond cap
+    verified = _verify_pairs(
+        cand, fps, "doc_id", "simhash", cfg, _hamming_verify_fn(max_hamming)
+    ).materialize()
+    return _components_output(ds, verified, cfg, id_col)
 
-    def hamming_verify(ls, rs, lfp, rfp) -> pa.Table:
-        keep_l, keep_r, dists = [], [], []
-        for l, r, a, b in zip(ls, rs, lfp, rfp):
-            d = bin(int(a or 0) ^ int(b or 0)).count("1")
-            if d <= max_hamming:
-                keep_l.append(l)
-                keep_r.append(r)
-                dists.append(d)
+
+# ----------------------------------------------------------- ngram jaccard --
+
+
+def _ngram_map(ngram, num_anchors, id_col, text_col):
+    """Per batch: tokenize, hash UNIQUE tokens once, gram hash = polynomial
+    fold of the gram's token hashes (vectorized sliding windows over the
+    concatenated token-hash array, cross-doc windows masked). Emits each
+    doc's sorted-unique gram set plus its ``num_anchors`` smallest gram
+    hashes (1-perm MinHash anchors) as block keys."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..functions.tokenizer import tokenize
+
+        texts = batch.column(text_col).to_pylist()
+        tok_lists = [tokenize(t or "") for t in texts]
+        n = len(tok_lists)
+        counts = np.fromiter((len(t) for t in tok_lists), np.int64, n)
+        total = int(counts.sum())
+        if total:
+            flat = np.empty(total, object)
+            pos = 0
+            for toks in tok_lists:
+                flat[pos : pos + len(toks)] = toks
+                pos += len(toks)
+            inv, uniq = pd.factorize(flat, sort=False)
+            uh = np.fromiter(
+                (_stable_hash64(t.encode()) for t in uniq), np.uint64, len(uniq)
+            )
+            th = uh[inv]
+        else:
+            th = np.empty(0, np.uint64)
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        docs_parts, vals_parts = [], []
+        long_idx = np.nonzero(counts >= ngram)[0]
+        wc = (counts - ngram + 1)[long_idx]
+        total_w = int(wc.sum())
+        if total_w:
+            with np.errstate(over="ignore"):
+                acc = np.zeros(total - ngram + 1, np.uint64)
+                for j in range(ngram):
+                    acc = acc * _POLY + th[j : total - ngram + 1 + j]
+            base = np.repeat(starts[long_idx], wc)
+            within = np.arange(total_w, dtype=np.int64) - np.repeat(
+                np.cumsum(wc) - wc, wc
+            )
+            docs_parts.append(np.repeat(long_idx, wc))
+            vals_parts.append(acc[base + within])
+        short_idx = np.nonzero((counts > 0) & (counts < ngram))[0]
+        if len(short_idx):
+            svals = np.empty(len(short_idx), np.uint64)
+            with np.errstate(over="ignore"):
+                for i, d in enumerate(short_idx):
+                    h = np.uint64(0)
+                    for v in th[starts[d] : starts[d + 1]]:
+                        h = h * _POLY + v
+                    svals[i] = h
+            docs_parts.append(short_idx)
+            vals_parts.append(svals)
+        if docs_parts:
+            docs = np.concatenate(docs_parts)
+            vals = np.concatenate(vals_parts)
+            order = np.lexsort((vals, docs))
+            docs = docs[order]
+            vals = vals[order]
+            keep = np.ones(len(vals), bool)
+            keep[1:] = (vals[1:] != vals[:-1]) | (docs[1:] != docs[:-1])
+            docs = docs[keep]
+            vals = vals[keep]
+        else:
+            docs = np.empty(0, np.int64)
+            vals = np.empty(0, np.uint64)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(np.bincount(docs, minlength=n), out=offsets[1:])
+        # anchors: first num_anchors per doc (gram sets are sorted ascending)
+        acounts = np.minimum(np.diff(offsets), num_anchors)
+        abase = np.repeat(offsets[:-1], acounts)
+        awithin = np.arange(int(acounts.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(acounts) - acounts, acounts
+        )
+        aoffsets = np.zeros(n + 1, np.int64)
+        np.cumsum(acounts, out=aoffsets[1:])
         return pa.table(
             {
-                "left_id": pa.array(keep_l, pa.string()),
-                "right_id": pa.array(keep_r, pa.string()),
-                "hamming": pa.array(np.asarray(dists, np.int32)),
+                "doc_id": batch.column(id_col).cast(pa.string()),
+                "grams": pa.LargeListArray.from_arrays(
+                    pa.array(offsets), pa.array(vals)
+                ),
+                "anchors": pa.LargeListArray.from_arrays(
+                    pa.array(aoffsets), pa.array(vals[abase + awithin])
+                ),
             }
         )
 
-    # fingerprints (8 B/doc) are the broadcast side; join fallback beyond cap
-    verified = _verify_pairs(
-        cand, fps, "doc_id", "simhash", cfg, hamming_verify
-    ).materialize()
-    return _components_output(ds, verified, cfg, id_col)
+    return fn
 
 
 def ngram_jaccard_dedup(
@@ -575,77 +940,33 @@ def ngram_jaccard_dedup(
     threshold: float = 0.5,
     num_anchors: int = 4,
     max_bucket: int = 200,
+    stats_out: dict | None = None,
 ):
     """Word n-gram Jaccard near-dup with rare-shingle anchor blocking: each
     doc emits its ``num_anchors`` smallest n-gram hashes as block keys (two
     docs with Jaccard ≥ 0.5 share a smallest-hash anchor with high
     probability — this is 1-perm MinHash with k anchors)."""
-    from ..config import actor_pool_size
-    from ..functions.tokenizer import tokenize
-
     cfg = cfg or EngineConfig()
     ds = ds.materialize()
-
-    def ngram_set(text: str) -> np.ndarray:
-        toks = tokenize(text or "")
-        if len(toks) < ngram:
-            grams = [" ".join(toks)] if toks else []
-        else:
-            grams = [
-                " ".join(toks[i : i + ngram]) for i in range(len(toks) - ngram + 1)
-            ]
-        if not grams:
-            return np.asarray([], np.uint64)
-        return np.unique(
-            np.asarray([_stable_hash64(g.encode()) for g in grams], np.uint64)
-        )
-
-    def anchors(batch: pa.Table) -> pa.Table:
-        out_id, out_anchor = [], []
-        for did, text in zip(
-            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
-        ):
-            grams = ngram_set(text)
-            for a in np.sort(grams)[:num_anchors]:
-                out_id.append(str(did))
-                out_anchor.append(int(a))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, pa.string()),
-                "bkey": pa.array(np.asarray(out_anchor, np.uint64)),
-            }
-        )
-
+    sigs = ds.map_batches(
+        _ngram_map(ngram, num_anchors, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=cfg.embed_batch_size,
+    ).materialize()
+    keys = sigs.map_batches(
+        lambda t: _explode_list(t, "anchors"), batch_format="pyarrow"
+    )
     cand = _pairs_from_keys(
-        # seam before the groupby — same shuffle-reservation throttling note
-        # as minhash_lsh_dedup; anchor rows are skinny
-        ds.map_batches(anchors, batch_format="pyarrow").materialize(),
-        "doc_id",
-        max_bucket,
-        cfg,
+        keys, "doc_id", max_bucket, cfg, stats_out=stats_out
     )
     cand = _dedup_pairs(cand, cfg)
-
-    def ngram_verify(ls, rs, lt, rt) -> pa.Table:
-        keep_l, keep_r, sims = [], [], []
-        for l, r, a, b in zip(ls, rs, lt, rt):
-            ja = jaccard(ngram_set(a or ""), ngram_set(b or ""))
-            if ja >= threshold:
-                keep_l.append(l)
-                keep_r.append(r)
-                sims.append(ja)
-        return pa.table(
-            {
-                "left_id": pa.array(keep_l, pa.string()),
-                "right_id": pa.array(keep_r, pa.string()),
-                "jaccard": pa.array(np.asarray(sims, np.float32)),
-            }
-        )
-
     verified = _verify_pairs(
-        cand, ds, id_col, text_col, cfg, ngram_verify
+        cand, sigs, "doc_id", "grams", cfg, _jaccard_verify_fn(threshold)
     ).materialize()
     return _components_output(ds, verified, cfg, id_col)
+
+
+# ------------------------------------------------------- embedding neardup --
 
 
 def embedding_neardup(
@@ -654,16 +975,23 @@ def embedding_neardup(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     k: int = 10,
+    mode: str = "exact",
 ):
-    """Embedding-cosine near-dup: exact top-K self-join (the pairing stage),
-    keep cosine ≥ τ, components. Output (doc_id, cluster_id, is_duplicate)."""
-    from ..stages.pairing import ExactTopKPairer
+    """Embedding-cosine near-dup: top-K self-join (exact pairer, or IVF for
+    the big-data path — cell-routed probes instead of a full index scan per
+    query), keep cosine ≥ τ, components.
+    Output (doc_id, cluster_id, is_duplicate)."""
+    from ..stages.pairing import ExactTopKPairer, IVFTopKPairer
 
     cfg = cfg or EngineConfig()
     emb_ds = emb_ds.materialize()
-    pairer = ExactTopKPairer(k=k, cfg=cfg, exclude_self=True).index(
-        emb_ds, id_col=id_col
-    )
+    if mode == "exact":
+        pairer = ExactTopKPairer(k=k, cfg=cfg, exclude_self=True)
+    elif mode == "ivf":
+        pairer = IVFTopKPairer(k=k, cfg=cfg, exclude_self=True)
+    else:
+        raise KeyError(f"unknown neardup mode {mode!r}")
+    pairer.index(emb_ds, id_col=id_col)
     cand = pairer.query(emb_ds, id_col=id_col)
     near = cand.filter(expr=f"cosine >= {threshold}")
     from ..pipelines.evaluate import normalize_pairs

@@ -345,8 +345,13 @@ def kmeans_lite(
 class _IVFQuery:
     """IVF query actor: probes only top-nprobe cells per query per shard.
 
-    Each shard stores rows sorted by cell + a (n_cells+1) offsets array, so a
-    cell's rows are a contiguous zero-copy slice.
+    Each shard stores rows sorted by (cell, right_id) + a (n_cells+1) offsets
+    array, so a cell's rows are a contiguous zero-copy slice and positional
+    tie-breaks inside a cell follow id order. The running top-K merge uses
+    the SAME (−cosine, right_id) lexsort rule as the exact pairer, so with
+    nprobe = n_cells the output is bit-identical to exact search (the basis
+    of the knn_ivf driver oracle); with smaller nprobe the only deviation is
+    recall, never tie order.
     """
 
     def __init__(
@@ -368,17 +373,20 @@ class _IVFQuery:
             self.shards.append((ids, mat, offsets))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        left_ids = batch.column(self.id_col).to_pylist()
+        left_ids = np.asarray(
+            batch.column(self.id_col).cast(pa.string()).to_pylist(), object
+        )
         q = _normalize_rows(emb_to_numpy(batch.column("emb")))
         nq = len(left_ids)
+        if nq == 0:
+            return _EMPTY_CANDIDATES
         fetch = self.k + 1 if self.exclude_self else self.k
         cell_sims = q @ self.centroids.T
         np_ = min(self.nprobe, self.centroids.shape[0])
         probed = np.argpartition(-cell_sims, np_ - 1, axis=1)[:, :np_]
 
-        cap = fetch * 2
-        run_sims = np.full((nq, cap), -np.inf, np.float32)
-        run_ids = np.full((nq, cap), "", dtype=object)
+        run_sims = np.full((nq, fetch), -np.inf, np.float32)
+        run_ids = np.full((nq, fetch), "", dtype=object)
 
         # invert: cell → queries probing it (vectorized bucketing)
         flat_cells = probed.reshape(-1)
@@ -389,9 +397,10 @@ class _IVFQuery:
         bounds = np.searchsorted(
             flat_cells, np.arange(self.centroids.shape[0] + 1)
         )
+        cells_used = np.unique(flat_cells)
 
         for ids, mat, offsets in self.shards:
-            for c in np.unique(flat_cells):
+            for c in cells_used:
                 qs = flat_q[bounds[c] : bounds[c + 1]]
                 s, e = offsets[c], offsets[c + 1]
                 if e <= s or len(qs) == 0:
@@ -402,56 +411,35 @@ class _IVFQuery:
                 part = _select_topk_tieaware(sims, ks)
                 psims = np.take_along_axis(sims, part, axis=1)
                 pids = ids[s:e][part]
-                merged_s = np.concatenate([run_sims[qs, :fetch], psims], axis=1)
-                merged_i = np.concatenate([run_ids[qs, :fetch], pids], axis=1)
-                kk = min(fetch, merged_s.shape[1])
-                part2 = np.argpartition(-merged_s, kk - 1, axis=1)[:, :kk]
-                run_sims[qs[:, None], np.arange(kk)[None, :]] = np.take_along_axis(
-                    merged_s, part2, axis=1
+                merged_s = np.concatenate(
+                    [run_sims[qs], psims.astype(np.float32)], axis=1
                 )
-                run_ids[qs[:, None], np.arange(kk)[None, :]] = np.take_along_axis(
-                    merged_i, part2, axis=1
-                )
+                merged_i = np.concatenate([run_ids[qs], pids], axis=1)
+                # deterministic running merge: same (−sim, right_id) rule as
+                # _merge_topk_pos; the -inf pads sort last regardless of id
+                morder = np.lexsort((merged_i, -merged_s), axis=1)[:, :fetch]
+                run_sims[qs] = np.take_along_axis(merged_s, morder, axis=1)
+                run_ids[qs] = np.take_along_axis(merged_i, morder, axis=1)
 
-        keep = run_sims[:, :fetch] > -np.inf
-        # replace -inf pad with empty slots removed inside _emit_candidates by
-        # masking: set padded ids to a sentinel that sorts last and skip them
-        out = _emit_candidates_masked(
-            left_ids, run_sims[:, :fetch], run_ids[:, :fetch], keep,
-            self.k, self.exclude_self,
+        # vectorized long-form emit (mirror of the exact path's)
+        flat_r = run_ids.reshape(-1)
+        flat_s = run_sims.reshape(-1)
+        flat_l = np.repeat(left_ids, fetch)
+        keep = flat_s > -np.inf
+        if self.exclude_self:
+            keep &= flat_r != flat_l
+        ranks = (keep.reshape(nq, fetch).cumsum(axis=1) - 1).reshape(-1)
+        keep &= ranks < self.k
+        idx = np.nonzero(keep)[0]
+        return pa.table(
+            {
+                "left_id": pa.array(flat_l[idx], pa.string()),
+                "right_id": pa.array(flat_r[idx], pa.string()),
+                "rank": pa.array(ranks[idx].astype(np.int32)),
+                "cosine": pa.array(flat_s[idx].astype(np.float32)),
+            },
+            schema=CANDIDATE_SCHEMA,
         )
-        return out
-
-
-def _emit_candidates_masked(
-    left_ids, run_sims, run_ids, valid, k, exclude_self
-) -> pa.Table:
-    out_l, out_r, out_rank, out_cos = [], [], [], []
-    for i, lid in enumerate(left_ids):
-        sims = run_sims[i][valid[i]]
-        ids = run_ids[i][valid[i]]
-        order = np.lexsort((ids, -sims))
-        rank = 0
-        for j in order:
-            rid = ids[j]
-            if exclude_self and rid == lid:
-                continue
-            out_l.append(lid)
-            out_r.append(rid)
-            out_rank.append(rank)
-            out_cos.append(sims[j])
-            rank += 1
-            if rank >= k:
-                break
-    return pa.table(
-        {
-            "left_id": pa.array(out_l, pa.string()),
-            "right_id": pa.array(out_r, pa.string()),
-            "rank": pa.array(out_rank, pa.int32()),
-            "cosine": pa.array(np.asarray(out_cos, np.float32)),
-        },
-        schema=CANDIDATE_SCHEMA,
-    )
 
 
 class IVFTopKPairer:
@@ -487,10 +475,15 @@ class IVFTopKPairer:
             c = ray.get(centroids_ref)
             mat = _normalize_rows(emb_to_numpy(batch.column("emb")))
             cells = np.argmax(mat @ c.T, axis=1).astype(np.int32)
-            order = np.argsort(cells, kind="stable")
+            ids = np.asarray(
+                batch.column(id_col).cast(pa.string()).to_pylist(), object
+            )
+            # (cell, id) order: positional tie-breaks inside a cell follow the
+            # id rule, matching the exact pairer's globally-sorted index
+            order = np.lexsort((ids, cells))
             return pa.table(
                 {
-                    "_pair_id": batch.column(id_col).cast(pa.string()).take(order),
+                    "_pair_id": pa.array(ids[order], pa.string()),
                     "emb": numpy_to_emb(mat[order]),
                     "cell": pa.array(cells[order]),
                 }
