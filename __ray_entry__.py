@@ -135,9 +135,20 @@ def q_knn_exact(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
+    """IVF ANN with nprobe = n_cells (probe everything): exercises the full
+    IVF machinery (centroid fit, cell routing, per-cell tiles, deterministic
+    running merge) in a regime where its output is provably identical to
+    exact search, so the knn_exact SQL twin is a real oracle for it. The
+    approximate regime (nprobe ≪ cells) is covered by the recall harness in
+    tests/test_pairing.py."""
     from deepblocker_ray.stages.annsearch import knn
 
-    return knn(_embeddings(sf_dir), n_queries=10, k=10, cfg=_cfg(), mode="ivf")
+    cfg = _cfg()
+    out = knn(
+        _embeddings(sf_dir), n_queries=10, k=10, cfg=cfg, mode="ivf",
+        nprobe=cfg.ivf_cells,
+    )
+    return out.select_columns(["query_id", "neighbor_id", "rank"])
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -159,11 +170,14 @@ def q_ngram_jaccard_dedup(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
+    """τ=0.45 so the driver tables produce non-trivial clusters (their
+    synthetic embeddings are near-orthogonal: top-5 cosines span ~0.34-0.52;
+    0.45 sits in a 5e-4 gap, far above float32 rounding)."""
     from deepblocker_ray.stages.dedup import embedding_neardup
     from deepblocker_ray.stages.annsearch import prep_embeddings
 
     emb = prep_embeddings(_embeddings(sf_dir))
-    return embedding_neardup(emb, cfg=_cfg(), threshold=0.95, k=5)
+    return embedding_neardup(emb, cfg=_cfg(), threshold=0.45, k=5)
 
 
 def q_lang_id(sf_dir: str):
@@ -309,12 +323,151 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ------------------------------------------------------------- oracle SQL --
 
 
+def _cc_sql(pairs_select: str, base_table: str, base_id: str) -> str:
+    """Connected components over a duplicate-pair set, as one SQL statement:
+    transitive closure via a recursive CTE, cluster_id = lexicographic min
+    node id in the component (the same min-label rule as
+    stages/cluster.union_find_pandas), singletons labeled with their own id.
+    ``pairs_select`` must yield VARCHAR columns (left_id, right_id)."""
+    ide = f"CAST(d.{base_id} AS VARCHAR)"
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_select}),
+        edges AS (
+            SELECT left_id AS a, right_id AS b FROM pairs
+            UNION
+            SELECT right_id AS a, left_id AS b FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT a, a FROM edges
+            UNION
+            SELECT reach.node, edges.b
+            FROM reach JOIN edges ON reach.r = edges.a
+        ),
+        comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+        SELECT {ide} AS doc_id,
+               coalesce(c.cluster_id, {ide}) AS cluster_id,
+               coalesce(c.cluster_id, {ide}) <> {ide} AS is_duplicate
+        FROM {base_table} d LEFT JOIN comp c ON c.node = {ide}
+    """
+
+
+_STOPWORD_VALUES = """(VALUES
+    ('en', ['the','and','of','a','to','in','is','it','you','that']),
+    ('es', ['el','la','de','que','y','en','un','los','se','por']),
+    ('de', ['der','die','und','das','ist','von','mit','den','nicht','ein']),
+    ('fr', ['le','la','de','et','les','des','un','une','est','dans'])
+) AS l(lang, sw)"""
+
+_STOP_EN = "['the','and','of','a','to','in','is','it','you','that']"
+
+
 def oracle_sql() -> dict[str, str]:
     from deepblocker_ray.fixtures import transcripts_from_documents_sql
     from deepblocker_ray.functions.tokenizer import sql_tokens_expr
 
     transcripts_cte = transcripts_from_documents_sql()
     tokens = sql_tokens_expr("text")
+
+    # brute-force exact-similarity pair sets for the dedup oracles. The Ray
+    # side blocks (LSH bands / simhash bands / minhash anchors) then verifies
+    # EXACTLY, so its output equals brute force whenever blocking recall is 1
+    # on the data: simhash banding is exact by pigeonhole (4 bands, Hamming
+    # ≤ 3); minhash r=4/b=32 misses a J=0.9 pair w.p. ~1e-15; anchor blocking
+    # shares a smallest-hash gram w.h.p. — both verified empirically against
+    # these twins on the driver tables.
+    minhash_pairs = """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN length(text) < 5 THEN [text]
+                        ELSE [substr(text, x, 5)
+                              for x in generate_series(1, length(text) - 4)]
+                        END) AS s
+            FROM documents
+        )
+        SELECT CAST(a.doc_id AS VARCHAR) AS left_id,
+               CAST(b.doc_id AS VARCHAR) AS right_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CASE
+            WHEN len(a.s) = 0 AND len(b.s) = 0 THEN TRUE
+            ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                 >= 0.6 END
+    """
+
+    ngram_pairs = f"""
+        WITH toks AS (SELECT doc_id, {tokens} AS tk FROM documents),
+        gr AS (
+            SELECT doc_id,
+                   list_distinct(CASE
+                        WHEN len(tk) = 0 THEN []
+                        WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                        ELSE [array_to_string(tk[x : x + 2], ' ')
+                              for x in generate_series(1, len(tk) - 2)]
+                        END) AS g
+            FROM toks
+        )
+        SELECT CAST(a.doc_id AS VARCHAR) AS left_id,
+               CAST(b.doc_id AS VARCHAR) AS right_id
+        FROM gr a JOIN gr b ON a.doc_id < b.doc_id
+        WHERE CASE
+            WHEN len(a.g) = 0 AND len(b.g) = 0 THEN TRUE
+            ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                 / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+                 >= 0.5 END
+    """
+
+    # exact SQL twin of the 64-bit SimHash fingerprint itself: md5-lower64
+    # token hashes (the engine's _stable_hash64 is defined as DuckDB's
+    # md5_number_lower for precisely this purpose), occurrence-weighted ±1
+    # bit sums, sign → bit; then brute-force Hamming ≤ 3 pairs.
+    simhash_pairs = f"""
+        WITH toks AS (SELECT doc_id, unnest({tokens}) AS tok FROM documents),
+        bits AS (
+            SELECT doc_id, bit,
+                   sum(CASE WHEN (md5_number_lower(tok) >> bit) & 1 = 1
+                            THEN 1 ELSE -1 END) AS s
+            FROM toks
+            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) bb
+            GROUP BY doc_id, bit
+        ),
+        fp0 AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0
+                            THEN CAST(power(2, bit) AS UBIGINT)
+                            ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS f
+            FROM bits GROUP BY doc_id
+        ),
+        fp AS (
+            SELECT d.doc_id, coalesce(fp0.f, CAST(0 AS UBIGINT)) AS f
+            FROM documents d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id
+        )
+        SELECT CAST(a.doc_id AS VARCHAR) AS left_id,
+               CAST(b.doc_id AS VARCHAR) AS right_id
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.f, b.f)) <= 3
+    """
+
+    neardup_pairs = """
+        WITH sims AS (
+            SELECT q.vec_id AS qid, x.vec_id AS xid,
+                   list_cosine_similarity(q.embedding, x.embedding) AS cos
+            FROM embeddings q JOIN embeddings x ON x.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT qid, xid, cos,
+                   row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY cos DESC, CAST(xid AS VARCHAR)
+                   ) AS rk
+            FROM sims
+        )
+        SELECT DISTINCT
+               least(CAST(qid AS VARCHAR), CAST(xid AS VARCHAR)) AS left_id,
+               greatest(CAST(qid AS VARCHAR), CAST(xid AS VARCHAR)) AS right_id
+        FROM ranked WHERE rk <= 5 AND cos >= 0.45
+    """
 
     return {
         "canonicalize": f"""
@@ -377,6 +530,98 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a
             JOIN documents b ON b.doc_id = a.doc_id + 1
             WHERE a.doc_id % 2 = 0
+        """,
+        "minhash_dedup": _cc_sql(minhash_pairs, "documents", "doc_id"),
+        "simhash_dedup": _cc_sql(simhash_pairs, "documents", "doc_id"),
+        "ngram_jaccard_dedup": _cc_sql(ngram_pairs, "documents", "doc_id"),
+        "embedding_neardup": _cc_sql(neardup_pairs, "embeddings", "vec_id"),
+        "lang_id": """
+            WITH words AS (
+                SELECT doc_id, text,
+                       list_transform(
+                           list_filter(
+                               string_split_regex(trim(text), '\\s+'),
+                               w -> w <> ''
+                           )[1:200],
+                           w -> lower(w)) AS ws
+                FROM documents
+            ),
+            votes AS (
+                SELECT w.doc_id, l.lang,
+                       len(list_filter(w.ws, x -> list_contains(l.sw, x))) AS v
+                FROM words w CROSS JOIN """ + _STOPWORD_VALUES + """
+            ),
+            best AS (
+                SELECT doc_id, lang, v,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY v DESC, lang DESC
+                       ) AS rn,
+                       sum(v) OVER (PARTITION BY doc_id) AS total
+                FROM votes
+            )
+            SELECT w.doc_id,
+                   CASE WHEN regexp_matches(substr(w.text, 1, 500), '[一-鿿]')
+                             THEN 'zh'
+                        WHEN len(w.ws) = 0 THEN 'unknown'
+                        WHEN b.v = 0 THEN 'unknown'
+                        ELSE b.lang END AS lang_pred,
+                   CASE WHEN regexp_matches(substr(w.text, 1, 500), '[一-鿿]')
+                             THEN 1.0
+                        WHEN len(w.ws) = 0 OR b.v = 0 THEN 0.0
+                        ELSE CAST(b.v AS DOUBLE) / b.total END AS lang_conf
+            FROM words w JOIN best b ON w.doc_id = b.doc_id AND b.rn = 1
+        """,
+        "quality": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(
+                           string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS ws
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id, text,
+                       CASE WHEN len(ws) = 0 THEN 0.0
+                            ELSE CAST(len(list_filter(ws,
+                                     x -> list_contains(""" + _STOP_EN + """,
+                                                        lower(x)))) AS DOUBLE)
+                                 / len(ws) END AS stop_ratio,
+                       CASE WHEN len(ws) = 0 THEN 0.0
+                            ELSE list_avg(list_transform(ws, x -> length(x)))
+                            END AS mean_word_len,
+                       CASE WHEN length(text) = 0 THEN 0.0
+                            ELSE CAST(length(text) - length(
+                                     regexp_replace(text, '[\\pL\\s]', '', 'g')
+                                 ) AS DOUBLE) / length(text) END AS alpha_ratio,
+                       CASE WHEN length(text) BETWEEN 20 AND 100000
+                            THEN 1.0 ELSE 0.0 END AS length_ok
+                FROM w
+            )
+            SELECT doc_id, stop_ratio, mean_word_len, alpha_ratio,
+                   0.25 * length_ok
+                   + 0.25 * least(stop_ratio * 5, 1.0)
+                   + 0.25 * least(greatest(
+                         1.0 - abs(mean_word_len - 5.0) / 10.0, 0.0), 1.0)
+                   + 0.25 * alpha_ratio AS quality
+            FROM m
+        """,
+        "knn_ivf": """
+            WITH sims AS (
+                SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
+                       CAST(x.vec_id AS VARCHAR) AS neighbor_id,
+                       list_cosine_similarity(q.embedding, x.embedding) AS cos
+                FROM embeddings q, embeddings x
+                WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos DESC, neighbor_id
+                       ) - 1 AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank < 10
         """,
         "knn_exact": """
             WITH sims AS (

@@ -272,20 +272,28 @@ def _pairs_from_keys(
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         c = df.groupby(key_col, sort=False).size()
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {key_col: c.index.values, "cnt": c.values.astype(np.int64)}
+        )
+        # small-int bucket key: Ray's groupby on a high-cardinality key is
+        # ~1000× slower than a bucket exchange + pandas combine (same quirk
+        # every other key exchange in this repo works around)
+        out["_bucket"] = (
+            out[key_col].to_numpy().astype(np.uint64) % np.uint64(nb)
+        ).astype(np.int32)
+        return out
+
+    def combine_counts(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(key_col, sort=False)["cnt"].sum()
+        hot = c[c > max_bucket]
+        return pd.DataFrame(
+            {key_col: hot.index.values, "cnt": hot.values.astype(np.int64)}
         )
 
     hot_pdf = (
         keyed.map_batches(partial_counts, batch_format="pandas")
-        .groupby(key_col)
-        .sum("cnt")
-        .map_batches(
-            lambda df: df[df["sum(cnt)"] > max_bucket].rename(
-                columns={"sum(cnt)": "cnt"}
-            ),
-            batch_format="pandas",
-        )
+        .groupby("_bucket")
+        .map_groups(combine_counts, batch_format="pandas")
         .to_pandas()
     )
     ns_map: dict[int, int] = {}
