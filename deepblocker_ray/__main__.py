@@ -1,0 +1,156 @@
+"""CLI driver — the usable-surface twin of the reference's sample runner
+(/root/reference/main.py:12-46, which loads two CSVs, blocks them with a
+chosen embedder and top-K, and prints recall statistics).
+
+    python -m deepblocker_ray block --left L.parquet --right R.parquet \\
+        --cols name,category --embedder sif --k 50 --out /tmp/out
+    python -m deepblocker_ray link  --input transcripts.parquet \\
+        --embedder sif --k 10 --out /tmp/out
+    python -m deepblocker_ray dedup --input docs.parquet \\
+        --method minhash --out /tmp/out
+
+Each subcommand writes partitioned parquet under --out plus a metrics.json
+(row counts, dedup skew stats). The CLI owns its Ray session (guarded init);
+library code never calls ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _write(ds, out_dir: str, name: str) -> int:
+    from .sources.io import write_partitioned
+
+    path = os.path.join(out_dir, name)
+    n = ds.count()
+    write_partitioned(ds, path)
+    return n
+
+
+def cmd_block(args) -> dict:
+    from .config import EngineConfig
+    from .pipelines.blocking import DeepBlockerRay
+    from .pipelines.linkage import make_embedder
+    from .sources.io import read_table
+    from .stages.pairing import ExactTopKPairer, IVFTopKPairer
+
+    cfg = EngineConfig()
+    embedder = make_embedder(args.embedder, cfg)
+    pairer_cls = ExactTopKPairer if args.pairing == "exact" else IVFTopKPairer
+    blocker = DeepBlockerRay(embedder, pairer_cls(k=args.k, cfg=cfg))
+    cand = blocker.block_datasets(
+        read_table(args.left),
+        read_table(args.right),
+        args.cols.split(","),
+    )
+    return {"candidates": _write(cand, args.out, "candidates")}
+
+
+def cmd_link(args) -> dict:
+    from .config import EngineConfig
+    from .pipelines.linkage import link_transcripts
+    from .sources.io import read_transcripts
+
+    cfg = EngineConfig()
+    res = link_transcripts(
+        read_transcripts(args.input),
+        cfg,
+        embedder=args.embedder,
+        k=args.k,
+        pairing=args.pairing,
+    )
+    out = {
+        "matches": _write(res["matches"], args.out, "matches"),
+        "clusters": _write(res["clusters"], args.out, "clusters"),
+    }
+    return out
+
+
+def cmd_dedup(args) -> dict:
+    from .config import EngineConfig
+    from .sources.io import read_table
+    from .stages import dedup as D
+
+    cfg = EngineConfig()
+    ds = read_table(args.input)
+    stats: dict = {}
+    if args.method == "exact":
+        out = D.exact_dedup(ds, cfg=cfg)
+    elif args.method == "minhash":
+        out = D.minhash_lsh_dedup(ds, cfg=cfg, stats_out=stats)
+    elif args.method == "simhash":
+        out = D.simhash_dedup(ds, cfg=cfg, stats_out=stats)
+    elif args.method == "ngram":
+        out = D.ngram_jaccard_dedup(ds, cfg=cfg, stats_out=stats)
+    else:
+        raise SystemExit(f"unknown dedup method {args.method!r}")
+    return {"rows": _write(out, args.out, "dedup"), "skew_stats": stats}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="deepblocker_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("block", help="two-table top-K blocking (main.py flow)")
+    b.add_argument("--left", required=True)
+    b.add_argument("--right", required=True)
+    b.add_argument("--cols", required=True, help="comma-separated block cols")
+    b.add_argument("--embedder", default="sif")
+    b.add_argument("--pairing", default="exact", choices=["exact", "ivf"])
+    b.add_argument("--k", type=int, default=50)
+    b.add_argument("--out", required=True)
+    b.set_defaults(fn=cmd_block)
+
+    l = sub.add_parser("link", help="transcript self-linkage end-to-end")
+    l.add_argument("--input", required=True)
+    l.add_argument("--embedder", default="sif")
+    l.add_argument("--pairing", default="exact", choices=["exact", "ivf"])
+    l.add_argument("--k", type=int, default=10)
+    l.add_argument("--out", required=True)
+    l.set_defaults(fn=cmd_link)
+
+    d = sub.add_parser("dedup", help="document near-duplicate clustering")
+    d.add_argument("--input", required=True)
+    d.add_argument(
+        "--method", default="minhash",
+        choices=["exact", "minhash", "simhash", "ngram"],
+    )
+    d.add_argument("--out", required=True)
+    d.set_defaults(fn=cmd_dedup)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    _ensure_ray()
+    t0 = time.time()
+    metrics = args.fn(args)
+    metrics["wall_sec"] = round(time.time() - t0, 3)
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

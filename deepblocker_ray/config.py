@@ -96,6 +96,16 @@ class EngineConfig:
     extra: dict = field(default_factory=dict)
 
 
+def gpu_kwargs(cfg: "EngineConfig") -> dict:
+    """Extra map_batches resource kwargs for GPU-eligible stages (embedding
+    transform, AE/CTT forward): ``{"num_gpus": ...}`` when
+    cfg.num_gpus_per_actor is set, else {} — zero behavior change on CPU-only
+    clusters. At cluster scale Ray schedules the stage onto GPU nodes."""
+    if cfg.num_gpus_per_actor:
+        return {"num_gpus": cfg.num_gpus_per_actor}
+    return {}
+
+
 def default_parallelism() -> int:
     """CPU count of the live Ray session, else the RAY_GRAFT_CPUS hint."""
     try:

@@ -245,7 +245,12 @@ def levenshtein_ratio_batch(
         A = A.astype(np.uint8)
         B = B.astype(np.uint8)
 
-    rng = np.arange(max_s + 1, dtype=np.int16)
+    # int16 cells hold distances ≤ max_l; beyond the int16 range (cap=None
+    # callers can pass arbitrarily long strings) fall back to int32 — the
+    # prefix-min scan needs a signed type either way
+    cell_dt = np.int16 if max_l < 32000 else np.int32
+    one = cell_dt(1)
+    rng = np.arange(max_s + 1, dtype=cell_dt)
     prev = np.broadcast_to(rng, (n, max_s + 1)).copy()
     cur = np.empty_like(prev)
     out_sorted = np.zeros(n, np.int64)
@@ -259,7 +264,7 @@ def levenshtein_ratio_batch(
         cost = B[:m] != A[:m, i : i + 1]
         cur[:m, 0] = i + 1
         np.minimum(
-            prev[:m, 1:] + np.int16(1),
+            prev[:m, 1:] + one,
             prev[:m, :-1] + cost,
             out=cur[:m, 1:],
         )

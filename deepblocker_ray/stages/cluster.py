@@ -141,6 +141,7 @@ def connected_components(
         out_val = pd.concat([merged["label"], lab["val"]], ignore_index=True)
         return pd.DataFrame({"conv_id": out_key, "cluster_id": out_val})
 
+    converged = False
     for _ in range(max_iter):
         label_rows = labels.map_batches(
             lambda t: pa.table(
@@ -166,6 +167,19 @@ def connected_components(
         new_sig = _label_signature(new_labels)
         labels = new_labels
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: min-label propagation did not reach a "
+            "fixpoint after %d rounds — components with graph diameter > %d "
+            "may be split into multiple clusters. Raise max_iter (or lower "
+            "driver_threshold to use exact union-find) for chain-shaped "
+            "graphs.",
+            max_iter,
+            max_iter,
+        )
     return labels

@@ -451,13 +451,30 @@ def _verify_pairs(cand, payload_ds, id_col, payload_col, cfg, pair_fn):
     Small payload side: materialized Arrow block refs + worker-side
     ColumnLookup (plasma zero-copy; cap bounds BYTES via size_bytes, not just
     rows). Large side: two hash joins. The driver never builds a dict of the
-    table."""
-    skinny = payload_ds.map_batches(
-        lambda t, i=id_col, p=payload_col: pa.table(
-            {"_pid": t.column(i).cast(pa.string()), "_payload": t.column(p)}
-        ),
-        batch_format="pyarrow",
-    )
+    table. List payloads (shingle/gram sets) are packed to large_binary in
+    the skinny projection — Acero hash joins reject nested non-key columns,
+    and the binary form round-trips zero-copy via np.frombuffer."""
+
+    def project(t: pa.Table) -> pa.Table:
+        pay = t.column(payload_col).combine_chunks()
+        if pa.types.is_large_list(pay.type) or pa.types.is_list(pay.type):
+            offs = np.asarray(pay.offsets).astype(np.int64)
+            vals = np.asarray(pay.flatten())
+            width = vals.dtype.itemsize
+            pay = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(),
+                len(pay),
+                [
+                    None,
+                    pa.py_buffer(((offs - offs[0]) * width).tobytes()),
+                    pa.py_buffer(vals.tobytes()),
+                ],
+            )
+        return pa.table(
+            {"_pid": t.column(id_col).cast(pa.string()), "_payload": pay}
+        )
+
+    skinny = payload_ds.map_batches(project, batch_format="pyarrow")
     n = payload_ds.count()
     fits = n <= cfg.broadcast_rows_max
     if fits:
@@ -484,13 +501,22 @@ def _verify_pairs(cand, payload_ds, id_col, payload_col, cfg, pair_fn):
     from ..config import default_parallelism
 
     nparts = max(default_parallelism(), 8)
+
+    def side(key, alias):
+        return skinny.map_batches(
+            lambda t, k=key, a=alias: pa.table(
+                {k: t.column("_pid"), a: t.column("_payload")}
+            ),
+            batch_format="pyarrow",
+        )
+
     joined = cand.join(
-        skinny.rename_columns({"_pid": "left_id", "_payload": "_lp"}),
+        side("left_id", "_lp"),
         join_type="inner",
         num_partitions=nparts,
         on=("left_id",),
     ).join(
-        skinny.rename_columns({"_pid": "right_id", "_payload": "_rp"}),
+        side("right_id", "_rp"),
         join_type="inner",
         num_partitions=nparts,
         on=("right_id",),
@@ -525,10 +551,10 @@ def _jaccard_verify_fn(threshold: float):
     """pair_fn: exact set Jaccard over precomputed sorted-unique hash sets."""
 
     def fn(ls, rs, lp, rp) -> pa.Table:
-        from ..state.lookup import np_lists
+        from ..state.lookup import np_u64_lists
 
-        la = np_lists(lp)
-        ra = np_lists(rp)
+        la = np_u64_lists(lp)
+        ra = np_u64_lists(rp)
         n = len(ls)
         sims = np.empty(n, np.float64)
         for i in range(n):
@@ -615,8 +641,17 @@ def _components_output(ds, pairs, cfg, id_col):
         lambda t: pa.table({"doc_id": t.column(id_col).cast(pa.string())}),
         batch_format="pyarrow",
     )
+    comp_side = comp.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("conv_id").cast(pa.string()),
+                "cluster_id": t.column("cluster_id").cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
     joined = docs.join(
-        comp.rename_columns({"conv_id": "doc_id"}),
+        comp_side,
         join_type="left_outer",
         num_partitions=max(default_parallelism(), 8),
         on=("doc_id",),

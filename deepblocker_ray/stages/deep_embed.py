@@ -69,8 +69,11 @@ def _forward_stage(ds, cfg: EngineConfig, weights_ref, kind: str):
         cols["emb"] = numpy_to_emb(out)
         return pa.table(cols)
 
+    from ..config import gpu_kwargs
+
     return ds.map_batches(
-        forward_fn, batch_format="pyarrow", batch_size=cfg.embed_batch_size
+        forward_fn, batch_format="pyarrow", batch_size=cfg.embed_batch_size,
+        **gpu_kwargs(cfg),
     )
 
 

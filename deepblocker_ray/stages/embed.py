@@ -33,6 +33,7 @@ from ..config import (
     SIF_MIN_FREQ,
     SIF_WEIGHTING_PARAM,
     actor_pool_size,
+    gpu_kwargs,
 )
 from ..functions.hash_embedding import HashEmbedding, mean_pool_embed
 from ..functions.tokenizer import tokenize
@@ -127,6 +128,7 @@ def _embed_stage(ds, cfg: EngineConfig, id_col, text_col, weights_ref=None,
             batch_format="pyarrow",
             batch_size=cfg.embed_batch_size,
             concurrency=actor_pool_size(cfg.embed_concurrency),
+            **gpu_kwargs(cfg),
         )
     dim, seed = cfg.emb_dim, cfg.seed
 
@@ -140,7 +142,8 @@ def _embed_stage(ds, cfg: EngineConfig, id_col, text_col, weights_ref=None,
         )
 
     return ds.map_batches(
-        embed_fn, batch_format="pyarrow", batch_size=cfg.embed_batch_size
+        embed_fn, batch_format="pyarrow", batch_size=cfg.embed_batch_size,
+        **gpu_kwargs(cfg),
     )
 
 

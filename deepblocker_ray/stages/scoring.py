@@ -115,7 +115,13 @@ class TurnLookup:
     """
 
     def __init__(self, refs, id_col: str):
-        tbl = pa.concat_tables(ray.get(list(refs))).combine_chunks()
+        tbls = ray.get(list(refs))
+        # empty blocks can carry degenerate schemas (null-typed lists from a
+        # pandas conversion) that break concat — drop them
+        nonempty = [t for t in tbls if len(t) > 0]
+        tbl = pa.concat_tables(
+            nonempty if nonempty else tbls[:1], promote_options="permissive"
+        ).combine_chunks()
         ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=object)
         order = np.argsort(ids)
         self.ids = ids[order]

@@ -143,27 +143,58 @@ def normalize_for_fingerprint(text: str) -> str:
     return _WS_RE.sub(" ", (text or "").lower()).strip()
 
 
+_FP_INIT = np.uint64(1469598103934665603)
+_FP_P = np.uint64(1099511628211)
+# p is odd ⇒ invertible mod 2^64: lets the per-doc polynomial be evaluated
+# with ONE global power ladder over the batch concatenation instead of a
+# per-byte Python loop (h_d = init·p^L + Σ b_j·pinv^j · p^{end-1}, mod 2^64)
+_FP_PINV = np.uint64(pow(int(_FP_P), -1, 1 << 64))
+
+
+def rolling64_batch(norms: list[bytes]) -> np.ndarray:
+    """64-bit polynomial rolling hash per doc, fully vectorized: Horner's
+    h = init; h = h·p + byte — evaluated in closed form over one
+    concatenated buffer using modular-inverse position weights."""
+    n = len(norms)
+    out = np.full(n, _FP_INIT, np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(b) for b in norms), np.int64, n)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    cat = np.frombuffer(b"".join(norms), np.uint8).astype(np.uint64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    with np.errstate(over="ignore"):
+        pows = np.empty(total + 1, np.uint64)
+        pows[0] = np.uint64(1)
+        np.cumprod(np.full(total, _FP_P, np.uint64), out=pows[1:])
+        inv_pows = np.empty(total, np.uint64)
+        inv_pows[0] = np.uint64(1)
+        if total > 1:
+            np.cumprod(np.full(total - 1, _FP_PINV, np.uint64), out=inv_pows[1:])
+        g = cat * inv_pows
+        nz = lens > 0
+        seg = np.add.reduceat(g, starts[nz])
+        out[nz] = _FP_INIT * pows[lens[nz]] + seg * pows[ends[nz] - 1]
+    return out
+
+
 def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Document fingerprints: md5 of whitespace-normalized lowercased text
-    (SQL twin: DuckDB md5()) plus a 64-bit polynomial rolling hash."""
+    (SQL twin: DuckDB md5()) plus a 64-bit polynomial rolling hash
+    (rolling64_batch — engine-defined, vectorized Horner evaluation)."""
 
     def fp(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
-        md5s, rolls = [], []
-        for t in texts:
-            norm = normalize_for_fingerprint(t)
-            md5s.append(hashlib.md5(norm.encode()).hexdigest())
-            h = np.uint64(1469598103934665603)
-            p = np.uint64(1099511628211)
-            with np.errstate(over="ignore"):
-                for b in norm.encode():
-                    h = (h ^ np.uint64(b)) * p
-            rolls.append(int(h))
+        norms = [normalize_for_fingerprint(t).encode() for t in texts]
+        md5s = [hashlib.md5(b).hexdigest() for b in norms]
         return pa.table(
             {
                 id_col: batch.column(id_col),
                 "md5": pa.array(md5s, pa.string()),
-                "rolling64": pa.array(np.asarray(rolls, np.uint64)),
+                "rolling64": pa.array(rolling64_batch(norms)),
             }
         )
 

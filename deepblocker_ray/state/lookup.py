@@ -25,7 +25,13 @@ class ColumnLookup:
     """
 
     def __init__(self, refs, id_col: str, payload_col: str):
-        tbl = pa.concat_tables(ray.get(list(refs))).combine_chunks()
+        tbls = ray.get(list(refs))
+        # empty blocks can carry degenerate schemas (null-typed columns from
+        # a pandas conversion) that break concat — drop them
+        nonempty = [t for t in tbls if len(t) > 0]
+        tbl = pa.concat_tables(
+            nonempty if nonempty else tbls[:1], promote_options="permissive"
+        ).combine_chunks()
         ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=object)
         order = np.argsort(ids)
         self.ids = ids[order]
@@ -56,3 +62,20 @@ def np_lists(arr) -> list[np.ndarray]:
         empty if isnull[i] else vals[offs[i] : offs[i + 1]]
         for i in range(len(arr))
     ]
+
+
+_EMPTY_U64 = np.empty(0, np.uint64)
+
+
+def np_u64_lists(arr) -> list[np.ndarray]:
+    """uint64 set column → list of numpy arrays. Accepts either the
+    (large_)list<uint64> form or the packed large_binary form used across
+    hash joins (np.frombuffer is zero-copy on the bytes)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_binary(arr.type) or pa.types.is_binary(arr.type):
+        return [
+            _EMPTY_U64 if b is None else np.frombuffer(b, np.uint64)
+            for b in arr.to_pylist()
+        ]
+    return np_lists(arr)

@@ -1,0 +1,64 @@
+"""CLI smoke: `python -m deepblocker_ray` runs end-to-end in a fresh
+process, writes partitioned parquet + metrics.json."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, tmp):
+    env = dict(os.environ, PYTHONPATH=REPO, RAY_GRAFT_CPUS="4")
+    return subprocess.run(
+        [sys.executable, "-m", "deepblocker_ray", *args],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+
+
+@pytest.mark.slow
+def test_cli_dedup_and_link(tmp_path):
+    # docs with one exact duplicate pair
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "text": [f"unique document text number {i} alpha beta" for i in range(29)]
+            + ["unique document text number 0 alpha beta"],
+        }
+    )
+    docs_path = tmp_path / "docs.parquet"
+    docs.to_parquet(docs_path)
+    out1 = tmp_path / "out_dedup"
+    r = _run(
+        ["dedup", "--input", str(docs_path), "--method", "minhash",
+         "--out", str(out1)],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.load(open(out1 / "metrics.json"))
+    assert metrics["rows"] == 30
+    assert "skew_stats" in metrics
+    assert os.path.isdir(out1 / "dedup")
+
+    from deepblocker_ray.fixtures import synth_transcripts
+
+    df, _ = synth_transcripts(n_base=40, seed=3, dup_fraction=0.3)
+    tr_path = tmp_path / "transcripts.parquet"
+    df.to_parquet(tr_path)
+    out2 = tmp_path / "out_link"
+    r = _run(
+        ["link", "--input", str(tr_path), "--k", "4", "--out", str(out2)],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.load(open(out2 / "metrics.json"))
+    assert metrics["clusters"] > 0
+    assert os.path.isdir(out2 / "clusters")

@@ -1,0 +1,226 @@
+"""Scale machinery of the dedup suite: hot-key salting (exact pair sets,
+bounded tasks, surfaced stats), byte-capped payload lookup vs join fallback,
+IVF-mode neardup, and probe-all IVF == exact."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deepblocker_ray.config import EngineConfig
+from deepblocker_ray.stages import dedup as D
+
+CFG = EngineConfig(num_buckets=8)
+
+
+def _pairs_df(ds) -> set[tuple[str, str]]:
+    df = ds.to_pandas()
+    return set(zip(df["left_id"], df["right_id"]))
+
+
+class TestSalting:
+    def test_hot_key_salted_exact(self, ray_session):
+        """One key with 120 members at max_bucket=30 → salted into sub-keys;
+        the emitted pair set must still be EXACTLY all C(120,2) pairs, and
+        the stats dict must report the hot key."""
+        import ray.data as rd
+
+        n = 120
+        df = pd.DataFrame(
+            {"doc_id": [f"d{i:04d}" for i in range(n)], "bkey": np.uint64(7)}
+        )
+        stats = {}
+        out = D._pairs_from_keys(
+            rd.from_pandas(df).materialize(),
+            "doc_id",
+            max_bucket=30,
+            cfg=CFG,
+            stats_out=stats,
+        )
+        got = _pairs_df(D._dedup_pairs(out, CFG))
+        ids = sorted(df["doc_id"])
+        want = {
+            (ids[i], ids[j])
+            for i in range(n)
+            for j in range(i + 1, n)
+        }
+        assert got == want
+        assert stats["n_hot_keys"] == 1
+        assert stats["n_subsampled_keys"] == 0
+        assert stats["max_key_size"] == n
+
+    def test_degenerate_key_subsampled_and_reported(self, ray_session):
+        """A key beyond hard_mult×max_bucket members is subsampled — bounded
+        output, surfaced count, never silent."""
+        import ray.data as rd
+
+        n = 300
+        df = pd.DataFrame(
+            {"doc_id": [f"d{i:04d}" for i in range(n)], "bkey": np.uint64(9)}
+        )
+        stats = {}
+        out = D._pairs_from_keys(
+            rd.from_pandas(df).materialize(),
+            "doc_id",
+            max_bucket=16,
+            cfg=CFG,
+            hard_mult=4,  # hard cap 64 < 300 → subsample
+            stats_out=stats,
+        )
+        got = _pairs_df(D._dedup_pairs(out, CFG))
+        assert stats["n_hot_keys"] == 1
+        assert stats["n_subsampled_keys"] == 1
+        # kept ≈ n / ceil(n/cap); pair count bounded well below C(300,2)
+        assert 0 < len(got) < 300 * 299 // 2 / 4
+
+    def test_mixed_hot_and_cold_keys(self, ray_session):
+        import ray.data as rd
+
+        rows = [(f"h{i:03d}", 1) for i in range(80)] + [
+            ("a", 2),
+            ("b", 2),
+            ("c", 3),
+        ]
+        df = pd.DataFrame(rows, columns=["doc_id", "bkey"])
+        df["bkey"] = df["bkey"].astype(np.uint64)
+        stats = {}
+        out = D._pairs_from_keys(
+            rd.from_pandas(df).materialize(),
+            "doc_id",
+            max_bucket=20,
+            cfg=CFG,
+            stats_out=stats,
+        )
+        got = _pairs_df(D._dedup_pairs(out, CFG))
+        hot_ids = sorted(f"h{i:03d}" for i in range(80))
+        want = {
+            (hot_ids[i], hot_ids[j])
+            for i in range(80)
+            for j in range(i + 1, 80)
+        } | {("a", "b")}
+        assert got == want
+        assert stats["n_hot_keys"] == 1
+
+
+class TestPayloadLookup:
+    def test_column_lookup_missing_ids(self, ray_session):
+        import pyarrow as pa
+
+        import ray
+
+        from deepblocker_ray.state.lookup import ColumnLookup, np_lists
+
+        t = pa.table(
+            {
+                "_pid": ["a", "b", "c"],
+                "_payload": pa.array(
+                    [[1, 2], [3], [4, 5, 6]], pa.large_list(pa.uint64())
+                ),
+            }
+        )
+        lk = ColumnLookup([ray.put(t)], "_pid", "_payload")
+        got = lk.take(["b", "zz", "a"])
+        lists = np_lists(got)
+        assert list(lists[0]) == [3]
+        assert list(lists[1]) == []
+        assert list(lists[2]) == [1, 2]
+
+    def test_join_path_matches_lookup_path(self, ray_session):
+        """Force the join fallback (broadcast_rows_max=0) and check the
+        verified pair set is identical to the broadcast-lookup path."""
+        import dataclasses
+
+        from tests.test_dedup import corpus_with_dups
+
+        import ray.data as rd
+
+        df, _ = corpus_with_dups()
+        ds = rd.from_pandas(df)
+        small = dataclasses.replace(CFG)
+        joiny = dataclasses.replace(CFG, broadcast_rows_max=0)
+        out_a = D.minhash_lsh_dedup(ds, cfg=small, threshold=0.5).to_pandas()
+        out_b = D.minhash_lsh_dedup(ds, cfg=joiny, threshold=0.5).to_pandas()
+        a = out_a.sort_values("doc_id").reset_index(drop=True)
+        b = out_b.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+
+
+class TestNeardupIVF:
+    def test_ivf_mode_recall(self, ray_session):
+        """embedding_neardup(mode='ivf') on clustered vectors finds ≥90% of
+        the exact mode's duplicate pairs (north-rule scale path)."""
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from deepblocker_ray.stages.embed import numpy_to_emb
+
+        rng = np.random.default_rng(3)
+        centers = rng.standard_normal((20, 16)).astype(np.float32)
+        rows = []
+        for i in range(200):
+            c = centers[i % 20]
+            rows.append(c + 0.01 * rng.standard_normal(16).astype(np.float32))
+        mat = np.stack(rows)
+        t = pa.table(
+            {
+                "vec_id": pa.array([f"v{i:04d}" for i in range(200)]),
+                "emb": numpy_to_emb(mat),
+            }
+        )
+        cfg = dataclasses_replace_ivf(CFG)
+        ex = D.embedding_neardup(
+            rd.from_arrow(t), cfg=cfg, id_col="vec_id", threshold=0.9, k=5
+        ).to_pandas()
+        iv = D.embedding_neardup(
+            rd.from_arrow(t),
+            cfg=cfg,
+            id_col="vec_id",
+            threshold=0.9,
+            k=5,
+            mode="ivf",
+        ).to_pandas()
+        ex_dups = set(ex[ex["is_duplicate"]]["doc_id"])
+        iv_dups = set(iv[iv["is_duplicate"]]["doc_id"])
+        assert len(ex_dups) > 0
+        assert len(ex_dups & iv_dups) / len(ex_dups) >= 0.9
+
+    def test_probe_all_ivf_equals_exact_knn(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from deepblocker_ray.stages.annsearch import knn
+
+        rng = np.random.default_rng(11)
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(150)),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in rng.standard_normal((150, 8))]
+                ),
+            }
+        )
+        cfg = EngineConfig(num_buckets=8, ivf_cells=16)
+        ex = (
+            knn(rd.from_arrow(t), n_queries=8, k=7, cfg=cfg, mode="exact")
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        iv = (
+            knn(
+                rd.from_arrow(t), n_queries=8, k=7, cfg=cfg, mode="ivf",
+                nprobe=cfg.ivf_cells,
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        cols = ["query_id", "neighbor_id", "rank"]
+        assert ex[cols].equals(iv[cols])
+
+
+def dataclasses_replace_ivf(cfg):
+    import dataclasses
+
+    return dataclasses.replace(cfg, ivf_cells=16, ivf_nprobe=4)
