@@ -380,9 +380,9 @@ def oracle_sql() -> dict[str, str]:
     minhash_pairs = """
         WITH sh AS (
             SELECT doc_id,
-                   list_distinct(CASE WHEN length(text) < 5 THEN [text]
-                        ELSE [substr(text, x, 5)
-                              for x in generate_series(1, length(text) - 4)]
+                   list_distinct(CASE WHEN length(text) < 8 THEN [text]
+                        ELSE [substr(text, x, 8)
+                              for x in generate_series(1, length(text) - 7)]
                         END) AS s
             FROM documents
         )

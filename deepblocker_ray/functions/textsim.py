@@ -107,9 +107,18 @@ def jaro_winkler_batch(
     equal = np.asarray([a == b for a, b in zip(pairs_a, pairs_b)], bool)
     out[equal] = 1.0
     todo = ~equal & (len_a > 0) & (len_b > 0)
-    if not todo.any():
-        return out
-    tidx = np.nonzero(todo)[0]
+    # size-partition (see levenshtein_ratio_batch): short pairs take the
+    # bit-parallel match loop; one long outlier must not drag the batch
+    # onto the O(n × max_b) matrix fallback
+    both64 = np.maximum(len_a, len_b) <= 64
+    for group in (todo & both64, todo & ~both64):
+        if group.any():
+            _jw_group(pairs_a, pairs_b, group, len_a, len_b, out, prefix_weight)
+    return out
+
+
+def _jw_group(pairs_a, pairs_b, group, len_a, len_b, out, prefix_weight):
+    tidx = np.nonzero(group)[0]
     # descending iteration-length sort → the active row set is a shrinking
     # prefix (same bandwidth trick as levenshtein_ratio_batch)
     order = np.argsort(-len_a[tidx], kind="stable")
@@ -131,25 +140,41 @@ def jaro_winkler_batch(
         A = np.where(A == 0xFFFFFFFE, 254, A).astype(np.uint8)
         B = np.where(B == 0xFFFFFFFF, 255, B).astype(np.uint8)
     window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
-    free = np.ones_like(B, bool)
-    matched_a = np.zeros((len(idx), max_a), bool)
-    matched_b = np.zeros_like(free)
-    cols = np.arange(max_b)
     active = np.searchsorted(-la, -np.arange(1, max_a + 1), side="right")
-    for i in range(max_a):
-        m = int(active[i])
-        if m == 0:
-            break
-        lo = np.maximum(i - window[:m], 0)
-        hi = np.minimum(i + window[:m] + 1, lb[:m])
-        win = (cols >= lo[:, None]) & (cols < hi[:, None])
-        eq = (B[:m] == A[:m, i : i + 1]) & free[:m] & win
-        has = eq.any(axis=1)
-        j = eq.argmax(axis=1)
-        rows = np.nonzero(has)[0]
-        free[rows, j[rows]] = False
-        matched_a[rows, i] = True
-        matched_b[rows, j[rows]] = True
+    if A.dtype == np.uint8 and max_a <= 64 and max_b <= 64:
+        # bit-parallel greedy matching: free set, search window and equal
+        # positions are all uint64 masks per pair, so each step is ~10 O(n)
+        # vector ops instead of O(n × max_b) boolean matrices
+        matched_a_bits, matched_b_bits = _jaro_match_bits(
+            A, B, la, lb, window, active
+        )
+        shifts = np.arange(64, dtype=np.uint64)
+        ba = (
+            (matched_a_bits[:, None] >> shifts[None, :]) & np.uint64(1)
+        ).astype(bool)[:, :max_a]
+        bb = (
+            (matched_b_bits[:, None] >> shifts[None, :]) & np.uint64(1)
+        ).astype(bool)[:, :max_b]
+        matched_a, matched_b = ba, bb
+    else:
+        free = np.ones_like(B, bool)
+        matched_a = np.zeros((len(idx), max_a), bool)
+        matched_b = np.zeros_like(free)
+        cols = np.arange(max_b)
+        for i in range(max_a):
+            m = int(active[i])
+            if m == 0:
+                break
+            lo = np.maximum(i - window[:m], 0)
+            hi = np.minimum(i + window[:m] + 1, lb[:m])
+            win = (cols >= lo[:, None]) & (cols < hi[:, None])
+            eq = (B[:m] == A[:m, i : i + 1]) & free[:m] & win
+            has = eq.any(axis=1)
+            j = eq.argmax(axis=1)
+            rows = np.nonzero(has)[0]
+            free[rows, j[rows]] = False
+            matched_a[rows, i] = True
+            matched_b[rows, j[rows]] = True
     m = matched_a.sum(axis=1)
     jaro_v = np.zeros(len(idx))
     nz = np.nonzero(m > 0)[0]
@@ -178,7 +203,49 @@ def jaro_winkler_batch(
     boost = jaro_v > 0.7
     jaro_v[boost] += prefix[boost] * prefix_weight * (1.0 - jaro_v[boost])
     out[idx] = jaro_v
-    return out
+
+
+def _jaro_match_bits(A, B, la, lb, window, active):
+    """Greedy Jaro matching with one uint64 mask per pair (both sides ≤ 64
+    chars). Returns (matched_a_bits, matched_b_bits). Same greedy order as
+    the matrix fallback: a-positions ascending, first free in-window equal
+    b-position wins (lowest set bit)."""
+    nt, max_a = A.shape
+    ones64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+    one = np.uint64(1)
+    s64 = np.uint64(64)
+    Peq = np.zeros((nt, 256), np.uint64)
+    total = int(lb.sum())
+    if total:
+        r_idx = np.repeat(np.arange(nt), lb)
+        c_pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lb) - lb, lb
+        )
+        np.bitwise_or.at(
+            Peq, (r_idx, B[r_idx, c_pos]), one << c_pos.astype(np.uint64)
+        )
+    lbu = lb.astype(np.uint64)
+    free = np.where(lb > 0, ones64 >> (s64 - np.maximum(lbu, one)), np.uint64(0))
+    matched_a = np.zeros(nt, np.uint64)
+    matched_b = np.zeros(nt, np.uint64)
+    rows_all = np.arange(nt)
+    with np.errstate(over="ignore"):
+        for i in range(max_a):
+            m = int(active[i])
+            if m == 0:
+                break
+            w = window[:m]
+            lo = np.maximum(i - w, 0).astype(np.uint64)
+            hi = np.minimum(i + w + 1, lb[:m]).astype(np.uint64)
+            below_hi = np.where(hi > 0, ones64 >> (s64 - np.maximum(hi, one)), np.uint64(0))
+            below_lo = np.where(lo > 0, ones64 >> (s64 - np.maximum(lo, one)), np.uint64(0))
+            win = below_hi & ~below_lo
+            cand = Peq[rows_all[:m], A[:m, i]] & free[:m] & win
+            v = cand & (~cand + one)  # lowest set bit (0 when no candidate)
+            free[:m] &= ~v
+            matched_b[:m] |= v
+            matched_a[:m] |= np.where(cand != 0, one << np.uint64(i), np.uint64(0))
+    return matched_a, matched_b
 
 
 def levenshtein_ratio_batch(
@@ -209,54 +276,88 @@ def levenshtein_ratio_batch(
     lb0 = np.asarray([len(s) for s in pairs_b], np.int64)
     max_len = np.maximum(la0, lb0)
     out = np.zeros(n, np.int64)
-    if int(la0.max()) == 0 or int(lb0.max()) == 0:
-        out = max_len.copy()  # one side empty → dist = other side's length
-        ratio = np.ones(n, np.float64)
-        nz = max_len > 0
-        ratio[nz] = 1.0 - out[nz] / max_len[nz]
-        return ratio
+    # equal-string shortcut (C-speed memcmp): near-dup workloads share many
+    # turn texts verbatim — those pairs skip the kernels entirely
+    equal = np.fromiter(
+        (x == y for x, y in zip(pairs_a, pairs_b)), bool, n
+    )
+    todo = ~equal & (la0 > 0) & (lb0 > 0)
+    out[~todo] = max_len[~todo] * ~equal[~todo]  # one side empty → |other|
+    # size-partition: pairs whose SHORT side fits one 64-bit word take the
+    # bit-parallel Myers path; the rest take the DP. Partitioned per pair,
+    # not per batch — one long outlier must not force the whole batch onto
+    # the slow path (turn texts are ~60 chars with a 128-char cap, so mixed
+    # batches are the norm).
+    min_len = np.minimum(la0, lb0)
+    for group in (todo & (min_len <= 64), todo & (min_len > 64)):
+        if not group.any():
+            continue
+        tidx = np.nonzero(group)[0]
+        # per-pair swap: long side → iteration axis (symmetric distance)
+        swap = lb0[tidx] > la0[tidx]
+        longs = [
+            pairs_b[i] if sw else pairs_a[i] for i, sw in zip(tidx, swap)
+        ]
+        shorts = [
+            pairs_a[i] if sw else pairs_b[i] for i, sw in zip(tidx, swap)
+        ]
+        len_l = np.where(swap, lb0[tidx], la0[tidx])
+        len_s = np.where(swap, la0[tidx], lb0[tidx])
 
-    # per-pair swap: long side → iteration axis (edit distance is symmetric)
-    swap = lb0 > la0
-    longs = [b if sw else a for a, b, sw in zip(pairs_a, pairs_b, swap)]
-    shorts = [a if sw else b for a, b, sw in zip(pairs_a, pairs_b, swap)]
-    len_l = np.where(swap, lb0, la0)
-    len_s = np.where(swap, la0, lb0)
+        order = np.argsort(-len_l, kind="stable")
+        longs = [longs[i] for i in order]
+        shorts = [shorts[i] for i in order]
+        len_l = len_l[order]
+        len_s = len_s[order]
+        nt = len(tidx)
+        max_l = int(len_l[0])
+        max_s = int(len_s.max())
 
-    order = np.argsort(-len_l, kind="stable")
-    longs = [longs[i] for i in order]
-    shorts = [shorts[i] for i in order]
-    len_l = len_l[order]
-    len_s = len_s[order]
-    max_l = int(len_l[0])
-    max_s = int(len_s.max())
+        # character matrices; padding needs no sentinel — cell (r, j ≤
+        # len_s[r]) never depends on columns right of j, and we only read
+        # cur[r, len_s[r]]
+        A = np.zeros((nt, max_l), np.uint32)
+        B = np.zeros((nt, max_s), np.uint32)
+        for i, s in enumerate(longs):
+            if s:
+                A[i, : len(s)] = np.frombuffer(
+                    s.encode("utf-32-le"), np.uint32
+                )
+        for i, s in enumerate(shorts):
+            if s:
+                B[i, : len(s)] = np.frombuffer(
+                    s.encode("utf-32-le"), np.uint32
+                )
+        if int(A.max(initial=0)) < 256 and int(B.max(initial=0)) < 256:
+            A = A.astype(np.uint8)
+            B = B.astype(np.uint8)
 
-    # character matrices; padding needs no sentinel — cell (r, j ≤ len_s[r])
-    # never depends on columns right of j, and we only read cur[r, len_s[r]]
-    A = np.zeros((n, max_l), np.uint32)
-    B = np.zeros((n, max_s), np.uint32)
-    for i, s in enumerate(longs):
-        if s:
-            A[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), np.uint32)
-    for i, s in enumerate(shorts):
-        if s:
-            B[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), np.uint32)
-    if int(A.max(initial=0)) < 256 and int(B.max(initial=0)) < 256:
-        A = A.astype(np.uint8)
-        B = B.astype(np.uint8)
+        # active-prefix size per iteration i: #rows with len_l ≥ i+1
+        # (len_l sorted desc ⇒ -len_l asc; count via 'right')
+        active = np.searchsorted(-len_l, -np.arange(1, max_l + 1), side="right")
+        if A.dtype == np.uint8 and max_s <= 64:
+            # bit-parallel Myers (Hyyrö): the ≤64-char short side is the
+            # bit-vector pattern, one uint64 per pair, ~5× the DP's speed
+            out_sorted = _myers_batch_u8(A, B, len_l, len_s, active)
+        else:
+            out_sorted = _dp_batch(A, B, len_l, len_s, active, max_l, max_s)
+        out[tidx[order]] = out_sorted
+    ratio = np.ones(n, np.float64)
+    nz = max_len > 0
+    ratio[nz] = 1.0 - out[nz] / max_len[nz]
+    return ratio
 
-    # int16 cells hold distances ≤ max_l; beyond the int16 range (cap=None
-    # callers can pass arbitrarily long strings) fall back to int32 — the
-    # prefix-min scan needs a signed type either way
+
+def _dp_batch(A, B, len_l, len_s, active, max_l, max_s) -> np.ndarray:
+    """Row-DP edit distance across pairs (general fallback: any alphabet,
+    any length). int16 cells, int32 beyond their range."""
+    nt = A.shape[0]
     cell_dt = np.int16 if max_l < 32000 else np.int32
     one = cell_dt(1)
     rng = np.arange(max_s + 1, dtype=cell_dt)
-    prev = np.broadcast_to(rng, (n, max_s + 1)).copy()
+    prev = np.broadcast_to(rng, (nt, max_s + 1)).copy()
     cur = np.empty_like(prev)
-    out_sorted = np.zeros(n, np.int64)
-    # active-prefix size per iteration i: #rows with len_l ≥ i+1
-    # (len_l sorted desc ⇒ -len_l asc; count(-len_l ≤ -(i+1)) via 'right')
-    active = np.searchsorted(-len_l, -np.arange(1, max_l + 1), side="right")
+    out_sorted = np.zeros(nt, np.int64)
     for i in range(max_l):
         m = int(active[i])
         if m == 0:
@@ -278,11 +379,61 @@ def levenshtein_ratio_batch(
             rows = np.arange(m_next, m)
             out_sorted[rows] = cur[rows, len_s[rows]]
         prev, cur = cur, prev
-    out[order] = out_sorted
-    ratio = np.ones(n, np.float64)
-    nz = max_len > 0
-    ratio[nz] = 1.0 - out[nz] / max_len[nz]
-    return ratio
+    return out_sorted
+
+
+def _myers_batch_u8(A, B, len_l, len_s, active) -> np.ndarray:
+    """Bit-parallel Myers/Hyyrö edit distance, vectorized ACROSS pairs: each
+    pair's ≤64-char short side becomes one uint64 pattern word; the long side
+    is consumed column-by-column with ~12 uint64 vector ops per step over the
+    shrinking active prefix. Carries in the add only propagate upward, so
+    bits above len_s[r]−1 never contaminate the score bit — no per-row
+    masking needed (standard unmasked formulation).
+
+    Rows with an empty short side come out correct automatically: Pv=0 makes
+    every step a +1 horizontal delta, accumulating len_l."""
+    nt, max_l = A.shape
+    ones64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+    one = np.uint64(1)
+    ls = len_s.astype(np.uint64)
+    # Peq[r, c] = bitmask of positions i with shorts[r][i] == chr(c)
+    Peq = np.zeros((nt, 256), np.uint64)
+    total = int(len_s.sum())
+    if total:
+        r_idx = np.repeat(np.arange(nt), len_s)
+        c_pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(len_s) - len_s, len_s
+        )
+        codes = B[r_idx, c_pos]
+        np.bitwise_or.at(
+            Peq, (r_idx, codes), one << c_pos.astype(np.uint64)
+        )
+    nzs = ls > 0
+    Pv = np.zeros(nt, np.uint64)
+    Pv[nzs] = ones64 >> (np.uint64(64) - ls[nzs])
+    Mv = np.zeros(nt, np.uint64)
+    score = len_s.astype(np.int64).copy()
+    hb = np.maximum(ls.astype(np.int64) - 1, 0).astype(np.uint64)
+    rows_all = np.arange(nt)
+    with np.errstate(over="ignore"):
+        for i in range(max_l):
+            m = int(active[i])
+            if m == 0:
+                break
+            Eq = Peq[rows_all[:m], A[:m, i]]
+            Pv_ = Pv[:m]
+            Mv_ = Mv[:m]
+            Xv = Eq | Mv_
+            Xh = (((Eq & Pv_) + Pv_) ^ Pv_) | Eq
+            Ph = Mv_ | ~(Xh | Pv_)
+            Mh = Pv_ & Xh
+            score[:m] += ((Ph >> hb[:m]) & one).astype(np.int64)
+            score[:m] -= ((Mh >> hb[:m]) & one).astype(np.int64)
+            Ph = (Ph << one) | one
+            Mh = Mh << one
+            Pv[:m] = Mh | ~(Xv | Ph)
+            Mv[:m] = Ph & Xv
+    return score
 
 
 def levenshtein_batch(

@@ -737,7 +737,7 @@ def minhash_lsh_dedup(
     cfg: EngineConfig | None = None,
     num_perm: int = 128,
     bands: int = 32,
-    shingle_k: int = 5,
+    shingle_k: int = 8,
     threshold: float = 0.6,
     max_bucket: int = 200,
     stats_out: dict | None = None,
@@ -747,9 +747,17 @@ def minhash_lsh_dedup(
     puts the S-curve's steep part below threshold 0.6: P(miss) at J=0.6 is
     (1−0.6⁴)^32 ≈ 9e-3 and at J=0.9 ≈ 1e-15, and the exact-Jaccard verify
     removes every false positive, so the output is exact on any corpus whose
-    near-dups sit above ~0.7."""
+    near-dups sit above ~0.7. shingle_k=8: 5-char shingles give word-soup
+    corpora (tiny vocabularies) background Jaccard ~0.17, which at r=4 emits
+    ~2% of all pairs as junk candidates; 8-char windows span word boundaries
+    and push background J to ~0.04 (junk rate ~1e-4) while near-dups stay
+    ≥0.9."""
+    from ..config import parallel_blocks
+
     cfg = cfg or EngineConfig()
-    ds = ds.materialize()
+    # fan out single-file reads: one block = one map task in Ray Data, so an
+    # unpartitioned parquet input would serialize the signature stage
+    ds = parallel_blocks(ds).materialize()
     sigs = ds.map_batches(
         _minhash_map(num_perm, bands, shingle_k, cfg.seed, id_col, text_col),
         batch_format="pyarrow",
@@ -762,7 +770,10 @@ def minhash_lsh_dedup(
     cand = _pairs_from_keys(
         keys, "doc_id", max_bucket, cfg, stats_out=stats_out
     )
-    cand = _dedup_pairs(cand, cfg)
+    # no pair-dedup shuffle here: a pair surfacing from several band keys in
+    # different buckets is just verified redundantly (small constant factor)
+    # and collapses in the connected-components step — cheaper than an extra
+    # all-to-all. Exact pair dedup (U3) stays available as _dedup_pairs.
     verified = _verify_pairs(
         cand, sigs, "doc_id", "shingles", cfg, _jaccard_verify_fn(threshold)
     ).materialize()
@@ -838,8 +849,10 @@ def simhash_dedup(
     """SimHash near-dup: 64-bit fingerprint, 4×16-bit band blocking (any pair
     within Hamming ≤ 3 shares at least one exact band — pigeonhole, so the
     candidate set is EXACT), vectorized Hamming verify, CC."""
+    from ..config import parallel_blocks
+
     cfg = cfg or EngineConfig()
-    ds = ds.materialize()
+    ds = parallel_blocks(ds).materialize()
     fps = ds.map_batches(
         _simhash_map(id_col, text_col),
         batch_format="pyarrow",
@@ -869,7 +882,6 @@ def simhash_dedup(
         cfg,
         stats_out=stats_out,
     )
-    cand = _dedup_pairs(cand, cfg)
     # fingerprints (8 B/doc) are the payload side; join fallback beyond cap
     verified = _verify_pairs(
         cand, fps, "doc_id", "simhash", cfg, _hamming_verify_fn(max_hamming)
@@ -989,8 +1001,10 @@ def ngram_jaccard_dedup(
     doc emits its ``num_anchors`` smallest n-gram hashes as block keys (two
     docs with Jaccard ≥ 0.5 share a smallest-hash anchor with high
     probability — this is 1-perm MinHash with k anchors)."""
+    from ..config import parallel_blocks
+
     cfg = cfg or EngineConfig()
-    ds = ds.materialize()
+    ds = parallel_blocks(ds).materialize()
     sigs = ds.map_batches(
         _ngram_map(ngram, num_anchors, id_col, text_col),
         batch_format="pyarrow",
@@ -1002,7 +1016,6 @@ def ngram_jaccard_dedup(
     cand = _pairs_from_keys(
         keys, "doc_id", max_bucket, cfg, stats_out=stats_out
     )
-    cand = _dedup_pairs(cand, cfg)
     verified = _verify_pairs(
         cand, sigs, "doc_id", "grams", cfg, _jaccard_verify_fn(threshold)
     ).materialize()
