@@ -107,11 +107,15 @@ def jaro_winkler_batch(
     equal = np.asarray([a == b for a, b in zip(pairs_a, pairs_b)], bool)
     out[equal] = 1.0
     todo = ~equal & (len_a > 0) & (len_b > 0)
-    # size-partition (see levenshtein_ratio_batch): short pairs take the
-    # bit-parallel match loop; one long outlier must not drag the batch
-    # onto the O(n × max_b) matrix fallback
-    both64 = np.maximum(len_a, len_b) <= 64
-    for group in (todo & both64, todo & ~both64):
+    # size-partition by the B side only (the A side never needs a bitmask —
+    # matched_a stays a boolean column write): ≤64 chars → one-word masks,
+    # ≤128 → two-word, longer → matrix fallback. Partitioned per pair so one
+    # long outlier can't drag the whole batch onto the slow path.
+    for group in (
+        todo & (len_b <= 64),
+        todo & (len_b > 64) & (len_b <= 128),
+        todo & (len_b > 128),
+    ):
         if group.any():
             _jw_group(pairs_a, pairs_b, group, len_a, len_b, out, prefix_weight)
     return out
@@ -141,21 +145,23 @@ def _jw_group(pairs_a, pairs_b, group, len_a, len_b, out, prefix_weight):
         B = np.where(B == 0xFFFFFFFF, 255, B).astype(np.uint8)
     window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
     active = np.searchsorted(-la, -np.arange(1, max_a + 1), side="right")
-    if A.dtype == np.uint8 and max_a <= 64 and max_b <= 64:
+    if A.dtype == np.uint8 and max_b <= 128:
         # bit-parallel greedy matching: free set, search window and equal
-        # positions are all uint64 masks per pair, so each step is ~10 O(n)
-        # vector ops instead of O(n × max_b) boolean matrices
-        matched_a_bits, matched_b_bits = _jaro_match_bits(
-            A, B, la, lb, window, active
-        )
+        # positions are uint64 masks per pair (1 or 2 words), so each step
+        # is O(n) vector ops instead of O(n × max_b) boolean matrices
+        W = 1 if max_b <= 64 else 2
+        matched_a, mb_words = _jaro_match_bits(A, B, la, lb, window, active, W)
         shifts = np.arange(64, dtype=np.uint64)
-        ba = (
-            (matched_a_bits[:, None] >> shifts[None, :]) & np.uint64(1)
-        ).astype(bool)[:, :max_a]
-        bb = (
-            (matched_b_bits[:, None] >> shifts[None, :]) & np.uint64(1)
-        ).astype(bool)[:, :max_b]
-        matched_a, matched_b = ba, bb
+        bb = np.concatenate(
+            [
+                ((mb_words[w][:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                    bool
+                )
+                for w in range(W)
+            ],
+            axis=1,
+        )[:, :max_b]
+        matched_b = bb
     else:
         free = np.ones_like(B, bool)
         matched_a = np.zeros((len(idx), max_a), bool)
@@ -205,46 +211,70 @@ def _jw_group(pairs_a, pairs_b, group, len_a, len_b, out, prefix_weight):
     out[idx] = jaro_v
 
 
-def _jaro_match_bits(A, B, la, lb, window, active):
-    """Greedy Jaro matching with one uint64 mask per pair (both sides ≤ 64
-    chars). Returns (matched_a_bits, matched_b_bits). Same greedy order as
-    the matrix fallback: a-positions ascending, first free in-window equal
-    b-position wins (lowest set bit)."""
-    nt, max_a = A.shape
-    ones64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_ONES64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+# _BELOW[k] = mask of bits [0, k); table gather beats per-row shift math in
+# the hot loops (no astype/where churn)
+_BELOW = np.zeros(65, np.uint64)
+_BELOW[1:] = _ONES64 >> (np.uint64(64) - np.arange(1, 65, dtype=np.uint64))
+
+
+def _below_mask(k: np.ndarray) -> np.ndarray:
+    """Per-row mask of bits [0, k) for k in 0..64 (uint64)."""
     one = np.uint64(1)
-    s64 = np.uint64(64)
-    Peq = np.zeros((nt, 256), np.uint64)
+    return np.where(
+        k > 0, _ONES64 >> (np.uint64(64) - np.maximum(k, one)), np.uint64(0)
+    )
+
+
+def _jaro_match_bits(A, B, la, lb, window, active, W: int):
+    """Greedy Jaro matching with W uint64 mask words per pair (B side ≤ 64·W
+    chars; the A side only drives the loop length). Returns
+    (matched_a bool matrix, [matched_b word arrays]). Same greedy order as
+    the matrix fallback: a-positions ascending, first free in-window equal
+    b-position wins (lowest set bit, word 0 first)."""
+    nt, max_a = A.shape
+    one = np.uint64(1)
+    Peq = np.zeros((nt, 256, W), np.uint64)
     total = int(lb.sum())
     if total:
         r_idx = np.repeat(np.arange(nt), lb)
         c_pos = np.arange(total, dtype=np.int64) - np.repeat(
             np.cumsum(lb) - lb, lb
         )
+        word = c_pos >> 6
         np.bitwise_or.at(
-            Peq, (r_idx, B[r_idx, c_pos]), one << c_pos.astype(np.uint64)
+            Peq,
+            (r_idx, B[r_idx, c_pos], word),
+            one << (c_pos & 63).astype(np.uint64),
         )
-    lbu = lb.astype(np.uint64)
-    free = np.where(lb > 0, ones64 >> (s64 - np.maximum(lbu, one)), np.uint64(0))
-    matched_a = np.zeros(nt, np.uint64)
-    matched_b = np.zeros(nt, np.uint64)
+    free = [
+        _below_mask(np.clip(lb - 64 * w, 0, 64).astype(np.uint64))
+        for w in range(W)
+    ]
+    matched_a = np.zeros((nt, max_a), bool)
+    matched_b = [np.zeros(nt, np.uint64) for _ in range(W)]
     rows_all = np.arange(nt)
     with np.errstate(over="ignore"):
         for i in range(max_a):
             m = int(active[i])
             if m == 0:
                 break
-            w = window[:m]
-            lo = np.maximum(i - w, 0).astype(np.uint64)
-            hi = np.minimum(i + w + 1, lb[:m]).astype(np.uint64)
-            below_hi = np.where(hi > 0, ones64 >> (s64 - np.maximum(hi, one)), np.uint64(0))
-            below_lo = np.where(lo > 0, ones64 >> (s64 - np.maximum(lo, one)), np.uint64(0))
-            win = below_hi & ~below_lo
-            cand = Peq[rows_all[:m], A[:m, i]] & free[:m] & win
-            v = cand & (~cand + one)  # lowest set bit (0 when no candidate)
-            free[:m] &= ~v
-            matched_b[:m] |= v
-            matched_a[:m] |= np.where(cand != 0, one << np.uint64(i), np.uint64(0))
+            wn = window[:m]
+            lo = np.maximum(i - wn, 0)
+            hi = np.minimum(i + wn + 1, lb[:m])
+            taken = np.zeros(m, bool)
+            for w in range(W):
+                wlo = np.clip(lo - 64 * w, 0, 64)
+                whi = np.clip(hi - 64 * w, 0, 64)
+                win = _BELOW[whi] & ~_BELOW[wlo]
+                cand = Peq[rows_all[:m], A[:m, i], w] & free[w][:m] & win
+                cand = np.where(taken, np.uint64(0), cand)
+                v = cand & (~cand + one)  # lowest set bit (0 = no candidate)
+                free[w][:m] &= ~v
+                matched_b[w][:m] |= v
+                hit = cand != 0
+                taken |= hit
+            matched_a[:m, i] = taken
     return matched_a, matched_b
 
 
@@ -284,12 +314,16 @@ def levenshtein_ratio_batch(
     todo = ~equal & (la0 > 0) & (lb0 > 0)
     out[~todo] = max_len[~todo] * ~equal[~todo]  # one side empty → |other|
     # size-partition: pairs whose SHORT side fits one 64-bit word take the
-    # bit-parallel Myers path; the rest take the DP. Partitioned per pair,
-    # not per batch — one long outlier must not force the whole batch onto
-    # the slow path (turn texts are ~60 chars with a 128-char cap, so mixed
-    # batches are the norm).
+    # 1-word bit-parallel Myers path, ≤128 the 2-word variant, the rest the
+    # DP. Partitioned per pair, not per batch — one long outlier must not
+    # force the whole batch onto the slow path (turn texts are ~60 chars
+    # with a 128-char cap, so mixed batches are the norm).
     min_len = np.minimum(la0, lb0)
-    for group in (todo & (min_len <= 64), todo & (min_len > 64)):
+    for group in (
+        todo & (min_len <= 64),
+        todo & (min_len > 64) & (min_len <= 128),
+        todo & (min_len > 128),
+    ):
         if not group.any():
             continue
         tidx = np.nonzero(group)[0]
@@ -339,6 +373,8 @@ def levenshtein_ratio_batch(
             # bit-parallel Myers (Hyyrö): the ≤64-char short side is the
             # bit-vector pattern, one uint64 per pair, ~5× the DP's speed
             out_sorted = _myers_batch_u8(A, B, len_l, len_s, active)
+        elif A.dtype == np.uint8 and max_s <= 128:
+            out_sorted = _myers_batch_u8_w2(A, B, len_l, len_s, active)
         else:
             out_sorted = _dp_batch(A, B, len_l, len_s, active, max_l, max_s)
         out[tidx[order]] = out_sorted
@@ -433,6 +469,75 @@ def _myers_batch_u8(A, B, len_l, len_s, active) -> np.ndarray:
             Mh = Mh << one
             Pv[:m] = Mh | ~(Xv | Ph)
             Mv[:m] = Ph & Xv
+    return score
+
+
+def _myers_batch_u8_w2(A, B, len_l, len_s, active) -> np.ndarray:
+    """Two-word (≤128-char short side) block Myers: same recurrence as
+    _myers_batch_u8 with a 128-bit virtual word — the add carries from word
+    0 to word 1 (unsigned-wrap detection) and the left shifts carry the MSB
+    across the word boundary. Covers the scorer's full score_text_cap=128
+    range, so capped turn texts never fall back to the O(len²) DP."""
+    nt, max_l = A.shape
+    one = np.uint64(1)
+    s63 = np.uint64(63)
+    Peq = np.zeros((nt, 256, 2), np.uint64)
+    total = int(len_s.sum())
+    if total:
+        r_idx = np.repeat(np.arange(nt), len_s)
+        c_pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(len_s) - len_s, len_s
+        )
+        np.bitwise_or.at(
+            Peq,
+            (r_idx, B[r_idx, c_pos], c_pos >> 6),
+            one << (c_pos & 63).astype(np.uint64),
+        )
+    lo_bits = np.clip(len_s, 0, 64).astype(np.uint64)
+    hi_bits = np.clip(len_s - 64, 0, 64).astype(np.uint64)
+    Pv0 = _below_mask(lo_bits)
+    Pv1 = _below_mask(hi_bits)
+    Mv0 = np.zeros(nt, np.uint64)
+    Mv1 = np.zeros(nt, np.uint64)
+    score = len_s.astype(np.int64).copy()
+    top = np.maximum(len_s - 1, 0)
+    hw1 = top >= 64  # score bit lives in word 1
+    hb = (top % 64).astype(np.uint64)
+    rows_all = np.arange(nt)
+    with np.errstate(over="ignore"):
+        for i in range(max_l):
+            m = int(active[i])
+            if m == 0:
+                break
+            ch = A[:m, i]
+            Eq0 = Peq[rows_all[:m], ch, 0]
+            Eq1 = Peq[rows_all[:m], ch, 1]
+            Pv0_, Pv1_ = Pv0[:m], Pv1[:m]
+            Mv0_, Mv1_ = Mv0[:m], Mv1[:m]
+            Xv0 = Eq0 | Mv0_
+            Xv1 = Eq1 | Mv1_
+            a0 = Eq0 & Pv0_
+            s0 = a0 + Pv0_
+            carry = (s0 < a0).astype(np.uint64)
+            s1 = (Eq1 & Pv1_) + Pv1_ + carry
+            Xh0 = (s0 ^ Pv0_) | Eq0
+            Xh1 = (s1 ^ Pv1_) | Eq1
+            Ph0 = Mv0_ | ~(Xh0 | Pv0_)
+            Ph1 = Mv1_ | ~(Xh1 | Pv1_)
+            Mh0 = Pv0_ & Xh0
+            Mh1 = Pv1_ & Xh1
+            Ph_h = np.where(hw1[:m], Ph1, Ph0)
+            Mh_h = np.where(hw1[:m], Mh1, Mh0)
+            score[:m] += ((Ph_h >> hb[:m]) & one).astype(np.int64)
+            score[:m] -= ((Mh_h >> hb[:m]) & one).astype(np.int64)
+            Ph1 = (Ph1 << one) | (Ph0 >> s63)
+            Ph0 = (Ph0 << one) | one
+            Mh1 = (Mh1 << one) | (Mh0 >> s63)
+            Mh0 = Mh0 << one
+            Pv0[:m] = Mh0 | ~(Xv0 | Ph0)
+            Pv1[:m] = Mh1 | ~(Xv1 | Ph1)
+            Mv0[:m] = Ph0 & Xv0
+            Mv1[:m] = Ph1 & Xv1
     return score
 
 

@@ -121,6 +121,11 @@ def link_transcripts(
     raw_candidates = pairer.query(emb, id_col="conv_id").materialize()
     candidates = _dedup_candidates(raw_candidates, cfg)
 
+    # barrier between score and the normalize_pairs exchange: measured A/B at
+    # 8 CPUs on 428k turns, fusing the compute-heavy score map into the same
+    # execution as the downstream groupby costs 39.6s → 67.0s (the executor's
+    # shuffle resource reservation throttles the map) — the same hazard as
+    # the query→dedup seam above. Do NOT collapse this materialize.
     scored = score_candidates(
         candidates, tuples, cfg=cfg, threshold=threshold
     ).materialize()

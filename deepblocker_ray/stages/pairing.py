@@ -185,6 +185,27 @@ def _exact_query_batch(
             sub = mat[c0 : c0 + QUERY_COL_CHUNK]
             sims = q @ sub.T
             ks = min(fetch, sub.shape[0])
+            if run_sims is not None and run_sims.shape[1] == fetch:
+                # streaming-top-K skip: a tile can only change rows whose
+                # tile max reaches the row's current kth value (>= keeps
+                # equal-sim ties eligible for the id rule). With k ≪ index
+                # size almost every (row, tile) is skipped, so selection
+                # cost amortizes to ~O(k) per row while the GEMM dominates.
+                kth = run_sims[:, -1]
+                need = sims.max(axis=1) >= kth
+                if not need.any():
+                    continue
+                rows = np.nonzero(need)[0]
+                sub_sims = sims[rows]
+                part = _select_topk_tieaware(sub_sims, ks)
+                psims = np.take_along_axis(sub_sims, part, axis=1)
+                ppos = part.astype(np.int64) + (offsets[s] + c0)
+                m_s, m_p = _merge_topk_pos(
+                    run_sims[rows], run_pos[rows], psims, ppos, fetch
+                )
+                run_sims[rows] = m_s
+                run_pos[rows] = m_p
+                continue
             part = _select_topk_tieaware(sims, ks)
             psims = np.take_along_axis(sims, part, axis=1)
             ppos = part.astype(np.int64) + (offsets[s] + c0)
