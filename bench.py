@@ -113,10 +113,14 @@ def main() -> None:
         "dedup_exact",
         "minhash_dedup",
         "simhash_dedup",
+        "ngram_jaccard_dedup",
+        "embedding_neardup",
         "knn_exact",
+        "knn_ivf",
         "token_count",
         "token_stats",
         "lang_id",
+        "quality",
         "fingerprint",
     ]
     for name in query_names:

@@ -157,3 +157,84 @@ class TestJaroWinkler:
     )
     def test_jaro_winkler_known(self, s1, s2, expected):
         assert jaro_winkler(s1, s2) == pytest.approx(expected, abs=1e-6)
+
+
+class TestKernelPathParity:
+    """The batch kernels pick among bit-parallel (1-word / 2-word) and
+    matrix/DP fallback paths per pair by size and alphabet; every path must
+    agree exactly with the scalar reference implementations."""
+
+    def _cases(self, seed, max_len):
+        rng = np.random.default_rng(seed)
+        alph = list("abcdefgh ")
+        ca, cb = [], []
+        for _ in range(600):
+            la, lb = rng.integers(0, max_len, 2)
+            ca.append("".join(rng.choice(alph, la)))
+            cb.append("".join(rng.choice(alph, lb)))
+        # forced edges: equal, empty, unicode (non-Latin-1 → fallback),
+        # exactly 64/65/128/129 chars (word-boundary crossings)
+        ca += ["same", "", "日本語テキスト" * 12, "a" * 64, "b" * 65,
+               "c" * 128, "d" * 129]
+        cb += ["same", "x", "日本語テスト" * 12, "a" * 63 + "z", "b" * 65,
+               "c" * 127 + "z", "d" * 130]
+        return ca, cb
+
+    def test_levenshtein_all_paths(self):
+        from deepblocker_ray.functions.textsim import (
+            levenshtein,
+            levenshtein_batch,
+        )
+
+        ca, cb = self._cases(11, 140)
+        got = levenshtein_batch(ca, cb)
+        for a, b, d in zip(ca, cb, got):
+            assert levenshtein(a, b) == d, (a, b)
+
+    def test_jaro_winkler_all_paths(self):
+        from deepblocker_ray.functions.textsim import (
+            jaro_winkler,
+            jaro_winkler_batch,
+        )
+
+        ca, cb = self._cases(12, 140)
+        got = jaro_winkler_batch(ca, cb)
+        for a, b, v in zip(ca, cb, got):
+            assert abs(jaro_winkler(a, b) - v) < 1e-12, (a, b)
+
+    def test_minhash_batch_matches_scalar(self):
+        from deepblocker_ray.stages.dedup import (
+            _minhash_params,
+            _shingle_hashes,
+            _shingle_hashes_batch,
+            minhash_signature,
+            minhash_signatures_batch,
+        )
+
+        texts = ["hello world example", "abc", "", "x" * 7,
+                 "the quick brown fox jumps over the lazy dog"]
+        vals, offs = _shingle_hashes_batch(texts, 8)
+        a, b = _minhash_params(128, 1234)
+        sig = minhash_signatures_batch(vals, offs, a, b)
+        for i, t in enumerate(texts):
+            sh = _shingle_hashes(t, 8)
+            assert np.array_equal(sh, vals[offs[i] : offs[i + 1]])
+            assert np.array_equal(minhash_signature(sh, a, b), sig[i])
+
+    def test_rolling64_scalar_parity(self):
+        from deepblocker_ray.stages.textstats import (
+            _FP_INIT,
+            _FP_P,
+            rolling64_batch,
+        )
+
+        def scalar(buf: bytes):
+            h = _FP_INIT
+            with np.errstate(over="ignore"):
+                for x in buf:
+                    h = h * _FP_P + np.uint64(x)
+            return int(h)
+
+        cases = [b"", b"a", b"hello world", bytes(range(256)) * 2]
+        got = rolling64_batch(cases)
+        assert [int(x) for x in got] == [scalar(c) for c in cases]
