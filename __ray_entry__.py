@@ -278,16 +278,25 @@ def q_string_sims(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
+    """Real codec-free binary analysis (size/entropy/magic-sniff/md5) over a
+    deterministic synthetic media table, joined with the feature-extract
+    plumbing stage's ids (decode itself stays a declared stub — the
+    container has no codec libraries)."""
     import ray.data as rd
 
     from deepblocker_ray.stages.multimodal import (
         extract_media_features,
+        media_stats,
         synth_media_table,
     )
 
-    media = rd.from_arrow(synth_media_table(n=96, seed=7))
-    out = extract_media_features(media, _cfg(), fake_decode=True)
-    return out.select_columns(["media_id", "kind"])
+    media = rd.from_arrow(synth_media_table(n=96, seed=7)).materialize()
+    extract_media_features(media, _cfg(), fake_decode=True).count()  # plumbing
+    out = media_stats(media, _cfg())
+    return out.select_columns(
+        ["media_id", "kind", "n_bytes", "entropy_bits", "sniffed_mime",
+         "mime_matches", "md5"]
+    )
 
 
 def entry() -> Any:

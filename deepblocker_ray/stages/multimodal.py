@@ -36,12 +36,20 @@ def synth_media_table(n: int = 64, seed: int = 7) -> pa.Table:
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
+    magic = {
+        "image": b"\x89PNG\r\n\x1a\n",
+        "audio": b"RIFF\x24\x00\x00\x00WAVE",
+        "video": b"\x00\x00\x00\x18ftypmp42",
+    }
     for i in range(n):
         kind = kinds[i % 3]
         payload = rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8)
         rows["media_id"].append(f"m-{i:05d}")
         rows["kind"].append(kind)
-        rows["payload"].append(payload.tobytes())
+        # realistic container headers so magic sniffing has something to
+        # detect; every 7th row is deliberately headerless (corrupt/mislabeled)
+        head = b"" if i % 7 == 0 else magic[kind]
+        rows["payload"].append(head + payload.tobytes())
         rows["mime"].append({"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind])
         rows["width"].append(int(rng.integers(16, 256)) if kind != "audio" else 0)
         rows["height"].append(int(rng.integers(16, 256)) if kind != "audio" else 0)
@@ -92,6 +100,75 @@ class MediaFeatureExtract:
                 "feature": numpy_to_emb(feats),
             }
         )
+
+
+# (mime, signature bytes, offset) — container formats detectable from the
+# payload header alone, no codec library needed
+_MAGIC = [
+    ("image/png", b"\x89PNG\r\n\x1a\n", 0),
+    ("image/jpeg", b"\xff\xd8\xff", 0),
+    ("image/gif", b"GIF8", 0),
+    ("audio/wav", b"RIFF", 0),
+    ("video/mp4", b"ftyp", 4),
+]
+
+
+def media_stats(ds, cfg: EngineConfig | None = None):
+    """REAL (codec-free) binary analysis of media payloads — the filters a
+    training-data pipeline runs before any decode: payload size, byte
+    entropy (bits/byte; flags truncated/constant/corrupt files), mean byte
+    value, container sniffing from magic bytes (mismatch vs the declared
+    mime flags mislabeled rows), and content md5. Fully vectorized: one
+    concatenated buffer, per-row histograms via a single bincount.
+    Output: (media_id, kind, n_bytes, entropy_bits, mean_byte,
+    sniffed_mime, mime_matches, md5)."""
+    import hashlib as _hashlib
+
+    def stats(batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        mimes = batch.column("mime").to_pylist()
+        n = len(payloads)
+        lens = np.fromiter((len(p or b"") for p in payloads), np.int64, n)
+        total = int(lens.sum())
+        ent = np.zeros(n, np.float64)
+        meanb = np.zeros(n, np.float64)
+        if total:
+            cat = np.frombuffer(b"".join(p or b"" for p in payloads), np.uint8)
+            doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+            hist = np.bincount(
+                doc * 256 + cat, minlength=n * 256
+            ).reshape(n, 256)
+            nz = lens > 0
+            p = hist[nz] / lens[nz, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                logp = np.where(p > 0, np.log2(p, where=p > 0), 0.0)
+            ent[nz] = -(p * logp).sum(axis=1)
+            meanb[nz] = (hist[nz] @ np.arange(256)) / lens[nz]
+        sniffed, matches, md5s = [], [], []
+        for pay, mime in zip(payloads, mimes):
+            pay = pay or b""
+            found = "application/octet-stream"
+            for m, sig, off in _MAGIC:
+                if pay[off : off + len(sig)] == sig:
+                    found = m
+                    break
+            sniffed.append(found)
+            matches.append(found == mime)
+            md5s.append(_hashlib.md5(pay).hexdigest())
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "n_bytes": pa.array(lens),
+                "entropy_bits": pa.array(np.round(ent, 6)),
+                "mean_byte": pa.array(np.round(meanb, 6)),
+                "sniffed_mime": pa.array(sniffed, pa.string()),
+                "mime_matches": pa.array(matches),
+                "md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=256)
 
 
 def extract_media_features(
