@@ -234,19 +234,31 @@ def _jaro_match_bits(A, B, la, lb, window, active, W: int):
     b-position wins (lowest set bit, word 0 first)."""
     nt, max_a = A.shape
     one = np.uint64(1)
-    Peq = np.zeros((nt, 256, W), np.uint64)
+    # compact alphabet: Peq over the batch's observed B codes (+1 all-zero
+    # sentinel column for chars absent from B) — a 256-wide table costs
+    # 2·W KB of zeroing+traffic per pair; typical batches use <64 codes
     total = int(lb.sum())
     if total:
         r_idx = np.repeat(np.arange(nt), lb)
         c_pos = np.arange(total, dtype=np.int64) - np.repeat(
             np.cumsum(lb) - lb, lb
         )
+        bcodes = B[r_idx, c_pos]
+        used = np.unique(bcodes)
+        k = len(used)
+        lut = np.full(256, k, np.int64)
+        lut[used] = np.arange(k)
+        Peq = np.zeros((nt, k + 1, W), np.uint64)
         word = c_pos >> 6
         np.bitwise_or.at(
             Peq,
-            (r_idx, B[r_idx, c_pos], word),
+            (r_idx, lut[bcodes], word),
             one << (c_pos & 63).astype(np.uint64),
         )
+    else:
+        k = 0
+        lut = np.full(256, 0, np.int64)
+        Peq = np.zeros((nt, 1, W), np.uint64)
     free = [
         _below_mask(np.clip(lb - 64 * w, 0, 64).astype(np.uint64))
         for w in range(W)
@@ -267,7 +279,7 @@ def _jaro_match_bits(A, B, la, lb, window, active, W: int):
                 wlo = np.clip(lo - 64 * w, 0, 64)
                 whi = np.clip(hi - 64 * w, 0, 64)
                 win = _BELOW[whi] & ~_BELOW[wlo]
-                cand = Peq[rows_all[:m], A[:m, i], w] & free[w][:m] & win
+                cand = Peq[rows_all[:m], lut[A[:m, i]], w] & free[w][:m] & win
                 cand = np.where(taken, np.uint64(0), cand)
                 v = cand & (~cand + one)  # lowest set bit (0 = no candidate)
                 free[w][:m] &= ~v
@@ -432,8 +444,9 @@ def _myers_batch_u8(A, B, len_l, len_s, active) -> np.ndarray:
     ones64 = np.uint64(0xFFFFFFFFFFFFFFFF)
     one = np.uint64(1)
     ls = len_s.astype(np.uint64)
-    # Peq[r, c] = bitmask of positions i with shorts[r][i] == chr(c)
-    Peq = np.zeros((nt, 256), np.uint64)
+    # Peq[r, lut[c]] = bitmask of positions i with shorts[r][i] == chr(c);
+    # compact alphabet (observed codes + absent-sentinel column) keeps the
+    # table small — DRAM traffic, not FLOPs, bounds these kernels
     total = int(len_s.sum())
     if total:
         r_idx = np.repeat(np.arange(nt), len_s)
@@ -441,9 +454,17 @@ def _myers_batch_u8(A, B, len_l, len_s, active) -> np.ndarray:
             np.cumsum(len_s) - len_s, len_s
         )
         codes = B[r_idx, c_pos]
+        used = np.unique(codes)
+        kk = len(used)
+        lut = np.full(256, kk, np.int64)
+        lut[used] = np.arange(kk)
+        Peq = np.zeros((nt, kk + 1), np.uint64)
         np.bitwise_or.at(
-            Peq, (r_idx, codes), one << c_pos.astype(np.uint64)
+            Peq, (r_idx, lut[codes]), one << c_pos.astype(np.uint64)
         )
+    else:
+        lut = np.full(256, 0, np.int64)
+        Peq = np.zeros((nt, 1), np.uint64)
     nzs = ls > 0
     Pv = np.zeros(nt, np.uint64)
     Pv[nzs] = ones64 >> (np.uint64(64) - ls[nzs])
@@ -456,7 +477,7 @@ def _myers_batch_u8(A, B, len_l, len_s, active) -> np.ndarray:
             m = int(active[i])
             if m == 0:
                 break
-            Eq = Peq[rows_all[:m], A[:m, i]]
+            Eq = Peq[rows_all[:m], lut[A[:m, i]]]
             Pv_ = Pv[:m]
             Mv_ = Mv[:m]
             Xv = Eq | Mv_
@@ -481,18 +502,26 @@ def _myers_batch_u8_w2(A, B, len_l, len_s, active) -> np.ndarray:
     nt, max_l = A.shape
     one = np.uint64(1)
     s63 = np.uint64(63)
-    Peq = np.zeros((nt, 256, 2), np.uint64)
     total = int(len_s.sum())
     if total:
         r_idx = np.repeat(np.arange(nt), len_s)
         c_pos = np.arange(total, dtype=np.int64) - np.repeat(
             np.cumsum(len_s) - len_s, len_s
         )
+        codes = B[r_idx, c_pos]
+        used = np.unique(codes)
+        kk = len(used)
+        lut = np.full(256, kk, np.int64)
+        lut[used] = np.arange(kk)
+        Peq = np.zeros((nt, kk + 1, 2), np.uint64)
         np.bitwise_or.at(
             Peq,
-            (r_idx, B[r_idx, c_pos], c_pos >> 6),
+            (r_idx, lut[codes], c_pos >> 6),
             one << (c_pos & 63).astype(np.uint64),
         )
+    else:
+        lut = np.full(256, 0, np.int64)
+        Peq = np.zeros((nt, 1, 2), np.uint64)
     lo_bits = np.clip(len_s, 0, 64).astype(np.uint64)
     hi_bits = np.clip(len_s - 64, 0, 64).astype(np.uint64)
     Pv0 = _below_mask(lo_bits)
@@ -510,8 +539,9 @@ def _myers_batch_u8_w2(A, B, len_l, len_s, active) -> np.ndarray:
             if m == 0:
                 break
             ch = A[:m, i]
-            Eq0 = Peq[rows_all[:m], ch, 0]
-            Eq1 = Peq[rows_all[:m], ch, 1]
+            cc = lut[ch]
+            Eq0 = Peq[rows_all[:m], cc, 0]
+            Eq1 = Peq[rows_all[:m], cc, 1]
             Pv0_, Pv1_ = Pv0[:m], Pv1[:m]
             Mv0_, Mv1_ = Mv0[:m], Mv1[:m]
             Xv0 = Eq0 | Mv0_
