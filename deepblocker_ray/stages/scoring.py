@@ -14,6 +14,7 @@ the O(n·m) edit distance.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -107,47 +108,103 @@ class TurnLookup:
 
     The turn-text table never round-trips through the driver: each worker
     zero-copy-reads the materialized Arrow blocks from the object store and
-    builds a sorted-id index once (cached per process). Lookups are a
-    vectorized searchsorted + Arrow take per batch — only the batch's own
-    rows are ever converted to Python. (The previous implementation built a
-    145k-entry Python dict on the driver and pickled it to every worker:
-    ~40-60 s of driver-serial time per score stage at 100k conversations.)
+    builds its index once (cached per process). The per-process build must
+    be CHEAP: the precomputed ``_h`` uint64 id-hash column (written by
+    _turn_refs) is viewed zero-copy and argsorted (milliseconds), while the
+    id/turn columns stay as chunked Arrow in plasma — no concat, no
+    combine_chunks copy, no Python-object sort. (The previous build did an
+    object-dtype argsort over a combined copy; with 32 workers all building
+    at once it measured ~900 core-seconds per score stage at 145k
+    conversations — more than the scoring kernels themselves.)
+
+    Lookups: vectorized hash + searchsorted + chunked Arrow take; matched
+    rows are verified against the real id strings, so a hash collision can
+    only surface as a missing row, never as wrong data.
     """
 
-    def __init__(self, refs, id_col: str):
-        tbls = ray.get(list(refs))
-        # empty blocks can carry degenerate schemas (null-typed lists from a
-        # pandas conversion) that break concat — drop them
-        nonempty = [t for t in tbls if len(t) > 0]
-        tbl = pa.concat_tables(
-            nonempty if nonempty else tbls[:1], promote_options="permissive"
-        ).combine_chunks()
-        ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=object)
-        order = np.argsort(ids)
-        self.ids = ids[order]
-        self.turns = tbl.column("turn_texts").combine_chunks().take(
-            pa.array(order)
+    def __init__(self, refs, id_col: str = "_id"):
+        tbls = [t for t in ray.get(list(refs)) if len(t) > 0]
+        if not tbls:
+            self.h = np.empty(0, np.uint64)
+            self.order = np.empty(0, np.int64)
+            self.id_chunks = []
+            self.turn_chunks = []
+            self.chunk_starts = np.zeros(0, np.int64)
+            return
+        h = np.concatenate([np.asarray(t.column("_h")) for t in tbls])
+        self.order = np.argsort(h, kind="stable")
+        self.h = h[self.order]
+        # keep the payload as the original per-block Arrow chunks, still
+        # resident in plasma — NO combine/copy (a combine_chunks of the
+        # 145k-row list<string> column measured ~350 core-s across 32
+        # concurrently-starting workers; ChunkedArray.take per batch was
+        # ~600). Lookups resolve (chunk, local) manually and take per chunk.
+        self.id_chunks = []
+        self.turn_chunks = []
+        for t in tbls:
+            for c in t.column("_id").chunks:
+                self.id_chunks.append(c)
+            for c in t.column("turn_texts").chunks:
+                self.turn_chunks.append(c)
+        lens = np.fromiter(
+            (len(c) for c in self.id_chunks), np.int64, len(self.id_chunks)
         )
+        self.chunk_starts = np.zeros(len(lens), np.int64)
+        np.cumsum(lens[:-1], out=self.chunk_starts[1:])
+
+    def _take_pylist(self, chunks, gidx: np.ndarray) -> np.ndarray:
+        """Gather global row indices from per-block chunks (vectorized per
+        touched chunk); returns an object array aligned with gidx."""
+        out = np.empty(len(gidx), object)
+        ci = np.searchsorted(self.chunk_starts, gidx, side="right") - 1
+        for c in np.unique(ci):
+            mask = ci == c
+            local = pa.array(gidx[mask] - self.chunk_starts[c])
+            vals = chunks[c].take(local).to_pylist()
+            # object-array staging: direct boolean assignment would try to
+            # broadcast uniform-length sublists as a 2-D array
+            tmp = np.empty(len(vals), object)
+            tmp[:] = vals
+            out[mask] = tmp
+        return out
 
     def get_lists(self, keys) -> list[list[str]]:
-        keys = np.asarray(keys, dtype=object)
-        if len(self.ids) == 0:
+        keys = np.asarray(list(keys), dtype=object)
+        if len(self.h) == 0:
             return [[] for _ in keys]
-        pos = np.searchsorted(self.ids, keys)
-        pos = np.clip(pos, 0, len(self.ids) - 1)
-        found = self.ids[pos] == keys
-        taken = self.turns.take(pa.array(pos)).to_pylist()
+        kh = pd.util.hash_array(keys)
+        pos = np.searchsorted(self.h, kh)
+        pos = np.clip(pos, 0, len(self.h) - 1)
+        cand = self.order[pos]
+        found = self.h[pos] == kh
+        got_ids = self._take_pylist(self.id_chunks, cand)
+        taken = self._take_pylist(self.turn_chunks, cand)
         return [
-            t if ok and t is not None else []
-            for t, ok in zip(taken, found)
+            t if ok and g == k and t is not None else []
+            for t, ok, g, k in zip(taken, found, got_ids, keys)
         ]
 
 
 def _turn_refs(tuples_ds, id_col: str):
-    """Materialize (id, turn_texts) into the object store; returns block refs
-    (the broadcast small side — put once, read zero-copy by every task)."""
+    """Materialize (_id, _h, turn_texts) into the object store; returns block
+    refs (the broadcast small side — put once, read zero-copy by every
+    task). ``_h`` is the precomputed stable id hash that makes the
+    per-process TurnLookup build O(n) uint64 work instead of an
+    object-string sort."""
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).cast(pa.string())
+        h = pd.util.hash_array(np.asarray(ids.to_pylist(), dtype=object))
+        return pa.table(
+            {
+                "_id": ids,
+                "_h": pa.array(h),
+                "turn_texts": t.column("turn_texts"),
+            }
+        )
+
     return (
-        tuples_ds.select_columns([id_col, "turn_texts"])
+        tuples_ds.map_batches(project, batch_format="pyarrow")
         .materialize()
         .to_arrow_refs()
     )
