@@ -8,8 +8,18 @@ customer supplier part orders lineitem events documents embeddings).
 Transcript-shaped inputs (BASELINE.json input_hint) are derived
 deterministically from the ``documents`` view by an 8-word-turn rule that has
 an exact SQL twin (deepblocker_ray.fixtures), so canonicalize is
-SQL-checkable; embedding-dependent operators (hash embeddings are not
-SQL-expressible) get rows-only checks.
+SQL-checkable.
+
+Oracle coverage (17 of 20 queries have a full SQL twin): the dedup cluster
+queries are checked against brute-force exact-similarity pair SQL +
+recursive-CTE connected components; simhash's 64-bit fingerprint is
+recomputed bit-for-bit in SQL (the engine's stable hash IS DuckDB's
+md5_number_lower); knn_ivf probes every cell, making IVF provably identical
+to exact search, and shares the exact twin. The remaining three
+(blocking_sif, linkage_full, media_features) depend on the deterministic
+hash-embedding table / synthetic binary payloads, which SQL cannot
+reproduce — they get rows-only checks plus dedicated pytest oracles
+(numpy conformance, planted-cluster F1, hand-computed entropy/magic).
 """
 
 from __future__ import annotations

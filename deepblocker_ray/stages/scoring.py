@@ -139,13 +139,14 @@ class TurnLookup:
         # 145k-row list<string> column measured ~350 core-s across 32
         # concurrently-starting workers; ChunkedArray.take per batch was
         # ~600). Lookups resolve (chunk, local) manually and take per chunk.
+        # one aligned chunk pair per BLOCK (combine_chunks per table is a
+        # no-op for the usual single-chunk blocks; doing it per table
+        # guarantees the id and turn chunk boundaries always line up)
         self.id_chunks = []
         self.turn_chunks = []
         for t in tbls:
-            for c in t.column("_id").chunks:
-                self.id_chunks.append(c)
-            for c in t.column("turn_texts").chunks:
-                self.turn_chunks.append(c)
+            self.id_chunks.append(t.column("_id").combine_chunks())
+            self.turn_chunks.append(t.column("turn_texts").combine_chunks())
         lens = np.fromiter(
             (len(c) for c in self.id_chunks), np.int64, len(self.id_chunks)
         )
