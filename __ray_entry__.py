@@ -190,6 +190,23 @@ def q_embedding_neardup(sf_dir: str):
     return embedding_neardup(emb, cfg=_cfg(), threshold=0.45, k=5)
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: every 10th document plays the benchmark
+    suite; the full table is scored for word-3gram overlap against it."""
+    from deepblocker_ray.stages.dedup import decontaminate
+
+    docs = _documents(sf_dir)
+    import numpy as np
+
+    bench = _documents(sf_dir).map_batches(
+        lambda t: t.filter(
+            pa.array(np.asarray(t.column("doc_id")) % 10 == 0)
+        ),
+        batch_format="pyarrow",
+    )
+    return decontaminate(docs, bench, cfg=_cfg(), ngram=3, threshold=0.5)
+
+
 def q_lang_id(sf_dir: str):
     from deepblocker_ray.stages.textstats import lang_id
 
@@ -330,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "embedding_neardup": q_embedding_neardup,
+        "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
         "quality": q_quality,
         "blocking_sif": q_blocking_sif,
@@ -549,6 +567,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents a
             JOIN documents b ON b.doc_id = a.doc_id + 1
             WHERE a.doc_id % 2 = 0
+        """,
+        "decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {tokens} AS tk FROM documents),
+            gr AS (
+                SELECT doc_id,
+                       list_distinct(CASE
+                            WHEN len(tk) = 0 THEN []
+                            WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                            ELSE [array_to_string(tk[x : x + 2], ' ')
+                                  for x in generate_series(1, len(tk) - 2)]
+                            END) AS g
+                FROM toks
+            ),
+            bench AS (
+                SELECT list_distinct(flatten(list(g))) AS bg
+                FROM gr WHERE doc_id % 10 = 0
+            )
+            SELECT gr.doc_id,
+                   CAST(len(gr.g) AS BIGINT) AS n_grams,
+                   CAST(len(list_intersect(gr.g, bench.bg)) AS BIGINT)
+                       AS n_overlap,
+                   CASE WHEN len(gr.g) = 0 THEN 0.0
+                        ELSE CAST(len(list_intersect(gr.g, bench.bg))
+                                  AS DOUBLE) / len(gr.g) END AS contamination,
+                   CASE WHEN len(gr.g) = 0 THEN FALSE
+                        ELSE CAST(len(list_intersect(gr.g, bench.bg))
+                                  AS DOUBLE) / len(gr.g) >= 0.5 END
+                       AS is_contaminated
+            FROM gr, bench
         """,
         "minhash_dedup": _cc_sql(minhash_pairs, "documents", "doc_id"),
         "simhash_dedup": _cc_sql(simhash_pairs, "documents", "doc_id"),

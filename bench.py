@@ -115,6 +115,7 @@ def main() -> None:
         "simhash_dedup",
         "ngram_jaccard_dedup",
         "embedding_neardup",
+        "decontaminate",
         "knn_exact",
         "knn_ivf",
         "token_count",

@@ -1059,3 +1059,99 @@ def embedding_neardup(
         batch_format="pyarrow",
     ).materialize()
     return _components_output(emb_ds, pairs, cfg, id_col)
+
+
+# --------------------------------------------------------- decontamination --
+
+
+def decontaminate(
+    ds,
+    benchmark_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    cfg: EngineConfig | None = None,
+):
+    """Benchmark decontamination (training-data-pipeline op): flag documents
+    whose word-``ngram`` sets overlap a benchmark corpus — the standard
+    n-gram-collision test run before training on scraped data.
+
+    Output: (doc_id, n_grams, n_overlap, contamination, is_contaminated)
+    with contamination = |grams(doc) ∩ grams(benchmark)| / |grams(doc)|.
+
+    Scale shape: the benchmark side is SMALL by definition (eval suites are
+    ~10³-10⁵ docs); its distinct gram-hash set is collected once, sorted,
+    ray.put once, and every scoring task reads it zero-copy — the corpus
+    side streams through one vectorized map_batches (per-doc overlap via one
+    searchsorted + add.reduceat), no shuffle at all."""
+    import ray
+
+    cfg = cfg or EngineConfig()
+    from ..config import parallel_blocks
+
+    gm = _ngram_map(ngram, 1, id_col, text_col)
+    gb = _ngram_map(
+        ngram, 1, id_col="__bid", text_col=bench_text_col or text_col
+    )
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "__bid": pa.array(
+                    np.arange(len(batch)).astype(str), pa.string()
+                ),
+                (bench_text_col or text_col): batch.column(
+                    bench_text_col or text_col
+                ),
+            }
+        )
+        g = gb(t)
+        vals = np.unique(np.asarray(g.column("grams").combine_chunks().flatten()))
+        return pa.table({"g": pa.array(vals)})
+
+    parts = [
+        np.asarray(b.column("g"))
+        for b in benchmark_ds.map_batches(
+            bench_grams, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    bench = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    )
+    bench_ref = ray.put(bench)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached_get
+
+        bset = cached_get(bench_ref)
+        g = gm(batch)
+        grams = g.column("grams").combine_chunks()
+        vals = np.asarray(grams.flatten())
+        offsets = np.asarray(grams.offsets)
+        counts = np.diff(offsets)
+        n = len(counts)
+        overlap = np.zeros(n, np.int64)
+        if len(vals) and len(bset):
+            idx = np.searchsorted(bset, vals)
+            idx[idx >= len(bset)] = len(bset) - 1
+            hit = (bset[idx] == vals).astype(np.int64)
+            nz = counts > 0
+            overlap[nz] = np.add.reduceat(hit, offsets[:-1][nz])
+        contamination = np.zeros(n, np.float64)
+        nz = counts > 0
+        contamination[nz] = overlap[nz] / counts[nz]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_grams": pa.array(counts),
+                "n_overlap": pa.array(overlap),
+                "contamination": pa.array(contamination),
+                "is_contaminated": pa.array(contamination >= threshold),
+            }
+        )
+
+    return parallel_blocks(ds).map_batches(
+        score, batch_format="pyarrow", batch_size=cfg.embed_batch_size
+    )

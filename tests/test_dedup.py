@@ -140,3 +140,43 @@ class TestEmbeddingNearDup:
             assert pred[f"{i:04d}"] == pred[f"{50 + i:04d}"]
         assert out["cluster_id"].nunique() == 50
         assert out["is_duplicate"].sum() == 10
+
+
+class TestDecontaminate:
+    def test_planted_contamination(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.dedup import decontaminate
+
+        bench_texts = [
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "one two three four five six seven eight nine",
+        ]
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    # verbatim benchmark copy → contamination 1.0
+                    bench_texts[0],
+                    # half benchmark / half novel
+                    "one two three four five planet comet nebula star moon",
+                    # disjoint
+                    "red green blue cyan magenta yellow black white",
+                ],
+            }
+        )
+        bench = pd.DataFrame({"bench_id": [0, 1], "text": bench_texts})
+        out = (
+            decontaminate(
+                rd.from_pandas(docs), rd.from_pandas(bench), cfg=CFG
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out.loc[0, "contamination"] == 1.0
+        assert bool(out.loc[0, "is_contaminated"])
+        assert 0.0 < out.loc[1, "contamination"] < 1.0
+        assert out.loc[2, "contamination"] == 0.0
+        assert not bool(out.loc[2, "is_contaminated"])
+        assert out.loc[0, "n_grams"] == 6  # 8 words → 6 trigrams
