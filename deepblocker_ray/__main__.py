@@ -41,6 +41,7 @@ def _write(ds, out_dir: str, name: str) -> int:
     from .sources.io import write_partitioned
 
     path = os.path.join(out_dir, name)
+    ds = ds.materialize()  # one execution serves both the count and the write
     n = ds.count()
     write_partitioned(ds, path)
     return n

@@ -226,6 +226,37 @@ def _below_mask(k: np.ndarray) -> np.ndarray:
     )
 
 
+def _build_peq(B, lens, W: int):
+    """Per-pair pattern-equality bitmask table over a COMPACT alphabet: one
+    (nt, k+1, W) uint64 table where k is the number of distinct byte codes
+    observed in B's valid positions (+1 all-zero sentinel column for absent
+    chars) and W is the number of 64-bit words per pattern. Returns
+    (Peq, lut) with lut mapping byte code → column (absent → k). Shared by
+    the Jaro matcher and both Myers variants — DRAM traffic, not FLOPs,
+    bounds these kernels, so the table must stay small."""
+    nt = B.shape[0]
+    one = np.uint64(1)
+    total = int(lens.sum())
+    if not total:
+        return np.zeros((nt, 1, W), np.uint64), np.full(256, 0, np.int64)
+    r_idx = np.repeat(np.arange(nt), lens)
+    c_pos = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    codes = B[r_idx, c_pos]
+    used = np.unique(codes)
+    k = len(used)
+    lut = np.full(256, k, np.int64)
+    lut[used] = np.arange(k)
+    Peq = np.zeros((nt, k + 1, W), np.uint64)
+    np.bitwise_or.at(
+        Peq,
+        (r_idx, lut[codes], c_pos >> 6),
+        one << (c_pos & 63).astype(np.uint64),
+    )
+    return Peq, lut
+
+
 def _jaro_match_bits(A, B, la, lb, window, active, W: int):
     """Greedy Jaro matching with W uint64 mask words per pair (B side ≤ 64·W
     chars; the A side only drives the loop length). Returns
@@ -234,31 +265,7 @@ def _jaro_match_bits(A, B, la, lb, window, active, W: int):
     b-position wins (lowest set bit, word 0 first)."""
     nt, max_a = A.shape
     one = np.uint64(1)
-    # compact alphabet: Peq over the batch's observed B codes (+1 all-zero
-    # sentinel column for chars absent from B) — a 256-wide table costs
-    # 2·W KB of zeroing+traffic per pair; typical batches use <64 codes
-    total = int(lb.sum())
-    if total:
-        r_idx = np.repeat(np.arange(nt), lb)
-        c_pos = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(lb) - lb, lb
-        )
-        bcodes = B[r_idx, c_pos]
-        used = np.unique(bcodes)
-        k = len(used)
-        lut = np.full(256, k, np.int64)
-        lut[used] = np.arange(k)
-        Peq = np.zeros((nt, k + 1, W), np.uint64)
-        word = c_pos >> 6
-        np.bitwise_or.at(
-            Peq,
-            (r_idx, lut[bcodes], word),
-            one << (c_pos & 63).astype(np.uint64),
-        )
-    else:
-        k = 0
-        lut = np.full(256, 0, np.int64)
-        Peq = np.zeros((nt, 1, W), np.uint64)
+    Peq, lut = _build_peq(B, lb, W)
     free = [
         _below_mask(np.clip(lb - 64 * w, 0, 64).astype(np.uint64))
         for w in range(W)
@@ -444,27 +451,8 @@ def _myers_batch_u8(A, B, len_l, len_s, active) -> np.ndarray:
     ones64 = np.uint64(0xFFFFFFFFFFFFFFFF)
     one = np.uint64(1)
     ls = len_s.astype(np.uint64)
-    # Peq[r, lut[c]] = bitmask of positions i with shorts[r][i] == chr(c);
-    # compact alphabet (observed codes + absent-sentinel column) keeps the
-    # table small — DRAM traffic, not FLOPs, bounds these kernels
-    total = int(len_s.sum())
-    if total:
-        r_idx = np.repeat(np.arange(nt), len_s)
-        c_pos = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(len_s) - len_s, len_s
-        )
-        codes = B[r_idx, c_pos]
-        used = np.unique(codes)
-        kk = len(used)
-        lut = np.full(256, kk, np.int64)
-        lut[used] = np.arange(kk)
-        Peq = np.zeros((nt, kk + 1), np.uint64)
-        np.bitwise_or.at(
-            Peq, (r_idx, lut[codes]), one << c_pos.astype(np.uint64)
-        )
-    else:
-        lut = np.full(256, 0, np.int64)
-        Peq = np.zeros((nt, 1), np.uint64)
+    Peq3, lut = _build_peq(B, len_s, 1)
+    Peq = Peq3[:, :, 0]
     nzs = ls > 0
     Pv = np.zeros(nt, np.uint64)
     Pv[nzs] = ones64 >> (np.uint64(64) - ls[nzs])
@@ -502,26 +490,7 @@ def _myers_batch_u8_w2(A, B, len_l, len_s, active) -> np.ndarray:
     nt, max_l = A.shape
     one = np.uint64(1)
     s63 = np.uint64(63)
-    total = int(len_s.sum())
-    if total:
-        r_idx = np.repeat(np.arange(nt), len_s)
-        c_pos = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(len_s) - len_s, len_s
-        )
-        codes = B[r_idx, c_pos]
-        used = np.unique(codes)
-        kk = len(used)
-        lut = np.full(256, kk, np.int64)
-        lut[used] = np.arange(kk)
-        Peq = np.zeros((nt, kk + 1, 2), np.uint64)
-        np.bitwise_or.at(
-            Peq,
-            (r_idx, lut[codes], c_pos >> 6),
-            one << (c_pos & 63).astype(np.uint64),
-        )
-    else:
-        lut = np.full(256, 0, np.int64)
-        Peq = np.zeros((nt, 1, 2), np.uint64)
+    Peq, lut = _build_peq(B, len_s, 2)
     lo_bits = np.clip(len_s, 0, 64).astype(np.uint64)
     hi_bits = np.clip(len_s - 64, 0, 64).astype(np.uint64)
     Pv0 = _below_mask(lo_bits)

@@ -28,6 +28,11 @@ Scale posture:
     Degenerate keys beyond ``hard_mult × max_bucket`` members are
     deterministically subsampled and surfaced via the ``stats_out`` dict —
     never silently.
+
+Precondition: ``id_col`` values are UNIQUE per document (run exact_dedup
+first if unsure). With duplicate ids the broadcast-lookup verify resolves
+one arbitrary payload per id while the join fallback fans out per copy, so
+outputs would depend on which path the size caps select.
 """
 
 from __future__ import annotations
@@ -470,12 +475,15 @@ def _verify_pairs(cand, payload_ds, id_col, payload_col, cfg, pair_fn):
                     pa.py_buffer(vals.tobytes()),
                 ],
             )
+        ids = t.column(id_col).cast(pa.string())
+        ph = pd.util.hash_array(np.asarray(ids.to_pylist(), dtype=object))
         return pa.table(
-            {"_pid": t.column(id_col).cast(pa.string()), "_payload": pay}
+            {"_pid": ids, "_ph": pa.array(ph), "_payload": pay}
         )
 
     skinny = payload_ds.map_batches(project, batch_format="pyarrow")
     n = payload_ds.count()
+    mat = None
     fits = n <= cfg.broadcast_rows_max
     if fits:
         mat = skinny.materialize()
@@ -490,7 +498,8 @@ def _verify_pairs(cand, payload_ds, id_col, payload_col, cfg, pair_fn):
             from ..state.lookup import ColumnLookup
 
             lk = cached_compute(
-                cache_key, lambda: ColumnLookup(refs, "_pid", "_payload")
+                cache_key,
+                lambda: ColumnLookup(refs, "_pid", "_payload", hash_col="_ph"),
             )
             ls = batch.column("left_id").to_pylist()
             rs = batch.column("right_id").to_pylist()
@@ -501,9 +510,13 @@ def _verify_pairs(cand, payload_ds, id_col, payload_col, cfg, pair_fn):
     from ..config import default_parallelism
 
     nparts = max(default_parallelism(), 8)
+    # if the rows-cap passed but the bytes-cap rejected, `mat` already holds
+    # the projected payload — join from it instead of re-running the
+    # projection once per side
+    join_src = mat if mat is not None else skinny
 
     def side(key, alias):
-        return skinny.map_batches(
+        return join_src.map_batches(
             lambda t, k=key, a=alias: pa.table(
                 {k: t.column("_pid"), a: t.column("_payload")}
             ),
@@ -766,7 +779,9 @@ def minhash_lsh_dedup(
     # ^ seam before the LSH groupby: a compute-heavy map feeding an AllToAll
     # in one execution gets throttled by shuffle resource reservation
     # (see pipelines/linkage.py query→dedup note); signatures are skinny.
-    keys = sigs.map_batches(_explode_fixed, batch_format="pyarrow")
+    # materialize the exploded keys: _pairs_from_keys consumes them twice
+    # (hot-key count pass + bucket pass) and the rows are skinny
+    keys = sigs.map_batches(_explode_fixed, batch_format="pyarrow").materialize()
     cand = _pairs_from_keys(
         keys, "doc_id", max_bucket, cfg, stats_out=stats_out
     )
@@ -876,7 +891,7 @@ def simhash_dedup(
         )
 
     cand = _pairs_from_keys(
-        fps.map_batches(explode_bands, batch_format="pyarrow"),
+        fps.map_batches(explode_bands, batch_format="pyarrow").materialize(),
         "doc_id",
         max_bucket,
         cfg,
@@ -1012,7 +1027,7 @@ def ngram_jaccard_dedup(
     ).materialize()
     keys = sigs.map_batches(
         lambda t: _explode_list(t, "anchors"), batch_format="pyarrow"
-    )
+    ).materialize()
     cand = _pairs_from_keys(
         keys, "doc_id", max_bucket, cfg, stats_out=stats_out
     )

@@ -162,7 +162,7 @@ def _token_counts_batch(batch: pa.Table, text_col: str) -> pa.Table:
     )
 
 
-def token_frequencies(ds, text_col: str = "tuple_text"):
+def token_frequencies(ds, text_col: str = "tuple_text", cfg=None):
     """Corpus-global token frequencies (A1): partial counts per batch, then a
     small-int bucket exchange with a pandas combine per bucket. (Ray's
     groupby on a high-cardinality string key pays per-distinct-key overhead
@@ -171,9 +171,7 @@ def token_frequencies(ds, text_col: str = "tuple_text"):
     Returns a Dataset (token, count)."""
     import pandas as pd
 
-    from ..config import EngineConfig
-
-    nb = EngineConfig().num_buckets
+    nb = (cfg or EngineConfig()).num_buckets
 
     def partial(b: pa.Table) -> pa.Table:
         t = _token_counts_batch(b, text_col)

@@ -106,84 +106,20 @@ def score_pairs_batch(
 class TurnLookup:
     """Worker-side id → turn_texts lookup built from plasma block refs.
 
-    The turn-text table never round-trips through the driver: each worker
-    zero-copy-reads the materialized Arrow blocks from the object store and
-    builds its index once (cached per process). The per-process build must
-    be CHEAP: the precomputed ``_h`` uint64 id-hash column (written by
-    _turn_refs) is viewed zero-copy and argsorted (milliseconds), while the
-    id/turn columns stay as chunked Arrow in plasma — no concat, no
-    combine_chunks copy, no Python-object sort. (The previous build did an
-    object-dtype argsort over a combined copy; with 32 workers all building
-    at once it measured ~900 core-seconds per score stage at 145k
-    conversations — more than the scoring kernels themselves.)
-
-    Lookups: vectorized hash + searchsorted + chunked Arrow take; matched
-    rows are verified against the real id strings, so a hash collision can
-    only surface as a missing row, never as wrong data.
-    """
+    Thin wrapper over state/lookup.ColumnLookup (the canonical hash-indexed
+    zero-copy broadcast lookup — see its docstring for the per-process-build
+    cost story and collision handling); _turn_refs ships the precomputed
+    ``_h`` uint64 id-hash column that keeps the per-process build at
+    milliseconds."""
 
     def __init__(self, refs, id_col: str = "_id"):
-        tbls = [t for t in ray.get(list(refs)) if len(t) > 0]
-        if not tbls:
-            self.h = np.empty(0, np.uint64)
-            self.order = np.empty(0, np.int64)
-            self.id_chunks = []
-            self.turn_chunks = []
-            self.chunk_starts = np.zeros(0, np.int64)
-            return
-        h = np.concatenate([np.asarray(t.column("_h")) for t in tbls])
-        self.order = np.argsort(h, kind="stable")
-        self.h = h[self.order]
-        # keep the payload as the original per-block Arrow chunks, still
-        # resident in plasma — NO combine/copy (a combine_chunks of the
-        # 145k-row list<string> column measured ~350 core-s across 32
-        # concurrently-starting workers; ChunkedArray.take per batch was
-        # ~600). Lookups resolve (chunk, local) manually and take per chunk.
-        # one aligned chunk pair per BLOCK (combine_chunks per table is a
-        # no-op for the usual single-chunk blocks; doing it per table
-        # guarantees the id and turn chunk boundaries always line up)
-        self.id_chunks = []
-        self.turn_chunks = []
-        for t in tbls:
-            self.id_chunks.append(t.column("_id").combine_chunks())
-            self.turn_chunks.append(t.column("turn_texts").combine_chunks())
-        lens = np.fromiter(
-            (len(c) for c in self.id_chunks), np.int64, len(self.id_chunks)
-        )
-        self.chunk_starts = np.zeros(len(lens), np.int64)
-        np.cumsum(lens[:-1], out=self.chunk_starts[1:])
+        from ..state.lookup import ColumnLookup
 
-    def _take_pylist(self, chunks, gidx: np.ndarray) -> np.ndarray:
-        """Gather global row indices from per-block chunks (vectorized per
-        touched chunk); returns an object array aligned with gidx."""
-        out = np.empty(len(gidx), object)
-        ci = np.searchsorted(self.chunk_starts, gidx, side="right") - 1
-        for c in np.unique(ci):
-            mask = ci == c
-            local = pa.array(gidx[mask] - self.chunk_starts[c])
-            vals = chunks[c].take(local).to_pylist()
-            # object-array staging: direct boolean assignment would try to
-            # broadcast uniform-length sublists as a 2-D array
-            tmp = np.empty(len(vals), object)
-            tmp[:] = vals
-            out[mask] = tmp
-        return out
+        self._lk = ColumnLookup(refs, "_id", "turn_texts", hash_col="_h")
 
     def get_lists(self, keys) -> list[list[str]]:
-        keys = np.asarray(list(keys), dtype=object)
-        if len(self.h) == 0:
-            return [[] for _ in keys]
-        kh = pd.util.hash_array(keys)
-        pos = np.searchsorted(self.h, kh)
-        pos = np.clip(pos, 0, len(self.h) - 1)
-        cand = self.order[pos]
-        found = self.h[pos] == kh
-        got_ids = self._take_pylist(self.id_chunks, cand)
-        taken = self._take_pylist(self.turn_chunks, cand)
-        return [
-            t if ok and g == k and t is not None else []
-            for t, ok, g, k in zip(taken, found, got_ids, keys)
-        ]
+        vals = self._lk.take_pylist(keys)
+        return [v if v is not None else [] for v in vals]
 
 
 def _turn_refs(tuples_ds, id_col: str):

@@ -154,7 +154,13 @@ _FP_PINV = np.uint64(pow(int(_FP_P), -1, 1 << 64))
 def rolling64_batch(norms: list[bytes]) -> np.ndarray:
     """64-bit polynomial rolling hash per doc, fully vectorized: Horner's
     h = init; h = h·p + byte — evaluated in closed form over one
-    concatenated buffer using modular-inverse position weights."""
+    concatenated buffer using modular-inverse position weights.
+
+    NOTE (round 2): this replaced the round-1 FNV-1a-style recurrence
+    h = (h ^ byte)·p, whose xor-inside-multiply has no vectorizable closed
+    form — rolling64 VALUES changed between rounds. rolling64 is an
+    engine-defined auxiliary fingerprint; the cross-round-stable, oracled
+    fingerprint is the md5 column."""
     n = len(norms)
     out = np.full(n, _FP_INIT, np.uint64)
     if n == 0:

@@ -2,16 +2,27 @@
 
 Generalizes the TurnLookup pattern (stages/scoring.py): the small side of a
 pair-attachment is materialized ONCE into the object store; every worker
-zero-copy-reads the blocks, builds a sorted-id index once per process
-(memoized via state/broadcast.cached_compute), and answers batched lookups
-with vectorized searchsorted + Arrow take. Nothing round-trips through the
-driver — the anti-pattern this replaces was a driver-built Python dict of the
-whole table (multi-GB pickle at millions of rows).
+zero-copy-reads the blocks and builds an index once per process (memoized
+via state/broadcast.cached_compute). Nothing round-trips through the driver.
+
+The per-process build must be CHEAP — with 32 workers starting at once, an
+object-dtype sort over a combined copy measured ~900 core-seconds per stage
+at 145k rows (BASELINE.md round-2 finding). So the index is a uint64 id-HASH
+sort: ideally over a precomputed ``_ph`` column shipped with the blocks
+(zero-copy view + uint64 argsort ≈ milliseconds); the payload stays as
+per-block plasma chunks with manual (chunk, local) resolution — no
+combine_chunks copy, no ChunkedArray.take.
+
+Hash-collision handling: matched rows are verified against the real id
+strings; on a mismatch the probe advances through the (adjacent, sorted)
+equal-hash run until the true id is found — collisions between PRESENT ids
+therefore resolve correctly, and a truly absent id comes back missing.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -20,34 +31,111 @@ import ray
 class ColumnLookup:
     """id → payload-column lookup built from plasma block refs.
 
-    ``take(keys)`` returns a pa.Array aligned with ``keys``; missing ids come
-    back as nulls. Works for any payload type (scalars, lists, structs).
+    ``take_pylist(keys)`` returns an object ndarray of Python payload values
+    aligned with ``keys`` (missing ids → None); ``take(keys)`` wraps it back
+    into a pa.Array of the payload type.
+
+    ``hash_col``: name of a precomputed uint64 id-hash column
+    (pd.util.hash_array of the string ids). When absent it is computed at
+    build time — fine for small sides, but large sides should precompute it
+    in their materialize projection (see stages/dedup._verify_pairs).
     """
 
-    def __init__(self, refs, id_col: str, payload_col: str):
-        tbls = ray.get(list(refs))
-        # empty blocks can carry degenerate schemas (null-typed columns from
-        # a pandas conversion) that break concat — drop them
-        nonempty = [t for t in tbls if len(t) > 0]
-        tbl = pa.concat_tables(
-            nonempty if nonempty else tbls[:1], promote_options="permissive"
-        ).combine_chunks()
-        ids = np.asarray(tbl.column(id_col).to_pylist(), dtype=object)
-        order = np.argsort(ids)
-        self.ids = ids[order]
-        self.payload = tbl.column(payload_col).combine_chunks().take(
-            pa.array(order)
+    def __init__(
+        self,
+        refs,
+        id_col: str,
+        payload_col: str,
+        hash_col: str | None = None,
+    ):
+        tbls = [t for t in ray.get(list(refs)) if len(t) > 0]
+        if not tbls:
+            self.h = np.empty(0, np.uint64)
+            self.order = np.empty(0, np.int64)
+            self.id_chunks: list[pa.Array] = []
+            self.payload_chunks: list[pa.Array] = []
+            self.chunk_starts = np.zeros(0, np.int64)
+            self.payload_type = pa.null()
+            return
+        # one aligned chunk pair per BLOCK (combine per table is a no-op for
+        # the usual single-chunk blocks and guarantees id/payload alignment)
+        self.id_chunks = [t.column(id_col).combine_chunks() for t in tbls]
+        self.payload_chunks = [
+            t.column(payload_col).combine_chunks() for t in tbls
+        ]
+        self.payload_type = self.payload_chunks[0].type
+        if hash_col is not None and hash_col in tbls[0].column_names:
+            h = np.concatenate(
+                [np.asarray(t.column(hash_col)) for t in tbls]
+            )
+        else:
+            h = np.concatenate(
+                [
+                    pd.util.hash_array(
+                        np.asarray(c.to_pylist(), dtype=object)
+                    )
+                    for c in self.id_chunks
+                ]
+            )
+        self.order = np.argsort(h, kind="stable")
+        self.h = h[self.order]
+        lens = np.fromiter(
+            (len(c) for c in self.id_chunks), np.int64, len(self.id_chunks)
         )
+        self.chunk_starts = np.zeros(len(lens), np.int64)
+        np.cumsum(lens[:-1], out=self.chunk_starts[1:])
+
+    # ------------------------------------------------------------- helpers --
+
+    def _gather(self, chunks, gidx: np.ndarray) -> np.ndarray:
+        """Global row indices → object array of Python values (vectorized
+        per touched chunk; no cross-chunk combine)."""
+        out = np.empty(len(gidx), object)
+        if len(gidx) == 0:
+            return out
+        ci = np.searchsorted(self.chunk_starts, gidx, side="right") - 1
+        for c in np.unique(ci):
+            mask = ci == c
+            local = pa.array(gidx[mask] - self.chunk_starts[c])
+            vals = chunks[c].take(local).to_pylist()
+            tmp = np.empty(len(vals), object)
+            tmp[:] = vals
+            out[mask] = tmp
+        return out
+
+    def _one(self, chunks, g: int):
+        c = int(np.searchsorted(self.chunk_starts, g, side="right") - 1)
+        return chunks[c][int(g - self.chunk_starts[c])].as_py()
+
+    def take_pylist(self, keys) -> np.ndarray:
+        keys = np.asarray(list(keys), dtype=object)
+        out = np.full(len(keys), None, dtype=object)
+        if len(self.h) == 0 or len(keys) == 0:
+            return out
+        kh = pd.util.hash_array(keys)
+        pos = np.searchsorted(self.h, kh)
+        pos = np.clip(pos, 0, len(self.h) - 1)
+        found = self.h[pos] == kh
+        gidx = self.order[pos]
+        got_ids = self._gather(self.id_chunks, gidx)
+        ok = found & (got_ids == keys)
+        payloads = self._gather(self.payload_chunks, gidx[ok])
+        out[ok] = payloads
+        # collision path: hash matched but id didn't — walk the adjacent
+        # equal-hash run for the true id (rare: ~n²/2⁶⁴)
+        for i in np.nonzero(found & ~ok)[0]:
+            p = int(pos[i]) + 1
+            while p < len(self.h) and self.h[p] == kh[i]:
+                g = int(self.order[p])
+                if self._one(self.id_chunks, g) == keys[i]:
+                    out[i] = self._one(self.payload_chunks, g)
+                    break
+                p += 1
+        return out
 
     def take(self, keys) -> pa.Array:
-        keys = np.asarray(list(keys), dtype=object)
-        if len(self.ids) == 0:
-            return pa.nulls(len(keys), self.payload.type)
-        pos = np.searchsorted(self.ids, keys)
-        pos = np.clip(pos, 0, len(self.ids) - 1)
-        found = self.ids[pos] == keys
-        idx = pa.array(np.where(found, pos, None))
-        return self.payload.take(idx)
+        vals = self.take_pylist(keys)
+        return pa.array(vals.tolist(), type=self.payload_type)
 
 
 def np_lists(arr) -> list[np.ndarray]:
