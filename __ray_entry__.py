@@ -259,12 +259,18 @@ def q_string_sims(sf_dir: str):
         levenshtein_batch,
     )
 
+    nb = _cfg().num_buckets
+
     def pair_key(df: pd.DataFrame) -> pd.DataFrame:
+        pair = df["doc_id"] // 2
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
                 "text": df["text"],
-                "_pair": df["doc_id"] // 2,
+                "_pair": pair,
+                # small-int bucket exchange, not a per-distinct-pair groupby
+                # (N/2 distinct keys would pay Ray's per-key overhead)
+                "_bucket": (pair % nb).astype("int32"),
             }
         )
 
@@ -299,7 +305,7 @@ def q_string_sims(sf_dir: str):
     return (
         _documents(sf_dir)
         .map_batches(pair_key, batch_format="pandas")
-        .groupby("_pair")
+        .groupby("_bucket")
         .map_groups(score_group, batch_format="pandas")
     )
 

@@ -85,6 +85,72 @@ def _dedup_candidates(candidates, cfg: EngineConfig):
     )
 
 
+def assign_cluster_labels(ids_ds, comp, cfg: EngineConfig):
+    """Attach component labels to every conversation id: unmatched ids form
+    singletons (cluster_id = own id). The label side is broadcast via
+    ray.put when it fits ``broadcast_rows_max``, else attached with a
+    left-outer hash join — the single guarded implementation shared by the
+    in-memory pipeline and the manifest (resume) pipeline.
+
+    ``ids_ds`` must have a ``conv_id`` column; ``comp`` is the
+    (conv_id, cluster_id) components Dataset."""
+    n_comp = comp.count()
+    if n_comp == 0:
+        # no matches at all — every conversation is its own cluster (an empty
+        # Dataset has no schema, so the broadcast path below would KeyError)
+        return ids_ds.select_columns(["conv_id"]).map_batches(
+            lambda t: pa.table(
+                {"conv_id": t.column("conv_id"),
+                 "cluster_id": t.column("conv_id")}
+            ),
+            batch_format="pyarrow",
+        )
+    if n_comp <= cfg.broadcast_rows_max:
+        import ray
+
+        comp_df = comp.to_pandas()
+        labeled_ref = ray.put(
+            dict(zip(comp_df["conv_id"], comp_df["cluster_id"]))
+        )
+
+        def assign(batch: pa.Table) -> pa.Table:
+            from ..state.broadcast import cached_get
+
+            labeled = cached_get(labeled_ref)
+            ids = batch.column("conv_id").to_pylist()
+            return pa.table(
+                {
+                    "conv_id": pa.array(ids, pa.string()),
+                    "cluster_id": pa.array(
+                        [labeled.get(i, i) for i in ids], pa.string()
+                    ),
+                }
+            )
+
+        return ids_ds.select_columns(["conv_id"]).map_batches(
+            assign, batch_format="pyarrow"
+        )
+    from ..config import default_parallelism
+
+    joined = ids_ds.select_columns(["conv_id"]).join(
+        comp,
+        join_type="left_outer",
+        num_partitions=max(default_parallelism(), 8),
+        on=("conv_id",),
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "cluster_id": pa.compute.coalesce(
+                    t.column("cluster_id"), t.column("conv_id")
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def link_transcripts(
     transcripts,
     cfg: EngineConfig | None = None,
@@ -133,62 +199,7 @@ def link_transcripts(
         scored.filter(expr="is_match == True")
     ).materialize()
     comp = connected_components(matches, cfg, src="ltable_id", dst="rtable_id")
-
-    # singletons: conversations with no surviving match keep their own id.
-    # Matched-node labels are a small side (≤ 2×|matches| nodes) → broadcast
-    # lookup; beyond broadcast_rows_max fall back to a left-outer join.
-    n_comp = comp.count()
-    if n_comp == 0:
-        # no matches at all — every conversation is its own cluster (an empty
-        # Dataset has no schema, so the broadcast path below would KeyError)
-        clusters = tuples.select_columns(["conv_id"]).map_batches(
-            lambda t: pa.table(
-                {"conv_id": t.column("conv_id"),
-                 "cluster_id": t.column("conv_id")}
-            ),
-            batch_format="pyarrow",
-        )
-    elif n_comp <= cfg.broadcast_rows_max:
-        import ray
-
-        comp_df = comp.to_pandas()
-        labeled_ref = ray.put(dict(zip(comp_df["conv_id"], comp_df["cluster_id"])))
-
-        def assign(batch: pa.Table) -> pa.Table:
-            labeled = ray.get(labeled_ref)
-            ids = batch.column("conv_id").to_pylist()
-            return pa.table(
-                {
-                    "conv_id": pa.array(ids, pa.string()),
-                    "cluster_id": pa.array(
-                        [labeled.get(i, i) for i in ids], pa.string()
-                    ),
-                }
-            )
-
-        clusters = tuples.select_columns(["conv_id"]).map_batches(
-            assign, batch_format="pyarrow"
-        )
-    else:
-        from ..config import default_parallelism
-
-        joined = tuples.select_columns(["conv_id"]).join(
-            comp,
-            join_type="left_outer",
-            num_partitions=max(default_parallelism(), 8),
-            on=("conv_id",),
-        )
-        clusters = joined.map_batches(
-            lambda t: pa.table(
-                {
-                    "conv_id": t.column("conv_id"),
-                    "cluster_id": pa.compute.coalesce(
-                        t.column("cluster_id"), t.column("conv_id")
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+    clusters = assign_cluster_labels(tuples, comp, cfg)
     return {
         "tuples": tuples,
         "embeddings": emb,

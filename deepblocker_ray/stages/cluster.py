@@ -1,14 +1,15 @@
 """Transitive clustering: connected components over match pairs (A7).
 
 No reference equivalent (the reference stops at blocking); required by
-BASELINE.json north_rule. Implemented as iterative min-label propagation —
-each round: every node adopts the minimum label among itself and its
-neighbors, via ``join`` (labels onto edge sources) + ``groupby(node).min``.
-Converges in O(graph diameter) rounds; entity-resolution components are
-shallow (near-cliques), so a handful of rounds suffices. For provably small
-edge sets a driver-side union-find fast path avoids the per-round shuffles
-(the BTS ICDE'24 load-balanced variant is the upgrade path for adversarial
-graphs — PAPERS.md).
+BASELINE.json north_rule. Implemented as iterative min-label propagation
+with pointer jumping — each round: every node adopts the minimum label among
+itself and its neighbors (two small-int bucket exchanges: attach labels to
+edge endpoints, then min-reduce per node), then label(v) ← label(label(v))
+(one more n-row exchange) so label-pointer distance doubles per round.
+Converges in O(log diameter) rounds — max_iter=25 covers diameter ~2²⁵. For
+provably small edge sets a driver-side union-find fast path avoids the
+per-round shuffles (the BTS ICDE'24 load-balanced variant is the upgrade
+path for adversarial graphs — PAPERS.md).
 
 Convergence detection is a cheap label-signature pass (sum of row hashes),
 not a join of old vs new labels.
@@ -70,13 +71,21 @@ def connected_components(
     dst: str = "right_id",
     max_iter: int = 25,
     driver_threshold: int = 200_000,
+    stats_out: dict | None = None,
 ):
     """edges Dataset → (conv_id, cluster_id) Dataset. cluster_id is the
-    minimum conv_id in the component (deterministic)."""
+    minimum conv_id in the component (deterministic).
+
+    ``stats_out`` (if given) receives ``converged`` (bool) and ``rounds`` so
+    callers can detect degraded output programmatically; with pointer
+    jumping (label doubling: each round also replaces label(v) with
+    label(label(v))) max_iter=25 covers graph diameter ~2²⁵, so
+    non-convergence is only reachable on adversarial inputs."""
     import ray.data as rd
-    from ray.data.aggregate import Min
 
     cfg = cfg or EngineConfig()
+    if stats_out is not None:
+        stats_out.update(converged=True, rounds=0)
     n_edges = edges_ds.count()
     if n_edges == 0:
         return rd.from_pandas(
@@ -111,27 +120,26 @@ def connected_components(
         )
 
     edges = edges_ds.map_batches(to_edge, batch_format="pyarrow").materialize()
-    labels = (
-        edges.groupby("key")
-        .aggregate(Min("val", alias_name="cluster_id"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "conv_id": t.column("key"),
-                    "cluster_id": pa.compute.min_element_wise(
-                        t.column("key"), t.column("cluster_id")
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
+
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("key", sort=False)["val"].min()
+        conv = c.index.values
+        return pd.DataFrame(
+            {"conv_id": conv, "cluster_id": np.minimum(conv, c.values)}
         )
+
+    labels = (
+        edges.groupby("_bucket")
+        .map_groups(init_labels, batch_format="pandas")
         .materialize()
     )
     sig = _label_signature(labels)
 
     def propagate(group: pd.DataFrame) -> pd.DataFrame:
         """One bucket: map node→label, emit (nbr, node_label) per edge plus
-        the node's own label row (vectorized pandas merge)."""
+        the node's own label row (vectorized pandas merge). Combines
+        per-node mins BEFORE the second exchange (partial aggregation), and
+        emits the next exchange's bucket key."""
         lab = group[group["is_label"]]
         edg = group[~group["is_label"]]
         merged = edg.merge(
@@ -139,10 +147,72 @@ def connected_components(
         )
         out_key = pd.concat([merged["val"], lab["key"]], ignore_index=True)
         out_val = pd.concat([merged["label"], lab["val"]], ignore_index=True)
-        return pd.DataFrame({"conv_id": out_key, "cluster_id": out_val})
+        c = (
+            pd.DataFrame({"conv_id": out_key, "cluster_id": out_val})
+            .groupby("conv_id", sort=False)["cluster_id"]
+            .min()
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": c.index.values,
+                "cluster_id": c.values,
+                "_bucket": bucket_of(c.index.values, nb),
+            }
+        )
+
+    def min_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("conv_id", sort=False)["cluster_id"].min()
+        return pd.DataFrame(
+            {"conv_id": c.index.values, "cluster_id": c.values}
+        )
+
+    def shortcut_group(group: pd.DataFrame) -> pd.DataFrame:
+        """One bucket of the pointer-jumping exchange: request rows
+        (key=label(v), val=v) look up label(label(v)) from the label rows
+        (key=x, val=label(x)). Labels are always node ids and label(x) ≤ x,
+        so the inner merge is total and monotone — no min needed."""
+        lab = group[group["is_label"]]
+        req = group[~group["is_label"]]
+        merged = req.merge(
+            lab[["key", "val"]].rename(columns={"val": "label"}), on="key"
+        )
+        return pd.DataFrame(
+            {"conv_id": merged["val"], "cluster_id": merged["label"]}
+        )
+
+    def shortcut(labels_ds):
+        """label(v) ← label(label(v)): doubles the label-pointer distance per
+        round, so propagate+shortcut converges in O(log diameter) rounds
+        instead of O(diameter). One n-row bucket exchange (cheaper than the
+        2|E|-row propagate)."""
+
+        def to_rows(t: pa.Table) -> pa.Table:
+            node = t.column("conv_id").combine_chunks()
+            lab = t.column("cluster_id").combine_chunks()
+            key = pa.concat_arrays([lab, node])
+            out = pa.table(
+                {
+                    "key": key,
+                    "val": pa.concat_arrays([node, lab]),
+                    "is_label": pa.array(
+                        [False] * len(node) + [True] * len(node)
+                    ),
+                }
+            )
+            return out.append_column(
+                "_bucket", pa.array(bucket_of(key.to_pandas(), nb))
+            )
+
+        return (
+            labels_ds.map_batches(to_rows, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(shortcut_group, batch_format="pandas")
+        )
 
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         label_rows = labels.map_batches(
             lambda t: pa.table(
                 {
@@ -156,29 +226,33 @@ def connected_components(
             ),
             batch_format="pyarrow",
         )
-        new_labels = (
+        # two small-int bucket exchanges (propagate keyed on edge endpoint,
+        # min-reduce keyed on the receiving node) — never a per-distinct-key
+        # Ray groupby, which is pathological at node-count cardinality
+        propagated = (
             edges.union(label_rows)
             .groupby("_bucket")
             .map_groups(propagate, batch_format="pandas")
-            .groupby("conv_id")
-            .aggregate(Min("cluster_id", alias_name="cluster_id"))
-            .materialize()
+            .groupby("_bucket")
+            .map_groups(min_reduce, batch_format="pandas")
         )
+        new_labels = shortcut(propagated).materialize()
         new_sig = _label_signature(new_labels)
         labels = new_labels
         if new_sig == sig:
             converged = True
             break
         sig = new_sig
+    if stats_out is not None:
+        stats_out.update(converged=converged, rounds=rounds)
     if not converged:
         import logging
 
         logging.getLogger(__name__).warning(
             "connected_components: min-label propagation did not reach a "
-            "fixpoint after %d rounds — components with graph diameter > %d "
-            "may be split into multiple clusters. Raise max_iter (or lower "
-            "driver_threshold to use exact union-find) for chain-shaped "
-            "graphs.",
+            "fixpoint after %d rounds — components with graph diameter "
+            "beyond ~2^%d may be split into multiple clusters (callers can "
+            "detect this via stats_out['converged']).",
             max_iter,
             max_iter,
         )

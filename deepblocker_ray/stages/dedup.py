@@ -592,10 +592,18 @@ def _hamming_verify_fn(max_hamming: int):
     def fn(ls, rs, lp, rp) -> pa.Table:
         import pyarrow.compute as pc
 
+        # a null payload means the id was missing from the fingerprint side —
+        # drop those candidate pairs rather than scoring them as an empty doc
+        # (fingerprint 0), which could emit false duplicates against
+        # low-popcount fingerprints
+        valid = (
+            pc.and_(pc.is_valid(lp), pc.is_valid(rp))
+            .to_numpy(zero_copy_only=False)
+        )
         a = np.asarray(pc.fill_null(lp, 0)).astype(np.uint64)
         b = np.asarray(pc.fill_null(rp, 0)).astype(np.uint64)
         d = popcount64(a ^ b)
-        idx = np.nonzero(d <= max_hamming)[0]
+        idx = np.nonzero(valid & (d <= max_hamming))[0]
         ls = np.asarray(ls, object)
         rs = np.asarray(rs, object)
         return pa.table(

@@ -112,9 +112,11 @@ class TurnLookup:
     ``_h`` uint64 id-hash column that keeps the per-process build at
     milliseconds."""
 
-    def __init__(self, refs, id_col: str = "_id"):
+    def __init__(self, refs):
         from ..state.lookup import ColumnLookup
 
+        # keyed on "_id" by construction: _turn_refs renames id_col to _id
+        # and ships the matching precomputed _h hash column
         self._lk = ColumnLookup(refs, "_id", "turn_texts", hash_col="_h")
 
     def get_lists(self, keys) -> list[list[str]]:
@@ -186,9 +188,9 @@ def score_candidates(
     def score_fn(batch: pa.Table) -> pa.Table:
         from ..state.broadcast import cached_compute
 
-        left = cached_compute(lkey, lambda: TurnLookup(left_refs, id_col))
+        left = cached_compute(lkey, lambda: TurnLookup(left_refs))
         right = (
-            cached_compute(rkey, lambda: TurnLookup(right_refs, id_col))
+            cached_compute(rkey, lambda: TurnLookup(right_refs))
             if right_refs is not None
             else left
         )

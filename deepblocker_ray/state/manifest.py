@@ -134,7 +134,6 @@ def linkage_with_manifest(
     from ..stages.pairing import ExactTopKPairer
     from ..stages.scoring import score_candidates
 
-    import pyarrow as pa
     import ray.data as rd
 
     cfg = cfg or EngineConfig()
@@ -173,33 +172,14 @@ def linkage_with_manifest(
     ).materialize()
 
     def cluster():
+        from ..pipelines.linkage import assign_cluster_labels
+
         comp = connected_components(
             matches, cfg, src="ltable_id", dst="rtable_id"
         )
-        import ray
-
-        if comp.count() > 0:
-            comp_df = comp.to_pandas()
-            labeled = dict(zip(comp_df["conv_id"], comp_df["cluster_id"]))
-        else:
-            labeled = {}
-        ref = ray.put(labeled)
-
-        def assign(batch: pa.Table) -> pa.Table:
-            lab = ray.get(ref)
-            ids = batch.column("conv_id").to_pylist()
-            return pa.table(
-                {
-                    "conv_id": pa.array(ids, pa.string()),
-                    "cluster_id": pa.array(
-                        [lab.get(i, i) for i in ids], pa.string()
-                    ),
-                }
-            )
-
-        return tuples.select_columns(["conv_id"]).map_batches(
-            assign, batch_format="pyarrow"
-        )
+        # shared guarded assignment: broadcast under broadcast_rows_max,
+        # left-outer join beyond it — never an unguarded to_pandas
+        return assign_cluster_labels(tuples, comp, cfg)
 
     clusters = run.stage(
         "clusters", cluster, params=params, deps=["matches", "tuples"]

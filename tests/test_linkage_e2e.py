@@ -62,6 +62,59 @@ class TestClusterStage:
             assert out[n] == "s0"
         assert out["x1"] == out["x2"] == "x1"
 
+    def test_pointer_jumping_long_chain(self, ray_session):
+        """Chain with diameter 600 ≫ max_iter=25 converges via pointer
+        jumping (label doubling: ~log2(d) rounds) on the distributed path,
+        and reports convergence through stats_out."""
+        import ray.data as rd
+
+        n = 600
+        ids = [f"n{i:04d}" for i in range(n)]
+        edges = pd.DataFrame(
+            {"left_id": ids[:-1], "right_id": ids[1:]}
+        )
+        stats: dict = {}
+        out = (
+            connected_components(
+                rd.from_pandas(edges), CFG, driver_threshold=0,
+                stats_out=stats,
+            )
+            .to_pandas()
+            .set_index("conv_id")["cluster_id"]
+        )
+        assert stats["converged"] is True
+        assert stats["rounds"] <= 12, stats
+        assert len(out) == n
+        assert (out == "n0000").all()
+
+    def test_distributed_matches_union_find(self, ray_session):
+        """Random graph: distributed propagate+shortcut path produces the
+        exact same partition labels as driver-side union-find."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(41)
+        n_nodes, n_edges = 300, 380
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        edges = pd.DataFrame(
+            {
+                "left_id": [f"v{x:03d}" for x in a],
+                "right_id": [f"v{x:03d}" for x in b],
+            }
+        )
+        got = (
+            connected_components(rd.from_pandas(edges), CFG, driver_threshold=0)
+            .to_pandas()
+            .set_index("conv_id")["cluster_id"]
+            .sort_index()
+        )
+        want = (
+            union_find_pandas(edges, "left_id", "right_id")
+            .set_index("conv_id")["cluster_id"]
+            .sort_index()
+        )
+        assert got.to_dict() == want.to_dict()
+
 
 class TestLinkageE2E:
     @pytest.fixture(scope="class")
