@@ -248,6 +248,114 @@ def q_linkage_full(sf_dir: str):
     return res["clusters"]
 
 
+VEC_K = 5
+VEC_TAU = 0.471  # sits ≥6e-5 from every candidate-pair score at sf0.001/0.01/0.1
+                 # (~1500× the float32-cosine error) — see oracle_sql notes
+
+
+def _vec_emb(sf_dir: str):
+    """Precomputed-embedding table as (conv_id, emb) for the pairing stages."""
+    from deepblocker_ray.stages.annsearch import prep_embeddings
+
+    return (
+        prep_embeddings(_embeddings(sf_dir))
+        .map_batches(
+            lambda t: pa.table(
+                {"conv_id": t.column("vec_id"), "emb": t.column("emb")}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+
+def _vec_tuples(sf_dir: str, emb):
+    """Turn texts for the precomputed-embedding linkage chain: documents
+    joined onto the embedding ids (vec_id = doc_id), one turn per doc."""
+    import numpy as np
+
+    docs = _documents(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "conv_id": t.column("doc_id").cast(pa.string()),
+                "text": t.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = docs.join(
+        emb.select_columns(["conv_id"]),
+        join_type="inner",
+        num_partitions=8,
+        on=("conv_id",),
+    )
+
+    def to_tuples(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks().cast(pa.string())
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.arange(len(t) + 1, dtype=np.int32)), texts
+        )
+        return pa.table(
+            {"conv_id": t.column("conv_id"), "turn_texts": lists}
+        )
+
+    return joined.map_batches(to_tuples, batch_format="pyarrow").materialize()
+
+
+def q_blocking_vec(sf_dir: str):
+    """Top-K cosine blocking candidates over the PRECOMPUTED embeddings view
+    (no hash embedding in the loop) — the full pairer+dedup output has an
+    exact SQL twin."""
+    from deepblocker_ray.pipelines.linkage import _dedup_candidates
+    from deepblocker_ray.stages.pairing import ExactTopKPairer
+
+    cfg = _cfg()
+    emb = _vec_emb(sf_dir)
+    pairer = ExactTopKPairer(k=VEC_K, cfg=cfg, exclude_self=True).index(
+        emb, id_col="conv_id"
+    )
+    cand = _dedup_candidates(
+        pairer.query(emb, id_col="conv_id").materialize(), cfg
+    )
+    return cand.map_batches(
+        lambda t: pa.table(
+            {
+                "left_id": t.column("left_id"),
+                "right_id": t.column("right_id"),
+                "rank": t.column("rank").cast(pa.int32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_linkage_vec(sf_dir: str):
+    """FULL linkage chain (blocking → candidate dedup → cosine+JW+Levenshtein
+    scoring → threshold → connected components → cluster assignment) over
+    precomputed embeddings + document text. Every stage is SQL-expressible,
+    so the end-to-end cluster labels are hash-checked against DuckDB."""
+    import pyarrow.compute as pc
+
+    from deepblocker_ray.pipelines.linkage import link_from_embeddings
+
+    cfg = _cfg()
+    emb = _vec_emb(sf_dir)
+    tuples = _vec_tuples(sf_dir, emb)
+    res = link_from_embeddings(tuples, emb, cfg, k=VEC_K, threshold=VEC_TAU)
+    return res["clusters"].map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("conv_id"),
+                "cluster_id": t.column("cluster_id"),
+                "is_duplicate": pc.not_equal(
+                    t.column("cluster_id"), t.column("conv_id")
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_string_sims(sf_dir: str):
     """Levenshtein + Jaro-Winkler on adjacent-document text pairs via the
     batched kernels — SQL-checkable against DuckDB's native levenshtein()
@@ -358,6 +466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "blocking_sif": q_blocking_sif,
         "linkage_full": q_linkage_full,
+        "blocking_vec": q_blocking_vec,
+        "linkage_vec": q_linkage_vec,
         "string_sims": q_string_sims,
         "media_features": q_media_features,
     }
@@ -512,7 +622,65 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rk <= 5 AND cos >= 0.45
     """
 
+    # precomputed-embedding linkage chain (blocking_vec / linkage_vec): the
+    # one float-sensitive comparison is score >= VEC_TAU; 0.471 sits ≥6e-5
+    # from every candidate-pair score at sf0.001/0.01/0.1 while the engine's
+    # float32-cosine contribution differs from SQL's float64 by ≤ ~4e-8.
+    vec_ranked = """
+        sims AS (SELECT a.id AS qid, b.id AS xid,
+                        list_cosine_similarity(a.embedding, b.embedding) AS cos
+                 FROM docs a JOIN docs b ON b.id <> a.id),
+        ranked AS (SELECT qid, xid, cos,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY cos DESC, xid) AS rk
+                   FROM sims)
+    """
+
+    blocking_vec_sql = f"""
+        WITH docs AS (
+            SELECT CAST(vec_id AS VARCHAR) AS id, embedding FROM embeddings
+        ),
+        {vec_ranked}
+        SELECT least(qid, xid) AS left_id, greatest(qid, xid) AS right_id,
+               CAST(min(rk) - 1 AS INTEGER) AS rank
+        FROM ranked WHERE rk <= {VEC_K} GROUP BY 1, 2
+    """
+
+    # match pairs: same candidates, scored with the engine's exact formula —
+    # clipped cosine (0.4) + Jaro-Winkler (0.3) + Levenshtein ratio (0.3) on
+    # 128-char-capped text, single aligned turn per doc
+    linkage_vec_pairs = f"""
+        WITH docs AS (
+            SELECT CAST(e.vec_id AS VARCHAR) AS id, d.text, e.embedding
+            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        ),
+        {vec_ranked},
+        cand AS (
+            SELECT least(qid, xid) AS l, greatest(qid, xid) AS r
+            FROM ranked WHERE rk <= {VEC_K} GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT c.l, c.r,
+                   list_cosine_similarity(da.embedding, db.embedding) AS cos,
+                   substr(da.text, 1, 128) AS ta, substr(db.text, 1, 128) AS tb
+            FROM cand c JOIN docs da ON da.id = c.l JOIN docs db ON db.id = c.r
+        )
+        SELECT l AS left_id, r AS right_id FROM scored
+        WHERE (0.4 * greatest(least(cos, 1.0), 0.0)
+             + 0.3 * jaro_winkler_similarity(ta, tb)
+             + 0.3 * (CASE WHEN greatest(length(ta), length(tb)) = 0 THEN 1.0
+                      ELSE 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+                           / greatest(length(ta), length(tb)) END)) >= {VEC_TAU}
+    """
+
+    linkage_vec_base = (
+        "(SELECT e.vec_id FROM embeddings e "
+        "JOIN documents dd ON dd.doc_id = e.vec_id)"
+    )
+
     return {
+        "blocking_vec": blocking_vec_sql,
+        "linkage_vec": _cc_sql(linkage_vec_pairs, linkage_vec_base, "vec_id"),
         "canonicalize": f"""
             WITH transcripts AS ({transcripts_cte})
             SELECT conv_id,

@@ -171,7 +171,30 @@ def link_transcripts(
     ).materialize()
     emb_model.fit(tuples, text_col="tuple_text")
     emb = emb_model.transform(tuples, id_col="conv_id").materialize()
+    return link_from_embeddings(
+        tuples, emb, cfg, k=k, pairing=pairing, threshold=threshold
+    )
 
+
+def link_from_embeddings(
+    tuples,
+    emb,
+    cfg: EngineConfig | None = None,
+    k: int = 10,
+    pairing: str = "exact",
+    threshold: float | None = None,
+) -> dict:
+    """Linkage back half over PRECOMPUTED embeddings: top-K cosine blocking →
+    candidate-pair dedup → pairwise scoring (cosine + Jaro-Winkler +
+    Levenshtein on turn texts) → threshold → transitive clustering.
+
+    ``tuples`` must have (conv_id, turn_texts); ``emb`` must have
+    (conv_id, emb: fixed_size_list<float32, D>). This is both the tail of
+    link_transcripts and the standalone entry point for tables that ship
+    their own embedding column (e.g. the driver's ``embeddings`` view) —
+    with no hash embedding in the loop, every stage of the chain has an
+    exact DuckDB twin (__ray_entry__: blocking_vec / linkage_vec)."""
+    cfg = cfg or EngineConfig()
     if pairing == "exact":
         pairer = ExactTopKPairer(k=k, cfg=cfg, exclude_self=True)
     elif pairing == "ivf":
