@@ -10,16 +10,19 @@ deterministically from the ``documents`` view by an 8-word-turn rule that has
 an exact SQL twin (deepblocker_ray.fixtures), so canonicalize is
 SQL-checkable.
 
-Oracle coverage (17 of 20 queries have a full SQL twin): the dedup cluster
+Oracle coverage (21 of 23 queries have a full SQL twin): the dedup cluster
 queries are checked against brute-force exact-similarity pair SQL +
 recursive-CTE connected components; simhash's 64-bit fingerprint is
 recomputed bit-for-bit in SQL (the engine's stable hash IS DuckDB's
 md5_number_lower); knn_ivf probes every cell, making IVF provably identical
-to exact search, and shares the exact twin. The remaining three
-(blocking_sif, linkage_full, media_features) depend on the deterministic
-hash-embedding table / synthetic binary payloads, which SQL cannot
-reproduce — they get rows-only checks plus dedicated pytest oracles
-(numpy conformance, planted-cluster F1, hand-computed entropy/magic).
+to exact search, and shares the exact twin; blocking_vec/linkage_vec run the
+full blocking→scoring→clustering chain over the precomputed embeddings view
+so the end-to-end cluster labels hash-match; media_features derives ASCII
+payloads from documents so size/sniff/md5 are byte-exact in SQL. The
+remaining two (blocking_sif, linkage_full) depend on the deterministic
+hash-embedding table, which SQL cannot reproduce — they get rows-only
+checks plus dedicated pytest oracles (numpy conformance, planted-cluster
+F1); the same chain is fully hash-checked via the _vec twins.
 """
 
 from __future__ import annotations
@@ -419,24 +422,22 @@ def q_string_sims(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Real codec-free binary analysis (size/entropy/magic-sniff/md5) over a
-    deterministic synthetic media table, joined with the feature-extract
-    plumbing stage's ids (decode itself stays a declared stub — the
-    container has no codec libraries)."""
-    import ray.data as rd
-
+    """Real codec-free binary analysis (size/magic-sniff/mismatch-flag/md5)
+    over a media table derived deterministically from the documents view —
+    ASCII magic prefixes + ASCII-sanitized text payloads make every output
+    column exactly reproducible in DuckDB (strlen/substr/md5 on VARCHAR
+    coincide with the engine's byte semantics). Entropy/mean-byte stay
+    pytest-oracled (hand-computed); real decode stays a declared stub — the
+    feature-extract plumbing is exercised in tests/test_multimodal.py."""
     from deepblocker_ray.stages.multimodal import (
-        extract_media_features,
+        media_from_documents,
         media_stats,
-        synth_media_table,
     )
 
-    media = rd.from_arrow(synth_media_table(n=96, seed=7)).materialize()
-    extract_media_features(media, _cfg(), fake_decode=True).count()  # plumbing
+    media = media_from_documents(_documents(sf_dir))
     out = media_stats(media, _cfg())
     return out.select_columns(
-        ["media_id", "kind", "n_bytes", "entropy_bits", "sniffed_mime",
-         "mime_matches", "md5"]
+        ["media_id", "kind", "n_bytes", "sniffed_mime", "mime_matches", "md5"]
     )
 
 
@@ -530,6 +531,11 @@ def oracle_sql() -> dict[str, str]:
     # ≤ 3); minhash r=4/b=32 misses a J=0.9 pair w.p. ~1e-15; anchor blocking
     # shares a smallest-hash gram w.h.p. — both verified empirically against
     # these twins on the driver tables.
+    # NOTE: the engine shingles UTF-8 BYTES (dedup._shingle_hashes_batch;
+    # short-doc rule is byte length < k) while substr/length below are
+    # CHARACTER-based — identical only on ASCII corpora, which the driver
+    # tables are (verified: 0 non-ASCII docs at every sf). A non-ASCII twin
+    # would need encode(text) + byte-window substrings.
     minhash_pairs = """
         WITH sh AS (
             SELECT doc_id,
@@ -862,6 +868,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank < 10
+        """,
+        "media_features": """
+            WITH med AS (
+                SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id,
+                       CASE doc_id % 3 WHEN 0 THEN 'image'
+                                       WHEN 1 THEN 'audio'
+                                       ELSE 'video' END AS kind,
+                       CASE doc_id % 3 WHEN 0 THEN 'image/gif'
+                                       WHEN 1 THEN 'audio/wav'
+                                       ELSE 'video/mp4' END AS mime,
+                       (CASE WHEN doc_id % 7 = 0 THEN ''
+                             ELSE CASE doc_id % 3 WHEN 0 THEN 'GIF89a'
+                                                  WHEN 1 THEN 'RIFF'
+                                                  ELSE '0000ftyp' END END)
+                       || regexp_replace(text, '[^ -~]', '', 'g') AS payload
+                FROM documents
+            ),
+            sniffed AS (
+                SELECT media_id, kind, mime, payload,
+                       CASE WHEN substr(payload, 1, 4) = 'GIF8'
+                                 THEN 'image/gif'
+                            WHEN substr(payload, 1, 4) = 'RIFF'
+                                 THEN 'audio/wav'
+                            WHEN substr(payload, 5, 4) = 'ftyp'
+                                 THEN 'video/mp4'
+                            ELSE 'application/octet-stream' END AS sniffed_mime
+                FROM med
+            )
+            SELECT media_id, kind,
+                   CAST(strlen(payload) AS BIGINT) AS n_bytes,
+                   sniffed_mime,
+                   sniffed_mime = mime AS mime_matches,
+                   md5(payload) AS md5
+            FROM sniffed
         """,
         "knn_exact": """
             WITH sims AS (

@@ -12,6 +12,7 @@ layout. Swapping in PIL/ffmpeg later only replaces the kernel body.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -55,6 +56,49 @@ def synth_media_table(n: int = 64, seed: int = 7) -> pa.Table:
         rows["height"].append(int(rng.integers(16, 256)) if kind != "audio" else 0)
         rows["duration_ms"].append(int(rng.integers(100, 10_000)) if kind != "image" else 0)
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+# media_from_documents: every byte of the payload is reproducible in SQL.
+# The magic prefixes are ASCII-only (GIF8/RIFF/ftyp — PNG/JPEG sigs contain
+# bytes that can never begin valid UTF-8, so they cannot occur here) and the
+# text is sanitized to printable ASCII, which makes DuckDB's character-based
+# substr/strlen/md5 coincide exactly with the engine's byte semantics.
+_ASCII_RE = re.compile(r"[^\x20-\x7e]")
+_DERIVED_KINDS = ["image", "audio", "video"]
+_DERIVED_MIME = {"image": "image/gif", "audio": "audio/wav", "video": "video/mp4"}
+_DERIVED_MAGIC = {"image": b"GIF89a", "audio": b"RIFF", "video": b"0000ftyp"}
+
+
+def media_from_documents(ds):
+    """Deterministic media table derived from a ``documents``-shaped dataset
+    (doc_id, text): kind cycles image/audio/video on ``doc_id % 3``, payload
+    is an ASCII container magic + the ASCII-sanitized text, and every 7th row
+    (``doc_id % 7 == 0``) is deliberately headerless so magic sniffing sees
+    corrupt/mislabeled rows. Unlike ``synth_media_table`` (random bytes, for
+    plumbing tests), this derivation has an exact DuckDB twin — see
+    ``__ray_entry__.oracle_sql()['media_features']`` — so n_bytes / sniffed
+    mime / mismatch flag / md5 are all hash-checkable end-to-end."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_ids = np.asarray(batch.column("doc_id"))
+        texts = batch.column("text").to_pylist()
+        kinds = [_DERIVED_KINDS[int(d) % 3] for d in doc_ids]
+        payloads = []
+        for d, k, t in zip(doc_ids, kinds, texts):
+            head = b"" if int(d) % 7 == 0 else _DERIVED_MAGIC[k]
+            payloads.append(head + _ASCII_RE.sub("", t or "").encode("ascii"))
+        return pa.table(
+            {
+                "media_id": pa.array(
+                    [f"m-{int(d)}" for d in doc_ids], pa.string()
+                ),
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "mime": pa.array([_DERIVED_MIME[k] for k in kinds], pa.string()),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
 
 
 class MediaFeatureExtract:

@@ -90,3 +90,52 @@ class TestMediaStats:
         df = out.to_pandas()
         assert len(df) == 32
         assert all(len(f) == 16 for f in df["feature"])
+
+
+class TestMediaFromDocuments:
+    def test_derivation_rule(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.multimodal import media_from_documents
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 7, 14], pa.int64()),
+                "text": [
+                    "zero doc",      # %7==0 -> headerless
+                    "audio doc",     # RIFF
+                    "vidéo doc",     # 0000ftyp, é stripped (non-ASCII)
+                    "img doc",       # GIF89a
+                    "seven",         # %7==0 headerless even though %3==1
+                    None,            # %7==0, null text -> empty payload
+                ],
+            }
+        )
+        out = (
+            media_from_documents(rd.from_arrow(docs))
+            .to_pandas()
+            .set_index("media_id")
+        )
+        assert out.loc["m-0", "payload"] == b"zero doc"
+        assert out.loc["m-1", "payload"] == b"RIFFaudio doc"
+        assert out.loc["m-2", "payload"] == b"0000ftypvido doc"
+        assert out.loc["m-3", "payload"] == b"GIF89aimg doc"
+        assert out.loc["m-7", "payload"] == b"seven"
+        assert out.loc["m-14", "payload"] == b""
+        assert list(out["kind"]) == [
+            "image", "audio", "video", "image", "audio", "video",
+        ]
+        assert out.loc["m-2", "mime"] == "video/mp4"
+
+        stats = (
+            media_stats(media_from_documents(rd.from_arrow(docs)), CFG)
+            .to_pandas()
+            .set_index("media_id")
+        )
+        assert stats.loc["m-1", "sniffed_mime"] == "audio/wav"
+        assert bool(stats.loc["m-1", "mime_matches"])
+        assert stats.loc["m-2", "sniffed_mime"] == "video/mp4"
+        assert stats.loc["m-0", "sniffed_mime"] == "application/octet-stream"
+        assert not bool(stats.loc["m-0", "mime_matches"])
+        assert stats.loc["m-14", "n_bytes"] == 0
+        assert stats.loc["m-3", "md5"] == hashlib.md5(b"GIF89aimg doc").hexdigest()
