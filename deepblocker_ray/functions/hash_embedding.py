@@ -128,10 +128,13 @@ def mean_pool_embed(
     nu = len(uniq)
     uvecs = table.vectors(uniq).astype(np.float64)
     if weights is not None:
-        get_w = weights.get
-        uw = np.fromiter(
-            (get_w(t, oov_weight) for t in uniq), np.float64, nu
-        )
+        if hasattr(weights, "get_many"):  # state/lookup.HashedWeights
+            uw = weights.get_many(uniq, oov_weight)
+        else:
+            get_w = weights.get
+            uw = np.fromiter(
+                (get_w(t, oov_weight) for t in uniq), np.float64, nu
+            )
         uvecs *= uw[:, None]
 
     rows = np.repeat(np.arange(n, dtype=np.int64), counts)

@@ -217,32 +217,130 @@ def exact_dedup(
     cfg: EngineConfig | None = None,
 ):
     """Keep one row (min id) per distinct text; output
-    (doc_id, text, n_dups). Hash-bucket groupby — shuffle key is a small int,
-    dedup inside the bucket is vectorized pandas."""
+    (doc_id, text, n_dups).
+
+    The exchange is METADATA-ONLY: each batch partial-combines locally and
+    ships only (md5-128 text hash, min id, count) through the bucket
+    groupby — the text column never rides the shuffle (a text-keyed
+    exchange would move the whole corpus at 100-TB scale). Winners (one row
+    per distinct text) are then re-attached to their text MAP-SIDE via the
+    byte-capped broadcast lookup (state/lookup.ColumnLookup), falling back
+    to a hash join when the winner set exceeds the caps. Text identity is
+    the 128-bit md5; a false merge needs an md5 collision (~n²/2¹²⁸ —
+    negligible at any corpus size)."""
     cfg = cfg or EngineConfig()
     nb = cfg.num_buckets
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[[id_col, text_col]].copy()
-        out["_bucket"] = bucket_of(out[text_col], nb)
-        return out
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        h1 = np.empty(n, np.uint64)
+        h2 = np.empty(n, np.uint64)
+        for i, t in enumerate(df[text_col].astype(str)):
+            d = hashlib.md5(t.encode("utf-8", "surrogatepass")).digest()
+            h1[i] = int.from_bytes(d[:8], "little")
+            h2[i] = int.from_bytes(d[8:], "little")
+        g = pd.DataFrame({"_h1": h1, "_h2": h2, "_id": df[id_col].values})
+        agg = (
+            g.groupby(["_h1", "_h2"], sort=False)
+            .agg(_min=("_id", "min"), _n=("_id", "size"))
+            .reset_index()
+        )
+        agg["_bucket"] = (agg["_h1"] % np.uint64(nb)).astype("int32")
+        return agg
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby(text_col, sort=False).agg(
-            doc_id=(id_col, "min"), n_dups=(id_col, "size")
+        agg = (
+            g.groupby(["_h1", "_h2"], sort=False)
+            .agg(doc_id=("_min", "min"), n_dups=("_n", "sum"))
+            .reset_index()
         )
         return pd.DataFrame(
             {
                 "doc_id": agg["doc_id"].values,
-                text_col: agg.index.values,
                 "n_dups": agg["n_dups"].values.astype(np.int64),
             }
         )
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+    winners = (
+        ds.map_batches(partial, batch_format="pandas")
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
+    )
+
+    skinny = winners.map_batches(
+        lambda t: pa.table(
+            {
+                "_pid": t.column("doc_id").cast(pa.string()),
+                "_ph": pa.array(
+                    pd.util.hash_array(
+                        np.asarray(
+                            t.column("doc_id").cast(pa.string()).to_pylist(),
+                            dtype=object,
+                        )
+                    )
+                ),
+                "_n": t.column("n_dups"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    mat = skinny.materialize()
+    fits = (
+        mat.count() <= cfg.broadcast_rows_max
+        and mat.size_bytes() <= cfg.broadcast_bytes_max
+    )
+    if fits:
+        refs = mat.to_arrow_refs()
+        cache_key = "exactwin:" + ",".join(r.hex() for r in refs)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            from ..state.broadcast import cached_compute
+            from ..state.lookup import ColumnLookup
+
+            lk = cached_compute(
+                cache_key,
+                lambda: ColumnLookup(refs, "_pid", "_n", hash_col="_ph"),
+            )
+            ids = batch.column(id_col).cast(pa.string()).to_pylist()
+            nd = lk.take_pylist(ids)
+            keep = np.fromiter((v is not None for v in nd), bool, len(nd))
+            t = batch.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "doc_id": t.column(id_col),
+                    text_col: t.column(text_col),
+                    "n_dups": pa.array(
+                        [int(v) for v in nd[keep]], pa.int64()
+                    ),
+                }
+            )
+
+        return ds.map_batches(attach, batch_format="pyarrow")
+
+    from ..config import default_parallelism
+
+    joined = ds.map_batches(
+        lambda t: pa.table(
+            {"_pid": t.column(id_col).cast(pa.string()),
+             "_wid": t.column(id_col),
+             text_col: t.column(text_col)}
+        ),
+        batch_format="pyarrow",
+    ).join(
+        mat.select_columns(["_pid", "_n"]),
+        join_type="inner",
+        num_partitions=max(default_parallelism(), 8),
+        on=("_pid",),
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("_wid"),
+                text_col: t.column(text_col),
+                "n_dups": t.column("_n").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 

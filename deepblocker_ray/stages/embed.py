@@ -98,7 +98,7 @@ class _EmbedBatch:
         self.table = HashEmbedding(dim=dim, seed=seed)
         self.id_col = id_col
         self.text_col = text_col
-        self.weights = ray.get(weights_ref) if weights_ref is not None else None
+        self.weights = _resolve_weights(weights_ref)
         self.oov_weight = oov_weight
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -106,6 +106,21 @@ class _EmbedBatch:
             batch, self.table, self.weights, self.id_col, self.text_col,
             self.oov_weight,
         )
+
+
+def _resolve_weights(weights_ref):
+    """A weight map reaches workers either as a ray.put ObjectRef of a dict
+    (legacy / small vocab) or as a HashedWeightsHandle over plasma block refs
+    (vocab-size-independent); both memoize per process."""
+    if weights_ref is None:
+        return None
+    from ..state.lookup import HashedWeightsHandle
+
+    if isinstance(weights_ref, HashedWeightsHandle):
+        return weights_ref.resolve()
+    from ..state.broadcast import cached_get
+
+    return cached_get(weights_ref)
 
 
 def _embed_stage(ds, cfg: EngineConfig, id_col, text_col, weights_ref=None,
@@ -133,10 +148,10 @@ def _embed_stage(ds, cfg: EngineConfig, id_col, text_col, weights_ref=None,
     dim, seed = cfg.emb_dim, cfg.seed
 
     def embed_fn(batch: pa.Table) -> pa.Table:
-        from ..state.broadcast import cached_get, process_embedding_table
+        from ..state.broadcast import process_embedding_table
 
         table = process_embedding_table(dim, seed)
-        weights = cached_get(weights_ref) if weights_ref is not None else None
+        weights = _resolve_weights(weights_ref)
         return _embed_table_batch(
             batch, table, weights, id_col, text_col, oov_weight
         )
@@ -292,10 +307,50 @@ class SIFEmbedder:
         self.total_tokens = 0
 
     def fit(self, ds, text_col: str = "tuple_text"):
-        freq = token_frequencies(ds, text_col).to_pandas()
-        weights, total = sif_weight_dict(freq, self.a, self.min_freq)
+        """Global token-frequency fit with O(1) DRIVER memory: the frequency
+        table stays in the object store; only the scalar total crosses to the
+        driver. The weight map ships to workers as a HashedWeightsHandle
+        (sorted uint64 token-hash → float64 weight plasma blocks, built once
+        per worker process) instead of a Python dict — fit-state size is
+        independent of vocabulary size.
+
+        Truncation rule (reference tuple_embedding_models.py:116-119):
+        tokens with frequency < min_freq get weight exactly 1.0, which
+        equals the OOV fallback — so they need no map entry at all and
+        ``min_freq`` bounds the map to the frequent vocabulary. (If a
+        caller combines min_freq>1 with a non-default oov_weight at
+        transform time, truncated tokens follow the oov_weight.)"""
+        from ..state.lookup import HashedWeightsHandle, hash_tokens_2x
+
+        freq = token_frequencies(ds, text_col, self.cfg).materialize()
+        if freq.count() == 0:  # empty corpus → Dataset with no columns
+            self.total_tokens = 0
+            self.weights_ref = HashedWeightsHandle([], default=1.0)
+            return self
+        total = int(freq.sum("count"))
         self.total_tokens = total
-        self.weights_ref = ray.put(weights)
+        a, min_freq = self.a, self.min_freq
+
+        def to_hashed(t: pa.Table) -> pa.Table:
+            toks = np.asarray(t.column("token").to_pylist(), dtype=object)
+            counts = np.asarray(t.column("count"), dtype=np.float64)
+            w = np.where(counts >= min_freq, a / (a + counts / total), 1.0)
+            keep = w != 1.0  # ==1.0 only via the min_freq rule (counts ≥ 1)
+            h1, h2 = hash_tokens_2x(toks[keep])
+            return pa.table(
+                {
+                    "_h1": pa.array(h1),
+                    "_h2": pa.array(h2),
+                    "_w": pa.array(w[keep]),
+                }
+            )
+
+        hashed = freq.map_batches(
+            to_hashed, batch_format="pyarrow"
+        ).materialize()
+        self.weights_ref = HashedWeightsHandle(
+            hashed.to_arrow_refs(), default=1.0
+        )
         return self
 
     def transform(self, ds, id_col: str = "conv_id", text_col: str = "tuple_text"):

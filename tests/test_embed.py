@@ -123,3 +123,43 @@ class TestTopPC:
         want = oracle.top_principal_component(x)
         # engine stores embeddings as float32 → ~1e-7 wobble vs float64 oracle
         np.testing.assert_allclose(np.abs(pc), np.abs(want), atol=1e-6)
+
+
+class TestHashedWeightsFit:
+    """SIFEmbedder.fit keeps the vocabulary in the object store (a
+    HashedWeightsHandle), never a driver dict — these pin the truncation
+    rule and dict-parity of the hashed map."""
+
+    def test_truncation_matches_reference_rule(self, ray_session):
+        import ray.data as rd
+
+        # min_freq=2: singleton tokens get weight exactly 1.0 (reference
+        # tuple_embedding_models.py:116-119) == the OOV fallback, so they
+        # are absent from the hashed map — and the transform still matches
+        # the numpy oracle that carries them explicitly at 1.0.
+        m = SIFEmbedder(CFG, remove_pc=False, min_freq=2)
+        ds_in = rd.from_pandas(tuples_df())
+        emb = m.fit(ds_in).transform(ds_in)
+        got, _ = sorted_emb(emb)
+        table = HashEmbedding(dim=DIM, seed=1234)
+        w, total = oracle.sif_weights(CORPUS, min_freq=2)
+        want = oracle.sif_embed(CORPUS, table, w, remove_pc=False)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+        hashed = m.weights_ref.resolve()
+        n_frequent = sum(1 for v in w.values() if v != 1.0)
+        assert len(hashed) == n_frequent  # rare tokens truly truncated
+        assert len(hashed) < len(w)
+        assert m.total_tokens == total
+
+    def test_hashed_map_parity_with_dict(self, ray_session):
+        import ray.data as rd
+
+        m = SIFEmbedder(CFG, remove_pc=False).fit(rd.from_pandas(tuples_df()))
+        hashed = m.weights_ref.resolve()
+        w, _ = oracle.sif_weights(CORPUS)
+        assert len(hashed) == len(w)
+        for tok, want in w.items():
+            assert hashed.get(tok) == pytest.approx(want, rel=1e-12)
+        assert hashed.get("never-seen-token") == 1.0
+        assert hashed.get("never-seen-token", 0.25) == 0.25
