@@ -304,7 +304,6 @@ class SIFEmbedder:
         self.remove_pc_flag = remove_pc
         self.min_freq = min_freq
         self.weights_ref = None
-        self.total_tokens = 0
 
     def fit(self, ds, text_col: str = "tuple_text"):
         """Global token-frequency fit with O(1) DRIVER memory: the frequency
@@ -322,36 +321,41 @@ class SIFEmbedder:
         transform time, truncated tokens follow the oov_weight.)"""
         from ..state.lookup import HashedWeightsHandle, hash_tokens_2x
 
-        freq = token_frequencies(ds, text_col, self.cfg).materialize()
-        if freq.count() == 0:  # empty corpus → Dataset with no columns
-            self.total_tokens = 0
-            self.weights_ref = HashedWeightsHandle([], default=1.0)
-            return self
-        total = int(freq.sum("count"))
-        self.total_tokens = total
-        a, min_freq = self.a, self.min_freq
-
         def to_hashed(t: pa.Table) -> pa.Table:
             toks = np.asarray(t.column("token").to_pylist(), dtype=object)
-            counts = np.asarray(t.column("count"), dtype=np.float64)
-            w = np.where(counts >= min_freq, a / (a + counts / total), 1.0)
-            keep = w != 1.0  # ==1.0 only via the min_freq rule (counts ≥ 1)
-            h1, h2 = hash_tokens_2x(toks[keep])
+            h1, h2 = hash_tokens_2x(toks)
             return pa.table(
                 {
                     "_h1": pa.array(h1),
                     "_h2": pa.array(h2),
-                    "_w": pa.array(w[keep]),
+                    "_c": t.column("count").cast(pa.int64()),
                 }
             )
 
-        hashed = freq.map_batches(
-            to_hashed, batch_format="pyarrow"
-        ).materialize()
-        self.weights_ref = HashedWeightsHandle(
-            hashed.to_arrow_refs(), default=1.0
+        # ONE streaming execution for the whole fit: frequency exchange →
+        # hash projection → materialize. Workers derive total + weights at
+        # HashedWeights build time from the count blocks, so no second
+        # aggregate pass and no driver-side vocabulary.
+        hashed = (
+            token_frequencies(ds, text_col, self.cfg)
+            .map_batches(to_hashed, batch_format="pyarrow")
+            .materialize()
         )
+        refs = hashed.to_arrow_refs() if hashed.count() > 0 else []
+        self.weights_ref = HashedWeightsHandle(
+            refs, default=1.0, a=self.a, min_freq=self.min_freq
+        )
+        self._hashed = hashed  # pins the plasma blocks for the handle
         return self
+
+    @property
+    def total_tokens(self) -> int:
+        """Corpus token total (reference SIFEmbedding.total_tokens).
+        Computed on demand from the plasma count blocks — the headline fit
+        path never pays a driver-side vocabulary pass for it."""
+        if self.weights_ref is None:
+            return 0
+        return self.weights_ref.resolve().total
 
     def transform(self, ds, id_col: str = "conv_id", text_col: str = "tuple_text"):
         if self.weights_ref is None:

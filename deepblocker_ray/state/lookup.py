@@ -178,18 +178,39 @@ class HashedWeightsHandle:
     the vocabulary never leaves the object store (VERDICT r2 'What's wrong'
     #2: a Python dict of an open-vocab 100-TB corpus is itself huge, and a
     dict costs ~100 bytes/token per worker process vs 20 here, shared
-    zero-copy via plasma)."""
+    zero-copy via plasma).
 
-    def __init__(self, refs, default: float = 1.0):
+    Blocks carry either precomputed ``_w`` weights, or raw ``_c`` counts
+    plus SIF params (a, min_freq) — the count form lets the whole fit run
+    as ONE streaming execution (frequency exchange → hash projection →
+    materialize); each worker derives total + weights at build time from
+    the plasma blocks (O(vocab) once per process, trivial vs a dict
+    deserialize)."""
+
+    def __init__(
+        self,
+        refs,
+        default: float = 1.0,
+        a: float | None = None,
+        min_freq: int | None = None,
+    ):
         self.refs = list(refs)
         self.default = float(default)
-        self.cache_key = "hashedw:" + ",".join(r.hex() for r in self.refs)
+        self.a = a
+        self.min_freq = min_freq
+        self.cache_key = (
+            f"hashedw:{a}:{min_freq}:"
+            + ",".join(r.hex() for r in self.refs)
+        )
 
     def resolve(self) -> "HashedWeights":
         from .broadcast import cached_compute
 
         return cached_compute(
-            self.cache_key, lambda: HashedWeights(self.refs, self.default)
+            self.cache_key,
+            lambda: HashedWeights(
+                self.refs, self.default, self.a, self.min_freq
+            ),
         )
 
 
@@ -218,17 +239,37 @@ class HashedWeights:
     equal-h1 runs are walked for the matching h2 (two present tokens
     colliding on h1 alone therefore still resolve correctly)."""
 
-    def __init__(self, refs, default: float = 1.0):
+    def __init__(
+        self,
+        refs,
+        default: float = 1.0,
+        a: float | None = None,
+        min_freq: int | None = None,
+    ):
         self.default = float(default)
+        self.total = 0
         tbls = [t for t in ray.get(list(refs)) if len(t) > 0]
         if not tbls:
             self.h1 = np.empty(0, np.uint64)
             self.h2 = np.empty(0, np.uint64)
-            self.w = np.empty(0, np.float32)
+            self.w = np.empty(0, np.float64)
             return
         h1 = np.concatenate([np.asarray(t.column("_h1")) for t in tbls])
         h2 = np.concatenate([np.asarray(t.column("_h2")) for t in tbls])
-        w = np.concatenate([np.asarray(t.column("_w")) for t in tbls])
+        if "_c" in tbls[0].column_names:
+            # count form: derive total + SIF weights here (once per process)
+            c = np.concatenate(
+                [np.asarray(t.column("_c"), dtype=np.float64) for t in tbls]
+            )
+            self.total = int(c.sum())
+            w = np.where(c >= min_freq, a / (a + c / self.total), 1.0)
+            # weight exactly 1.0 == the OOV fallback (reference
+            # tuple_embedding_models.py:116-119): min_freq-truncated tokens
+            # need no entry — drop them so probe arrays stay frequent-only
+            keep = w != 1.0
+            h1, h2, w = h1[keep], h2[keep], w[keep]
+        else:
+            w = np.concatenate([np.asarray(t.column("_w")) for t in tbls])
         order = np.argsort(h1, kind="stable")
         self.h1 = h1[order]
         self.h2 = h2[order]
