@@ -118,6 +118,10 @@ def main() -> None:
         "decontaminate",
         "knn_exact",
         "knn_ivf",
+        "blocking_vec",
+        "linkage_vec",
+        "string_sims",
+        "media_features",
         "token_count",
         "token_stats",
         "lang_id",
@@ -220,11 +224,23 @@ def scaling() -> None:
         capture_output=True,
         check=True,
     )
+    # Sequential legs minutes apart are maximally exposed to neighbor-tenant
+    # load on this shared VM (documented ±25-300% swings): with
+    # GRAFT_SCALING_REPS>1 the legs alternate 8,32,8,32,… and the per-leg
+    # MINIMUM is reported (each leg's best approximates the quiet box — the
+    # only regime where the two legs are comparable). All rep times are
+    # included in the JSON for the record.
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "1"))
     hw = _hw_ceiling()
-    lo = run(8)
-    hi = run(32)
-    t_lo = lo["queries"]["linkage_headline"]
-    t_hi = hi["queries"]["linkage_headline"]
+    lo_times, hi_times = [], []
+    lo = hi = None
+    for _ in range(reps):
+        lo = run(8)
+        hi = run(32)
+        lo_times.append(lo["queries"]["linkage_headline"])
+        hi_times.append(hi["queries"]["linkage_headline"])
+    t_lo = min(lo_times)
+    t_hi = min(hi_times)
     rows = lo["detail"]["linkage_headline"]["rows"]
     eff = (t_lo / t_hi) / (32 / 8)
     print(
@@ -238,6 +254,8 @@ def scaling() -> None:
                 "turns_per_sec_8cpu": round(rows / t_lo, 1),
                 "turns_per_sec_32cpu": round(rows / t_hi, 1),
                 "input_turns": rows,
+                "reps_8cpu": [round(t, 1) for t in lo_times],
+                "reps_32cpu": [round(t, 1) for t in hi_times],
                 "hardware_ceiling_8to32": hw,
                 "efficiency_vs_hw_ceiling": round(eff / hw["ceiling"], 3)
                 if hw["ceiling"]
