@@ -238,3 +238,48 @@ class TestKernelPathParity:
         cases = [b"", b"a", b"hello world", bytes(range(256)) * 2]
         got = rolling64_batch(cases)
         assert [int(x) for x in got] == [scalar(c) for c in cases]
+
+
+class TestHashedWeightsProbe:
+    """Pure-numpy probe semantics of state/lookup.HashedWeights (no Ray):
+    the sorted-hash arrays are driven directly, including the h1-collision
+    run walk that plasma-built instances can essentially never hit."""
+
+    def _hw(self, h1, h2, w):
+        from deepblocker_ray.state.lookup import HashedWeights
+
+        hw = HashedWeights.__new__(HashedWeights)
+        hw.default = 1.0
+        hw.total = 0
+        order = np.argsort(np.asarray(h1, np.uint64), kind="stable")
+        hw.h1 = np.asarray(h1, np.uint64)[order]
+        hw.h2 = np.asarray(h2, np.uint64)[order]
+        hw.w = np.asarray(w, np.float64)[order]
+        return hw
+
+    def test_collision_run_walk(self):
+        from deepblocker_ray.state.lookup import hash_tokens_2x
+
+        toks = np.array(["alpha", "gamma"], dtype=object)
+        k1, k2 = hash_tokens_2x(toks)
+        # plant an h1 collision: a junk-h2 entry sits FIRST in alpha's
+        # equal-h1 run, so the probe's initial landing mismatches on h2 and
+        # must walk the run to alpha's true entry
+        h1 = np.array([k1[0], k1[0], k1[1]], np.uint64)
+        h2 = np.array([np.uint64(99), k2[0], k2[1]], np.uint64)
+        hw = self._hw(h1, h2, [0.9, 0.1, 0.3])
+        got = hw.get_many(toks)
+        assert got[0] == 0.1  # found via the run walk, not the landing slot
+        assert got[1] == 0.3
+        # h1 present but h2 of a never-stored token → default, not a
+        # false hit
+        fake = np.array(["delta"], dtype=object)
+        f1, _f2 = hash_tokens_2x(fake)
+        hw2 = self._hw([f1[0]], [np.uint64(12345)], [0.5])
+        assert hw2.get_many(fake)[0] == 1.0
+        assert hw2.get_many(fake, 0.0)[0] == 0.0
+
+    def test_empty_map(self):
+        hw = self._hw([], [], [])
+        assert hw.get("anything") == 1.0
+        assert len(hw) == 0
