@@ -133,6 +133,12 @@ def q_token_stats(sf_dir: str):
     return token_stats(_documents(sf_dir))
 
 
+def q_bpe_token_count(sf_dir: str):
+    from deepblocker_ray.stages.textstats import bpe_token_count
+
+    return bpe_token_count(_documents(sf_dir))
+
+
 def q_fingerprint(sf_dir: str):
     from deepblocker_ray.stages.textstats import fingerprint
 
@@ -228,10 +234,12 @@ def q_blocking_sif(sf_dir: str):
     from deepblocker_ray.stages.embed import SIFEmbedder
     from deepblocker_ray.stages.pairing import ExactTopKPairer
 
-    from deepblocker_ray.config import parallel_blocks
+    from deepblocker_ray.config import parallel_blocks_sized
 
     cfg = _cfg()
-    tuples = parallel_blocks(canonicalize(_transcripts(sf_dir), cfg)).materialize()
+    tuples = parallel_blocks_sized(
+        canonicalize(_transcripts(sf_dir), cfg).materialize()
+    )
     emb = SIFEmbedder(cfg).fit(tuples).transform(tuples).materialize()
     pairer = ExactTopKPairer(k=5, cfg=cfg, exclude_self=True).index(emb)
     out = pairer.query(emb)
@@ -455,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_filter": q_label_filter,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "bpe_token_count": q_bpe_token_count,
         "fingerprint": q_fingerprint,
         "knn_exact": q_knn_exact,
         "knn_ivf": q_knn_ivf,
@@ -732,6 +741,16 @@ def oracle_sql() -> dict[str, str]:
                                    t -> t <> '')) AS n_words,
                    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
                        AS punct_count
+            FROM documents
+        """,
+        "bpe_token_count": """
+            -- same RE2 engine (DuckDB regexp_extract_all) and the same
+            -- lookahead-free pattern as the pyarrow kernel: exact counts
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+                       AS n_bpe_tokens,
+                   len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens
             FROM documents
         """,
         "fingerprint": """

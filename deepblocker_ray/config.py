@@ -140,6 +140,24 @@ def actor_pool_size(configured: int | tuple | None) -> int | tuple:
     return (min(8, n), n)
 
 
+def parallel_blocks_sized(mat_ds, factor: int = 2, min_rows_per_block: int = 256):
+    """Size-aware variant of ``parallel_blocks`` for MATERIALIZED inputs
+    (count/num_blocks are metadata there): repartition toward
+    factor × CPUs blocks, but never below ``min_rows_per_block`` rows each —
+    at small input sizes splitting 500 rows into 64 blocks just multiplies
+    per-task overhead across every downstream stage (BENCH r2: blocking_sif
+    3.5 s → 5.1 s after an unconditional repartition seam appeared).
+    Existing block structure is kept whenever it already meets the (capped)
+    target, so the small-input path costs nothing."""
+    n = mat_ds.count()
+    target = min(
+        default_parallelism() * factor, max(1, n // min_rows_per_block)
+    )
+    if mat_ds.num_blocks() >= target:
+        return mat_ds
+    return mat_ds.repartition(target).materialize()
+
+
 def parallel_blocks(ds, factor: int = 2):
     """Repartition a Dataset to ≥ factor × session CPUs blocks when it has
     fewer. Ray's map parallelism is per-block: a groupby or small read can

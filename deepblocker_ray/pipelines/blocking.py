@@ -87,8 +87,14 @@ class DeepBlockerRay:
         on the union corpus → embed left and right → index right → query
         left → melt (done inside the pairing stage).
         """
-        left = parallel_blocks(preprocess_flat(left_ds, cols_to_block)).materialize()
-        right = parallel_blocks(preprocess_flat(right_ds, cols_to_block)).materialize()
+        from ..config import parallel_blocks_sized
+
+        left = parallel_blocks_sized(
+            preprocess_flat(left_ds, cols_to_block).materialize()
+        )
+        right = parallel_blocks_sized(
+            preprocess_flat(right_ds, cols_to_block).materialize()
+        )
         corpus = left.union(right)
         self.embedder.fit(corpus, text_col="tuple_text")
         left_emb = self.embedder.transform(

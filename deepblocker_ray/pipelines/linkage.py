@@ -166,9 +166,11 @@ def link_transcripts(
     cfg = cfg or EngineConfig()
     emb_model = make_embedder(embedder, cfg)
 
-    tuples = parallel_blocks(
-        canonicalize(transcripts, cfg, turn_cap=turn_cap)
-    ).materialize()
+    from ..config import parallel_blocks_sized
+
+    tuples = parallel_blocks_sized(
+        canonicalize(transcripts, cfg, turn_cap=turn_cap).materialize()
+    )
     emb_model.fit(tuples, text_col="tuple_text")
     emb = emb_model.transform(tuples, id_col="conv_id").materialize()
     return link_from_embeddings(

@@ -404,7 +404,12 @@ class _IVFQuery:
         fetch = self.k + 1 if self.exclude_self else self.k
         cell_sims = q @ self.centroids.T
         np_ = min(self.nprobe, self.centroids.shape[0])
-        probed = np.argpartition(-cell_sims, np_ - 1, axis=1)[:, :np_]
+        # stable argsort (not argpartition): ties at the nprobe boundary
+        # break by ascending cell index, so WHICH cells get probed is
+        # deterministic across platforms/BLAS builds — argpartition's
+        # boundary choice is implementation-defined. n_cells ~ √N keeps the
+        # extra log-factor negligible next to the per-cell GEMMs.
+        probed = np.argsort(-cell_sims, axis=1, kind="stable")[:, :np_]
 
         run_sims = np.full((nq, fetch), -np.inf, np.float32)
         run_ids = np.full((nq, fetch), "", dtype=object)

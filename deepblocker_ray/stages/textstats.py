@@ -19,6 +19,16 @@ from ..functions.tokenizer import tokenize
 _PUNCT_RE = re.compile(r"[.,!?;:]")
 _WS_RE = re.compile(r"\s+")
 
+# GPT-2-style pre-tokenizer regex, restricted to constructs RE2 supports
+# (no lookahead) and to ASCII letter/digit classes so pyarrow's RE2 kernel,
+# Python re, and DuckDB regexp_extract_all count the same pre-tokens on the
+# ASCII driver corpora (cross-engine parity pinned in tests): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs.
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
 # tiny per-language stopword lists for the n-gram/stopword lang-id heuristic
 STOPWORDS = {
     "en": {"the", "and", "of", "a", "to", "in", "is", "it", "you", "that"},
@@ -54,6 +64,33 @@ def token_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def bpe_token_count(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_bpe_tokens, n_ws_tokens): BPE-ish pre-token count (GPT-2
+    pre-tokenizer regex shape, see BPE_PRETOKEN_RE) + whitespace token count.
+    Fully vectorized — both counts run through pyarrow's RE2 kernel
+    (count_substring_regex), no per-row Python; the SQL twin uses DuckDB's
+    regexp_extract_all, which is the same RE2 engine, so counts are exact.
+    Whitespace runs count as pre-tokens (they become part of the next token
+    in a real BPE; counting them keeps the regex twin lookahead-free)."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column(text_col), "")
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(texts, BPE_PRETOKEN_RE),
+                    pa.int64(),
+                ),
+                "n_ws_tokens": pc.cast(
+                    pc.count_substring_regex(texts, r"\S+"), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow")
 
 
 def quality_score(ds, text_col: str = "text", id_col: str = "doc_id"):

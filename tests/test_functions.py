@@ -1,6 +1,7 @@
 """Unit tests for scalar functions: tokenizer, hash embedding, string sims."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from deepblocker_ray.functions.hash_embedding import HashEmbedding, mean_pool_embed
@@ -283,3 +284,54 @@ class TestHashedWeightsProbe:
         hw = self._hw([], [], [])
         assert hw.get("anything") == 1.0
         assert len(hw) == 0
+
+
+class TestBpeTokenCount:
+    """bpe_token_count: cross-engine count parity (pyarrow RE2 kernel vs
+    Python re vs the DuckDB oracle pattern) on punctuation-rich inputs where
+    the BPE pre-token count genuinely diverges from the whitespace count —
+    the driver corpora are plain lowercase words, so the oracle-parity row
+    alone would not distinguish the two columns."""
+
+    TEXTS = [
+        "Hello world, it's 2026!",
+        "don't stop-me now... 42x7",
+        "",
+        "  leading  spaces and trailing  ",
+        "a,b,c;d:e.f!g?h",
+        "it's they're we've I'm you'll he'd can't",
+    ]
+
+    def test_counts_match_python_re_and_duckdb(self, ray_session):
+        import re
+
+        import duckdb
+        import ray.data as rd
+
+        from deepblocker_ray.stages.textstats import (
+            BPE_PRETOKEN_RE,
+            bpe_token_count,
+        )
+
+        df = pd.DataFrame({"doc_id": range(len(self.TEXTS)), "text": self.TEXTS})
+        out = (
+            bpe_token_count(rd.from_pandas(df))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want_bpe = [len(re.findall(BPE_PRETOKEN_RE, t)) for t in self.TEXTS]
+        want_ws = [len(t.split()) for t in self.TEXTS]
+        assert out["n_bpe_tokens"].tolist() == want_bpe
+        assert out["n_ws_tokens"].tolist() == want_ws
+        # the two columns must actually diverge on this input
+        assert want_bpe != want_ws
+
+        con = duckdb.connect()
+        sql_counts = [
+            con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [t, BPE_PRETOKEN_RE]
+            ).fetchone()[0]
+            for t in self.TEXTS
+        ]
+        assert sql_counts == want_bpe
