@@ -20,6 +20,24 @@ import sys
 import time
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — host-wide, including
+    co-tenant steal. Sampled around each timed region so every reported
+    wall carries its own evidence of hypervisor CPU steal (this shared VM
+    measures 0-35% steal depending on neighbor load; a 32-vCPU burst is
+    stolen from far more than an 8-vCPU one)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _steal_frac(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dt = after[1] - before[1]
+    return round((after[0] - before[0]) / dt, 4) if dt > 0 else 0.0
+
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # headline linkage scale: number of base conversations in the planted-dup
@@ -68,11 +86,17 @@ def bench_linkage() -> dict:
     n_turns = ds.count()  # warms the page cache before timing
     warm = link_transcripts(ds.limit(4000), cfg, embedder="sif", k=4)
     warm["clusters"].count()
+    s0 = _cpu_stat()
     t0 = time.perf_counter()
     res = link_transcripts(ds, cfg, embedder="sif", k=8)
     n_clusters = res["clusters"].count()
     sec = time.perf_counter() - t0
-    return {"sec": sec, "rows": n_turns, "out_rows": n_clusters}
+    return {
+        "sec": sec,
+        "rows": n_turns,
+        "out_rows": n_clusters,
+        "steal_frac": _steal_frac(s0, _cpu_stat()),
+    }
 
 
 def bench_query(fn) -> dict:
@@ -245,12 +269,15 @@ def scaling() -> None:
     lo_n, hi_n = _cpu_pair()
     hw = _hw_ceiling()
     lo_times, hi_times = [], []
+    lo_steal, hi_steal = [], []
     lo = hi = None
     for _ in range(reps):
         lo = run(lo_n)
         hi = run(hi_n)
         lo_times.append(lo["queries"]["linkage_headline"])
         hi_times.append(hi["queries"]["linkage_headline"])
+        lo_steal.append(lo["detail"]["linkage_headline"].get("steal_frac"))
+        hi_steal.append(hi["detail"]["linkage_headline"].get("steal_frac"))
     t_lo = min(lo_times)
     t_hi = min(hi_times)
     rows = lo["detail"]["linkage_headline"]["rows"]
@@ -269,6 +296,8 @@ def scaling() -> None:
                 "input_turns": rows,
                 f"reps_{lo_n}cpu": [round(t, 1) for t in lo_times],
                 f"reps_{hi_n}cpu": [round(t, 1) for t in hi_times],
+                f"steal_{lo_n}cpu": lo_steal,
+                f"steal_{hi_n}cpu": hi_steal,
                 "hardware_ceiling": hw,
                 "efficiency_vs_hw_ceiling": round(eff / hw["ceiling"], 3)
                 if hw["ceiling"]
@@ -279,8 +308,149 @@ def scaling() -> None:
     )
 
 
+def _stages_leg() -> None:
+    """One per-stage-timed run of the headline linkage at RAY_GRAFT_CPUS.
+    Stage boundaries are materialize barriers, so each timer covers exactly
+    one stage's cluster work (candidate dedup is materialized here for
+    attribution; production fuses it into the scoring execution). Prints one
+    JSON line {stage: sec}."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from deepblocker_ray.config import EngineConfig, parallel_blocks_sized
+    from deepblocker_ray.pipelines.evaluate import normalize_pairs
+    from deepblocker_ray.pipelines.linkage import (
+        _dedup_candidates,
+        assign_cluster_labels,
+        link_transcripts,
+    )
+    from deepblocker_ray.stages.canonicalize import canonicalize
+    from deepblocker_ray.stages.cluster import connected_components
+    from deepblocker_ray.stages.embed import SIFEmbedder
+    from deepblocker_ray.stages.pairing import ExactTopKPairer
+    from deepblocker_ray.stages.scoring import score_candidates
+
+    cfg = EngineConfig()
+    ds = _linkage_input()
+    n_turns = ds.count()
+    warm = link_transcripts(ds.limit(4000), cfg, embedder="sif", k=4)
+    warm["clusters"].count()
+
+    times: dict[str, float] = {}
+    steals: dict[str, float] = {}
+    t = time.perf_counter()
+    s = _cpu_stat()
+
+    def mark(name: str) -> None:
+        nonlocal t, s
+        now = time.perf_counter()
+        s2 = _cpu_stat()
+        times[name] = round(now - t, 2)
+        steals[name] = _steal_frac(s, s2)
+        t, s = now, s2
+
+    tuples = parallel_blocks_sized(
+        canonicalize(ds, cfg, turn_cap=10_000).materialize()
+    )
+    mark("canonicalize")
+    model = SIFEmbedder(cfg).fit(tuples, text_col="tuple_text")
+    mark("sif_fit")
+    emb = model.transform(tuples, id_col="conv_id").materialize()
+    mark("sif_transform")
+    pairer = ExactTopKPairer(k=8, cfg=cfg, exclude_self=True).index(
+        emb, id_col="conv_id"
+    )
+    mark("index")
+    raw = pairer.query(emb, id_col="conv_id").materialize()
+    mark("query")
+    cand = _dedup_candidates(raw, cfg).materialize()
+    mark("cand_dedup")
+    scored = score_candidates(cand, tuples, cfg=cfg).materialize()
+    mark("score")
+    matches = normalize_pairs(
+        scored.filter(expr="is_match == True")
+    ).materialize()
+    mark("matches")
+    comp = connected_components(matches, cfg, src="ltable_id", dst="rtable_id")
+    assign_cluster_labels(tuples, comp, cfg).count()
+    mark("cluster")
+    times["total"] = round(sum(times.values()), 2)
+    print(
+        json.dumps(
+            {
+                "stages": times,
+                "steal": steals,
+                "rows": n_turns,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def stages() -> None:
+    """Per-stage 8-vs-32 decomposition (the BASELINE.md table): runs
+    _stages_leg in fresh subprocesses at the GRAFT_SCALING_CPUS pair and
+    prints per-stage walls + scaling efficiency."""
+    base = os.environ.get("GRAFT_SCALING_BASE", "100000")
+    lo_n, hi_n = _cpu_pair()
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_LINKAGE_BASE=base,
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stages-leg"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = run(lo_n)
+    hi = run(hi_n)
+    ratio = hi_n / lo_n
+    table = {
+        k: {
+            f"sec_{lo_n}": lo["stages"][k],
+            f"sec_{hi_n}": hi["stages"][k],
+            "eff": round(lo["stages"][k] / max(hi["stages"][k], 1e-9) / ratio, 2),
+            f"steal_{lo_n}": lo["steal"].get(k),
+            f"steal_{hi_n}": hi["steal"].get(k),
+        }
+        for k in lo["stages"]
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "per_stage_scaling",
+                "cpu_pair": [lo_n, hi_n],
+                "rows": lo["rows"],
+                "stages": table,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--stages-leg" in sys.argv:
+        _stages_leg()
+    elif "--stages" in sys.argv:
+        stages()
     else:
         main()

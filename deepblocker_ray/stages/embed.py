@@ -45,13 +45,19 @@ def emb_type(dim: int) -> pa.DataType:
 
 def emb_to_numpy(col: pa.ChunkedArray | pa.Array, dim: int | None = None) -> np.ndarray:
     """fixed_size_list(float32, D) column → (n, D) float32 view (zero-copy).
-    ``dim=None`` infers D from the Arrow type."""
+    ``dim=None`` infers D from the Arrow type.
+
+    Uses ``.values`` (the raw child buffer) + an explicit row-offset slice
+    instead of ``.flatten()``: flatten() on a SLICED FixedSizeListArray takes
+    pyarrow's element-wise copy path, and Ray's batch_size slicing plus the
+    query stage's internal ``table.slice`` make sliced inputs the common
+    case. The values view is zero-copy for every offset."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if dim is None:
         dim = col.type.list_size
-    flat = col.flatten()
-    return np.asarray(flat).reshape(-1, dim)
+    flat = np.asarray(col.values).reshape(-1, dim)
+    return flat[col.offset : col.offset + len(col)]
 
 
 def numpy_to_emb(mat: np.ndarray) -> pa.Array:
@@ -242,8 +248,13 @@ def top_pc(emb_ds, dim: int) -> np.ndarray:
     """Distributed Gram aggregation + driver eigh (exact TruncatedSVD
     equivalent on uncentered data). The per-batch partial keeps only D×D
     floats in flight regardless of corpus size."""
+    # batch_size=None → one D×D partial per BLOCK. The default (1024 rows)
+    # emitted one 720 KB gram row per 1024 input rows — ~570 rows / 410 MB
+    # serially pulled and summed on the driver for a 580k-row corpus; per
+    # block it is ~100 rows, and the driver loop is sub-second.
     partial = emb_ds.map_batches(
-        lambda b: _gram_partial(b, dim), batch_format="pyarrow"
+        lambda b: _gram_partial(b, dim), batch_format="pyarrow",
+        batch_size=None,
     )
     gram = np.zeros((dim, dim), np.float64)
     for b in partial.iter_batches(batch_format="pyarrow", batch_size=None):

@@ -96,17 +96,32 @@ def _merge_topk_pos(
     )
 
 
+# privatize plasma shard matrices up to this many bytes per worker (copied
+# once, memoized): zero-copy views into the object store live in /dev/shm
+# mmaps with 4 KiB pages, and the query GEMM streaming them pays a TLB walk
+# per page — measured 8× more core-seconds at 32 workers than at 8 on the
+# same input. A private copy is THP-backed and NUMA-local. Beyond the cap
+# (huge per-node indexes) the zero-copy view is kept: correctness identical,
+# and at that size the working set exceeds cache either way.
+SHARD_PRIVATE_BYTES_MAX = 2 << 30
+
+
 def _parse_shards(shard_refs) -> tuple[list, np.ndarray]:
     """Fetch + view index shards (zero-copy from plasma); memoized per
-    worker process via state/broadcast.cached_compute."""
+    worker process via state/broadcast.cached_compute. Matrices are
+    privatized (copied) below SHARD_PRIVATE_BYTES_MAX — see above."""
     shards = []
     offsets = [0]
+    total = 0
     for ref in shard_refs:
         t = ray.get(ref)
         ids = t.column("_pair_id").combine_chunks()
         mat = emb_to_numpy(t.column("emb"))
+        total += mat.nbytes
         shards.append((ids, mat))
         offsets.append(offsets[-1] + len(t))
+    if total <= SHARD_PRIVATE_BYTES_MAX:
+        shards = [(ids, np.array(mat)) for ids, mat in shards]
     return shards, np.asarray(offsets, np.int64)
 
 
@@ -180,10 +195,19 @@ def _exact_query_batch(
     nq = len(q)
     fetch = k + 1 if exclude_self else k
     run_sims = run_pos = None
+    # one reusable GEMM output buffer for every tile of this batch: a fresh
+    # 2 MB allocation per tile is an mmap/munmap pair in glibc, and the
+    # munmap's TLB shootdown IPIs serialize across every busy core — with 32
+    # workers this alone anti-scaled the query stage (94 s at 32 CPUs vs
+    # 38 s at 8 on the same input)
+    sims_buf = np.empty((nq, QUERY_COL_CHUNK), np.float32)
     for s, (_ids, mat) in enumerate(shards):
         for c0 in range(0, mat.shape[0], QUERY_COL_CHUNK):
             sub = mat[c0 : c0 + QUERY_COL_CHUNK]
-            sims = q @ sub.T
+            if sub.shape[0] == QUERY_COL_CHUNK:
+                sims = np.matmul(q, sub.T, out=sims_buf)
+            else:  # remainder tile: a column slice of the buffer would be
+                sims = q @ sub.T  # non-contiguous → slow sgemm path
             ks = min(fetch, sub.shape[0])
             if run_sims is not None and run_sims.shape[1] == fetch:
                 # streaming-top-K skip: a tile can only change rows whose
@@ -273,7 +297,16 @@ class ExactTopKPairer:
     def index(self, right_ds, id_col: str = "conv_id"):
         """Normalize + pin the right side as object-store shards, globally
         sorted by id so row position is the deterministic tie key (the sort
-        is the one shuffle this operator pays; the query side pays none)."""
+        is the one shuffle this operator pays; the query side pays none).
+
+        The sort's partition count follows its INPUT block count, so the
+        input is first repartitioned to ceil(n / index_shard_rows) blocks —
+        sized by DATA, not by CPU count. Without this, a 4×CPU-fanned input
+        (128 blocks at 32 CPUs) makes the sort exchange 128×128 block
+        fragments for a table that only needs ~9 shards: measured 3.5 s at
+        8 CPUs vs 11.1 s at 32 (anti-scaling, pure coordination overhead).
+        Data-sized shards also make the index layout — and therefore the
+        query stage's work — identical at every parallelism level."""
         cfg = self.cfg
 
         def normalize(batch: pa.Table) -> pa.Table:
@@ -285,15 +318,19 @@ class ExactTopKPairer:
                 }
             )
 
-        shards = (
-            right_ds.map_batches(
-                normalize,
-                batch_format="pyarrow",
-                batch_size=cfg.index_shard_rows,
-            )
-            .sort("_pair_id")
-            .materialize()
+        right_ds = right_ds.materialize()  # no-op for materialized callers
+        n = right_ds.count()
+        target = max(1, -(-n // cfg.index_shard_rows))
+        # batch_size=None → one normalize task per input block (a fixed
+        # batch_size BUNDLES small blocks into few tasks and serializes the
+        # stage); the data-sized repartition happens after, on normalized
+        # blocks, so the only narrow step is the trivially cheap sort.
+        norm = right_ds.map_batches(
+            normalize, batch_format="pyarrow", batch_size=None
         )
+        if right_ds.num_blocks() != target:
+            norm = norm.repartition(target)
+        shards = norm.sort("_pair_id").materialize()
         self.shard_refs = shards.to_arrow_refs()
         return self
 
@@ -490,6 +527,11 @@ class IVFTopKPairer:
         cfg = self.cfg
         right_ds = right_ds.materialize()
         n = right_ds.count()
+        # data-sized shard count (see ExactTopKPairer.index): identical
+        # index layout at every parallelism level, no CPU-scaled fan-out
+        target = max(1, -(-n // cfg.index_shard_rows))
+        if right_ds.num_blocks() != target:
+            right_ds = right_ds.repartition(target).materialize()
         frac = min(1.0, self.sample_rows / max(n, 1))
         sample = right_ds.random_sample(frac, seed=cfg.seed).to_pandas()
         x = np.stack([np.asarray(e, np.float32) for e in sample["emb"]])
@@ -515,8 +557,11 @@ class IVFTopKPairer:
                 }
             )
 
+        # batch_size=None → one batch per (repartitioned) block, so the
+        # in-batch (cell, id) sort IS the shard layout; a fixed batch_size
+        # would bundle/split across shard boundaries
         shards = right_ds.map_batches(
-            assign, batch_format="pyarrow", batch_size=cfg.index_shard_rows
+            assign, batch_format="pyarrow", batch_size=None
         ).materialize()
         self.shard_refs = shards.to_arrow_refs()
         return self

@@ -163,3 +163,46 @@ class TestHashedWeightsFit:
             assert hashed.get(tok) == pytest.approx(want, rel=1e-12)
         assert hashed.get("never-seen-token") == 1.0
         assert hashed.get("never-seen-token", 0.25) == 0.25
+
+
+class TestEmbToNumpyViews:
+    """emb_to_numpy must be exact (and zero-copy) on sliced and chunked
+    fixed_size_list columns — Ray's batch_size slicing and the query stage's
+    internal table.slice make non-zero offsets the common case, and pyarrow's
+    flatten() takes an element-wise copy path there."""
+
+    def test_sliced_and_chunked_views_match_flatten(self):
+        import pyarrow as pa
+
+        from deepblocker_ray.stages.embed import numpy_to_emb
+
+        n, d = 1000, 7
+        mat = np.arange(n * d, dtype=np.float32).reshape(n, d)
+        col = numpy_to_emb(mat)
+
+        sl = col.slice(137, 600)
+        expect = np.asarray(sl.flatten()).reshape(-1, d)
+        got = emb_to_numpy(sl)
+        assert np.array_equal(got, expect)
+        # the view must share the original buffer (zero-copy)
+        assert got.base is not None
+
+        chunked = pa.chunked_array([col.slice(0, 400), col.slice(350, 650)])
+        expect2 = np.concatenate(
+            [
+                np.asarray(c.flatten()).reshape(-1, d)
+                for c in chunked.chunks
+            ]
+        )
+        assert np.array_equal(emb_to_numpy(chunked), expect2)
+
+    def test_table_slice_roundtrip(self):
+        import pyarrow as pa
+
+        from deepblocker_ray.stages.embed import numpy_to_emb
+
+        n, d = 64, 3
+        mat = np.random.default_rng(0).standard_normal((n, d)).astype(np.float32)
+        t = pa.table({"emb": numpy_to_emb(mat)})
+        part = t.slice(10, 20)
+        assert np.array_equal(emb_to_numpy(part.column("emb")), mat[10:30])
