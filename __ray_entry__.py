@@ -10,7 +10,7 @@ deterministically from the ``documents`` view by an 8-word-turn rule that has
 an exact SQL twin (deepblocker_ray.fixtures), so canonicalize is
 SQL-checkable.
 
-Oracle coverage (21 of 23 queries have a full SQL twin): the dedup cluster
+Oracle coverage (26 of 28 queries have a full SQL twin): the dedup cluster
 queries are checked against brute-force exact-similarity pair SQL +
 recursive-CTE connected components; simhash's 64-bit fingerprint is
 recomputed bit-for-bit in SQL (the engine's stable hash IS DuckDB's
@@ -50,6 +50,12 @@ def _embeddings(sf_dir: str):
     import ray.data as rd
 
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(sf_dir: str, columns: list[str] | None = None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def _transcripts(sf_dir: str):
@@ -449,6 +455,52 @@ def q_media_features(sf_dir: str):
     )
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization of the events stream (30-min gap): one row
+    per (user, session) with counts, bounds, and integer-cent value sums."""
+    from deepblocker_ray.stages.events import sessionize
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+    return sessionize(ev, _cfg())
+
+
+def q_window_agg(sf_dir: str):
+    """Tumbling 1-hour window rollup per event_type, pre-aggregated inside
+    map_batches (the exchange moves only (type, window) partials)."""
+    from deepblocker_ray.stages.events import window_agg
+
+    ev = _events(sf_dir, columns=["ts", "event_type", "value"])
+    return window_agg(ev, _cfg())
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each click matched to the same user's most recent prior
+    (or simultaneous) view, ties on ts broken by max event_id."""
+    from deepblocker_ray.stages.events import asof_join
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    return asof_join(ev, _cfg(), left_type="click", right_type="view")
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction over the events props payload (emails/IPs/phones/
+    numbers → typed placeholders) with per-row redaction counts. The
+    email/IP/phone patterns are exercised with planted PII in
+    tests/test_events.py; on the driver table the number pattern fires."""
+    from deepblocker_ray.stages.textstats import pii_scrub
+
+    ev = _events(sf_dir, columns=["event_id", "props"])
+    return pii_scrub(ev, text_col="props", id_col="event_id")
+
+
+def q_repetition(sf_dir: str):
+    """Gopher-style repetition signals per document: duplicate word /
+    2-gram / 3-gram fractions (exact distinct counts, no hashing)."""
+    from deepblocker_ray.stages.textstats import repetition_stats
+
+    return repetition_stats(_documents(sf_dir))
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -480,6 +532,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_vec": q_linkage_vec,
         "string_sims": q_string_sims,
         "media_features": q_media_features,
+        "sessionize": q_sessionize,
+        "window_agg": q_window_agg,
+        "asof_join": q_asof_join,
+        "pii_scrub": q_pii_scrub,
+        "repetition": q_repetition,
     }
 
 
@@ -524,6 +581,30 @@ _STOPWORD_VALUES = """(VALUES
 ) AS l(lang, sw)"""
 
 _STOP_EN = "['the','and','of','a','to','in','is','it','you','that']"
+
+
+def _pii_sql() -> str:
+    """Staged PII-scrub twin generated from the ENGINE's own pattern list
+    (textstats.PII_PATTERNS), so the two sides cannot drift: each stage
+    counts matches on the current text (like the engine) then replaces.
+    DuckDB regexp_* and pyarrow's kernels are both RE2 — identical
+    match/replace semantics."""
+    from deepblocker_ray.stages.textstats import PII_PATTERNS
+
+    sql = "WITH s0 AS (SELECT event_id, props AS t, 0 AS c FROM events)"
+    prev = "s0"
+    for i, (_name, pat, rep) in enumerate(PII_PATTERNS, 1):
+        p = pat.replace("'", "''")
+        sql += f""",
+        s{i} AS (SELECT event_id,
+                 regexp_replace(t, '{p}', '{rep}', 'g') AS t,
+                 c + len(regexp_extract_all(t, '{p}')) AS c FROM {prev})"""
+        prev = f"s{i}"
+    return (
+        sql
+        + f" SELECT event_id, t AS scrubbed,"
+        f" CAST(c AS BIGINT) AS n_redactions FROM {prev}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -921,6 +1002,87 @@ def oracle_sql() -> dict[str, str]:
                    sniffed_mime = mime AS mime_matches,
                    md5(payload) AS md5
             FROM sniffed
+        """,
+        "sessionize": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id)
+            ),
+            s AS (
+                SELECT *, CAST(sum(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                FROM o
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   min(ts_us) AS t_start_us, max(ts_us) AS t_end_us,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "window_agg": """
+            SELECT event_type,
+                   epoch_us(date_trunc('hour', ts)) AS window_us,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "asof_join": """
+            WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                       FROM events WHERE event_type = 'click'),
+            r AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                  FROM events WHERE event_type = 'view'),
+            j AS (
+                SELECT l.event_id, l.user_id, l.ts_us,
+                       r.event_id AS matched_id, r.ts_us AS r_ts,
+                       row_number() OVER (
+                           PARTITION BY l.event_id
+                           ORDER BY r.ts_us DESC, r.event_id DESC) AS rn
+                FROM l JOIN r
+                  ON r.user_id = l.user_id AND r.ts_us <= l.ts_us
+            )
+            SELECT event_id, user_id, ts_us, matched_id,
+                   ts_us - r_ts AS lag_us
+            FROM j WHERE rn = 1
+        """,
+        "pii_scrub": _pii_sql(),
+        "repetition": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, ws, len(ws) AS nw,
+                       CASE WHEN len(ws) < 2 THEN []
+                            ELSE [array_to_string(ws[x : x + 1], ' ')
+                                  for x in generate_series(1, len(ws) - 1)]
+                            END AS g2,
+                       CASE WHEN len(ws) < 3 THEN []
+                            ELSE [array_to_string(ws[x : x + 2], ' ')
+                                  for x in generate_series(1, len(ws) - 2)]
+                            END AS g3
+                FROM w
+            )
+            SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+                   CASE WHEN nw = 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / nw
+                        END AS dup_word_frac,
+                   CASE WHEN len(g2) = 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                             / len(g2) END AS dup_2gram_frac,
+                   CASE WHEN len(g3) = 0 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+                             / len(g3) END AS dup_3gram_frac
+            FROM g
         """,
         "knn_exact": """
             WITH sims AS (

@@ -152,6 +152,11 @@ def main() -> None:
         "lang_id",
         "quality",
         "fingerprint",
+        "sessionize",
+        "window_agg",
+        "asof_join",
+        "pii_scrub",
+        "repetition",
     ]
     for name in query_names:
         r = bench_query(q[name])

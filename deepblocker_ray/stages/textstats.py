@@ -242,3 +242,129 @@ def fingerprint(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- pii_scrub --
+
+# Ordered (name, RE2 pattern, replacement). Order matters: emails and IPs
+# contain digit runs, so they are replaced before the bare-number pattern;
+# none of the replacement tokens contains a digit, so later patterns never
+# re-match earlier replacements. Patterns are RE2-compatible (no lookaround)
+# so pyarrow's replace_substring_regex and DuckDB's regexp_replace (both
+# RE2) transform identically — that is what makes the driver twin exact.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() .-]{7,}[0-9]", "<PHONE>"),
+    ("number", r"[0-9]+", "<NUM>"),
+]
+
+
+def pii_scrub(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """PII redaction → (id, scrubbed, n_redactions): emails, IPv4 addresses,
+    phone-shaped digit runs, then residual numbers, replaced by typed
+    placeholder tokens. Fully vectorized — both the counting
+    (count_substring_regex) and the rewriting (replace_substring_regex) run
+    through pyarrow's RE2 kernels, no per-row Python. ``n_redactions`` is
+    the total number of non-overlapping matches replaced across all
+    patterns, counted at each stage (i.e. on the already-partly-scrubbed
+    text, exactly like the staged SQL twin)."""
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        arr = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+        n_red = np.zeros(len(batch), np.int64)
+        for _name, pat, rep in PII_PATTERNS:
+            n_red += np.asarray(
+                pc.count_substring_regex(arr, pat), np.int64
+            )
+            arr = pc.replace_substring_regex(arr, pattern=pat, replacement=rep)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "scrubbed": arr,
+                "n_redactions": pa.array(n_red),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- repetition_stats --
+
+
+def _gram_distinct_counts(
+    codes: np.ndarray, starts: np.ndarray, counts: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (total, distinct) word-k-gram counts over factorized word
+    codes, EXACTLY (no hashing): k-gram identity is the k-tuple of codes,
+    deduplicated via np.unique over (doc, code_0..code_{k-1}) rows — the
+    same distinct set DuckDB's list_distinct computes over the joined gram
+    strings (whitespace-split words contain no spaces, so joining with ' '
+    is injective). Vectorized across the whole batch."""
+    n = len(counts)
+    totals = np.maximum(counts - k + 1, 0)
+    total_w = int(totals.sum())
+    if total_w == 0:
+        return totals, np.zeros(n, np.int64)
+    long_idx = np.nonzero(totals > 0)[0]
+    wc = totals[long_idx]
+    base = np.repeat(starts[long_idx], wc)
+    within = np.arange(total_w, dtype=np.int64) - np.repeat(
+        np.cumsum(wc) - wc, wc
+    )
+    pos = base + within
+    rows = np.empty((total_w, k + 1), np.int64)
+    rows[:, 0] = np.repeat(long_idx, wc)
+    for j in range(k):
+        rows[:, j + 1] = codes[pos + j]
+    uniq = np.unique(rows, axis=0)
+    distinct = np.bincount(uniq[:, 0], minlength=n).astype(np.int64)
+    return totals, distinct
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition signals → (doc_id, n_words, dup_word_frac,
+    dup_2gram_frac, dup_3gram_frac) where dup_k_frac = 1 − distinct/total
+    over whitespace-word k-grams (0.0 when the doc has no k-grams). Words
+    are factorized once per batch; gram distinctness is computed exactly
+    (integer code tuples, np.unique) so the DuckDB list_distinct twin
+    hash-matches bit-for-bit — the single division and subtraction are the
+    same float64 ops on both sides."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n = len(texts)
+        word_lists = [(t or "").split() for t in texts]
+        counts = np.fromiter((len(w) for w in word_lists), np.int64, n)
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        total = int(counts.sum())
+        if total:
+            flat = np.empty(total, object)
+            p = 0
+            for ws in word_lists:
+                flat[p : p + len(ws)] = ws
+                p += len(ws)
+            codes, _uniq = pd.factorize(flat, sort=False)
+            codes = codes.astype(np.int64)
+        else:
+            codes = np.empty(0, np.int64)
+
+        out = {id_col: batch.column(id_col), "n_words": pa.array(counts)}
+        for k, col in ((1, "dup_word_frac"), (2, "dup_2gram_frac"),
+                       (3, "dup_3gram_frac")):
+            totals, distinct = _gram_distinct_counts(
+                codes, starts[:-1], counts, k
+            )
+            frac = np.zeros(n, np.float64)
+            nz = totals > 0
+            frac[nz] = 1.0 - distinct[nz].astype(np.float64) / totals[nz]
+            out[col] = pa.array(frac)
+        return pa.table(out)
+
+    return ds.map_batches(stats, batch_format="pyarrow")

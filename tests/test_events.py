@@ -1,0 +1,230 @@
+"""Edge-case tests for the event-stream operators (sessionize, window_agg,
+asof_join) and the pii_scrub / repetition_stats text operators. The driver
+twins are regression-covered by test_oracle_parity; these pin the boundary
+semantics: gap exactly at the threshold, as-of ties and exact matches,
+planted PII, crafted repetition."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deepblocker_ray.config import EngineConfig
+
+CFG = EngineConfig(num_buckets=8)
+
+T0 = 1_700_000_000_000_000  # epoch micros
+MIN = 60_000_000
+
+
+def _events_df(rows):
+    df = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "ts_us", "event_type", "value"]
+    )
+    df["ts"] = pd.to_datetime(df.pop("ts_us"), unit="us")
+    return df[["event_id", "ts", "user_id", "event_type", "value"]]
+
+
+def _from_pandas(ray_session, df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+class TestSessionize:
+    def test_gap_boundary_and_seq(self, ray_session):
+        from deepblocker_ray.stages.events import sessionize
+
+        rows = [
+            # user 1: 3 events; gap of EXACTLY 30 min does NOT split
+            (0, 1, T0, "view", 1.00),
+            (1, 1, T0 + 30 * MIN, "view", 2.00),
+            # gap of 30 min + 1 us DOES split
+            (2, 1, T0 + 60 * MIN + 1, "view", 3.00),
+            # user 2: single event
+            (3, 2, T0, "click", 0.50),
+        ]
+        out = (
+            sessionize(_from_pandas(ray_session, _events_df(rows)), CFG)
+            .to_pandas()
+            .sort_values(["user_id", "session_seq"])
+            .reset_index(drop=True)
+        )
+        assert out["user_id"].tolist() == [1, 1, 2]
+        assert out["session_seq"].tolist() == [1, 2, 1]
+        assert out["n_events"].tolist() == [2, 1, 1]
+        assert out["sum_cents"].tolist() == [300, 300, 50]
+        assert out["t_start_us"].tolist() == [T0, T0 + 60 * MIN + 1, T0]
+        assert out["t_end_us"].tolist() == [
+            T0 + 30 * MIN,
+            T0 + 60 * MIN + 1,
+            T0,
+        ]
+
+    def test_ts_tie_ordered_by_event_id(self, ray_session):
+        from deepblocker_ray.stages.events import sessionize
+
+        # two events at the identical timestamp: one session, both counted
+        rows = [
+            (5, 7, T0, "view", 1.25),
+            (4, 7, T0, "view", 1.25),
+        ]
+        out = sessionize(
+            _from_pandas(ray_session, _events_df(rows)), CFG
+        ).to_pandas()
+        assert len(out) == 1
+        assert int(out["n_events"].iloc[0]) == 2
+        assert int(out["sum_cents"].iloc[0]) == 250
+
+
+class TestWindowAgg:
+    def test_hour_windows(self, ray_session):
+        from deepblocker_ray.stages.events import window_agg
+
+        h = 60 * MIN
+        base = (T0 // h) * h
+        rows = [
+            (0, 1, base + 1, "view", 1.00),
+            (1, 1, base + h - 1, "view", 2.00),   # same window
+            (2, 1, base + h, "view", 4.00),       # next window boundary
+            (3, 2, base + 1, "click", 8.00),      # other type, same window
+        ]
+        out = (
+            window_agg(_from_pandas(ray_session, _events_df(rows)), CFG)
+            .to_pandas()
+            .sort_values(["event_type", "window_us"])
+            .reset_index(drop=True)
+        )
+        assert out.values.tolist() == [
+            ["click", base, 1, 800],
+            ["view", base, 2, 300],
+            ["view", base + h, 1, 400],
+        ]
+
+    def test_partial_preaggregation_counts(self, ray_session):
+        """Many events, one (type, window) key: output is one exact row."""
+        from deepblocker_ray.stages.events import window_agg
+
+        n = 500
+        rows = [(i, i % 13, T0 + i, "view", 0.01) for i in range(n)]
+        out = window_agg(
+            _from_pandas(ray_session, _events_df(rows)), CFG
+        ).to_pandas()
+        assert len(out) == 1
+        assert int(out["n_events"].iloc[0]) == n
+        assert int(out["sum_cents"].iloc[0]) == n
+
+
+class TestAsofJoin:
+    def test_backward_match_ties_and_drops(self, ray_session):
+        from deepblocker_ray.stages.events import asof_join
+
+        rows = [
+            # user 1: two views at the SAME ts, then a click → max event_id wins
+            (10, 1, T0, "view", 0.0),
+            (11, 1, T0, "view", 0.0),
+            (12, 1, T0 + MIN, "click", 0.0),
+            # user 1: click exactly AT a view ts → exact match allowed
+            (13, 1, T0 + 5 * MIN, "view", 0.0),
+            (14, 1, T0 + 5 * MIN, "click", 0.0),
+            # user 2: click BEFORE any view → dropped
+            (20, 2, T0, "click", 0.0),
+            (21, 2, T0 + MIN, "view", 0.0),
+            # user 3: view only → no output row
+            (30, 3, T0, "view", 0.0),
+        ]
+        out = (
+            asof_join(_from_pandas(ray_session, _events_df(rows)), CFG)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert out["event_id"].tolist() == [12, 14]
+        assert out["matched_id"].tolist() == [11, 13]
+        assert out["lag_us"].tolist() == [MIN, 0]
+
+    def test_same_type_rejected(self):
+        from deepblocker_ray.stages.events import asof_join
+
+        with pytest.raises(ValueError):
+            asof_join(None, CFG, left_type="view", right_type="view")
+
+
+class TestPiiScrub:
+    def test_planted_pii(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.textstats import pii_scrub
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": [
+                    "contact bob.smith+x@example.co.uk today",
+                    "server at 192.168.0.1 port 8080",
+                    "call +1 (555) 123-4567 now",
+                    "plain text no pii",
+                    None,
+                ],
+            }
+        )
+        out = (
+            pii_scrub(rd.from_pandas(df))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["scrubbed"].tolist() == [
+            "contact <EMAIL> today",
+            "server at <IP> port <NUM>",
+            "call <PHONE> now",
+            "plain text no pii",
+            "",
+        ]
+        assert out["n_redactions"].tolist() == [1, 2, 1, 0, 0]
+
+    def test_order_email_before_number(self, ray_session):
+        """Digits inside an email are consumed by the email pattern, not
+        double-counted by the number pattern."""
+        import ray.data as rd
+
+        from deepblocker_ray.stages.textstats import pii_scrub
+
+        df = pd.DataFrame({"doc_id": [0], "text": ["a1b2@x99.com plus 42"]})
+        out = pii_scrub(rd.from_pandas(df)).to_pandas()
+        assert out["scrubbed"].iloc[0] == "<EMAIL> plus <NUM>"
+        assert int(out["n_redactions"].iloc[0]) == 2
+
+
+class TestRepetitionStats:
+    def test_crafted_repetition(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.textstats import repetition_stats
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "a b a b a b",      # 6 words {a,b}; 5 bigrams {ab,ba}
+                    "x y z",            # all distinct
+                    "w",                # single word: no 2/3-grams
+                    "",                 # empty
+                ],
+            }
+        )
+        out = (
+            repetition_stats(rd.from_pandas(df))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_words"].tolist() == [6, 3, 1, 0]
+        np.testing.assert_allclose(
+            out["dup_word_frac"], [1 - 2 / 6, 0.0, 0.0, 0.0]
+        )
+        np.testing.assert_allclose(
+            out["dup_2gram_frac"], [1 - 2 / 5, 0.0, 0.0, 0.0]
+        )
+        np.testing.assert_allclose(
+            out["dup_3gram_frac"], [1 - 2 / 4, 0.0, 0.0, 0.0]
+        )
