@@ -501,6 +501,37 @@ def q_repetition(sf_dir: str):
     return repetition_stats(_documents(sf_dir))
 
 
+def q_value_quantiles(sf_dir: str):
+    """Exact discrete p50/p90/p99 of event value (integer cents) per
+    event_type, via bounded (type, cents)-count partials — never a
+    per-event exchange."""
+    from deepblocker_ray.stages.events import value_quantiles
+
+    ev = _events(sf_dir, columns=["event_type", "value"])
+    return value_quantiles(ev, _cfg())
+
+
+def q_segment_revenue(sf_dir: str):
+    """Chained broadcast dimension joins + map-side rollup: lineitem ⋈
+    orders ⋈ customer → revenue per market segment in exact int64
+    1e-4-dollar units."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import segment_revenue
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    return segment_revenue(lineitem, orders, customer, _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -537,6 +568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
+        "value_quantiles": q_value_quantiles,
+        "segment_revenue": q_segment_revenue,
     }
 
 
@@ -1053,6 +1086,42 @@ def oracle_sql() -> dict[str, str]:
             FROM j WHERE rn = 1
         """,
         "pii_scrub": _pii_sql(),
+        "value_quantiles": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            n AS (SELECT event_type, count(*) AS n FROM c GROUP BY 1),
+            o AS (
+                SELECT event_type, cents,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY cents) AS rk
+                FROM c
+            )
+            -- rank = ceil(q·n) in EXACT integer arithmetic (same rule as
+            -- the engine: (num·n + den − 1) // den), never float q·n
+            SELECT n.event_type, n.n AS n_events,
+                   max(CASE WHEN o.rk = (1 * n.n + 1) // 2
+                            THEN o.cents END) AS p50_cents,
+                   max(CASE WHEN o.rk = (9 * n.n + 9) // 10
+                            THEN o.cents END) AS p90_cents,
+                   max(CASE WHEN o.rk = (99 * n.n + 99) // 100
+                            THEN o.cents END) AS p99_cents
+            FROM o JOIN n ON o.event_type = n.event_type
+            GROUP BY n.event_type, n.n
+        """,
+        "segment_revenue": """
+            SELECT c.c_mktsegment, count(*) AS n_lines,
+                   CAST(sum(
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                   ) AS BIGINT) AS revenue_e4
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
         "repetition": """
             WITH w AS (
                 SELECT doc_id,

@@ -100,10 +100,15 @@ def bench_linkage() -> dict:
 
 
 def bench_query(fn) -> dict:
+    s0 = _cpu_stat()
     t0 = time.perf_counter()
     out = fn(SF_DIR)
     n = out.count() if hasattr(out, "count") else len(out)
-    return {"sec": time.perf_counter() - t0, "out_rows": int(n)}
+    return {
+        "sec": time.perf_counter() - t0,
+        "out_rows": int(n),
+        "steal_frac": _steal_frac(s0, _cpu_stat()),
+    }
 
 
 def main() -> None:
@@ -157,6 +162,8 @@ def main() -> None:
         "asof_join",
         "pii_scrub",
         "repetition",
+        "value_quantiles",
+        "segment_revenue",
     ]
     for name in query_names:
         r = bench_query(q[name])

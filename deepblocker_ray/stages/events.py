@@ -291,6 +291,102 @@ def asof_join(
     )
 
 
+# ------------------------------------------------------- value_quantiles --
+
+# (numerator, denominator, column) — quantile ranks are computed in exact
+# integer arithmetic (ceil(num·n/den) = (num·n + den − 1) // den), never via
+# float q·n, because e.g. 0.9 × 2000 = 1800.0000000000002 in binary and a
+# float ceil would silently shift the rank.
+QUANTILES: list[tuple[int, int, str]] = [
+    (1, 2, "p50_cents"),
+    (9, 10, "p90_cents"),
+    (99, 100, "p99_cents"),
+]
+
+
+def value_quantiles(ds, cfg: EngineConfig):
+    """EXACT discrete quantiles of the event value per event_type:
+
+        (event_type, n_events, p50_cents, p90_cents, p99_cents)
+
+    where p_q is the q-th smallest-rank element (rank ceil(q·n), 1-based) of
+    the sorted per-type cent values — the inverted-CDF definition, exactly
+    reproducible in SQL via row_number.
+
+    Scale shape: map_batches partials collapse each batch to its distinct
+    (type, cents) counts — the exchange moves O(types × distinct cents) rows
+    per batch, never events (cent values are a bounded domain; for genuinely
+    unbounded heavy-tailed domains bin first). One bucketed exchange on
+    hash(type); the per-type finish is a sort + cumsum + searchsorted."""
+    nb = cfg.num_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pandas(),
+                "cents": _cents(np.asarray(t.column("value"))),
+            }
+        )
+        g = (
+            df.groupby(["event_type", "cents"], sort=False, observed=True)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        # bucket on a DETERMINISTIC hash of the type string (per-batch
+        # factorize codes are not stable across batches and would scatter
+        # one type over several buckets); hashed once per distinct type
+        codes, uniq = pd.factorize(g["event_type"], sort=False)
+        from .dedup import _stable_hash64
+
+        uh = np.fromiter(
+            (_stable_hash64(str(t).encode()) for t in uniq),
+            np.uint64,
+            len(uniq),
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "cents": pa.array(g["cents"].to_numpy(np.int64)),
+                "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+                "_bucket": pa.array(
+                    (uh[codes] % np.uint64(nb)).astype(np.int32)
+                ),
+            }
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for etype, g in df.groupby("event_type", sort=False, observed=True):
+            agg = g.groupby("cents", sort=True)["cnt"].sum()
+            cents = agg.index.to_numpy(np.int64)
+            cum = agg.to_numpy(np.int64).cumsum()
+            n = int(cum[-1])
+            row = {"event_type": etype, "n_events": n}
+            for num, den, col in QUANTILES:
+                rank = (num * n + den - 1) // den
+                row[col] = int(cents[np.searchsorted(cum, rank, "left")])
+            out_rows.append(row)
+        if not out_rows:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype=object),
+                    "n_events": pd.Series(dtype="int64"),
+                    **{
+                        c: pd.Series(dtype="int64")
+                        for _, _, c in QUANTILES
+                    },
+                }
+            )
+        return pd.DataFrame(out_rows)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 def _empty_asof() -> pd.DataFrame:
     return pd.DataFrame(
         {

@@ -1,0 +1,154 @@
+"""Relational composition operators: broadcast hash join + a chained-join
+rollup pipeline over the TPC-H-ish driver tables.
+
+The reference's only join surface is the candidate×golden evaluation join
+(blocking_utils.py:19-33); a general engine additionally needs the
+dimension-join shape every large-scale pipeline hits: a huge fact stream
+joined against small dimension tables. The Ray-native design:
+
+- ``broadcast_join``: the small side is collected ONCE, ``ray.put`` into the
+  object store, and every map task reads it zero-copy — the fact stream
+  never shuffles. Guarded by ``EngineConfig.broadcast_rows_max``: a small
+  side above the cap falls back to Ray Data's hash join (which shuffles
+  both sides) with identical inner-join semantics.
+- ``segment_revenue``: lineitem → orders → customer chained broadcast
+  joins, then a map-side partial aggregate so the final exchange moves only
+  (segment, partials) rows. Money is exact integer 1e-4-dollar units
+  (``round(price*100) * (100 - round(discount*100))``) so sums are
+  order-independent and bit-reproducible in the DuckDB SQL twin — float
+  sums are not associative and would hash-mismatch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..config import EngineConfig
+
+
+def broadcast_join(
+    big_ds,
+    small_ds,
+    *,
+    big_key: str,
+    small_key: str,
+    payload_cols: list[str],
+    cfg: EngineConfig | None = None,
+):
+    """Inner-join ``payload_cols`` of ``small_ds`` onto ``big_ds``.
+
+    Small side ≤ cfg.broadcast_rows_max: collected once, ``ray.put``, and
+    merged map-side inside map_batches (vectorized pandas hash merge) — the
+    big side streams with NO shuffle. Above the cap: Ray Data's native hash
+    join (both sides exchange). Duplicate small-side keys keep their
+    multiplicity (true join semantics, not a lookup)."""
+    from ..config import default_parallelism
+
+    cfg = cfg or EngineConfig()
+    small_count = small_ds.count()
+    if small_count > cfg.broadcast_rows_max:
+        # join aggregator actors must all fit the session: num_partitions
+        # above the CPU count deadlocks a small session waiting for actors
+        nparts = max(2, min(cfg.num_buckets // 4, default_parallelism()))
+        joined = big_ds.join(
+            small_ds.select_columns([small_key] + payload_cols),
+            join_type="inner",
+            num_partitions=nparts,
+            on=(big_key,),
+            right_on=(small_key,),
+        )
+        # Ray's join emits only the left key column — same shape as the
+        # broadcast path's merge output
+        return joined
+
+    small_df = (
+        small_ds.select_columns([small_key] + payload_cols)
+        .to_pandas()
+        .rename(columns={small_key: big_key})
+    )
+    small_ref = ray.put(small_df)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import cached_get
+
+        side = cached_get(small_ref)
+        return df.merge(side, on=big_key, how="inner")
+
+    return big_ds.map_batches(merge, batch_format="pandas")
+
+
+def segment_revenue(lineitem, orders, customer, cfg: EngineConfig):
+    """Revenue rollup per customer market segment (TPC-H-Q3-shaped):
+    lineitem ⋈ orders ⋈ customer → (c_mktsegment, n_lines, revenue_e4).
+
+    The fact stream (lineitem) is projected to two int64 columns map-side,
+    both dimension joins are broadcast (orders and customer are the small
+    sides at any realistic scale ratio — and fall back to a hash join past
+    the cap), and the rollup is pre-aggregated inside map_batches so the
+    only exchange is a handful of (segment, partial) rows. ``revenue_e4``
+    is ``round(price*100) * (100 - round(discount*100))`` in exact int64
+    1e-4-dollar units."""
+
+    def project(t: pa.Table) -> pa.Table:
+        price = np.asarray(t.column("l_extendedprice"), np.float64)
+        disc = np.asarray(t.column("l_discount"), np.float64)
+        rev = np.rint(price * 100.0).astype(np.int64) * (
+            100 - np.rint(disc * 100.0).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "revenue_e4": pa.array(rev),
+            }
+        )
+
+    facts = lineitem.map_batches(project, batch_format="pyarrow")
+    facts = broadcast_join(
+        facts,
+        orders,
+        big_key="l_orderkey",
+        small_key="o_orderkey",
+        payload_cols=["o_custkey"],
+        cfg=cfg,
+    )
+    facts = broadcast_join(
+        facts,
+        customer,
+        big_key="o_custkey",
+        small_key="c_custkey",
+        payload_cols=["c_mktsegment"],
+        cfg=cfg,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("c_mktsegment", sort=False, observed=True)
+            .agg(
+                n_lines=("revenue_e4", "size"),
+                revenue_e4=("revenue_e4", "sum"),
+            )
+            .reset_index()
+        )
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("c_mktsegment", sort=False, observed=True)
+            .agg(n_lines=("n_lines", "sum"), revenue_e4=("revenue_e4", "sum"))
+            .reset_index()
+        )
+        g["n_lines"] = g["n_lines"].astype("int64")
+        g["revenue_e4"] = g["revenue_e4"].astype("int64")
+        return g
+
+    # segments are a handful of keys: partials collapse to ~segments×blocks
+    # rows, so a single-group final combine is O(segments), not O(facts)
+    return (
+        facts.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

@@ -228,3 +228,76 @@ class TestRepetitionStats:
         np.testing.assert_allclose(
             out["dup_3gram_frac"], [1 - 2 / 4, 0.0, 0.0, 0.0]
         )
+
+
+class TestValueQuantiles:
+    def test_exact_ranks(self, ray_session):
+        from deepblocker_ray.stages.events import value_quantiles
+
+        # type "a": values 1..10 cents → n=10, p50=rank5=5, p90=rank9=9,
+        # p99=rank10=10. type "b": single value.
+        rows = [(i, 1, T0 + i, "a", (i + 1) / 100.0) for i in range(10)]
+        rows += [(99, 2, T0, "b", 0.07)]
+        out = (
+            value_quantiles(_from_pandas(ray_session, _events_df(rows)), CFG)
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        assert out.values.tolist() == [
+            ["a", 10, 5, 9, 10],
+            ["b", 1, 7, 7, 7],
+        ]
+
+    def test_duplicate_values_and_cross_batch_merge(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.events import value_quantiles
+
+        # 100 copies of 1 cent + 1 copy of 2 cents, split over many blocks:
+        # partials from different batches must merge into ONE row
+        rows = [(i, i, T0 + i, "x", 0.01) for i in range(100)]
+        rows += [(100, 5, T0, "x", 0.02)]
+        ds = rd.from_pandas(_events_df(rows)).repartition(8)
+        out = value_quantiles(ds, CFG).to_pandas()
+        assert len(out) == 1
+        # n=101: p50 rank 51 → 1; p99 rank ceil(99.99)=100 → 1
+        assert out.values.tolist() == [["x", 101, 1, 1, 1]]
+
+
+class TestBroadcastJoin:
+    def _tables(self, rd):
+        big = rd.from_pandas(
+            pd.DataFrame({"k": [1, 2, 2, 3, 4], "v": [10, 20, 21, 30, 40]})
+        )
+        small = rd.from_pandas(
+            pd.DataFrame({"sk": [1, 2, 2, 5], "p": ["a", "b", "c", "z"]})
+        )
+        return big, small
+
+    def test_broadcast_and_hashjoin_paths_agree(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import broadcast_join
+
+        results = []
+        for cap in (1_000_000, 1):  # broadcast path, then hash-join fallback
+            big, small = self._tables(rd)
+            out = broadcast_join(
+                big,
+                small,
+                big_key="k",
+                small_key="sk",
+                payload_cols=["p"],
+                cfg=EngineConfig(broadcast_rows_max=cap),
+            ).to_pandas()
+            results.append(
+                out.sort_values(["k", "v", "p"]).reset_index(drop=True)[
+                    ["k", "v", "p"]
+                ]
+            )
+        # inner semantics: unmatched k=3/4 drop; duplicate small keys (k=2)
+        # keep multiplicity — both big k=2 rows join both small rows
+        assert results[0]["k"].tolist() == [1, 2, 2, 2, 2]
+        assert results[0].equals(results[1])
