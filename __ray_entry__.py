@@ -10,7 +10,7 @@ deterministically from the ``documents`` view by an 8-word-turn rule that has
 an exact SQL twin (deepblocker_ray.fixtures), so canonicalize is
 SQL-checkable.
 
-Oracle coverage (26 of 28 queries have a full SQL twin): the dedup cluster
+Oracle coverage (29 of 31 queries have a full SQL twin): the dedup cluster
 queries are checked against brute-force exact-similarity pair SQL +
 recursive-CTE connected components; simhash's 64-bit fingerprint is
 recomputed bit-for-bit in SQL (the engine's stable hash IS DuckDB's
