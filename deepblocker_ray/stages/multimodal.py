@@ -228,3 +228,161 @@ def extract_media_features(
         batch_size=64,
         concurrency=actor_pool_size(None),
     )
+
+
+# ----------------------------------------------------- resize / frame-sample --
+
+
+def _resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resample of an (H, W, C) array — REAL kernel (no
+    codec needed once pixels exist): standard pixel-center index mapping
+    src = floor((dst + 0.5) · in/out), fully vectorized via index grids."""
+    in_h, in_w = img.shape[:2]
+    rows = np.minimum(
+        ((np.arange(out_h) + 0.5) * in_h / out_h).astype(np.int64), in_h - 1
+    )
+    cols = np.minimum(
+        ((np.arange(out_w) + 0.5) * in_w / out_w).astype(np.int64), in_w - 1
+    )
+    return img[rows[:, None], cols[None, :]]
+
+
+def _frame_indices(n_frames: int, n_sample: int) -> np.ndarray:
+    """Uniform frame-sampling rule — REAL kernel: pixel-center positions
+    floor((i + 0.5) · T / n) over the clip, deduplicated in order (short
+    clips yield fewer than n_sample frames rather than repeats)."""
+    n_sample = max(1, min(n_sample, n_frames))
+    idx = ((np.arange(n_sample) + 0.5) * n_frames / n_sample).astype(np.int64)
+    idx = np.minimum(idx, n_frames - 1)
+    keep = np.ones(len(idx), bool)
+    keep[1:] = idx[1:] != idx[:-1]
+    return idx[keep]
+
+
+def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic pseudo-decode: payload hash → (h, w, 3) uint8 pixels.
+    Stands in for the absent image codec so the resize plumbing and the real
+    resample kernel run end-to-end."""
+    digest = hashlib.blake2b(payload, digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(digest, "little"))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+class MediaResize:
+    """Actor-pool stage: image payload → fixed-size RGB raster.
+
+    Decode is the stubbed step (``fake_decode=False`` raises
+    NotImplementedError; True pseudo-decodes deterministically at the row's
+    declared width/height); the nearest-neighbor resample itself is a real,
+    exactly-tested kernel. Output rows carry the raw RGB buffer
+    (out_h × out_w × 3 bytes) plus the new dimensions."""
+
+    def __init__(self, out_h: int = 32, out_w: int = 32,
+                 fake_decode: bool = True):
+        self.out_h = out_h
+        self.out_w = out_w
+        self.fake_decode = fake_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake_decode and len(batch):
+            raise NotImplementedError(
+                "real image decoding requires codec libraries not present "
+                "in this environment; construct with fake_decode=True for "
+                "the deterministic test kernel"
+            )
+        outs = []
+        for payload, w, h in zip(
+            batch.column("payload").to_pylist(),
+            batch.column("width").to_pylist(),
+            batch.column("height").to_pylist(),
+        ):
+            img = _fake_pixels(payload, max(int(h or 1), 1), max(int(w or 1), 1))
+            outs.append(_resize_nn(img, self.out_h, self.out_w).tobytes())
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "height": pa.array([self.out_h] * len(batch), pa.int32()),
+                "width": pa.array([self.out_w] * len(batch), pa.int32()),
+                "pixels": pa.array(outs, pa.binary()),
+            }
+        )
+
+
+class MediaFrameSample:
+    """Actor-pool stage: video payload → one row per sampled frame
+    (media_id, frame_idx, n_frames, frame). The uniform-sampling rule is a
+    real, exactly-tested kernel; the per-frame decode is the stubbed step
+    (fake: clip length from duration_ms at a nominal fps, frames
+    pseudo-decoded per index)."""
+
+    def __init__(self, n_sample: int = 4, fps: float = 1.0,
+                 frame_h: int = 16, frame_w: int = 16,
+                 fake_decode: bool = True):
+        self.n_sample = n_sample
+        self.fps = fps
+        self.frame_h = frame_h
+        self.frame_w = frame_w
+        self.fake_decode = fake_decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake_decode and len(batch):
+            raise NotImplementedError(
+                "real video decoding requires codec libraries not present "
+                "in this environment; construct with fake_decode=True for "
+                "the deterministic test kernel"
+            )
+        ids, fidx, totals, frames = [], [], [], []
+        for mid, payload, dur in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+            batch.column("duration_ms").to_pylist(),
+        ):
+            n_frames = max(1, int(round((dur or 1000) / 1000.0 * self.fps)))
+            for i in _frame_indices(n_frames, self.n_sample):
+                ids.append(mid)
+                fidx.append(int(i))
+                totals.append(n_frames)
+                frames.append(
+                    _fake_pixels(
+                        payload + i.tobytes(), self.frame_h, self.frame_w
+                    ).tobytes()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(fidx, pa.int32()),
+                "n_frames": pa.array(totals, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def resize_media(ds, cfg: EngineConfig | None = None, out_h: int = 32,
+                 out_w: int = 32, fake_decode: bool = True):
+    """Image payloads are heavy → small batches, actor pool (state: none
+    today, a decoder context once real codecs exist)."""
+    return ds.map_batches(
+        MediaResize,
+        fn_constructor_kwargs=dict(
+            out_h=out_h, out_w=out_w, fake_decode=fake_decode
+        ),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=actor_pool_size(None),
+    )
+
+
+def sample_media_frames(ds, cfg: EngineConfig | None = None,
+                        n_sample: int = 4, fps: float = 1.0,
+                        fake_decode: bool = True):
+    """Row-expanding stage (≤ n_sample output rows per video): even smaller
+    batches since each input row fans out into multiple frame buffers."""
+    return ds.map_batches(
+        MediaFrameSample,
+        fn_constructor_kwargs=dict(
+            n_sample=n_sample, fps=fps, fake_decode=fake_decode
+        ),
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=actor_pool_size(None),
+    )

@@ -139,3 +139,99 @@ class TestMediaFromDocuments:
         assert not bool(stats.loc["m-0", "mime_matches"])
         assert stats.loc["m-14", "n_bytes"] == 0
         assert stats.loc["m-3", "md5"] == hashlib.md5(b"GIF89aimg doc").hexdigest()
+
+
+class TestResizeKernel:
+    def test_nn_resize_exact_2x2_to_4x4(self):
+        from deepblocker_ray.stages.multimodal import _resize_nn
+
+        img = np.array(
+            [[[1], [2]], [[3], [4]]], dtype=np.uint8
+        )  # 2×2, 1 channel
+        out = _resize_nn(img, 4, 4)
+        # src index = floor((dst+0.5)·2/4) = [0,0,1,1]
+        expect = np.array(
+            [
+                [1, 1, 2, 2],
+                [1, 1, 2, 2],
+                [3, 3, 4, 4],
+                [3, 3, 4, 4],
+            ],
+            dtype=np.uint8,
+        )[..., None]
+        np.testing.assert_array_equal(out, expect)
+
+    def test_same_size_is_identity(self):
+        from deepblocker_ray.stages.multimodal import _resize_nn
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(_resize_nn(img, 7, 5), img)
+
+
+class TestFrameIndices:
+    def test_uniform_rule(self):
+        from deepblocker_ray.stages.multimodal import _frame_indices
+
+        np.testing.assert_array_equal(
+            _frame_indices(10, 4), [1, 3, 6, 8]
+        )  # floor((i+0.5)·10/4)
+
+    def test_short_clip_dedup(self):
+        from deepblocker_ray.stages.multimodal import _frame_indices
+
+        np.testing.assert_array_equal(_frame_indices(2, 4), [0, 1])
+        np.testing.assert_array_equal(_frame_indices(1, 4), [0])
+
+
+class TestResizeFrameSamplePlumbing:
+    def test_resize_media(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.multimodal import resize_media
+
+        ds = rd.from_arrow(synth_media_table(n=24, seed=7))
+        out = resize_media(ds, CFG, out_h=8, out_w=6).to_pandas()
+        assert len(out) == 24
+        assert (out["height"] == 8).all() and (out["width"] == 6).all()
+        assert out["pixels"].map(len).eq(8 * 6 * 3).all()
+        # deterministic: same input → same bytes
+        out2 = resize_media(
+            rd.from_arrow(synth_media_table(n=24, seed=7)), CFG, 8, 6
+        ).to_pandas()
+        m1 = out.sort_values("media_id").reset_index(drop=True)
+        m2 = out2.sort_values("media_id").reset_index(drop=True)
+        assert m1.equals(m2)
+
+    def test_sample_frames(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.multimodal import sample_media_frames
+
+        tbl = synth_media_table(n=24, seed=7)
+        ds = rd.from_arrow(tbl)
+        out = sample_media_frames(ds, CFG, n_sample=3, fps=2.0).to_pandas()
+        assert set(out["media_id"]) == set(tbl.column("media_id").to_pylist())
+        assert (out.groupby("media_id").size() <= 3).all()
+        assert out["frame"].map(len).eq(16 * 16 * 3).all()
+        # frame_idx strictly increasing within each media
+        for _, g in out.groupby("media_id"):
+            fi = g.sort_values("frame_idx")["frame_idx"].to_numpy()
+            assert (np.diff(fi) > 0).all()
+
+    def test_decode_stub_gates(self, ray_session):
+        import ray
+
+        import ray.data as rd
+
+        from deepblocker_ray.stages.multimodal import (
+            resize_media,
+            sample_media_frames,
+        )
+
+        ds = rd.from_arrow(synth_media_table(n=4, seed=1))
+        with pytest.raises(ray.exceptions.RayTaskError):
+            resize_media(ds, CFG, fake_decode=False).materialize()
+        ds2 = rd.from_arrow(synth_media_table(n=4, seed=1))
+        with pytest.raises(ray.exceptions.RayTaskError):
+            sample_media_frames(ds2, CFG, fake_decode=False).materialize()
