@@ -49,13 +49,16 @@ def broadcast_join(
     from ..config import default_parallelism
 
     cfg = cfg or EngineConfig()
+    # materialize the projected small side ONCE: count() and the collection
+    # below would otherwise each execute the small-side plan
+    small_ds = small_ds.select_columns([small_key] + payload_cols).materialize()
     small_count = small_ds.count()
     if small_count > cfg.broadcast_rows_max:
         # join aggregator actors must all fit the session: num_partitions
         # above the CPU count deadlocks a small session waiting for actors
         nparts = max(2, min(cfg.num_buckets // 4, default_parallelism()))
         joined = big_ds.join(
-            small_ds.select_columns([small_key] + payload_cols),
+            small_ds,
             join_type="inner",
             num_partitions=nparts,
             on=(big_key,),
@@ -65,11 +68,7 @@ def broadcast_join(
         # broadcast path's merge output
         return joined
 
-    small_df = (
-        small_ds.select_columns([small_key] + payload_cols)
-        .to_pandas()
-        .rename(columns={small_key: big_key})
-    )
+    small_df = small_ds.to_pandas().rename(columns={small_key: big_key})
     small_ref = ray.put(small_df)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
