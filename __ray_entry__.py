@@ -532,6 +532,36 @@ def q_segment_revenue(sf_dir: str):
     return segment_revenue(lineitem, orders, customer, _cfg())
 
 
+SAMPLE_FRACTIONS = {"en": 0.5, "zh": 1.0, "de": 0.25}
+SAMPLE_DEFAULT = 0.1
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic shuffle-free 20% document sample (stable id-hash
+    threshold — rerun/resume-stable, exactly SQL-twinned via
+    md5_number_lower)."""
+    from deepblocker_ray.stages.sampling import hash_sample
+
+    return hash_sample(_documents(sf_dir), 0.2, seed=7).select_columns(
+        ["doc_id", "lang"]
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language deterministic sampling (rebalancing a multilingual
+    corpus): en 50%, zh 100%, de 25%, default 10%."""
+    from deepblocker_ray.stages.sampling import stratified_sample
+
+    out = stratified_sample(
+        _documents(sf_dir),
+        SAMPLE_FRACTIONS,
+        strata_col="lang",
+        default_fraction=SAMPLE_DEFAULT,
+        seed=7,
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -570,6 +600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "value_quantiles": q_value_quantiles,
         "segment_revenue": q_segment_revenue,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -638,6 +670,34 @@ def _pii_sql() -> str:
         + f" SELECT event_id, t AS scrubbed,"
         f" CAST(c AS BIGINT) AS n_redactions FROM {prev}"
     )
+
+
+def _sample_hash_expr(seed: int) -> str:
+    """SQL twin of sampling._id_hashes: the engine's _stable_hash64 IS
+    DuckDB's md5_number_lower, and both sides compare the SAME integer
+    threshold (sampling.sample_threshold_sql), so samples are exact."""
+    return (
+        f"md5_number_lower(CAST(doc_id AS VARCHAR) || '|{seed}') % 4294967296"
+    )
+
+
+def _sample_thr(fraction: float) -> int:
+    from deepblocker_ray.stages.sampling import sample_threshold_sql
+
+    return sample_threshold_sql(fraction)
+
+
+def _stratified_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {_sample_thr(v)}"
+        for k, v in SAMPLE_FRACTIONS.items()
+    )
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_sample_hash_expr(7)}
+              < CASE lang {cases}
+                ELSE {_sample_thr(SAMPLE_DEFAULT)} END
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1086,6 +1146,11 @@ def oracle_sql() -> dict[str, str]:
             FROM j WHERE rn = 1
         """,
         "pii_scrub": _pii_sql(),
+        "hash_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_sample_hash_expr(7)} < {_sample_thr(0.2)}
+        """,
+        "stratified_sample": _stratified_sample_sql(),
         "value_quantiles": """
             WITH c AS (
                 SELECT event_type,

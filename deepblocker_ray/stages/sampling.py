@@ -1,0 +1,94 @@
+"""Deterministic sampling operators (training-data-pipeline ops).
+
+Large-scale sampling must be shuffle-free, seed-stable, and resumable: the
+decision for a row may depend only on the row itself, never on a global
+count, a random stream position, or which worker saw it. These operators
+decide per row from a stable 64-bit hash of (id, seed) — the same
+``md5_number_lower`` convention as the dedup fingerprints
+(stages/dedup._stable_hash64), which is what gives every sample an EXACT
+DuckDB SQL twin and makes reruns/resume byte-identical.
+
+- ``hash_sample``: keep a row iff hash(id|seed) mod 2^32 < fraction·2^32.
+- ``stratified_sample``: per-stratum fractions (e.g. per language, per
+  source) with a default — the hash threshold varies by stratum, the
+  mechanics are one vectorized pass, no groupby.
+
+Sampling error vs an exact-count sample is Binomial(n, fraction) per
+stratum — the standard trade for determinism at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _stable_hash64
+
+_DENOM = np.uint64(1) << np.uint64(32)
+
+
+def _keep_threshold(fraction: float) -> np.uint64:
+    """fraction → integer threshold in [0, 2^32]; exact at both endpoints.
+    Computed in integer space (round(fraction·2^32)) so the engine and the
+    SQL twin compare against the SAME constant."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return np.uint64(round(fraction * float(_DENOM)))
+
+
+def _id_hashes(ids, seed: int) -> np.ndarray:
+    """Stable per-row uint64 hash of CAST(id AS VARCHAR) || '|' || seed —
+    exactly ``md5_number_lower(id || '|<seed>')`` in DuckDB."""
+    suffix = f"|{seed}".encode()
+    return np.fromiter(
+        (_stable_hash64(str(v).encode() + suffix) for v in ids.to_pylist()),
+        np.uint64,
+        len(ids),
+    )
+
+
+def sample_threshold_sql(fraction: float) -> int:
+    """The integer threshold the SQL twin must compare against (kept in one
+    place so engine and oracle cannot drift)."""
+    return int(_keep_threshold(fraction))
+
+
+def hash_sample(ds, fraction: float, id_col: str = "doc_id", seed: int = 0):
+    """Deterministic ~``fraction`` sample: keep rows whose stable id-hash
+    lands under the threshold. Stateless vectorized filter — no shuffle, no
+    global count, stable under reruns, resume, and repartitioning."""
+    thr = _keep_threshold(fraction)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        h = _id_hashes(batch.column(id_col).cast(pa.string()), seed)
+        return batch.filter(pa.array((h % _DENOM) < thr))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    seed: int = 0,
+):
+    """Per-stratum deterministic sampling: each row's keep-threshold comes
+    from ``fractions[row[strata_col]]`` (``default_fraction`` otherwise).
+    One vectorized pass — the stratum only selects the threshold, so there
+    is no groupby and skewed strata cost nothing extra."""
+    thr_map = {k: _keep_threshold(v) for k, v in fractions.items()}
+    default_thr = _keep_threshold(default_fraction)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        h = _id_hashes(batch.column(id_col).cast(pa.string()), seed)
+        strata = batch.column(strata_col).to_pylist()
+        thr = np.fromiter(
+            (thr_map.get(s, default_thr) for s in strata),
+            np.uint64,
+            len(strata),
+        )
+        return batch.filter(pa.array((h % _DENOM) < thr))
+
+    return ds.map_batches(pick, batch_format="pyarrow")

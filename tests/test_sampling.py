@@ -1,0 +1,100 @@
+"""Deterministic hash-sampling invariants: rerun/repartition stability,
+threshold nesting (a 10% sample is a subset of the 20% sample), endpoint
+exactness, and per-stratum thresholds. Driver SQL twins are covered by
+test_oracle_parity."""
+
+import pandas as pd
+import pytest
+
+from deepblocker_ray.config import EngineConfig
+
+CFG = EngineConfig(num_buckets=8)
+
+
+def _docs(rd, n=400):
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": range(n),
+                "lang": [["en", "de", "zh", "fr"][i % 4] for i in range(n)],
+            }
+        )
+    )
+
+
+class TestHashSample:
+    def test_deterministic_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.sampling import hash_sample
+
+        a = hash_sample(_docs(rd), 0.3, seed=5).to_pandas()
+        b = hash_sample(_docs(rd).repartition(16), 0.3, seed=5).to_pandas()
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+        assert 0 < len(a) < 400
+
+    def test_threshold_nesting(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.sampling import hash_sample
+
+        small = set(hash_sample(_docs(rd), 0.1, seed=5).to_pandas()["doc_id"])
+        large = set(hash_sample(_docs(rd), 0.2, seed=5).to_pandas()["doc_id"])
+        assert small <= large
+
+    def test_endpoints_exact(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.sampling import hash_sample
+
+        assert hash_sample(_docs(rd), 0.0).count() == 0
+        assert hash_sample(_docs(rd), 1.0).count() == 400
+
+    def test_seed_changes_sample(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.sampling import hash_sample
+
+        a = set(hash_sample(_docs(rd), 0.3, seed=1).to_pandas()["doc_id"])
+        b = set(hash_sample(_docs(rd), 0.3, seed=2).to_pandas()["doc_id"])
+        assert a != b
+
+    def test_bad_fraction(self):
+        from deepblocker_ray.stages.sampling import hash_sample
+
+        with pytest.raises(ValueError):
+            hash_sample(None, 1.5)
+
+
+class TestStratifiedSample:
+    def test_per_stratum_rates(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.sampling import stratified_sample
+
+        out = stratified_sample(
+            _docs(rd),
+            {"en": 1.0, "de": 0.0},
+            strata_col="lang",
+            default_fraction=0.5,
+            seed=3,
+        ).to_pandas()
+        counts = out["lang"].value_counts().to_dict()
+        assert counts.get("en") == 100       # fraction 1.0 keeps all
+        assert "de" not in counts            # fraction 0.0 drops all
+        assert 0 < counts.get("zh", 0) < 100  # default ~50%
+        assert 0 < counts.get("fr", 0) < 100
+
+    def test_stratified_matches_flat_when_uniform(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.sampling import (
+            hash_sample,
+            stratified_sample,
+        )
+
+        flat = hash_sample(_docs(rd), 0.4, seed=9).to_pandas()
+        strat = stratified_sample(
+            _docs(rd), {}, strata_col="lang", default_fraction=0.4, seed=9
+        ).to_pandas()
+        assert sorted(flat["doc_id"]) == sorted(strat["doc_id"])
