@@ -562,6 +562,99 @@ def q_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_keep_latest(sf_dir: str):
+    """Snapshot compaction: most recent event per user (max ts, tie max
+    event_id) — latest-version-per-key. Map-side partial argmax; only
+    per-batch winners ride the one bucketed exchange."""
+    from deepblocker_ray.stages.events import keep_latest
+
+    return keep_latest(_events(sf_dir), _cfg())
+
+
+def q_global_topk(sf_dir: str):
+    """The 20 longest documents (n_chars desc, doc_id asc) WITHOUT a global
+    sort: per-batch partial top-k, tiny final merge."""
+    from deepblocker_ray.stages.topk import group_topk
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "n_chars"])
+    return group_topk(docs, _cfg(), order_col="n_chars", id_col="doc_id",
+                      k=20)
+
+
+def q_group_topk(sf_dir: str):
+    """Top-5 longest documents per language: map-side per-group partial
+    top-k, partials bucketed on hashed lang."""
+    from deepblocker_ray.stages.topk import group_topk
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    return group_topk(docs, _cfg(), order_col="n_chars", id_col="doc_id",
+                      k=5, group_col="lang")
+
+
+def _fulfilled_order_keys(sf_dir: str):
+    """o_custkey of 'F'-status orders (filter pushed into the scan)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus"],
+        filter=pc.field("o_orderstatus") == "F",
+    ).select_columns(["o_custkey"])
+
+
+def q_anti_join(sf_dir: str):
+    """Customers with no fulfilled ('F') order — broadcast anti join
+    (distinct key set shipped once, probe side streams shuffle-free)."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import broadcast_exists_join
+
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return broadcast_exists_join(
+        customer, _fulfilled_order_keys(sf_dir),
+        big_key="c_custkey", small_key="o_custkey", cfg=_cfg(), anti=True,
+    )
+
+
+def q_semi_join(sf_dir: str):
+    """Customers WITH a fulfilled order — same operator, semi mode, but
+    with broadcast_rows_max=0 so the driver oracles the hash-JOIN fallback
+    path (q_anti_join oracles the broadcast path)."""
+    import ray.data as rd
+
+    from deepblocker_ray.config import EngineConfig
+    from deepblocker_ray.stages.relational import broadcast_exists_join
+
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return broadcast_exists_join(
+        customer, _fulfilled_order_keys(sf_dir),
+        big_key="c_custkey", small_key="o_custkey",
+        cfg=EngineConfig(num_buckets=32, broadcast_rows_max=0), anti=False,
+    )
+
+
+def q_text_normalize(sf_dir: str):
+    """Control-char strip + whitespace collapse + trim + lowercase, all in
+    RE2/utf8 kernels; SQL twin generated from the same NORM_STEPS list."""
+    from deepblocker_ray.stages.textstats import text_normalize
+
+    return text_normalize(_documents(sf_dir))
+
+
+def q_top_terms(sf_dir: str):
+    """Characteristic term per document: (tf desc, df asc, term asc) —
+    integer-exact argmax-TF-IDF stand-in; df via one bucketed term
+    exchange + broadcast."""
+    from deepblocker_ray.stages.textstats import characteristic_term
+
+    return characteristic_term(_documents(sf_dir), _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -602,6 +695,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": q_segment_revenue,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
+        "keep_latest": q_keep_latest,
+        "global_topk": q_global_topk,
+        "group_topk": q_group_topk,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "text_normalize": q_text_normalize,
+        "top_terms": q_top_terms,
     }
 
 
@@ -697,6 +797,24 @@ def _stratified_sample_sql() -> str:
         WHERE {_sample_hash_expr(7)}
               < CASE lang {cases}
                 ELSE {_sample_thr(SAMPLE_DEFAULT)} END
+    """
+
+
+def _text_normalize_sql() -> str:
+    """Twin generated from the ENGINE's own rewrite chain
+    (textstats.NORM_STEPS) — both sides are RE2, so they transform
+    identically; lower()/utf8_lower agree on the ASCII driver corpora."""
+    from deepblocker_ray.stages.textstats import NORM_STEPS
+
+    expr = "text"
+    for pat, rep in NORM_STEPS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    expr = f"lower({expr})"
+    return f"""
+        SELECT doc_id, {expr} AS norm_text,
+               length({expr}) AS n_chars_norm
+        FROM documents
     """
 
 
@@ -1151,6 +1269,64 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_sample_hash_expr(7)} < {_sample_thr(0.2)}
         """,
         "stratified_sample": _stratified_sample_sql(),
+        "keep_latest": """
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+            FROM (SELECT user_id, event_id, ts, event_type,
+                         row_number() OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "global_topk": """
+            SELECT rank, doc_id, n_chars
+            FROM (SELECT doc_id, n_chars,
+                         row_number() OVER (
+                             ORDER BY n_chars DESC, doc_id) AS rank
+                  FROM documents)
+            WHERE rank <= 20
+        """,
+        "group_topk": """
+            SELECT lang, rank, doc_id, n_chars
+            FROM (SELECT lang, doc_id, n_chars,
+                         row_number() OVER (
+                             PARTITION BY lang
+                             ORDER BY n_chars DESC, doc_id) AS rank
+                  FROM documents)
+            WHERE rank <= 5
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN
+                  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        """,
+        "text_normalize": _text_normalize_sql(),
+        "top_terms": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tokens}) AS term FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM tok GROUP BY doc_id, term
+            ),
+            df AS (
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM tok GROUP BY term
+            ),
+            j AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rn
+                FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, tf, df FROM j WHERE rn = 1
+        """,
         "value_quantiles": """
             WITH c AS (
                 SELECT event_type,

@@ -164,6 +164,15 @@ def main() -> None:
         "repetition",
         "value_quantiles",
         "segment_revenue",
+        "hash_sample",
+        "stratified_sample",
+        "keep_latest",
+        "global_topk",
+        "group_topk",
+        "anti_join",
+        "semi_join",
+        "text_normalize",
+        "top_terms",
     ]
     for name in query_names:
         r = bench_query(q[name])

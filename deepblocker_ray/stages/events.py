@@ -56,6 +56,7 @@ def _project_events(
     cfg: EngineConfig,
     *,
     with_value: bool = False,
+    with_type: bool = False,
     types: tuple[str, ...] | None = None,
 ):
     """Skinny projection: (event_id, user_id, ts_us[, cents][, event_type])
@@ -79,7 +80,7 @@ def _project_events(
         }
         if with_value:
             cols["cents"] = pa.array(_cents(np.asarray(t.column("value"))))
-        if types is not None:
+        if with_type or types is not None:
             cols["event_type"] = t.column("event_type")
         return pa.table(cols)
 
@@ -288,6 +289,71 @@ def asof_join(
 
     return skinny.groupby("_bucket").map_groups(
         per_bucket, batch_format="pandas"
+    )
+
+
+# ----------------------------------------------------------- keep_latest --
+
+
+def _latest_per_user(
+    u: np.ndarray, ts: np.ndarray, eid: np.ndarray
+) -> np.ndarray:
+    """Indices of the winning row per user: max ts, ties broken by max
+    event_id. One lexsort over the whole input (all users at once) + a
+    last-of-run boundary mask — no per-user loop."""
+    order = np.lexsort((eid, ts, u))
+    last = np.ones(len(order), bool)
+    last[:-1] = u[order][1:] != u[order][:-1]
+    return order[last]
+
+
+def keep_latest(ds, cfg: EngineConfig):
+    """Snapshot compaction: the single most recent event per user
+    (max ts, ties broken by max event_id) — the latest-version-per-key
+    operator every mutable-corpus pipeline needs (latest crawl per URL,
+    latest profile per account). Emits
+
+        (user_id, event_id, ts_us, event_type)
+
+    Scale shape: argmax is associative, so each map batch is first reduced
+    to its OWN per-user winners map-side; only those winners (≤ distinct
+    users per batch rows) ride the ONE bucketed exchange on hash(user_id),
+    where the identical kernel picks the global winner per user. The event
+    payload (props) never moves. SQL twin (row_number over
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) in
+    __ray_entry__.oracle_sql."""
+    skinny = _project_events(ds, cfg, with_type=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        u = np.asarray(t.column("user_id"), np.int64)
+        ts = np.asarray(t.column("ts_us"), np.int64)
+        eid = np.asarray(t.column("event_id"), np.int64)
+        return t.take(pa.array(_latest_per_user(u, ts, eid)))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "event_id": pd.Series(dtype="int64"),
+                    "ts_us": pd.Series(dtype="int64"),
+                    "event_type": pd.Series(dtype=object),
+                }
+            )
+        win = _latest_per_user(
+            df["user_id"].to_numpy(np.int64),
+            df["ts_us"].to_numpy(np.int64),
+            df["event_id"].to_numpy(np.int64),
+        )
+        out = df.iloc[win]
+        return out[["user_id", "event_id", "ts_us", "event_type"]]
+
+    return (
+        skinny.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(finish, batch_format="pandas")
     )
 
 

@@ -80,6 +80,114 @@ def broadcast_join(
     return big_ds.map_batches(merge, batch_format="pandas")
 
 
+def broadcast_exists_join(
+    big_ds,
+    small_ds,
+    *,
+    big_key: str,
+    small_key: str,
+    cfg: EngineConfig | None = None,
+    anti: bool = False,
+):
+    """Semi join (``anti=False``: keep big rows whose key appears in
+    ``small_ds``) or anti join (``anti=True``: keep rows whose key does
+    NOT). Only existence of the key matters — no payload is attached, so
+    the exclusion side is reduced to its DISTINCT int64 key set map-side
+    before anything moves.
+
+    Distinct-key set ≤ cfg.broadcast_rows_max: sorted numpy array shipped
+    once via ``ray.put``, membership tested per batch with a vectorized
+    ``searchsorted`` — the big side streams with NO shuffle. Above the cap:
+    one bucketed exchange on hash(key) co-locates big rows with the key set
+    and the identical membership test runs per bucket (the big side's
+    projected columns ride that one exchange — unavoidable for any hash
+    semi/anti join; at 100 TB project first)."""
+    cfg = cfg or EngineConfig()
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"_key": pc.unique(t.column(small_key).cast(pa.int64()))}
+        )
+
+    # per-batch distinct → tiny key partials; exact distinct happens on the
+    # driver (broadcast path) or in a bucketed exchange (join path). n_keys
+    # counts the partials — a conservative overestimate for the cap test.
+    keys_ds = small_ds.select_columns([small_key]).map_batches(
+        distinct_keys, batch_format="pyarrow"
+    ).materialize()
+    n_keys = keys_ds.count()
+
+    if n_keys == 0:
+        # empty exclusion set: anti keeps everything, semi keeps nothing
+        if anti:
+            return big_ds
+        return big_ds.map_batches(
+            lambda df: df.head(0), batch_format="pandas"
+        )
+
+    if n_keys <= cfg.broadcast_rows_max:
+        keys = np.unique(
+            keys_ds.to_pandas()["_key"].to_numpy(np.int64)
+        )
+        keys_ref = ray.put(keys)
+
+        def filt(t: pa.Table) -> pa.Table:
+            from ..state.broadcast import cached_get
+
+            ks = cached_get(keys_ref)
+            vals = np.asarray(t.column(big_key), np.int64)
+            pos = np.minimum(np.searchsorted(ks, vals), len(ks) - 1)
+            hit = ks[pos] == vals
+            return t.filter(pa.array(~hit if anti else hit))
+
+        return big_ds.map_batches(filt, batch_format="pyarrow")
+
+    # exchange fallback: hash-join a 1-column marker side, keep/drop on the
+    # marker. Keys are made globally distinct first (per-batch distinct can
+    # repeat a key across batches, which would duplicate big rows in the
+    # join) via the house small-int-bucket exchange, never a per-key groupby.
+    from ..config import default_parallelism
+    from .events import _user_bucket
+
+    nb = cfg.num_buckets
+
+    def key_bucket(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("_key"), np.int64)
+        return t.append_column("_bucket", pa.array(_user_bucket(k, nb)))
+
+    def mark_unique(df: pd.DataFrame) -> pd.DataFrame:
+        ks = np.unique(df["_key"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {"_key": ks, "_hit": np.ones(len(ks), np.int8)}
+        )
+
+    marker = (
+        keys_ds.map_batches(key_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(mark_unique, batch_format="pandas")
+    )
+    nparts = max(2, min(cfg.num_buckets // 4, default_parallelism()))
+    big_cols = big_ds.schema().names
+    joined = big_ds.join(
+        marker,
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=(big_key,),
+        right_on=("_key",),
+    )
+
+    def filt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hit = pc.is_valid(t.column("_hit"))
+        kept = t.filter(pc.invert(hit) if anti else hit)
+        return kept.select(big_cols)
+
+    return joined.map_batches(filt, batch_format="pyarrow")
+
+
 def segment_revenue(lineitem, orders, customer, cfg: EngineConfig):
     """Revenue rollup per customer market segment (TPC-H-Q3-shaped):
     lineitem ⋈ orders ⋈ customer → (c_mktsegment, n_lines, revenue_e4).

@@ -368,3 +368,173 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table(out)
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- text_normalize --
+
+# (pattern, replacement) rewrite chain applied in order, then lowercased.
+# RE2-compatible (no lookaround) so pyarrow's replace_substring_regex and
+# DuckDB's regexp_replace transform identically; the SQL twin is GENERATED
+# from this list (__ray_entry__._text_normalize_sql) so the two sides cannot
+# drift. Lowercasing note: pyarrow utf8_lower (utf8proc) and DuckDB lower()
+# agree on ASCII; the driver corpora are ASCII (verified, same note as the
+# minhash twin).
+NORM_STEPS: list[tuple[str, str]] = [
+    (r"[\x00-\x1f\x7f]", " "),  # control chars (incl. \t\r\n) → space
+    (r" +", " "),               # collapse space runs
+    (r"^ | $", ""),             # trim (at most one edge space remains)
+]
+
+
+def text_normalize(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Text canonicalization for dedup/training hygiene → (id, norm_text,
+    n_chars_norm): strip control characters, collapse whitespace runs, trim,
+    lowercase. Entirely inside pyarrow's RE2 + utf8 kernels — no per-row
+    Python."""
+    import pyarrow.compute as pc
+
+    def norm(batch: pa.Table) -> pa.Table:
+        arr = pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+        for pat, rep in NORM_STEPS:
+            arr = pc.replace_substring_regex(arr, pattern=pat, replacement=rep)
+        arr = pc.utf8_lower(arr)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "norm_text": arr,
+                "n_chars_norm": pc.utf8_length(arr).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- top_terms --
+
+
+def characteristic_term(ds, cfg, text_col: str = "text",
+                        id_col: str = "doc_id", min_df: int = 1):
+    """Characteristic term per document → (id, term, tf, df): the term that
+    is most frequent WITHIN the document, with globally RARE terms winning
+    ties (total order: tf desc, df asc, term asc) — a deterministic,
+    integer-only cousin of argmax-TF-IDF (TF-IDF's float score
+    ``tf·ln(N/df)`` is not bit-reproducible across engines; this total order
+    is, so the SQL twin hash-matches exactly). Docs with no tokens are
+    dropped.
+
+    Two passes, both the house scale shape:
+    1. document frequency: per batch, per doc DISTINCT terms → (term,
+       partial df) combined map-side (doc_ids are unique per row, so
+       per-batch distinct sets are disjoint and partials are exact), ONE
+       bucketed exchange on hashed term; the small (term, df) table is then
+       broadcast (at open-vocab scale truncate with ``min_df`` — terms
+       absent from the broadcast fall back to df=1, the same rare-token
+       rule as SIF fit).
+    2. per doc: tf via factorize + unique over the batch's flat token
+       stream, df from the broadcast map, winner by one lexsort — no
+       per-doc loop.
+    """
+    import ray
+
+    from ..functions.tokenizer import tokenize_many
+    from .dedup import _stable_hash64
+
+    nb = cfg.num_buckets
+
+    def _flat_codes(texts):
+        """(codes, doc_idx, uniq): lexicographically-coded flat token stream
+        of a batch (factorize(sort=True) ⇒ code order == term order)."""
+        tok_lists = tokenize_many(texts)
+        counts = np.fromiter((len(t) for t in tok_lists), np.int64,
+                             len(tok_lists))
+        total = int(counts.sum())
+        flat = np.empty(total, object)
+        p = 0
+        for ts in tok_lists:
+            flat[p : p + len(ts)] = ts
+            p += len(ts)
+        codes, uniq = pd.factorize(flat, sort=True)
+        doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), counts)
+        return codes.astype(np.int64), doc_idx, uniq
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        codes, doc_idx, uniq = _flat_codes(texts)
+        if len(uniq) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "_bucket": pa.array([], pa.int32())})
+        # distinct (doc, term) pairs → per-term doc counts, all vectorized
+        pair = np.unique(doc_idx * len(uniq) + codes)
+        dfc = np.bincount(pair % len(uniq), minlength=len(uniq))
+        uh = np.fromiter(
+            (_stable_hash64(str(k).encode()) for k in uniq),
+            np.uint64, len(uniq),
+        )
+        return pa.table(
+            {
+                "term": pa.array(list(uniq), pa.string()),
+                "df": pa.array(dfc.astype(np.int64)),
+                "_bucket": pa.array((uh % np.uint64(nb)).astype(np.int32)),
+            }
+        )
+
+    def df_combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("term", sort=False, observed=True)["df"]
+            .sum()
+            .reset_index()
+        )
+        g["df"] = g["df"].astype("int64")
+        return g[g["df"] >= min_df]
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(df_combine, batch_format="pandas")
+        .to_pandas()
+    )
+    df_map_ref = ray.put(
+        dict(zip(df_tbl["term"].tolist(), df_tbl["df"].tolist()))
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached_get
+
+        df_map = cached_get(df_map_ref)
+        texts = batch.column(text_col).to_pylist()
+        codes, doc_idx, uniq = _flat_codes(texts)
+        if len(uniq) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.column(id_col).type),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        # (doc, term) → tf in one unique-with-counts over the flat stream
+        pair, tf = np.unique(doc_idx * len(uniq) + codes, return_counts=True)
+        p_doc = pair // len(uniq)
+        p_code = (pair % len(uniq)).astype(np.int64)
+        uniq_df = (
+            pd.Series(list(uniq)).map(df_map).fillna(1).to_numpy(np.int64)
+        )
+        p_df = uniq_df[p_code]
+        # winner per doc under (tf desc, df asc, term asc): lexsort keys are
+        # least-significant first; p_code ascends lexicographically
+        order = np.lexsort((p_code, p_df, -tf, p_doc))
+        first = np.ones(len(order), bool)
+        first[1:] = p_doc[order][1:] != p_doc[order][:-1]
+        win = order[first]
+        take = pa.array(p_doc[win])
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(take),
+                "term": pa.array([uniq[c] for c in p_code[win]], pa.string()),
+                "tf": pa.array(tf[win].astype(np.int64)),
+                "df": pa.array(p_df[win]),
+            }
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow")

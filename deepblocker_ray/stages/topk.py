@@ -1,0 +1,106 @@
+"""Distributed top-k row selection — per group and global — via map-side
+partial top-k.
+
+The reference's only top-K surface is the per-QUERY-row neighbor top-K
+(vector_pairing_models.py:36-46, handled by stages/pairing.py); a general
+engine also needs top-k over ROWS of a table ("the 20 longest documents",
+"the 5 highest-quality docs per language") without paying a global sort.
+
+Scale shape: top-k is associative, so every map batch is first reduced to
+its OWN top-k (per group) map-side; only those ≤ k×groups partial rows per
+batch ride the exchange. Per-group mode buckets partials on a deterministic
+hash of the group key (the repo's standard small-int-bucket exchange);
+global mode collapses the tiny partials to one block. A full ``ds.sort``
+would move the entire corpus through an all-to-all for k rows of output.
+
+Ordering is total and deterministic: (order_col descending [or ascending],
+id_col ascending) — equal order values are broken by the id, so the emitted
+``rank`` (1-based within group) is exactly SQL's ``row_number() OVER
+(PARTITION BY group ORDER BY order_col DESC, id_col)`` and the driver
+oracles hash-match (see __ray_entry__.oracle_sql: ``global_topk``,
+``group_topk``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import EngineConfig
+
+
+def _hash_bucket_strs(values: pd.Series, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket for a string key column: md5-lower64 hashed once
+    per DISTINCT key (factorize), never per row."""
+    from .dedup import _stable_hash64
+
+    codes, uniq = pd.factorize(values, sort=False)
+    uh = np.fromiter(
+        (_stable_hash64(str(v).encode()) for v in uniq), np.uint64, len(uniq)
+    )
+    return (uh[codes] % np.uint64(num_buckets)).astype(np.int32)
+
+
+def _topk_frame(
+    df: pd.DataFrame,
+    group_col: str | None,
+    order_col: str,
+    id_col: str,
+    k: int,
+    descending: bool,
+) -> pd.DataFrame:
+    """Top-k rows (per group when group_col) under the total order
+    (order_col desc|asc, id_col asc). Vectorized: one sort + groupby.head."""
+    cols = ([group_col] if group_col else []) + [order_col, id_col]
+    asc = ([True] if group_col else []) + [not descending, True]
+    out = df.sort_values(cols, ascending=asc, kind="mergesort")
+    if group_col:
+        return out.groupby(group_col, sort=False, observed=True).head(k)
+    return out.head(k)
+
+
+def group_topk(
+    ds,
+    cfg: EngineConfig,
+    *,
+    order_col: str,
+    id_col: str,
+    k: int,
+    group_col: str | None = None,
+    descending: bool = True,
+):
+    """Top-k rows per group (or globally when ``group_col`` is None) under
+    the deterministic order (order_col desc|asc, id_col asc). Emits
+
+        ([group_col,] rank, id_col, order_col)
+
+    with ``rank`` the 1-based position within the group."""
+    nb = cfg.num_buckets
+    keep = ([group_col] if group_col else []) + [id_col, order_col]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        top = _topk_frame(df[keep], group_col, order_col, id_col, k, descending)
+        if group_col:
+            top = top.assign(
+                _bucket=_hash_bucket_strs(top[group_col], nb)
+            )
+        return top
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[keep]
+        top = _topk_frame(df, group_col, order_col, id_col, k, descending)
+        if group_col:
+            rank = top.groupby(group_col, sort=False, observed=True).cumcount()
+        else:
+            rank = pd.Series(np.arange(len(top)), index=top.index)
+        top = top.assign(rank=(rank + 1).astype("int64"))
+        return top[([group_col] if group_col else []) + ["rank", id_col, order_col]]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    if group_col:
+        return partials.groupby("_bucket").map_groups(
+            finish, batch_format="pandas"
+        )
+    # global mode: partials are ≤ k rows per input block — one tiny block
+    return partials.repartition(1).map_batches(finish, batch_format="pandas")

@@ -301,3 +301,38 @@ class TestBroadcastJoin:
         # keep multiplicity — both big k=2 rows join both small rows
         assert results[0]["k"].tolist() == [1, 2, 2, 2, 2]
         assert results[0].equals(results[1])
+
+
+class TestKeepLatest:
+    def test_latest_with_ties_and_partial_combine(self, ray_session):
+        """Winner = max ts, tie by max event_id; correct even when one
+        user's rows span several input blocks (map-side partial argmax must
+        recombine exactly)."""
+        from deepblocker_ray.stages.events import keep_latest
+
+        rows = [
+            # user 1: later ts wins regardless of event_id order
+            (10, 1, T0 + 5 * MIN, "view", 1.0),
+            (3, 1, T0 + 9 * MIN, "click", 1.0),
+            # user 2: ts tie → max event_id wins
+            (20, 2, T0, "view", 1.0),
+            (21, 2, T0, "error", 1.0),
+            # user 3: single event
+            (30, 3, T0 + MIN, "signup", 1.0),
+        ]
+        df = _events_df(rows)
+        import ray.data as rd
+
+        # 5 single-row blocks: every partial sees one row, the exchange
+        # must still pick the global winner per user
+        ds = rd.from_pandas([df.iloc[[i]] for i in range(len(df))])
+        out = (
+            keep_latest(ds, CFG)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert out["user_id"].tolist() == [1, 2, 3]
+        assert out["event_id"].tolist() == [3, 21, 30]
+        assert out["event_type"].tolist() == ["click", "error", "signup"]
+        assert out["ts_us"].tolist() == [T0 + 9 * MIN, T0, T0 + MIN]

@@ -1,0 +1,236 @@
+"""Unit tests for the map-side partial top-k stage (stages/topk.py), the
+semi/anti exists-join (stages/relational.broadcast_exists_join), and the
+text_normalize / characteristic_term text operators. Driver twins are
+regression-covered by the correctness sweep; these pin the tie/edge
+semantics and the path equalities."""
+
+import numpy as np
+import pandas as pd
+
+from deepblocker_ray.config import EngineConfig
+
+CFG = EngineConfig(num_buckets=8)
+
+
+def _docs_ds(rows, blocks=1):
+    """rows: (doc_id, lang, n_chars). Split into `blocks` single-row-ish
+    frames so map-side partials genuinely recombine."""
+    import ray.data as rd
+
+    df = pd.DataFrame(rows, columns=["doc_id", "lang", "n_chars"])
+    if blocks == 1:
+        return rd.from_pandas(df)
+    parts = np.array_split(df, blocks)
+    return rd.from_pandas([p for p in parts if len(p)])
+
+
+class TestGroupTopk:
+    def test_ties_rank_and_cross_block_merge(self, ray_session):
+        from deepblocker_ray.stages.topk import group_topk
+
+        rows = [
+            (1, "en", 10),
+            (2, "en", 10),  # tie with doc 1 → doc_id asc wins rank 1
+            (3, "en", 30),
+            (4, "en", 5),
+            (5, "de", 7),
+            (6, "de", 7),
+        ]
+        out = (
+            group_topk(
+                _docs_ds(rows, blocks=6), CFG,
+                order_col="n_chars", id_col="doc_id", k=2, group_col="lang",
+            )
+            .to_pandas()
+            .sort_values(["lang", "rank"])
+            .reset_index(drop=True)
+        )
+        assert out[out["lang"] == "en"]["doc_id"].tolist() == [3, 1]
+        assert out[out["lang"] == "en"]["rank"].tolist() == [1, 2]
+        # k=2 > de group after top-k keeps both, ties by doc_id
+        assert out[out["lang"] == "de"]["doc_id"].tolist() == [5, 6]
+
+    def test_k_larger_than_group(self, ray_session):
+        from deepblocker_ray.stages.topk import group_topk
+
+        out = group_topk(
+            _docs_ds([(1, "en", 1)]), CFG,
+            order_col="n_chars", id_col="doc_id", k=10, group_col="lang",
+        ).to_pandas()
+        assert len(out) == 1 and out["rank"].tolist() == [1]
+
+    def test_global_mode_matches_full_sort(self, ray_session):
+        from deepblocker_ray.stages.topk import group_topk
+
+        rng = np.random.default_rng(3)
+        rows = [(i, "x", int(v)) for i, v in
+                enumerate(rng.integers(0, 50, 200))]
+        out = (
+            group_topk(
+                _docs_ds(rows, blocks=13), CFG,
+                order_col="n_chars", id_col="doc_id", k=15,
+            )
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        df = pd.DataFrame(rows, columns=["doc_id", "lang", "n_chars"])
+        exp = df.sort_values(["n_chars", "doc_id"],
+                             ascending=[False, True]).head(15)
+        assert out["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert out["rank"].tolist() == list(range(1, 16))
+
+    def test_ascending_order(self, ray_session):
+        from deepblocker_ray.stages.topk import group_topk
+
+        rows = [(1, "x", 9), (2, "x", 1), (3, "x", 5)]
+        out = (
+            group_topk(
+                _docs_ds(rows), CFG,
+                order_col="n_chars", id_col="doc_id", k=2, descending=False,
+            )
+            .to_pandas()
+            .sort_values("rank")
+        )
+        assert out["doc_id"].tolist() == [2, 3]
+
+
+class TestExistsJoin:
+    def _sides(self, dup_keys=False):
+        import ray.data as rd
+
+        big = rd.from_pandas(
+            pd.DataFrame(
+                {"c_custkey": [1, 2, 3, 4, 5],
+                 "c_name": ["a", "b", "c", "d", "e"]}
+            )
+        )
+        keys = [2, 4] + ([2, 2, 4] if dup_keys else [])
+        small = rd.from_pandas(pd.DataFrame({"o_custkey": keys}))
+        return big, small
+
+    def test_broadcast_and_join_paths_agree(self, ray_session):
+        """Semi and anti results identical on both paths; duplicate keys in
+        the exclusion side never duplicate probe rows (the marker side is
+        made distinct before the hash join)."""
+        from deepblocker_ray.stages.relational import broadcast_exists_join
+
+        for anti, expect in [(True, [1, 3, 5]), (False, [2, 4])]:
+            outs = []
+            for cap in (2_000_000, 0):  # broadcast path, join path
+                big, small = self._sides(dup_keys=True)
+                cfg = EngineConfig(num_buckets=8, broadcast_rows_max=cap)
+                out = (
+                    broadcast_exists_join(
+                        big, small, big_key="c_custkey",
+                        small_key="o_custkey", cfg=cfg, anti=anti,
+                    )
+                    .to_pandas()
+                    .sort_values("c_custkey")
+                    .reset_index(drop=True)
+                )
+                assert out["c_custkey"].tolist() == expect
+                assert list(out.columns) == ["c_custkey", "c_name"]
+                outs.append(out)
+            assert outs[0].equals(outs[1])
+
+    def test_empty_small_side(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.relational import broadcast_exists_join
+
+        big, _ = self._sides()
+        small = rd.from_pandas(pd.DataFrame({"o_custkey": pd.Series(dtype="int64")}))
+        anti = broadcast_exists_join(
+            big, small, big_key="c_custkey", small_key="o_custkey",
+            cfg=CFG, anti=True,
+        ).to_pandas()
+        assert sorted(anti["c_custkey"]) == [1, 2, 3, 4, 5]
+        semi = broadcast_exists_join(
+            big, small, big_key="c_custkey", small_key="o_custkey",
+            cfg=CFG, anti=False,
+        ).to_pandas()
+        assert len(semi) == 0
+
+
+class TestTextNormalize:
+    def test_planted_controls_and_whitespace(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.textstats import text_normalize
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "  Hello\tWorld\r\n x ",
+                    "A\x00B\x1fC",
+                    "",
+                ],
+            }
+        )
+        out = (
+            text_normalize(rd.from_pandas(df))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["norm_text"].tolist() == ["hello world x", "a b c", ""]
+        assert out["n_chars_norm"].tolist() == [13, 5, 0]
+
+
+class TestCharacteristicTerm:
+    def test_tf_then_rare_df_then_lex(self, ray_session):
+        """tf desc first; df asc breaks tf ties; term asc breaks df ties.
+        Empty docs are dropped. df counts span blocks exactly."""
+        import ray.data as rd
+
+        from deepblocker_ray.stages.textstats import characteristic_term
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "apple apple banana",       # tf: apple wins outright
+                    "banana cherry",            # tf tie → rarer df wins
+                    "banana zebra",             # df(zebra)=1 < df(banana)=3
+                    "",                          # no tokens → dropped
+                ],
+            }
+        )
+        parts = [df.iloc[[i]] for i in range(len(df))]
+        out = (
+            characteristic_term(rd.from_pandas(parts), CFG)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [1, 2, 3]
+        assert out["term"].tolist() == ["apple", "cherry", "zebra"]
+        assert out["tf"].tolist() == [2, 1, 1]
+        # df: apple 1, banana 3, cherry 1, zebra 1
+        assert out["df"].tolist() == [1, 1, 1]
+
+    def test_min_df_truncation_falls_back_to_one(self, ray_session):
+        """Terms truncated from the broadcast df table (df < min_df) are
+        scored with the rare-token fallback df=1 — same rule as SIF fit."""
+        import ray.data as rd
+
+        from deepblocker_ray.stages.textstats import characteristic_term
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["common rare", "common other"],
+            }
+        )
+        out = (
+            characteristic_term(rd.from_pandas(df), CFG, min_df=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # all tf=1; truncated singletons get df=1 < df(common)=2, and the
+        # lexicographically-smallest singleton wins
+        assert out["term"].tolist() == ["rare", "other"]
+        assert out["df"].tolist() == [1, 1]
