@@ -655,6 +655,19 @@ def q_top_terms(sf_dir: str):
     return characteristic_term(_documents(sf_dir), _cfg())
 
 
+def q_quantile_gate(sf_dir: str):
+    """Percentile-threshold quality gate: drop documents longer than their
+    language's exact p90 n_chars. Two-pass aggregate→broadcast→filter —
+    the corpus itself never shuffles."""
+    from deepblocker_ray.stages.topk import group_quantile_filter
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+    return group_quantile_filter(
+        docs, _cfg(), group_col="lang", value_col="n_chars",
+        num=9, den=10, keep="le",
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -702,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": q_semi_join,
         "text_normalize": q_text_normalize,
         "top_terms": q_top_terms,
+        "quantile_gate": q_quantile_gate,
     }
 
 
@@ -1306,6 +1320,29 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         """,
         "text_normalize": _text_normalize_sql(),
+        "quantile_gate": """
+            WITH c AS (
+                SELECT lang, n_chars, count(*) AS cnt
+                FROM documents GROUP BY lang, n_chars
+            ),
+            r AS (
+                SELECT lang, n_chars,
+                       sum(cnt) OVER (
+                           PARTITION BY lang ORDER BY n_chars) AS cum,
+                       sum(cnt) OVER (PARTITION BY lang) AS n
+                FROM c
+            ),
+            -- threshold = value at rank ceil(0.9·n), rank in EXACT integer
+            -- arithmetic ((9n+9)//10), same rule as the engine
+            thr AS (
+                SELECT lang, min(n_chars) AS thr
+                FROM r WHERE cum >= (9 * n + 9) // 10
+                GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN thr USING (lang)
+            WHERE d.n_chars <= thr.thr
+        """,
         "top_terms": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({tokens}) AS term FROM documents

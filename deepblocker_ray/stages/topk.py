@@ -104,3 +104,95 @@ def group_topk(
         )
     # global mode: partials are ≤ k rows per input block — one tiny block
     return partials.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+# ------------------------------------------------- quantile threshold gate --
+
+
+def group_quantile_filter(
+    ds,
+    cfg: EngineConfig,
+    *,
+    group_col: str,
+    value_col: str,
+    num: int,
+    den: int,
+    keep: str = "le",
+):
+    """Percentile-threshold gate (the C4/Gopher-style outlier filter): keep
+    the rows of each group whose integer ``value_col`` is ≤ (``keep="le"``)
+    or ≥ (``"ge"``) the group's exact discrete q-quantile, q = num/den —
+    e.g. "drop documents longer than their language's p90".
+
+    Quantile rule shared with events.value_quantiles: the q-th value is the
+    element of rank ceil(q·n) (1-based) of the sorted group, the rank
+    computed in exact integer arithmetic ((num·n + den − 1) // den — float
+    q·n is wrong: 0.9×2000 = 1800.0000000000002).
+
+    Scale shape — the corpus itself NEVER shuffles:
+    1. map-side partial: each batch collapses to its distinct
+       (group, value) counts;
+    2. ONE bucketed exchange on hashed group merges the tiny partials and
+       emits one (group, threshold) row per group (sort + cumsum +
+       searchsorted);
+    3. the threshold table (O(groups) rows) is broadcast via ``ray.put``
+       and every batch filters map-side. Rows of groups absent from the
+       threshold table (impossible by construction) would be dropped.
+    """
+    import ray
+
+    if keep not in ("le", "ge"):
+        raise ValueError(f"keep must be 'le' or 'ge', got {keep!r}")
+    nb = cfg.num_buckets
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby([group_col, value_col], sort=False, observed=True)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        g["cnt"] = g["cnt"].astype("int64")
+        g["_bucket"] = _hash_bucket_strs(g[group_col], nb)
+        return g
+
+    def thresholds(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for grp, g in df.groupby(group_col, sort=False, observed=True):
+            agg = g.groupby(value_col, sort=True)["cnt"].sum()
+            vals = agg.index.to_numpy(np.int64)
+            cum = agg.to_numpy(np.int64).cumsum()
+            n = int(cum[-1])
+            rank = (num * n + den - 1) // den
+            rows.append(
+                {group_col: grp,
+                 "_thr": int(vals[np.searchsorted(cum, rank, "left")])}
+            )
+        if not rows:
+            return pd.DataFrame(
+                {group_col: pd.Series(dtype=object),
+                 "_thr": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(rows)
+
+    thr_df = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(thresholds, batch_format="pandas")
+        .to_pandas()
+    )
+    thr_ref = ray.put(
+        dict(zip(thr_df[group_col].tolist(), thr_df["_thr"].tolist()))
+    )
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import cached_get
+
+        thr_map = cached_get(thr_ref)
+        thr = df[group_col].map(thr_map)
+        vals = df[value_col]
+        mask = (vals <= thr) if keep == "le" else (vals >= thr)
+        return df[mask.fillna(False)]
+
+    return ds.map_batches(gate, batch_format="pandas")

@@ -234,3 +234,58 @@ class TestCharacteristicTerm:
         # lexicographically-smallest singleton wins
         assert out["term"].tolist() == ["rare", "other"]
         assert out["df"].tolist() == [1, 1]
+
+
+class TestGroupQuantileFilter:
+    def _ds(self, blocks=1):
+        import ray.data as rd
+
+        # en: values 1..20 → p90 rank = ceil(0.9·20) = 18 → thr 18
+        # de: values 1..3  → p90 rank = ceil(2.7) = 3  → thr 3 (all kept)
+        rows = [(i, "en", i) for i in range(1, 21)] + [
+            (100 + i, "de", i) for i in range(1, 4)
+        ]
+        df = pd.DataFrame(rows, columns=["doc_id", "lang", "n_chars"])
+        if blocks == 1:
+            return rd.from_pandas(df)
+        return rd.from_pandas(
+            [p for p in np.array_split(df, blocks) if len(p)]
+        )
+
+    def test_threshold_boundary_and_cross_block(self, ray_session):
+        from deepblocker_ray.stages.topk import group_quantile_filter
+
+        out = (
+            group_quantile_filter(
+                self._ds(blocks=7), CFG, group_col="lang",
+                value_col="n_chars", num=9, den=10, keep="le",
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        en = out[out["lang"] == "en"]["n_chars"].tolist()
+        # value == threshold (18) is KEPT; 19, 20 dropped
+        assert en == list(range(1, 19))
+        assert out[out["lang"] == "de"]["n_chars"].tolist() == [1, 2, 3]
+
+    def test_ge_mode(self, ray_session):
+        from deepblocker_ray.stages.topk import group_quantile_filter
+
+        out = group_quantile_filter(
+            self._ds(), CFG, group_col="lang", value_col="n_chars",
+            num=1, den=2, keep="ge",
+        ).to_pandas()
+        en = sorted(out[out["lang"] == "en"]["n_chars"])
+        # p50 rank = ceil(10) = 10 → thr 10; keep ≥ 10
+        assert en == list(range(10, 21))
+
+    def test_bad_keep_rejected(self):
+        import pytest
+
+        from deepblocker_ray.stages.topk import group_quantile_filter
+
+        with pytest.raises(ValueError):
+            group_quantile_filter(
+                None, CFG, group_col="g", value_col="v",
+                num=1, den=2, keep="lt",
+            )
