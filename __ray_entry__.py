@@ -668,6 +668,40 @@ def q_quantile_gate(sf_dir: str):
     )
 
 
+def q_linkage_incremental(sf_dir: str):
+    """Incremental linkage (daily-delta shape): link a base batch of
+    transcripts, then absorb the held-out delta with link_incremental —
+    frozen embedder, delta-only blocking, prior clusters as CC edges.
+    Rows-only (top-K blocking is direction-sensitive at the k boundary, so
+    no exact SQL twin is promised — see the pipeline docstring); the
+    equality/monotonicity semantics are pinned in
+    tests/test_linkage_e2e.py::TestIncrementalLinkage."""
+    from deepblocker_ray.pipelines.linkage import (
+        link_incremental,
+        link_transcripts,
+    )
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ts = _transcripts(sf_dir).materialize()
+
+    # deterministic split: delta = conv_ids ending in an even digit
+    # (vectorized RE2 filter, no per-row Python)
+    def _side(even: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.match_substring_regex(
+                t.column("conv_id").cast(pa.string()), "[02468]$"
+            )
+            return t.filter(m if even else pc.invert(m))
+
+        return ts.map_batches(f, batch_format="pyarrow")
+
+    base_ds, delta_ds = _side(False), _side(True)
+    base = link_transcripts(base_ds, _cfg(), embedder="sif", k=8)
+    return link_incremental(base, delta_ds, _cfg(), k=8)["clusters"]
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -716,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": q_text_normalize,
         "top_terms": q_top_terms,
         "quantile_gate": q_quantile_gate,
+        "linkage_incremental": q_linkage_incremental,
     }
 
 

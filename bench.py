@@ -173,6 +173,7 @@ def main() -> None:
         "semi_join",
         "text_normalize",
         "top_terms",
+        "quantile_gate",
     ]
     for name in query_names:
         r = bench_query(q[name])

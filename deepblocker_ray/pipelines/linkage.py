@@ -173,9 +173,11 @@ def link_transcripts(
     )
     emb_model.fit(tuples, text_col="tuple_text")
     emb = emb_model.transform(tuples, id_col="conv_id").materialize()
-    return link_from_embeddings(
+    res = link_from_embeddings(
         tuples, emb, cfg, k=k, pairing=pairing, threshold=threshold
     )
+    res["embedder"] = emb_model  # fitted state, reusable by link_incremental
+    return res
 
 
 def link_from_embeddings(
@@ -232,4 +234,96 @@ def link_from_embeddings(
         "scored": scored,
         "matches": matches,
         "clusters": clusters,
+    }
+
+
+def link_incremental(
+    prior: dict,
+    new_transcripts,
+    cfg: EngineConfig | None = None,
+    embedder=None,
+    k: int = 10,
+    pairing: str = "exact",
+    threshold: float | None = None,
+    turn_cap: int | None = 10_000,
+) -> dict:
+    """Incremental linkage: absorb a NEW batch of transcripts into an
+    already-linked corpus without re-linking it — the daily-delta shape.
+    At 100 TB the anti-pattern is re-running O(corpus²) blocking per delta;
+    here the delta costs O(new × index): only the new records are embedded
+    and queried, old-old pairs are never re-blocked or re-scored.
+
+    ``prior`` is the dict returned by ``link_transcripts`` (or a previous
+    ``link_incremental``): its ``tuples``/``embeddings``/``clusters`` (and
+    fitted ``embedder``, unless one is passed explicitly) are reused. The
+    embedder is applied FROZEN — refitting would silently invalidate every
+    stored embedding (for fit-sensitive embedders like SIF, periodically
+    re-fit + re-link the full corpus; the hash AverageEmbedder is
+    fit-free and exactly incremental).
+
+    Steps: canonicalize new → embed with the frozen model → top-K query of
+    the new side against old ∪ new → score → threshold → connected
+    components over (new match edges ∪ prior cluster assignment edges) →
+    relabel everyone. Because a cluster label is the MINIMUM member
+    conv_id, absorbing new members preserves existing labels, a new record
+    bridging two clusters merges them to the smaller label, and the result
+    equals a full-batch run over the same match set.
+
+    Documented deviation from full-batch: candidates are the NEW side's
+    top-K only (an old record's own top-K list is not revisited when new
+    records arrive) — the standard incremental-ER trade; new↔old pairs are
+    still found from the new direction.
+    """
+    cfg = cfg or EngineConfig()
+    embedder = embedder or prior.get("embedder")
+    if embedder is None:
+        raise ValueError(
+            "link_incremental needs the FITTED embedder: pass embedder= or "
+            "use a prior dict returned by link_transcripts"
+        )
+
+    from ..config import parallel_blocks_sized
+
+    new_tuples = parallel_blocks_sized(
+        canonicalize(new_transcripts, cfg, turn_cap=turn_cap).materialize()
+    )
+    new_emb = embedder.transform(new_tuples, id_col="conv_id").materialize()
+    all_emb = prior["embeddings"].union(new_emb).materialize()
+    all_tuples = prior["tuples"].union(new_tuples).materialize()
+
+    if pairing == "exact":
+        pairer = ExactTopKPairer(k=k, cfg=cfg, exclude_self=True)
+    elif pairing == "ivf":
+        pairer = IVFTopKPairer(k=k, cfg=cfg, exclude_self=True)
+    else:
+        raise KeyError(f"unknown pairing mode {pairing!r}")
+    pairer.index(all_emb, id_col="conv_id")
+    # same load-bearing seams as link_from_embeddings (see the A/B notes
+    # there): materialize between heavy maps and AllToAll exchanges
+    raw_candidates = pairer.query(new_emb, id_col="conv_id").materialize()
+    candidates = _dedup_candidates(raw_candidates, cfg)
+    scored = score_candidates(
+        candidates, all_tuples, cfg=cfg, threshold=threshold
+    ).materialize()
+    matches = normalize_pairs(
+        scored.filter(expr="is_match == True")
+    ).materialize()
+
+    # prior assignments ride into CC as (conv_id, cluster_id) edges;
+    # normalize_pairs drops the singleton self-edges (assign_cluster_labels
+    # re-defaults unmatched ids to themselves) and dedups
+    prior_edges = normalize_pairs(
+        prior["clusters"], left_col="conv_id", right_col="cluster_id"
+    )
+    edges = matches.union(prior_edges)
+    comp = connected_components(edges, cfg, src="ltable_id", dst="rtable_id")
+    clusters = assign_cluster_labels(all_tuples, comp, cfg)
+    return {
+        "tuples": all_tuples,
+        "embeddings": all_emb,
+        "candidates": candidates,
+        "scored": scored,
+        "matches": matches,
+        "clusters": clusters,
+        "embedder": embedder,
     }

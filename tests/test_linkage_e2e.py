@@ -158,3 +158,61 @@ class TestLinkageE2E:
         got = res["clusters"].to_pandas()
         assert got["conv_id"].is_unique
         assert len(got) == len(clusters)
+
+
+class TestIncrementalLinkage:
+    def test_incremental_recovers_planted_truth(self, ray_session):
+        """Absorbing a delta batch with link_incremental recovers the SAME
+        planted entity partition as linking everything at once, and never
+        splits a pair the base run had already merged (prior assignments
+        enter CC as edges, so co-clustering is monotone).
+
+        Exact full-batch label equality is NOT asserted: top-K blocking is
+        direction-sensitive at the k boundary (in a full run, delta records
+        occupy base records' top-K slots and vice versa), so marginal
+        near-threshold candidates can differ — the documented incremental-ER
+        trade. The quality bar is truth recovery, same as the full-batch
+        e2e test."""
+        import ray.data as rd
+
+        from deepblocker_ray.pipelines.linkage import link_incremental
+
+        df, truth = synth_transcripts(n_base=120, seed=11, dup_fraction=0.4)
+        convs = sorted(df["conv_id"].unique())
+        # delta = every 3rd conversation: straddles planted clusters, so the
+        # delta contains both new-new and new-old duplicates
+        delta_set = set(convs[::3])
+        df_a = df[~df["conv_id"].isin(delta_set)]
+        df_b = df[df["conv_id"].isin(delta_set)]
+        assert len(df_a) and len(df_b)
+
+        # same settings as the full-batch e2e fixture; SIF is fit on the
+        # base batch only and applied FROZEN to the delta
+        base = link_transcripts(rd.from_pandas(df_a), CFG, embedder="sif", k=8)
+        base_map = (
+            base["clusters"].to_pandas().set_index("conv_id")["cluster_id"]
+        )
+        inc = link_incremental(base, rd.from_pandas(df_b), CFG, k=8)
+        inc_map = (
+            inc["clusters"].to_pandas().set_index("conv_id")["cluster_id"]
+        )
+        assert set(inc_map.index) == set(df["conv_id"])
+
+        # 1. planted-truth recovery at the house bar (≥0.99 both ways)
+        t = truth.set_index("conv_id")["entity_id"]
+        j = pd.DataFrame({"pred": inc_map, "truth": t.loc[inc_map.index]})
+        by_truth = j.groupby("truth")["pred"].nunique()
+        by_pred = j.groupby("pred")["truth"].nunique()
+        assert (by_truth == 1).mean() >= 0.99, "split clusters"
+        assert (by_pred == 1).mean() >= 0.99, "merged clusters"
+
+        # 2. monotonicity: base co-clustering survives the delta exactly
+        for _, grp in base_map.groupby(base_map):
+            labels = inc_map.loc[grp.index].unique()
+            assert len(labels) == 1, f"base cluster split: {grp.index.tolist()}"
+
+    def test_requires_fitted_embedder(self):
+        from deepblocker_ray.pipelines.linkage import link_incremental
+
+        with pytest.raises(ValueError, match="FITTED embedder"):
+            link_incremental({"clusters": None}, None, CFG)
