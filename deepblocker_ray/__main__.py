@@ -68,7 +68,7 @@ def cmd_block(args) -> dict:
 
 def cmd_link(args) -> dict:
     from .config import EngineConfig
-    from .pipelines.linkage import link_transcripts
+    from .pipelines.linkage import link_incremental, link_transcripts
     from .sources.io import read_transcripts
 
     cfg = EngineConfig()
@@ -79,6 +79,16 @@ def cmd_link(args) -> dict:
         k=args.k,
         pairing=args.pairing,
     )
+    if args.delta:
+        # daily-delta shape: absorb the delta batch with the frozen
+        # embedder and the base clusters as prior assignments
+        res = link_incremental(
+            res,
+            read_transcripts(args.delta),
+            cfg,
+            k=args.k,
+            pairing=args.pairing,
+        )
     out = {
         "matches": _write(res["matches"], args.out, "matches"),
         "clusters": _write(res["clusters"], args.out, "clusters"),
@@ -126,6 +136,12 @@ def build_parser() -> argparse.ArgumentParser:
     l.add_argument("--embedder", default="sif")
     l.add_argument("--pairing", default="exact", choices=["exact", "ivf"])
     l.add_argument("--k", type=int, default=10)
+    l.add_argument(
+        "--delta",
+        default=None,
+        help="second transcript parquet absorbed incrementally after the "
+        "base linkage (frozen embedder, delta-only blocking)",
+    )
     l.add_argument("--out", required=True)
     l.set_defaults(fn=cmd_link)
 

@@ -95,6 +95,9 @@ def broadcast_exists_join(
     the exclusion side is reduced to its DISTINCT int64 key set map-side
     before anything moves.
 
+    Keys must be integer-typed (both sides are compared as int64 — hash
+    string keys to int64 first, e.g. dedup._stable_hash64).
+
     Distinct-key set ≤ cfg.broadcast_rows_max: sorted numpy array shipped
     once via ``ray.put``, membership tested per batch with a vectorized
     ``searchsorted`` — the big side streams with NO shuffle. Above the cap:

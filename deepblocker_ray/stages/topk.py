@@ -32,10 +32,13 @@ from ..config import EngineConfig
 
 def _hash_bucket_strs(values: pd.Series, num_buckets: int) -> np.ndarray:
     """Deterministic bucket for a string key column: md5-lower64 hashed once
-    per DISTINCT key (factorize), never per row."""
+    per DISTINCT key (factorize), never per row. Null keys are rejected —
+    a null group has no defined SQL-twin semantics here."""
     from .dedup import _stable_hash64
 
     codes, uniq = pd.factorize(values, sort=False)
+    if (codes < 0).any():
+        raise ValueError("null group keys are not supported")
     uh = np.fromiter(
         (_stable_hash64(str(v).encode()) for v in uniq), np.uint64, len(uniq)
     )

@@ -62,3 +62,28 @@ def test_cli_dedup_and_link(tmp_path):
     metrics = json.load(open(out2 / "metrics.json"))
     assert metrics["clusters"] > 0
     assert os.path.isdir(out2 / "clusters")
+
+
+@pytest.mark.slow
+def test_cli_link_delta(tmp_path):
+    """link --delta absorbs a second batch incrementally: the clusters
+    output covers BOTH batches' conversations."""
+    from deepblocker_ray.fixtures import synth_transcripts
+
+    df, _ = synth_transcripts(n_base=40, seed=5, dup_fraction=0.3)
+    convs = sorted(df["conv_id"].unique())
+    delta_set = set(convs[::4])
+    base_path = tmp_path / "base.parquet"
+    delta_path = tmp_path / "delta.parquet"
+    df[~df["conv_id"].isin(delta_set)].to_parquet(base_path)
+    df[df["conv_id"].isin(delta_set)].to_parquet(delta_path)
+
+    out = tmp_path / "out_delta"
+    r = _run(
+        ["link", "--input", str(base_path), "--delta", str(delta_path),
+         "--k", "4", "--out", str(out)],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.load(open(out / "metrics.json"))
+    assert metrics["clusters"] == len(convs)
