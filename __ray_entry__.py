@@ -655,6 +655,17 @@ def q_top_terms(sf_dir: str):
     return characteristic_term(_documents(sf_dir), _cfg())
 
 
+def q_hopping_window(sf_dir: str):
+    """Hopping-window rollup: 120-minute windows starting every 60 minutes
+    (each event lands in 2 overlapping windows; the replication happens in
+    the map-side partial combine, the exchange still moves only partials)."""
+    from deepblocker_ray.stages.events import window_agg
+
+    return window_agg(
+        _events(sf_dir), _cfg(), window_minutes=120.0, hop_minutes=60.0
+    )
+
+
 def q_quantile_gate(sf_dir: str):
     """Percentile-threshold quality gate: drop documents longer than their
     language's exact p90 n_chars. Two-pass aggregate→broadcast→filter —
@@ -750,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": q_text_normalize,
         "top_terms": q_top_terms,
         "quantile_gate": q_quantile_gate,
+        "hopping_window": q_hopping_window,
         "linkage_incremental": q_linkage_incremental,
     }
 
@@ -1293,6 +1305,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                        AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "hopping_window": """
+            -- 120-min windows every 60 min: each event lands in k=0,1
+            -- (base hop-aligned start minus k hops)
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600000000
+                       - k * 3600000000 AS window_us,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events, range(0, 2) t(k)
+            GROUP BY 1, 2
         """,
         "asof_join": """
             WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us

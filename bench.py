@@ -174,6 +174,7 @@ def main() -> None:
         "text_normalize",
         "top_terms",
         "quantile_gate",
+        "hopping_window",
     ]
     for name in query_names:
         r = bench_query(q[name])

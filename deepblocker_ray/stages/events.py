@@ -163,30 +163,55 @@ def _empty_sessions() -> pd.DataFrame:
 # ------------------------------------------------------------ window_agg --
 
 
-def window_agg(ds, cfg: EngineConfig, window_minutes: float = 60.0):
-    """Tumbling-window rollup per (event_type, window):
+def window_agg(
+    ds,
+    cfg: EngineConfig,
+    window_minutes: float = 60.0,
+    hop_minutes: float | None = None,
+):
+    """Tumbling- or hopping-window rollup per (event_type, window):
 
         (event_type, window_us, n_events, sum_cents)
 
     ``window_us`` is the epoch-aligned window start in microseconds (for the
-    60-minute default this equals ``date_trunc('hour', ts)``). The combiner
-    runs INSIDE map_batches (partial counts/sums per batch), so the exchange
-    moves only ~(types × windows-per-batch) partial rows, never events —
-    the pre-aggregate-before-groupby pattern that keeps the shuffle O(keys)
-    at 100 TB. Partials are bucketed by hashed window index."""
+    60-minute default this equals ``date_trunc('hour', ts)``). With
+    ``hop_minutes`` set (must divide ``window_minutes``), windows of length
+    ``window_minutes`` start every ``hop_minutes`` and OVERLAP: each event
+    lands in window/hop windows — the w/h replication happens map-side
+    inside the partial combine, so the exchange still moves only partial
+    rows, never events. The combiner runs INSIDE map_batches (partial
+    counts/sums per batch) — the pre-aggregate-before-groupby pattern that
+    keeps the shuffle O(keys) at 100 TB. Partials are bucketed by hashed
+    window index."""
     window_us = np.int64(round(window_minutes * 60e6))
+    hop_us = (
+        window_us if hop_minutes is None
+        else np.int64(round(hop_minutes * 60e6))
+    )
+    if window_us % hop_us:
+        raise ValueError("hop_minutes must divide window_minutes")
+    n_win = int(window_us // hop_us)  # windows per event
     nb = cfg.num_buckets
 
     def partial(t: pa.Table) -> pa.Table:
         ts = np.asarray(
             t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
         )
-        win = (ts // window_us) * window_us
+        # latest hop-aligned start covering ts, then the n_win-1 earlier
+        # starts (all of them cover ts because hop divides window)
+        base = (ts // hop_us) * hop_us
+        offs = np.arange(n_win, dtype=np.int64) * hop_us
+        win = np.repeat(base, n_win) - np.tile(offs, len(base))
         df = pd.DataFrame(
             {
-                "event_type": t.column("event_type").to_pandas(),
+                "event_type": np.repeat(
+                    t.column("event_type").to_numpy(zero_copy_only=False),
+                    n_win,
+                ),
                 "window_us": win,
-                "cents": _cents(np.asarray(t.column("value"))),
+                "cents": np.repeat(
+                    _cents(np.asarray(t.column("value"))), n_win
+                ),
             }
         )
         g = (
@@ -202,7 +227,7 @@ def window_agg(ds, cfg: EngineConfig, window_minutes: float = 60.0):
                 "sum_cents": pa.array(g["sum_cents"].to_numpy(np.int64)),
                 "_bucket": pa.array(
                     _user_bucket(
-                        g["window_us"].to_numpy(np.int64) // window_us, nb
+                        g["window_us"].to_numpy(np.int64) // hop_us, nb
                     )
                 ),
             }

@@ -336,3 +336,44 @@ class TestKeepLatest:
         assert out["event_id"].tolist() == [3, 21, 30]
         assert out["event_type"].tolist() == ["click", "error", "signup"]
         assert out["ts_us"].tolist() == [T0 + 9 * MIN, T0, T0 + MIN]
+
+
+class TestHoppingWindow:
+    def test_overlap_and_partial_combine(self, ray_session):
+        """window=2min hop=1min: each event counted in exactly 2 windows;
+        sums combine across blocks; hop must divide window."""
+        import ray.data as rd
+
+        from deepblocker_ray.stages.events import window_agg
+
+        rows = [
+            (0, 1, T0, "view", 1.00),           # windows T0, T0-1min
+            (1, 1, T0 + MIN, "view", 2.00),      # windows T0+1min, T0
+            (2, 2, T0 + MIN, "click", 4.00),
+        ]
+        df = _events_df(rows)
+        ds = rd.from_pandas([df.iloc[[i]] for i in range(len(df))])
+        out = (
+            window_agg(ds, CFG, window_minutes=2.0, hop_minutes=1.0)
+            .to_pandas()
+            .sort_values(["event_type", "window_us"])
+            .reset_index(drop=True)
+        )
+        views = out[out["event_type"] == "view"]
+        got = dict(zip(views["window_us"], zip(views["n_events"],
+                                               views["sum_cents"])))
+        B = (T0 // MIN) * MIN  # windows are EPOCH-aligned, not T0-aligned
+        assert got == {
+            B - MIN: (1, 100),      # event 0 only
+            B: (2, 300),            # both view events
+            B + MIN: (1, 200),      # event 1 only
+        }
+        assert out["n_events"].sum() == 6  # 3 events × 2 windows
+
+    def test_hop_must_divide_window(self):
+        import pytest
+
+        from deepblocker_ray.stages.events import window_agg
+
+        with pytest.raises(ValueError, match="divide"):
+            window_agg(None, CFG, window_minutes=3.0, hop_minutes=2.0)
