@@ -237,6 +237,48 @@ def link_from_embeddings(
     }
 
 
+def _reject_id_overlap(prior_tuples, new_tuples, cfg: EngineConfig) -> None:
+    """Raise if any delta conv_id already exists in the prior corpus.
+
+    A re-delivered/updated conv_id would ride the union twice and emit two
+    (conv_id, cluster_id) rows from ``assign_cluster_labels`` — silent
+    corruption for any consumer keyed on conv_id. Updates need
+    delete-and-relink (or the periodic full re-link); an explicit error
+    here beats either happening silently.
+
+    Cost per delta: one skinny scan of each side's id column plus the
+    semi-join machinery (delta-sized broadcast below ``broadcast_rows_max``,
+    hash join above it) — the corpora themselves never move. Ids are
+    compared by md5-lower64, so a hash collision can only raise a spurious
+    error (p ≈ n²·2⁻⁶⁴), never let a real overlap through."""
+    import numpy as np
+
+    from ..stages.dedup import hash64_strs
+    from ..stages.relational import broadcast_exists_join
+
+    def idh(t: pa.Table) -> pa.Table:
+        vals = t.column("conv_id").to_pylist()
+        return pa.table(
+            {"_idh": pa.array(hash64_strs(vals).view(np.int64))}
+        )
+
+    prior_ids = prior_tuples.select_columns(["conv_id"]).map_batches(
+        idh, batch_format="pyarrow"
+    )
+    new_ids = new_tuples.select_columns(["conv_id"]).map_batches(
+        idh, batch_format="pyarrow"
+    )
+    n = broadcast_exists_join(
+        prior_ids, new_ids, big_key="_idh", small_key="_idh", cfg=cfg
+    ).count()
+    if n:
+        raise ValueError(
+            f"{n} delta conv_id(s) already exist in the prior corpus; "
+            "link_incremental absorbs NEW records only — drop or re-key "
+            "re-delivered ids, or re-link the full corpus to apply updates"
+        )
+
+
 def link_incremental(
     prior: dict,
     new_transcripts,
@@ -273,6 +315,12 @@ def link_incremental(
     top-K only (an old record's own top-K list is not revisited when new
     records arrive) — the standard incremental-ER trade; new↔old pairs are
     still found from the new direction.
+
+    Delta conv_ids must be NEW: an id already present in the prior corpus
+    is rejected with ValueError (see ``_reject_id_overlap``). Returned dict:
+    ``tuples``/``embeddings``/``matches``/``clusters`` describe the WHOLE
+    grown corpus; ``candidates``/``scored``/``delta_matches`` are the delta
+    increment only.
     """
     cfg = cfg or EngineConfig()
     embedder = embedder or prior.get("embedder")
@@ -287,6 +335,7 @@ def link_incremental(
     new_tuples = parallel_blocks_sized(
         canonicalize(new_transcripts, cfg, turn_cap=turn_cap).materialize()
     )
+    _reject_id_overlap(prior["tuples"], new_tuples, cfg)
     new_emb = embedder.transform(new_tuples, id_col="conv_id").materialize()
     all_emb = prior["embeddings"].union(new_emb).materialize()
     all_tuples = prior["tuples"].union(new_tuples).materialize()
@@ -318,12 +367,22 @@ def link_incremental(
     edges = matches.union(prior_edges)
     comp = connected_components(edges, cfg, src="ltable_id", dst="rtable_id")
     clusters = assign_cluster_labels(all_tuples, comp, cfg)
+    # "matches" must describe the WHOLE corpus like tuples/embeddings/
+    # clusters do — a consumer of the dict (or the CLI's matches output)
+    # would otherwise silently lose every base-base pair. Delta-only edges
+    # stay available as "delta_matches". The union is duplicate-free:
+    # delta edges always have a NEW record on one side, prior edges never
+    # do (the overlap guard above enforces id disjointness).
+    all_matches = (
+        prior["matches"].union(matches) if "matches" in prior else matches
+    )
     return {
         "tuples": all_tuples,
         "embeddings": all_emb,
         "candidates": candidates,
         "scored": scored,
-        "matches": matches,
+        "matches": all_matches,
+        "delta_matches": matches,
         "clusters": clusters,
         "embedder": embedder,
     }

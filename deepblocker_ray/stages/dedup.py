@@ -74,6 +74,19 @@ def _stable_hash64(data: bytes) -> np.uint64:
     )
 
 
+def hash64_strs(values) -> np.ndarray:
+    """md5-lower64 of each string in ``values`` — pass the DISTINCT keys of
+    a batch (e.g. ``pd.factorize`` uniques) so the hash runs once per
+    distinct value, never per row. This is the shared kernel behind every
+    bucketed string-key exchange whose SQL twin is
+    ``md5_number_lower(col) % num_buckets``."""
+    return np.fromiter(
+        (_stable_hash64(str(v).encode()) for v in values),
+        np.uint64,
+        len(values),
+    )
+
+
 # ------------------------------------------------------------- shingling --
 
 

@@ -188,8 +188,11 @@ def window_agg(
         window_us if hop_minutes is None
         else np.int64(round(hop_minutes * 60e6))
     )
-    if window_us % hop_us:
-        raise ValueError("hop_minutes must divide window_minutes")
+    # hop_us <= 0 must be an explicit error: numpy int64 % 0 returns 0 with
+    # only a RuntimeWarning, so a zero hop would sail past the divisibility
+    # check and np.repeat(base, 0) would silently drop every event.
+    if hop_us <= 0 or window_us % hop_us:
+        raise ValueError("hop_minutes must be positive and divide window_minutes")
     n_win = int(window_us // hop_us)  # windows per event
     nb = cfg.num_buckets
 
@@ -428,13 +431,9 @@ def value_quantiles(ds, cfg: EngineConfig):
         # factorize codes are not stable across batches and would scatter
         # one type over several buckets); hashed once per distinct type
         codes, uniq = pd.factorize(g["event_type"], sort=False)
-        from .dedup import _stable_hash64
+        from .dedup import hash64_strs
 
-        uh = np.fromiter(
-            (_stable_hash64(str(t).encode()) for t in uniq),
-            np.uint64,
-            len(uniq),
-        )
+        uh = hash64_strs(uniq)
         return pa.table(
             {
                 "event_type": pa.array(g["event_type"], pa.string()),

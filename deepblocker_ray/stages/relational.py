@@ -173,11 +173,21 @@ def broadcast_exists_join(
     )
     nparts = max(2, min(cfg.num_buckets // 4, default_parallelism()))
     big_cols = big_ds.schema().names
-    joined = big_ds.join(
+
+    # The marker side is int64 (distinct_keys casts); pyarrow's hash join
+    # rejects mismatched key types (e.g. an int32 parquet key), so mirror
+    # the broadcast path's "compared as int64" contract with a temp cast
+    # column — dropped again by filt's select below.
+    def add_bk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column("_bk", pc.cast(t.column(big_key), pa.int64()))
+
+    joined = big_ds.map_batches(add_bk, batch_format="pyarrow").join(
         marker,
         join_type="left_outer",
         num_partitions=nparts,
-        on=(big_key,),
+        on=("_bk",),
         right_on=("_key",),
     )
 

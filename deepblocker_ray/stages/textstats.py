@@ -437,9 +437,12 @@ def characteristic_term(ds, cfg, text_col: str = "text",
     import ray
 
     from ..functions.tokenizer import tokenize_many
-    from .dedup import _stable_hash64
+    from .dedup import hash64_strs
 
     nb = cfg.num_buckets
+    # both passes need only (id, text): project before streaming so unused
+    # payload columns are never deserialized (twice) at corpus scale
+    ds = ds.select_columns([id_col, text_col])
 
     def _flat_codes(texts):
         """(codes, doc_idx, uniq): lexicographically-coded flat token stream
@@ -467,10 +470,7 @@ def characteristic_term(ds, cfg, text_col: str = "text",
         # distinct (doc, term) pairs → per-term doc counts, all vectorized
         pair = np.unique(doc_idx * len(uniq) + codes)
         dfc = np.bincount(pair % len(uniq), minlength=len(uniq))
-        uh = np.fromiter(
-            (_stable_hash64(str(k).encode()) for k in uniq),
-            np.uint64, len(uniq),
-        )
+        uh = hash64_strs(uniq)
         return pa.table(
             {
                 "term": pa.array(list(uniq), pa.string()),

@@ -34,14 +34,12 @@ def _hash_bucket_strs(values: pd.Series, num_buckets: int) -> np.ndarray:
     """Deterministic bucket for a string key column: md5-lower64 hashed once
     per DISTINCT key (factorize), never per row. Null keys are rejected —
     a null group has no defined SQL-twin semantics here."""
-    from .dedup import _stable_hash64
+    from .dedup import hash64_strs
 
     codes, uniq = pd.factorize(values, sort=False)
     if (codes < 0).any():
         raise ValueError("null group keys are not supported")
-    uh = np.fromiter(
-        (_stable_hash64(str(v).encode()) for v in uniq), np.uint64, len(uniq)
-    )
+    uh = hash64_strs(uniq)
     return (uh[codes] % np.uint64(num_buckets)).astype(np.int32)
 
 
@@ -79,6 +77,11 @@ def group_topk(
         ([group_col,] rank, id_col, order_col)
 
     with ``rank`` the 1-based position within the group."""
+    # pandas head(k) with k < 1 silently returns "all but the last |k|"
+    # rows — reject instead of shipping nearly the full corpus through
+    # the exchange with a wrong result.
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     nb = cfg.num_buckets
     keep = ([group_col] if group_col else []) + [id_col, order_col]
 
@@ -142,6 +145,12 @@ def group_quantile_filter(
        and every batch filters map-side. Rows of groups absent from the
        threshold table (impossible by construction) would be dropped.
     """
+    # num > den would index past the end of the cumsum inside a remote
+    # task (opaque IndexError); den <= 0 likewise. Reject up front.
+    if den <= 0 or num < 1 or num > den:
+        raise ValueError(
+            f"quantile num/den must satisfy 1 <= num <= den, got {num}/{den}"
+        )
     import ray
 
     if keep not in ("le", "ge"):

@@ -377,3 +377,16 @@ class TestHoppingWindow:
 
         with pytest.raises(ValueError, match="divide"):
             window_agg(None, CFG, window_minutes=3.0, hop_minutes=2.0)
+
+    def test_hop_zero_or_negative_rejected(self):
+        """numpy int64 % 0 returns 0 (RuntimeWarning only), so hop=0 would
+        pass a bare divisibility check and silently drop every event via
+        np.repeat(base, 0); negative hops would crash later with an
+        unrelated message. Both must be a clear ValueError."""
+        import pytest
+
+        from deepblocker_ray.stages.events import window_agg
+
+        for hop in (0.0, -1.0):
+            with pytest.raises(ValueError, match="positive"):
+                window_agg(None, CFG, window_minutes=2.0, hop_minutes=hop)

@@ -211,6 +211,36 @@ class TestIncrementalLinkage:
             labels = inc_map.loc[grp.index].unique()
             assert len(labels) == 1, f"base cluster split: {grp.index.tolist()}"
 
+        # 3. "matches" covers the WHOLE corpus: every base-base edge is
+        # retained and the delta edges are exactly the new increment
+        bm = base["matches"].to_pandas()
+        im = inc["matches"].to_pandas()
+        dm = inc["delta_matches"].to_pandas()
+        key = lambda d: set(zip(d["ltable_id"], d["rtable_id"]))  # noqa: E731
+        assert key(bm) <= key(im), "base-base matches dropped"
+        assert key(im) == key(bm) | key(dm)
+        # delta edges always touch a delta record — disjoint from base-base
+        assert all(
+            a in delta_set or b in delta_set for a, b in key(dm)
+        )
+
+    def test_overlapping_delta_ids_rejected(self, ray_session):
+        """A re-delivered conv_id would ride the union twice and emit two
+        cluster rows — link_incremental must reject it up front."""
+        import ray.data as rd
+
+        from deepblocker_ray.pipelines.linkage import link_incremental
+
+        df, _ = synth_transcripts(n_base=20, seed=5, dup_fraction=0.3)
+        convs = sorted(df["conv_id"].unique())
+        base = link_transcripts(
+            rd.from_pandas(df[df["conv_id"].isin(convs[:15])]), CFG, k=4
+        )
+        # delta re-delivers one base conv_id alongside genuinely new ones
+        bad = df[df["conv_id"].isin(convs[14:])]
+        with pytest.raises(ValueError, match="already exist"):
+            link_incremental(base, rd.from_pandas(bad), CFG, k=4)
+
     def test_requires_fitted_embedder(self):
         from deepblocker_ray.pipelines.linkage import link_incremental
 

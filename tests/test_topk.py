@@ -289,3 +289,61 @@ class TestGroupQuantileFilter:
                 None, CFG, group_col="g", value_col="v",
                 num=1, den=2, keep="lt",
             )
+
+    def test_bad_quantile_rejected(self):
+        """num > den would IndexError past the cumsum inside a remote task;
+        den <= 0 / num < 1 likewise have no defined rank. All must raise a
+        clear ValueError up front, without touching the dataset."""
+        import pytest
+
+        from deepblocker_ray.stages.topk import group_quantile_filter
+
+        for num, den in [(11, 10), (0, 10), (-1, 10), (1, 0), (1, -2)]:
+            with pytest.raises(ValueError, match="num <= den"):
+                group_quantile_filter(
+                    None, CFG, group_col="g", value_col="v",
+                    num=num, den=den,
+                )
+
+
+class TestArgumentGuards:
+    def test_topk_k_below_one_rejected(self):
+        """pandas head(-1) silently returns all-but-last rows per group —
+        k < 1 must be an explicit error, not a near-full-corpus result."""
+        import pytest
+
+        from deepblocker_ray.stages.topk import group_topk
+
+        for k in (0, -1):
+            with pytest.raises(ValueError, match="k must be >= 1"):
+                group_topk(
+                    None, CFG, order_col="n_chars", id_col="doc_id", k=k
+                )
+
+    def test_exists_join_int32_key_on_join_path(self, ray_session):
+        """Parquet-typical int32 keys must work on the hash-join fallback
+        path too (the marker side is int64; the big side's key is cast to a
+        temp int64 column before the join), with output schema/dtype
+        unchanged."""
+        import ray.data as rd
+
+        from deepblocker_ray.stages.relational import broadcast_exists_join
+
+        big = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "c_custkey": np.array([1, 2, 3, 4, 5], np.int32),
+                    "c_name": ["a", "b", "c", "d", "e"],
+                }
+            )
+        )
+        for cap in (2_000_000, 0):  # broadcast path, join path
+            small = rd.from_pandas(pd.DataFrame({"o_custkey": [2, 4]}))
+            cfg = EngineConfig(num_buckets=8, broadcast_rows_max=cap)
+            out = broadcast_exists_join(
+                big, small, big_key="c_custkey", small_key="o_custkey",
+                cfg=cfg, anti=True,
+            ).to_pandas()
+            assert sorted(out["c_custkey"]) == [1, 3, 5]
+            assert list(out.columns) == ["c_custkey", "c_name"]
+            assert out["c_custkey"].dtype == np.int32
