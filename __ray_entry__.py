@@ -300,10 +300,12 @@ def _vec_tuples(sf_dir: str, emb):
         ),
         batch_format="pyarrow",
     )
+    from deepblocker_ray.config import join_partitions
+
     joined = docs.join(
         emb.select_columns(["conv_id"]),
         join_type="inner",
-        num_partitions=8,
+        num_partitions=join_partitions(8),
         on=("conv_id",),
     )
 

@@ -118,6 +118,16 @@ def default_parallelism() -> int:
     return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
+def join_partitions(want: int | None = None) -> int:
+    """Safe ``num_partitions`` for ``Dataset.join``: the hash-shuffle
+    aggregator actors must ALL be schedulable or the join deadlocks waiting
+    for actors (probed on Ray 2.49: 8 partitions hang a 2-CPU session and
+    fit a 4-CPU one — ~0.5 CPU per aggregator). Never exceed the session's
+    CPU count; floor at 2 so a join always has a pair of partitions."""
+    cap = max(2, default_parallelism())
+    return cap if want is None else max(2, min(want, cap))
+
+
 def actor_pool_size(configured: int | tuple | None) -> int | tuple:
     """Actor-pool ``concurrency`` for callable-class map_batches stages (Ray
     requires an explicit value for classes). Default: autoscale between 1 and

@@ -130,12 +130,12 @@ def assign_cluster_labels(ids_ds, comp, cfg: EngineConfig):
         return ids_ds.select_columns(["conv_id"]).map_batches(
             assign, batch_format="pyarrow"
         )
-    from ..config import default_parallelism
+    from ..config import join_partitions
 
     joined = ids_ds.select_columns(["conv_id"]).join(
         comp,
         join_type="left_outer",
-        num_partitions=max(default_parallelism(), 8),
+        num_partitions=join_partitions(),
         on=("conv_id",),
     )
     return joined.map_batches(

@@ -245,14 +245,18 @@ def exact_dedup(
     nb = cfg.num_buckets
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        h1 = np.empty(n, np.uint64)
-        h2 = np.empty(n, np.uint64)
-        for i, t in enumerate(df[text_col].astype(str)):
+        # hash once per DISTINCT text (the workload is duplicate-heavy by
+        # premise — per-row hashing would redo the md5 of every copy)
+        codes, uniq = pd.factorize(df[text_col].astype(str), sort=False)
+        u1 = np.empty(len(uniq), np.uint64)
+        u2 = np.empty(len(uniq), np.uint64)
+        for i, t in enumerate(uniq):
             d = hashlib.md5(t.encode("utf-8", "surrogatepass")).digest()
-            h1[i] = int.from_bytes(d[:8], "little")
-            h2[i] = int.from_bytes(d[8:], "little")
-        g = pd.DataFrame({"_h1": h1, "_h2": h2, "_id": df[id_col].values})
+            u1[i] = int.from_bytes(d[:8], "little")
+            u2[i] = int.from_bytes(d[8:], "little")
+        g = pd.DataFrame(
+            {"_h1": u1[codes], "_h2": u2[codes], "_id": df[id_col].values}
+        )
         agg = (
             g.groupby(["_h1", "_h2"], sort=False)
             .agg(_min=("_id", "min"), _n=("_id", "size"))
@@ -330,7 +334,7 @@ def exact_dedup(
 
         return ds.map_batches(attach, batch_format="pyarrow")
 
-    from ..config import default_parallelism
+    from ..config import join_partitions
 
     joined = ds.map_batches(
         lambda t: pa.table(
@@ -342,7 +346,7 @@ def exact_dedup(
     ).join(
         mat.select_columns(["_pid", "_n"]),
         join_type="inner",
-        num_partitions=max(default_parallelism(), 8),
+        num_partitions=join_partitions(),
         on=("_pid",),
     )
     return joined.map_batches(
@@ -618,9 +622,9 @@ def _verify_pairs(cand, payload_ds, id_col, payload_col, cfg, pair_fn):
 
         return cand.map_batches(verify, batch_format="pyarrow")
 
-    from ..config import default_parallelism
+    from ..config import join_partitions
 
-    nparts = max(default_parallelism(), 8)
+    nparts = join_partitions()
     # if the rows-cap passed but the bytes-cap rejected, `mat` already holds
     # the projected payload — join from it instead of re-running the
     # projection once per side
@@ -767,7 +771,7 @@ def _components_output(ds, pairs, cfg, id_col):
 
         return ds.map_batches(assign, batch_format="pyarrow")
 
-    from ..config import default_parallelism
+    from ..config import join_partitions
 
     docs = ds.map_batches(
         lambda t: pa.table({"doc_id": t.column(id_col).cast(pa.string())}),
@@ -785,7 +789,7 @@ def _components_output(ds, pairs, cfg, id_col):
     joined = docs.join(
         comp_side,
         join_type="left_outer",
-        num_partitions=max(default_parallelism(), 8),
+        num_partitions=join_partitions(),
         on=("doc_id",),
     )
     return joined.map_batches(

@@ -135,6 +135,23 @@ def _embed_stage(ds, cfg: EngineConfig, id_col, text_col, weights_ref=None,
     (state/broadcast.py) — long-lived workers, no per-execution actor spawn.
     Set EngineConfig.embed_concurrency for a dedicated actor pool (the right
     choice when per-worker state is heavyweight, e.g. a GPU model)."""
+    from ..state.lookup import HashedWeightsHandle
+
+    if (
+        oov_weight != 1.0
+        and isinstance(weights_ref, HashedWeightsHandle)
+        and weights_ref.a is not None
+        and (weights_ref.min_freq or 1) > 1
+    ):
+        # count-form fit dropped rare-but-SEEN tokens (< min_freq) because
+        # their weight (1.0) equals the OOV fallback; a different oov_weight
+        # would silently re-weight them as unseen — refuse instead.
+        raise ValueError(
+            "oov_weight != 1.0 with a min_freq-truncated weight map: tokens "
+            "below min_freq were dropped to the 1.0 fallback at fit time "
+            "and would silently follow oov_weight; refit with min_freq=1 "
+            "or keep oov_weight=1.0"
+        )
     if cfg.embed_concurrency is not None:
         return ds.map_batches(
             _EmbedBatch,
@@ -248,13 +265,16 @@ def top_pc(emb_ds, dim: int) -> np.ndarray:
     """Distributed Gram aggregation + driver eigh (exact TruncatedSVD
     equivalent on uncentered data). The per-batch partial keeps only D×D
     floats in flight regardless of corpus size."""
-    # batch_size=None → one D×D partial per BLOCK. The default (1024 rows)
-    # emitted one 720 KB gram row per 1024 input rows — ~570 rows / 410 MB
-    # serially pulled and summed on the driver for a 580k-row corpus; per
-    # block it is ~100 rows, and the driver loop is sub-second.
+    # batch_size balances two transients: the default (1024 rows) emitted
+    # one 720 KB gram row per 1024 input rows — ~570 rows / 410 MB serially
+    # pulled and summed on the driver for a 580k-row corpus; batch_size=None
+    # (whole blocks) made the per-task float64 copy unbounded (a 1.25M-row
+    # block at dim=300 is a ~3 GiB transient on a low-CPU session where
+    # parallel_blocks_sized leaves blocks huge). 64k rows keeps the per-task
+    # copy ≤ ~160 MB at dim=300 AND the driver pull to a handful of rows.
     partial = emb_ds.map_batches(
         lambda b: _gram_partial(b, dim), batch_format="pyarrow",
-        batch_size=None,
+        batch_size=65536,
     )
     gram = np.zeros((dim, dim), np.float64)
     for b in partial.iter_batches(batch_format="pyarrow", batch_size=None):
@@ -327,9 +347,10 @@ class SIFEmbedder:
         Truncation rule (reference tuple_embedding_models.py:116-119):
         tokens with frequency < min_freq get weight exactly 1.0, which
         equals the OOV fallback — so they need no map entry at all and
-        ``min_freq`` bounds the map to the frequent vocabulary. (If a
-        caller combines min_freq>1 with a non-default oov_weight at
-        transform time, truncated tokens follow the oov_weight.)"""
+        ``min_freq`` bounds the map to the frequent vocabulary. (Combining
+        min_freq>1 with a non-default oov_weight at transform time is
+        rejected by ``_embed_stage`` — truncated tokens would silently
+        follow the oov_weight.)"""
         from ..state.lookup import HashedWeightsHandle, hash_tokens_2x
 
         def to_hashed(t: pa.Table) -> pa.Table:

@@ -106,6 +106,26 @@ def _merge_topk_pos(
 SHARD_PRIVATE_BYTES_MAX = 2 << 30
 
 
+def _shard_private_cap() -> int:
+    """Effective per-process privatization cap. The copy is made in EVERY
+    query worker process, so the aggregate RSS is cap × workers — a fixed
+    2 GiB per-process cap would let 32 workers duplicate a 1.9 GiB index
+    into ~60 GiB and OOM a smaller host. Bound the aggregate at ~25% of
+    host RAM; the absolute per-process ceiling still applies."""
+    try:
+        import os
+
+        mem = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    except (ValueError, OSError, AttributeError):
+        return SHARD_PRIVATE_BYTES_MAX
+    from ..config import default_parallelism
+
+    return min(
+        SHARD_PRIVATE_BYTES_MAX,
+        (mem // 4) // max(1, default_parallelism()),
+    )
+
+
 def _parse_shards(shard_refs) -> tuple[list, np.ndarray]:
     """Fetch + view index shards (zero-copy from plasma); memoized per
     worker process via state/broadcast.cached_compute. Matrices are
@@ -120,7 +140,7 @@ def _parse_shards(shard_refs) -> tuple[list, np.ndarray]:
         total += mat.nbytes
         shards.append((ids, mat))
         offsets.append(offsets[-1] + len(t))
-    if total <= SHARD_PRIVATE_BYTES_MAX:
+    if total <= _shard_private_cap():
         shards = [(ids, np.array(mat)) for ids, mat in shards]
     return shards, np.asarray(offsets, np.int64)
 

@@ -22,7 +22,7 @@ import ray
 from ..config import (
     EngineConfig,
     actor_pool_size,
-    default_parallelism,
+    join_partitions,
     parallel_blocks,
 )
 from ..functions.textsim import (
@@ -216,7 +216,7 @@ def score_candidates(
 def _score_via_join(candidates, tuples_ds, right_tuples_ds, cfg, threshold, id_col):
     """Large-side path: two hash joins to attach turn texts, then a stateless
     scoring map. Partition count sized to the session parallelism."""
-    nparts = max(default_parallelism(), 8)
+    nparts = join_partitions()
     left_side = tuples_ds.select_columns([id_col, "turn_texts"]).rename_columns(
         {id_col: "left_id", "turn_texts": "_lt"}
     )

@@ -206,3 +206,29 @@ class TestEmbToNumpyViews:
         t = pa.table({"emb": numpy_to_emb(mat)})
         part = t.slice(10, 20)
         assert np.array_equal(emb_to_numpy(part.column("emb")), mat[10:30])
+
+
+def test_truncated_weights_reject_nondefault_oov(ray_session):
+    """min_freq-truncated HashedWeights dropped rare-but-seen tokens to the
+    1.0 fallback; a non-default oov_weight would silently re-weight them as
+    unseen — _embed_stage must refuse the combination."""
+    import pytest
+    import ray.data as rd
+
+    from deepblocker_ray.config import EngineConfig
+    from deepblocker_ray.stages.embed import SIFEmbedder, _embed_stage
+
+    cfg = EngineConfig(num_buckets=8)
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {"conv_id": ["a", "b"], "tuple_text": ["x x y", "x z z"]}
+        )
+    )
+    m = SIFEmbedder(cfg, min_freq=2)
+    m.fit(ds)
+    with pytest.raises(ValueError, match="min_freq-truncated"):
+        _embed_stage(
+            ds, cfg, "conv_id", "tuple_text", m.weights_ref, oov_weight=0.0
+        )
+    # default oov_weight stays allowed
+    assert m.transform(ds).count() == 2
