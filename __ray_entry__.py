@@ -375,6 +375,59 @@ def q_linkage_vec(sf_dir: str):
     )
 
 
+def q_linkage_vec_inc(sf_dir: str):
+    """INCREMENTAL linkage chain over precomputed embeddings: the base
+    corpus (vec_id % 5 != 0) is linked first, then the delta (% 5 == 0) is
+    absorbed via link_incremental_from_embeddings — frozen embedding space,
+    delta-only top-K query, prior clusters as CC edges. Exact SQL twin: CC
+    over (base-only top-K match pairs ∪ delta-vs-all top-K match pairs).
+    The twin is component-equivalent to the engine's (delta matches ∪ prior
+    ASSIGNMENT edges) because the assignment edges star-connect exactly the
+    base components; cluster ids are min members on both sides."""
+    import pyarrow.compute as pc
+
+    from deepblocker_ray.pipelines.linkage import (
+        link_from_embeddings,
+        link_incremental_from_embeddings,
+    )
+
+    cfg = _cfg()
+    emb = _vec_emb(sf_dir)
+    tuples = _vec_tuples(sf_dir, emb)
+
+    def side(ds, delta: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t.column("conv_id"), pa.int64())
+            # no modulo kernel in pyarrow: id % 5 == id - (id//5)*5
+            rem = pc.subtract(
+                ids, pc.multiply(pc.divide(ids, 5), 5)
+            )
+            m = pc.equal(rem, 0)
+            return t.filter(m if delta else pc.invert(m))
+
+        return ds.map_batches(f, batch_format="pyarrow").materialize()
+
+    prior = link_from_embeddings(
+        side(tuples, False), side(emb, False), cfg, k=VEC_K, threshold=VEC_TAU
+    )
+    res = link_incremental_from_embeddings(
+        prior, side(tuples, True), side(emb, True), cfg,
+        k=VEC_K, threshold=VEC_TAU,
+    )
+    return res["clusters"].map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t.column("conv_id"),
+                "cluster_id": t.column("cluster_id"),
+                "is_duplicate": pc.not_equal(
+                    t.column("cluster_id"), t.column("conv_id")
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_string_sims(sf_dir: str):
     """Levenshtein + Jaro-Winkler on adjacent-document text pairs via the
     batched kernels — SQL-checkable against DuckDB's native levenshtein()
@@ -744,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_full": q_linkage_full,
         "blocking_vec": q_blocking_vec,
         "linkage_vec": q_linkage_vec,
+        "linkage_vec_inc": q_linkage_vec_inc,
         "string_sims": q_string_sims,
         "media_features": q_media_features,
         "sessionize": q_sessionize,
@@ -1048,9 +1102,69 @@ def oracle_sql() -> dict[str, str]:
         "JOIN documents dd ON dd.doc_id = e.vec_id)"
     )
 
+    # incremental chain (linkage_vec_inc): base-only top-K pairs ∪
+    # delta-vs-all top-K pairs. Component-equivalent to the engine's
+    # (delta matches ∪ prior ASSIGNMENT edges): the assignment edges
+    # star-connect exactly the base-pair components, and cluster ids are
+    # min members on both sides. Same VEC_TAU margin argument as above —
+    # the base-only candidate set is a subset of pair space scored with the
+    # identical formula.
+    _inc_score = """
+        (0.4 * greatest(least(cos, 1.0), 0.0)
+         + 0.3 * jaro_winkler_similarity(ta, tb)
+         + 0.3 * (CASE WHEN greatest(length(ta), length(tb)) = 0 THEN 1.0
+                  ELSE 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+                       / greatest(length(ta), length(tb)) END))
+    """
+    linkage_vec_inc_pairs = f"""
+        WITH docs AS (
+            SELECT CAST(e.vec_id AS VARCHAR) AS id, d.text, e.embedding,
+                   (e.vec_id % 5 = 0) AS is_delta
+            FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        ),
+        base_ranked AS (
+            SELECT qid, xid, cos,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, xid) AS rk
+            FROM (SELECT a.id AS qid, b.id AS xid,
+                         list_cosine_similarity(a.embedding, b.embedding)
+                             AS cos
+                  FROM docs a JOIN docs b ON b.id <> a.id
+                  WHERE NOT a.is_delta AND NOT b.is_delta)
+        ),
+        delta_ranked AS (
+            SELECT qid, xid, cos,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, xid) AS rk
+            FROM (SELECT a.id AS qid, b.id AS xid,
+                         list_cosine_similarity(a.embedding, b.embedding)
+                             AS cos
+                  FROM docs a JOIN docs b ON b.id <> a.id
+                  WHERE a.is_delta)
+        ),
+        cand AS (
+            SELECT least(qid, xid) AS l, greatest(qid, xid) AS r
+            FROM base_ranked WHERE rk <= {VEC_K}
+            UNION
+            SELECT least(qid, xid) AS l, greatest(qid, xid) AS r
+            FROM delta_ranked WHERE rk <= {VEC_K}
+        ),
+        scored AS (
+            SELECT c.l, c.r,
+                   list_cosine_similarity(da.embedding, db.embedding) AS cos,
+                   substr(da.text, 1, 128) AS ta, substr(db.text, 1, 128) AS tb
+            FROM cand c JOIN docs da ON da.id = c.l JOIN docs db ON db.id = c.r
+        )
+        SELECT l AS left_id, r AS right_id FROM scored
+        WHERE {_inc_score} >= {VEC_TAU}
+    """
+
     return {
         "blocking_vec": blocking_vec_sql,
         "linkage_vec": _cc_sql(linkage_vec_pairs, linkage_vec_base, "vec_id"),
+        "linkage_vec_inc": _cc_sql(
+            linkage_vec_inc_pairs, linkage_vec_base, "vec_id"
+        ),
         "canonicalize": f"""
             WITH transcripts AS ({transcripts_cte})
             SELECT conv_id,

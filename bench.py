@@ -149,6 +149,7 @@ def main() -> None:
         "knn_ivf",
         "blocking_vec",
         "linkage_vec",
+        "linkage_vec_inc",
         "string_sims",
         "media_features",
         "token_count",

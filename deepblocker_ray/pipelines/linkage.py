@@ -335,8 +335,31 @@ def link_incremental(
     new_tuples = parallel_blocks_sized(
         canonicalize(new_transcripts, cfg, turn_cap=turn_cap).materialize()
     )
-    _reject_id_overlap(prior["tuples"], new_tuples, cfg)
     new_emb = embedder.transform(new_tuples, id_col="conv_id").materialize()
+    res = link_incremental_from_embeddings(
+        prior, new_tuples, new_emb, cfg, k=k, pairing=pairing,
+        threshold=threshold,
+    )
+    res["embedder"] = embedder
+    return res
+
+
+def link_incremental_from_embeddings(
+    prior: dict,
+    new_tuples,
+    new_emb,
+    cfg: EngineConfig | None = None,
+    k: int = 10,
+    pairing: str = "exact",
+    threshold: float | None = None,
+) -> dict:
+    """Core of link_incremental over PRECOMPUTED delta embeddings (the tail
+    shared with the SQL-twinnable ``linkage_vec_inc`` driver query — with no
+    hash embedding in the loop every stage has an exact DuckDB twin).
+    ``new_tuples`` needs (conv_id, turn_texts); ``new_emb`` (conv_id, emb)
+    in the SAME embedding space as ``prior['embeddings']``."""
+    cfg = cfg or EngineConfig()
+    _reject_id_overlap(prior["tuples"], new_tuples, cfg)
     all_emb = prior["embeddings"].union(new_emb).materialize()
     all_tuples = prior["tuples"].union(new_tuples).materialize()
 
@@ -384,5 +407,4 @@ def link_incremental(
         "matches": all_matches,
         "delta_matches": matches,
         "clusters": clusters,
-        "embedder": embedder,
     }
