@@ -234,6 +234,17 @@ def q_quality(sf_dir: str):
     return quality_score(_documents(sf_dir))
 
 
+def q_sequence_pack(sf_dir: str):
+    """Training-sequence packing layout (concat-and-chunk, 128-token
+    sequences) over documents — distributed exact prefix scan; SQL twin is
+    one window prefix sum."""
+    from deepblocker_ray.stages.packing import sequence_pack
+
+    return sequence_pack(
+        _documents(sf_dir), _cfg(), tokens_per_seq=128
+    )
+
+
 def q_blocking_sif(sf_dir: str):
     """Transcript blocking candidates (SIF + exact top-K, K=5)."""
     from deepblocker_ray.stages.canonicalize import canonicalize
@@ -817,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_normalize": q_text_normalize,
         "top_terms": q_top_terms,
         "quantile_gate": q_quantile_gate,
+        "sequence_pack": q_sequence_pack,
         "hopping_window": q_hopping_window,
         "linkage_incremental": q_linkage_incremental,
     }
@@ -1495,6 +1507,30 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         """,
         "text_normalize": _text_normalize_sql(),
+        "sequence_pack": r"""
+            -- concat-and-chunk layout == one window prefix sum over the
+            -- same \S+ token rule as bpe_token_count's n_ws_tokens
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\S+')) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                           AS start_tok
+                FROM t
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, start_tok,
+                   start_tok // 128 AS first_seq,
+                   CASE WHEN n_tokens = 0 THEN start_tok // 128
+                        ELSE (start_tok + n_tokens - 1) // 128
+                   END AS last_seq
+            FROM c
+        """,
         "quantile_gate": """
             WITH c AS (
                 SELECT lang, n_chars, count(*) AS cnt

@@ -176,6 +176,7 @@ def main() -> None:
         "top_terms",
         "quantile_gate",
         "hopping_window",
+        "sequence_pack",
     ]
     for name in query_names:
         r = bench_query(q[name])

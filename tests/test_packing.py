@@ -1,0 +1,93 @@
+"""Sequence packing (stages/packing.py): exact concat-and-chunk layout vs a
+single-process pandas oracle, boundary straddles, zero-token docs, empty
+input, and argument validation. The driver twin (window prefix sum in SQL)
+is regression-covered by the correctness sweep."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deepblocker_ray.config import EngineConfig
+
+CFG = EngineConfig(num_buckets=8)
+
+
+def _oracle(df: pd.DataFrame, cap: int) -> pd.DataFrame:
+    d = df.sort_values("doc_id").reset_index(drop=True)
+    n = d["text"].fillna("").str.split().str.len().to_numpy(np.int64)
+    start = np.cumsum(n) - n
+    first = start // cap
+    last = np.where(n > 0, (start + n - 1) // cap, first)
+    return pd.DataFrame(
+        {
+            "doc_id": d["doc_id"].to_numpy(np.int64),
+            "n_tokens": n,
+            "start_tok": start,
+            "first_seq": first,
+            "last_seq": last,
+        }
+    )
+
+
+def _run(df: pd.DataFrame, cap: int, blocks: int = 5) -> pd.DataFrame:
+    import ray.data as rd
+
+    from deepblocker_ray.stages.packing import sequence_pack
+
+    parts = [p for p in np.array_split(df, blocks) if len(p)]
+    ds = rd.from_pandas(parts if len(parts) > 1 else df)
+    out = sequence_pack(ds, CFG, tokens_per_seq=cap).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+class TestSequencePack:
+    def test_layout_matches_oracle_across_blocks(self, ray_session):
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame(
+            {
+                # non-contiguous, shuffled ids → exercises range partitioning
+                "doc_id": rng.permutation(np.arange(0, 400, 3)),
+                "text": [
+                    " ".join(["w"] * int(k))
+                    for k in rng.integers(0, 50, size=134)
+                ],
+            }
+        )
+        got = _run(df, cap=64)
+        exp = _oracle(df, cap=64)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # layout invariants: contiguous, gap-free token stream
+        assert (np.diff(got["start_tok"]) == got["n_tokens"][:-1]).all()
+
+    def test_boundary_straddle_and_zero_token_docs(self, ray_session):
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["a b c", "", "d e f g", "h"],
+            }
+        )
+        got = _run(df, cap=4, blocks=2)
+        # doc1: [0,3) seq 0; doc2: empty at 3 → seq 0/0; doc3: [3,7) spans
+        # seqs 0-1; doc4: [7,8) seq 1
+        assert got["start_tok"].tolist() == [0, 3, 3, 7]
+        assert got["first_seq"].tolist() == [0, 0, 0, 1]
+        assert got["last_seq"].tolist() == [0, 0, 1, 1]
+
+    def test_empty_input_and_bad_cap(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.packing import sequence_pack
+
+        empty = rd.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "text": pd.Series(dtype=object)})
+        )
+        out = sequence_pack(empty, CFG)
+        assert out.count() == 0
+        # (to_pandas() on an empty arrow dataset drops columns — Ray quirk;
+        # the schema is the contract)
+        assert out.schema().names == [
+            "doc_id", "n_tokens", "start_tok", "first_seq", "last_seq"
+        ]
+        with pytest.raises(ValueError, match="tokens_per_seq"):
+            sequence_pack(empty, CFG, tokens_per_seq=0)
