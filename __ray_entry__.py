@@ -10,19 +10,23 @@ deterministically from the ``documents`` view by an 8-word-turn rule that has
 an exact SQL twin (deepblocker_ray.fixtures), so canonicalize is
 SQL-checkable.
 
-Oracle coverage (29 of 31 queries have a full SQL twin): the dedup cluster
+Oracle coverage (42 of 45 queries have a full SQL twin): the dedup cluster
 queries are checked against brute-force exact-similarity pair SQL +
 recursive-CTE connected components; simhash's 64-bit fingerprint is
 recomputed bit-for-bit in SQL (the engine's stable hash IS DuckDB's
 md5_number_lower); knn_ivf probes every cell, making IVF provably identical
 to exact search, and shares the exact twin; blocking_vec/linkage_vec run the
 full blocking→scoring→clustering chain over the precomputed embeddings view
-so the end-to-end cluster labels hash-match; media_features derives ASCII
-payloads from documents so size/sniff/md5 are byte-exact in SQL. The
-remaining two (blocking_sif, linkage_full) depend on the deterministic
-hash-embedding table, which SQL cannot reproduce — they get rows-only
-checks plus dedicated pytest oracles (numpy conformance, planted-cluster
-F1); the same chain is fully hash-checked via the _vec twins.
+so the end-to-end cluster labels hash-match, and linkage_vec_inc does the
+same for the INCREMENTAL chain (CC over base-only ∪ delta-vs-all top-K
+match pairs, component-equivalent to prior-assignment edges);
+media_features derives ASCII payloads from documents so size/sniff/md5 are
+byte-exact in SQL. The remaining three rows-only queries: blocking_sif and
+linkage_full depend on the deterministic hash-embedding table, which SQL
+cannot reproduce — they get dedicated pytest oracles (numpy conformance,
+planted-cluster F1) and the same chain is fully hash-checked via the _vec
+twins; linkage_incremental's semantics are pinned in
+tests/test_linkage_e2e.py and its vec variant linkage_vec_inc IS twinned.
 """
 
 from __future__ import annotations
