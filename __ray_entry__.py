@@ -390,6 +390,44 @@ def q_linkage_vec(sf_dir: str):
     )
 
 
+def q_blocking_vec_2t(sf_dir: str):
+    """TWO-TABLE blocking (the reference's primary do_blocking flow:
+    index the right table, query the left, per-left-row top-K) over a
+    deterministic split of the embeddings view: left = odd vec_id,
+    right = even. No candidate orientation/dedup — each left row's top-K
+    list IS the candidate set. Exact SQL twin (row_number over the
+    cross-table cosine ranking)."""
+    import pyarrow.compute as pc
+
+    from deepblocker_ray.stages.pairing import ExactTopKPairer
+
+    cfg = _cfg()
+    emb = _vec_emb(sf_dir)
+
+    def side(right: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t.column("conv_id"), pa.int64())
+            rem = pc.subtract(ids, pc.multiply(pc.divide(ids, 2), 2))
+            m = pc.equal(rem, 0)
+            return t.filter(m if right else pc.invert(m))
+
+        return emb.map_batches(f, batch_format="pyarrow").materialize()
+
+    pairer = ExactTopKPairer(k=VEC_K, cfg=cfg, exclude_self=False).index(
+        side(True), id_col="conv_id"
+    )
+    return pairer.query(side(False), id_col="conv_id").map_batches(
+        lambda t: pa.table(
+            {
+                "left_id": t.column("left_id"),
+                "right_id": t.column("right_id"),
+                "rank": t.column("rank").cast(pa.int32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_linkage_vec_inc(sf_dir: str):
     """INCREMENTAL linkage chain over precomputed embeddings: the base
     corpus (vec_id % 5 != 0) is linked first, then the delta (% 5 == 0) is
@@ -813,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_vec": q_blocking_vec,
         "linkage_vec": q_linkage_vec,
         "linkage_vec_inc": q_linkage_vec_inc,
+        "blocking_vec_2t": q_blocking_vec_2t,
         "string_sims": q_string_sims,
         "media_features": q_media_features,
         "sessionize": q_sessionize,
@@ -1118,6 +1157,29 @@ def oracle_sql() -> dict[str, str]:
         "JOIN documents dd ON dd.doc_id = e.vec_id)"
     )
 
+    # two-table blocking (blocking_vec_2t): the reference's primary flow —
+    # per-LEFT-row top-K against the right table only; no orientation merge
+    blocking_vec_2t_sql = f"""
+        WITH docs AS (
+            SELECT CAST(vec_id AS VARCHAR) AS id, embedding,
+                   (vec_id % 2 = 0) AS is_b
+            FROM embeddings
+        ),
+        ranked AS (
+            SELECT qid, xid,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, xid) AS rk
+            FROM (SELECT a.id AS qid, b.id AS xid,
+                         list_cosine_similarity(a.embedding, b.embedding)
+                             AS cos
+                  FROM docs a JOIN docs b ON b.is_b
+                  WHERE NOT a.is_b)
+        )
+        SELECT qid AS left_id, xid AS right_id,
+               CAST(rk - 1 AS INTEGER) AS rank
+        FROM ranked WHERE rk <= {VEC_K}
+    """
+
     # incremental chain (linkage_vec_inc): base-only top-K pairs ∪
     # delta-vs-all top-K pairs. Component-equivalent to the engine's
     # (delta matches ∪ prior ASSIGNMENT edges): the assignment edges
@@ -1178,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "blocking_vec": blocking_vec_sql,
         "linkage_vec": _cc_sql(linkage_vec_pairs, linkage_vec_base, "vec_id"),
+        "blocking_vec_2t": blocking_vec_2t_sql,
         "linkage_vec_inc": _cc_sql(
             linkage_vec_inc_pairs, linkage_vec_base, "vec_id"
         ),

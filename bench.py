@@ -150,6 +150,7 @@ def main() -> None:
         "blocking_vec",
         "linkage_vec",
         "linkage_vec_inc",
+        "blocking_vec_2t",
         "string_sims",
         "media_features",
         "token_count",
