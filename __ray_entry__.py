@@ -10,7 +10,7 @@ deterministically from the ``documents`` view by an 8-word-turn rule that has
 an exact SQL twin (deepblocker_ray.fixtures), so canonicalize is
 SQL-checkable.
 
-Oracle coverage (42 of 45 queries have a full SQL twin): the dedup cluster
+Oracle coverage (43 of 46 queries have a full SQL twin): the dedup cluster
 queries are checked against brute-force exact-similarity pair SQL +
 recursive-CTE connected components; simhash's 64-bit fingerprint is
 recomputed bit-for-bit in SQL (the engine's stable hash IS DuckDB's
@@ -285,6 +285,22 @@ VEC_TAU = 0.471  # sits ≥6e-5 from every candidate-pair score at sf0.001/0.01/
                  # (~1500× the float32-cosine error) — see oracle_sql notes
 
 
+def _mod_split(ds, modulus: int, keep_zero: bool):
+    """Deterministic id split shared by the two-table / incremental vec
+    queries: keep rows with conv_id % modulus == 0 (keep_zero) or != 0.
+    pyarrow has no modulo kernel: id % m == id - (id // m) * m (integer
+    divide on int64)."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("conv_id"), pa.int64())
+        rem = pc.subtract(ids, pc.multiply(pc.divide(ids, modulus), modulus))
+        m = pc.equal(rem, 0)
+        return t.filter(m if keep_zero else pc.invert(m))
+
+    return ds.map_batches(f, batch_format="pyarrow").materialize()
+
+
 def _vec_emb(sf_dir: str):
     """Precomputed-embedding table as (conv_id, emb) for the pairing stages."""
     from deepblocker_ray.stages.annsearch import prep_embeddings
@@ -397,26 +413,16 @@ def q_blocking_vec_2t(sf_dir: str):
     right = even. No candidate orientation/dedup — each left row's top-K
     list IS the candidate set. Exact SQL twin (row_number over the
     cross-table cosine ranking)."""
-    import pyarrow.compute as pc
-
     from deepblocker_ray.stages.pairing import ExactTopKPairer
 
     cfg = _cfg()
     emb = _vec_emb(sf_dir)
-
-    def side(right: bool):
-        def f(t: pa.Table) -> pa.Table:
-            ids = pc.cast(t.column("conv_id"), pa.int64())
-            rem = pc.subtract(ids, pc.multiply(pc.divide(ids, 2), 2))
-            m = pc.equal(rem, 0)
-            return t.filter(m if right else pc.invert(m))
-
-        return emb.map_batches(f, batch_format="pyarrow").materialize()
-
     pairer = ExactTopKPairer(k=VEC_K, cfg=cfg, exclude_self=False).index(
-        side(True), id_col="conv_id"
+        _mod_split(emb, 2, keep_zero=True), id_col="conv_id"
     )
-    return pairer.query(side(False), id_col="conv_id").map_batches(
+    return pairer.query(
+        _mod_split(emb, 2, keep_zero=False), id_col="conv_id"
+    ).map_batches(
         lambda t: pa.table(
             {
                 "left_id": t.column("left_id"),
@@ -447,25 +453,16 @@ def q_linkage_vec_inc(sf_dir: str):
     cfg = _cfg()
     emb = _vec_emb(sf_dir)
     tuples = _vec_tuples(sf_dir, emb)
-
-    def side(ds, delta: bool):
-        def f(t: pa.Table) -> pa.Table:
-            ids = pc.cast(t.column("conv_id"), pa.int64())
-            # no modulo kernel in pyarrow: id % 5 == id - (id//5)*5
-            rem = pc.subtract(
-                ids, pc.multiply(pc.divide(ids, 5), 5)
-            )
-            m = pc.equal(rem, 0)
-            return t.filter(m if delta else pc.invert(m))
-
-        return ds.map_batches(f, batch_format="pyarrow").materialize()
-
     prior = link_from_embeddings(
-        side(tuples, False), side(emb, False), cfg, k=VEC_K, threshold=VEC_TAU
+        _mod_split(tuples, 5, keep_zero=False),
+        _mod_split(emb, 5, keep_zero=False),
+        cfg, k=VEC_K, threshold=VEC_TAU,
     )
     res = link_incremental_from_embeddings(
-        prior, side(tuples, True), side(emb, True), cfg,
-        k=VEC_K, threshold=VEC_TAU,
+        prior,
+        _mod_split(tuples, 5, keep_zero=True),
+        _mod_split(emb, 5, keep_zero=True),
+        cfg, k=VEC_K, threshold=VEC_TAU,
     )
     return res["clusters"].map_batches(
         lambda t: pa.table(
@@ -1125,9 +1122,19 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rk <= {VEC_K} GROUP BY 1, 2
     """
 
-    # match pairs: same candidates, scored with the engine's exact formula —
-    # clipped cosine (0.4) + Jaro-Winkler (0.3) + Levenshtein ratio (0.3) on
-    # 128-char-capped text, single aligned turn per doc
+    # the engine's exact score formula (score_candidates), transcribed ONCE
+    # and shared by every vec twin that scores pairs: clipped cosine (0.4) +
+    # Jaro-Winkler (0.3) + Levenshtein ratio (0.3) on 128-char-capped text
+    vec_score = """
+        (0.4 * greatest(least(cos, 1.0), 0.0)
+         + 0.3 * jaro_winkler_similarity(ta, tb)
+         + 0.3 * (CASE WHEN greatest(length(ta), length(tb)) = 0 THEN 1.0
+                  ELSE 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
+                       / greatest(length(ta), length(tb)) END))
+    """
+
+    # match pairs: same candidates, scored with the shared formula above,
+    # single aligned turn per doc
     linkage_vec_pairs = f"""
         WITH docs AS (
             SELECT CAST(e.vec_id AS VARCHAR) AS id, d.text, e.embedding
@@ -1145,11 +1152,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c JOIN docs da ON da.id = c.l JOIN docs db ON db.id = c.r
         )
         SELECT l AS left_id, r AS right_id FROM scored
-        WHERE (0.4 * greatest(least(cos, 1.0), 0.0)
-             + 0.3 * jaro_winkler_similarity(ta, tb)
-             + 0.3 * (CASE WHEN greatest(length(ta), length(tb)) = 0 THEN 1.0
-                      ELSE 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
-                           / greatest(length(ta), length(tb)) END)) >= {VEC_TAU}
+        WHERE {vec_score} >= {VEC_TAU}
     """
 
     linkage_vec_base = (
@@ -1186,14 +1189,7 @@ def oracle_sql() -> dict[str, str]:
     # star-connect exactly the base-pair components, and cluster ids are
     # min members on both sides. Same VEC_TAU margin argument as above —
     # the base-only candidate set is a subset of pair space scored with the
-    # identical formula.
-    _inc_score = """
-        (0.4 * greatest(least(cos, 1.0), 0.0)
-         + 0.3 * jaro_winkler_similarity(ta, tb)
-         + 0.3 * (CASE WHEN greatest(length(ta), length(tb)) = 0 THEN 1.0
-                  ELSE 1.0 - CAST(levenshtein(ta, tb) AS DOUBLE)
-                       / greatest(length(ta), length(tb)) END))
-    """
+    # identical (shared) formula.
     linkage_vec_inc_pairs = f"""
         WITH docs AS (
             SELECT CAST(e.vec_id AS VARCHAR) AS id, d.text, e.embedding,
@@ -1234,7 +1230,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cand c JOIN docs da ON da.id = c.l JOIN docs db ON db.id = c.r
         )
         SELECT l AS left_id, r AS right_id FROM scored
-        WHERE {_inc_score} >= {VEC_TAU}
+        WHERE {vec_score} >= {VEC_TAU}
     """
 
     return {
@@ -1578,8 +1574,11 @@ def oracle_sql() -> dict[str, str]:
             -- concat-and-chunk layout == one window prefix sum over the
             -- same \S+ token rule as bpe_token_count's n_ws_tokens
             WITH t AS (
+                -- coalesce matches the engine's fill_null: NULL text packs
+                -- as a zero-token document, not NULL n_tokens/last_seq
                 SELECT doc_id,
-                       len(regexp_extract_all(text, '\S+')) AS n_tokens
+                       len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                           AS n_tokens
                 FROM documents
             ),
             c AS (

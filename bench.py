@@ -255,9 +255,10 @@ def _cpu_pair() -> tuple[int, int]:
 
 
 def scaling() -> None:
-    """Same headline job at num_cpus=8 and num_cpus=32 in fresh processes on
-    the same input — the sandbox substitute for the north_rule's N vs 4N node
-    criterion (see BASELINE.md). Only the linkage pipeline runs (the
+    """Same headline job at the ``_cpu_pair()`` parallelism levels (default
+    num_cpus=2 and 8) in fresh processes on the same input — the sandbox
+    substitute for the north_rule's N vs 4N node criterion (see BASELINE.md).
+    Only the linkage pipeline runs (the
     per-query micro-benches stay in the default mode). The corpus is larger
     than the default bench's so scalable compute dominates fixed per-stage
     costs, as it would on any real multi-node input."""
@@ -293,7 +294,7 @@ def scaling() -> None:
     )
     # Sequential legs minutes apart are maximally exposed to neighbor-tenant
     # load on this shared VM (documented ±25-300% swings): with
-    # GRAFT_SCALING_REPS>1 the legs alternate 8,32,8,32,… and the per-leg
+    # GRAFT_SCALING_REPS>1 the legs alternate lo,hi,lo,hi,… and the per-leg
     # MINIMUM is reported (each leg's best approximates the quiet box — the
     # only regime where the two legs are comparable). All rep times are
     # included in the JSON for the record.

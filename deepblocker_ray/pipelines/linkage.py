@@ -335,10 +335,14 @@ def link_incremental(
     new_tuples = parallel_blocks_sized(
         canonicalize(new_transcripts, cfg, turn_cap=turn_cap).materialize()
     )
+    # fail fast on re-delivered ids BEFORE paying the frozen-embedder
+    # transform over the whole delta (the guard is one skinny id scan; the
+    # embedding pass is O(new) full-text work)
+    _reject_id_overlap(prior["tuples"], new_tuples, cfg)
     new_emb = embedder.transform(new_tuples, id_col="conv_id").materialize()
     res = link_incremental_from_embeddings(
         prior, new_tuples, new_emb, cfg, k=k, pairing=pairing,
-        threshold=threshold,
+        threshold=threshold, check_overlap=False,
     )
     res["embedder"] = embedder
     return res
@@ -352,14 +356,18 @@ def link_incremental_from_embeddings(
     k: int = 10,
     pairing: str = "exact",
     threshold: float | None = None,
+    check_overlap: bool = True,
 ) -> dict:
     """Core of link_incremental over PRECOMPUTED delta embeddings (the tail
     shared with the SQL-twinnable ``linkage_vec_inc`` driver query — with no
     hash embedding in the loop every stage has an exact DuckDB twin).
     ``new_tuples`` needs (conv_id, turn_texts); ``new_emb`` (conv_id, emb)
-    in the SAME embedding space as ``prior['embeddings']``."""
+    in the SAME embedding space as ``prior['embeddings']``.
+    ``check_overlap=False`` skips the re-delivered-id guard when the caller
+    already ran it (link_incremental runs it before embedding)."""
     cfg = cfg or EngineConfig()
-    _reject_id_overlap(prior["tuples"], new_tuples, cfg)
+    if check_overlap:
+        _reject_id_overlap(prior["tuples"], new_tuples, cfg)
     all_emb = prior["embeddings"].union(new_emb).materialize()
     all_tuples = prior["tuples"].union(new_tuples).materialize()
 

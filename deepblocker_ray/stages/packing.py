@@ -53,7 +53,14 @@ def sequence_pack(
     (documents may straddle a boundary — that is the concat-and-chunk
     contract). Zero-token documents sit at their offset with
     ``last_seq == first_seq``. Token rule: number of ``\\S+`` runs (exact
-    SQL twin: ``len(regexp_extract_all(text, '\\S+'))`` + a window sum)."""
+    SQL twin: ``len(regexp_extract_all(text, '\\S+'))`` + a window sum);
+    NULL text counts as zero tokens on both sides.
+
+    Precondition: ``id_col`` values are UNIQUE — the concat order is
+    "ascending id", which is only a total order for distinct ids. With
+    duplicate ids the relative offsets of the duplicates are tie-broken by
+    shuffle arrival order (nondeterministic), exactly as the SQL twin's
+    ``ORDER BY doc_id`` window leaves them engine-defined."""
     cfg = cfg or EngineConfig()
     if tokens_per_seq < 1:
         raise ValueError(f"tokens_per_seq must be >= 1, got {tokens_per_seq}")
