@@ -10,7 +10,7 @@ deterministically from the ``documents`` view by an 8-word-turn rule that has
 an exact SQL twin (deepblocker_ray.fixtures), so canonicalize is
 SQL-checkable.
 
-Oracle coverage (43 of 46 queries have a full SQL twin): the dedup cluster
+Oracle coverage (45 of 48 queries have a full SQL twin): the dedup cluster
 queries are checked against brute-force exact-similarity pair SQL +
 recursive-CTE connected components; simhash's 64-bit fingerprint is
 recomputed bit-for-bit in SQL (the engine's stable hash IS DuckDB's
@@ -246,6 +246,31 @@ def q_sequence_pack(sf_dir: str):
 
     return sequence_pack(
         _documents(sf_dir), _cfg(), tokens_per_seq=128
+    )
+
+
+def q_corpus_shuffle(sf_dir: str):
+    """Deterministic seeded global shuffle order over documents — dense rank
+    by md5-lower64(id|seed) via a skew-free hash-range prefix scan (no global
+    sort, text never moves); SQL twin is one row_number window."""
+    from deepblocker_ray.stages.shuffle import corpus_shuffle
+
+    return corpus_shuffle(_documents(sf_dir), _cfg(), seed=7)
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Cluster-representative selection: minhash near-dup clusters → keep
+    the most complete copy per cluster (max \\S+ tokens, tie min doc_id).
+    The step that turns a near-dup clustering into a deduped corpus."""
+    from deepblocker_ray.stages.dedup import (
+        cluster_representatives,
+        minhash_lsh_dedup,
+    )
+
+    cfg = _cfg()
+    docs = _documents(sf_dir)
+    return cluster_representatives(
+        minhash_lsh_dedup(docs, cfg=cfg), docs, cfg
     )
 
 
@@ -871,6 +896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": q_sequence_pack,
         "hopping_window": q_hopping_window,
         "linkage_incremental": q_linkage_incremental,
+        "corpus_shuffle": q_corpus_shuffle,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -1341,6 +1368,27 @@ def oracle_sql() -> dict[str, str]:
             FROM gr, bench
         """,
         "minhash_dedup": _cc_sql(minhash_pairs, "documents", "doc_id"),
+        "corpus_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       ORDER BY md5_number_lower(
+                                    CAST(doc_id AS VARCHAR) || '|7'),
+                                doc_id) - 1 AS BIGINT) AS shuffle_pos
+            FROM documents
+        """,
+        "dedup_keep_best": rf"""
+            WITH clusters AS ({_cc_sql(minhash_pairs, "documents", "doc_id")}),
+            tok AS (SELECT CAST(doc_id AS VARCHAR) AS tid,
+                           len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                               AS n_tokens
+                    FROM documents),
+            r AS (SELECT c.doc_id, c.cluster_id,
+                         row_number() OVER (PARTITION BY c.cluster_id
+                                            ORDER BY t.n_tokens DESC,
+                                                     c.doc_id) AS rk
+                  FROM clusters c JOIN tok t ON t.tid = c.doc_id)
+            SELECT doc_id, cluster_id, rk = 1 AS keep FROM r
+        """,
         "simhash_dedup": _cc_sql(simhash_pairs, "documents", "doc_id"),
         "ngram_jaccard_dedup": _cc_sql(ngram_pairs, "documents", "doc_id"),
         "embedding_neardup": _cc_sql(neardup_pairs, "embeddings", "vec_id"),

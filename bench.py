@@ -182,6 +182,8 @@ def main() -> None:
         "quantile_gate",
         "hopping_window",
         "sequence_pack",
+        "corpus_shuffle",
+        "dedup_keep_best",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -1293,3 +1293,87 @@ def decontaminate(
     return parallel_blocks(ds).map_batches(
         score, batch_format="pyarrow", batch_size=cfg.embed_batch_size
     )
+
+
+# ------------------------------------------- cluster representatives ------
+
+
+def cluster_representatives(
+    clusters,
+    docs,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Pick the canonical document of every duplicate cluster — the step
+    that turns a near-dup CLUSTERING (any of the dedup family's
+    (doc_id, cluster_id, is_duplicate) outputs) into an actual deduped
+    corpus. "Best" = most ``\\S+`` tokens, ties broken by ascending doc_id
+    (string order — cluster outputs carry VARCHAR ids) — keep the most
+    complete copy, deterministically. Output: one row per input doc,
+    ``(doc_id, cluster_id, keep)``; filtering ``keep`` yields exactly one
+    survivor per cluster (singletons survive trivially).
+
+    Scale shape: the corpus text never rides an exchange — token counts are
+    computed map-side (one vectorized RE2 pass) and joined as a skinny
+    (id, n_tokens) table (size-aware broadcast below the cap, hash join
+    above); the per-cluster argmax is the engine's standard small-int-bucket
+    exchange (bucket = md5-lower64(cluster_id) % num_buckets) with one
+    vectorized drop_duplicates per bucket, never a per-cluster groupby."""
+    import pyarrow.compute as pc
+
+    from .relational import broadcast_join
+
+    cfg = cfg or EngineConfig()
+    nr = cfg.num_buckets
+
+    def counts(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t.column(text_col), pa.string())
+        n = pc.count_substring_regex(pc.fill_null(txt, ""), r"\S+")
+        return pa.table(
+            {
+                "_tid": pc.cast(t.column(id_col), pa.string()),
+                "n_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    tok = docs.select_columns([id_col, text_col]).map_batches(
+        counts, batch_format="pyarrow"
+    )
+    joined = broadcast_join(
+        clusters,
+        tok,
+        big_key=id_col,
+        small_key="_tid",
+        payload_cols=["n_tokens"],
+        cfg=cfg,
+    )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        keys = t.column("cluster_id").to_pylist()
+        uniq, inv = np.unique(np.asarray(keys, dtype=object), return_inverse=True)
+        b = (hash64_strs(uniq) % np.uint64(nr)).astype(np.int32)[inv]
+        return t.append_column("_bucket", pa.array(b))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        # survivor = first row per cluster under (n_tokens desc, doc_id asc)
+        g = g.sort_values(
+            ["cluster_id", "n_tokens", id_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        keep = ~g["cluster_id"].duplicated()
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "cluster_id": g["cluster_id"].to_numpy(),
+                "keep": keep.to_numpy(),
+            }
+        )
+
+    return (
+        joined.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pick, batch_format="pandas")
+    )

@@ -1,0 +1,136 @@
+"""Deterministic seeded global shuffle order (training-data-pipeline op).
+
+Before packing, a pre-training corpus is globally shuffled so each training
+sequence mixes unrelated documents. At 100 TB the naive recipe — assign a
+random key, globally sort — is a full-corpus all-to-all over the TEXT. This
+operator computes the shuffle as an ORDER, not a data movement: it emits
+(doc_id, shuffle_pos) where shuffle_pos is the document's dense 0-based rank
+in the seeded permutation. Only (id, hash) ever rides an exchange; the text
+stays where it is and downstream stages (e.g. ``sequence_pack`` consumers or
+a partitioned writer) route by the skinny position column.
+
+The permutation key is the stable md5-lower64 hash of ``id || '|' || seed``
+(the ``sampling._id_hashes`` convention), which makes the order seed-stable,
+rerun/resume-stable, and EXACTLY reproducible in SQL:
+
+    row_number() OVER (ORDER BY md5_number_lower(id || '|seed'), id) - 1
+
+Dense ranking without a global sort — the same exact distributed prefix
+scan as ``packing.sequence_pack``, but with a better partitioning key: the
+hash itself. Because h is uniform on [0, 2^64), range-partitioning on its
+top 32 bits is skew-free BY CONSTRUCTION (no min/max aggregates, no salting,
+no hot keys — every range holds ~n/R docs regardless of id distribution):
+
+1. skinny map: (id, h) — one vectorized hash pass;
+2. map-side partials count docs per hash range (≤R tiny rows per batch);
+   the driver cumsums R counts into offsets (O(R) state) and broadcasts;
+3. ONE bucketed exchange on the range id; per range one stable sort by
+   (h, id) + arange yields every doc's dense global position.
+
+Hash ties (p ≈ n²·2⁻⁶⁴) are broken by id on both the engine and SQL sides,
+so the permutation is a total order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import EngineConfig
+from .sampling import _id_hashes
+
+_HI_DENOM = np.uint64(1) << np.uint64(32)
+
+
+def corpus_shuffle(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 7,
+):
+    """Emit ``(doc_id, shuffle_pos)``: each document's dense 0-based rank in
+    the seeded global permutation (order by md5-lower64 of ``id || '|seed'``,
+    ties by id). Ids must be unique (they are hashed individually; duplicate
+    ids would receive distinct adjacent ranks in id order, which is still
+    deterministic but rarely what a caller wants)."""
+    cfg = cfg or EngineConfig()
+    nr = cfg.num_buckets
+
+    def skinny(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col)
+        h = _id_hashes(ids.cast(pa.string()), seed)
+        return pa.table({"_id": ids, "_h": pa.array(h, pa.uint64())})
+
+    hashed = ds.select_columns([id_col]).map_batches(
+        skinny, batch_format="pyarrow"
+    ).materialize()
+
+    def rng_of(h: np.ndarray) -> np.ndarray:
+        # top-32-bit range partition: uniform h → even ranges, no aggregates
+        return ((h >> np.uint64(32)) * np.uint64(nr) // _HI_DENOM).astype(
+            np.int64
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = np.asarray(t.column("_h")).astype(np.uint64)
+        counts = np.bincount(rng_of(h), minlength=nr).astype(np.int64)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "_rng": pa.array(nz.astype(np.int64)),
+                "_cnt": pa.array(counts[nz]),
+            }
+        )
+
+    import ray
+
+    part_df = hashed.map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()  # ≤R rows per batch — driver state stays O(R)
+    range_counts = np.zeros(nr, np.int64)
+    if len(part_df):
+        np.add.at(
+            range_counts,
+            part_df["_rng"].to_numpy(np.int64),
+            part_df["_cnt"].to_numpy(np.int64),
+        )
+    if range_counts.sum() == 0:  # empty input: typed empty output
+        sch = hashed.schema()
+        id_type = (
+            sch.base_schema.field("_id").type
+            if sch is not None and hasattr(sch, "base_schema")
+            else pa.int64()  # empty pipelines surface no schema — default
+        )
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], id_type),
+                    "shuffle_pos": pa.array([], pa.int64()),
+                }
+            )
+        )
+    offsets = np.zeros(nr, np.int64)
+    np.cumsum(range_counts[:-1], out=offsets[1:])
+    off_ref = ray.put(offsets)
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        h = np.asarray(t.column("_h")).astype(np.uint64)
+        return t.append_column(
+            "_bucket", pa.array(rng_of(h).astype(np.int32))
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import cached_get
+
+        offs = cached_get(off_ref)
+        g = g.sort_values(["_h", "_id"], kind="mergesort")
+        pos = offs[int(g["_bucket"].iloc[0])] + np.arange(len(g), dtype=np.int64)
+        return pd.DataFrame({"doc_id": g["_id"].to_numpy(), "shuffle_pos": pos})
+
+    return (
+        hashed.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(rank, batch_format="pandas")
+    )

@@ -1,0 +1,131 @@
+"""corpus_shuffle (stages/shuffle.py) and cluster_representatives
+(stages/dedup.py): permutation exactness vs a single-process numpy oracle,
+seed stability/sensitivity, empty input, and representative-selection rules.
+The driver twins (row_number windows in SQL) are regression-covered by the
+correctness sweep."""
+
+import numpy as np
+import pandas as pd
+
+from deepblocker_ray.config import EngineConfig
+from deepblocker_ray.stages.sampling import _id_hashes
+
+CFG = EngineConfig(num_buckets=8)
+
+
+def _shuffle_oracle(ids: np.ndarray, seed: int) -> pd.DataFrame:
+    import pyarrow as pa
+
+    h = _id_hashes(pa.array([str(v) for v in ids]), seed)
+    order = np.lexsort((ids, h))
+    pos = np.empty(len(ids), np.int64)
+    pos[order] = np.arange(len(ids))
+    return pd.DataFrame({"doc_id": ids, "shuffle_pos": pos})
+
+
+def _run_shuffle(ids: np.ndarray, seed: int, blocks: int = 5) -> pd.DataFrame:
+    import ray.data as rd
+
+    from deepblocker_ray.stages.shuffle import corpus_shuffle
+
+    df = pd.DataFrame({"doc_id": ids, "junk": "x"})
+    parts = [p for p in np.array_split(df, blocks) if len(p)]
+    ds = rd.from_pandas(parts if len(parts) > 1 else df)
+    out = corpus_shuffle(ds, CFG, seed=seed).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+class TestCorpusShuffle:
+    def test_matches_oracle_and_is_permutation(self, ray_session):
+        rng = np.random.default_rng(3)
+        ids = rng.permutation(np.arange(0, 900, 7))  # sparse, shuffled
+        got = _run_shuffle(ids, seed=7)
+        exp = _shuffle_oracle(ids, seed=7).sort_values("doc_id").reset_index(
+            drop=True
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert sorted(got["shuffle_pos"]) == list(range(len(ids)))
+
+    def test_seed_stable_and_seed_sensitive(self, ray_session):
+        ids = np.arange(200)
+        a = _run_shuffle(ids, seed=1)
+        b = _run_shuffle(ids, seed=1, blocks=3)  # partitioning-independent
+        c = _run_shuffle(ids, seed=2)
+        pd.testing.assert_frame_equal(a, b)
+        assert not a["shuffle_pos"].equals(c["shuffle_pos"])
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.shuffle import corpus_shuffle
+
+        empty = rd.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        )
+        out = corpus_shuffle(empty, CFG)
+        assert out.count() == 0
+        assert out.schema().names == ["doc_id", "shuffle_pos"]
+
+
+class TestClusterRepresentatives:
+    def _run(self, clusters: pd.DataFrame, docs: pd.DataFrame) -> pd.DataFrame:
+        import ray.data as rd
+
+        from deepblocker_ray.stages.dedup import cluster_representatives
+
+        out = cluster_representatives(
+            rd.from_pandas(clusters), rd.from_pandas(docs), CFG
+        ).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def test_keeps_most_complete_copy_tie_min_id(self, ray_session):
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": ["a b c", "a b", "x y", "x y", "solo"],
+            }
+        )
+        clusters = pd.DataFrame(
+            {
+                # cluster A: doc1 (3 tokens) beats doc2 (2); cluster B:
+                # docs 3/4 tie on tokens → min id "3" wins; doc5 singleton
+                "doc_id": ["1", "2", "3", "4", "5"],
+                "cluster_id": ["1", "1", "3", "3", "5"],
+                "is_duplicate": [False, True, False, True, False],
+            }
+        )
+        got = self._run(clusters, docs)
+        assert got["keep"].tolist() == [True, False, True, False, True]
+        # exactly one survivor per cluster
+        assert got[got["keep"]].groupby("cluster_id").size().eq(1).all()
+        assert set(got.columns) == {"doc_id", "cluster_id", "keep"}
+
+    def test_composes_with_minhash(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.dedup import (
+            cluster_representatives,
+            minhash_lsh_dedup,
+        )
+
+        base = [
+            "the quick brown fox jumps over the lazy dog again and again",
+            "completely different content about distributed data engines",
+        ]
+        rows = []
+        for i, t in enumerate(base):
+            rows.append({"doc_id": i * 10, "text": t + " padded with extra"})
+            rows.append({"doc_id": i * 10 + 1, "text": t})  # near-dup, shorter
+        docs = pd.DataFrame(rows)
+        ds = rd.from_pandas(docs)
+        clusters = minhash_lsh_dedup(ds, cfg=CFG, threshold=0.3)
+        got = (
+            cluster_representatives(clusters, ds, CFG)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(docs)
+        # the longer ("padded") copy survives each near-dup cluster
+        keep_ids = set(got.loc[got["keep"], "doc_id"].astype(int))
+        assert {0, 10} <= keep_ids and not {1, 11} & keep_ids
