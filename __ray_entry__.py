@@ -10,7 +10,7 @@ deterministically from the ``documents`` view by an 8-word-turn rule that has
 an exact SQL twin (deepblocker_ray.fixtures), so canonicalize is
 SQL-checkable.
 
-Oracle coverage (45 of 48 queries have a full SQL twin): the dedup cluster
+Oracle coverage (46 of 49 queries have a full SQL twin): the dedup cluster
 queries are checked against brute-force exact-similarity pair SQL +
 recursive-CTE connected components; simhash's 64-bit fingerprint is
 recomputed bit-for-bit in SQL (the engine's stable hash IS DuckDB's
@@ -161,6 +161,14 @@ def q_knn_exact(sf_dir: str):
 
     out = knn(_embeddings(sf_dir), n_queries=10, k=10, cfg=_cfg(), mode="exact")
     return out.select_columns(["query_id", "neighbor_id", "rank"])
+
+
+def q_knn_int8(sf_dir: str):
+    """Int8-quantized brute-force cosine top-k (the 4×-less-DRAM ANN scale
+    path); quantized integer math makes the SQL twin bit-exact."""
+    from deepblocker_ray.stages.annsearch import knn_int8
+
+    return knn_int8(_embeddings(sf_dir), n_queries=10, k=10, cfg=_cfg())
 
 
 def q_knn_ivf(sf_dir: str):
@@ -860,6 +868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": q_bpe_token_count,
         "fingerprint": q_fingerprint,
         "knn_exact": q_knn_exact,
+        "knn_int8": q_knn_int8,
         "knn_ivf": q_knn_ivf,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1763,6 +1772,35 @@ def oracle_sql() -> dict[str, str]:
                        list_cosine_similarity(q.embedding, x.embedding) AS cos
                 FROM embeddings q, embeddings x
                 WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY cos DESC, neighbor_id
+                       ) - 1 AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank < 10
+        """,
+        # int8-quantized knn: unlike float search this twin is BIT-exact
+        # with no margin argument — the quantized values are small integers
+        # whose products/sums are exact in DOUBLE on both engines
+        "knn_int8": """
+            WITH q AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id, vec_id,
+                       list_transform(embedding, x ->
+                           floor(CAST(x AS DOUBLE) *
+                                 (127.0 / list_aggregate(
+                                      list_transform(embedding,
+                                          y -> abs(CAST(y AS DOUBLE))),
+                                      'max')) + 0.5)) AS qv
+                FROM embeddings
+            ), sims AS (
+                SELECT a.id AS query_id, b.id AS neighbor_id,
+                       list_cosine_similarity(a.qv, b.qv) AS cos
+                FROM q a, q b
+                WHERE a.vec_id < 10 AND b.id <> a.id
             ), ranked AS (
                 SELECT query_id, neighbor_id,
                        row_number() OVER (

@@ -151,6 +151,7 @@ def main() -> None:
         "decontaminate",
         "knn_exact",
         "knn_ivf",
+        "knn_int8",
         "blocking_vec",
         "linkage_vec",
         "linkage_vec_inc",

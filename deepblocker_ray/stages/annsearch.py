@@ -88,3 +88,123 @@ def knn(
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------- int8 quantized knn --
+
+
+def _quantize_rows(mat64: np.ndarray) -> np.ndarray:
+    """Symmetric per-row int8 quantization: q = floor(x · 127/max|x| + 0.5),
+    computed entirely in float64 so the SQL twin (the same expression over
+    DOUBLE) is bit-identical. Zero rows quantize to zero. The values are
+    small integers stored in float64 — every subsequent product/sum below
+    2^53 is EXACT, which is what makes the quantized search bit-reproducible
+    across engines (no float32-GEMM rounding in the compare path)."""
+    maxabs = np.max(np.abs(mat64), axis=1)
+    safe = np.where(maxabs > 0, maxabs, 1.0)
+    s = np.where(maxabs > 0, 127.0 / safe, 0.0)
+    return np.floor(mat64 * s[:, None] + 0.5)
+
+
+def knn_int8(
+    emb_ds,
+    n_queries: int = 10,
+    k: int = 10,
+    cfg: EngineConfig | None = None,
+    id_col: str = "vec_id",
+    list_col: str = "embedding",
+):
+    """Top-k cosine neighbors over int8-QUANTIZED embeddings — the
+    memory-bandwidth scale path for brute-force ANN: a 100-TB float32
+    embedding column becomes 4× smaller in the object store and the GEMM
+    streams 4× less DRAM, which is exactly where the exact pairer's query
+    stage is bounded (BASELINE.md per-stage table: 0.58 efficiency at the
+    stream ceiling). Shard the quantized matrix like ExactTopKPairer shards
+    the float index for the multi-node layout; this baseline keeps the
+    index in one plasma object (byte-capped corpora).
+
+    Unlike float32 search, the quantized ranking has an EXACT SQL twin with
+    no margin argument: int8·int8 products and their ≤2^53 sums are exact in
+    float64 regardless of summation order, so engine and DuckDB compute
+    bit-identical cosines (ties broken by neighbor id on both sides).
+    Returns (query_id, neighbor_id, rank); self excluded. Zero vectors
+    quantize to zero and are excluded from results by the twin's NaN
+    semantics — don't feed them (prep rejects none; document corpora only).
+    """
+    import ray
+
+    cfg = cfg or EngineConfig()
+
+    def prep_q(batch: pa.Table) -> pa.Table:
+        col = batch.column(list_col).combine_chunks()
+        if pa.types.is_fixed_size_list(col.type):
+            width = col.type.list_size
+        else:
+            offs = np.asarray(col.offsets)
+            widths = np.diff(offs)
+            if len(widths) and (widths != widths[0]).any():
+                raise ValueError(f"ragged {list_col!r} column")
+            width = int(widths[0]) if len(widths) else 0
+        flat = np.asarray(col.flatten()).astype(np.float64)
+        q = _quantize_rows(flat.reshape(len(col), width))
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.string()),
+                "emb": numpy_to_emb(q.astype(np.float32, copy=False)),
+            }
+        )
+
+    # the quantized values fit float32 exactly (|q| ≤ 127), so the Arrow
+    # transport stays compact; compute below re-widens to float64
+    prepped = emb_ds.map_batches(prep_q, batch_format="pyarrow").materialize()
+
+    # single pinned index object (baseline path — see docstring)
+    ids_parts, mats = [], []
+    for t in prepped.iter_batches(batch_format="pyarrow", batch_size=None):
+        ids_parts.append(t.column(id_col).to_pylist())
+        col = t.column("emb").combine_chunks()
+        mats.append(
+            np.asarray(col.flatten(), dtype=np.float64).reshape(len(col), -1)
+        )
+    index_ids = np.concatenate([np.asarray(p, object) for p in ids_parts])
+    index_mat = np.vstack(mats)
+    index_norms = np.sqrt((index_mat * index_mat).sum(axis=1))
+    idx_ref = ray.put((index_ids, index_mat, index_norms))
+
+    queries = emb_ds.filter(expr=f"{id_col} < {n_queries}")
+    queries = queries.map_batches(prep_q, batch_format="pyarrow")
+
+    def topk(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached_get
+
+        iids, imat, inorm = cached_get(idx_ref)
+        qcol = batch.column("emb").combine_chunks()
+        qmat = np.asarray(qcol.flatten(), dtype=np.float64).reshape(
+            len(qcol), -1
+        )
+        qids = np.asarray(batch.column(id_col).to_pylist(), object)
+        qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+        # int-exact dot in float64; norms/division are deterministic IEEE
+        cos = (qmat @ imat.T) / np.outer(qnorm, inorm)
+        out_q, out_n, out_r = [], [], []
+        for i in range(len(qmat)):
+            row = cos[i]
+            mask = iids != qids[i]  # exclude self
+            cand_ids = iids[mask]
+            cand_cos = row[mask]
+            # (cos desc, id asc) via two stable argsorts — np.lexsort does
+            # not accept object (string) keys
+            order = np.argsort(cand_ids, kind="stable")
+            order = order[np.argsort(-cand_cos[order], kind="stable")][:k]
+            out_q.extend([qids[i]] * len(order))
+            out_n.extend(cand_ids[order])
+            out_r.extend(range(len(order)))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.string()),
+                "neighbor_id": pa.array(out_n, pa.string()),
+                "rank": pa.array(np.asarray(out_r, np.int32)),
+            }
+        )
+
+    return queries.map_batches(topk, batch_format="pyarrow")

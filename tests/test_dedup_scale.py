@@ -224,3 +224,77 @@ def dataclasses_replace_ivf(cfg):
     import dataclasses
 
     return dataclasses.replace(cfg, ivf_cells=16, ivf_nprobe=4)
+
+
+class TestKnnInt8:
+    def _emb_table(self, n=150, d=8, seed=11):
+        import pyarrow as pa
+
+        rng = np.random.default_rng(seed)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.arange(n)),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in rng.standard_normal((n, d))]
+                ),
+            }
+        )
+
+    def test_quantize_rule(self):
+        from deepblocker_ray.stages.annsearch import _quantize_rows
+
+        x = np.array([[0.5, -1.0, 0.25], [0.0, 0.0, 0.0]])
+        q = _quantize_rows(x)
+        # row max |x| = 1.0 → scale 127: floor(0.5·127+0.5)=64,
+        # floor(-127+0.5)=-127, floor(31.75+0.5)=32; zero row stays zero
+        assert q.tolist() == [[64.0, -127.0, 32.0], [0.0, 0.0, 0.0]]
+        assert np.abs(q).max() <= 127
+
+    def test_matches_numpy_oracle_and_float_recall(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.annsearch import (
+            _quantize_rows,
+            knn,
+            knn_int8,
+        )
+
+        t = self._emb_table()
+        cfg = EngineConfig(num_buckets=8)
+        got = (
+            knn_int8(rd.from_arrow(t), n_queries=8, k=7, cfg=cfg)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        # single-process oracle: quantize, exact float64 cosine, tie by id
+        mat = np.array([list(r) for r in t.column("embedding").to_pylist()])
+        q = _quantize_rows(mat)
+        norm = np.sqrt((q * q).sum(axis=1))
+        cos = (q @ q.T) / np.outer(norm, norm)
+        ids = np.array([str(i) for i in range(len(mat))], object)
+        rows = []
+        for i in range(8):
+            mask = np.arange(len(mat)) != i
+            cand = np.nonzero(mask)[0]
+            order = cand[np.argsort(ids[cand], kind="stable")]
+            order = order[np.argsort(-cos[i][order], kind="stable")][:7]
+            rows += [(str(i), ids[j], r) for r, j in enumerate(order)]
+        import pandas as pd
+
+        exp = (
+            pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype(str), exp.astype(str)
+        )
+        # sanity: quantized ranking stays close to float search (top-7
+        # neighbor overlap) — 8 bits keep cosine order on gaussian data
+        fl = knn(
+            rd.from_arrow(t), n_queries=8, k=7, cfg=cfg, mode="exact"
+        ).to_pandas()
+        a = set(map(tuple, got[["query_id", "neighbor_id"]].values))
+        b = set(map(tuple, fl[["query_id", "neighbor_id"]].values))
+        assert len(a & b) / len(b) >= 0.8
