@@ -10,7 +10,7 @@ deterministically from the ``documents`` view by an 8-word-turn rule that has
 an exact SQL twin (deepblocker_ray.fixtures), so canonicalize is
 SQL-checkable.
 
-Oracle coverage (46 of 49 queries have a full SQL twin): the dedup cluster
+Oracle coverage (47 of 50 queries have a full SQL twin): the dedup cluster
 queries are checked against brute-force exact-similarity pair SQL +
 recursive-CTE connected components; simhash's 64-bit fingerprint is
 recomputed bit-for-bit in SQL (the engine's stable hash IS DuckDB's
@@ -255,6 +255,15 @@ def q_sequence_pack(sf_dir: str):
     return sequence_pack(
         _documents(sf_dir), _cfg(), tokens_per_seq=128
     )
+
+
+def q_length_batches(sf_dir: str):
+    """Length-bucketed batching layout (padding-efficient inference/training
+    batches of 32 docs) — dense rank by (n_tokens, doc_id) via the shared
+    prefix-scan machinery; SQL twin is one row_number window."""
+    from deepblocker_ray.stages.packing import length_batches
+
+    return length_batches(_documents(sf_dir), _cfg(), batch_docs=32)
 
 
 def q_corpus_shuffle(sf_dir: str):
@@ -907,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_incremental": q_linkage_incremental,
         "corpus_shuffle": q_corpus_shuffle,
         "dedup_keep_best": q_dedup_keep_best,
+        "length_batches": q_length_batches,
     }
 
 
@@ -1377,6 +1387,18 @@ def oracle_sql() -> dict[str, str]:
             FROM gr, bench
         """,
         "minhash_dedup": _cc_sql(minhash_pairs, "documents", "doc_id"),
+        "length_batches": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST((row_number() OVER (ORDER BY n_tokens, doc_id) - 1)
+                        // 32 AS BIGINT) AS batch_id
+            FROM t
+        """,
         "corpus_shuffle": """
             SELECT doc_id,
                    CAST(row_number() OVER (

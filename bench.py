@@ -185,6 +185,7 @@ def main() -> None:
         "sequence_pack",
         "corpus_shuffle",
         "dedup_keep_best",
+        "length_batches",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -96,33 +96,14 @@ def sequence_pack(
         # (id - lo) * nr stays well under 2^63 for any realistic id span
         return ((ids - lo) * np.int64(nr) // span).astype(np.int64)
 
-    # map-side partials: each batch collapses to ≤nr (range, sum) rows
-    def partial(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column("_id"))
-        n = np.asarray(t.column("_n"))
-        r = rng_of(ids)
-        sums = np.zeros(nr, np.int64)
-        np.add.at(sums, r, n)  # exact int64 (bincount weights are float)
-        nz = np.nonzero(sums)[0]
-        return pa.table(
-            {
-                "_rng": pa.array(nz.astype(np.int64)),
-                "_sum": pa.array(sums[nz].astype(np.int64)),
-            }
-        )
+    from .scan import range_offsets
 
-    part_df = skinny.map_batches(
-        partial, batch_format="pyarrow"
-    ).to_pandas()  # O(nr × batches) tiny rows — driver state stays O(nr)
-    range_sums = np.zeros(nr, np.int64)
-    if len(part_df):
-        np.add.at(
-            range_sums,
-            part_df["_rng"].to_numpy(np.int64),
-            part_df["_sum"].to_numpy(np.int64),
-        )
-    offsets = np.zeros(nr, np.int64)
-    np.cumsum(range_sums[:-1], out=offsets[1:])
+    offsets, _total = range_offsets(
+        skinny,
+        lambda t: rng_of(np.asarray(t.column("_id"))),
+        nr,
+        weight_col="_n",
+    )
     off_ref = ray.put(offsets)
 
     def bucketed(t: pa.Table) -> pa.Table:
@@ -165,5 +146,106 @@ _EMPTY_PACK = pa.table(
         "start_tok": pa.array([], pa.int64()),
         "first_seq": pa.array([], pa.int64()),
         "last_seq": pa.array([], pa.int64()),
+    }
+)
+
+
+def length_batches(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_docs: int = 32,
+):
+    """Length-bucketed batching layout: rank every document in ascending
+    (n_tokens, doc_id) order and cut the ranked stream every ``batch_docs``
+    documents — the padding-efficiency layout for batched inference /
+    training (each batch holds near-equal-length docs, so per-batch padding
+    to the batch max wastes the least compute). Emits
+    ``(doc_id, n_tokens, batch_id)``; same unique-id precondition and
+    ``\\S+`` token rule (NULL → 0) as ``sequence_pack``.
+
+    Dense global rank without a global sort — the shared ``scan`` machinery
+    with token-count RANGE partitions: equal counts land in one range by
+    construction, so ranges partition the total order. Token counts are
+    skewed (many docs share a length); a single hot length value bounds one
+    range's size — the per-range finish is a vectorized sort + arange, so a
+    hot range costs O(range · log) compute, not a shuffle blow-up. The
+    corpus text never rides an exchange."""
+    cfg = cfg or EngineConfig()
+    if batch_docs < 1:
+        raise ValueError(f"batch_docs must be >= 1, got {batch_docs}")
+    nr = cfg.num_buckets
+
+    def counts(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t.column(text_col), pa.string())
+        n = pc.count_substring_regex(pc.fill_null(txt, ""), r"\S+")
+        return pa.table(
+            {
+                "_id": pc.cast(t.column(id_col), pa.int64()),
+                "_n": pc.cast(n, pa.int64()),
+            }
+        )
+
+    skinny = ds.select_columns([id_col, text_col]).map_batches(
+        counts, batch_format="pyarrow"
+    ).materialize()
+
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    bounds = skinny.aggregate(Min("_n"), Max("_n"))
+    if bounds is None or bounds.get("min(_n)") is None:
+        return ray.data.from_arrow(_EMPTY_BATCHES)
+    lo = np.int64(bounds["min(_n)"])
+    hi = np.int64(bounds["max(_n)"])
+    span = np.int64(int(hi) - int(lo) + 1)
+
+    def rng_of(n: np.ndarray) -> np.ndarray:
+        return ((n - lo) * np.int64(nr) // span).astype(np.int64)
+
+    from .scan import range_offsets
+
+    offsets, _total = range_offsets(
+        skinny, lambda t: rng_of(np.asarray(t.column("_n"))), nr
+    )
+    off_ref = ray.put(offsets)
+    cap = np.int64(batch_docs)
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        n = np.asarray(t.column("_n"))
+        return t.append_column(
+            "_bucket", pa.array(rng_of(n).astype(np.int32))
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import cached_get
+
+        offs = cached_get(off_ref)
+        g = g.sort_values(["_n", "_id"], kind="mergesort")
+        pos = offs[int(g["_bucket"].iloc[0])] + np.arange(
+            len(g), dtype=np.int64
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["_id"].to_numpy(np.int64),
+                "n_tokens": g["_n"].to_numpy(np.int64),
+                "batch_id": pos // cap,
+            }
+        )
+
+    return (
+        skinny.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
+_EMPTY_BATCHES = pa.table(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "batch_id": pa.array([], pa.int64()),
     }
 )

@@ -73,30 +73,16 @@ def corpus_shuffle(
             np.int64
         )
 
-    def partial(t: pa.Table) -> pa.Table:
-        h = np.asarray(t.column("_h")).astype(np.uint64)
-        counts = np.bincount(rng_of(h), minlength=nr).astype(np.int64)
-        nz = np.nonzero(counts)[0]
-        return pa.table(
-            {
-                "_rng": pa.array(nz.astype(np.int64)),
-                "_cnt": pa.array(counts[nz]),
-            }
-        )
-
     import ray
 
-    part_df = hashed.map_batches(
-        partial, batch_format="pyarrow"
-    ).to_pandas()  # ≤R rows per batch — driver state stays O(R)
-    range_counts = np.zeros(nr, np.int64)
-    if len(part_df):
-        np.add.at(
-            range_counts,
-            part_df["_rng"].to_numpy(np.int64),
-            part_df["_cnt"].to_numpy(np.int64),
-        )
-    if range_counts.sum() == 0:  # empty input: typed empty output
+    from .scan import range_offsets
+
+    offsets, total = range_offsets(
+        hashed,
+        lambda t: rng_of(np.asarray(t.column("_h")).astype(np.uint64)),
+        nr,
+    )
+    if total == 0:  # empty input: typed empty output
         sch = hashed.schema()
         id_type = (
             sch.base_schema.field("_id").type
@@ -111,8 +97,6 @@ def corpus_shuffle(
                 }
             )
         )
-    offsets = np.zeros(nr, np.int64)
-    np.cumsum(range_counts[:-1], out=offsets[1:])
     off_ref = ray.put(offsets)
 
     def bucketed(t: pa.Table) -> pa.Table:

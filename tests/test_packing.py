@@ -91,3 +91,59 @@ class TestSequencePack:
         ]
         with pytest.raises(ValueError, match="tokens_per_seq"):
             sequence_pack(empty, CFG, tokens_per_seq=0)
+
+
+class TestLengthBatches:
+    def _run(self, df: pd.DataFrame, batch_docs: int) -> pd.DataFrame:
+        import ray.data as rd
+
+        from deepblocker_ray.stages.packing import length_batches
+
+        parts = [p for p in np.array_split(df, 4) if len(p)]
+        ds = rd.from_pandas(parts if len(parts) > 1 else df)
+        out = length_batches(ds, CFG, batch_docs=batch_docs).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def test_matches_rank_oracle(self, ray_session):
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame(
+            {
+                "doc_id": rng.permutation(np.arange(0, 300, 2)),
+                "text": [
+                    " ".join(["w"] * int(k))
+                    for k in rng.integers(0, 12, size=150)  # heavy length ties
+                ],
+            }
+        )
+        got = self._run(df, batch_docs=8)
+        d = df.copy()
+        d["n_tokens"] = d["text"].str.split().str.len().fillna(0).astype(int)
+        d = d.sort_values(["n_tokens", "doc_id"]).reset_index(drop=True)
+        d["batch_id"] = np.arange(len(d)) // 8
+        exp = (
+            d[["doc_id", "n_tokens", "batch_id"]]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # batching invariant: each full batch spans a contiguous length range
+        by_batch = got.groupby("batch_id")["n_tokens"]
+        assert (by_batch.size() <= 8).all()
+        mins, maxs = by_batch.min().sort_index(), by_batch.max().sort_index()
+        assert (maxs.to_numpy()[:-1] <= mins.to_numpy()[1:]).all()
+
+    def test_empty_and_bad_args(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from deepblocker_ray.stages.packing import length_batches
+
+        empty = rd.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "text": pd.Series(dtype=object)})
+        )
+        out = length_batches(empty, CFG)
+        assert out.count() == 0
+        assert out.schema().names == ["doc_id", "n_tokens", "batch_id"]
+        with pytest.raises(ValueError, match="batch_docs"):
+            length_batches(empty, CFG, batch_docs=0)
