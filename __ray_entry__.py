@@ -10,7 +10,7 @@ deterministically from the ``documents`` view by an 8-word-turn rule that has
 an exact SQL twin (deepblocker_ray.fixtures), so canonicalize is
 SQL-checkable.
 
-Oracle coverage (47 of 50 queries have a full SQL twin): the dedup cluster
+Oracle coverage (55 of 58 queries have a full SQL twin): the dedup cluster
 queries are checked against brute-force exact-similarity pair SQL +
 recursive-CTE connected components; simhash's 64-bit fingerprint is
 recomputed bit-for-bit in SQL (the engine's stable hash IS DuckDB's
@@ -860,6 +860,140 @@ def q_linkage_incremental(sf_dir: str):
     return link_incremental(base, delta_ds, _cfg(), k=8)["clusters"]
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog distinct user count per event_type (p=8, 256 registers).
+    Deterministic sketch: md5-lower64 registers and an integer-exact raw
+    estimate, recomputed bit-for-bit by the SQL twin — the approximation
+    error is part of the spec, not noise."""
+    from deepblocker_ray.stages.sketch import approx_distinct
+
+    ev = _events(sf_dir, columns=["event_type", "user_id"])
+    return approx_distinct(
+        ev, key_col="user_id", group_col="event_type", cfg=_cfg(), p=8
+    )
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Count-min (4×1024) token-frequency estimates over documents text;
+    tokens whose estimate (min over rows, always ≥ truth) reaches 10.
+    Sketch broadcast once via ray.put; candidates reduced by one bucketed
+    exchange."""
+    from deepblocker_ray.stages.sketch import heavy_hitters
+
+    docs = _documents(sf_dir).select_columns(["text"])
+    return heavy_hitters(docs, cfg=_cfg(), depth=4, width=1024, min_count=10)
+
+
+def q_bloom_filter(sf_dir: str):
+    """Bloom-filter semi-join (m=1024 bits, k=3): customers whose key MAY
+    belong to a high-value-order key set — deterministic false positives,
+    zero false negatives, probe side streams with no shuffle. The SQL twin
+    recomputes the same bit positions, so the FPs hash-match too."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.sketch import bloom_semi_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 495000")
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return bloom_semi_join(
+        customer, orders, big_key="c_custkey", small_key="o_custkey",
+        cfg=_cfg(), m_bits=1024, k_hashes=3,
+    )
+
+
+def q_range_join(sf_dir: str):
+    """Interval-lookup (non-equi) join: event value in integer cents against
+    a literal band table [lo, hi) — vectorized searchsorted per batch, no
+    shuffle."""
+    import numpy as np
+
+    from deepblocker_ray.stages.events import _cents
+    from deepblocker_ray.stages.relational import range_join
+
+    def project(t: pa.Table) -> pa.Table:
+        cents = _cents(np.asarray(t.column("value")))
+        return pa.table(
+            {"event_id": t.column("event_id"), "cents": pa.array(cents)}
+        )
+
+    ev = _events(sf_dir, columns=["event_id", "value"]).map_batches(
+        project, batch_format="pyarrow"
+    )
+    return range_join(ev, _VALUE_BANDS, value_col="cents", cfg=_cfg())
+
+
+_VALUE_BANDS = [
+    (0, 1_000, "micro"),
+    (1_000, 5_000, "small"),
+    (5_000, 20_000, "medium"),
+    (20_000, 9_223_372_036_854_775_807, "large"),
+]
+
+
+def q_duplicate_spans(sf_dir: str):
+    """Substring-level duplication stats (Lee et al. span dedup signal):
+    per doc, the fraction of strided 32-byte windows occurring ≥2 times in
+    the corpus window multiset."""
+    from deepblocker_ray.stages.dedup import duplicate_spans
+
+    return duplicate_spans(_documents(sf_dir), _cfg(), k=32, stride=16)
+
+
+def q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking (merge/purge): rank docs by a 12-char
+    lowercased key prefix, pair everything within a window of 4 ranks — the
+    classic non-learned blocking baseline next to the embedding top-K
+    flow. Windowed self-join over a global order WITHOUT a global sort
+    (prefix-scan ranges + an O(ranges×window) halo for boundary pairs)."""
+    import pyarrow.compute as pc
+
+    from deepblocker_ray.stages.neighborhood import sorted_neighborhood
+
+    def key(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t.column("text"), pa.string())
+        k = pc.utf8_lower(
+            pc.utf8_slice_codeunits(pc.fill_null(txt, ""), 0, 12)
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "key": k})
+
+    docs = _documents(sf_dir).map_batches(key, batch_format="pyarrow")
+    return sorted_neighborhood(
+        docs, _cfg(), id_col="doc_id", key_col="key", window=4
+    )
+
+
+def q_blocking_stats(sf_dir: str):
+    """Blocking evaluation (the reference's compute_blocking_statistics,
+    blocking_utils.py:19-33) as a twinned one-row query: recall/CSSR of the
+    vec blocking chain against the same-label golden pairs of the
+    embeddings view — golden never materialized (size from the label
+    histogram), hits via label equality on candidates."""
+    from deepblocker_ray.pipelines.evaluate import blocking_stats_from_labels
+
+    cands = q_blocking_vec(sf_dir)
+    return blocking_stats_from_labels(
+        cands, _embeddings(sf_dir), id_col="vec_id", label_col="label",
+        cfg=_cfg(),
+    )
+
+
+def q_balance_sample(sf_dir: str):
+    """Data-mixing rebalance: cap every language at ~80 docs via the
+    shuffle-free stable-hash threshold, per-stratum fraction = target/actual
+    computed in integer space (no float rounding boundary between engine
+    and oracle)."""
+    from deepblocker_ray.stages.sampling import balance_sample
+
+    docs = _documents(sf_dir).select_columns(["doc_id", "lang"])
+    return balance_sample(
+        docs, strata_col="lang", target_count=80, id_col="doc_id", seed=0
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -917,6 +1051,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_shuffle": q_corpus_shuffle,
         "dedup_keep_best": q_dedup_keep_best,
         "length_batches": q_length_batches,
+        "approx_distinct": q_approx_distinct,
+        "heavy_hitters": q_heavy_hitters,
+        "bloom_filter": q_bloom_filter,
+        "range_join": q_range_join,
+        "duplicate_spans": q_duplicate_spans,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "blocking_stats": q_blocking_stats,
+        "balance_sample": q_balance_sample,
     }
 
 
@@ -1385,6 +1527,207 @@ def oracle_sql() -> dict[str, str]:
                                   AS DOUBLE) / len(gr.g) >= 0.5 END
                        AS is_contaminated
             FROM gr, bench
+        """,
+        # HLL twin: registers/ranks from the same md5-lower64 hash; the raw
+        # estimate is exact integer arithmetic (HUGEINT here, Python ints in
+        # the engine) — no float, no ln, bit-for-bit equal. v = h >> 8 is a
+        # 56-bit value; bin(v) is minimal-width so 57 - length(bin(v)) is
+        # the leading-zeros-plus-one rank (v = 0 handled explicitly).
+        "approx_distinct": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       md5_number_lower(CAST(user_id AS VARCHAR) || '|hll')
+                           AS h
+                FROM events
+            ),
+            rr AS (
+                SELECT event_type, CAST(h % 256 AS INTEGER) AS reg,
+                       CASE WHEN (h >> 8) = 0 THEN 57
+                            ELSE 57 - length(bin(h >> 8)) END AS rnk
+                FROM h
+            ),
+            regs AS (
+                SELECT event_type, reg, max(rnk) AS m FROM rr GROUP BY 1, 2
+            ),
+            filled AS (
+                SELECT g.event_type, s.r, coalesce(regs.m, 0) AS m
+                FROM (SELECT DISTINCT event_type FROM events) g
+                CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS r) s
+                LEFT JOIN regs
+                  ON regs.event_type = g.event_type AND regs.reg = s.r
+            ),
+            agg AS (
+                SELECT event_type,
+                       sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS zero_regs,
+                       sum(CASE WHEN m <= 50
+                                THEN CAST(1 AS BIGINT) << (50 - m)
+                                ELSE 0 END) AS s
+                FROM filled GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(zero_regs AS BIGINT) AS zero_registers,
+                   CAST(s AS BIGINT) AS hll_sum_scaled,
+                   CAST(CAST(718273 AS HUGEINT) * 256 * 256
+                        * (CAST(1 AS HUGEINT) << 50) // s // 1000000
+                        AS BIGINT) AS approx_distinct
+            FROM agg
+        """,
+        # count-min twin: identical salted md5 cell hashes; every probed
+        # cell exists (the token itself contributed), so the inner join is
+        # total and min-over-rows is the estimate
+        "heavy_hitters": f"""
+            WITH toks AS (SELECT unnest({tokens}) AS tok FROM documents),
+            rows_ AS (SELECT unnest(generate_series(0, 3)) AS i),
+            cells AS (
+                SELECT i,
+                       CAST(md5_number_lower(tok || '|cms'
+                            || CAST(i AS VARCHAR)) % 1024 AS INTEGER) AS pos,
+                       count(*) AS c
+                FROM toks CROSS JOIN rows_
+                GROUP BY 1, 2
+            ),
+            cand AS (SELECT DISTINCT tok FROM toks),
+            probe AS (
+                SELECT cand.tok, rows_.i,
+                       CAST(md5_number_lower(cand.tok || '|cms'
+                            || CAST(rows_.i AS VARCHAR)) % 1024 AS INTEGER)
+                           AS pos
+                FROM cand CROSS JOIN rows_
+            ),
+            est AS (
+                SELECT probe.tok, min(cells.c) AS est
+                FROM probe
+                JOIN cells ON cells.i = probe.i AND cells.pos = probe.pos
+                GROUP BY probe.tok
+            )
+            SELECT tok AS token, CAST(est AS BIGINT) AS est_count
+            FROM est WHERE est >= 10
+        """,
+        # Bloom twin: same salted bit positions; a customer passes iff all
+        # k=3 positions are set — deterministic false positives included
+        "bloom_filter": """
+            WITH bk AS (
+                SELECT DISTINCT o_custkey AS k FROM orders
+                WHERE o_totalprice > 495000
+            ),
+            js AS (SELECT unnest(generate_series(0, 2)) AS j),
+            pos AS (
+                SELECT DISTINCT
+                       CAST(md5_number_lower(CAST(k AS VARCHAR) || '|bf'
+                            || CAST(j AS VARCHAR)) % 1024 AS INTEGER) AS p
+                FROM bk CROSS JOIN js
+            ),
+            hits AS (
+                SELECT c.c_custkey, count(*) AS n
+                FROM customer c CROSS JOIN js
+                JOIN pos ON pos.p = CAST(md5_number_lower(
+                        CAST(c.c_custkey AS VARCHAR) || '|bf'
+                        || CAST(js.j AS VARCHAR)) % 1024 AS INTEGER)
+                GROUP BY 1
+            )
+            SELECT c.c_custkey, c.c_name
+            FROM hits h JOIN customer c ON c.c_custkey = h.c_custkey
+            WHERE h.n = 3
+        """,
+        "range_join": """
+            WITH bands(band, lo, hi) AS (VALUES
+                ('micro', 0, 1000), ('small', 1000, 5000),
+                ('medium', 5000, 20000),
+                ('large', 20000, 9223372036854775807)),
+            ev AS (SELECT event_id,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events)
+            SELECT ev.event_id, ev.cents, b.band
+            FROM ev JOIN bands b ON ev.cents >= b.lo AND ev.cents < b.hi
+        """,
+        # span-dedup twin compares the strided window SUBSTRINGS themselves
+        # (the engine exchanges 64-bit polynomial hashes — collision odds
+        # ~n²/2⁻⁶⁴; byte-vs-character windows coincide on the ASCII driver
+        # corpora, same documented assumption as the minhash twin)
+        "duplicate_spans": """
+            WITH w AS (
+                SELECT doc_id, substr(text, x, 32) AS g
+                FROM (SELECT doc_id, coalesce(text, '') AS text,
+                             unnest(generate_series(
+                                 1, length(coalesce(text, '')) - 31, 16))
+                                 AS x
+                      FROM documents)
+            ),
+            tot AS (SELECT g, count(*) AS c FROM w GROUP BY g),
+            per AS (
+                SELECT w.doc_id, count(*) AS n_windows,
+                       sum(CASE WHEN tot.c >= 2 THEN 1 ELSE 0 END) AS n_dup
+                FROM w JOIN tot USING (g) GROUP BY w.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+                   CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_windows,
+                   CASE WHEN coalesce(per.n_windows, 0) = 0 THEN 0.0
+                        ELSE CAST(per.n_dup AS DOUBLE) / per.n_windows END
+                       AS dup_frac
+            FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        """,
+        # rebalance twin: per-stratum integer threshold min(2^32,
+        # (target << 32) // count) — floor division of exact ints, shared
+        # md5 hash rule with hash_sample
+        "balance_sample": """
+            WITH cnt AS (
+                SELECT lang, count(*) AS c FROM documents GROUP BY lang
+            ),
+            thr AS (
+                SELECT lang,
+                       least((CAST(80 AS HUGEINT) << 32) // c,
+                             CAST(4294967296 AS HUGEINT)) AS t
+                FROM cnt
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr ON thr.lang = d.lang
+            WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR) || '|0')
+                      % 4294967296 < thr.t
+        """,
+        # SNM twin: the engine orders by (key, id) with codepoint string
+        # comparison — DuckDB's binary VARCHAR collation; the windowed
+        # self-join is rank distance < window
+        "sorted_neighborhood": """
+            WITH r AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           ORDER BY lower(substr(coalesce(text, ''), 1, 12)),
+                                    doc_id) - 1 AS rk
+                FROM documents
+            )
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   CAST(b.rk - a.rk AS INTEGER) AS dist
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 4
+        """,
+        # blocking-stats twin: golden size from the label histogram, hits by
+        # label equality over the blocking_vec candidate CTE; both ratios
+        # are single IEEE divisions of exact ints (same order as the engine)
+        "blocking_stats": f"""
+            WITH cand AS ({blocking_vec_sql}),
+            lab AS (SELECT CAST(vec_id AS VARCHAR) AS id, label
+                    FROM embeddings),
+            hits AS (
+                SELECT count(*) AS h
+                FROM cand c
+                JOIN lab a ON a.id = c.left_id
+                JOIN lab b ON b.id = c.right_id
+                WHERE a.label = b.label
+            ),
+            g AS (SELECT coalesce(sum(cc * (cc - 1) // 2), 0) AS n_golden
+                  FROM (SELECT count(*) AS cc FROM embeddings
+                        GROUP BY label)),
+            n AS (SELECT count(*) AS n_items FROM embeddings),
+            cn AS (SELECT count(*) AS n_cand FROM cand)
+            SELECT CAST(n.n_items AS BIGINT) AS n_items,
+                   CAST(g.n_golden AS BIGINT) AS n_golden,
+                   CAST(cn.n_cand AS BIGINT) AS n_candidates,
+                   CAST(hits.h AS BIGINT) AS n_hits,
+                   CAST(hits.h AS DOUBLE) / g.n_golden AS recall,
+                   CAST(cn.n_cand AS DOUBLE)
+                       / (CAST(n.n_items AS DOUBLE) * (n.n_items - 1) / 2)
+                       AS cssr
+            FROM n, g, cn, hits
         """,
         "minhash_dedup": _cc_sql(minhash_pairs, "documents", "doc_id"),
         "length_batches": r"""

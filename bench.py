@@ -186,6 +186,14 @@ def main() -> None:
         "corpus_shuffle",
         "dedup_keep_best",
         "length_batches",
+        "approx_distinct",
+        "heavy_hitters",
+        "bloom_filter",
+        "range_join",
+        "duplicate_spans",
+        "sorted_neighborhood",
+        "blocking_stats",
+        "balance_sample",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -127,6 +127,101 @@ def pair_f1(matches_ds, golden: pd.DataFrame, already_normalized: bool = False) 
     }
 
 
+def blocking_stats_from_labels(
+    cands,
+    labels_ds,
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    cfg: EngineConfig | None = None,
+):
+    """Blocking quality (A6) against a LABELED item table: golden pairs =
+    all same-label pairs — but the golden set is never materialized; its
+    size comes from the label histogram (Σ c·(c−1)/2) and hits from label
+    equality on the candidate pairs (labels attached via the size-aware
+    broadcast join, hash-join fallback past the cap).
+
+    One-row output (n_items, n_golden, n_candidates, n_hits, recall, cssr),
+    every count an exact int64 and both ratios single IEEE divisions of
+    those ints — bit-reproducible in the SQL twin. cssr uses the self-
+    blocking denominator n·(n−1)/2 (the reference's |L|·|R| for L = R,
+    blocking_utils.py:30, self-pairs excluded)."""
+    import numpy as np
+
+    from ..stages.relational import broadcast_join
+
+    cfg = cfg or EngineConfig()
+
+    def lab_tbl(suffix: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "_lid" + suffix: pc.cast(t.column(id_col), pa.string()),
+                    "_lab" + suffix: pc.cast(t.column(label_col), pa.int64()),
+                }
+            )
+
+        return labels_ds.map_batches(f, batch_format="pyarrow")
+
+    lab = lab_tbl("").materialize()
+    n_items = lab.count()
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("_lab", sort=False).agg(c=("_lab", "size"))
+            .reset_index()
+        )
+
+    counts = (
+        lab.map_batches(hist_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda df: df.groupby("_lab", sort=False).agg(c=("c", "sum"))
+            .reset_index(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    c = counts["c"].to_numpy(np.int64) if len(counts) else np.empty(0, np.int64)
+    n_golden = int((c * (c - 1) // 2).sum())
+
+    cands = cands.materialize()
+    n_cand = cands.count()
+
+    j = broadcast_join(
+        cands, lab_tbl("_l"), big_key="left_id", small_key="_lid_l",
+        payload_cols=["_lab_l"], cfg=cfg,
+    )
+    j = broadcast_join(
+        j, lab_tbl("_r"), big_key="right_id", small_key="_lid_r",
+        payload_cols=["_lab_r"], cfg=cfg,
+    )
+    n_hits = int(
+        j.map_batches(
+            lambda df: pd.DataFrame(
+                {"h": [int((df["_lab_l"] == df["_lab_r"]).sum())]}
+            ),
+            batch_format="pandas",
+        ).sum("h")
+        or 0
+    )
+
+    recall = n_hits / n_golden if n_golden else 1.0
+    cssr = n_cand / (float(n_items) * (n_items - 1) / 2) if n_items > 1 else 0.0
+    return pd.DataFrame(
+        [
+            {
+                "n_items": np.int64(n_items),
+                "n_golden": np.int64(n_golden),
+                "n_candidates": np.int64(n_cand),
+                "n_hits": np.int64(n_hits),
+                "recall": recall,
+                "cssr": cssr,
+            }
+        ]
+    )
+
+
 def clusters_to_pairs(clusters: pd.DataFrame, id_col="conv_id", label_col="entity_id") -> pd.DataFrame:
     """Ground-truth clusters → all unordered within-cluster pairs."""
     from ..fixtures import golden_pairs

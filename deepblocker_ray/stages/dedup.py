@@ -1377,3 +1377,173 @@ def cluster_representatives(
         .groupby("_bucket")
         .map_groups(pick, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------- duplicate spans --
+
+
+def _strided_window_hashes(
+    texts: list, k: int, stride: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Polynomial hashes of the STRIDED k-byte windows of every doc in one
+    vectorized pass (multiset — unlike _shingle_hashes_batch, duplicates
+    within a doc are kept: span-level dedup counts occurrences).
+
+    Returns (doc_idx, hashes, n_windows[n]) where n_windows[d] =
+    max(0, (len_d - k)//stride + 1); docs shorter than k bytes have zero
+    windows (no short-doc fallback — a span shorter than the span length is
+    not a span)."""
+    n = len(texts)
+    n_windows = np.zeros(n, np.int64)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64), n_windows
+    bufs = [(t or "").encode("utf-8", "surrogatepass") for t in texts]
+    lens = np.fromiter((len(b) for b in bufs), np.int64, n)
+    n_windows = np.maximum(0, (lens - k) // stride + 1)
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    cat = np.frombuffer(b"".join(bufs), np.uint8)
+    if len(cat) < k or n_windows.sum() == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64), n_windows
+    pows = np.empty(k, np.uint64)
+    pows[0] = np.uint64(1)
+    with np.errstate(over="ignore"):  # intentional mod-2^64 wraparound
+        for i in range(1, k):
+            pows[i] = pows[i - 1] * _POLY
+        win = np.lib.stride_tricks.sliding_window_view(cat, k)
+        h_all = (win * pows[::-1][None, :]).sum(axis=1, dtype=np.uint64)
+    wc = n_windows
+    nz = np.nonzero(wc)[0]
+    total = int(wc[nz].sum())
+    doc_idx = np.repeat(nz, wc[nz])
+    within = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(wc[nz]) - wc[nz], wc[nz])
+    ) * stride
+    vals = h_all[starts[doc_idx] + within]
+    return doc_idx, vals, n_windows
+
+
+def duplicate_spans(
+    docs,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    stride: int = 16,
+):
+    """Substring-level duplication stats (the span-dedup signal of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"): for
+    every doc, the fraction of its strided k-byte windows whose content
+    occurs ≥ 2 times in the corpus-wide window multiset (including within
+    the same doc).
+
+    Output: (id_col, n_windows:int64, n_dup_windows:int64, dup_frac:float64).
+
+    Scale shape: one vectorized window-hash pass per batch with per-batch
+    (gram, doc, cnt) combine; ONE bucketed exchange on hash(gram) computes
+    global gram totals and per-doc duplicated-window partials; the partials
+    union the per-doc (n_windows, 0) rows and reduce in ONE bucketed
+    exchange on hash(doc) — the corpus text never rides an exchange.
+    Grams travel as 64-bit polynomial hashes (collision odds ~n²/2⁻⁶⁴); the
+    SQL twin compares the substrings themselves — identical on any corpus
+    without an adversarial hash collision, and byte-vs-character window
+    semantics coincide on ASCII corpora (same documented assumption as the
+    minhash twin)."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        doc_idx, vals, _ = _strided_window_hashes(texts, k, stride)
+        ids = np.asarray(t.column(id_col), np.int64)
+        # combine within the batch: (gram, doc) occurrence counts
+        order = np.lexsort((doc_idx, vals))
+        vals, doc_idx = vals[order], doc_idx[order]
+        if len(vals):
+            new = np.ones(len(vals), bool)
+            new[1:] = (vals[1:] != vals[:-1]) | (doc_idx[1:] != doc_idx[:-1])
+            firsts = np.nonzero(new)[0]
+            cnt = np.diff(np.append(firsts, len(vals)))
+            vals, doc_idx = vals[firsts], doc_idx[firsts]
+        else:
+            cnt = np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "_gram": pa.array(vals.view(np.int64)),
+                "_doc": pa.array(ids[doc_idx]),
+                "_cnt": pa.array(cnt.astype(np.int64)),
+                "_bucket": pa.array(
+                    (vals % np.uint64(nb)).astype(np.int32)
+                ),
+            }
+        )
+
+    def dup_partials(g: pd.DataFrame) -> pd.DataFrame:
+        grams = g["_gram"].to_numpy(np.int64)
+        cnt = g["_cnt"].to_numpy(np.int64)
+        uniq, inv = np.unique(grams, return_inverse=True)
+        total = np.bincount(inv, weights=cnt).astype(np.int64)
+        dup = cnt * (total[inv] >= 2)
+        docs_ = g["_doc"].to_numpy(np.int64)
+        du, dinv = np.unique(docs_, return_inverse=True)
+        per_doc = np.bincount(dinv, weights=dup).astype(np.int64)
+        keep = per_doc > 0
+        return pd.DataFrame(
+            {"_doc": du[keep], "_nw": np.zeros(keep.sum(), np.int64),
+             "_nd": per_doc[keep]}
+        )
+
+    dup_ds = (
+        docs.select_columns([id_col, text_col])
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(dup_partials, batch_format="pandas")
+    )
+
+    def window_rows(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        _, _, nw = _strided_window_hashes(texts, k, stride)
+        return pa.table(
+            {
+                "_doc": t.column(id_col).cast(pa.int64()),
+                "_nw": pa.array(nw),
+                "_nd": pa.array(np.zeros(len(nw), np.int64)),
+            }
+        )
+
+    nw_ds = docs.select_columns([id_col, text_col]).map_batches(
+        window_rows, batch_format="pyarrow"
+    )
+
+    from .events import _user_bucket
+
+    def doc_bucket(t: pa.Table) -> pa.Table:
+        d = np.asarray(t.column("_doc"), np.int64)
+        return t.append_column("_b2", pa.array(_user_bucket(d, nb)))
+
+    def reduce_doc(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby("_doc", sort=False)
+            .agg(n_windows=("_nw", "sum"), n_dup_windows=("_nd", "sum"))
+            .reset_index()
+        )
+        nw = agg["n_windows"].to_numpy(np.int64)
+        nd = agg["n_dup_windows"].to_numpy(np.int64)
+        frac = np.where(nw > 0, nd / np.maximum(nw, 1), 0.0)
+        return pd.DataFrame(
+            {
+                id_col: agg["_doc"].to_numpy(np.int64),
+                "n_windows": nw,
+                "n_dup_windows": nd,
+                "dup_frac": frac,
+            }
+        )
+
+    return (
+        nw_ds.union(dup_ds)
+        .map_batches(doc_bucket, batch_format="pyarrow")
+        .groupby("_b2")
+        .map_groups(reduce_doc, batch_format="pandas")
+    )

@@ -1,0 +1,194 @@
+"""Sorted-neighborhood blocking (SNM): rank all records by a blocking key
+and pair every two records whose ranks differ by less than ``window``.
+
+The classic non-learned ER blocking method (Hernández & Stolfo's merge/purge
+sorted-neighborhood), complementing the reference's embedding-top-K blocking
+(vector_pairing_models.py:30-46) — a user switching from DeepBlocker gets
+the standard cheap baseline to compare recall/CSSR against, over the same
+candidate-pair schema.
+
+Ray-native design — a windowed self-join over a global order WITHOUT a
+global sort, built on the shared prefix-scan machinery (stages/scan.py):
+
+1. skinny (id, key) pass; ranges = a non-decreasing function of the key's
+   first 8 bytes (byte-lexicographic prefix order == numeric order of the
+   big-endian prefix), so ranges PARTITION the global (key, id) order.
+2. ``range_offsets`` → exact global start offset per range (O(R) driver
+   state), broadcast.
+3. ONE bucketed exchange on the range; per range: vectorized sort + arange
+   gives every row its exact global rank; in-range pairs are emitted with
+   one shifted-slice pass per distance (w-1 vectorized passes, no row loop).
+4. Pairs that CROSS a range boundary have both endpoints within window-1 of
+   their range's edge (empty ranges hold no rows, so rank adjacency skips
+   them) — those boundary rows form a halo of ≤ 2·(window-1) rows per
+   range, reduced on the driver (O(ranges × window), same bound as the scan
+   state) with a searchsorted windowed pass; only pairs whose endpoints lie
+   in DIFFERENT ranges are emitted there, so no pair is double-counted.
+
+Skew note: a hot key prefix bounds ONE range's pair emission (O(range·w)
+vectorized compute), never a shuffle blow-up — the same containment
+argument as length_batches' hot-length ranges.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..config import EngineConfig
+
+_PAIR_SCHEMA = pa.schema(
+    [
+        ("left_id", pa.int64()),
+        ("right_id", pa.int64()),
+        ("dist", pa.int32()),
+    ]
+)
+
+
+def _prefix_u64(keys) -> np.ndarray:
+    """Big-endian uint64 of each key's first 8 UTF-8 bytes (zero-padded):
+    numeric order of the prefix == byte-lexicographic order of the key, so
+    any non-decreasing bucketing of it is order-aligned."""
+    out = np.empty(len(keys), np.uint64)
+    for i, k in enumerate(keys):
+        b = ("" if k is None else str(k)).encode("utf-8", "surrogatepass")[:8]
+        out[i] = int.from_bytes(b.ljust(8, b"\0"), "big")
+    return out
+
+
+def sorted_neighborhood(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    key_col: str = "key",
+    window: int = 4,
+):
+    """Candidate pairs ``(left_id, right_id, dist)`` for all records whose
+    positions in the ascending (key, id) order differ by 0 < dist < window
+    (left = lower rank). Ids must be unique int64; key is compared as a
+    string (codepoint order — DuckDB's binary VARCHAR collation)."""
+    cfg = cfg or EngineConfig()
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    nr = cfg.num_buckets
+    w = int(window)
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "_id": pc.cast(t.column(id_col), pa.int64()),
+                "_key": pc.cast(t.column(key_col), pa.string()),
+            }
+        )
+
+    skinny = ds.select_columns([id_col, key_col]).map_batches(
+        project, batch_format="pyarrow"
+    ).materialize()
+
+    def rng_fn(t: pa.Table) -> np.ndarray:
+        pre = _prefix_u64(t.column("_key").to_pylist())
+        hi = pre >> np.uint64(32)
+        return ((hi * np.uint64(nr)) >> np.uint64(32)).astype(np.int64)
+
+    from .scan import range_offsets
+
+    offsets, total = range_offsets(skinny, rng_fn, nr)
+    if total == 0:
+        return ray.data.from_arrow(_PAIR_SCHEMA.empty_table())
+    off_ref = ray.put(offsets)
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket", pa.array(rng_fn(t).astype(np.int32))
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import cached_get
+
+        off = cached_get(off_ref)
+        rng = int(g["_bucket"].iloc[0])
+        g = g.sort_values(["_key", "_id"], kind="mergesort")
+        ids = g["_id"].to_numpy(np.int64)
+        n = len(ids)
+        rank = off[rng] + np.arange(n, dtype=np.int64)
+        lefts, rights, dists = [], [], []
+        for d in range(1, min(w, n)):
+            lefts.append(ids[:-d])
+            rights.append(ids[d:])
+            dists.append(np.full(n - d, d, np.int32))
+        pairs = pd.DataFrame(
+            {
+                "left_id": np.concatenate(lefts) if lefts else
+                np.empty(0, np.int64),
+                "right_id": np.concatenate(rights) if rights else
+                np.empty(0, np.int64),
+                "dist": np.concatenate(dists) if dists else
+                np.empty(0, np.int32),
+                "_halo_rank": np.int64(-1),
+                "_halo_rng": np.int64(-1),
+            }
+        )
+        edge = np.zeros(n, bool)
+        edge[: w - 1] = True
+        edge[max(0, n - (w - 1)):] = True
+        halo = pd.DataFrame(
+            {
+                "left_id": ids[edge],
+                "right_id": np.int64(0),
+                "dist": np.int32(0),
+                "_halo_rank": rank[edge],
+                "_halo_rng": np.int64(rng),
+            }
+        )
+        return pd.concat([pairs, halo], ignore_index=True)
+
+    mixed = (
+        skinny.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(finish, batch_format="pandas")
+        .materialize()
+    )
+
+    in_range = mixed.filter(expr="_halo_rank < 0").select_columns(
+        ["left_id", "right_id", "dist"]
+    )
+
+    # halo reduce: O(ranges × window) rows — driver-bounded like the scan
+    # state. Windowed searchsorted emit; only cross-range pairs (in-range
+    # pairs were already emitted by their own range).
+    h = (
+        mixed.filter(expr="_halo_rank >= 0")
+        .select_columns(["left_id", "_halo_rank", "_halo_rng"])
+        .to_pandas()
+        .sort_values("_halo_rank")
+    )
+    hid = h["left_id"].to_numpy(np.int64)
+    hrk = h["_halo_rank"].to_numpy(np.int64)
+    hrg = h["_halo_rng"].to_numpy(np.int64)
+    ends = np.searchsorted(hrk, hrk + w, side="left")
+    starts = np.arange(len(hrk)) + 1
+    cnt = np.maximum(ends - starts, 0)
+    li = np.repeat(np.arange(len(hrk)), cnt)
+    ri = (
+        np.arange(int(cnt.sum()), dtype=np.int64)
+        - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        + np.repeat(starts, cnt)
+    )
+    cross = hrg[li] != hrg[ri]
+    cross_pairs = pd.DataFrame(
+        {
+            "left_id": hid[li[cross]],
+            "right_id": hid[ri[cross]],
+            "dist": (hrk[ri[cross]] - hrk[li[cross]]).astype(np.int32),
+        }
+    )
+    if len(cross_pairs) == 0:
+        return in_range
+    return in_range.union(ray.data.from_pandas(cross_pairs))

@@ -201,6 +201,49 @@ def broadcast_exists_join(
     return joined.map_batches(filt, batch_format="pyarrow")
 
 
+def range_join(
+    big_ds,
+    ranges: list[tuple[int, int, str]],
+    *,
+    value_col: str,
+    band_col: str = "band",
+    cfg: EngineConfig | None = None,
+):
+    """Inner non-equi join of an int64 value column against a small table of
+    half-open bands ``[lo, hi)`` — the interval-lookup join (tier pricing,
+    IP-range geo, latency buckets) that Ray Data has no native operator for.
+
+    The band table must be NON-OVERLAPPING (validated); it is sorted once
+    and closed over (bands are small by definition — an overlapping or
+    huge interval side is a different operator), and every probe batch is a
+    vectorized ``searchsorted`` — the big side streams with NO shuffle.
+    Rows matching no band are dropped (inner semantics), exactly DuckDB's
+    ``JOIN bands ON v >= lo AND v < hi``."""
+    cfg = cfg or EngineConfig()
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    srt = sorted(ranges, key=lambda r: r[0])
+    los = np.asarray([r[0] for r in srt], np.int64)
+    his = np.asarray([r[1] for r in srt], np.int64)
+    labels = np.asarray([r[2] for r in srt], object)
+    if not (his > los).all():
+        raise ValueError("every band needs hi > lo")
+    if (los[1:] < his[:-1]).any():
+        raise ValueError("bands overlap")
+
+    def probe(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(value_col), np.int64)
+        idx = np.searchsorted(los, v, side="right") - 1
+        ok = idx >= 0
+        ok[ok] &= v[ok] < his[idx[ok]]
+        kept = t.filter(pa.array(ok))
+        return kept.append_column(
+            band_col, pa.array(labels[idx[ok]], pa.string())
+        )
+
+    return big_ds.map_batches(probe, batch_format="pyarrow")
+
+
 def segment_revenue(lineitem, orders, customer, cfg: EngineConfig):
     """Revenue rollup per customer market segment (TPC-H-Q3-shaped):
     lineitem ⋈ orders ⋈ customer → (c_mktsegment, n_lines, revenue_e4).

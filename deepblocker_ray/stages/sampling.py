@@ -66,6 +66,68 @@ def hash_sample(ds, fraction: float, id_col: str = "doc_id", seed: int = 0):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def balance_sample(
+    ds,
+    *,
+    strata_col: str,
+    target_count: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+):
+    """Rebalance a skewed corpus toward ``target_count`` rows per stratum
+    (the data-mixing step of a training pipeline: cap the head sources /
+    languages, keep the tail whole). Per-stratum keep-fraction is
+    target/actual, realized as the same shuffle-free stable-hash threshold
+    as ``hash_sample`` — so the sample is deterministic, rerun/resume-stable
+    and exactly SQL-twinnable.
+
+    The threshold is computed in INTEGER space — ``min(2^32,
+    (target << 32) // actual)`` — because a float ``round(frac · 2^32)``
+    would hang engine-vs-oracle equality on a float rounding boundary;
+    floor division of exact ints cannot drift. Strata counts come from
+    map-side partials (O(strata × blocks) exchange, never the corpus); the
+    resulting per-stratum sample size is Binomial(actual, target/actual) —
+    the standard determinism-for-exactness trade, same as hash_sample."""
+    if target_count < 0:
+        raise ValueError(f"target_count must be >= 0, got {target_count}")
+
+    import pandas as pd
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(strata_col, sort=False, observed=True)
+            .agg(c=(strata_col, "size")).reset_index()
+        )
+
+    counts = (
+        ds.select_columns([strata_col])
+        .map_batches(hist, batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda df: df.groupby(strata_col, sort=False, observed=True)
+            .agg(c=("c", "sum")).reset_index(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    thr_map = {
+        s: np.uint64(min(int(_DENOM), (target_count << 32) // int(c)))
+        for s, c in zip(counts[strata_col], counts["c"])
+    }
+
+    def pick(batch: pa.Table) -> pa.Table:
+        h = _id_hashes(batch.column(id_col).cast(pa.string()), seed)
+        strata = batch.column(strata_col).to_pylist()
+        thr = np.fromiter(
+            (thr_map.get(s, np.uint64(0)) for s in strata),
+            np.uint64,
+            len(strata),
+        )
+        return batch.filter(pa.array((h % _DENOM) < thr))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def stratified_sample(
     ds,
     fractions: dict[str, float],

@@ -98,3 +98,46 @@ class TestStratifiedSample:
             _docs(rd), {}, strata_col="lang", default_fraction=0.4, seed=9
         ).to_pandas()
         assert sorted(flat["doc_id"]) == sorted(strat["doc_id"])
+
+
+class TestBalanceSample:
+    def test_caps_head_keeps_tail_and_integer_threshold(self, ray_session):
+        import hashlib
+
+        import numpy as np
+        import ray.data as rd
+
+        from deepblocker_ray.stages.sampling import balance_sample
+
+        # skewed corpus: en 300, de 60, fr 10; target 60 per lang
+        langs = ["en"] * 300 + ["de"] * 60 + ["fr"] * 10
+        df = pd.DataFrame({"doc_id": range(len(langs)), "lang": langs})
+        ds = rd.from_pandas([p for p in __import__("numpy").array_split(df, 7)])
+        out = balance_sample(
+            ds, strata_col="lang", target_count=60, id_col="doc_id", seed=0
+        ).to_pandas()
+
+        # scalar recompute: integer threshold, md5 rule
+        def h(v):
+            return int.from_bytes(
+                hashlib.md5(f"{v}|0".encode()).digest()[8:16], "little"
+            ) % (1 << 32)
+
+        want = set()
+        thr = {"en": (60 << 32) // 300, "de": 1 << 32, "fr": 1 << 32}
+        for _, r in df.iterrows():
+            if h(r["doc_id"]) < thr[r["lang"]]:
+                want.add(r["doc_id"])
+        assert set(out["doc_id"]) == want
+        # tail strata (target >= actual) are kept WHOLE, exactly
+        assert (out["lang"] == "de").sum() == 60
+        assert (out["lang"] == "fr").sum() == 10
+        # head stratum actually downsampled around the target
+        n_en = (out["lang"] == "en").sum()
+        assert 30 <= n_en <= 90
+
+    def test_bad_target(self):
+        from deepblocker_ray.stages.sampling import balance_sample
+
+        with pytest.raises(ValueError):
+            balance_sample(None, strata_col="lang", target_count=-1)
