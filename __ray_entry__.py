@@ -10,7 +10,7 @@ deterministically from the ``documents`` view by an 8-word-turn rule that has
 an exact SQL twin (deepblocker_ray.fixtures), so canonicalize is
 SQL-checkable.
 
-Oracle coverage (55 of 58 queries have a full SQL twin): the dedup cluster
+Oracle coverage (57 of 60 queries have a full SQL twin): the dedup cluster
 queries are checked against brute-force exact-similarity pair SQL +
 recursive-CTE connected components; simhash's 64-bit fingerprint is
 recomputed bit-for-bit in SQL (the engine's stable hash IS DuckDB's
@@ -994,6 +994,32 @@ def q_balance_sample(sf_dir: str):
     )
 
 
+def q_pretrain_curate(sf_dir: str):
+    """End-to-end pretraining-data curation over documents: normalize →
+    exact-dedup on normalized text → quality ≥ 0.5 gate → concat-and-chunk
+    packing. Every stage is individually twinned, so the COMPOSITE output
+    (the packed layout of the cleaned corpus) hash-matches one chained SQL
+    statement."""
+    from deepblocker_ray.pipelines.pretrain import pretrain_curate
+
+    return pretrain_curate(
+        _documents(sf_dir), _cfg(), quality_min=0.5, tokens_per_seq=256
+    )
+
+
+def q_json_extract(sf_dir: str):
+    """Flat-JSON field extraction from event props inside pyarrow's RE2
+    extract_regex kernel (no per-row parser); DuckDB regexp_extract is the
+    same RE2 engine, so the twin matches by construction."""
+    from deepblocker_ray.stages.textstats import json_field_extract
+
+    ev = _events(sf_dir, columns=["event_id", "props"])
+    return json_field_extract(
+        ev, "props", "k", out_col="k", out_type="int",
+        keep_cols=["event_id"],
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1059,6 +1085,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "blocking_stats": q_blocking_stats,
         "balance_sample": q_balance_sample,
+        "pretrain_curate": q_pretrain_curate,
+        "json_extract": q_json_extract,
     }
 
 
@@ -1103,6 +1131,47 @@ _STOPWORD_VALUES = """(VALUES
 ) AS l(lang, sw)"""
 
 _STOP_EN = "['the','and','of','a','to','in','is','it','you','that']"
+
+
+def _quality_subquery(src: str, text_col: str = "text") -> str:
+    """The quality-score formula as a parenthesized subquery over any
+    (doc_id, <text_col>) relation — one definition shared by the ``quality``
+    twin and the composite ``pretrain_curate`` twin so the two cannot
+    drift. Yields (doc_id, stop_ratio, mean_word_len, alpha_ratio,
+    quality)."""
+    return f"""(
+        WITH w_q AS (
+            SELECT doc_id, {text_col} AS text,
+                   list_filter(
+                       string_split_regex(trim({text_col}), '\\s+'),
+                       x -> x <> '') AS ws
+            FROM {src}
+        ),
+        m_q AS (
+            SELECT doc_id, text,
+                   CASE WHEN len(ws) = 0 THEN 0.0
+                        ELSE CAST(len(list_filter(ws,
+                                 x -> list_contains({_STOP_EN},
+                                                    lower(x)))) AS DOUBLE)
+                             / len(ws) END AS stop_ratio,
+                   CASE WHEN len(ws) = 0 THEN 0.0
+                        ELSE list_avg(list_transform(ws, x -> length(x)))
+                        END AS mean_word_len,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE CAST(length(text) - length(
+                                 regexp_replace(text, '[\\pL\\s]', '', 'g')
+                             ) AS DOUBLE) / length(text) END AS alpha_ratio,
+                   CASE WHEN length(text) BETWEEN 20 AND 100000
+                        THEN 1.0 ELSE 0.0 END AS length_ok
+            FROM w_q
+        )
+        SELECT doc_id, stop_ratio, mean_word_len, alpha_ratio,
+               0.25 * length_ok
+               + 0.25 * least(stop_ratio * 5, 1.0)
+               + 0.25 * least(greatest(
+                     1.0 - abs(mean_word_len - 5.0) / 10.0, 0.0), 1.0)
+               + 0.25 * alpha_ratio AS quality
+        FROM m_q)"""
 
 
 def _pii_sql() -> str:
@@ -1685,6 +1754,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR) || '|0')
                       % 4294967296 < thr.t
         """,
+        # same RE2 engine + pattern as the pyarrow extract_regex kernel;
+        # no match → NULL on both sides (NULLIF guards DuckDB's ''-on-miss)
+        "json_extract": r"""
+            SELECT event_id,
+                   CAST(NULLIF(regexp_extract(coalesce(props, ''),
+                                              '"k"\s*:\s*(-?\d+)', 1),
+                               '') AS BIGINT) AS k
+            FROM events
+        """,
+        # composite curation twin: the normalize / min-id dedup / quality /
+        # packing fragments are the SAME ones behind the individual twins
+        # (quality via the shared _quality_subquery), chained as CTEs
+        "pretrain_curate": f"""
+            WITH norm AS ({_text_normalize_sql()}),
+            ded AS (
+                SELECT min(doc_id) AS doc_id, norm_text
+                FROM norm GROUP BY norm_text
+            ),
+            q AS (
+                SELECT doc_id
+                FROM {_quality_subquery('ded', 'norm_text')} qsub
+                WHERE quality >= 0.5
+            ),
+            kept AS (SELECT d.* FROM ded d JOIN q USING (doc_id)),
+            t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(coalesce(norm_text, ''),
+                                              '\\S+')) AS n_tokens
+                FROM kept
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                           AS start_tok
+                FROM t
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, start_tok,
+                   start_tok // 256 AS first_seq,
+                   CASE WHEN n_tokens = 0 THEN start_tok // 256
+                        ELSE (start_tok + n_tokens - 1) // 256
+                   END AS last_seq
+            FROM c
+        """,
         # SNM twin: the engine orders by (key, id) with codepoint string
         # comparison — DuckDB's binary VARCHAR collation; the windowed
         # self-join is rank distance < window
@@ -1802,40 +1917,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(b.v AS DOUBLE) / b.total END AS lang_conf
             FROM words w JOIN best b ON w.doc_id = b.doc_id AND b.rn = 1
         """,
-        "quality": """
-            WITH w AS (
-                SELECT doc_id, text,
-                       list_filter(
-                           string_split_regex(trim(text), '\\s+'),
-                           x -> x <> '') AS ws
-                FROM documents
-            ),
-            m AS (
-                SELECT doc_id, text,
-                       CASE WHEN len(ws) = 0 THEN 0.0
-                            ELSE CAST(len(list_filter(ws,
-                                     x -> list_contains(""" + _STOP_EN + """,
-                                                        lower(x)))) AS DOUBLE)
-                                 / len(ws) END AS stop_ratio,
-                       CASE WHEN len(ws) = 0 THEN 0.0
-                            ELSE list_avg(list_transform(ws, x -> length(x)))
-                            END AS mean_word_len,
-                       CASE WHEN length(text) = 0 THEN 0.0
-                            ELSE CAST(length(text) - length(
-                                     regexp_replace(text, '[\\pL\\s]', '', 'g')
-                                 ) AS DOUBLE) / length(text) END AS alpha_ratio,
-                       CASE WHEN length(text) BETWEEN 20 AND 100000
-                            THEN 1.0 ELSE 0.0 END AS length_ok
-                FROM w
-            )
-            SELECT doc_id, stop_ratio, mean_word_len, alpha_ratio,
-                   0.25 * length_ok
-                   + 0.25 * least(stop_ratio * 5, 1.0)
-                   + 0.25 * least(greatest(
-                         1.0 - abs(mean_word_len - 5.0) / 10.0, 0.0), 1.0)
-                   + 0.25 * alpha_ratio AS quality
-            FROM m
-        """,
+        "quality": f"SELECT * FROM {_quality_subquery('documents')}",
         "knn_ivf": """
             WITH sims AS (
                 SELECT CAST(q.vec_id AS VARCHAR) AS query_id,

@@ -107,7 +107,11 @@ def bench_query(fn) -> dict:
     s0 = _cpu_stat()
     t0 = time.perf_counter()
     out = fn(SF_DIR)
-    n = out.count() if hasattr(out, "count") else len(out)
+    # ray Dataset → .count(); pandas/pyarrow (whose .count() means
+    # something else / len raises on Dataset) → len()
+    import ray.data as _rd
+
+    n = out.count() if isinstance(out, _rd.Dataset) else len(out)
     return {
         "sec": time.perf_counter() - t0,
         "out_rows": int(n),
@@ -194,6 +198,8 @@ def main() -> None:
         "sorted_neighborhood",
         "blocking_stats",
         "balance_sample",
+        "pretrain_curate",
+        "json_extract",
     ]
     for name in query_names:
         r = bench_query(q[name])

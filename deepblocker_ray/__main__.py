@@ -8,6 +8,7 @@ chosen embedder and top-K, and prints recall statistics).
         --embedder sif --k 10 --out /tmp/out
     python -m deepblocker_ray dedup --input docs.parquet \\
         --method minhash --out /tmp/out
+    python -m deepblocker_ray curate --input docs.parquet --out /tmp/out
 
 Each subcommand writes partitioned parquet under --out plus a metrics.json
 (row counts, dedup skew stats). The CLI owns its Ray session (guarded init);
@@ -117,6 +118,20 @@ def cmd_dedup(args) -> dict:
     return {"rows": _write(out, args.out, "dedup"), "skew_stats": stats}
 
 
+def cmd_curate(args) -> dict:
+    from .config import EngineConfig
+    from .pipelines.pretrain import pretrain_curate
+    from .sources.io import read_table
+
+    out = pretrain_curate(
+        read_table(args.input),
+        EngineConfig(),
+        quality_min=args.quality_min,
+        tokens_per_seq=args.tokens_per_seq,
+    )
+    return {"rows": _write(out, args.out, "curate")}
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="deepblocker_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -153,6 +168,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     d.add_argument("--out", required=True)
     d.set_defaults(fn=cmd_dedup)
+
+    c = sub.add_parser(
+        "curate",
+        help="pretraining curation: normalize → dedup → quality gate → pack",
+    )
+    c.add_argument("--input", required=True)
+    c.add_argument("--quality-min", type=float, default=0.5)
+    c.add_argument("--tokens-per-seq", type=int, default=2048)
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_curate)
     return p
 
 

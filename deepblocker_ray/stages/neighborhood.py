@@ -52,12 +52,26 @@ _PAIR_SCHEMA = pa.schema(
 def _prefix_u64(keys) -> np.ndarray:
     """Big-endian uint64 of each key's first 8 UTF-8 bytes (zero-padded):
     numeric order of the prefix == byte-lexicographic order of the key, so
-    any non-decreasing bucketing of it is order-aligned."""
-    out = np.empty(len(keys), np.uint64)
-    for i, k in enumerate(keys):
-        b = ("" if k is None else str(k)).encode("utf-8", "surrogatepass")[:8]
-        out[i] = int.from_bytes(b.ljust(8, b"\0"), "big")
-    return out
+    any non-decreasing bucketing of it is order-aligned.
+
+    Fast path: numpy's ``S8`` cast truncates/zero-pads in C (ASCII-only);
+    non-ASCII keys fall back to a per-row encode — both produce the
+    identical big-endian value."""
+    if len(keys) == 0:
+        return np.empty(0, np.uint64)
+    try:
+        arr = np.asarray(
+            ["" if k is None else str(k) for k in keys], dtype="S8"
+        )
+        return np.frombuffer(arr.tobytes(), dtype=">u8").astype(np.uint64)
+    except UnicodeEncodeError:
+        out = np.empty(len(keys), np.uint64)
+        for i, k in enumerate(keys):
+            b = ("" if k is None else str(k)).encode(
+                "utf-8", "surrogatepass"
+            )[:8]
+            out[i] = int.from_bytes(b.ljust(8, b"\0"), "big")
+        return out
 
 
 def sorted_neighborhood(

@@ -538,3 +538,50 @@ def characteristic_term(ds, cfg, text_col: str = "text",
         )
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- json field extract --
+
+
+def json_field_extract(
+    ds,
+    json_col: str,
+    field: str,
+    *,
+    out_col: str | None = None,
+    out_type: str = "int",
+    keep_cols: list[str] | None = None,
+):
+    """Extract one scalar field from a FLAT-JSON string column (the
+    structured-props shape of event streams) entirely inside pyarrow's RE2
+    ``extract_regex`` kernel — no per-row Python, no JSON parser object per
+    row. Missing field / no match → NULL.
+
+    This is deliberately the regex fast path for flat, known-schema props
+    (``{"k": 69}``); it does NOT handle nested objects or escaped quotes in
+    values — at 100 TB a known-flat-schema extraction is a column scan,
+    while general JSON parsing is a per-row CPU sink. ``out_type``: "int"
+    (``-?\\d+``) or "str" (double-quoted value, no escapes). The SQL twin is
+    DuckDB ``regexp_extract`` — the same RE2 engine, so matches are
+    identical by construction."""
+    import pyarrow.compute as pc
+
+    if out_type not in ("int", "str"):
+        raise ValueError(f"out_type must be 'int' or 'str', got {out_type!r}")
+    out_col = out_col or field
+    if out_type == "int":
+        pattern = f'"{field}"\\s*:\\s*(?P<v>-?\\d+)'
+    else:
+        pattern = f'"{field}"\\s*:\\s*"(?P<v>[^"]*)"'
+
+    def extract(t: pa.Table) -> pa.Table:
+        src = pc.fill_null(pc.cast(t.column(json_col), pa.string()), "")
+        st = pc.extract_regex(src, pattern)
+        v = pc.struct_field(st, "v")
+        if out_type == "int":
+            v = pc.cast(v, pa.int64())
+        cols = {c: t.column(c) for c in (keep_cols or [])}
+        cols[out_col] = v
+        return pa.table(cols)
+
+    return ds.map_batches(extract, batch_format="pyarrow")

@@ -87,3 +87,29 @@ def test_cli_link_delta(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     metrics = json.load(open(out / "metrics.json"))
     assert metrics["clusters"] == len(convs)
+
+
+@pytest.mark.slow
+def test_cli_curate(tmp_path):
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "text": [
+                f"The quick brown fox number {i} jumps over the lazy dog "
+                "and it is a fine day" for i in range(19)
+            ]
+            + ["  The QUICK brown fox number 0 jumps over the lazy dog "
+               "and it is a fine day  "],  # dup of 0 after normalize
+        }
+    )
+    docs_path = tmp_path / "docs.parquet"
+    docs.to_parquet(docs_path)
+    out = tmp_path / "out_curate"
+    r = _run(
+        ["curate", "--input", str(docs_path), "--tokens-per-seq", "16",
+         "--out", str(out)],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert metrics["rows"] == 19  # 20 docs − 1 normalized duplicate

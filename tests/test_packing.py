@@ -147,3 +147,50 @@ class TestLengthBatches:
         assert out.schema().names == ["doc_id", "n_tokens", "batch_id"]
         with pytest.raises(ValueError, match="batch_docs"):
             length_batches(empty, CFG, batch_docs=0)
+
+
+class TestPretrainCurate:
+    def test_dedup_gate_and_offsets(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.pipelines.pretrain import pretrain_curate
+
+        good = (
+            "The quick brown fox jumps over the lazy dog and it is a fine "
+            "day in the park"
+        )
+        rows = pd.DataFrame(
+            {
+                "doc_id": np.arange(6, dtype=np.int64),
+                "text": [
+                    good,                      # 0: survives
+                    "  " + good.upper() + " ",  # 1: dup of 0 after normalize
+                    good + " extra words here",  # 2: survives (distinct)
+                    "@@@ ###",                 # 3: junk → quality-gated out
+                    good.replace(" ", "   "),  # 4: dup of 0 (ws collapse)
+                    "12345 67890",             # 5: digits, short → gated out
+                ],
+            }
+        )
+        out = (
+            pretrain_curate(
+                rd.from_pandas([p for p in np.array_split(rows, 3)]),
+                EngineConfig(num_buckets=8),
+                quality_min=0.5,
+                tokens_per_seq=8,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # survivors: 0 (wins its dup group) and 2; 1/4 deduped, 3/5 gated
+        assert out["doc_id"].tolist() == [0, 2]
+        n0 = len(good.split())
+        assert out["n_tokens"].tolist() == [n0, n0 + 3]
+        # packing offsets: ascending id concat, chunked every 8 tokens
+        assert out["start_tok"].tolist() == [0, n0]
+        assert out["first_seq"].tolist() == [0, n0 // 8]
+        assert out["last_seq"].iloc[0] == (n0 - 1) // 8

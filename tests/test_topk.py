@@ -347,3 +347,40 @@ class TestArgumentGuards:
             assert sorted(out["c_custkey"]) == [1, 3, 5]
             assert list(out.columns) == ["c_custkey", "c_name"]
             assert out["c_custkey"].dtype == np.int32
+
+
+class TestJsonFieldExtract:
+    def test_int_str_missing_null(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from deepblocker_ray.stages.textstats import json_field_extract
+
+        props = [
+            '{"k": 69}',
+            '{"k":-7, "name": "bob"}',
+            '{"other": 1}',       # field missing → NULL
+            None,                  # null json → NULL
+            '{"k": "notanum"}',    # int pattern doesn't match → NULL
+        ]
+        ds = rd.from_arrow(
+            pa.table({"event_id": list(range(5)), "props": props})
+        )
+        out = (
+            json_field_extract(ds, "props", "k", keep_cols=["event_id"])
+            .to_pandas()
+            .sort_values("event_id")
+        )
+        assert out["k"].tolist()[:2] == [69, -7]
+        assert out["k"].isna().tolist() == [False, False, True, True, True]
+
+        out2 = json_field_extract(
+            ds, "props", "name", out_type="str", keep_cols=["event_id"]
+        ).to_pandas().sort_values("event_id")
+        assert out2["name"].tolist()[1] == "bob"
+        assert out2["name"].isna().sum() == 4
+
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            json_field_extract(ds, "props", "k", out_type="float")
