@@ -10,7 +10,7 @@ deterministically from the ``documents`` view by an 8-word-turn rule that has
 an exact SQL twin (deepblocker_ray.fixtures), so canonicalize is
 SQL-checkable.
 
-Oracle coverage (57 of 60 queries have a full SQL twin): the dedup cluster
+Oracle coverage (59 of 62 queries have a full SQL twin): the dedup cluster
 queries are checked against brute-force exact-similarity pair SQL +
 recursive-CTE connected components; simhash's 64-bit fingerprint is
 recomputed bit-for-bit in SQL (the engine's stable hash IS DuckDB's
@@ -1020,6 +1020,31 @@ def q_json_extract(sf_dir: str):
     )
 
 
+def q_chunk_documents(sf_dir: str):
+    """Retrieval/embedding chunking: overlapping 120-char windows (40
+    overlap), pure row expansion with one utf8_slice kernel per chunk index
+    — no shuffle, no per-row Python; code-point slicing matches DuckDB
+    substr for non-ASCII too."""
+    from deepblocker_ray.stages.packing import chunk_documents
+
+    return chunk_documents(
+        _documents(sf_dir), _cfg(), chunk_chars=120, overlap=40
+    )
+
+
+def q_vocab_build(sf_dir: str):
+    """Frequency-ranked vocabulary (token_id = dense rank in count-desc,
+    token-asc order) via count-descending prefix-scan ranges — no global
+    sort; min_freq=2 truncates the rare tail before ranking."""
+    from deepblocker_ray.stages.embed import vocab_build
+
+    docs = _documents(sf_dir).map_batches(
+        lambda t: pa.table({"tuple_text": t.column("text")}),
+        batch_format="pyarrow",
+    )
+    return vocab_build(docs, _cfg(), min_freq=2)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1087,6 +1112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balance_sample": q_balance_sample,
         "pretrain_curate": q_pretrain_curate,
         "json_extract": q_json_extract,
+        "chunk_documents": q_chunk_documents,
+        "vocab_build": q_vocab_build,
     }
 
 
@@ -1753,6 +1780,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN thr ON thr.lang = d.lang
             WHERE md5_number_lower(CAST(d.doc_id AS VARCHAR) || '|0')
                       % 4294967296 < thr.t
+        """,
+        # chunking twin: strided 1-based starts; stride = 120 − 40 = 80;
+        # greatest(len − overlap, 1) keeps one (possibly empty) chunk per doc
+        "chunk_documents": """
+            SELECT doc_id,
+                   CAST((x - 1) // 80 AS BIGINT) AS chunk_idx,
+                   CAST(x AS BIGINT) AS start_char,
+                   substr(text, x, 120) AS chunk_text
+            FROM (SELECT doc_id, coalesce(text, '') AS text,
+                         unnest(generate_series(
+                             1, greatest(length(coalesce(text, '')) - 40, 1),
+                             80)) AS x
+                  FROM documents)
+        """,
+        "vocab_build": f"""
+            WITH freq AS (
+                SELECT token, count(*) AS count
+                FROM (SELECT unnest({tokens}) AS token FROM documents)
+                GROUP BY token
+            )
+            SELECT token, count,
+                   CAST(row_number() OVER (ORDER BY count DESC, token) - 1
+                        AS BIGINT) AS token_id
+            FROM freq WHERE count >= 2
         """,
         # same RE2 engine + pattern as the pyarrow extract_regex kernel;
         # no match → NULL on both sides (NULLIF guards DuckDB's ''-on-miss)

@@ -200,6 +200,8 @@ def main() -> None:
         "balance_sample",
         "pretrain_curate",
         "json_extract",
+        "chunk_documents",
+        "vocab_build",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -232,6 +232,95 @@ def token_frequencies(ds, text_col: str = "tuple_text", cfg=None):
     )
 
 
+def vocab_build(
+    ds,
+    cfg=None,
+    *,
+    text_col: str = "tuple_text",
+    min_freq: int = 1,
+):
+    """Frequency-ranked vocabulary — (token, count, token_id) with
+    token_id = dense 0-based rank in (count DESC, token ASC) order, the
+    id assignment every tokenizer/embedding-table build starts from.
+
+    Global rank WITHOUT a global sort: the shared prefix-scan machinery
+    (scan.range_offsets) over count-descending ranges — equal counts land
+    in one range by construction, so ranges partition the total order.
+    Token counts are zipfian (a huge count=1 tail): a hot count value
+    bounds ONE range's sort, the same containment note as
+    length_batches' hot-length ranges. min_freq truncates before ranking
+    (the SIF fallback rule: rare tokens are OOV, embed.py:SIFEmbedder)."""
+    import ray
+    import ray.data as rd
+
+    from ..config import EngineConfig as _EC
+    from .scan import range_offsets
+
+    cfg = cfg or _EC()
+    if min_freq < 1:
+        raise ValueError(f"min_freq must be >= 1, got {min_freq}")
+    nr = cfg.num_buckets
+
+    freq = token_frequencies(ds, text_col=text_col, cfg=cfg)
+    if min_freq > 1:
+        freq = freq.filter(expr=f"count >= {min_freq}")
+    freq = freq.materialize()
+
+    from ray.data.aggregate import Max, Min
+
+    bounds = freq.aggregate(Min("count"), Max("count"))
+    if bounds is None or bounds.get("min(count)") is None:
+        return rd.from_arrow(
+            pa.schema(
+                [("token", pa.string()), ("count", pa.int64()),
+                 ("token_id", pa.int64())]
+            ).empty_table()
+        )
+    lo = np.int64(bounds["min(count)"])
+    hi = np.int64(bounds["max(count)"])
+    span = np.int64(int(hi) - int(lo) + 1)
+
+    def rng_of(c: np.ndarray) -> np.ndarray:
+        # descending count order: range 0 holds the HIGHEST counts
+        return ((hi - c) * np.int64(nr) // span).astype(np.int64)
+
+    offsets, _total = range_offsets(
+        freq, lambda t: rng_of(np.asarray(t.column("count"))), nr
+    )
+    off_ref = ray.put(offsets)
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        c = np.asarray(t.column("count"))
+        return t.append_column(
+            "_bucket", pa.array(rng_of(c).astype(np.int32))
+        )
+
+    import pandas as pd
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import cached_get
+
+        off = cached_get(off_ref)
+        rng = int(g["_bucket"].iloc[0])
+        g = g.sort_values(
+            ["count", "token"], ascending=[False, True], kind="mergesort"
+        )
+        return pd.DataFrame(
+            {
+                "token": g["token"].to_numpy(),
+                "count": g["count"].to_numpy(np.int64),
+                "token_id": off[rng]
+                + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return (
+        freq.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(rank, batch_format="pandas")
+    )
+
+
 def sif_weight_dict(
     freq_df,
     a: float = SIF_WEIGHTING_PARAM,

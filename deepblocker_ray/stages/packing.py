@@ -249,3 +249,93 @@ _EMPTY_BATCHES = pa.table(
         "batch_id": pa.array([], pa.int64()),
     }
 )
+
+
+# --------------------------------------------------------------- chunking --
+
+
+def chunk_documents(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+):
+    """Split documents into overlapping character windows — the retrieval /
+    embedding chunking layout (stride = chunk_chars − overlap; the last
+    chunk may be shorter; empty/NULL text yields one empty chunk so every
+    document appears in the output).
+
+    Emits (doc_id, chunk_idx:int64, start_char:int64, chunk_text) with
+    1-BASED start_char (DuckDB substr convention — the twin is
+    ``substr(text, x, chunk_chars)`` over a strided generate_series).
+
+    Pure row expansion — NO shuffle, no per-row Python: chunk k of every
+    doc in a batch is sliced by ONE ``utf8_slice_codeunits`` kernel call
+    (scalar offsets), so per-batch work is max_chunks kernel passes over
+    progressively fewer rows. Slicing is by CODE POINTS on both sides
+    (Arrow "codeunits" == DuckDB character semantics), so the twin holds
+    for non-ASCII text too."""
+    import pyarrow.compute as pc
+
+    cfg = cfg or EngineConfig()
+    if overlap < 0 or chunk_chars < 1 or overlap >= chunk_chars:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_chars, got {overlap}/{chunk_chars}"
+        )
+    stride = chunk_chars - overlap
+
+    def expand(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+        lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        # chunk starts: 0, stride, 2·stride, … while start < max(len−overlap, 1)
+        stops = np.maximum(lens - overlap, 1)
+        n_chunks = ((stops - 1) // stride + 1).astype(np.int64)
+        ids = t.column(id_col)
+        out_ids, out_idx, out_start, out_text = [], [], [], []
+        k = 0
+        alive = np.arange(len(lens))
+        while True:
+            alive = alive[n_chunks[alive] > k]
+            if len(alive) == 0:
+                break
+            sel = pa.array(alive, pa.int64())
+            sliced = pc.utf8_slice_codeunits(
+                pc.take(txt, sel), k * stride, k * stride + chunk_chars
+            )
+            out_ids.append(pc.take(ids, sel))
+            out_idx.append(pa.array(np.full(len(alive), k, np.int64)))
+            out_start.append(
+                pa.array(np.full(len(alive), k * stride + 1, np.int64))
+            )
+            out_text.append(sliced)
+            k += 1
+        if not out_ids:
+            return pa.table(
+                {
+                    id_col: pa.array([], ids.type),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "start_char": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                     else a for a in out_ids]
+                ),
+                "chunk_idx": pa.concat_arrays(out_idx),
+                "start_char": pa.concat_arrays(out_start),
+                "chunk_text": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                     else a for a in out_text]
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        expand, batch_format="pyarrow"
+    )

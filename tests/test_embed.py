@@ -232,3 +232,54 @@ def test_truncated_weights_reject_nondefault_oov(ray_session):
         )
     # default oov_weight stays allowed
     assert m.transform(ds).count() == 2
+
+
+class TestVocabBuild:
+    def test_rank_ties_and_min_freq(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.embed import vocab_build
+
+        texts = (
+            ["zebra apple"] * 5      # zebra 5+1, apple 5
+            + ["apple banana"] * 0
+            + ["banana cherry zebra"]  # banana 1, cherry 1, zebra 6
+        )
+        ds = rd.from_pandas(
+            [p for p in np.array_split(
+                pd.DataFrame({"tuple_text": texts}), 3)]
+        )
+        out = (
+            vocab_build(ds, EngineConfig(num_buckets=8), min_freq=1)
+            .to_pandas()
+            .sort_values("token_id")
+            .reset_index(drop=True)
+        )
+        # zebra 6, apple 5, then count-1 ties in token-asc order
+        assert out["token"].tolist() == ["zebra", "apple", "banana", "cherry"]
+        assert out["count"].tolist() == [6, 5, 1, 1]
+        assert out["token_id"].tolist() == [0, 1, 2, 3]
+
+        out2 = vocab_build(
+            ds, EngineConfig(num_buckets=8), min_freq=2
+        ).to_pandas().sort_values("token_id")
+        assert out2["token"].tolist() == ["zebra", "apple"]
+
+    def test_empty_corpus(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.embed import vocab_build
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"tuple_text": pd.Series([], dtype="object")})
+        )
+        out = vocab_build(ds, EngineConfig(num_buckets=8))
+        assert out.count() == 0
+        # (to_pandas() on an empty arrow dataset drops columns — Ray quirk;
+        # the schema is the contract, same note as test_packing)
+        assert out.schema().names == ["token", "count", "token_id"]

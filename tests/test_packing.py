@@ -194,3 +194,58 @@ class TestPretrainCurate:
         assert out["start_tok"].tolist() == [0, n0]
         assert out["first_seq"].tolist() == [0, n0 // 8]
         assert out["last_seq"].iloc[0] == (n0 - 1) // 8
+
+
+class TestChunkDocuments:
+    def test_boundaries_overlap_and_nonascii(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.packing import chunk_documents
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(5, dtype=np.int64),
+                "text": [
+                    "a" * 10,        # one exact-ish chunk
+                    "b" * 11,        # 11 > chunk(10) → 2 chunks
+                    "",              # empty → one empty chunk
+                    None,            # NULL → one empty chunk
+                    "é" * 13,        # non-ASCII: CHARACTER windows
+                ],
+            }
+        )
+        out = (
+            chunk_documents(
+                rd.from_pandas([p for p in np.array_split(docs, 2)]),
+                EngineConfig(num_buckets=8),
+                chunk_chars=10, overlap=4,
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        by = {k: g for k, g in out.groupby("doc_id")}
+        assert len(by[0]) == 1 and by[0]["chunk_text"].iloc[0] == "a" * 10
+        # doc 1: stride 6 → starts 1, 7 (1-based)
+        assert by[1]["start_char"].tolist() == [1, 7]
+        assert by[1]["chunk_text"].tolist() == ["b" * 10, "b" * 5]
+        assert by[2]["chunk_text"].tolist() == [""]
+        assert by[3]["chunk_text"].tolist() == [""]
+        # doc 4: 13 chars → starts 1, 7; second chunk é×7 (chars, not bytes)
+        assert by[4]["chunk_text"].tolist() == ["é" * 10, "é" * 7]
+        # full reconstruction: stripping the overlap re-concatenates the doc
+        rec = by[1]["chunk_text"].iloc[0] + by[1]["chunk_text"].iloc[1][4:]
+        assert rec == "b" * 11
+
+    def test_bad_params(self):
+        from deepblocker_ray.stages.packing import chunk_documents
+
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            chunk_documents(None, chunk_chars=10, overlap=10)
+        with _pt.raises(ValueError):
+            chunk_documents(None, chunk_chars=0, overlap=0)
