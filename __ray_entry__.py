@@ -10,7 +10,7 @@ deterministically from the ``documents`` view by an 8-word-turn rule that has
 an exact SQL twin (deepblocker_ray.fixtures), so canonicalize is
 SQL-checkable.
 
-Oracle coverage (59 of 62 queries have a full SQL twin): the dedup cluster
+Oracle coverage (61 of 64 queries have a full SQL twin): the dedup cluster
 queries are checked against brute-force exact-similarity pair SQL +
 recursive-CTE connected components; simhash's 64-bit fingerprint is
 recomputed bit-for-bit in SQL (the engine's stable hash IS DuckDB's
@@ -1045,6 +1045,29 @@ def q_vocab_build(sf_dir: str):
     return vocab_build(docs, _cfg(), min_freq=2)
 
 
+def q_snm_dedup(sf_dir: str):
+    """Classic merge/purge dedup: sorted-neighborhood blocking (12-char
+    lowercased prefix, window 4) → Jaro-Winkler ≥ 0.9 verify → connected
+    components — the non-learned, embedding-free dedup baseline with the
+    same output contract as the minhash/simhash family."""
+    from deepblocker_ray.stages.neighborhood import snm_dedup
+
+    return snm_dedup(
+        _documents(sf_dir), _cfg(), key_chars=12, window=4,
+        jw_threshold=0.9,
+    )
+
+
+def q_value_outliers(sf_dir: str):
+    """Robust per-type MAD outlier flags in exact integer arithmetic
+    (median and MAD via the (n+1)//2 rank rule; outlier ⇔ |c−med| >
+    3·mad) — two count-partial statistics passes, one map-side flag pass."""
+    from deepblocker_ray.stages.events import value_outliers
+
+    ev = _events(sf_dir, columns=["event_id", "event_type", "value"])
+    return value_outliers(ev, _cfg(), k=3)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1114,6 +1137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract": q_json_extract,
         "chunk_documents": q_chunk_documents,
         "vocab_build": q_vocab_build,
+        "snm_dedup": q_snm_dedup,
+        "value_outliers": q_value_outliers,
     }
 
 
@@ -1895,6 +1920,63 @@ def oracle_sql() -> dict[str, str]:
                        AS cssr
             FROM n, g, cn, hits
         """,
+        # MAD twin: lower-middle-rank medians via row_number — all int64,
+        # bit-exact
+        "value_outliers": """
+            WITH e AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            m AS (
+                SELECT event_type, cents,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY cents) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM e
+            ),
+            med AS (SELECT event_type, cents AS med FROM m
+                    WHERE rn = (n + 1) // 2),
+            d AS (
+                SELECT e.event_id, e.event_type, e.cents, med.med,
+                       abs(e.cents - med.med) AS dev
+                FROM e JOIN med USING (event_type)
+            ),
+            m2 AS (
+                SELECT event_type, dev,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY dev) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM d
+            ),
+            mad AS (SELECT event_type, dev AS mad FROM m2
+                    WHERE rn = (n + 1) // 2)
+            SELECT d.event_id, d.event_type, d.cents,
+                   d.med AS med_cents, mad.mad AS mad_cents,
+                   d.dev > 3 * mad.mad AS is_outlier
+            FROM d JOIN mad USING (event_type)
+        """,
+        # merge/purge twin: SNM rank window + native jaro_winkler verify +
+        # the shared recursive-CTE components. The engine's batch JW kernel
+        # is value-identical to DuckDB's (string_sims pins it), so the 0.9
+        # threshold filters identically.
+        "snm_dedup": _cc_sql(
+            """
+            WITH r AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       row_number() OVER (
+                           ORDER BY lower(substr(coalesce(text, ''), 1, 12)),
+                                    doc_id) - 1 AS rk
+                FROM documents
+            )
+            SELECT CAST(a.doc_id AS VARCHAR) AS left_id,
+                   CAST(b.doc_id AS VARCHAR) AS right_id
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 4
+            WHERE jaro_winkler_similarity(a.text, b.text) >= 0.9
+            """,
+            "documents",
+            "doc_id",
+        ),
         "minhash_dedup": _cc_sql(minhash_pairs, "documents", "doc_id"),
         "length_batches": r"""
             WITH t AS (

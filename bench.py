@@ -202,6 +202,8 @@ def main() -> None:
         "json_extract",
         "chunk_documents",
         "vocab_build",
+        "snm_dedup",
+        "value_outliers",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -484,3 +484,113 @@ def _empty_asof() -> pd.DataFrame:
             for c in ("event_id", "user_id", "ts_us", "matched_id", "lag_us")
         }
     )
+
+
+# ---------------------------------------------------------- MAD outliers --
+
+
+def _group_median_from_counts(ds_counts):
+    """(group, value, cnt) partial rows → {group: exact discrete median}
+    with the (n+1)//2 lower-middle rank rule (1-based). Driver state is
+    O(groups); the exchange already happened upstream."""
+    df = ds_counts.to_pandas()
+    med: dict = {}
+    if len(df) == 0:
+        return med
+    for grp, g in df.groupby("_grp", sort=False, observed=True):
+        agg = g.groupby("_val", sort=True)["_cnt"].sum()
+        vals = agg.index.to_numpy(np.int64)
+        cum = agg.to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        rank = (n + 1) // 2
+        med[grp] = int(vals[np.searchsorted(cum, rank, "left")])
+    return med
+
+
+def value_outliers(ds, cfg: EngineConfig, *, k: int = 3):
+    """Robust per-type outlier flags on the event value, in EXACT integer
+    arithmetic: med = discrete median of cents (lower-middle rank
+    (n+1)//2), mad = discrete median of |cents − med|, outlier ⇔
+    |cents − med| > k·mad. Median/MAD resist the contamination that makes
+    mean/stddev gates circular (the outliers move the gate).
+
+    Output: (event_id, event_type, cents, med_cents, mad_cents,
+    is_outlier). Two statistics passes ship only per-batch (type, value)
+    count partials — O(types × distinct cents) rows, never events — then
+    one map-side flagging pass; medians broadcast as an O(types) dict.
+    Every quantity is an int64, so the SQL twin (row_number rank picks)
+    matches bit-for-bit."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+
+    def counts_of(value_fn):
+        def partial(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "_grp": t.column("event_type").to_pandas(),
+                    "_val": value_fn(t),
+                }
+            )
+            g = (
+                df.groupby(["_grp", "_val"], sort=False, observed=True)
+                .size().rename("_cnt").reset_index()
+            )
+            return pa.table(
+                {
+                    "_grp": pa.array(g["_grp"], pa.string()),
+                    "_val": pa.array(g["_val"].to_numpy(np.int64)),
+                    "_cnt": pa.array(g["_cnt"].to_numpy(np.int64)),
+                }
+            )
+
+        return ds.map_batches(partial, batch_format="pyarrow").repartition(
+            1
+        ).map_batches(
+            lambda df: df.groupby(["_grp", "_val"], sort=False)
+            .agg(_cnt=("_cnt", "sum")).reset_index(),
+            batch_format="pandas",
+        )
+
+    import ray
+
+    cents_fn = lambda t: _cents(np.asarray(t.column("value")))  # noqa: E731
+    med = _group_median_from_counts(counts_of(cents_fn))
+    med_ref = ray.put(med)
+
+    def dev_fn(t: pa.Table) -> np.ndarray:
+        from ..state.broadcast import cached_get
+
+        m = cached_get(med_ref)
+        c = _cents(np.asarray(t.column("value")))
+        mm = np.fromiter(
+            (m[g] for g in t.column("event_type").to_pylist()),
+            np.int64,
+            len(c),
+        )
+        return np.abs(c - mm)
+
+    mad = _group_median_from_counts(counts_of(dev_fn))
+    mad_ref = ray.put(mad)
+
+    def flag(t: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached_get
+
+        m = cached_get(med_ref)
+        md = cached_get(mad_ref)
+        types = t.column("event_type").to_pylist()
+        c = _cents(np.asarray(t.column("value")))
+        mm = np.fromiter((m[g] for g in types), np.int64, len(c))
+        dd = np.fromiter((md[g] for g in types), np.int64, len(c))
+        dev = np.abs(c - mm)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "cents": pa.array(c),
+                "med_cents": pa.array(mm),
+                "mad_cents": pa.array(dd),
+                "is_outlier": pa.array(dev > k * dd),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

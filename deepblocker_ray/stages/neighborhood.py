@@ -206,3 +206,87 @@ def sorted_neighborhood(
     if len(cross_pairs) == 0:
         return in_range
     return in_range.union(ray.data.from_pandas(cross_pairs))
+
+
+def snm_dedup(
+    docs,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_chars: int = 12,
+    window: int = 4,
+    jw_threshold: float = 0.9,
+):
+    """Classic merge/purge dedup end-to-end: sorted-neighborhood blocking on
+    a lowercased ``key_chars`` text prefix → Jaro-Winkler verify ≥
+    ``jw_threshold`` on the full text → connected components. Output
+    (doc_id, cluster_id, is_duplicate) — the same contract as the
+    minhash/simhash dedup family, as the non-learned, embedding-free
+    baseline next to them.
+
+    Pair texts are attached via the size-aware broadcast join (hash-join
+    fallback past the cap); the verify is the batch-vectorized JW kernel.
+    Candidate volume is rows × (window−1) by construction — SNM's defining
+    property — so the verify stage is linear in the corpus."""
+    import pyarrow.compute as pc
+
+    from ..functions.textsim import jaro_winkler_batch
+    from .dedup import _components_output
+    from .relational import broadcast_join
+
+    cfg = cfg or EngineConfig()
+
+    def key(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t.column(text_col), pa.string())
+        k = pc.utf8_lower(
+            pc.utf8_slice_codeunits(pc.fill_null(txt, ""), 0, key_chars)
+        )
+        return pa.table({id_col: t.column(id_col), "key": k})
+
+    cand = sorted_neighborhood(
+        docs.map_batches(key, batch_format="pyarrow"),
+        cfg, id_col=id_col, key_col="key", window=window,
+    )
+
+    def side(suffix: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "_tid" + suffix: pc.cast(t.column(id_col), pa.int64()),
+                    "_txt" + suffix: pc.cast(
+                        pc.fill_null(t.column(text_col), ""), pa.string()
+                    ),
+                }
+            )
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    j = broadcast_join(
+        cand, side("_l"), big_key="left_id", small_key="_tid_l",
+        payload_cols=["_txt_l"], cfg=cfg,
+    )
+    j = broadcast_join(
+        j, side("_r"), big_key="right_id", small_key="_tid_r",
+        payload_cols=["_txt_r"], cfg=cfg,
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"left_id": pd.Series(dtype=object),
+                 "right_id": pd.Series(dtype=object)}
+            )
+        jw = jaro_winkler_batch(
+            g["_txt_l"].to_numpy(object), g["_txt_r"].to_numpy(object)
+        )
+        keep = jw >= jw_threshold
+        return pd.DataFrame(
+            {
+                "left_id": g["left_id"].astype(str).to_numpy()[keep],
+                "right_id": g["right_id"].astype(str).to_numpy()[keep],
+            }
+        )
+
+    verified = j.map_batches(verify, batch_format="pandas")
+    return _components_output(docs, verified, cfg, id_col)

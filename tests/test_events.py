@@ -390,3 +390,51 @@ class TestHoppingWindow:
         for hop in (0.0, -1.0):
             with pytest.raises(ValueError, match="positive"):
                 window_agg(None, CFG, window_minutes=2.0, hop_minutes=hop)
+
+
+class TestValueOutliers:
+    def test_median_mad_and_flags(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import value_outliers
+
+        # type A: values 1..9 dollars plus one wild 100.00 → med 5.00(500),
+        # devs {400..0..400, 9500} → mad 200; outlier ⇔ dev > 600 → only 100.00
+        # type B: constant 2.00 → mad 0 → any deviation is an outlier
+        vals_a = [float(i) for i in range(1, 10)] + [100.0]
+        vals_b = [2.0] * 5 + [2.01]
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(16, dtype=np.int64),
+                "event_type": ["A"] * 10 + ["B"] * 6,
+                "value": vals_a + vals_b,
+            }
+        )
+        parts = [p for p in np.array_split(df, 4)]
+        out = (
+            value_outliers(rd.from_pandas(parts), EngineConfig(num_buckets=8), k=3)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        a = out[out["event_type"] == "A"]
+        assert (a["med_cents"] == 500).all()
+        assert (a["mad_cents"] == 200).all()
+        assert a["is_outlier"].tolist() == [False] * 9 + [True]
+        b = out[out["event_type"] == "B"]
+        # even n=6: lower-middle rank (6+1)//2 = 3 → med 200; mad 0
+        assert (b["med_cents"] == 200).all()
+        assert (b["mad_cents"] == 0).all()
+        assert b["is_outlier"].tolist() == [False] * 5 + [True]
+
+    def test_bad_k(self):
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import value_outliers
+
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            value_outliers(None, EngineConfig(), k=-1)

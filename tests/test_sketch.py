@@ -383,3 +383,40 @@ class TestBlockingStatsFromLabels:
         assert row["n_hits"] == 3
         assert row["recall"] == 3 / 4
         assert row["cssr"] == 5 / (6.0 * 5 / 2)
+
+
+class TestSnmDedup:
+    def test_planted_near_dups(self, ray_session):
+        from deepblocker_ray.stages.neighborhood import snm_dedup
+
+        # near-dup pairs share a long prefix (SNM adjacency) and high JW
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(6, dtype=np.int64),
+                "text": [
+                    "customer record alpha street 12 springfield",
+                    "customer record alpha street 12 springfeld",  # dup of 0
+                    "totally different document about zebras",
+                    "customer record beta avenue 99 shelbyville",
+                    "warehouse inventory list gamma section",
+                    "customer record alpha street 12 springfield!",  # dup of 0
+                ],
+            }
+        )
+        out = (
+            snm_dedup(_ds(docs, blocks=3), CFG, key_chars=12, window=4,
+                      jw_threshold=0.9)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [str(i) for i in range(6)]
+        # 0, 1, 5 form one cluster labeled by min id "0"
+        assert out.loc[[0, 1, 5], "cluster_id"].tolist() == ["0", "0", "0"]
+        assert out.loc[[0, 1, 5], "is_duplicate"].tolist() == [
+            False, True, True
+        ]
+        # the rest are singletons
+        for i in (2, 3, 4):
+            assert out.loc[i, "cluster_id"] == str(i)
+            assert not out.loc[i, "is_duplicate"]
