@@ -1058,6 +1058,17 @@ def q_snm_dedup(sf_dir: str):
     )
 
 
+def q_tfidf_dedup(sf_dir: str):
+    """TF-IDF-weighted gram-overlap dedup (weighted token blocking): block
+    on posting lists of non-stop 3-grams (df ≤ 5), verify with an
+    integer-exact weighted Jaccard (weight = n_docs // df) ≥ 1/2, then
+    connected components — the deterministic counterpart of the anchor-based
+    ngram_jaccard_dedup."""
+    from deepblocker_ray.stages.dedup import tfidf_dedup
+
+    return tfidf_dedup(_documents(sf_dir), cfg=_cfg())
+
+
 def q_value_outliers(sf_dir: str):
     """Robust per-type MAD outlier flags in exact integer arithmetic
     (median and MAD via the (n+1)//2 rank rule; outlier ⇔ |c−med| >
@@ -1139,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
+        "tfidf_dedup": q_tfidf_dedup,
     }
 
 
@@ -1354,6 +1366,53 @@ def oracle_sql() -> dict[str, str]:
             ELSE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                  / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
                  >= 0.5 END
+    """
+
+    # TF-IDF-weighted gram-overlap twin: gram identity here is the gram
+    # STRING (engine: polynomial fold of md5-lower64 token hashes — equal
+    # iff the strings are, modulo negligible collision, the same convention
+    # the ngram twin relies on); weight = n_docs // df in BIGINT, threshold
+    # via integer cross-multiplication — bit-exact on both sides. Blocking
+    # (df ≤ 5 posting lists) is mirrored literally, so a pair whose shared
+    # grams are ALL stop grams is a non-candidate in SQL too.
+    tfidf_pairs = f"""
+        WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, {tokens} AS tk
+                   FROM documents),
+        g AS (
+            SELECT doc_id, unnest(list_distinct(CASE
+                 WHEN len(tk) = 0 THEN []
+                 WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                 ELSE [array_to_string(tk[x : x + 2], ' ')
+                       for x in generate_series(1, len(tk) - 2)]
+                 END)) AS gram
+            FROM d
+        ),
+        w AS (SELECT gram, count(*) AS df,
+                     (SELECT count(*) FROM documents) // count(*) AS w
+              FROM g GROUP BY gram),
+        dw AS (SELECT g.doc_id, sum(w.w) AS tw
+               FROM g JOIN w ON w.gram = g.gram GROUP BY g.doc_id),
+        cand AS (
+            SELECT a.doc_id AS l, b.doc_id AS r
+            FROM g a
+            JOIN g b ON b.gram = a.gram
+            JOIN w ON w.gram = a.gram
+            WHERE w.df <= 5 AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        inter AS (
+            SELECT c.l, c.r, sum(w.w) AS num
+            FROM cand c
+            JOIN g ta ON ta.doc_id = c.l
+            JOIN g tb ON tb.doc_id = c.r AND tb.gram = ta.gram
+            JOIN w ON w.gram = ta.gram
+            GROUP BY c.l, c.r
+        )
+        SELECT i.l AS left_id, i.r AS right_id
+        FROM inter i
+        JOIN dw da ON da.doc_id = i.l
+        JOIN dw db ON db.doc_id = i.r
+        WHERE 2 * i.num >= 1 * (da.tw + db.tw - i.num)
     """
 
     # exact SQL twin of the 64-bit SimHash fingerprint itself: md5-lower64
@@ -2013,6 +2072,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_dedup": _cc_sql(simhash_pairs, "documents", "doc_id"),
         "ngram_jaccard_dedup": _cc_sql(ngram_pairs, "documents", "doc_id"),
+        "tfidf_dedup": _cc_sql(tfidf_pairs, "documents", "doc_id"),
         "embedding_neardup": _cc_sql(neardup_pairs, "embeddings", "vec_id"),
         "lang_id": """
             WITH words AS (

@@ -204,6 +204,7 @@ def main() -> None:
         "vocab_build",
         "snm_dedup",
         "value_outliers",
+        "tfidf_dedup",
     ]
     for name in query_names:
         r = bench_query(q[name])

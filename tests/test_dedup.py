@@ -15,6 +15,7 @@ from deepblocker_ray.stages.dedup import (
     _minhash_params,
     ngram_jaccard_dedup,
     simhash_dedup,
+    tfidf_dedup,
 )
 
 CFG = EngineConfig(num_buckets=8)
@@ -104,6 +105,7 @@ class TestNearDedup:
             (minhash_lsh_dedup, dict(threshold=0.5)),
             (simhash_dedup, dict(max_hamming=6)),
             (ngram_jaccard_dedup, dict(threshold=0.4)),
+            (tfidf_dedup, dict(tau_num=2, tau_den=5)),
         ],
     )
     def test_finds_planted_near_dups(self, ray_session, fn, kwargs):
@@ -116,6 +118,61 @@ class TestNearDedup:
         assert agreement >= 0.9, (fn.__name__, agreement)
         # distinct docs must NOT merge into giant clusters
         assert out["cluster_id"].nunique() >= 55
+
+
+class TestTfidfDedup:
+    def test_stop_gram_exclusion(self, ray_session):
+        """Docs whose ONLY shared grams exceed df_cap are never candidates,
+        even at threshold 0 — the posting-list cap is semantic, not a perf
+        shortcut."""
+        import ray.data as rd
+
+        # 8 docs all share the same 3 tokens (one common gram, df=8 > cap 5);
+        # each also has a unique tail so pairwise overlap exists only via
+        # the stop gram.
+        texts = [f"alpha beta gamma tail{i} end{i} fin{i}" for i in range(8)]
+        df = pd.DataFrame({"doc_id": range(8), "text": texts})
+        out = tfidf_dedup(
+            rd.from_pandas(df), cfg=CFG, df_cap=5, tau_num=0, tau_den=1
+        ).to_pandas()
+        assert out["cluster_id"].nunique() == 8
+        assert not out["is_duplicate"].any()
+
+    def test_rare_gram_weight_dominates(self, ray_session):
+        """Two docs sharing one rare gram plus a long distinct tail: the
+        weighted score (rare gram's weight = n_docs // 2) clears a threshold
+        the unweighted Jaccard would miss."""
+        import ray.data as rd
+
+        n_fill = 38
+        fill = [
+            f"f{i}a f{i}b f{i}c f{i}d f{i}e f{i}f" for i in range(n_fill)
+        ]
+        # docs 100/101 share the rare gram "rare one gram" (df=2, weight 20)
+        # plus 3 unique grams each (df=1, weight 40): num=20, den=2*140-20=
+        # wait: tw = 20 + 3*40 = 140 each → den = 260, num/den = 20/260.
+        pair = [
+            "rare one gram xa xb xc",
+            "rare one gram ya yb yc",
+        ]
+        df = pd.DataFrame(
+            {
+                "doc_id": list(range(n_fill)) + [100, 101],
+                "text": fill + pair,
+            }
+        )
+        out = tfidf_dedup(
+            rd.from_pandas(df), cfg=CFG, df_cap=5, tau_num=1, tau_den=20
+        ).to_pandas().set_index("doc_id")
+        assert out.loc["100", "cluster_id"] == out.loc["101", "cluster_id"]
+        # fill docs share nothing → singletons
+        assert out["cluster_id"].nunique() == n_fill + 1
+
+    def test_bad_params(self):
+        for kw in (dict(ngram=0), dict(df_cap=1), dict(tau_den=0),
+                   dict(tau_num=-1)):
+            with pytest.raises(ValueError):
+                tfidf_dedup(None, cfg=CFG, **kw)
 
 
 class TestEmbeddingNearDup:
