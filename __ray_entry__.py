@@ -1058,6 +1058,25 @@ def q_snm_dedup(sf_dir: str):
     )
 
 
+def q_encode_tokens(sf_dir: str):
+    """Token-ID encoding: apply the min_freq=2 frequency-ranked vocabulary
+    to the corpus — (doc_id, pos, token_id) with NULL for OOV; the
+    vocab_build → encode step every tokenizer pipeline runs, vocabulary
+    broadcast once as a hash-sorted array, corpus streamed shuffle-free."""
+    from deepblocker_ray.stages.embed import encode_tokens, vocab_build
+
+    docs = _documents(sf_dir)
+    vocab = vocab_build(
+        docs.map_batches(
+            lambda t: pa.table({"tuple_text": t.column("text")}),
+            batch_format="pyarrow",
+        ),
+        _cfg(),
+        min_freq=2,
+    )
+    return encode_tokens(docs, vocab, _cfg())
+
+
 def q_tfidf_dedup(sf_dir: str):
     """TF-IDF-weighted gram-overlap dedup (weighted token blocking): block
     on posting lists of non-stop 3-grams (df ≤ 5), verify with an
@@ -1151,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
         "tfidf_dedup": q_tfidf_dedup,
+        "encode_tokens": q_encode_tokens,
     }
 
 
@@ -1888,6 +1908,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY count DESC, token) - 1
                         AS BIGINT) AS token_id
             FROM freq WHERE count >= 2
+        """,
+        # encode twin: zipped unnest gives (token, 0-based pos); LEFT JOIN
+        # against the vocab twin makes OOV → NULL on both sides
+        "encode_tokens": f"""
+            WITH freq AS (
+                SELECT token, count(*) AS count
+                FROM (SELECT unnest({tokens}) AS token FROM documents)
+                GROUP BY token
+            ),
+            v AS (
+                SELECT token,
+                       CAST(row_number() OVER (ORDER BY count DESC, token)
+                            - 1 AS BIGINT) AS token_id
+                FROM freq WHERE count >= 2
+            ),
+            t AS (SELECT doc_id, {tokens} AS tk FROM documents),
+            e AS (
+                SELECT doc_id,
+                       unnest(tk) AS token,
+                       unnest(generate_series(0, len(tk) - 1)) AS pos
+                FROM t WHERE len(tk) > 0
+            )
+            SELECT e.doc_id, CAST(e.pos AS BIGINT) AS pos, v.token_id
+            FROM e LEFT JOIN v ON v.token = e.token
         """,
         # same RE2 engine + pattern as the pyarrow extract_regex kernel;
         # no match → NULL on both sides (NULLIF guards DuckDB's ''-on-miss)

@@ -205,6 +205,7 @@ def main() -> None:
         "snm_dedup",
         "value_outliers",
         "tfidf_dedup",
+        "encode_tokens",
     ]
     for name in query_names:
         r = bench_query(q[name])

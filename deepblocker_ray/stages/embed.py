@@ -321,6 +321,96 @@ def vocab_build(
     )
 
 
+def encode_tokens(
+    ds,
+    vocab,
+    cfg=None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Token-ID encoding — apply a frequency-ranked vocabulary to the
+    corpus, one row per token position: (doc_id, pos, token_id); OOV →
+    NULL token_id, with positions kept stable so downstream packing /
+    windowing sees the true sequence length. The step between
+    ``vocab_build`` and sequence layout that every tokenizer pipeline runs.
+
+    Scale shape: the vocabulary is BOUNDED by construction (vocab_build's
+    min_freq / top-N truncation — the same rule that bounds SIF fit
+    state), so it collects once into a hash-sorted (token_hash → id)
+    array pair, is ``ray.put`` once, and every task probes it zero-copy
+    with one vectorized searchsorted over the batch's UNIQUE tokens
+    (factorize → probe uniques → scatter back). The corpus side streams
+    through a single map_batches — no shuffle, no join."""
+    import pandas as pd
+
+    from ..config import EngineConfig as _EC
+    from ..stages.dedup import _stable_hash64
+
+    cfg = cfg or _EC()
+
+    vt = vocab.select_columns(["token", "token_id"]).to_pandas()
+    if len(vt) == 0:
+        # Ray quirk: to_pandas() on an empty dataset drops columns
+        vh = np.empty(0, np.uint64)
+        vi = np.empty(0, np.int64)
+    else:
+        vh = np.fromiter(
+            (_stable_hash64(t.encode()) for t in vt["token"]),
+            np.uint64,
+            len(vt),
+        )
+        vi = vt["token_id"].to_numpy(np.int64)
+    order = np.argsort(vh, kind="mergesort")
+    ref = ray.put((vh[order], vi[order]))
+
+    def encode(t: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached_get
+
+        hs, ids = cached_get(ref)
+        texts = t.column(text_col).to_pylist()
+        tok_lists = [tokenize(x or "") for x in texts]
+        n = len(tok_lists)
+        counts = np.fromiter((len(x) for x in tok_lists), np.int64, n)
+        total = int(counts.sum())
+        if total:
+            flat = np.empty(total, object)
+            p = 0
+            for toks in tok_lists:
+                flat[p : p + len(toks)] = toks
+                p += len(toks)
+            inv, uniq = pd.factorize(flat, sort=False)
+            uh = np.fromiter(
+                (_stable_hash64(u.encode()) for u in uniq),
+                np.uint64,
+                len(uniq),
+            )
+            if len(hs):
+                idx = np.searchsorted(hs, uh)
+                idx[idx >= len(hs)] = len(hs) - 1
+                uid = np.where(hs[idx] == uh, ids[idx], np.int64(-1))
+            else:
+                uid = np.full(len(uh), -1, np.int64)
+            tid = uid[inv]
+        else:
+            tid = np.empty(0, np.int64)
+        take = pa.array(np.repeat(np.arange(n, dtype=np.int64), counts))
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        return pa.table(
+            {
+                id_col: t.column(id_col).combine_chunks().take(take),
+                "pos": pa.array(pos),
+                "token_id": pa.array(tid, pa.int64(), mask=tid == -1),
+            }
+        )
+
+    return ds.map_batches(
+        encode, batch_format="pyarrow", batch_size=cfg.embed_batch_size
+    )
+
+
 def sif_weight_dict(
     freq_df,
     a: float = SIF_WEIGHTING_PARAM,

@@ -283,3 +283,71 @@ class TestVocabBuild:
         # (to_pandas() on an empty arrow dataset drops columns — Ray quirk;
         # the schema is the contract, same note as test_packing)
         assert out.schema().names == ["token", "count", "token_id"]
+
+
+class TestEncodeTokens:
+    def test_ids_positions_and_oov(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.embed import encode_tokens, vocab_build
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12],
+                "text": [
+                    "apple banana apple",
+                    "banana cherry",
+                    "",
+                ],
+            }
+        )
+        ds = rd.from_pandas(docs)
+        vocab = vocab_build(
+            ds.map_batches(
+                lambda df: df.rename(columns={"text": "tuple_text"})[
+                    ["tuple_text"]
+                ],
+                batch_format="pandas",
+            ),
+            EngineConfig(num_buckets=8),
+            min_freq=2,
+        )
+        # counts: apple 2, banana 2, cherry 1 → vocab {apple:0, banana:1}
+        # (count desc, token asc); cherry is OOV
+        out = (
+            encode_tokens(ds, vocab, EngineConfig(num_buckets=8))
+            .to_pandas()
+            .sort_values(["doc_id", "pos"])
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [10, 10, 10, 11, 11]
+        assert out["pos"].tolist() == [0, 1, 2, 0, 1]
+        got = out["token_id"].tolist()
+        assert got[:4] == [0, 1, 0, 1]
+        assert pd.isna(got[4])  # cherry → OOV NULL
+
+    def test_empty_vocab(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.embed import encode_tokens, vocab_build
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": [1], "text": ["solo words only"]})
+        )
+        vocab = vocab_build(
+            ds.map_batches(
+                lambda df: df.rename(columns={"text": "tuple_text"})[
+                    ["tuple_text"]
+                ],
+                batch_format="pandas",
+            ),
+            EngineConfig(num_buckets=8),
+            min_freq=5,
+        )
+        out = encode_tokens(ds, vocab, EngineConfig(num_buckets=8)).to_pandas()
+        assert len(out) == 3
+        assert out["token_id"].isna().all()
