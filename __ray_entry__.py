@@ -1058,6 +1058,22 @@ def q_snm_dedup(sf_dir: str):
     )
 
 
+def q_cluster_eval(sf_dir: str):
+    """Pairwise precision/recall/F1 of embedding_neardup's clusters against
+    the embeddings table's gold ``label`` — the north_rule acceptance metric
+    (pairwise F1) as a distributed one-row query; TP/FP/FN derive from
+    count histograms (never materialized pairs)."""
+    from deepblocker_ray.pipelines.evaluate import pairwise_cluster_eval
+
+    return pairwise_cluster_eval(
+        q_embedding_neardup(sf_dir),
+        _embeddings(sf_dir),
+        id_col="vec_id",
+        label_col="label",
+        cfg=_cfg(),
+    )
+
+
 def q_encode_tokens(sf_dir: str):
     """Token-ID encoding: apply the min_freq=2 frequency-ranked vocabulary
     to the corpus — (doc_id, pos, token_id) with NULL for OOV; the
@@ -1171,6 +1187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": q_value_outliers,
         "tfidf_dedup": q_tfidf_dedup,
         "encode_tokens": q_encode_tokens,
+        "cluster_eval": q_cluster_eval,
     }
 
 
@@ -2118,6 +2135,45 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": _cc_sql(ngram_pairs, "documents", "doc_id"),
         "tfidf_dedup": _cc_sql(tfidf_pairs, "documents", "doc_id"),
         "embedding_neardup": _cc_sql(neardup_pairs, "embeddings", "vec_id"),
+        # pairwise-F1 twin: the neardup CC statement nests as a CTE; every
+        # pair count is a histogram sum (c*(c-1)//2 in BIGINT) and each
+        # ratio one double division of those ints — identical IEEE ops to
+        # the engine's Python floats, so the row hash-matches exactly
+        "cluster_eval": f"""
+            WITH pred AS ({_cc_sql(neardup_pairs, "embeddings", "vec_id")}),
+            lab AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+                           CAST(label AS BIGINT) AS lab
+                    FROM embeddings),
+            j AS (SELECT p.cluster_id AS cl, l.lab
+                  FROM pred p JOIN lab l ON l.id = p.doc_id),
+            pp AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS pred_pairs
+                   FROM (SELECT count(*) AS c FROM j GROUP BY cl)),
+            gp AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS gold_pairs
+                   FROM (SELECT count(*) AS c FROM j GROUP BY lab)),
+            tp AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS tp_pairs
+                   FROM (SELECT count(*) AS c FROM j GROUP BY cl, lab)),
+            n AS (SELECT count(*) AS n_items FROM lab),
+            m AS (
+                SELECT CAST(n.n_items AS BIGINT) AS n_items,
+                       CAST(pp.pred_pairs AS BIGINT) AS pred_pairs,
+                       CAST(gp.gold_pairs AS BIGINT) AS gold_pairs,
+                       CAST(tp.tp_pairs AS BIGINT) AS tp_pairs,
+                       CASE WHEN pp.pred_pairs = 0 THEN 0.0
+                            ELSE CAST(tp.tp_pairs AS DOUBLE) / pp.pred_pairs
+                            END AS pair_precision,
+                       CASE WHEN gp.gold_pairs = 0 THEN 0.0
+                            ELSE CAST(tp.tp_pairs AS DOUBLE) / gp.gold_pairs
+                            END AS pair_recall
+                FROM n, pp, gp, tp
+            )
+            SELECT n_items, pred_pairs, gold_pairs, tp_pairs,
+                   pair_precision, pair_recall,
+                   CASE WHEN pair_precision + pair_recall = 0 THEN 0.0
+                        ELSE 2 * pair_precision * pair_recall
+                             / (pair_precision + pair_recall)
+                        END AS pair_f1
+            FROM m
+        """,
         "lang_id": """
             WITH words AS (
                 SELECT doc_id, text,

@@ -206,6 +206,7 @@ def main() -> None:
         "value_outliers",
         "tfidf_dedup",
         "encode_tokens",
+        "cluster_eval",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -228,3 +228,111 @@ def clusters_to_pairs(clusters: pd.DataFrame, id_col="conv_id", label_col="entit
 
     df = clusters.rename(columns={id_col: "conv_id", label_col: "entity_id"})
     return golden_pairs(df)
+
+
+def pairwise_cluster_eval(
+    pred,
+    labels_ds,
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    pred_id_col: str = "doc_id",
+    pred_col: str = "cluster_id",
+    cfg: EngineConfig | None = None,
+):
+    """Pairwise precision / recall / F1 of predicted clusters against gold
+    labels — the north_rule's own acceptance metric (pairwise F1 ≥ 0.99) as
+    a distributed one-row query.
+
+    TP/FP/FN are derived from HISTOGRAMS, never from materialized pairs
+    (a big cluster's pair set is quadratic; its histogram row is one int):
+    pred_pairs = Σ_c C(n_c,2), gold_pairs = Σ_l C(n_l,2),
+    tp = Σ_{(c,l)} C(n_{c,l},2). Labels attach via the size-aware broadcast
+    join (hash-join fallback past the cap); each Σ runs as one bucketed
+    count exchange whose partials are (key, count) rows, with per-bucket
+    C(n,2) sums — driver state is O(num_buckets), not O(#clusters). Metrics
+    are defined over items present on BOTH sides (inner join), every count
+    an exact int64 and each ratio a single IEEE division — bit-reproducible
+    in the SQL twin."""
+    import numpy as np
+
+    from ..stages.relational import broadcast_join
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def lab_f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_lid": pc.cast(t.column(id_col), pa.string()),
+                "_lab": pc.cast(t.column(label_col), pa.int64()),
+            }
+        )
+
+    lab = labels_ds.map_batches(lab_f, batch_format="pyarrow").materialize()
+    n_items = lab.count()
+
+    j = broadcast_join(
+        pred, lab, big_key=pred_id_col, small_key="_lid",
+        payload_cols=["_lab"], cfg=cfg,
+    ).map_batches(
+        lambda t: pa.table(
+            {"_cl": pc.cast(t.column(pred_col), pa.string()),
+             "_lab": t.column("_lab")}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def sum_pairs(ds_in, keys: list[str]) -> int:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = (
+                df.groupby(keys, sort=False).size().rename("c").reset_index()
+            )
+            key = g[keys[0]].astype(str)
+            for k in keys[1:]:
+                key = key + "\x00" + g[k].astype(str)
+            g["_bucket"] = bucket_of(key, nb)
+            return g[keys + ["c", "_bucket"]]
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby(keys, sort=False)["c"].sum().to_numpy(np.int64)
+            return pd.DataFrame({"p": [int((s * (s - 1) // 2).sum())]})
+
+        out = (
+            ds_in.map_batches(partial, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas")
+            .to_pandas()
+        )
+        return int(out["p"].sum()) if len(out) else 0
+
+    pred_pairs = sum_pairs(j, ["_cl"])
+    tp_pairs = sum_pairs(j, ["_cl", "_lab"])
+    gold_pairs = sum_pairs(
+        j.map_batches(
+            lambda t: pa.table({"_lab": t.column("_lab")}),
+            batch_format="pyarrow",
+        ),
+        ["_lab"],
+    )
+
+    precision = tp_pairs / pred_pairs if pred_pairs else 0.0
+    recall = tp_pairs / gold_pairs if gold_pairs else 0.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall > 0
+        else 0.0
+    )
+    return pd.DataFrame(
+        [
+            {
+                "n_items": np.int64(n_items),
+                "pred_pairs": np.int64(pred_pairs),
+                "gold_pairs": np.int64(gold_pairs),
+                "tp_pairs": np.int64(tp_pairs),
+                "pair_precision": precision,
+                "pair_recall": recall,
+                "pair_f1": f1,
+            }
+        ]
+    )

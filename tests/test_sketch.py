@@ -420,3 +420,65 @@ class TestSnmDedup:
         for i in (2, 3, 4):
             assert out.loc[i, "cluster_id"] == str(i)
             assert not out.loc[i, "is_duplicate"]
+
+
+class TestPairwiseClusterEval:
+    def test_hand_computed(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.pipelines.evaluate import pairwise_cluster_eval
+
+        # pred clusters {a:{1,2,3}, b:{4,5}}, gold {x:{1,2}, y:{3,4,5}}
+        # pred_pairs = 3+1 = 4; gold_pairs = 1+3 = 4
+        # tp: (a,x) C(2,2)=1, (a,y) C(1,2)=0, (b,y) C(2,2)=1 → 2
+        pred = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": ["1", "2", "3", "4", "5"],
+                    "cluster_id": ["a", "a", "a", "b", "b"],
+                }
+            )
+        )
+        labels = rd.from_pandas(
+            pd.DataFrame(
+                {"vec_id": [1, 2, 3, 4, 5], "label": [7, 7, 9, 9, 9]}
+            )
+        )
+        out = pairwise_cluster_eval(pred, labels, cfg=CFG)
+        row = out.iloc[0]
+        assert row["n_items"] == 5
+        assert row["pred_pairs"] == 4
+        assert row["gold_pairs"] == 4
+        assert row["tp_pairs"] == 2
+        assert row["pair_precision"] == 0.5
+        assert row["pair_recall"] == 0.5
+        assert row["pair_f1"] == 0.5
+
+    def test_perfect_and_empty(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.pipelines.evaluate import pairwise_cluster_eval
+
+        pred = rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": ["1", "2", "3"], "cluster_id": ["c", "c", "d"]}
+            )
+        )
+        labels = rd.from_pandas(
+            pd.DataFrame({"vec_id": [1, 2, 3], "label": [1, 1, 2]})
+        )
+        row = pairwise_cluster_eval(pred, labels, cfg=CFG).iloc[0]
+        assert row["pair_f1"] == 1.0
+        # all singletons on both sides: no pairs anywhere → all-zero metrics
+        pred2 = rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": ["1", "2"], "cluster_id": ["p", "q"]}
+            )
+        )
+        labels2 = rd.from_pandas(
+            pd.DataFrame({"vec_id": [1, 2], "label": [5, 6]})
+        )
+        row2 = pairwise_cluster_eval(pred2, labels2, cfg=CFG).iloc[0]
+        assert row2["pred_pairs"] == 0 and row2["gold_pairs"] == 0
+        assert row2["pair_precision"] == 0.0
+        assert row2["pair_f1"] == 0.0
