@@ -327,15 +327,15 @@ VEC_TAU = 0.471  # sits ≥6e-5 from every candidate-pair score at sf0.001/0.01/
                  # (~1500× the float32-cosine error) — see oracle_sql notes
 
 
-def _mod_split(ds, modulus: int, keep_zero: bool):
+def _mod_split(ds, modulus: int, keep_zero: bool, id_col: str = "conv_id"):
     """Deterministic id split shared by the two-table / incremental vec
-    queries: keep rows with conv_id % modulus == 0 (keep_zero) or != 0.
+    queries: keep rows with id_col % modulus == 0 (keep_zero) or != 0.
     pyarrow has no modulo kernel: id % m == id - (id // m) * m (integer
     divide on int64)."""
     import pyarrow.compute as pc
 
     def f(t: pa.Table) -> pa.Table:
-        ids = pc.cast(t.column("conv_id"), pa.int64())
+        ids = pc.cast(t.column(id_col), pa.int64())
         rem = pc.subtract(ids, pc.multiply(pc.divide(ids, modulus), modulus))
         m = pc.equal(rem, 0)
         return t.filter(m if keep_zero else pc.invert(m))
@@ -1058,6 +1058,23 @@ def q_snm_dedup(sf_dir: str):
     )
 
 
+def q_fuzzy_join(sf_dir: str):
+    """Two-table blocked fuzzy string join: even-id documents (left) vs
+    odd-id documents (right), blocked on the lowercased 8-char text prefix,
+    Jaro-Winkler ≥ 0.85 verify, best match per left row (max jw, tie → min
+    right_id)."""
+    from deepblocker_ray.stages.neighborhood import fuzzy_join
+
+    docs = _documents(sf_dir)
+    return fuzzy_join(
+        _mod_split(docs, 2, keep_zero=True, id_col="doc_id"),
+        _mod_split(docs, 2, keep_zero=False, id_col="doc_id"),
+        _cfg(),
+        key_chars=8,
+        jw_threshold=0.85,
+    )
+
+
 def q_cluster_eval(sf_dir: str):
     """Pairwise precision/recall/F1 of embedding_neardup's clusters against
     the embeddings table's gold ``label`` — the north_rule acceptance metric
@@ -1188,6 +1205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_dedup": q_tfidf_dedup,
         "encode_tokens": q_encode_tokens,
         "cluster_eval": q_cluster_eval,
+        "fuzzy_join": q_fuzzy_join,
     }
 
 
@@ -2134,6 +2152,29 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _cc_sql(simhash_pairs, "documents", "doc_id"),
         "ngram_jaccard_dedup": _cc_sql(ngram_pairs, "documents", "doc_id"),
         "tfidf_dedup": _cc_sql(tfidf_pairs, "documents", "doc_id"),
+        # fuzzy-join twin: DuckDB's jaro_winkler_similarity is value-
+        # identical to the engine's batch kernel (string_sims pins it), so
+        # the ≥ τ filter AND the jw-descending best-match ordering resolve
+        # identically; ties break on right_id ascending on both sides
+        "fuzzy_join": """
+            WITH l AS (SELECT CAST(doc_id AS VARCHAR) AS lid,
+                              coalesce(text, '') AS lt,
+                              lower(substr(coalesce(text, ''), 1, 8)) AS k
+                       FROM documents WHERE doc_id % 2 = 0),
+            r AS (SELECT CAST(doc_id AS VARCHAR) AS rid,
+                         coalesce(text, '') AS rt,
+                         lower(substr(coalesce(text, ''), 1, 8)) AS k
+                  FROM documents WHERE doc_id % 2 <> 0),
+            s AS (SELECT l.lid, r.rid,
+                         jaro_winkler_similarity(l.lt, r.rt) AS jw
+                  FROM l JOIN r ON r.k = l.k),
+            b AS (SELECT lid, rid, jw,
+                         row_number() OVER (
+                             PARTITION BY lid ORDER BY jw DESC, rid
+                         ) AS rn
+                  FROM s WHERE jw >= 0.85)
+            SELECT lid AS left_id, rid AS right_id, jw FROM b WHERE rn = 1
+        """,
         "embedding_neardup": _cc_sql(neardup_pairs, "embeddings", "vec_id"),
         # pairwise-F1 twin: the neardup CC statement nests as a CTE; every
         # pair count is a histogram sum (c*(c-1)//2 in BIGINT) and each

@@ -207,6 +207,7 @@ def main() -> None:
         "tfidf_dedup",
         "encode_tokens",
         "cluster_eval",
+        "fuzzy_join",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -290,3 +290,121 @@ def snm_dedup(
 
     verified = j.map_batches(verify, batch_format="pandas")
     return _components_output(docs, verified, cfg, id_col)
+
+
+def fuzzy_join(
+    left,
+    right,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_chars: int = 8,
+    jw_threshold: float = 0.85,
+    hot_key_pairs: int = 100_000,
+):
+    """Blocked fuzzy string join — the classic record-linkage matcher over
+    two tables: block on exact equality of the lowercased ``key_chars``
+    text prefix, verify candidates with the batch Jaro-Winkler kernel,
+    keep the BEST right match per left row (max jw, ties → min right_id).
+    Output (left_id, right_id, jw); left rows with no match ≥ threshold
+    are absent (inner semantics).
+
+    Scale shape: both sides exchange ONCE on the hash-bucketed blocking
+    key. A left row's key is single-valued, so all its candidates land in
+    one bucket and best-per-left resolves locally — no second exchange.
+    Prefix keys are assumed selective; per-bucket candidate volume is
+    Σ_k |L_k|·|R_k| — a degenerate hot key (boilerplate prefix) past
+    ``hot_key_pairs`` logs a worker-side warning naming the key, never
+    silently (driver-side stats can't propagate from map_groups)."""
+    import pyarrow.compute as pc
+
+    from ..functions.textsim import jaro_winkler_batch
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    if key_chars < 1:
+        raise ValueError(f"key_chars must be >= 1, got {key_chars}")
+
+    def side(tag: int):
+        def f(t: pa.Table) -> pa.Table:
+            txt = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+            return pa.table(
+                {
+                    "_id": pc.cast(t.column(id_col), pa.string()),
+                    "_txt": txt,
+                    "_key": pc.utf8_lower(
+                        pc.utf8_slice_codeunits(txt, 0, key_chars)
+                    ),
+                    "_side": pa.array(
+                        np.full(len(t), tag, np.int8)
+                    ),
+                }
+            )
+
+        return f
+
+    u = left.map_batches(side(0), batch_format="pyarrow").union(
+        right.map_batches(side(1), batch_format="pyarrow")
+    )
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bucket"] = bucket_of(df["_key"], nb)
+        return df
+
+    empty = pa.table(
+        {
+            "left_id": pa.array([], pa.string()),
+            "right_id": pa.array([], pa.string()),
+            "jw": pa.array([], pa.float64()),
+        }
+    )
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        ls = g[g["_side"] == 0]
+        rs = g[g["_side"] == 1]
+        if len(ls) == 0 or len(rs) == 0:
+            return empty
+        m = ls.merge(rs, on="_key", suffixes=("_l", "_r"))
+        if len(m) == 0:
+            return empty
+        per_key = m.groupby("_key", sort=False).size()
+        if int(per_key.max()) > hot_key_pairs:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fuzzy_join: hot blocking key %r yields %d candidate "
+                "pairs (> %d) — consider a longer key_chars",
+                per_key.idxmax(), int(per_key.max()), hot_key_pairs,
+            )
+        jw = jaro_winkler_batch(
+            m["_txt_l"].to_numpy(object), m["_txt_r"].to_numpy(object)
+        )
+        keep = jw >= jw_threshold
+        out = pd.DataFrame(
+            {
+                "left_id": pd.array(
+                    m["_id_l"].to_numpy(object)[keep], dtype="string"
+                ),
+                "right_id": pd.array(
+                    m["_id_r"].to_numpy(object)[keep], dtype="string"
+                ),
+                "jw": jw[keep],
+            }
+        )
+        if len(out) == 0:
+            return empty
+        out = out.sort_values(
+            ["left_id", "jw", "right_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return out.drop_duplicates("left_id", keep="first")
+
+    return (
+        u.map_batches(add_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(match, batch_format="pandas")
+    )

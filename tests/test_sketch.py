@@ -482,3 +482,56 @@ class TestPairwiseClusterEval:
         assert row2["pred_pairs"] == 0 and row2["gold_pairs"] == 0
         assert row2["pair_precision"] == 0.0
         assert row2["pair_f1"] == 0.0
+
+
+class TestFuzzyJoin:
+    def test_best_match_per_left(self, ray_session):
+        from deepblocker_ray.stages.neighborhood import fuzzy_join
+
+        left = pd.DataFrame(
+            {
+                "doc_id": [0, 2, 4],
+                "text": [
+                    "customer record alpha street twelve",
+                    "warehouse inventory gamma section",
+                    "zzz nothing matches this one zzz",
+                ],
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "doc_id": [1, 3, 5, 7],
+                "text": [
+                    "customer record alpha street twelv",   # match for 0
+                    "customer record alpha street twe",     # weaker match for 0
+                    "warehouse inventory gamma sectio",     # match for 2
+                    "completely unrelated text here",
+                ],
+            }
+        )
+        out = (
+            fuzzy_join(_ds(left, blocks=2), _ds(right, blocks=2), CFG,
+                       key_chars=8, jw_threshold=0.85)
+            .to_pandas()
+            .sort_values("left_id")
+            .reset_index(drop=True)
+        )
+        # left 4 has no candidate (prefix 'zzz nothi' unshared) → absent
+        assert out["left_id"].tolist() == ["0", "2"]
+        # best match wins: doc 1 (longer common text → higher JW) over doc 3
+        assert out["right_id"].tolist() == ["1", "5"]
+        assert (out["jw"] >= 0.85).all()
+
+    def test_tie_breaks_on_min_right_id(self, ray_session):
+        from deepblocker_ray.stages.neighborhood import fuzzy_join
+
+        left = pd.DataFrame({"doc_id": [0], "text": ["identical text"]})
+        right = pd.DataFrame(
+            {"doc_id": [9, 3], "text": ["identical text", "identical text"]}
+        )
+        out = fuzzy_join(
+            _ds(left, blocks=1), _ds(right, blocks=2), CFG,
+            key_chars=8, jw_threshold=0.85,
+        ).to_pandas()
+        assert out["right_id"].tolist() == ["3"]
+        assert out["jw"].tolist() == [1.0]
