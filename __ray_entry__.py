@@ -1058,6 +1058,17 @@ def q_snm_dedup(sf_dir: str):
     )
 
 
+def q_ngram_counts(sf_dir: str):
+    """Corpus bigram count table (LM statistics): occurrence counts over
+    word 2-grams, min_count=2 truncation after the global combine — the
+    count-1 tail is what the truncation bounds at web scale."""
+    from deepblocker_ray.stages.textstats import ngram_counts
+
+    return ngram_counts(
+        _documents(sf_dir), _cfg(), ngram=2, min_count=2
+    )
+
+
 def q_fuzzy_join(sf_dir: str):
     """Two-table blocked fuzzy string join: even-id documents (left) vs
     odd-id documents (right), blocked on the lowercased 8-char text prefix,
@@ -1206,6 +1217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_tokens": q_encode_tokens,
         "cluster_eval": q_cluster_eval,
         "fuzzy_join": q_fuzzy_join,
+        "ngram_counts": q_ngram_counts,
     }
 
 
@@ -1943,6 +1955,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY count DESC, token) - 1
                         AS BIGINT) AS token_id
             FROM freq WHERE count >= 2
+        """,
+        # bigram count twin: the same inclusive 1-based list-slice windows
+        # the repetition twin uses; docs under 2 tokens yield empty lists
+        "ngram_counts": f"""
+            WITH t AS (SELECT {tokens} AS tk FROM documents),
+            g AS (
+                SELECT unnest(CASE WHEN len(tk) < 2 THEN []
+                     ELSE [array_to_string(tk[x : x + 1], ' ')
+                           for x in generate_series(1, len(tk) - 1)]
+                     END) AS gram
+                FROM t
+            )
+            SELECT gram, count(*) AS count
+            FROM g GROUP BY gram HAVING count(*) >= 2
         """,
         # encode twin: zipped unnest gives (token, 0-based pos); LEFT JOIN
         # against the vocab twin makes OOV → NULL on both sides

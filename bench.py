@@ -208,6 +208,7 @@ def main() -> None:
         "encode_tokens",
         "cluster_eval",
         "fuzzy_join",
+        "ngram_counts",
     ]
     for name in query_names:
         r = bench_query(q[name])

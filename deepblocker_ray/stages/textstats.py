@@ -585,3 +585,93 @@ def json_field_extract(
         return pa.table(cols)
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def ngram_counts(
+    ds,
+    cfg,
+    *,
+    text_col: str = "text",
+    ngram: int = 2,
+    min_count: int = 2,
+):
+    """Corpus n-gram count table — (gram, count) over word n-grams, the LM
+    statistic behind contamination checks, Kneser-Ney tables, and repeated-
+    boilerplate mining. Occurrence counts (not per-doc distinct); docs
+    shorter than ``ngram`` tokens contribute nothing (standard count-table
+    definition — unlike the dedup family's short-doc fold).
+
+    Scale shape: gram strings are built vectorized over each batch's
+    concatenated token array (cross-doc windows masked), pre-combined into
+    per-batch (gram, count) partials, then ONE bucketed exchange with a
+    pandas combine per bucket — the token_frequencies shape; the
+    ``min_count`` truncation applies after the global combine (exact), and
+    at web scale it is what keeps the result table bounded (the count-1
+    tail is the vast majority of distinct grams)."""
+    from ..functions.tokenizer import tokenize_many
+    from .canonicalize import bucket_of
+
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    nb = cfg.num_buckets
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        texts = batch.column(text_col).to_pylist()
+        tok_lists = tokenize_many(texts)
+        counts = np.fromiter(
+            (len(t) for t in tok_lists), np.int64, len(tok_lists)
+        )
+        total = int(counts.sum())
+        flat = np.empty(total, object)
+        p = 0
+        for ts in tok_lists:
+            flat[p : p + len(ts)] = ts
+            p += len(ts)
+        nw = total - ngram + 1
+        empty = pd.DataFrame(
+            {
+                "gram": pd.array([], dtype="string"),
+                "count": pd.Series(dtype=np.int64),
+                "_bucket": pd.Series(dtype=np.int32),
+            }
+        )
+        if nw <= 0:
+            return empty
+        grams = flat[:nw].copy()
+        for j in range(1, ngram):
+            grams = grams + " "
+            grams = grams + flat[j : nw + j]
+        # mask windows that cross a document boundary
+        starts = np.zeros(len(tok_lists) + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        doc_idx = np.repeat(
+            np.arange(len(tok_lists), dtype=np.int64), counts
+        )[:nw]
+        keep = starts[doc_idx + 1] - np.arange(nw, dtype=np.int64) >= ngram
+        if not keep.any():
+            return empty
+        vc = pd.Series(grams[keep]).value_counts(sort=False)
+        g = pd.DataFrame(
+            {
+                "gram": pd.array(vc.index.to_numpy(object), dtype="string"),
+                "count": vc.to_numpy(np.int64),
+            }
+        )
+        g["_bucket"] = bucket_of(g["gram"].astype(object), nb)
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("gram", sort=False)
+            .agg(count=("count", "sum"))
+            .reset_index()
+        )
+        return out[out["count"] >= min_count]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )

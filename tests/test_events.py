@@ -438,3 +438,68 @@ class TestValueOutliers:
 
         with _pt.raises(ValueError):
             value_outliers(None, EngineConfig(), k=-1)
+
+
+class TestNgramCounts:
+    def test_counts_and_boundaries(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.textstats import ngram_counts
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "a b c",       # grams: "a b", "b c"
+                    "c a b",       # grams: "c a", "a b"  (no cross-doc "c c")
+                    "solo",        # shorter than ngram → nothing
+                    "a b",         # gram: "a b"
+                ],
+            }
+        )
+        out = (
+            ngram_counts(
+                rd.from_pandas(docs).repartition(3),
+                EngineConfig(num_buckets=8),
+                ngram=2,
+                min_count=2,
+            )
+            .to_pandas()
+            .sort_values("gram")
+            .reset_index(drop=True)
+        )
+        # only "a b" reaches count 3 ≥ 2; "b c"/"c a" have count 1
+        assert out["gram"].tolist() == ["a b"]
+        assert out["count"].tolist() == [3]
+
+    def test_min_count_one_keeps_tail(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.textstats import ngram_counts
+
+        docs = pd.DataFrame({"doc_id": [0], "text": ["x y z"]})
+        out = (
+            ngram_counts(
+                rd.from_pandas(docs), EngineConfig(num_buckets=8),
+                ngram=2, min_count=1,
+            )
+            .to_pandas()
+            .sort_values("gram")
+            .reset_index(drop=True)
+        )
+        assert out["gram"].tolist() == ["x y", "y z"]
+        assert out["count"].tolist() == [1, 1]
+
+    def test_bad_params(self):
+        import pytest as _pt
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.textstats import ngram_counts
+
+        for kw in (dict(ngram=0), dict(min_count=0)):
+            with _pt.raises(ValueError):
+                ngram_counts(None, EngineConfig(), **kw)
