@@ -1058,6 +1058,16 @@ def q_snm_dedup(sf_dir: str):
     )
 
 
+def q_rolling_agg(sf_dir: str):
+    """Per-user ordered rolling aggregate (last-4-events sum/mean of value,
+    ordered by ts then event_id): one bucketed exchange, single segmented
+    cumsum per bucket — exact int64 cents, IEEE-exact mean."""
+    from deepblocker_ray.stages.events import rolling_agg
+
+    ev = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+    return rolling_agg(ev, _cfg(), window=4)
+
+
 def q_ngram_counts(sf_dir: str):
     """Corpus bigram count table (LM statistics): occurrence counts over
     word 2-grams, min_count=2 truncation after the global combine — the
@@ -1218,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_eval": q_cluster_eval,
         "fuzzy_join": q_fuzzy_join,
         "ngram_counts": q_ngram_counts,
+        "rolling_agg": q_rolling_agg,
     }
 
 
@@ -2329,6 +2340,20 @@ def oracle_sql() -> dict[str, str]:
                    sniffed_mime = mime AS mime_matches,
                    md5(payload) AS md5
             FROM sniffed
+        """,
+        # rolling twin: the exact SQL frame the engine's segmented cumsum
+        # implements; sums in BIGINT cents, mean one double division
+        "rolling_agg": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS roll_n,
+                   CAST(sum(cents) OVER w AS BIGINT) AS roll_sum_cents,
+                   CAST(sum(cents) OVER w AS DOUBLE) / count(*) OVER w
+                       AS roll_mean
+            FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "sessionize": """
             WITH o AS (

@@ -209,6 +209,7 @@ def main() -> None:
         "cluster_eval",
         "fuzzy_join",
         "ngram_counts",
+        "rolling_agg",
     ]
     for name in query_names:
         r = bench_query(q[name])

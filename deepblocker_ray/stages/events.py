@@ -594,3 +594,68 @@ def value_outliers(ds, cfg: EngineConfig, *, k: int = 3):
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- rolling aggregate --
+
+
+def rolling_agg(ds, cfg: EngineConfig, *, window: int = 4):
+    """Per-user ORDERED rolling aggregate — the windowed primitive behind
+    rate metrics and smoothing: for each event, sum/mean of the value over
+    the last ``window`` events of the same user ordered by (ts, event_id)
+    (SQL frame ROWS BETWEEN window−1 PRECEDING AND CURRENT ROW; expanding
+    at each user's head). Output
+    (event_id, user_id, roll_n, roll_sum_cents, roll_mean).
+
+    One bucketed exchange on hash(user_id) of skinny int64 rows; the
+    per-bucket kernel is a single lexsort + ONE cumulative sum over the
+    whole bucket — the rolling sum is cs[i+1] − cs[lo] with the window
+    lower bound clamped to each user's segment start by pure index
+    arithmetic (no per-user loop, no pandas rolling). Sums are exact
+    int64 cents; roll_mean is one IEEE division of those ints, so the SQL
+    twin matches bit-for-bit."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    skinny = _project_events(ds, cfg, with_value=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _empty_rolling()
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        cents = df["cents"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid, cents = u[order], ts[order], eid[order], cents[order]
+        n = len(u)
+        new_user = np.ones(n, bool)
+        new_user[1:] = u[1:] != u[:-1]
+        seg_start = np.flatnonzero(new_user)
+        start_of = np.repeat(seg_start, np.diff(np.r_[seg_start, n]))
+        idx = np.arange(n, dtype=np.int64)
+        lo = np.maximum(idx - (window - 1), start_of)
+        cs = np.concatenate(([0], np.cumsum(cents, dtype=np.int64)))
+        roll_sum = cs[idx + 1] - cs[lo]
+        roll_n = idx - lo + 1
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": u,
+                "roll_n": roll_n,
+                "roll_sum_cents": roll_sum,
+                "roll_mean": roll_sum / roll_n,
+            }
+        )
+
+    return skinny.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+
+def _empty_rolling() -> pd.DataFrame:
+    cols = {
+        c: pd.Series(dtype=np.int64)
+        for c in ("event_id", "user_id", "roll_n", "roll_sum_cents")
+    }
+    cols["roll_mean"] = pd.Series(dtype=np.float64)
+    return pd.DataFrame(cols)

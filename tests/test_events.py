@@ -503,3 +503,51 @@ class TestNgramCounts:
         for kw in (dict(ngram=0), dict(min_count=0)):
             with _pt.raises(ValueError):
                 ngram_counts(None, EngineConfig(), **kw)
+
+
+class TestRollingAgg:
+    def test_window_and_user_head(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import rolling_agg
+
+        ts = pd.to_datetime(
+            [f"2026-01-01 00:0{i}:00" for i in range(5)] * 2
+        )
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(10, dtype=np.int64),
+                "user_id": np.int64([1] * 5 + [2] * 5),
+                "ts": ts,
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0] * 2,
+            }
+        )
+        out = (
+            rolling_agg(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=8),
+                window=3,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        # user 1: sums over last-3 window = 100, 300, 600, 900, 1200 cents
+        assert out.loc[:4, "roll_sum_cents"].tolist() == [
+            100, 300, 600, 900, 1200
+        ]
+        assert out.loc[:4, "roll_n"].tolist() == [1, 2, 3, 3, 3]
+        # user 2 restarts its window (segment clamp), identical values
+        assert out.loc[5:, "roll_sum_cents"].tolist() == [
+            100, 300, 600, 900, 1200
+        ]
+        assert out.loc[2, "roll_mean"] == 600 / 3
+
+    def test_bad_window(self):
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import rolling_agg
+
+        with pytest.raises(ValueError):
+            rolling_agg(None, EngineConfig(), window=0)
