@@ -1079,6 +1079,22 @@ def q_ngram_counts(sf_dir: str):
     )
 
 
+def q_tfidf_search(sf_dir: str):
+    """TF-IDF keyword retrieval: every 20th document plays a probe query
+    ("more-like-this"); top-5 corpus docs per query under the integer-exact
+    score Σ tf·(n_docs // df), ranked (score desc, doc_id asc)."""
+    from deepblocker_ray.stages.search import tfidf_search
+
+    docs = _documents(sf_dir)
+    queries = _mod_split(docs, 20, keep_zero=True, id_col="doc_id").map_batches(
+        lambda t: t.rename_columns(
+            ["query_id" if c == "doc_id" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    return tfidf_search(docs, queries, _cfg(), k=5)
+
+
 def q_fuzzy_join(sf_dir: str):
     """Two-table blocked fuzzy string join: even-id documents (left) vs
     odd-id documents (right), blocked on the lowercased 8-char text prefix,
@@ -1229,6 +1245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join": q_fuzzy_join,
         "ngram_counts": q_ngram_counts,
         "rolling_agg": q_rolling_agg,
+        "tfidf_search": q_tfidf_search,
     }
 
 
@@ -2343,6 +2360,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # rolling twin: the exact SQL frame the engine's segmented cumsum
         # implements; sums in BIGINT cents, mean one double division
+        # TF-IDF retrieval twin: term identity is the token STRING (engine:
+        # md5-lower64 hash — equal iff the strings are, modulo negligible
+        # collision, the tfidf_dedup convention); weight = n_docs // df and
+        # score = Σ tf·weight in BIGINT; rank = row_number under the total
+        # order (score desc, doc_id asc), so values hash-match bit-for-bit.
+        "tfidf_search": f"""
+            WITH q AS (
+                SELECT CAST(doc_id AS VARCHAR) AS query_id,
+                       unnest(list_distinct({tokens})) AS term
+                FROM documents WHERE doc_id % 20 = 0
+            ),
+            dtok AS (
+                SELECT doc_id, unnest({tokens}) AS term FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM dtok GROUP BY doc_id, term
+            ),
+            df AS (
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM dtok WHERE term IN (SELECT DISTINCT term FROM q)
+                GROUP BY term
+            ),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            s AS (
+                SELECT q.query_id, tf.doc_id,
+                       CAST(sum(tf.tf * (n.n_docs // df.df)) AS BIGINT)
+                           AS score
+                FROM q JOIN tf USING (term) JOIN df USING (term), n
+                GROUP BY q.query_id, tf.doc_id
+            ),
+            r AS (
+                SELECT query_id, doc_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) AS rank
+                FROM s
+            )
+            SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 5
+        """,
         "rolling_agg": """
             SELECT event_id, user_id,
                    CAST(count(*) OVER w AS BIGINT) AS roll_n,
