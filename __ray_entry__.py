@@ -1032,6 +1032,20 @@ def q_chunk_documents(sf_dir: str):
     )
 
 
+def q_chunk_roundtrip(sf_dir: str):
+    """Chunk → reassemble roundtrip: 120/40 overlapping windows stitched
+    back (map-side overlap strip, one bucketed exchange, per-doc C-level
+    join) must reproduce every document byte-for-byte — the oracle is the
+    source table itself."""
+    from deepblocker_ray.stages.packing import chunk_documents, reassemble_chunks
+
+    cfg = _cfg()
+    chunks = chunk_documents(
+        _documents(sf_dir), cfg, chunk_chars=120, overlap=40
+    )
+    return reassemble_chunks(chunks, cfg, overlap=40)
+
+
 def q_vocab_build(sf_dir: str):
     """Frequency-ranked vocabulary (token_id = dense rank in count-desc,
     token-asc order) via count-descending prefix-scan ranges — no global
@@ -1236,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pretrain_curate": q_pretrain_curate,
         "json_extract": q_json_extract,
         "chunk_documents": q_chunk_documents,
+        "chunk_roundtrip": q_chunk_roundtrip,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -1972,6 +1987,11 @@ def oracle_sql() -> dict[str, str]:
                              1, greatest(length(coalesce(text, '')) - 40, 1),
                              80)) AS x
                   FROM documents)
+        """,
+        # roundtrip twin: reassembling the chunks IS the source table
+        # (NULL text comes back as '' — the chunker's fill rule)
+        "chunk_roundtrip": """
+            SELECT doc_id, coalesce(text, '') AS text FROM documents
         """,
         "vocab_build": f"""
             WITH freq AS (

@@ -339,3 +339,74 @@ def chunk_documents(
     return ds.select_columns([id_col, text_col]).map_batches(
         expand, batch_format="pyarrow"
     )
+
+
+def reassemble_chunks(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    text_col: str = "chunk_text",
+    overlap: int = 0,
+):
+    """Inverse of :func:`chunk_documents` — stitch chunk rows back into one
+    row per document: ``text = chunk_0 ++ suffix(chunk_k, overlap)`` for
+    k ≥ 1 in ``idx_col`` order. With the same ``overlap`` the chunker used,
+    ``reassemble_chunks(chunk_documents(ds)) == ds`` exactly (NULL source
+    text comes back as ``''`` — the chunker's fill rule), which is this
+    operator's oracle. Emits (``id_col``, text).
+
+    Scale shape: the overlap prefix is stripped MAP-SIDE (one
+    ``utf8_slice_codeunits`` kernel per batch — code-point semantics, so
+    non-ASCII overlap strips correctly), then ONE bucketed exchange on
+    hash(id) co-locates each document's chunks; the per-bucket kernel is a
+    single lexsort + a C-level per-doc join. Chunk order is carried by
+    ``idx_col``, not arrival order, so the exchange may reorder freely.
+    Precondition: (id, chunk_idx) pairs are unique (chunk_documents emits
+    them that way); duplicate indices would concatenate twice.
+    """
+    from .events import _user_bucket
+
+    cfg = cfg or EngineConfig()
+    if overlap < 0:
+        raise ValueError(f"overlap must be >= 0, got {overlap}")
+    nb = cfg.num_buckets
+
+    def project(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), np.int64)
+        idx = t.column(idx_col).cast(pa.int64())
+        txt = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+        if overlap:
+            tail = pc.utf8_slice_codeunits(txt, overlap, np.iinfo(np.int32).max)
+            first = pc.equal(idx, pa.scalar(0, pa.int64()))
+            txt = pc.if_else(first, txt, tail)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                idx_col: idx,
+                "_piece": txt,
+                "_bucket": pa.array(_user_bucket(ids, nb)),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype=np.int64),
+                    "text": pd.Series(dtype=object),
+                }
+            )
+        df = df.sort_values([id_col, idx_col], kind="stable")
+        joined = df.groupby(id_col, sort=True)["_piece"].agg("".join)
+        return pd.DataFrame(
+            {id_col: joined.index.to_numpy(np.int64), "text": joined.to_numpy()}
+        )
+
+    return (
+        ds.select_columns([id_col, idx_col, text_col])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

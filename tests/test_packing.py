@@ -249,3 +249,78 @@ class TestChunkDocuments:
             chunk_documents(None, chunk_chars=10, overlap=10)
         with _pt.raises(ValueError):
             chunk_documents(None, chunk_chars=0, overlap=0)
+
+
+class TestReassembleChunks:
+    def test_roundtrip_identity(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.packing import (
+            chunk_documents,
+            reassemble_chunks,
+        )
+
+        texts = [
+            "a" * 10,            # exactly one chunk
+            "b" * 11,            # straddles one boundary
+            "",                  # empty → one empty chunk
+            None,                # NULL → '' after the roundtrip
+            "é" * 23,            # non-ASCII across 3 chunks
+            "xy",                # shorter than one chunk
+            " ".join(str(i) for i in range(40)),  # many chunks
+        ]
+        docs = pd.DataFrame(
+            {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+        )
+        cfg = EngineConfig(num_buckets=8)
+        chunks = chunk_documents(
+            rd.from_pandas([p for p in np.array_split(docs, 3)]),
+            cfg, chunk_chars=10, overlap=4,
+        )
+        out = (
+            reassemble_chunks(chunks, cfg, overlap=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = [t if t is not None else "" for t in texts]
+        assert out["doc_id"].tolist() == list(range(len(texts)))
+        assert out["text"].tolist() == want
+
+    def test_zero_overlap_and_shuffled_input(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.packing import reassemble_chunks
+
+        # chunks arrive in arbitrary order; idx carries the stitch order
+        chunks = pd.DataFrame(
+            {
+                "doc_id": np.array([7, 7, 7, 9], np.int64),
+                "chunk_idx": np.array([2, 0, 1, 0], np.int64),
+                "chunk_text": ["CC", "AA", "BB", "solo"],
+            }
+        )
+        out = (
+            reassemble_chunks(
+                rd.from_pandas(chunks), EngineConfig(num_buckets=4)
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [7, 9]
+        assert out["text"].tolist() == ["AABBCC", "solo"]
+
+    def test_bad_overlap(self):
+        import pytest as _pt
+
+        from deepblocker_ray.stages.packing import reassemble_chunks
+
+        with _pt.raises(ValueError):
+            reassemble_chunks(None, overlap=-1)
