@@ -1046,6 +1046,48 @@ def q_chunk_roundtrip(sf_dir: str):
     return reassemble_chunks(chunks, cfg, overlap=40)
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Changed-data capture between two deterministic snapshots of orders
+    (old = keys %7≠0; new = keys %5≠0 with price bumped on %11==0): only
+    skinny (key, payload-hash64) rows ride one bucketed exchange; unchanged
+    keys emit nothing."""
+    import numpy as np
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import snapshot_diff
+
+    def read():
+        return rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        )
+
+    def old_side(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("o_orderkey"), np.int64)
+        return t.filter(pa.array(k % 7 != 0))
+
+    def new_side(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("o_orderkey"), np.int64)
+        t = t.filter(pa.array(k % 5 != 0))
+        k = np.asarray(t.column("o_orderkey"), np.int64)
+        price = np.asarray(t.column("o_totalprice"), np.float64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_totalprice": pa.array(
+                    np.where(k % 11 == 0, price + 1.0, price)
+                ),
+            }
+        )
+
+    return snapshot_diff(
+        read().map_batches(old_side, batch_format="pyarrow"),
+        read().map_batches(new_side, batch_format="pyarrow"),
+        _cfg(),
+        key_col="o_orderkey",
+        value_cols=["o_totalprice"],
+    )
+
+
 def q_vocab_build(sf_dir: str):
     """Frequency-ranked vocabulary (token_id = dense rank in count-desc,
     token-asc order) via count-descending prefix-scan ranges — no global
@@ -1251,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract": q_json_extract,
         "chunk_documents": q_chunk_documents,
         "chunk_roundtrip": q_chunk_roundtrip,
+        "snapshot_diff": q_snapshot_diff,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -1987,6 +2030,25 @@ def oracle_sql() -> dict[str, str]:
                              1, greatest(length(coalesce(text, '')) - 40, 1),
                              80)) AS x
                   FROM documents)
+        """,
+        # CDC twin: full outer join of the two deterministic snapshots;
+        # 'changed' only where the payload actually differs
+        "snapshot_diff": """
+            WITH old AS (
+                SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+                WHERE o_orderkey % 7 != 0
+            ), new AS (
+                SELECT o_orderkey AS k,
+                       CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+                            ELSE o_totalprice END AS v
+                FROM orders WHERE o_orderkey % 5 != 0
+            )
+            SELECT coalesce(old.k, new.k) AS o_orderkey,
+                   CASE WHEN old.k IS NULL THEN 'added'
+                        WHEN new.k IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM old FULL OUTER JOIN new ON old.k = new.k
+            WHERE old.k IS NULL OR new.k IS NULL OR old.v != new.v
         """,
         # roundtrip twin: reassembling the chunks IS the source table
         # (NULL text comes back as '' — the chunker's fill rule)

@@ -551,3 +551,88 @@ class TestRollingAgg:
 
         with pytest.raises(ValueError):
             rolling_agg(None, EngineConfig(), window=0)
+
+
+class TestSnapshotDiff:
+    def test_added_removed_changed_and_nulls(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import snapshot_diff
+
+        old = pd.DataFrame(
+            {
+                "k": np.array([1, 2, 3, 4, 5], np.int64),
+                "a": ["x", "y", None, "w", "v"],
+                "b": [1.5, 2.5, 3.5, 4.5, 5.5],
+            }
+        )
+        new = pd.DataFrame(
+            {
+                # 1 unchanged, 2 changed (a), 3 changed (NULL→string),
+                # 4 unchanged (NULL stays NULL would be same; here same vals),
+                # 5 removed, 6 added
+                "k": np.array([1, 2, 3, 4, 6], np.int64),
+                "a": ["x", "Y", "now", "w", "new"],
+                "b": [1.5, 2.5, 3.5, 4.5, 6.5],
+            }
+        )
+        out = (
+            snapshot_diff(
+                rd.from_pandas(old), rd.from_pandas(new),
+                EngineConfig(num_buckets=4), key_col="k",
+                value_cols=["a", "b"],
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert out["k"].tolist() == [2, 3, 5, 6]
+        assert out["status"].tolist() == ["changed", "changed", "removed", "added"]
+
+    def test_null_vs_string_sentinel(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import snapshot_diff
+
+        # NULL on one side vs the literal sentinel-free 'None' string on the
+        # other must count as CHANGED, and NULL vs NULL as unchanged
+        old = pd.DataFrame(
+            {"k": np.array([1, 2], np.int64), "a": [None, None]}
+        )
+        new = pd.DataFrame(
+            {"k": np.array([1, 2], np.int64), "a": ["None", None]}
+        )
+        out = (
+            snapshot_diff(
+                rd.from_pandas(old), rd.from_pandas(new),
+                EngineConfig(num_buckets=4), key_col="k", value_cols=["a"],
+            )
+            .to_pandas()
+        )
+        assert out["k"].tolist() == [1]
+        assert out["status"].tolist() == ["changed"]
+
+    def test_duplicate_key_raises(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pytest as _pt
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import snapshot_diff
+
+        dup = pd.DataFrame(
+            {"k": np.array([1, 1], np.int64), "a": ["x", "y"]}
+        )
+        ok = pd.DataFrame({"k": np.array([1], np.int64), "a": ["x"]})
+        with _pt.raises(Exception, match="duplicate"):
+            snapshot_diff(
+                rd.from_pandas(dup), rd.from_pandas(ok),
+                EngineConfig(num_buckets=1), key_col="k", value_cols=["a"],
+            ).to_pandas()
