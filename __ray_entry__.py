@@ -1088,6 +1088,23 @@ def q_snapshot_diff(sf_dir: str):
     )
 
 
+def q_column_profile(sf_dir: str):
+    """Per-column data-quality profile (rows, nulls, exact distinct via
+    map-side-deduped hash pairs, code-point length extremes) over the
+    documents string columns — one pass, two skinny exchanges."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.profile import column_profile
+
+    return column_profile(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["text", "lang", "source"]
+        ),
+        _cfg(),
+        columns=["text", "lang", "source"],
+    )
+
+
 def q_vocab_build(sf_dir: str):
     """Frequency-ranked vocabulary (token_id = dense rank in count-desc,
     token-asc order) via count-descending prefix-scan ranges — no global
@@ -1294,6 +1311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "chunk_roundtrip": q_chunk_roundtrip,
         "snapshot_diff": q_snapshot_diff,
+        "column_profile": q_column_profile,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2030,6 +2048,28 @@ def oracle_sql() -> dict[str, str]:
                              1, greatest(length(coalesce(text, '')) - 40, 1),
                              80)) AS x
                   FROM documents)
+        """,
+        # profile twin: one UNION ALL branch per profiled column; distinct
+        # counts non-null values, lengths are over coalesce(col, '')
+        "column_profile": """
+            SELECT 'lang' AS "column", count(*) AS n_rows,
+                   count(*) - count(lang) AS n_nulls,
+                   count(DISTINCT lang) AS n_distinct,
+                   min(length(coalesce(lang, ''))) AS min_len,
+                   max(length(coalesce(lang, ''))) AS max_len
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source),
+                   count(DISTINCT source),
+                   min(length(coalesce(source, ''))),
+                   max(length(coalesce(source, '')))
+            FROM documents
+            UNION ALL
+            SELECT 'text', count(*), count(*) - count(text),
+                   count(DISTINCT text),
+                   min(length(coalesce(text, ''))),
+                   max(length(coalesce(text, '')))
+            FROM documents
         """,
         # CDC twin: full outer join of the two deterministic snapshots;
         # 'changed' only where the payload actually differs

@@ -1,0 +1,157 @@
+"""Column profiling — the data-quality scan every ingest pipeline runs
+first: per column, row/null counts, EXACT distinct cardinality, and
+length extremes. No reference counterpart (the reference assumes clean
+two-table CSVs); at 100 TB this is the "what is actually in this corpus"
+operator that decides schemas, partitioning keys and dedup strategy.
+
+Scale shape — one streaming pass over the projected columns, two tiny
+exchanges:
+
+1. count/null/length partials: each batch collapses map-side to ONE row
+   per profiled column (count kernels + utf8_length min/max), so the
+   final combine sees O(columns × blocks) rows — a ``repartition(1)``
+   over a few-KB stream, not a shuffle.
+2. exact distinct: each batch emits its DISTINCT (column, md5-lower64
+   value-hash) pairs — already deduplicated map-side, so the exchange
+   carries at most the per-batch distinct set, bucketed on the hash.
+   Per bucket the pairs are unique-counted per column (buckets partition
+   the hash space, so per-bucket counts are disjoint and exact), leaving
+   O(columns × buckets) rows for the same tiny final combine. Hash
+   equality stands in for value equality with the repo-wide md5-lower64
+   caveat (~n²/2⁶⁴).
+
+Both partial streams share one schema and one final combine, so the whole
+profile is: map → (union) → bucket-exchange of skinny ints → combine.
+Length semantics are CODE POINTS over ``coalesce(col, '')`` (Arrow
+``utf8_length`` == DuckDB ``length``), so the SQL twin holds for
+non-ASCII and NULL alike.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import EngineConfig
+
+
+def column_profile(ds, cfg: EngineConfig | None = None, *, columns: list[str]):
+    """Profile string ``columns`` of ``ds``: emits one row per column —
+    (column, n_rows, n_nulls, n_distinct, min_len, max_len) where
+    n_distinct counts distinct NON-NULL values and min/max_len are over
+    ``coalesce(col, '')`` in code points."""
+    from .dedup import hash64_strs
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    if not columns:
+        raise ValueError("columns must be non-empty")
+
+    _MINSENT = np.iinfo(np.int64).max
+    _MAXSENT = np.int64(-1)
+
+    def stats_partial(t: pa.Table) -> pd.DataFrame:
+        if len(t) == 0:
+            return _empty_profile()
+        rows = []
+        for c in columns:
+            col = pc.cast(t.column(c), pa.string())
+            lens = pc.utf8_length(pc.fill_null(col, ""))
+            rows.append(
+                (c, len(t), col.null_count,
+                 pc.min(lens).as_py(), pc.max(lens).as_py())
+            )
+        cols = list(zip(*rows))
+        # distinct rows use the min/max sentinels; stats rows carry 0
+        # distinct — one shared combine folds both streams
+        return pd.DataFrame(
+            {
+                "column": np.asarray(cols[0], object),
+                "n_rows": np.asarray(cols[1], np.int64),
+                "n_nulls": np.asarray(cols[2], np.int64),
+                "n_distinct": np.zeros(len(columns), np.int64),
+                "min_len": np.asarray(cols[3], np.int64),
+                "max_len": np.asarray(cols[4], np.int64),
+            }
+        )
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        out_c, out_h = [], []
+        for ci, c in enumerate(columns):
+            col = pc.cast(t.column(c), pa.string())
+            vals = col.drop_null().to_numpy(zero_copy_only=False)
+            if len(vals) == 0:
+                continue
+            h = np.unique(hash64_strs(pd.unique(vals.astype(object))))
+            out_c.append(np.full(len(h), ci, np.int64))
+            out_h.append(h)
+        if not out_c:
+            ci = np.empty(0, np.int64)
+            h = np.empty(0, np.uint64)
+        else:
+            ci = np.concatenate(out_c)
+            h = np.concatenate(out_h)
+        return pa.table(
+            {
+                "_col": pa.array(ci),
+                "_h": pa.array(h.view(np.int64)),
+                "_bucket": pa.array(
+                    (h % np.uint64(nb)).astype(np.int32)
+                ),
+            }
+        )
+
+    def distinct_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _empty_profile()
+        pairs = df[["_col", "_h"]].drop_duplicates()
+        g = pairs.groupby("_col", sort=False).size()
+        names = np.asarray(columns, object)[g.index.to_numpy(np.int64)]
+        n = len(g)
+        return pd.DataFrame(
+            {
+                "column": names,
+                "n_rows": np.zeros(n, np.int64),
+                "n_nulls": np.zeros(n, np.int64),
+                "n_distinct": g.to_numpy(np.int64),
+                "min_len": np.full(n, _MINSENT, np.int64),
+                "max_len": np.full(n, _MAXSENT, np.int64),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _empty_profile()
+        g = df.groupby("column", sort=True).agg(
+            n_rows=("n_rows", "sum"),
+            n_nulls=("n_nulls", "sum"),
+            n_distinct=("n_distinct", "sum"),
+            min_len=("min_len", "min"),
+            max_len=("max_len", "max"),
+        )
+        return g.reset_index().astype(
+            {c: np.int64 for c in
+             ("n_rows", "n_nulls", "n_distinct", "min_len", "max_len")}
+        )
+
+    proj = ds.select_columns(columns)
+    stats = proj.map_batches(stats_partial, batch_format="pyarrow")
+    distinct = (
+        proj.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(distinct_bucket, batch_format="pandas")
+    )
+    return (
+        stats.union(distinct)
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )
+
+
+def _empty_profile() -> pd.DataFrame:
+    cols = {"column": pd.Series(dtype=object)}
+    for c in ("n_rows", "n_nulls", "n_distinct", "min_len", "max_len"):
+        cols[c] = pd.Series(dtype=np.int64)
+    return pd.DataFrame(cols)

@@ -1,0 +1,41 @@
+"""column_profile (stages/profile.py): exact distinct via map-side-deduped
+hash pairs, null counts, code-point length extremes over coalesce('')."""
+
+import numpy as np
+import pandas as pd
+
+
+class TestColumnProfile:
+    def test_counts_distinct_lengths_nulls(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.profile import column_profile
+
+        df = pd.DataFrame(
+            {
+                "a": ["x", "x", "yy", None, "ééé"],   # 3 distinct non-null
+                "b": [None, None, None, None, None],  # all null
+                "c": ["same"] * 5,                    # 1 distinct
+            }
+        )
+        out = (
+            column_profile(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=4),
+                columns=["a", "b", "c"],
+            )
+            .to_pandas()
+            .set_index("column")
+        )
+        assert out.loc["a"].tolist() == [5, 1, 3, 0, 3]  # é×3 = 3 CHARS
+        assert out.loc["b"].tolist() == [5, 5, 0, 0, 0]
+        assert out.loc["c"].tolist() == [5, 0, 1, 4, 4]
+
+    def test_empty_columns_arg(self):
+        import pytest as _pt
+
+        from deepblocker_ray.stages.profile import column_profile
+
+        with _pt.raises(ValueError):
+            column_profile(None, columns=[])
