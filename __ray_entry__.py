@@ -1105,6 +1105,15 @@ def q_column_profile(sf_dir: str):
     )
 
 
+def q_span_extract(sf_dir: str):
+    """Regex span explosion: every leftmost non-overlapping 's[a-z]+' match
+    becomes a row with its per-doc ordinal — map-side row expansion, no
+    shuffle; Python-re ↔ RE2 span parity is part of the check."""
+    from deepblocker_ray.stages.textstats import span_extract
+
+    return span_extract(_documents(sf_dir), r"s[a-z]+")
+
+
 def q_vocab_build(sf_dir: str):
     """Frequency-ranked vocabulary (token_id = dense rank in count-desc,
     token-asc order) via count-descending prefix-scan ranges — no global
@@ -1312,6 +1321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_roundtrip": q_chunk_roundtrip,
         "snapshot_diff": q_snapshot_diff,
         "column_profile": q_column_profile,
+        "span_extract": q_span_extract,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2048,6 +2058,19 @@ def oracle_sql() -> dict[str, str]:
                              1, greatest(length(coalesce(text, '')) - 40, 1),
                              80)) AS x
                   FROM documents)
+        """,
+        # span twin: regexp_extract_all + a LATERAL ordinal unnest; RE2 and
+        # Python re agree on leftmost non-overlapping matches for this
+        # lookaround-free pattern
+        "span_extract": """
+            SELECT doc_id, CAST(t.i AS BIGINT) - 1 AS match_idx,
+                   matches[t.i] AS match
+            FROM (SELECT doc_id,
+                         regexp_extract_all(coalesce(text, ''),
+                                            's[a-z]+') AS matches
+                  FROM documents),
+                 LATERAL (SELECT unnest(generate_series(1, len(matches)))
+                          AS i) t
         """,
         # profile twin: one UNION ALL branch per profiled column; distinct
         # counts non-null values, lengths are over coalesce(col, '')

@@ -675,3 +675,61 @@ def ngram_counts(
         .groupby("_bucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def span_extract(
+    ds,
+    pattern: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Regex span extraction — explode every non-overlapping match of
+    ``pattern`` into its own row: (id, match_idx:int64, match:string) with
+    ``match_idx`` the 0-based leftmost-to-rightmost ordinal within the
+    document. NULL text matches nothing. The eval-mining / targeted-scrub
+    primitive (find every code block / citation / id-like span in a
+    corpus); the row-expansion dual of ``pii_scrub``'s in-place rewrite.
+
+    Pure map-side row expansion — no shuffle, no state. The regex is
+    compiled once per task; per batch the per-row match lists are
+    flattened with ONE concatenate and ordinals come from index
+    arithmetic, so Python-level work is the C regex loop itself.
+    Restrict ``pattern`` to constructs Python ``re`` and RE2 share
+    (char classes, quantifiers, alternation — no lookaround) so the
+    DuckDB ``regexp_extract_all`` twin matches span-for-span.
+    """
+    from itertools import chain
+
+    rx = re.compile(pattern)
+
+    def expand(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+        findall = rx.findall
+        lists = [findall(s) for s in txt.to_pylist()]
+        counts = np.fromiter((len(x) for x in lists), np.int64, len(lists))
+        total = int(counts.sum())
+        ids = t.column(id_col)
+        if total == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], ids.type),
+                    "match_idx": pa.array([], pa.int64()),
+                    "match": pa.array([], pa.string()),
+                }
+            )
+        flat = np.fromiter(chain.from_iterable(lists), object, total)
+        prior = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        seg = np.repeat(np.arange(len(counts)), counts)
+        idx = np.arange(total, dtype=np.int64) - prior[seg]
+        return pa.table(
+            {
+                id_col: pc.take(ids, pa.array(seg, pa.int64())),
+                "match_idx": pa.array(idx),
+                "match": pa.array(flat, pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        expand, batch_format="pyarrow"
+    )

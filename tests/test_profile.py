@@ -39,3 +39,34 @@ class TestColumnProfile:
 
         with _pt.raises(ValueError):
             column_profile(None, columns=[])
+
+
+class TestSpanExtract:
+    def test_ordinals_overlap_rule_and_nulls(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.textstats import span_extract
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(4, dtype=np.int64),
+                "text": [
+                    "fast sort stream",  # 'st' inside fast; sort; stream
+                    None,                 # no matches
+                    "xyz",                # no matches
+                    "ss s1 s",            # 'ss' (one match, greedy), no s1\
+                ],
+            }
+        )
+        out = (
+            span_extract(rd.from_pandas(df), r"s[a-z]+")
+            .to_pandas()
+            .sort_values(["doc_id", "match_idx"])
+            .reset_index(drop=True)
+        )
+        assert out[out["doc_id"] == 0]["match"].tolist() == [
+            "st", "sort", "stream"
+        ]
+        assert out[out["doc_id"] == 0]["match_idx"].tolist() == [0, 1, 2]
+        assert set(out["doc_id"]) == {0, 3}
+        assert out[out["doc_id"] == 3]["match"].tolist() == ["ss"]
