@@ -1114,6 +1114,16 @@ def q_span_extract(sf_dir: str):
     return span_extract(_documents(sf_dir), r"s[a-z]+")
 
 
+def q_debounce(sf_dir: str):
+    """Min-gap event suppression (drop events < 60s after the previous
+    event of the same (user, type) — the lag rule): one skinny bucketed
+    exchange, single lexsort + shifted diff per bucket."""
+    from deepblocker_ray.stages.events import debounce
+
+    ev = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
+    return debounce(ev, _cfg(), gap_seconds=60.0)
+
+
 def q_vocab_build(sf_dir: str):
     """Frequency-ranked vocabulary (token_id = dense rank in count-desc,
     token-asc order) via count-descending prefix-scan ranges — no global
@@ -1322,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "column_profile": q_column_profile,
         "span_extract": q_span_extract,
+        "debounce": q_debounce,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2058,6 +2069,20 @@ def oracle_sql() -> dict[str, str]:
                              1, greatest(length(coalesce(text, '')) - 40, 1),
                              80)) AS x
                   FROM documents)
+        """,
+        # debounce twin: the lag rule — keep iff no same-key predecessor
+        # within the gap, ordered by (ts, event_id)
+        "debounce": """
+            SELECT event_id, user_id, event_type
+            FROM (
+                SELECT event_id, user_id, event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                       ) AS gap
+                FROM events
+            )
+            WHERE gap IS NULL OR gap > 60000000
         """,
         # span twin: regexp_extract_all + a LATERAL ordinal unnest; RE2 and
         # Python re agree on leftmost non-overlapping matches for this

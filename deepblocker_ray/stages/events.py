@@ -659,3 +659,57 @@ def _empty_rolling() -> pd.DataFrame:
     }
     cols["roll_mean"] = pd.Series(dtype=np.float64)
     return pd.DataFrame(cols)
+
+
+def debounce(ds, cfg: EngineConfig, *, gap_seconds: float = 60.0):
+    """Min-gap suppression — the telemetry/click-stream noise filter: an
+    event is DROPPED when the immediately preceding event of the same
+    (user_id, event_type), ordered by (ts, event_id), is within
+    ``gap_seconds``. The comparison is against the previous event in the
+    stream (the SQL ``lag`` rule — exact, order-independent to compute),
+    NOT against the last kept one; a steady sub-gap stream therefore keeps
+    every other event rather than only the first (document-pinned
+    semantics, matched bit-for-bit by the twin's window function).
+
+    One bucketed exchange of skinny int64 rows on hash(user_id); per
+    bucket a single lexsort over (user, type-code, ts, event_id) and one
+    shifted-diff — no per-key loop. Emits (event_id, user_id, event_type)
+    for the kept events.
+    """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be > 0, got {gap_seconds}")
+    gap_us = int(round(gap_seconds * 1e6))
+    skinny = _project_events(ds, cfg, with_type=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype=np.int64),
+                    "user_id": pd.Series(dtype=np.int64),
+                    "event_type": pd.Series(dtype=object),
+                }
+            )
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        etype = df["event_type"].to_numpy(object)
+        tcode, tuniq = pd.factorize(etype, sort=False)
+        order = np.lexsort((eid, ts, tcode, u))
+        u, ts, eid, tcode = u[order], ts[order], eid[order], tcode[order]
+        same_key = np.zeros(len(u), bool)
+        same_key[1:] = (u[1:] == u[:-1]) & (tcode[1:] == tcode[:-1])
+        gap_ok = np.ones(len(u), bool)
+        gap_ok[1:] = (ts[1:] - ts[:-1]) > gap_us
+        keep = ~same_key | gap_ok
+        return pd.DataFrame(
+            {
+                "event_id": eid[keep],
+                "user_id": u[keep],
+                "event_type": tuniq.take(tcode[keep]),
+            }
+        )
+
+    return skinny.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )

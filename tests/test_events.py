@@ -636,3 +636,50 @@ class TestSnapshotDiff:
                 rd.from_pandas(dup), rd.from_pandas(ok),
                 EngineConfig(num_buckets=1), key_col="k", value_cols=["a"],
             ).to_pandas()
+
+
+class TestDebounce:
+    def test_lag_rule_ties_and_segments(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import debounce
+
+        base = pd.Timestamp("2026-01-01")
+        s = pd.Timedelta(seconds=1)
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(7, dtype=np.int64),
+                "user_id": np.array([1, 1, 1, 1, 2, 1, 1], np.int64),
+                "event_type": ["a", "a", "a", "b", "a", "a", "a"],
+                "ts": [
+                    base,            # keep (first)
+                    base + 30 * s,   # drop (30s after prev)
+                    base + 65 * s,   # drop — 65s after e0 (the last KEPT)
+                                     # but the lag rule compares vs the
+                                     # PREVIOUS EVENT e1: 35s ≤ 60
+                    base,            # keep (different type)
+                    base + 10 * s,   # keep (different user)
+                    base + 200 * s,  # keep (135s gap)
+                    base + 260 * s,  # drop (60s gap NOT > 60s — strict)
+                ],
+            }
+        )
+        out = (
+            debounce(rd.from_pandas(df), EngineConfig(num_buckets=4),
+                     gap_seconds=60.0)
+            .to_pandas()
+            .sort_values("event_id")
+        )
+        # lag rule: e2 is 35s after e1 (dropped or not) → dropped;
+        # e6 is exactly 60s after e5 → dropped (strict >)
+        assert out["event_id"].tolist() == [0, 3, 4, 5]
+
+    def test_bad_gap(self):
+        import pytest as _pt
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import debounce
+
+        with _pt.raises(ValueError):
+            debounce(None, EngineConfig(), gap_seconds=0)
