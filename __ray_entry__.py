@@ -1124,6 +1124,17 @@ def q_debounce(sf_dir: str):
     return debounce(ev, _cfg(), gap_seconds=60.0)
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted top-k sample (weight = n_chars): integer
+    priority (w<<32)//(hash32+1), global top-k via map-side partials — no
+    float pow on a sample boundary, no shuffle of the corpus."""
+    from deepblocker_ray.stages.sampling import weighted_sample
+
+    return weighted_sample(
+        _documents(sf_dir), _cfg(), weight_col="n_chars", k=200, seed=7
+    )
+
+
 def q_vocab_build(sf_dir: str):
     """Frequency-ranked vocabulary (token_id = dense rank in count-desc,
     token-asc order) via count-descending prefix-scan ranges — no global
@@ -1333,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_profile": q_column_profile,
         "span_extract": q_span_extract,
         "debounce": q_debounce,
+        "weighted_sample": q_weighted_sample,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2069,6 +2081,25 @@ def oracle_sql() -> dict[str, str]:
                              1, greatest(length(coalesce(text, '')) - 40, 1),
                              80)) AS x
                   FROM documents)
+        """,
+        # weighted-sample twin: identical integer priority, row_number over
+        # (priority desc, doc_id)
+        "weighted_sample": f"""
+            SELECT rank, doc_id, priority
+            FROM (
+                SELECT doc_id,
+                       (n_chars * 4294967296)
+                           // (CAST({_sample_hash_expr(7)} AS BIGINT) + 1)
+                           AS priority,
+                       row_number() OVER (
+                           ORDER BY (n_chars * 4294967296)
+                               // (CAST({_sample_hash_expr(7)} AS BIGINT) + 1)
+                               DESC,
+                               doc_id
+                       ) AS rank
+                FROM documents
+            )
+            WHERE rank <= 200
         """,
         # debounce twin: the lag rule — keep iff no same-key predecessor
         # within the gap, ordered by (ts, event_id)

@@ -154,3 +154,55 @@ def stratified_sample(
         return batch.filter(pa.array((h % _DENOM) < thr))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds,
+    cfg,
+    *,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+):
+    """Deterministic weighted top-``k`` sample — the corpus-curation
+    subsample where higher-weight rows (quality score, length, dedup
+    cluster size) are proportionally more likely to be kept. Each row gets
+    an INTEGER priority
+
+        priority = (weight << 32) // ((hash32(id|seed)) + 1)
+
+    (a rank-preserving integer surrogate for the A-ES key u^(1/w): both
+    are monotone in weight for fixed hash and monotone in the uniform
+    hash for fixed weight; integer division instead of ``pow`` because
+    libm ``pow`` may differ between engines in the last ulp and a sample
+    boundary must not hang on it). The sample is the global top-k by
+    (priority desc, id asc) — seed-stable, shuffle-free map-side partials
+    through the house top-k merge, rerun/resume-identical.
+
+    Emits (rank, id_col, priority). Weights must be integers in
+    [0, 2^31) — zero-weight rows get priority 0 and are only picked after
+    every positive-weight row.
+    """
+    from .topk import group_topk
+
+    def prio(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch.column(weight_col), np.int64)
+        if len(w) and (w.min() < 0 or w.max() >= (1 << 31)):
+            raise ValueError(
+                f"{weight_col} must be in [0, 2^31), got "
+                f"[{w.min()}, {w.max()}]"
+            )
+        h32 = (_id_hashes(batch.column(id_col).cast(pa.string()), seed)
+               % _DENOM).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "priority": pa.array((w << np.int64(32)) // (h32 + 1)),
+            }
+        )
+
+    skinny = ds.select_columns([id_col, weight_col]).map_batches(
+        prio, batch_format="pyarrow"
+    )
+    return group_topk(skinny, cfg, order_col="priority", id_col=id_col, k=k)

@@ -141,3 +141,62 @@ class TestBalanceSample:
 
         with pytest.raises(ValueError):
             balance_sample(None, strata_col="lang", target_count=-1)
+
+
+class TestWeightedSample:
+    def test_priority_rule_and_zero_weight(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.sampling import (
+            _DENOM, _id_hashes, weighted_sample,
+        )
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(20, dtype=np.int64),
+                "w": np.concatenate(
+                    [np.zeros(5, np.int64), np.arange(1, 16, dtype=np.int64) * 100]
+                ),
+            }
+        )
+        out = (
+            weighted_sample(
+                rd.from_pandas(df), EngineConfig(num_buckets=4),
+                weight_col="w", k=6, id_col="doc_id", seed=3,
+            )
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        # numpy oracle: same integer priority, (priority desc, id asc) top-6
+        import pyarrow as pa
+
+        h32 = (_id_hashes(pa.array(df["doc_id"].astype(str)), 3)
+               % _DENOM).astype(np.int64)
+        prio = (df["w"].to_numpy(np.int64) << np.int64(32)) // (h32 + 1)
+        order = np.lexsort((df["doc_id"].to_numpy(), -prio))[:6]
+        assert out["doc_id"].tolist() == df["doc_id"].to_numpy()[order].tolist()
+        assert out["priority"].tolist() == prio[order].tolist()
+        # zero-weight rows cannot outrank positive weights in a top-6 of 15
+        assert all(out["priority"] > 0)
+
+    def test_weight_bounds(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pytest as _pt
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.sampling import weighted_sample
+
+        bad = pd.DataFrame(
+            {"doc_id": np.array([1], np.int64),
+             "w": np.array([1 << 31], np.int64)}
+        )
+        with _pt.raises(Exception, match="2\\^31"):
+            weighted_sample(
+                rd.from_pandas(bad), EngineConfig(), weight_col="w", k=1
+            ).to_pandas()
