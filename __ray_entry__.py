@@ -1135,6 +1135,31 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+def q_survivorship(sf_dir: str):
+    """Golden-record survivorship over synthetic clusters (doc_id % 97):
+    per (cluster, attribute) the majority non-null value, ties to the
+    lexicographically smallest — vote counts collapse map-side, one
+    bucketed exchange."""
+    import numpy as np
+
+    from deepblocker_ray.stages.cluster import survivorship
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column("doc_id"), np.int64)
+        return pa.table(
+            {
+                "cluster_id": pa.array(k % 97),
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+            }
+        )
+
+    docs = _documents(sf_dir).map_batches(tag, batch_format="pyarrow")
+    return survivorship(
+        docs, _cfg(), cluster_col="cluster_id", value_cols=["lang", "source"]
+    )
+
+
 def q_vocab_build(sf_dir: str):
     """Frequency-ranked vocabulary (token_id = dense rank in count-desc,
     token-asc order) via count-descending prefix-scan ranges — no global
@@ -1345,6 +1370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_extract": q_span_extract,
         "debounce": q_debounce,
         "weighted_sample": q_weighted_sample,
+        "survivorship": q_survivorship,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2081,6 +2107,26 @@ def oracle_sql() -> dict[str, str]:
                              1, greatest(length(coalesce(text, '')) - 40, 1),
                              80)) AS x
                   FROM documents)
+        """,
+        # survivorship twin: per (cluster, attribute) majority vote, ties
+        # to the smallest value
+        "survivorship": """
+            WITH votes AS (
+                SELECT doc_id % 97 AS cluster_id, 'lang' AS attribute,
+                       lang AS value, count(*) AS votes
+                FROM documents WHERE lang IS NOT NULL
+                GROUP BY cluster_id, lang
+                UNION ALL
+                SELECT doc_id % 97, 'source', source, count(*)
+                FROM documents WHERE source IS NOT NULL
+                GROUP BY doc_id % 97, source
+            )
+            SELECT cluster_id, attribute, value
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY cluster_id, attribute
+                      ORDER BY votes DESC, value) AS rn
+                  FROM votes)
+            WHERE rn = 1
         """,
         # weighted-sample twin: identical integer priority, row_number over
         # (priority desc, doc_id)

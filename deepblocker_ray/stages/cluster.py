@@ -257,3 +257,107 @@ def connected_components(
             max_iter,
         )
     return labels
+
+
+def survivorship(
+    ds,
+    cfg,
+    *,
+    cluster_col: str,
+    value_cols: list[str],
+):
+    """Golden-record survivorship — the merge/purge step after clustering
+    (the reference stops at candidate pairs; a full ER pipeline must then
+    MERGE each cluster into one canonical record). Per cluster and per
+    attribute, the surviving value is the MOST FREQUENT non-null value,
+    ties broken by lexicographically smallest — a deterministic majority
+    vote (SQL ``row_number() OVER (... ORDER BY count DESC, value)``).
+    Clusters where an attribute is entirely null emit no row for it.
+
+    Emits (``cluster_col``:int64, attribute:string, value:string) — long
+    form, one row per (cluster, attribute).
+
+    Scale shape: per batch, (cluster, attribute, value) vote counts
+    collapse map-side (one pandas groupby-size per column over the batch),
+    so the exchange carries ≤ distinct-combination partial rows, never the
+    corpus; ONE bucketed exchange on hash(cluster) then a per-bucket
+    combine + deterministic argmax. Value payloads ride as strings —
+    bounded by the distinct-value set per batch, the standard survivorship
+    trade (attribute domains are small; free text is not a survivorship
+    attribute).
+    """
+    import pyarrow as pa
+
+    from .events import _user_bucket
+
+    nb = cfg.num_buckets
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for c in value_cols:
+            sub = df[[cluster_col, c]].dropna()
+            if not len(sub):
+                continue
+            g = (
+                sub.groupby([cluster_col, c], sort=False, observed=True)
+                .size()
+                .reset_index(name="votes")
+            )
+            g.columns = [cluster_col, "value", "votes"]
+            g.insert(1, "attribute", c)
+            outs.append(g)
+        if not outs:
+            return _empty_surv(cluster_col)
+        out = pd.concat(outs, ignore_index=True)
+        out["value"] = out["value"].astype(str)
+        out["votes"] = out["votes"].astype(np.int64)
+        out["_bucket"] = _user_bucket(
+            out[cluster_col].to_numpy(np.int64), nb
+        )
+        return out
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _empty_surv(cluster_col)[
+                [cluster_col, "attribute", "value"]
+            ]
+        g = (
+            df.groupby([cluster_col, "attribute", "value"], sort=False,
+                       observed=True)["votes"]
+            .sum()
+            .reset_index()
+        )
+        # deterministic winner: votes desc, value asc
+        g = g.sort_values(
+            [cluster_col, "attribute", "votes", "value"],
+            ascending=[True, True, False, True], kind="stable",
+        )
+        win = g.drop_duplicates([cluster_col, "attribute"], keep="first")
+        return pd.DataFrame(
+            {
+                cluster_col: win[cluster_col].to_numpy(np.int64),
+                "attribute": win["attribute"].to_numpy(object),
+                "value": win["value"].to_numpy(object),
+            }
+        )
+
+    return (
+        ds.select_columns([cluster_col] + value_cols)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def _empty_surv(cluster_col: str) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            cluster_col: pd.Series(dtype=np.int64),
+            "attribute": pd.Series(dtype=object),
+            "value": pd.Series(dtype=object),
+            "votes": pd.Series(dtype=np.int64),
+            "_bucket": pd.Series(dtype=np.int32),
+        }
+    )

@@ -70,3 +70,38 @@ class TestSpanExtract:
         assert out[out["doc_id"] == 0]["match_idx"].tolist() == [0, 1, 2]
         assert set(out["doc_id"]) == {0, 3}
         assert out[out["doc_id"] == 3]["match"].tolist() == ["ss"]
+
+
+class TestSurvivorship:
+    def test_majority_tie_and_allnull(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.cluster import survivorship
+
+        df = pd.DataFrame(
+            {
+                "cid": np.array([1, 1, 1, 2, 2, 3], np.int64),
+                "a": ["x", "y", "x", "p", "q", None],   # c1: x wins 2-1;
+                                                        # c2: tie → 'p';
+                                                        # c3: all null
+                "b": [None, None, None, "z", "z", "w"],
+            }
+        )
+        out = (
+            survivorship(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=4),
+                cluster_col="cid", value_cols=["a", "b"],
+            )
+            .to_pandas()
+            .sort_values(["cid", "attribute"])
+            .reset_index(drop=True)
+        )
+        got = list(map(tuple, out.to_numpy()))
+        assert got == [
+            (1, "a", "x"),
+            (2, "a", "p"),
+            (2, "b", "z"),
+            (3, "b", "w"),
+        ]
