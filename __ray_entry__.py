@@ -1160,6 +1160,41 @@ def q_survivorship(sf_dir: str):
     )
 
 
+def q_rank_transform(sf_dir: str):
+    """Exact global rank of every event by (value-cents asc, event_id asc)
+    WITHOUT a global sort — value-range partials, O(R) driver offsets, one
+    bucketed exchange (the shared prefix-scan machinery)."""
+    import numpy as np
+
+    from deepblocker_ray.stages.scan import rank_transform
+
+    ev = _events(sf_dir, columns=["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column("value"), np.float64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "cents": pa.array(np.rint(v * 100.0).astype(np.int64)),
+            }
+        )
+
+    return rank_transform(
+        ev.map_batches(cents, batch_format="pyarrow"), _cfg(),
+        id_col="event_id", value_col="cents",
+    )
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width 20-bin histogram of event value in exact integer cents
+    (integer bin width, so every edge is SQL-reproducible): min/max
+    aggregates + map-side bincount partials, tiny combine."""
+    from deepblocker_ray.stages.events import value_histogram
+
+    ev = _events(sf_dir, columns=["value"])
+    return value_histogram(ev, _cfg(), n_bins=20)
+
+
 def q_vocab_build(sf_dir: str):
     """Frequency-ranked vocabulary (token_id = dense rank in count-desc,
     token-asc order) via count-descending prefix-scan ranges — no global
@@ -1371,6 +1406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debounce": q_debounce,
         "weighted_sample": q_weighted_sample,
         "survivorship": q_survivorship,
+        "rank_transform": q_rank_transform,
+        "value_histogram": q_value_histogram,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2107,6 +2144,29 @@ def oracle_sql() -> dict[str, str]:
                              1, greatest(length(coalesce(text, '')) - 40, 1),
                              80)) AS x
                   FROM documents)
+        """,
+        # histogram twin: identical integer width/edges (ceil span/bins)
+        "value_histogram": """
+            WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+                 w AS (SELECT min(cents) AS lo,
+                              greatest((max(cents) - min(cents) + 20) // 20,
+                                       1) AS width
+                       FROM c)
+            SELECT (cents - lo) // width AS bin,
+                   lo + ((cents - lo) // width) * width AS lo_cents,
+                   lo + ((cents - lo) // width + 1) * width AS hi_cents,
+                   count(*) AS n
+            FROM c, w
+            GROUP BY bin, lo_cents, hi_cents
+        """,
+        # rank twin: row_number over the identical integer-cents order
+        "rank_transform": """
+            SELECT event_id, cents,
+                   row_number() OVER (ORDER BY cents, event_id) AS rank
+            FROM (SELECT event_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
         """,
         # survivorship twin: per (cluster, attribute) majority vote, ties
         # to the smallest value

@@ -210,6 +210,14 @@ def main() -> None:
         "fuzzy_join",
         "ngram_counts",
         "rolling_agg",
+        "tfidf_search",
+        "chunk_roundtrip",
+        "snapshot_diff",
+        "column_profile",
+        "span_extract",
+        "debounce",
+        "weighted_sample",
+        "survivorship",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -713,3 +713,78 @@ def debounce(ds, cfg: EngineConfig, *, gap_seconds: float = 60.0):
     return skinny.groupby("_bucket").map_groups(
         per_bucket, batch_format="pandas"
     )
+
+
+def value_histogram(ds, cfg: EngineConfig, *, n_bins: int = 20):
+    """Fixed-width histogram of the event value in integer cents — the
+    distribution scan behind threshold picking and drift monitoring.
+    Bin edges derive from the global (min, max): width = ceil(span/n_bins)
+    in exact integer arithmetic, bin = (cents − lo) // width, so the SQL
+    twin reproduces every edge bit-for-bit (a float width would hang bin
+    membership on rounding). Emits (bin:int64, lo_cents, hi_cents,
+    n:int64) for non-empty bins only; hi_cents is EXCLUSIVE except the
+    last bin, which the floor rule closes at the max.
+
+    Two scalar aggregates (min/max) + map-side bincount partials: the
+    exchange carries O(n_bins × blocks) int rows to one tiny combine —
+    the corpus never shuffles.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+
+    def cents_of(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cents": pa.array(_cents(np.asarray(t.column("value"))))}
+        )
+
+    skinny = ds.select_columns(["value"]).map_batches(
+        cents_of, batch_format="pyarrow"
+    ).materialize()
+
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    bounds = skinny.aggregate(Min("cents"), Max("cents"))
+    empty = pa.table(
+        {
+            "bin": pa.array([], pa.int64()),
+            "lo_cents": pa.array([], pa.int64()),
+            "hi_cents": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+    if bounds is None or bounds.get("min(cents)") is None:
+        return ray.data.from_arrow(empty)
+    lo = int(bounds["min(cents)"])
+    hi = int(bounds["max(cents)"])
+    width = max((hi - lo + n_bins) // n_bins, 1)  # ceil(span+1 / n_bins)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.asarray(t.column("cents"), np.int64)
+        b = (c - lo) // width
+        counts = np.bincount(b, minlength=n_bins).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64)),
+                "n": pa.array(counts[nz]),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bin", sort=True)["n"].sum().reset_index()
+        b = g["bin"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "bin": b,
+                "lo_cents": lo + b * width,
+                "hi_cents": lo + (b + 1) * width,
+                "n": g["n"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        skinny.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

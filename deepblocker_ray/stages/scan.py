@@ -51,3 +51,84 @@ def range_offsets(skinny, rng_fn, nr: int, weight_col: str | None = None):
     offsets = np.zeros(nr, np.int64)
     np.cumsum(range_sums[:-1], out=offsets[1:])
     return offsets, int(range_sums.sum())
+
+
+def rank_transform(ds, cfg, *, id_col: str, value_col: str):
+    """Exact global rank normalization — every row's 1-based
+    ``row_number()`` under the total order (``value_col`` asc, ``id_col``
+    asc), WITHOUT a global sort: the feature-engineering primitive behind
+    percentile features, rank-based winsorization and copula transforms.
+    Emits (id, value, rank). Both columns must be int64 (callers convert
+    money to cents first — the repo-wide exactness rule).
+
+    Same scale shape as the other ``scan`` users: skinny (id, value) rows
+    only; value-RANGE partials → O(R) driver offsets → ONE bucketed
+    exchange; per range a vectorized sort + arange + broadcast offset.
+    Uniform values give even ranges; a single hot value bounds one range
+    (per-range finish is O(range·log) compute, not a shuffle blow-up).
+    """
+    import pandas as pd
+
+    import ray
+
+    nr = cfg.num_buckets
+    skinny = ds.select_columns([id_col, value_col]).materialize()
+
+    from ray.data.aggregate import Max, Min
+
+    bounds = skinny.aggregate(Min(value_col), Max(value_col))
+    if bounds is None or bounds.get(f"min({value_col})") is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    value_col: pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    lo = np.int64(bounds[f"min({value_col})"])
+    hi = np.int64(bounds[f"max({value_col})"])
+    span = np.int64(int(hi) - int(lo) + 1)
+
+    def rng_of(v: np.ndarray) -> np.ndarray:
+        return ((v - lo) * np.int64(nr) // span).astype(np.int64)
+
+    offsets, _total = range_offsets(
+        skinny,
+        lambda t: rng_of(np.asarray(t.column(value_col), np.int64)),
+        nr,
+    )
+    off_ref = ray.put(offsets)
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(value_col), np.int64)
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()),
+                value_col: pa.array(v),
+                "_bucket": pa.array(rng_of(v).astype(np.int32)),
+            }
+        )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import cached_get
+
+        offs = cached_get(off_ref)
+        g = g.sort_values([value_col, id_col], kind="mergesort")
+        pos = offs[int(g["_bucket"].iloc[0])] + np.arange(
+            1, len(g) + 1, dtype=np.int64
+        )
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(np.int64),
+                value_col: g[value_col].to_numpy(np.int64),
+                "rank": pos,
+            }
+        )
+
+    return (
+        skinny.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(rank, batch_format="pandas")
+    )

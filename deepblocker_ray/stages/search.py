@@ -244,6 +244,41 @@ def tfidf_search(
         p_doc, p_slot, contrib = p_doc[keep], p_slot[keep], contrib[keep]
         if len(p_slot) == 0:
             return out_empty
+        b = len(batch)
+        nq = len(qid_arr)
+        nt = len(w)
+        # GEMM path: with a compact query vocabulary the (doc × term) and
+        # (term × query) grids are small — one sgemm replaces the postings
+        # expansion (which materializes Σ cnt rows, ~18× the final cells on
+        # word-soup corpora). float64 accumulation is exact while the
+        # batch's total contribution stays below 2^53 (bounds every cell).
+        if (
+            b * nt <= (1 << 24)
+            and nt * nq <= (1 << 24)
+            and b * nq <= (1 << 24)
+            and int(contrib.sum()) < (1 << 53)
+        ):
+            docterm = np.zeros((b, nt), np.float64)
+            docterm[p_doc, p_slot] = contrib
+            termq = np.zeros((nt, nq), np.float64)
+            post_slot = np.repeat(
+                np.arange(nt, dtype=np.int64), np.diff(off)
+            )
+            termq[post_slot, post] = 1.0
+            s = docterm @ termq
+            r_doc2, r_q2 = np.nonzero(s)  # row-major, deterministic
+            sums = s[r_doc2, r_q2].astype(np.int64)
+            uk = r_q2 * b + r_doc2
+            ids = batch.column(id_col).take(pa.array(uk % b))
+            return pa.table(
+                {
+                    query_id_col: pa.array(
+                        list(qid_arr[uk // b]), pa.string()
+                    ),
+                    id_col: ids,
+                    "score": pa.array(sums),
+                }
+            )
         starts = off[p_slot]
         cnt = off[p_slot + 1] - starts
         idx = _repeat_ranges(starts, cnt)
@@ -252,13 +287,24 @@ def tfidf_search(
         r_c = np.repeat(contrib, cnt)
         if len(r_q) == 0:
             return out_empty
-        b = len(batch)
         key = r_q * b + r_doc
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
-        bounds = np.concatenate(([0], np.flatnonzero(np.diff(ks)) + 1))
-        sums = np.add.reduceat(r_c[order], bounds)
-        uk = ks[bounds]
+        # dense bincount beats the O(n log n) sort when the (query, doc)
+        # grid fits; float64 weight sums are exact while the batch's total
+        # contribution stays below 2^53 (each cell sum is bounded by it)
+        if nq * b <= (1 << 22) and int(contrib.sum()) < (1 << 53):
+            dense = np.bincount(
+                key, weights=r_c.astype(np.float64), minlength=nq * b
+            )
+            uk = np.flatnonzero(dense)
+            sums = dense[uk].astype(np.int64)
+        else:
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            bounds = np.concatenate(
+                ([0], np.flatnonzero(np.diff(ks)) + 1)
+            )
+            sums = np.add.reduceat(r_c[order], bounds)
+            uk = ks[bounds]
         ids = batch.column(id_col).take(pa.array(uk % b))
         return pa.table(
             {

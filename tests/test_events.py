@@ -683,3 +683,48 @@ class TestDebounce:
 
         with _pt.raises(ValueError):
             debounce(None, EngineConfig(), gap_seconds=0)
+
+
+class TestValueHistogram:
+    def test_integer_edges_and_counts(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import value_histogram
+
+        # cents from -100 to 349 → span 450, 4 bins → width ceil(450/4)=113
+        vals = np.arange(-100, 350, dtype=np.int64)
+        df = pd.DataFrame({"value": vals / 100.0})
+        out = (
+            value_histogram(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=4), n_bins=4,
+            )
+            .to_pandas()
+            .sort_values("bin")
+            .reset_index(drop=True)
+        )
+        width = (349 - (-100) + 4) // 4  # 113
+        assert out["bin"].tolist() == [0, 1, 2, 3]
+        assert out["lo_cents"].tolist() == [-100 + i * width for i in range(4)]
+        assert out["hi_cents"].tolist() == [
+            -100 + (i + 1) * width for i in range(4)
+        ]
+        assert out["n"].sum() == len(vals)
+        assert out["n"].tolist()[:3] == [width, width, width]
+
+    def test_single_value_and_bad_bins(self, ray_session):
+        import pytest as _pt
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import value_histogram
+
+        df = pd.DataFrame({"value": [2.0, 2.0, 2.0]})
+        out = value_histogram(
+            rd.from_pandas(df), EngineConfig(num_buckets=4), n_bins=5
+        ).to_pandas()
+        assert out["bin"].tolist() == [0]
+        assert out["n"].tolist() == [3]
+        with _pt.raises(ValueError):
+            value_histogram(None, EngineConfig(), n_bins=0)

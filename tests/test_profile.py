@@ -105,3 +105,46 @@ class TestSurvivorship:
             (2, "b", "z"),
             (3, "b", "w"),
         ]
+
+
+class TestRankTransform:
+    def test_global_rank_ties_and_negatives(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.scan import rank_transform
+
+        rng = np.random.RandomState(11)
+        vals = np.concatenate(
+            [rng.randint(-50, 50, 197), np.full(20, 7)]  # hot value 7
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"id": np.arange(len(vals), dtype=np.int64), "v": vals}
+        )
+        out = (
+            rank_transform(
+                rd.from_pandas([p for p in np.array_split(df, 5)]),
+                EngineConfig(num_buckets=8), id_col="id", value_col="v",
+            )
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        order = np.lexsort((df["id"].to_numpy(), vals))
+        assert out["id"].tolist() == df["id"].to_numpy()[order].tolist()
+        assert out["rank"].tolist() == list(range(1, len(vals) + 1))
+
+    def test_empty(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.scan import rank_transform
+
+        df = pd.DataFrame(
+            {"id": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+        )
+        out = rank_transform(
+            rd.from_pandas(df), EngineConfig(num_buckets=4),
+            id_col="id", value_col="v",
+        ).to_pandas()
+        assert len(out) == 0
