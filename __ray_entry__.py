@@ -1242,6 +1242,16 @@ def q_ngram_counts(sf_dir: str):
     )
 
 
+def q_cooccurrence(sf_dir: str):
+    """Document-level token cooccurrence (docs containing BOTH tokens of
+    each unordered pair, min_count=5): per-batch incidence GEMM (MᵀM upper
+    triangle) — one BLAS call, no pair enumeration; skinny partials on one
+    bucketed exchange."""
+    from deepblocker_ray.stages.textstats import cooccurrence
+
+    return cooccurrence(_documents(sf_dir), _cfg(), min_count=5)
+
+
 def q_tfidf_search(sf_dir: str):
     """TF-IDF keyword retrieval: every 20th document plays a probe query
     ("more-like-this"); top-5 corpus docs per query under the integer-exact
@@ -1408,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "survivorship": q_survivorship,
         "rank_transform": q_rank_transform,
         "value_histogram": q_value_histogram,
+        "cooccurrence": q_cooccurrence,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2293,6 +2304,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bigram count twin: the same inclusive 1-based list-slice windows
         # the repetition twin uses; docs under 2 tokens yield empty lists
+        # cooccurrence twin: distinct tokens per doc, within-doc self-join
+        # on a < b, doc counts with the min_count floor
+        "cooccurrence": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_distinct({tokens})) AS token
+                FROM documents
+            )
+            SELECT a.token AS token_a, b.token AS token_b,
+                   count(*) AS n_both
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY a.token, b.token
+            HAVING count(*) >= 5
+        """,
         "ngram_counts": f"""
             WITH t AS (SELECT {tokens} AS tk FROM documents),
             g AS (

@@ -218,6 +218,8 @@ def main() -> None:
         "debounce",
         "weighted_sample",
         "survivorship",
+        "rank_transform",
+        "value_histogram",
     ]
     for name in query_names:
         r = bench_query(q[name])

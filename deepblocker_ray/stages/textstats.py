@@ -733,3 +733,133 @@ def span_extract(
     return ds.select_columns([id_col, text_col]).map_batches(
         expand, batch_format="pyarrow"
     )
+
+
+def cooccurrence(
+    ds,
+    cfg,
+    *,
+    text_col: str = "text",
+    min_count: int = 1,
+):
+    """Document-level token cooccurrence — for every unordered token pair
+    (a < b lexicographically), the number of documents containing BOTH:
+    the corpus-analytics primitive behind PMI tables, topic seeds and
+    collocation mining. Emits (token_a, token_b, n_both:int64) with
+    ``n_both >= min_count``. NULL/empty docs contribute nothing.
+
+    Vectorized via GEMM, not pair enumeration: per batch, the distinct
+    doc×term incidence matrix M (float64 0/1 over the batch's OWN term
+    universe) gives all pair counts at once as the upper triangle of
+    MᵀM — one BLAS call instead of per-doc combination loops; doc ids are
+    unique per row, so per-batch partials are disjoint in docs and sum
+    exactly. Only (term_a, term_b, partial) rows ride ONE bucketed
+    exchange on hash(a||b). Guard: a batch with more than 4096 distinct
+    terms falls back to sorted pair counting (the incidence GEMM is
+    O(u²) memory) — same output, pinned by a parity test.
+    """
+    from itertools import chain
+
+    from ..functions.tokenizer import tokenize_many
+    from .dedup import hash64_strs
+
+    nb = cfg.num_buckets
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+        toks = tokenize_many(txt.to_pylist())
+        counts = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        total = int(counts.sum())
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "_bucket": pa.array([], pa.int32()),
+            }
+        )
+        if total == 0:
+            return empty
+        flat = np.fromiter(chain.from_iterable(toks), object, total)
+        codes, uniq = pd.factorize(flat, sort=True)  # codes ordered a < b
+        u = len(uniq)
+        doc_idx = np.repeat(np.arange(len(toks), dtype=np.int64), counts)
+        if u <= 4096:
+            m = np.zeros((len(toks), u), np.float64)
+            m[doc_idx, codes] = 1.0
+            cm = m.T @ m  # doc counts; diagonal = per-term doc freq
+            ia, ib = np.triu_indices(u, k=1)
+            n = cm[ia, ib].astype(np.int64)
+            keep = n > 0
+            ia, ib, n = ia[keep], ib[keep], n[keep]
+        else:
+            # sorted distinct (doc, code) pairs → per-doc segments → pair
+            # enumeration bounded by Σ k_d² (no dense u² matrix)
+            pair_keys = np.unique(doc_idx * np.int64(u) + codes)
+            d = pair_keys // u
+            c = (pair_keys % u).astype(np.int64)
+            seg_starts = np.flatnonzero(
+                np.r_[True, d[1:] != d[:-1]]
+            )
+            seg_lens = np.diff(np.r_[seg_starts, len(d)])
+            ia_l, ib_l = [], []
+            for s, ln in zip(seg_starts, seg_lens):
+                if ln < 2:
+                    continue
+                cc = c[s : s + ln]
+                i1, i2 = np.triu_indices(ln, k=1)
+                ia_l.append(cc[i1])
+                ib_l.append(cc[i2])
+            if not ia_l:
+                return empty
+            pk = np.concatenate(ia_l) * np.int64(u) + np.concatenate(ib_l)
+            upair, n = np.unique(pk, return_counts=True)
+            ia = (upair // u).astype(np.int64)
+            ib = (upair % u).astype(np.int64)
+            n = n.astype(np.int64)
+        if len(ia) == 0:
+            return empty
+        a = uniq[ia].astype(object)
+        b = uniq[ib].astype(object)
+        h = hash64_strs(
+            np.char.add(np.char.add(a.astype(str), "\x1f"), b.astype(str))
+            .astype(object)
+        )
+        return pa.table(
+            {
+                "a": pa.array(a, pa.string()),
+                "b": pa.array(b, pa.string()),
+                "n": pa.array(n),
+                "_bucket": pa.array(
+                    (h % np.uint64(nb)).astype(np.int32)
+                ),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "token_a": pd.Series(dtype=object),
+                    "token_b": pd.Series(dtype=object),
+                    "n_both": pd.Series(dtype=np.int64),
+                }
+            )
+        g = df.groupby(["a", "b"], sort=False, observed=True)["n"].sum()
+        g = g[g >= min_count].reset_index()
+        return pd.DataFrame(
+            {
+                "token_a": g["a"].to_numpy(object),
+                "token_b": g["b"].to_numpy(object),
+                "n_both": g["n"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -148,3 +148,74 @@ class TestRankTransform:
             id_col="id", value_col="v",
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestCooccurrence:
+    def test_doc_counts_and_min_count(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.textstats import cooccurrence
+
+        df = pd.DataFrame(
+            {
+                "text": [
+                    "a b c a",    # pairs: ab ac bc (dups in doc count once)
+                    "a b",        # ab
+                    "b c",        # bc
+                    None,
+                    "",
+                    "solo",
+                ]
+            }
+        )
+        out = (
+            cooccurrence(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=4), min_count=2,
+            )
+            .to_pandas()
+            .sort_values(["token_a", "token_b"])
+            .reset_index(drop=True)
+        )
+        got = list(map(tuple, out.to_numpy()))
+        assert got == [("a", "b", 2), ("b", "c", 2)]
+
+    def test_fallback_path_parity(self, ray_session):
+        """A batch with > 4096 distinct tokens takes the segment-pair path;
+        its counts must equal the brute-force oracle."""
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.textstats import cooccurrence
+
+        rng = np.random.RandomState(5)
+        vocab = np.array([f"tk{i:05d}" for i in range(4200)])
+        # every vocab word appears (u > 4096 in the one batch) via 1050
+        # 4-word docs over a disjoint cover, plus random overlap docs
+        docs = [
+            " ".join(vocab[i : i + 4]) for i in range(0, 4200, 4)
+        ] + [
+            " ".join(rng.choice(vocab[:50], rng.randint(2, 6),
+                                replace=False))
+            for _ in range(40)
+        ]
+        df = pd.DataFrame({"text": docs})
+        out = (
+            cooccurrence(rd.from_pandas(df), EngineConfig(num_buckets=4),
+                         min_count=2)
+            .to_pandas()
+        )
+        # oracle: python counts
+        from collections import Counter
+        from itertools import combinations
+
+        cnt = Counter()
+        for d in docs:
+            for a, b in combinations(sorted(set(d.split())), 2):
+                cnt[(a, b)] += 1
+        want = {k: v for k, v in cnt.items() if v >= 2}
+        got = {
+            (r.token_a, r.token_b): r.n_both for r in out.itertuples()
+        }
+        assert got == want
