@@ -1242,6 +1242,15 @@ def q_ngram_counts(sf_dir: str):
     )
 
 
+def q_dup_size_histogram(sf_dir: str):
+    """Exact-duplicate cluster-size histogram (the dedup-campaign sizing
+    scan): distinct (text-hash, count) partials map-side, bucketed hash
+    exchange, O(sizes) combine — the corpus never moves."""
+    from deepblocker_ray.stages.dedup import dup_size_histogram
+
+    return dup_size_histogram(_documents(sf_dir), _cfg())
+
+
 def q_cooccurrence(sf_dir: str):
     """Document-level token cooccurrence (docs containing BOTH tokens of
     each unordered pair, min_count=5): per-batch incidence GEMM (MᵀM upper
@@ -1419,6 +1428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_transform": q_rank_transform,
         "value_histogram": q_value_histogram,
         "cooccurrence": q_cooccurrence,
+        "dup_size_histogram": q_dup_size_histogram,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2304,6 +2314,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bigram count twin: the same inclusive 1-based list-slice windows
         # the repetition twin uses; docs under 2 tokens yield empty lists
+        # dup-histogram twin: same md5-lower64 text identity
+        "dup_size_histogram": """
+            SELECT cnt AS cluster_size, count(*) AS n_clusters
+            FROM (SELECT count(*) AS cnt FROM documents
+                  GROUP BY md5_number_lower(coalesce(text, '')))
+            GROUP BY cnt
+        """,
         # cooccurrence twin: distinct tokens per doc, within-doc self-join
         # on a < b, doc counts with the min_count floor
         "cooccurrence": f"""

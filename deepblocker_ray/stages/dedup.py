@@ -1724,3 +1724,81 @@ def duplicate_spans(
         .groupby("_b2")
         .map_groups(reduce_doc, batch_format="pandas")
     )
+
+
+def dup_size_histogram(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    text_col: str = "text",
+):
+    """Corpus duplication profile — the histogram of exact-duplicate
+    cluster sizes: how many distinct texts occur once, twice, …, n times.
+    The first scan a dedup campaign runs (it sizes the problem and picks
+    the strategy) and the canonical before/after report. Emits
+    (cluster_size:int64, n_clusters:int64); identity is the md5-lower64
+    of ``coalesce(text, '')`` (repo-wide collision caveat ~n²/2⁶⁴).
+
+    Metadata-only exchange: per batch, texts collapse to DISTINCT
+    (hash, count) partials map-side; one bucketed exchange on the hash
+    sums counts per text (buckets partition the hash space → exact), then
+    each bucket collapses to (size, n) partials and a repartition(1)
+    combine sums those — O(distinct sizes) driver state, the corpus never
+    moves.
+    """
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+        codes, uniq = pd.factorize(
+            txt.to_numpy(zero_copy_only=False).astype(object), sort=False
+        )
+        h = hash64_strs(uniq)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "_h": pa.array(h.view(np.int64)),
+                "_n": pa.array(cnt),
+                "_bucket": pa.array(
+                    (h % np.uint64(nb)).astype(np.int32)
+                ),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "cluster_size": pd.Series(dtype=np.int64),
+                    "n_clusters": pd.Series(dtype=np.int64),
+                }
+            )
+        sizes = df.groupby("_h", sort=False)["_n"].sum()
+        g = sizes.value_counts()
+        return pd.DataFrame(
+            {
+                "cluster_size": g.index.to_numpy(np.int64),
+                "n_clusters": g.to_numpy(np.int64),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cluster_size", sort=True)["n_clusters"].sum()
+        return pd.DataFrame(
+            {
+                "cluster_size": g.index.to_numpy(np.int64),
+                "n_clusters": g.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.select_columns([text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

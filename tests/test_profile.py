@@ -219,3 +219,30 @@ class TestCooccurrence:
             (r.token_a, r.token_b): r.n_both for r in out.itertuples()
         }
         assert got == want
+
+
+class TestDupSizeHistogram:
+    def test_sizes_across_batches(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.dedup import dup_size_histogram
+
+        # 'aa' ×4 (split across batches), 'bb' ×2, 3 singletons, None == ''
+        df = pd.DataFrame(
+            {
+                "text": ["aa", "aa", "bb", "x", "aa", "aa", "bb", "y",
+                         None, ""],
+            }
+        )
+        out = (
+            dup_size_histogram(
+                rd.from_pandas([p for p in np.array_split(df, 4)]),
+                EngineConfig(num_buckets=4),
+            )
+            .to_pandas()
+            .sort_values("cluster_size")
+            .reset_index(drop=True)
+        )
+        # sizes: aa→4, bb→2, ''/None→2, x→1, y→1
+        assert list(map(tuple, out.to_numpy())) == [(1, 2), (2, 2), (4, 1)]
