@@ -1242,6 +1242,24 @@ def q_ngram_counts(sf_dir: str):
     )
 
 
+def q_union_by_name(sf_dir: str):
+    """Schema-aligning union of two heterogeneous document shards (one has
+    lang, the other source/n_chars): by-name matching, typed NULLs for
+    missing columns, deterministic sorted column order — map-side only."""
+    import ray.data as rd
+
+    from deepblocker_ray.sources.io import union_by_name
+
+    left = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    right = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return union_by_name(left, right)
+
+
 def q_dup_size_histogram(sf_dir: str):
     """Exact-duplicate cluster-size histogram (the dedup-campaign sizing
     scan): distinct (text-hash, count) partials map-side, bucketed hash
@@ -1429,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": q_value_histogram,
         "cooccurrence": q_cooccurrence,
         "dup_size_histogram": q_dup_size_histogram,
+        "union_by_name": q_union_by_name,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2314,6 +2333,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bigram count twin: the same inclusive 1-based list-slice windows
         # the repetition twin uses; docs under 2 tokens yield empty lists
+        # union twin: UNION ALL BY NAME with explicit NULLs
+        "union_by_name": """
+            SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars,
+                   CAST(NULL AS VARCHAR) AS source, text
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(NULL AS VARCHAR), n_chars, source,
+                   CAST(NULL AS VARCHAR)
+            FROM documents
+        """,
         # dup-histogram twin: same md5-lower64 text identity
         "dup_size_histogram": """
             SELECT cnt AS cluster_size, count(*) AS n_clusters

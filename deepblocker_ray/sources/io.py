@@ -58,3 +58,53 @@ def process_match_files(folder_root: str, out_path: str | None = None):
     if out_path:
         out.write_parquet(out_path)
     return out
+
+
+def union_by_name(a, b):
+    """Schema-aligning union — ingest heterogeneous shards (an evolving
+    schema across crawl generations) into one stream: columns are matched
+    BY NAME, a column missing on one side is typed NULL there, and the
+    output column order is sorted by name (deterministic regardless of
+    argument order). Same-name columns with different Arrow types raise —
+    silent casts are how mixed-shard corpora corrupt.
+
+    Pure map-side alignment (one projection per batch, typed-null arrays
+    are O(1) Arrow buffers) + Ray's zero-copy union — no shuffle, both
+    inputs keep streaming.
+    """
+    import pyarrow as pa
+
+    types: dict[str, pa.DataType] = {}
+    for s in (a.schema(), b.schema()):
+        for n, t in zip(s.names, s.types):
+            if not isinstance(t, pa.DataType):  # pandas-block schema
+                import numpy as np
+
+                t = (
+                    pa.string()  # object columns hold strings (house rule)
+                    if np.dtype(t) == np.dtype(object)
+                    else pa.from_numpy_dtype(np.dtype(t))
+                )
+            if n in types and types[n] != t:
+                raise ValueError(
+                    f"union_by_name: column {n!r} has conflicting types "
+                    f"{types[n]} vs {t}"
+                )
+            types.setdefault(n, t)
+    names = sorted(types)
+
+    def align(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                n: (
+                    t.column(n)
+                    if n in t.column_names
+                    else pa.nulls(len(t), types[n])
+                )
+                for n in names
+            }
+        )
+
+    return a.map_batches(align, batch_format="pyarrow").union(
+        b.map_batches(align, batch_format="pyarrow")
+    )

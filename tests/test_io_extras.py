@@ -88,3 +88,36 @@ class TestReadTranscripts:
         df.to_parquet(p)
         ds = read_transcripts(p)
         assert set(ds.schema().names) == {"conv_id", "turn_idx", "role", "text", "tool"}
+
+
+class TestUnionByName:
+    def test_align_nulls_and_conflict(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pytest as _pt
+        import ray.data as rd
+
+        from deepblocker_ray.sources.io import union_by_name
+
+        a = rd.from_pandas(
+            pd.DataFrame(
+                {"id": np.array([1, 2], np.int64), "x": ["a", "b"]}
+            )
+        )
+        b = rd.from_pandas(
+            pd.DataFrame(
+                {"id": np.array([3], np.int64),
+                 "y": np.array([9.5], np.float64)}
+            )
+        )
+        out = (
+            union_by_name(a, b).to_pandas().sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert list(out.columns) == ["id", "x", "y"]
+        assert out["x"].tolist()[:2] == ["a", "b"] and pd.isna(out["x"][2])
+        assert pd.isna(out["y"][0]) and out["y"][2] == 9.5
+        # conflicting type for the same name must raise
+        c = rd.from_pandas(pd.DataFrame({"id": ["s"], "x": ["v"]}))
+        with _pt.raises(ValueError, match="conflicting"):
+            union_by_name(a, c)
