@@ -220,6 +220,9 @@ def main() -> None:
         "survivorship",
         "rank_transform",
         "value_histogram",
+        "cooccurrence",
+        "dup_size_histogram",
+        "union_by_name",
     ]
     for name in query_names:
         r = bench_query(q[name])
