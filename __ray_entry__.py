@@ -1242,6 +1242,15 @@ def q_ngram_counts(sf_dir: str):
     )
 
 
+def q_conv_stats(sf_dir: str):
+    """Per-conversation shape stats (turns, role mix, token volume) over
+    the derived transcript view: per-batch partials, one bucketed exchange
+    on hash(conv_id) — turn text never moves."""
+    from deepblocker_ray.stages.canonicalize import conversation_stats
+
+    return conversation_stats(_transcripts(sf_dir), _cfg())
+
+
 def q_union_by_name(sf_dir: str):
     """Schema-aligning union of two heterogeneous document shards (one has
     lang, the other source/n_chars): by-name matching, typed NULLs for
@@ -1448,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence": q_cooccurrence,
         "dup_size_histogram": q_dup_size_histogram,
         "union_by_name": q_union_by_name,
+        "conv_stats": q_conv_stats,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2333,6 +2343,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bigram count twin: the same inclusive 1-based list-slice windows
         # the repetition twin uses; docs under 2 tokens yield empty lists
+        # conv-stats twin: same derived transcript view, \S+ token rule
+        "conv_stats": f"""
+            WITH transcripts AS ({transcripts_cte})
+            SELECT conv_id, count(*) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_user,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_assistant,
+                   CAST(sum(len(regexp_extract_all(coalesce(text, ''),
+                                                   '\\S+')))
+                        AS BIGINT) AS n_tokens
+            FROM transcripts
+            GROUP BY conv_id
+        """,
         # union twin: UNION ALL BY NAME with explicit NULLs
         "union_by_name": """
             SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars,

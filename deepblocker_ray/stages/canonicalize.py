@@ -132,3 +132,70 @@ def canonicalize(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def conversation_stats(ds, cfg):
+    """Per-conversation shape statistics over a transcript table — the
+    corpus-exploration scan for agent-trace datasets: turn counts, role
+    mix and whitespace-token volume per conversation. Emits
+    (conv_id, n_turns:int64, n_user:int64, n_assistant:int64,
+    n_tokens:int64); NULL text counts zero tokens (the ``\\S+`` rule the
+    packing twins use).
+
+    Conversations span batches, so per-batch partials (one pandas groupby
+    per batch — only (conv, 4 ints) rows) ride ONE bucketed exchange on
+    hash(conv_id) and sum per bucket. Turn text never moves.
+    """
+    import pyarrow.compute as pc
+
+    nb = cfg.num_buckets
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        txt = pc.cast(t.column("text"), pa.string())
+        n_tok = pc.count_substring_regex(
+            pc.fill_null(txt, ""), r"\S+"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        role = t.column("role").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "conv_id": t.column("conv_id").to_numpy(
+                    zero_copy_only=False
+                ),
+                "n_turns": np.ones(len(t), np.int64),
+                "n_user": (role == "user").astype(np.int64),
+                "n_assistant": (role == "assistant").astype(np.int64),
+                "n_tokens": n_tok,
+            }
+        )
+        g = df.groupby("conv_id", sort=False, observed=True).sum().reset_index()
+        g["_bucket"] = bucket_of(g["conv_id"], nb)
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype=object),
+                    **{
+                        c: pd.Series(dtype=np.int64)
+                        for c in ("n_turns", "n_user", "n_assistant",
+                                  "n_tokens")
+                    },
+                }
+            )
+        g = (
+            df.drop(columns=["_bucket"])
+            .groupby("conv_id", sort=False, observed=True)
+            .sum()
+            .reset_index()
+        )
+        for c in ("n_turns", "n_user", "n_assistant", "n_tokens"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return (
+        ds.select_columns(["conv_id", "role", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )

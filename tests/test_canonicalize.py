@@ -126,3 +126,35 @@ class TestDocumentDerivedTranscripts:
         assert list(got["turn_idx"].astype(int)) == list(exp["turn_idx"].astype(int))
         assert list(got["role"]) == list(exp["role"])
         assert list(got["text"]) == list(exp["text"])
+
+
+class TestConversationStats:
+    def test_cross_batch_role_mix_and_tokens(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.canonicalize import conversation_stats
+
+        df = pd.DataFrame(
+            {
+                "conv_id": ["c1", "c1", "c1", "c2", "c2"],
+                "turn_idx": np.array([0, 1, 2, 0, 1], np.int32),
+                "role": ["user", "assistant", "tool", "user", "assistant"],
+                "text": ["hello there", "hi", None, "a b  c", ""],
+            }
+        )
+        out = (
+            conversation_stats(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=4),
+            )
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        assert list(map(tuple, out.to_numpy())) == [
+            ("c1", 3, 1, 1, 3),   # tool role counted in turns only
+            ("c2", 2, 1, 1, 3),   # double space = still 3 tokens
+        ]
