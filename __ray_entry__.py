@@ -1242,6 +1242,16 @@ def q_ngram_counts(sf_dir: str):
     )
 
 
+def q_window_distinct(sf_dir: str):
+    """Exact distinct users per (event_type, hour window): map-side
+    distinct triples, user-partitioned buckets (disjoint exact counts),
+    O(keys) combine."""
+    from deepblocker_ray.stages.events import window_distinct
+
+    ev = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
+    return window_distinct(ev, _cfg(), window_minutes=60.0)
+
+
 def q_conv_stats(sf_dir: str):
     """Per-conversation shape stats (turns, role mix, token volume) over
     the derived transcript view: per-batch partials, one bucketed exchange
@@ -1458,6 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_size_histogram": q_dup_size_histogram,
         "union_by_name": q_union_by_name,
         "conv_stats": q_conv_stats,
+        "window_distinct": q_window_distinct,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2343,6 +2354,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bigram count twin: the same inclusive 1-based list-slice windows
         # the repetition twin uses; docs under 2 tokens yield empty lists
+        # window-distinct twin: same epoch-us window arithmetic
+        "window_distinct": """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600000000 AS window_us,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
+            GROUP BY event_type, window_us
+        """,
         # conv-stats twin: same derived transcript view, \S+ token rule
         "conv_stats": f"""
             WITH transcripts AS ({transcripts_cte})

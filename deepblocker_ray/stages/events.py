@@ -788,3 +788,84 @@ def value_histogram(ds, cfg: EngineConfig, *, n_bins: int = 20):
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )
+
+
+def window_distinct(ds, cfg: EngineConfig, *, window_minutes: float = 60.0):
+    """EXACT distinct-user count per (event_type, tumbling window) — the
+    unique-visitors rollup (the exact companion to the HLL sketch in
+    ``stages/sketch.py``, for when the key space per window fits and the
+    answer must be exact). Emits (event_type, window_us, n_users:int64).
+
+    Map-side the batch collapses to its DISTINCT (type, window, user)
+    triples (np.unique over packed int codes — already deduplicated, so
+    the exchange carries at most the per-batch distinct set, bucketed on
+    hash(user)); buckets partition users, so per-bucket distinct counts
+    are disjoint and exact, and only (type, window, partial) rows reach
+    the final O(keys) combine.
+    """
+    window_us = np.int64(round(window_minutes * 60e6))
+    if window_us <= 0:
+        raise ValueError(f"window_minutes must be > 0, got {window_minutes}")
+    nb = cfg.num_buckets
+    skinny = _project_events(ds, cfg, with_type=True)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        if len(t) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype=object),
+                    "window_us": pd.Series(dtype=np.int64),
+                    "user_id": pd.Series(dtype=np.int64),
+                    "_bucket": pd.Series(dtype=np.int32),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_numpy(
+                    zero_copy_only=False
+                ),
+                "window_us": (
+                    np.asarray(t.column("ts_us"), np.int64) // window_us
+                ) * window_us,
+                "user_id": np.asarray(t.column("user_id"), np.int64),
+            }
+        ).drop_duplicates()
+        df["_bucket"] = _user_bucket(df["user_id"].to_numpy(np.int64), nb)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype=object),
+                    "window_us": pd.Series(dtype=np.int64),
+                    "n_users": pd.Series(dtype=np.int64),
+                }
+            )
+        d = df[["event_type", "window_us", "user_id"]].drop_duplicates()
+        g = (
+            d.groupby(["event_type", "window_us"], sort=False,
+                      observed=True)
+            .size()
+            .reset_index(name="n_users")
+        )
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["event_type", "window_us"], sort=False,
+                       observed=True)["n_users"]
+            .sum()
+            .reset_index()
+        )
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    return (
+        skinny.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

@@ -728,3 +728,38 @@ class TestValueHistogram:
         assert out["n"].tolist() == [3]
         with _pt.raises(ValueError):
             value_histogram(None, EngineConfig(), n_bins=0)
+
+
+class TestWindowDistinct:
+    def test_distinct_across_batches(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import window_distinct
+
+        h = 3_600_000_000
+        base = (T0 // h) * h
+        rows = [
+            # window 0, view: users 1,1,2 → 2 distinct (dup across batches)
+            (0, 1, base + 1, "view", 0.0),
+            (1, 1, base + 2, "view", 0.0),
+            (2, 2, base + 3, "view", 0.0),
+            # window 0, click: user 1
+            (3, 1, base + 4, "click", 0.0),
+            # window 1, view: users 1,3
+            (4, 1, base + h + 1, "view", 0.0),
+            (5, 3, base + h + 2, "view", 0.0),
+        ]
+        out = (
+            window_distinct(
+                _from_pandas(ray_session, _events_df(rows)), CFG
+            )
+            .to_pandas()
+            .sort_values(["event_type", "window_us"])
+            .reset_index(drop=True)
+        )
+        assert list(map(tuple, out.to_numpy())) == [
+            ("click", base, 1),
+            ("view", base, 2),
+            ("view", base + h, 2),
+        ]
