@@ -1242,6 +1242,17 @@ def q_ngram_counts(sf_dir: str):
     )
 
 
+def q_pair_features(sf_dir: str):
+    """ER feature-vector table for SNM candidate pairs (jw, lev, lengths,
+    distinct-token Jaccard) — the classifier-training surface; blocking via
+    the shared prefix-scan, features via the bit-parallel batch kernels."""
+    from deepblocker_ray.stages.neighborhood import pair_features
+
+    return pair_features(
+        _documents(sf_dir), _cfg(), key_chars=12, window=4
+    )
+
+
 def q_window_distinct(sf_dir: str):
     """Exact distinct users per (event_type, hour window): map-side
     distinct triples, user-partitioned buckets (disjoint exact counts),
@@ -1469,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_by_name": q_union_by_name,
         "conv_stats": q_conv_stats,
         "window_distinct": q_window_distinct,
+        "pair_features": q_pair_features,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2354,6 +2366,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bigram count twin: the same inclusive 1-based list-slice windows
         # the repetition twin uses; docs under 2 tokens yield empty lists
+        # pair-features twin: same SNM candidates (rank self-join), DuckDB
+        # native jw/lev, tokenizer-fragment distinct-token Jaccard
+        "pair_features": f"""
+            WITH r AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       row_number() OVER (
+                           ORDER BY lower(substr(coalesce(text, ''), 1, 12)),
+                                    doc_id) - 1 AS rk
+                FROM documents
+            ), p AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       a.text AS ta, b.text AS tb
+                FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 4
+            ), tok AS (
+                SELECT left_id, right_id, ta, tb,
+                       list_distinct({sql_tokens_expr('ta')}) AS sa,
+                       list_distinct({sql_tokens_expr('tb')}) AS sb
+                FROM p
+            )
+            SELECT left_id, right_id,
+                   jaro_winkler_similarity(ta, tb) AS jw,
+                   CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
+                   CAST(length(ta) AS BIGINT) AS len_l,
+                   CAST(length(tb) AS BIGINT) AS len_r,
+                   CASE WHEN len(list_distinct(sa || sb)) = 0 THEN 0.0
+                        ELSE len(list_intersect(sa, sb))
+                             / len(list_distinct(sa || sb))
+                   END AS token_jaccard
+            FROM tok
+        """,
         # window-distinct twin: same epoch-us window arithmetic
         "window_distinct": """
             SELECT event_type,

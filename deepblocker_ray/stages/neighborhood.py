@@ -408,3 +408,134 @@ def fuzzy_join(
         .groupby("_bucket")
         .map_groups(match, batch_format="pandas")
     )
+
+
+def pair_features(
+    docs,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_chars: int = 12,
+    window: int = 4,
+):
+    """Candidate-pair FEATURE TABLE — the input a downstream match
+    classifier (logistic regression, gradient trees, active labeling)
+    trains on: for every sorted-neighborhood candidate pair, the standard
+    ER feature vector
+
+        (left_id, right_id, jw, lev, len_l, len_r, token_jaccard)
+
+    jw = Jaro-Winkler on full text, lev = raw edit distance, len_* =
+    code-point lengths, token_jaccard = |A∩B| / |A∪B| over DISTINCT
+    basic-english tokens (0.0 when the union is empty). NULL text is ''
+    throughout. This factors the scoring half of ``snm_dedup`` out as a
+    reusable surface: same blocking, features instead of a threshold.
+
+    Scale shape: SNM candidates via the shared prefix-scan blocking
+    (O(rows·window) pairs, no global sort), texts attached by the
+    size-aware broadcast join, then one vectorized pass per batch — the
+    bit-parallel JW/Levenshtein batch kernels; the Jaccard intersects two
+    SORTED small int-code arrays per pair (the only per-pair loop, O(tokens)
+    each, same bound the lang_id/quality scans carry).
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.textsim import jaro_winkler_batch, levenshtein_batch
+    from ..functions.tokenizer import tokenize_many
+    from .relational import broadcast_join
+
+    cfg = cfg or EngineConfig()
+
+    def key(t: pa.Table) -> pa.Table:
+        txt = pc.cast(t.column(text_col), pa.string())
+        k = pc.utf8_lower(
+            pc.utf8_slice_codeunits(pc.fill_null(txt, ""), 0, key_chars)
+        )
+        return pa.table({id_col: t.column(id_col), "key": k})
+
+    cand = sorted_neighborhood(
+        docs.map_batches(key, batch_format="pyarrow"),
+        cfg, id_col=id_col, key_col="key", window=window,
+    )
+
+    def side(suffix: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "_tid" + suffix: pc.cast(t.column(id_col), pa.int64()),
+                    "_txt" + suffix: pc.cast(
+                        pc.fill_null(t.column(text_col), ""), pa.string()
+                    ),
+                }
+            )
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    j = broadcast_join(
+        cand, side("_l"), big_key="left_id", small_key="_tid_l",
+        payload_cols=["_txt_l"], cfg=cfg,
+    )
+    j = broadcast_join(
+        j, side("_r"), big_key="right_id", small_key="_tid_r",
+        payload_cols=["_txt_r"], cfg=cfg,
+    )
+
+    def feats(t: pa.Table) -> pa.Table:
+        la = t.column("_txt_l").to_pylist()
+        rb = t.column("_txt_r").to_pylist()
+        n = len(la)
+        if n == 0:
+            return pa.table(
+                {
+                    "left_id": pa.array([], pa.int64()),
+                    "right_id": pa.array([], pa.int64()),
+                    "jw": pa.array([], pa.float64()),
+                    "lev": pa.array([], pa.int64()),
+                    "len_l": pa.array([], pa.int64()),
+                    "len_r": pa.array([], pa.int64()),
+                    "token_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        jw = jaro_winkler_batch(la, rb)
+        lev = levenshtein_batch(la, rb)
+        len_l = np.fromiter((len(s) for s in la), np.int64, n)
+        len_r = np.fromiter((len(s) for s in rb), np.int64, n)
+        toks_l = tokenize_many(la)
+        toks_r = tokenize_many(rb)
+        jac = np.zeros(n, np.float64)
+        # int codes shared across both sides so set ops are integer
+        from itertools import chain
+
+        allt = np.fromiter(
+            chain(chain.from_iterable(toks_l), chain.from_iterable(toks_r)),
+            object,
+        )
+        if len(allt):
+            codes, _ = pd.factorize(allt, sort=False)
+            counts_l = np.fromiter((len(x) for x in toks_l), np.int64, n)
+            split = int(counts_l.sum())
+            cl, cr = codes[:split], codes[split:]
+            off_l = np.concatenate(([0], np.cumsum(counts_l)))
+            counts_r = np.fromiter((len(x) for x in toks_r), np.int64, n)
+            off_r = np.concatenate(([0], np.cumsum(counts_r)))
+            for i in range(n):
+                a = np.unique(cl[off_l[i] : off_l[i + 1]])
+                b = np.unique(cr[off_r[i] : off_r[i + 1]])
+                inter = len(np.intersect1d(a, b, assume_unique=True))
+                union = len(a) + len(b) - inter
+                if union:
+                    jac[i] = inter / union
+        return pa.table(
+            {
+                "left_id": t.column("left_id").cast(pa.int64()),
+                "right_id": t.column("right_id").cast(pa.int64()),
+                "jw": pa.array(jw),
+                "lev": pa.array(lev.astype(np.int64)),
+                "len_l": pa.array(len_l),
+                "len_r": pa.array(len_r),
+                "token_jaccard": pa.array(jac),
+            }
+        )
+
+    return j.map_batches(feats, batch_format="pyarrow")

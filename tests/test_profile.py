@@ -246,3 +246,57 @@ class TestDupSizeHistogram:
         )
         # sizes: aa→4, bb→2, ''/None→2, x→1, y→1
         assert list(map(tuple, out.to_numpy())) == [(1, 2), (2, 2), (4, 1)]
+
+
+class TestPairFeatures:
+    def test_feature_values(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.neighborhood import pair_features
+
+        # identical prefixes force SNM adjacency; features are checkable
+        df = pd.DataFrame(
+            {
+                "doc_id": np.array([1, 2, 3], np.int64),
+                "text": ["alpha beta", "alpha beta", "alpha gamma"],
+            }
+        )
+        out = (
+            pair_features(
+                rd.from_pandas(df), EngineConfig(num_buckets=4),
+                key_chars=5, window=3,
+            )
+            .to_pandas()
+            .sort_values(["left_id", "right_id"])
+            .reset_index(drop=True)
+        )
+        # ranks by (prefix, id): all share prefix 'alpha' → 3 pairs
+        assert list(zip(out["left_id"], out["right_id"])) == [
+            (1, 2), (1, 3), (2, 3)
+        ]
+        r12 = out.iloc[0]
+        assert r12["jw"] == 1.0 and r12["lev"] == 0
+        assert r12["token_jaccard"] == 1.0
+        assert r12["len_l"] == r12["len_r"] == 10
+        r13 = out.iloc[1]
+        # {alpha,beta} vs {alpha,gamma}: 1/3
+        assert abs(r13["token_jaccard"] - 1 / 3) < 1e-12
+        assert r13["lev"] > 0 and r13["jw"] < 1.0
+
+    def test_empty_tokens(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.neighborhood import pair_features
+
+        df = pd.DataFrame(
+            {"doc_id": np.array([1, 2], np.int64), "text": ["", None]}
+        )
+        out = pair_features(
+            rd.from_pandas(df), EngineConfig(num_buckets=4),
+            key_chars=5, window=2,
+        ).to_pandas()
+        assert len(out) == 1
+        assert out["token_jaccard"].iloc[0] == 0.0
+        assert out["jw"].iloc[0] == 0.0 or out["jw"].iloc[0] == 1.0
