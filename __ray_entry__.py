@@ -1242,6 +1242,15 @@ def q_ngram_counts(sf_dir: str):
     )
 
 
+def q_tail_turns(sf_dir: str):
+    """Context-window truncation (last 3 turns per conversation) over the
+    transcript view — one bucketed exchange, segment-max via reduceat, no
+    per-conversation loop."""
+    from deepblocker_ray.stages.canonicalize import tail_turns
+
+    return tail_turns(_transcripts(sf_dir), _cfg(), k=3)
+
+
 def q_pair_features(sf_dir: str):
     """ER feature-vector table for SNM candidate pairs (jw, lev, lengths,
     distinct-token Jaccard) — the classifier-training surface; blocking via
@@ -1481,6 +1490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats": q_conv_stats,
         "window_distinct": q_window_distinct,
         "pair_features": q_pair_features,
+        "tail_turns": q_tail_turns,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2366,6 +2376,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bigram count twin: the same inclusive 1-based list-slice windows
         # the repetition twin uses; docs under 2 tokens yield empty lists
+        # tail-turns twin: per-conv max join, keep turn_idx > max − k
+        "tail_turns": f"""
+            WITH transcripts AS ({transcripts_cte}),
+            m AS (SELECT conv_id, max(turn_idx) AS mx
+                  FROM transcripts GROUP BY conv_id)
+            SELECT t.conv_id, CAST(t.turn_idx AS BIGINT) AS turn_idx,
+                   t.role, t.text
+            FROM transcripts t JOIN m USING (conv_id)
+            WHERE t.turn_idx > m.mx - 3
+        """,
         # pair-features twin: same SNM candidates (rank self-join), DuckDB
         # native jw/lev, tokenizer-fragment distinct-token Jaccard
         "pair_features": f"""

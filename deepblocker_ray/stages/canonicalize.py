@@ -199,3 +199,64 @@ def conversation_stats(ds, cfg):
         .groupby("_bucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def tail_turns(ds, cfg, *, k: int):
+    """Context-window truncation — keep each conversation's LAST ``k``
+    turns (the prompt-assembly rule for bounded-context training and the
+    long-tail guard for pathological conversations; the keep-newest dual
+    of canonicalize's ``turn_cap`` keep-oldest rule). Emits the surviving
+    (conv_id, turn_idx, role, text) rows.
+
+    Turns of one conversation must co-locate to know its max turn_idx, so
+    the rows ride ONE bucketed exchange on hash(conv_id) — inherent to
+    the operator (the output IS the surviving rows). Per bucket: one
+    lexsort + segment-max via reduceat over all conversations at once, no
+    per-conversation loop.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    nb = cfg.num_buckets
+
+    def project(t: pa.Table) -> pa.Table:
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx").cast(pa.int64()),
+                "role": t.column("role"),
+                "text": t.column("text"),
+                "_bucket": pa.array(bucket_of(conv, nb)),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["conv_id", "turn_idx", "role", "text"]
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "conv_id": pd.Series(dtype=object),
+                    "turn_idx": pd.Series(dtype=np.int64),
+                    "role": pd.Series(dtype=object),
+                    "text": pd.Series(dtype=object),
+                }
+            )
+        conv_codes, _ = pd.factorize(df["conv_id"].to_numpy(object),
+                                     sort=False)
+        ti = df["turn_idx"].to_numpy(np.int64)
+        order = np.lexsort((ti, conv_codes))
+        cc, tt = conv_codes[order], ti[order]
+        seg_start = np.flatnonzero(np.r_[True, cc[1:] != cc[:-1]])
+        seg_max = np.maximum.reduceat(tt, seg_start)
+        max_of = np.repeat(seg_max, np.diff(np.r_[seg_start, len(cc)]))
+        keep_sorted = tt > max_of - k
+        keep = np.zeros(len(df), bool)
+        keep[order] = keep_sorted
+        return df.loc[keep, cols]
+
+    return (
+        ds.select_columns(["conv_id", "turn_idx", "role", "text"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

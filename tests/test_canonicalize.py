@@ -158,3 +158,38 @@ class TestConversationStats:
             ("c1", 3, 1, 1, 3),   # tool role counted in turns only
             ("c2", 2, 1, 1, 3),   # double space = still 3 tokens
         ]
+
+
+class TestTailTurns:
+    def test_last_k_per_conversation(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pytest as _pt
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.canonicalize import tail_turns
+
+        df = pd.DataFrame(
+            {
+                "conv_id": ["a"] * 5 + ["b"] * 2 + ["c"],
+                "turn_idx": np.array([0, 1, 2, 3, 4, 0, 1, 7], np.int32),
+                "role": ["user"] * 8,
+                "text": [f"t{i}" for i in range(8)],
+            }
+        )
+        out = (
+            tail_turns(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=4), k=3,
+            )
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        # a: turns 2,3,4; b: both (fewer than k); c: its single turn
+        assert list(zip(out["conv_id"], out["turn_idx"])) == [
+            ("a", 2), ("a", 3), ("a", 4), ("b", 0), ("b", 1), ("c", 7)
+        ]
+        with _pt.raises(ValueError):
+            tail_turns(None, EngineConfig(), k=0)
