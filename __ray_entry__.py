@@ -1242,6 +1242,15 @@ def q_ngram_counts(sf_dir: str):
     )
 
 
+def q_bigram_familiarity(sf_dir: str):
+    """Integer LM-familiarity score (Σ corpus bigram counts over each
+    doc's bigrams, min_count=2 table): distributed count build, truncated
+    table broadcast once, one searchsorted+bincount map pass."""
+    from deepblocker_ray.stages.textstats import bigram_familiarity
+
+    return bigram_familiarity(_documents(sf_dir), _cfg(), min_count=2)
+
+
 def q_tail_turns(sf_dir: str):
     """Context-window truncation (last 3 turns per conversation) over the
     transcript view — one bucketed exchange, segment-max via reduceat, no
@@ -1491,6 +1500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct": q_window_distinct,
         "pair_features": q_pair_features,
         "tail_turns": q_tail_turns,
+        "bigram_familiarity": q_bigram_familiarity,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2376,6 +2386,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bigram count twin: the same inclusive 1-based list-slice windows
         # the repetition twin uses; docs under 2 tokens yield empty lists
+        # familiarity twin: same gram construction + truncated count table,
+        # integer sum per doc (docs with < 2 tokens score 0)
+        "bigram_familiarity": f"""
+            WITH t AS (SELECT doc_id, {tokens} AS tk FROM documents),
+            g AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(tk) < 2 THEN []
+                            ELSE [array_to_string(tk[x : x + 1], ' ')
+                                  for x in generate_series(1, len(tk) - 1)]
+                            END) AS gram
+                FROM t
+            ),
+            cnt AS (SELECT gram, count(*) AS c FROM g
+                    GROUP BY gram HAVING count(*) >= 2),
+            s AS (SELECT g.doc_id, sum(cnt.c) AS fam
+                  FROM g JOIN cnt USING (gram) GROUP BY g.doc_id)
+            SELECT t.doc_id,
+                   CAST(greatest(len(t.tk) - 1, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(s.fam, 0) AS BIGINT) AS familiarity
+            FROM t LEFT JOIN s USING (doc_id)
+        """,
         # tail-turns twin: per-conv max join, keep turn_idx > max − k
         "tail_turns": f"""
             WITH transcripts AS ({transcripts_cte}),

@@ -223,6 +223,10 @@ def main() -> None:
         "cooccurrence",
         "dup_size_histogram",
         "union_by_name",
+        "conv_stats",
+        "window_distinct",
+        "pair_features",
+        "tail_turns",
     ]
     for name in query_names:
         r = bench_query(q[name])

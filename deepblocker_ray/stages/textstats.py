@@ -863,3 +863,97 @@ def cooccurrence(
         .groupby("_bucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def bigram_familiarity(
+    ds,
+    cfg,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+):
+    """Integer LM-familiarity quality score — for each document, the sum
+    over its bigram OCCURRENCES of that bigram's corpus count (from the
+    ``min_count``-truncated :func:`ngram_counts` table; unseen/truncated
+    bigrams add 0). High = boilerplate-like/common phrasing, low =
+    out-of-distribution text — the exact-integer stand-in for an n-gram-LM
+    log-prob screen (no ``log``/float on either side, so the SQL twin
+    matches bit-for-bit). Emits (doc_id, n_bigrams:int64,
+    familiarity:int64); docs with < 2 tokens score (0, 0).
+
+    Scale shape: the count table is built distributed (bucketed exchange),
+    and the ``min_count`` truncation is what BOUNDS it before the driver
+    collects + ``ray.put``s it as sorted (gram-hash, count) arrays — the
+    same truncation-before-collection rule as SIF weights and the same
+    broadcast pattern as decontaminate. The corpus then streams through
+    ONE map pass: vectorized gram build, searchsorted lookup, one bincount
+    per batch for the per-doc sums. Gram identity is md5-lower64 (repo
+    collision caveat).
+    """
+    import ray
+
+    from .dedup import hash64_strs
+
+    counts = ngram_counts(
+        ds, cfg, text_col=text_col, ngram=2, min_count=min_count
+    ).to_pandas()
+    if len(counts):
+        h = hash64_strs(counts["gram"].to_numpy(object))
+        order = np.argsort(h)
+        bc = (h[order], counts["count"].to_numpy(np.int64)[order])
+    else:
+        bc = (np.empty(0, np.uint64), np.empty(0, np.int64))
+    bc_ref = ray.put(bc)
+
+    def score(batch: pa.Table) -> pa.Table:
+        from itertools import chain
+
+        from ..functions.tokenizer import tokenize_many
+        from ..state.broadcast import cached_get
+
+        gh, gc = cached_get(bc_ref)
+        toks = tokenize_many(
+            pc.fill_null(
+                pc.cast(batch.column(text_col), pa.string()), ""
+            ).to_pylist()
+        )
+        n = len(toks)
+        counts_ = np.fromiter((len(x) for x in toks), np.int64, n)
+        total = int(counts_.sum())
+        n_bigrams = np.maximum(counts_ - 1, 0)
+        fam = np.zeros(n, np.int64)
+        nw = total - 1
+        if nw > 0:
+            flat = np.fromiter(chain.from_iterable(toks), object, total)
+            grams = flat[:nw] + " "
+            grams = grams + flat[1 : nw + 1]
+            starts = np.zeros(n + 1, np.int64)
+            np.cumsum(counts_, out=starts[1:])
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts_)[:nw]
+            keep = starts[doc_idx + 1] - np.arange(nw, dtype=np.int64) >= 2
+            if keep.any() and len(gh):
+                g = grams[keep]
+                d = doc_idx[keep]
+                hh = hash64_strs(g)
+                pos = np.searchsorted(gh, hh)
+                pos[pos >= len(gh)] = 0
+                c = np.where(gh[pos] == hh, gc[pos], 0)
+                if int(c.sum()) < (1 << 53):  # float64 path stays exact
+                    fam = np.bincount(
+                        d, weights=c.astype(np.float64), minlength=n
+                    ).astype(np.int64)
+                else:
+                    fam = np.zeros(n, np.int64)
+                    np.add.at(fam, d, c)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_bigrams": pa.array(n_bigrams),
+                "familiarity": pa.array(fam),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow"
+    )

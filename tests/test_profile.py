@@ -300,3 +300,36 @@ class TestPairFeatures:
         assert len(out) == 1
         assert out["token_jaccard"].iloc[0] == 0.0
         assert out["jw"].iloc[0] == 0.0 or out["jw"].iloc[0] == 1.0
+
+
+class TestBigramFamiliarity:
+    def test_scores_and_short_docs(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.textstats import bigram_familiarity
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(5, dtype=np.int64),
+                "text": [
+                    "a b c",      # bigrams: 'a b', 'b c'
+                    "a b c",      # same
+                    "a b x",      # 'a b', 'b x'
+                    "w",          # < 2 tokens → (0, 0)
+                    None,         # NULL → (0, 0)
+                ],
+            }
+        )
+        out = (
+            bigram_familiarity(
+                rd.from_pandas([p for p in np.array_split(df, 2)]),
+                EngineConfig(num_buckets=4), min_count=2,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # counts (min 2): 'a b'→3, 'b c'→2; 'b x' (1) truncated
+        assert out["n_bigrams"].tolist() == [2, 2, 2, 0, 0]
+        assert out["familiarity"].tolist() == [5, 5, 3, 0, 0]
