@@ -1242,6 +1242,19 @@ def q_ngram_counts(sf_dir: str):
     )
 
 
+def q_funnel(sf_dir: str):
+    """Two-step view→purchase funnel (60-min window from each user's
+    earliest view): skinny two-type exchange, vectorized segment-min +
+    merge — no per-user loop."""
+    from deepblocker_ray.stages.events import funnel
+
+    ev = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
+    return funnel(
+        ev, _cfg(), first_type="view", then_type="purchase",
+        within_minutes=60.0,
+    )
+
+
 def q_bigram_familiarity(sf_dir: str):
     """Integer LM-familiarity score (Σ corpus bigram counts over each
     doc's bigrams, min_count=2 table): distributed count build, truncated
@@ -1501,6 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pair_features": q_pair_features,
         "tail_turns": q_tail_turns,
         "bigram_familiarity": q_bigram_familiarity,
+        "funnel": q_funnel,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2386,6 +2400,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bigram count twin: the same inclusive 1-based list-slice windows
         # the repetition twin uses; docs under 2 tokens yield empty lists
+        # funnel twin: earliest step-A per user + EXISTS window probe
+        "funnel": """
+            WITH a AS (
+                SELECT user_id, min(epoch_us(ts)) AS ts_a_us
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id
+            )
+            SELECT user_id, ts_a_us,
+                   EXISTS (
+                       SELECT 1 FROM events b
+                       WHERE b.user_id = a.user_id
+                         AND b.event_type = 'purchase'
+                         AND epoch_us(b.ts) > a.ts_a_us
+                         AND epoch_us(b.ts) <= a.ts_a_us + 3600000000
+                   ) AS converted
+            FROM a
+        """,
         # familiarity twin: same gram construction + truncated count table,
         # integer sum per doc (docs with < 2 tokens score 0)
         "bigram_familiarity": f"""

@@ -869,3 +869,72 @@ def window_distinct(ds, cfg: EngineConfig, *, window_minutes: float = 60.0):
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )
+
+
+def funnel(
+    ds,
+    cfg: EngineConfig,
+    *,
+    first_type: str,
+    then_type: str,
+    within_minutes: float = 60.0,
+):
+    """Two-step funnel — the conversion primitive of event analytics: for
+    every user with at least one ``first_type`` event, did a
+    ``then_type`` event follow their EARLIEST ``first_type`` within
+    ``within_minutes``? Emits (user_id, ts_a_us:int64, converted:bool)
+    with ts_a = min ts of the first step (the window is (ts_a,
+    ts_a + within]; strictly-after, inclusive end — pinned semantics the
+    twin reproduces with an EXISTS).
+
+    One bucketed exchange of skinny (user, ts, type) int rows filtered to
+    the two step types map-side; per bucket both steps resolve vectorized
+    (segment-min for step A, one merge + boolean groupby-any for step B —
+    no per-user loop).
+    """
+    if first_type == then_type:
+        raise ValueError("funnel steps must differ")
+    within_us = np.int64(round(within_minutes * 60e6))
+    if within_us <= 0:
+        raise ValueError(
+            f"within_minutes must be > 0, got {within_minutes}"
+        )
+    skinny = _project_events(ds, cfg, types=(first_type, then_type))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype=np.int64),
+                "ts_a_us": pd.Series(dtype=np.int64),
+                "converted": pd.Series(dtype=bool),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        a = df[df["event_type"] == first_type]
+        if not len(a):
+            return empty
+        ts_a = a.groupby("user_id", sort=True)["ts_us"].min()
+        b = df[df["event_type"] == then_type][["user_id", "ts_us"]]
+        m = b.merge(
+            ts_a.rename("ts_a").reset_index(), on="user_id", how="inner"
+        )
+        hit = m[
+            (m["ts_us"] > m["ts_a"])
+            & (m["ts_us"] <= m["ts_a"] + within_us)
+        ]
+        conv_users = set(hit["user_id"].unique())
+        users = ts_a.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "ts_a_us": ts_a.to_numpy(np.int64),
+                "converted": np.fromiter(
+                    (u in conv_users for u in users), bool, len(users)
+                ),
+            }
+        )
+
+    return skinny.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )

@@ -763,3 +763,51 @@ class TestWindowDistinct:
             ("view", base, 2),
             ("view", base + h, 2),
         ]
+
+
+class TestFunnel:
+    def test_window_boundaries_and_order(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import funnel
+
+        w = 60 * MIN
+        rows = [
+            # user 1: view at T0; purchase exactly at +60min → converted
+            (0, 1, T0, "view", 0.0),
+            (1, 1, T0 + w, "purchase", 0.0),
+            # user 2: purchase BEFORE the view → not converted
+            (2, 2, T0 - 1, "purchase", 0.0),
+            (3, 2, T0, "view", 0.0),
+            # user 3: purchase 1us past window → not converted
+            (4, 3, T0, "view", 0.0),
+            (5, 3, T0 + w + 1, "purchase", 0.0),
+            # user 4: earliest view counts, second view's window does NOT
+            (6, 4, T0, "view", 0.0),
+            (7, 4, T0 + 2 * w, "view", 0.0),
+            (8, 4, T0 + 2 * w + 1, "purchase", 0.0),
+            # user 5: purchase only → absent from output
+            (9, 5, T0, "purchase", 0.0),
+        ]
+        out = (
+            funnel(
+                _from_pandas(ray_session, _events_df(rows)), CFG,
+                first_type="view", then_type="purchase",
+                within_minutes=60.0,
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert out["user_id"].tolist() == [1, 2, 3, 4]
+        assert out["converted"].tolist() == [True, False, False, False]
+        assert out["ts_a_us"].tolist() == [T0, T0, T0, T0]
+
+    def test_same_steps_rejected(self):
+        import pytest as _pt
+
+        from deepblocker_ray.stages.events import funnel
+
+        with _pt.raises(ValueError):
+            funnel(None, CFG, first_type="view", then_type="view")
