@@ -1242,6 +1242,25 @@ def q_ngram_counts(sf_dir: str):
     )
 
 
+def q_retention(sf_dir: str):
+    """Weekly cohort retention (cohort = first-activity week): distinct
+    (user, period) pairs map-side, user-partitioned exchange, O(keys)
+    combine."""
+    from deepblocker_ray.stages.events import retention
+
+    ev = _events(sf_dir, columns=["event_id", "user_id", "ts"])
+    return retention(ev, _cfg(), period_days=7.0)
+
+
+def q_block_skew(sf_dir: str):
+    """Blocking-key skew report (block sizes + induced C(n,2) pair cost
+    per 12-char prefix key, blocks ≥ 2): (key, count) partials only —
+    documents never move."""
+    from deepblocker_ray.stages.neighborhood import block_skew
+
+    return block_skew(_documents(sf_dir), _cfg(), key_chars=12, min_size=2)
+
+
 def q_funnel(sf_dir: str):
     """Two-step view→purchase funnel (60-min window from each user's
     earliest view): skinny two-type exchange, vectorized segment-min +
@@ -1515,6 +1534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tail_turns": q_tail_turns,
         "bigram_familiarity": q_bigram_familiarity,
         "funnel": q_funnel,
+        "retention": q_retention,
+        "block_skew": q_block_skew,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2400,6 +2421,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bigram count twin: the same inclusive 1-based list-slice windows
         # the repetition twin uses; docs under 2 tokens yield empty lists
+        # retention twin: per-user first period + offset counts; 604800e6
+        # us per 7-day period
+        "retention": """
+            WITH p AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 604800000000 AS period
+                FROM events
+            ), f AS (
+                SELECT user_id, min(period) AS first_p FROM p
+                GROUP BY user_id
+            )
+            SELECT f.first_p * 604800000000 AS cohort_us,
+                   p.period - f.first_p AS period_offset,
+                   count(*) AS n_users
+            FROM p JOIN f USING (user_id)
+            GROUP BY cohort_us, period_offset
+        """,
+        # block-skew twin: prefix-key group sizes + C(n,2)
+        "block_skew": """
+            SELECT key, count(*) AS block_size,
+                   count(*) * (count(*) - 1) // 2 AS n_pairs
+            FROM (SELECT lower(substr(coalesce(text, ''), 1, 12)) AS key
+                  FROM documents)
+            GROUP BY key HAVING count(*) >= 2
+        """,
         # funnel twin: earliest step-A per user + EXISTS window probe
         "funnel": """
             WITH a AS (

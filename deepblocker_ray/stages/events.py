@@ -938,3 +938,80 @@ def funnel(
     return skinny.groupby("_bucket").map_groups(
         per_bucket, batch_format="pandas"
     )
+
+
+def retention(ds, cfg: EngineConfig, *, period_days: float = 7.0):
+    """Cohort retention — the activity-over-time rollup: cohort = each
+    user's FIRST-activity period (epoch-aligned ``period_days`` bins);
+    for every (cohort, periods-since-cohort) pair, how many of the
+    cohort's users were active then. Emits (cohort_us:int64,
+    period_offset:int64, n_users:int64) — offset 0 rows equal cohort
+    sizes by construction.
+
+    Map-side each batch collapses to DISTINCT (user, period) pairs; ONE
+    bucketed exchange on hash(user) (all periods of a user co-locate, so
+    the per-bucket cohort assignment is exact and bucket partials are
+    disjoint in users); per bucket a segment-min + offset count, then the
+    tiny (cohort, offset, n) partials sum in an O(keys) combine.
+    """
+    period_us = np.int64(round(period_days * 86_400e6))
+    if period_us <= 0:
+        raise ValueError(f"period_days must be > 0, got {period_days}")
+    nb = cfg.num_buckets
+    skinny = _project_events(ds, cfg)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": np.asarray(t.column("user_id"), np.int64),
+                "period": (
+                    np.asarray(t.column("ts_us"), np.int64) // period_us
+                ),
+            }
+        ).drop_duplicates()
+        df["_bucket"] = _user_bucket(df["user_id"].to_numpy(np.int64), nb)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cohort_us": pd.Series(dtype=np.int64),
+                "period_offset": pd.Series(dtype=np.int64),
+                "n_users": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        d = df[["user_id", "period"]].drop_duplicates()
+        first = d.groupby("user_id", sort=False)["period"].transform("min")
+        g = (
+            pd.DataFrame(
+                {
+                    "cohort_us": first.to_numpy(np.int64) * period_us,
+                    "period_offset": d["period"].to_numpy(np.int64)
+                    - first.to_numpy(np.int64),
+                }
+            )
+            .groupby(["cohort_us", "period_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["cohort_us", "period_offset"], sort=True)["n_users"]
+            .sum()
+            .reset_index()
+        )
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    return (
+        skinny.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

@@ -539,3 +539,75 @@ def pair_features(
         )
 
     return j.map_batches(feats, batch_format="pyarrow")
+
+
+def block_skew(
+    docs,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_chars: int = 12,
+    min_size: int = 2,
+):
+    """Blocking-key skew report — the diagnosis every blocking strategy
+    needs BEFORE running: per blocking key (lowercased ``key_chars`` text
+    prefix, the same key snm_dedup blocks on), the block size and the
+    all-pairs cost C(n,2) it would induce. Emits (key, block_size:int64,
+    n_pairs:int64) for blocks of at least ``min_size``, the hot-key list
+    that decides salting thresholds.
+
+    Map-side (key, count) partials (one value_counts per batch), ONE
+    bucketed exchange on hash(key), O(distinct keys) combine — the
+    documents never move.
+    """
+    import pyarrow.compute as pc
+
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    if min_size < 1:
+        raise ValueError(f"min_size must be >= 1, got {min_size}")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        txt = pc.cast(t.column(text_col), pa.string())
+        k = pc.utf8_lower(
+            pc.utf8_slice_codeunits(pc.fill_null(txt, ""), 0, key_chars)
+        ).to_numpy(zero_copy_only=False)
+        vc = pd.Series(k).value_counts(sort=False)
+        g = pd.DataFrame(
+            {
+                "key": vc.index.to_numpy(object),
+                "n": vc.to_numpy(np.int64),
+            }
+        )
+        g["_bucket"] = bucket_of(g["key"], nb)
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "key": pd.Series(dtype=object),
+                    "block_size": pd.Series(dtype=np.int64),
+                    "n_pairs": pd.Series(dtype=np.int64),
+                }
+            )
+        g = df.groupby("key", sort=False)["n"].sum()
+        g = g[g >= min_size]
+        n = g.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "key": g.index.to_numpy(object),
+                "block_size": n,
+                "n_pairs": n * (n - 1) // 2,
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -811,3 +811,40 @@ class TestFunnel:
 
         with _pt.raises(ValueError):
             funnel(None, CFG, first_type="view", then_type="view")
+
+
+class TestRetention:
+    def test_cohorts_and_offsets(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import retention
+
+        P = 7 * 86_400_000_000
+        base = (T0 // P) * P
+        rows = [
+            # user 1: weeks 0 and 2 (relative to its own first week)
+            (0, 1, base + 1, "view", 0.0),
+            (1, 1, base + 2 * P + 1, "view", 0.0),
+            (2, 1, base + 2 * P + 2, "view", 0.0),  # dup (user, period)
+            # user 2: same cohort, week 0 only
+            (3, 2, base + 5, "view", 0.0),
+            # user 3: later cohort (week 1), active weeks 1 and 2
+            (4, 3, base + P + 1, "view", 0.0),
+            (5, 3, base + 2 * P + 3, "view", 0.0),
+        ]
+        out = (
+            retention(
+                _from_pandas(ray_session, _events_df(rows)), CFG,
+                period_days=7.0,
+            )
+            .to_pandas()
+            .sort_values(["cohort_us", "period_offset"])
+            .reset_index(drop=True)
+        )
+        assert list(map(tuple, out.to_numpy())) == [
+            (base, 0, 2),          # users 1,2
+            (base, 2, 1),          # user 1
+            (base + P, 0, 1),      # user 3
+            (base + P, 1, 1),      # user 3
+        ]

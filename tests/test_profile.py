@@ -333,3 +333,32 @@ class TestBigramFamiliarity:
         # counts (min 2): 'a b'→3, 'b c'→2; 'b x' (1) truncated
         assert out["n_bigrams"].tolist() == [2, 2, 2, 0, 0]
         assert out["familiarity"].tolist() == [5, 5, 3, 0, 0]
+
+
+class TestBlockSkew:
+    def test_sizes_and_pairs(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.neighborhood import block_skew
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(6, dtype=np.int64),
+                "text": ["ABCDEF one", "abcdef two", "abcdef three",
+                         "zz", None, ""],
+            }
+        )
+        out = (
+            block_skew(
+                rd.from_pandas([p for p in np.array_split(df, 2)]),
+                EngineConfig(num_buckets=4), key_chars=6, min_size=2,
+            )
+            .to_pandas()
+            .sort_values("key")
+            .reset_index(drop=True)
+        )
+        # 'abcdef' (lowercased) ×3 → 3 pairs; ''/None share key '' → 1 pair
+        assert list(map(tuple, out.to_numpy())) == [
+            ("", 2, 1), ("abcdef", 3, 3)
+        ]
