@@ -227,6 +227,10 @@ def main() -> None:
         "window_distinct",
         "pair_features",
         "tail_turns",
+        "bigram_familiarity",
+        "funnel",
+        "retention",
+        "block_skew",
     ]
     for name in query_names:
         r = bench_query(q[name])
