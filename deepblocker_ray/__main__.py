@@ -132,6 +132,37 @@ def cmd_curate(args) -> dict:
     return {"rows": _write(out, args.out, "curate")}
 
 
+def cmd_profile(args) -> dict:
+    from .config import EngineConfig
+    from .sources.io import read_table
+    from .stages.dedup import dup_size_histogram
+    from .stages.profile import column_profile
+
+    cfg = EngineConfig()
+    ds = read_table(args.input)
+    cols = (
+        args.cols.split(",")
+        if args.cols
+        else [
+            n
+            for n, t in zip(ds.schema().names, ds.schema().types)
+            if "string" in str(t)
+        ]
+    )
+    out = {
+        "columns": _write(
+            column_profile(ds, cfg, columns=cols), args.out, "columns"
+        )
+    }
+    if args.text_col:
+        out["dup_histogram"] = _write(
+            dup_size_histogram(ds, cfg, text_col=args.text_col),
+            args.out,
+            "dup_histogram",
+        )
+    return out
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="deepblocker_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -178,6 +209,24 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--tokens-per-seq", type=int, default=2048)
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_curate)
+
+    pr = sub.add_parser(
+        "profile",
+        help="data-quality scan: per-column profile (+ exact-dup cluster "
+        "histogram with --text-col)",
+    )
+    pr.add_argument("--input", required=True)
+    pr.add_argument(
+        "--cols", default=None,
+        help="comma-separated columns (default: all string columns)",
+    )
+    pr.add_argument(
+        "--text-col", default=None,
+        help="also emit the exact-duplicate cluster-size histogram over "
+        "this column",
+    )
+    pr.add_argument("--out", required=True)
+    pr.set_defaults(fn=cmd_profile)
     return p
 
 

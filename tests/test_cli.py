@@ -113,3 +113,30 @@ def test_cli_curate(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     metrics = json.loads((out / "metrics.json").read_text())
     assert metrics["rows"] == 19  # 20 docs − 1 normalized duplicate
+
+
+@pytest.mark.slow
+def test_cli_profile(tmp_path):
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "text": ["dup text"] * 3 + [f"text {i}" for i in range(7)],
+            "lang": ["en"] * 9 + [None],
+        }
+    )
+    p = tmp_path / "docs.parquet"
+    docs.to_parquet(p)
+    out = tmp_path / "out_profile"
+    r = _run(
+        ["profile", "--input", str(p), "--cols", "text,lang",
+         "--text-col", "text", "--out", str(out)],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.loads((out / "metrics.json").read_text())
+    assert metrics["columns"] == 2
+    prof = pd.read_parquet(out / "columns").set_index("column")
+    assert prof.loc["lang", "n_nulls"] == 1
+    assert prof.loc["text", "n_distinct"] == 8
+    hist = pd.read_parquet(out / "dup_histogram")
+    assert dict(zip(hist["cluster_size"], hist["n_clusters"])) == {1: 7, 3: 1}
