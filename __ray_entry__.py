@@ -1242,6 +1242,17 @@ def q_ngram_counts(sf_dir: str):
     )
 
 
+def q_group_cap(sf_dir: str):
+    """Exact per-language cap (≤ 60 docs per lang by stable hash order) —
+    the deterministic-exact complement to balance_sample's Binomial
+    thresholding; associative per-group top-k, corpus never shuffles."""
+    from deepblocker_ray.stages.sampling import group_cap
+
+    return group_cap(
+        _documents(sf_dir), _cfg(), strata_col="lang", n_max=60, seed=7
+    )
+
+
 def q_retention(sf_dir: str):
     """Weekly cohort retention (cohort = first-activity week): distinct
     (user, period) pairs map-side, user-partitioned exchange, O(keys)
@@ -1536,6 +1547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,
         "retention": q_retention,
         "block_skew": q_block_skew,
+        "group_cap": q_group_cap,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2421,6 +2433,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bigram count twin: the same inclusive 1-based list-slice windows
         # the repetition twin uses; docs under 2 tokens yield empty lists
+        # group-cap twin: same shifted 64-bit hash priority, row_number per
+        # stratum
+        "group_cap": f"""
+            SELECT lang, rank, doc_id, priority
+            FROM (
+                SELECT lang, doc_id,
+                       CAST(md5_number_lower(
+                               CAST(doc_id AS VARCHAR) || '|7') // 2
+                            AS BIGINT) AS priority,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5_number_lower(
+                               CAST(doc_id AS VARCHAR) || '|7') // 2,
+                               doc_id
+                       ) AS rank
+                FROM documents
+            )
+            WHERE rank <= 60
+        """,
         # retention twin: per-user first period + offset counts; 604800e6
         # us per 7-day period
         "retention": """

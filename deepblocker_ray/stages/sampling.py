@@ -206,3 +206,51 @@ def weighted_sample(
         prio, batch_format="pyarrow"
     )
     return group_topk(skinny, cfg, order_col="priority", id_col=id_col, k=k)
+
+
+def group_cap(
+    ds,
+    cfg,
+    *,
+    strata_col: str,
+    n_max: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+):
+    """EXACT per-stratum cap — keep exactly ``min(n_max, stratum size)``
+    rows per stratum, chosen by ascending (hash(id|seed), id): the
+    head-source / head-language cap when the count must be exact (the
+    deterministic-exact complement to ``balance_sample``'s Binomial
+    thresholding; same stable-hash rule, so the choice is seed-stable and
+    rerun/resume-identical). Emits (strata_col, rank, id_col, priority)
+    with rank 1..cap within the stratum.
+
+    Pure reuse of the associative top-k machinery: priority = the id hash
+    (int64), per-batch per-group partial top-k map-side, partials bucketed
+    on hash(stratum) — the corpus never rides the exchange.
+    """
+    from .topk import group_topk
+
+    if n_max < 1:
+        raise ValueError(f"n_max must be >= 1, got {n_max}")
+
+    def prio(batch: pa.Table) -> pa.Table:
+        h = _id_hashes(batch.column(id_col).cast(pa.string()), seed)
+        return pa.table(
+            {
+                strata_col: batch.column(strata_col),
+                id_col: batch.column(id_col),
+                # shift into non-negative int64 preserving uint64 order
+                "priority": pa.array(
+                    (h >> np.uint64(1)).astype(np.int64)
+                ),
+            }
+        )
+
+    skinny = ds.select_columns([strata_col, id_col]).map_batches(
+        prio, batch_format="pyarrow"
+    )
+    return group_topk(
+        skinny, cfg, order_col="priority", id_col=id_col, k=n_max,
+        group_col=strata_col, descending=False,
+    )

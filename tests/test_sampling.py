@@ -200,3 +200,44 @@ class TestWeightedSample:
             weighted_sample(
                 rd.from_pandas(bad), EngineConfig(), weight_col="w", k=1
             ).to_pandas()
+
+
+class TestGroupCap:
+    def test_exact_cap_and_small_groups(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.sampling import group_cap
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(30, dtype=np.int64),
+                "lang": ["en"] * 20 + ["fr"] * 8 + ["zz"] * 2,
+            }
+        )
+        out = (
+            group_cap(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=4),
+                strata_col="lang", n_max=5, seed=3,
+            )
+            .to_pandas()
+            .sort_values(["lang", "rank"])
+            .reset_index(drop=True)
+        )
+        sizes = out.groupby("lang").size().to_dict()
+        # exact: min(n_max, group size) — never Binomial variance
+        assert sizes == {"en": 5, "fr": 5, "zz": 2}
+        # deterministic: rerun picks the identical ids
+        out2 = (
+            group_cap(
+                rd.from_pandas(df), EngineConfig(num_buckets=8),
+                strata_col="lang", n_max=5, seed=3,
+            )
+            .to_pandas()
+            .sort_values(["lang", "rank"])
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == out2["doc_id"].tolist()
