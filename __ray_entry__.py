@@ -1242,6 +1242,15 @@ def q_ngram_counts(sf_dir: str):
     )
 
 
+def q_turn_windows(sf_dir: str):
+    """Sliding 3-turn context windows over conversations (the dialogue
+    training-example generator): one conv-bucketed exchange, k−1 shifted
+    vectorized compares + string adds per bucket."""
+    from deepblocker_ray.stages.canonicalize import turn_windows
+
+    return turn_windows(_transcripts(sf_dir), _cfg(), k=3)
+
+
 def q_group_cap(sf_dir: str):
     """Exact per-language cap (≤ 60 docs per lang by stable hash order) —
     the deterministic-exact complement to balance_sample's Binomial
@@ -1548,6 +1557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": q_retention,
         "block_skew": q_block_skew,
         "group_cap": q_group_cap,
+        "turn_windows": q_turn_windows,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2433,6 +2443,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bigram count twin: the same inclusive 1-based list-slice windows
         # the repetition twin uses; docs under 2 tokens yield empty lists
+        # turn-windows twin: offset self-joins pin index adjacency
+        "turn_windows": f"""
+            WITH transcripts AS ({transcripts_cte})
+            SELECT a.conv_id, CAST(a.turn_idx AS BIGINT) AS start_idx,
+                   coalesce(a.text, '') || ' ' || coalesce(b.text, '')
+                       || ' ' || coalesce(c.text, '') AS window_text
+            FROM transcripts a
+            JOIN transcripts b ON b.conv_id = a.conv_id
+                AND b.turn_idx = a.turn_idx + 1
+            JOIN transcripts c ON c.conv_id = a.conv_id
+                AND c.turn_idx = a.turn_idx + 2
+        """,
         # group-cap twin: same shifted 64-bit hash priority, row_number per
         # stratum
         "group_cap": f"""

@@ -260,3 +260,72 @@ def tail_turns(ds, cfg, *, k: int):
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def turn_windows(ds, cfg, *, k: int = 3, sep: str = " "):
+    """Sliding context windows — every run of ``k`` CONSECUTIVE turns
+    (turn_idx s, s+1, …, s+k−1 all present) becomes one example row
+    (conv_id, start_idx:int64, window_text): the context-window example
+    generator for dialogue training data. Gaps in turn_idx break windows
+    (adjacency is by INDEX, not rank — pinned semantics the twin's
+    offset self-join reproduces); conversations shorter than ``k`` emit
+    nothing. NULL text joins as ''.
+
+    One bucketed exchange on hash(conv_id); per bucket a single sort then
+    k−1 shifted vectorized compares + string adds — no per-window loop.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    nb = cfg.num_buckets
+
+    def project(t: pa.Table) -> pa.Table:
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": t.column("conv_id"),
+                "turn_idx": t.column("turn_idx").cast(pa.int64()),
+                "text": t.column("text"),
+                "_bucket": pa.array(bucket_of(conv, nb)),
+            }
+        )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "conv_id": pd.Series(dtype=object),
+                "start_idx": pd.Series(dtype=np.int64),
+                "window_text": pd.Series(dtype=object),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"].to_numpy(object)
+        ti = df["turn_idx"].to_numpy(np.int64)
+        txt = df["text"].fillna("").astype(str).to_numpy(object)
+        n = len(df)
+        if n < k:
+            return empty
+        m = n - k + 1
+        valid = np.ones(m, bool)
+        acc = txt[:m].copy()
+        for j in range(1, k):
+            valid &= (conv[j : m + j] == conv[:m]) & (
+                ti[j : m + j] == ti[:m] + j
+            )
+            acc = acc + sep
+            acc = acc + txt[j : m + j]
+        return pd.DataFrame(
+            {
+                "conv_id": conv[:m][valid],
+                "start_idx": ti[:m][valid],
+                "window_text": acc[valid],
+            }
+        )
+
+    return (
+        ds.select_columns(["conv_id", "turn_idx", "text"])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -193,3 +193,38 @@ class TestTailTurns:
         ]
         with _pt.raises(ValueError):
             tail_turns(None, EngineConfig(), k=0)
+
+
+class TestTurnWindows:
+    def test_adjacency_gaps_and_short(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.canonicalize import turn_windows
+
+        df = pd.DataFrame(
+            {
+                "conv_id": ["a"] * 4 + ["b"] * 3 + ["c"] * 2,
+                # conv b has a GAP (0,1,3): no window crosses it
+                "turn_idx": np.array([0, 1, 2, 3, 0, 1, 3, 0, 1], np.int32),
+                "text": ["a0", "a1", None, "a3", "b0", "b1", "b3",
+                         "c0", "c1"],
+            }
+        )
+        out = (
+            turn_windows(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=4), k=3,
+            )
+            .to_pandas()
+            .sort_values(["conv_id", "start_idx"])
+            .reset_index(drop=True)
+        )
+        # a: windows at 0 (a0 a1 '') and 1 (a1 '' a3); b: gap kills all;
+        # c: too short
+        assert list(map(tuple, out.to_numpy())) == [
+            ("a", 0, "a0 a1 "),
+            ("a", 1, "a1  a3"),
+        ]
