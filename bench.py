@@ -231,6 +231,8 @@ def main() -> None:
         "funnel",
         "retention",
         "block_skew",
+        "group_cap",
+        "turn_windows",
     ]
     for name in query_names:
         r = bench_query(q[name])
