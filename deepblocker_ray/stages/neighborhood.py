@@ -288,7 +288,12 @@ def snm_dedup(
             }
         )
 
-    verified = j.map_batches(verify, batch_format="pandas")
+    # the pair kernels cost ~1.3 core-ms/pair on 300-char texts; the joined
+    # pair blocks inherit the candidate stage's (few) blocks, so spread the
+    # skinny pairs first or the whole verify runs at 1-2x parallelism
+    verified = j.repartition(cfg.num_buckets).map_batches(
+        verify, batch_format="pandas"
+    )
     return _components_output(docs, verified, cfg, id_col)
 
 
@@ -504,7 +509,9 @@ def pair_features(
         toks_l = tokenize_many(la)
         toks_r = tokenize_many(rb)
         jac = np.zeros(n, np.float64)
-        # int codes shared across both sides so set ops are integer
+        # int codes shared across both sides; per-pair set ops collapse to
+        # THREE global sorted passes (unique-left, unique-right, one
+        # intersect) + bincounts — no per-pair loop
         from itertools import chain
 
         allt = np.fromiter(
@@ -512,20 +519,23 @@ def pair_features(
             object,
         )
         if len(allt):
-            codes, _ = pd.factorize(allt, sort=False)
+            codes, uniq_tokens = pd.factorize(allt, sort=False)
+            u = np.int64(len(uniq_tokens))
             counts_l = np.fromiter((len(x) for x in toks_l), np.int64, n)
+            counts_r = np.fromiter((len(x) for x in toks_r), np.int64, n)
             split = int(counts_l.sum())
             cl, cr = codes[:split], codes[split:]
-            off_l = np.concatenate(([0], np.cumsum(counts_l)))
-            counts_r = np.fromiter((len(x) for x in toks_r), np.int64, n)
-            off_r = np.concatenate(([0], np.cumsum(counts_r)))
-            for i in range(n):
-                a = np.unique(cl[off_l[i] : off_l[i + 1]])
-                b = np.unique(cr[off_r[i] : off_r[i + 1]])
-                inter = len(np.intersect1d(a, b, assume_unique=True))
-                union = len(a) + len(b) - inter
-                if union:
-                    jac[i] = inter / union
+            pl = np.repeat(np.arange(n, dtype=np.int64), counts_l)
+            pr = np.repeat(np.arange(n, dtype=np.int64), counts_r)
+            keys_l = np.unique(pl * u + cl)
+            keys_r = np.unique(pr * u + cr)
+            inter_keys = np.intersect1d(keys_l, keys_r, assume_unique=True)
+            na = np.bincount(keys_l // u, minlength=n)
+            nb_ = np.bincount(keys_r // u, minlength=n)
+            ni = np.bincount(inter_keys // u, minlength=n)
+            union = na + nb_ - ni
+            nz = union > 0
+            jac[nz] = ni[nz] / union[nz]
         return pa.table(
             {
                 "left_id": t.column("left_id").cast(pa.int64()),
@@ -538,7 +548,11 @@ def pair_features(
             }
         )
 
-    return j.map_batches(feats, batch_format="pyarrow")
+    # same parallelism note as snm_dedup's verify: spread the skinny pairs
+    # before the O(len_a*len_b/64) kernels
+    return j.repartition(cfg.num_buckets).map_batches(
+        feats, batch_format="pyarrow"
+    )
 
 
 def block_skew(
