@@ -706,7 +706,14 @@ def debounce(ds, cfg: EngineConfig, *, gap_seconds: float = 60.0):
             {
                 "event_id": eid[keep],
                 "user_id": u[keep],
-                "event_type": tuniq.take(tcode[keep]),
+                # factorize gives code -1 for NULL types (one group, the
+                # same null-grouping SQL window partitioning uses) —
+                # tuniq.take(-1) would WRAP to the last type; emit None
+                "event_type": np.where(
+                    tcode[keep] >= 0,
+                    tuniq.take(np.maximum(tcode[keep], 0)),
+                    None,
+                ),
             }
         )
 
@@ -923,14 +930,13 @@ def funnel(
             (m["ts_us"] > m["ts_a"])
             & (m["ts_us"] <= m["ts_a"] + within_us)
         ]
-        conv_users = set(hit["user_id"].unique())
         users = ts_a.index.to_numpy(np.int64)
         return pd.DataFrame(
             {
                 "user_id": users,
                 "ts_a_us": ts_a.to_numpy(np.int64),
-                "converted": np.fromiter(
-                    (u in conv_users for u in users), bool, len(users)
+                "converted": np.isin(
+                    users, hit["user_id"].unique()
                 ),
             }
         )

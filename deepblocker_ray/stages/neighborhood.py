@@ -205,7 +205,13 @@ def sorted_neighborhood(
     )
     if len(cross_pairs) == 0:
         return in_range
-    return in_range.union(ray.data.from_pandas(cross_pairs))
+    # arrow, matching in_range's block format — a pandas/arrow mixed union
+    # breaks downstream repartition (Ray reduce asserts on mixed blocks)
+    return in_range.union(
+        ray.data.from_arrow(
+            pa.Table.from_pandas(cross_pairs, schema=_PAIR_SCHEMA)
+        )
+    )
 
 
 def snm_dedup(
@@ -244,10 +250,21 @@ def snm_dedup(
         )
         return pa.table({id_col: t.column(id_col), "key": k})
 
+    # repartition the SKINNY (24-byte) candidate rows BEFORE the texts
+    # attach: the string kernels downstream cost ~1.3 core-ms/pair and the
+    # candidate stage emits few blocks, so without the spread the whole
+    # verify/feature stage runs at 1-2x parallelism; repartitioning after
+    # the joins would ship 2x candidate text through an all-to-all instead
+    # of 24-byte rows (the broadcast joins are map-side, so block spread
+    # survives them)
+    # materialize the repartitioned skinny pairs: a live AllToAll feeding
+    # the kernel maps in one streaming execution trips the shuffle resource
+    # reservation throttle (the repo-wide documented hazard) — the seam is
+    # 24 bytes/pair
     cand = sorted_neighborhood(
         docs.map_batches(key, batch_format="pyarrow"),
         cfg, id_col=id_col, key_col="key", window=window,
-    )
+    ).repartition(cfg.num_buckets).materialize()
 
     def side(suffix: str):
         def f(t: pa.Table) -> pa.Table:
@@ -288,12 +305,7 @@ def snm_dedup(
             }
         )
 
-    # the pair kernels cost ~1.3 core-ms/pair on 300-char texts; the joined
-    # pair blocks inherit the candidate stage's (few) blocks, so spread the
-    # skinny pairs first or the whole verify runs at 1-2x parallelism
-    verified = j.repartition(cfg.num_buckets).map_batches(
-        verify, batch_format="pandas"
-    )
+    verified = j.map_batches(verify, batch_format="pandas")
     return _components_output(docs, verified, cfg, id_col)
 
 
@@ -459,10 +471,21 @@ def pair_features(
         )
         return pa.table({id_col: t.column(id_col), "key": k})
 
+    # repartition the SKINNY (24-byte) candidate rows BEFORE the texts
+    # attach: the string kernels downstream cost ~1.3 core-ms/pair and the
+    # candidate stage emits few blocks, so without the spread the whole
+    # verify/feature stage runs at 1-2x parallelism; repartitioning after
+    # the joins would ship 2x candidate text through an all-to-all instead
+    # of 24-byte rows (the broadcast joins are map-side, so block spread
+    # survives them)
+    # materialize the repartitioned skinny pairs: a live AllToAll feeding
+    # the kernel maps in one streaming execution trips the shuffle resource
+    # reservation throttle (the repo-wide documented hazard) — the seam is
+    # 24 bytes/pair
     cand = sorted_neighborhood(
         docs.map_batches(key, batch_format="pyarrow"),
         cfg, id_col=id_col, key_col="key", window=window,
-    )
+    ).repartition(cfg.num_buckets).materialize()
 
     def side(suffix: str):
         def f(t: pa.Table) -> pa.Table:
@@ -548,11 +571,7 @@ def pair_features(
             }
         )
 
-    # same parallelism note as snm_dedup's verify: spread the skinny pairs
-    # before the O(len_a*len_b/64) kernels
-    return j.repartition(cfg.num_buckets).map_batches(
-        feats, batch_format="pyarrow"
-    )
+    return j.map_batches(feats, batch_format="pyarrow")
 
 
 def block_skew(

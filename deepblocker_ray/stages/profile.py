@@ -122,19 +122,25 @@ def column_profile(ds, cfg: EngineConfig | None = None, *, columns: list[str]):
         )
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return _empty_profile()
+        # reindex over the requested columns: an EMPTY input still emits
+        # one zero row per column (the documented contract and what the
+        # SQL twin's per-column aggregate branches return), with NULL
+        # length extremes (min/max over nothing)
         g = df.groupby("column", sort=True).agg(
             n_rows=("n_rows", "sum"),
             n_nulls=("n_nulls", "sum"),
             n_distinct=("n_distinct", "sum"),
             min_len=("min_len", "min"),
             max_len=("max_len", "max"),
-        )
-        return g.reset_index().astype(
-            {c: np.int64 for c in
-             ("n_rows", "n_nulls", "n_distinct", "min_len", "max_len")}
-        )
+        ).reindex(sorted(columns), fill_value=0)
+        out = g.reset_index().rename(columns={"index": "column"})
+        for c in ("n_rows", "n_nulls", "n_distinct"):
+            out[c] = out[c].astype(np.int64)
+        empty_col = out["n_rows"].to_numpy() == 0
+        out["min_len"] = out["min_len"].astype("Int64")
+        out["max_len"] = out["max_len"].astype("Int64")
+        out.loc[empty_col, ["min_len", "max_len"]] = pd.NA
+        return out
 
     proj = ds.select_columns(columns)
     stats = proj.map_batches(stats_partial, batch_format="pyarrow")
@@ -143,8 +149,26 @@ def column_profile(ds, cfg: EngineConfig | None = None, *, columns: list[str]):
         .groupby("_bucket")
         .map_groups(distinct_bucket, batch_format="pandas")
     )
+    # constant zero seed: guarantees the combine runs (Ray elides empty
+    # blocks, so a fully-empty input would otherwise emit nothing) and
+    # keeps the one-row-per-column contract; zeros/sentinels are identity
+    # elements for every aggregate
+    import ray
+
+    seed = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "column": np.asarray(sorted(columns), object),
+                "n_rows": np.zeros(len(columns), np.int64),
+                "n_nulls": np.zeros(len(columns), np.int64),
+                "n_distinct": np.zeros(len(columns), np.int64),
+                "min_len": np.full(len(columns), _MINSENT, np.int64),
+                "max_len": np.full(len(columns), _MAXSENT, np.int64),
+            }
+        )
+    )
     return (
-        stats.union(distinct)
+        stats.union(distinct, seed)
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )

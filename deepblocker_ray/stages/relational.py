@@ -332,12 +332,13 @@ def snapshot_diff(
     nothing, so the output is skinny even when the snapshots are huge.
 
     Scale shape: the payload NEVER rides the exchange — each side is
-    projected map-side to (key:int64, payload-hash64) where the hash is
-    md5-lower64 over a canonical '\\x1f'-joined string of the value columns
-    (NULL → a sentinel distinct from any string). Only those 16-byte rows
-    move through ONE bucketed exchange on hash(key); the per-bucket kernel
-    is a single C-level outer merge. Hash equality stands in for payload
-    equality with the repo-wide md5-lower64 collision caveat (~n²/2⁶⁴).
+    projected map-side to (key:int64, payload-hash64) where the hash mixes
+    the PER-COLUMN md5-lower64 hashes with an FNV-style accumulator (NULL →
+    a fixed constant), so field boundaries are structural and no separator
+    or sentinel inside a real value can alias two payloads. Only those
+    16-byte rows move through ONE bucketed exchange on hash(key); the
+    per-bucket kernel is a single C-level outer merge. Hash equality stands
+    in for payload equality with the repo-wide collision caveat (~n²/2⁶⁴).
 
     Precondition: ``key_col`` is unique within each snapshot (a snapshot IS
     a keyed state); duplicate keys raise in the per-bucket kernel.
@@ -350,32 +351,30 @@ def snapshot_diff(
     if not value_cols:
         raise ValueError("value_cols must be non-empty")
 
+    # per-COLUMN hashing mixed with an FNV-style accumulator — a joined
+    # canonical string would be ambiguous (a separator or a null sentinel
+    # occurring inside real values makes distinct payloads collide); hashing
+    # each field first makes field boundaries structural, with only the
+    # md5-lower64 collision probability left
+    _NULLH = np.uint64(0x9E3779B97F4A7C15)
+    _PRIME = np.uint64(0x100000001B3)
+
     def make_project(side: int):
         def project(t: pa.Table) -> pa.Table:
             keys = np.asarray(t.column(key_col), np.int64)
-            if len(t) == 0:
-                canon = np.empty(0, object)
-            else:
-                parts = []
+            acc = np.zeros(len(t), np.uint64)
+            with np.errstate(over="ignore"):
                 for c in value_cols:
                     s = t.column(c).to_pandas().astype(object)
-                    s = s.where(s.notna(), None)
-                    parts.append(
-                        np.where(
-                            s.to_numpy() == None,  # noqa: E711
-                            "\x00NULL",
-                            s.astype(str).to_numpy(object),
-                        )
-                    )
-                canon = parts[0]
-                for p in parts[1:]:
-                    canon = np.char.add(
-                        np.char.add(canon.astype(str), "\x1f"), p.astype(str)
-                    ).astype(object)
+                    null = s.isna().to_numpy()
+                    strs = s.astype(str).to_numpy(object)
+                    ch = hash64_strs(strs)
+                    ch[null] = _NULLH
+                    acc = acc * _PRIME + ch
             return pa.table(
                 {
                     key_col: pa.array(keys),
-                    "_h": pa.array(hash64_strs(canon).view(np.int64)),
+                    "_h": pa.array(acc.view(np.int64)),
                     "_side": pa.array(
                         np.full(len(keys), side, np.int8)
                     ),

@@ -87,12 +87,23 @@ def rank_transform(ds, cfg, *, id_col: str, value_col: str):
                 }
             )
         )
-    lo = np.int64(bounds[f"min({value_col})"])
-    hi = np.int64(bounds[f"max({value_col})"])
-    span = np.int64(int(hi) - int(lo) + 1)
+    lo = int(bounds[f"min({value_col})"])
+    hi = int(bounds[f"max({value_col})"])
+    span = float(hi - lo + 1)  # Python ints: no int64 overflow on wide spans
 
     def rng_of(v: np.ndarray) -> np.ndarray:
-        return ((v - lo) * np.int64(nr) // span).astype(np.int64)
+        # float mapping instead of (v-lo)*nr//span: the integer product
+        # overflows int64 once span > 2^63/nr. IEEE division/multiply/floor
+        # are monotone non-decreasing in v, which is all range-partitioning
+        # needs (both passes use the identical function); clamp covers the
+        # v == hi edge.
+        # subtract in float too — int64 v - lo wraps when span > 2^63; the
+        # int64→float64 conversion is itself monotone (ties are fine)
+        r = v.astype(np.float64) - float(lo)
+        return np.minimum(
+            np.maximum((r / span * nr).astype(np.int64), 0),
+            np.int64(nr - 1),
+        )
 
     offsets, _total = range_offsets(
         skinny,

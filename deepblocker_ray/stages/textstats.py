@@ -705,8 +705,13 @@ def span_extract(
 
     def expand(t: pa.Table) -> pa.Table:
         txt = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
-        findall = rx.findall
-        lists = [findall(s) for s in txt.to_pylist()]
+        finditer = rx.finditer
+        # group(0), not findall: findall returns CAPTURE contents (or
+        # tuples) when the pattern has groups — regexp_extract_all and the
+        # documented contract are full-match
+        lists = [
+            [m.group(0) for m in finditer(s)] for s in txt.to_pylist()
+        ]
         counts = np.fromiter((len(x) for x in lists), np.int64, len(lists))
         total = int(counts.sum())
         ids = t.column(id_col)

@@ -362,3 +362,111 @@ class TestBlockSkew:
         assert list(map(tuple, out.to_numpy())) == [
             ("", 2, 1), ("abcdef", 3, 3)
         ]
+
+
+class TestReviewRegressions:
+    """Pins for the session-6 review findings."""
+
+    def test_column_profile_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.profile import column_profile
+
+        df = pd.DataFrame({"a": pd.Series(dtype=object),
+                           "b": pd.Series(dtype=object)})
+        out = column_profile(
+            rd.from_pandas(df), EngineConfig(num_buckets=4),
+            columns=["a", "b"],
+        ).to_pandas()
+        assert out["column"].tolist() == ["a", "b"]
+        assert out["n_rows"].tolist() == [0, 0]
+        assert out["n_distinct"].tolist() == [0, 0]
+        assert out["min_len"].isna().all() and out["max_len"].isna().all()
+
+    def test_span_extract_capture_group_full_match(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.textstats import span_extract
+
+        df = pd.DataFrame({"doc_id": np.array([0], np.int64),
+                           "text": ["spark sort"]})
+        out = span_extract(
+            rd.from_pandas(df), r"s([a-z]+)"
+        ).to_pandas()
+        # full matches, not capture contents
+        assert out["match"].tolist() == ["spark", "sort"]
+
+    def test_debounce_null_event_type(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import debounce
+
+        base = pd.Timestamp("2026-01-01")
+        s = pd.Timedelta(seconds=1)
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(3, dtype=np.int64),
+                "user_id": np.array([1, 1, 1], np.int64),
+                "event_type": ["click", None, None],
+                "ts": [base, base + 200 * s, base + 400 * s],
+            }
+        )
+        out = (
+            debounce(rd.from_pandas(df), EngineConfig(num_buckets=2),
+                     gap_seconds=60.0)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        # all three kept (gaps > 60s / different keys); null types stay
+        # NULL — never relabeled as another type
+        assert out["event_id"].tolist() == [0, 1, 2]
+        assert out["event_type"].tolist()[0] == "click"
+        assert pd.isna(out["event_type"].tolist()[1])
+        assert pd.isna(out["event_type"].tolist()[2])
+
+    def test_snapshot_diff_separator_injection(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import snapshot_diff
+
+        # '\x1f'-crafted values that a joined canonical string would alias
+        old = pd.DataFrame(
+            {"k": np.array([1], np.int64), "a": ["x\x1fy"], "b": ["z"]}
+        )
+        new = pd.DataFrame(
+            {"k": np.array([1], np.int64), "a": ["x"], "b": ["y\x1fz"]}
+        )
+        out = snapshot_diff(
+            rd.from_pandas(old), rd.from_pandas(new),
+            EngineConfig(num_buckets=2), key_col="k",
+            value_cols=["a", "b"],
+        ).to_pandas()
+        assert out["status"].tolist() == ["changed"]
+
+    def test_rank_transform_wide_span(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.scan import rank_transform
+
+        # span > 2^63/nr: the old integer range math wrapped negative
+        vals = np.array(
+            [-(2**62), -1000, 0, 7, 2**62, 2**62 + 5], np.int64
+        )
+        df = pd.DataFrame(
+            {"id": np.arange(len(vals), dtype=np.int64), "v": vals}
+        )
+        out = (
+            rank_transform(
+                rd.from_pandas(df), EngineConfig(num_buckets=8),
+                id_col="id", value_col="v",
+            )
+            .to_pandas()
+            .sort_values("rank")
+        )
+        assert out["v"].tolist() == sorted(vals.tolist())
+        assert out["rank"].tolist() == [1, 2, 3, 4, 5, 6]
