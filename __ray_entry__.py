@@ -1242,6 +1242,15 @@ def q_ngram_counts(sf_dir: str):
     )
 
 
+def q_kmeans_assign(sf_dir: str):
+    """One deterministic Lloyd assignment step over the embeddings table
+    (seeds = vec_id < 8, integer squared-L2 on quantized coords): seeds
+    broadcast once, one int64 GEMM per batch, no shuffle."""
+    from deepblocker_ray.stages.annsearch import kmeans_assign
+
+    return kmeans_assign(_embeddings(sf_dir), _cfg(), k=8)
+
+
 def q_turn_windows(sf_dir: str):
     """Sliding 3-turn context windows over conversations (the dialogue
     training-example generator): one conv-bucketed exchange, k−1 shifted
@@ -1558,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_skew": q_block_skew,
         "group_cap": q_group_cap,
         "turn_windows": q_turn_windows,
+        "kmeans_assign": q_kmeans_assign,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2443,6 +2453,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # bigram count twin: the same inclusive 1-based list-slice windows
         # the repetition twin uses; docs under 2 tokens yield empty lists
+        # kmeans twin: same quantization, integer distances (associative),
+        # argmin via row_number (dist, seed id)
+        "kmeans_assign": """
+            WITH q AS (
+                SELECT vec_id,
+                       [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                        for x in embedding] AS qv
+                FROM embeddings
+            ), seeds AS (
+                SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8
+            ), d AS (
+                SELECT q.vec_id, s.cid,
+                       list_sum([ (q.qv[i] - s.cv[i])
+                                  * (q.qv[i] - s.cv[i])
+                                  for i in generate_series(1, len(q.qv))])
+                           AS dist
+                FROM q CROSS JOIN seeds s
+            )
+            SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist_q
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM d)
+            WHERE rn = 1
+        """,
         # turn-windows twin: offset self-joins pin index adjacency
         "turn_windows": f"""
             WITH transcripts AS ({transcripts_cte})

@@ -233,6 +233,7 @@ def main() -> None:
         "block_skew",
         "group_cap",
         "turn_windows",
+        "kmeans_assign",
     ]
     for name in query_names:
         r = bench_query(q[name])

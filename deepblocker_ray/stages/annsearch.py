@@ -208,3 +208,101 @@ def knn_int8(
         )
 
     return queries.map_batches(topk, batch_format="pyarrow")
+
+
+def kmeans_assign(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    list_col: str = "embedding",
+    scale: int = 10_000,
+):
+    """One deterministic Lloyd ASSIGNMENT step — the clustering primitive
+    under IVF cell routing and corpus topic bucketing, exposed with an
+    exact oracle: seeds are the vectors with ``id < k`` (dense ids by the
+    table contract), every vector goes to its nearest seed under INTEGER
+    squared L2 on ``round(x·scale)``-quantized coordinates (float distance
+    sums are order-dependent; integer sums are associative, so the SQL
+    twin matches bit-for-bit), ties to the smallest seed id. Emits
+    (``id_col``, cluster:int64, dist_q:int64).
+
+    Scale shape: the k seed vectors are collected ONCE (a map-side filter,
+    no sort) and broadcast; each batch computes all distances with one
+    |a|²+|c|²−2a·c int64 GEMM — no shuffle anywhere. Iterating Lloyd means
+    re-broadcasting k×D ints per round; assignment is the distributed
+    step, the centroid update is an O(k·D) driver reduce.
+    """
+    import ray
+
+    cfg = cfg or EngineConfig()
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def quantize(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        col = batch.column(list_col).combine_chunks()
+        if hasattr(col, "flatten") and (
+            pa.types.is_fixed_size_list(col.type)
+            or pa.types.is_list(col.type)
+        ):
+            flat = np.asarray(col.flatten(), np.float64)
+            width = (
+                col.type.list_size
+                if pa.types.is_fixed_size_list(col.type)
+                else int(np.diff(np.asarray(col.offsets))[0])
+            )
+            mat = flat.reshape(len(col), width)
+        else:  # Ray tensor extension array (in-memory test frames)
+            mat = np.asarray(
+                col.to_numpy(zero_copy_only=False), np.float64
+            )
+        q = np.rint(mat * scale).astype(np.int64)
+        return np.asarray(batch.column(id_col), np.int64), q
+
+    # seeds: one DISTRIBUTED filtered pass, no sort (ids are dense by
+    # table contract); only the k winning rows reach the driver
+    def pick_seeds(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), np.int64)
+        return t.filter(pa.array(ids < k))
+
+    seeds_pd = (
+        ds.select_columns([id_col, list_col])
+        .map_batches(pick_seeds, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if not len(seeds_pd):
+        raise ValueError(f"no seed rows with {id_col} < {k}")
+    seeds = pa.Table.from_pandas(seeds_pd, preserve_index=False)
+    sids, sq = quantize(seeds)
+    order = np.argsort(sids)
+    sids, sq = sids[order], sq[order]
+    if len(sids) != k:
+        raise ValueError(
+            f"expected {k} seed rows with {id_col} < {k}, got {len(sids)}"
+        )
+    seeds_ref = ray.put((sids, sq))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached_get
+
+        cids, cq = cached_get(seeds_ref)
+        ids, q = quantize(batch)
+        # |a-c|^2 = |a|^2 + |c|^2 - 2 a.c, all int64 (exact; coords are
+        # bounded by round(1*scale) so no overflow at any real dim count)
+        a2 = (q * q).sum(axis=1)
+        c2 = (cq * cq).sum(axis=1)
+        cross = q @ cq.T
+        d = a2[:, None] + c2[None, :] - 2 * cross
+        best = np.argmin(d, axis=1)  # first min == smallest seed id
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "cluster": pa.array(cids[best]),
+                "dist_q": pa.array(d[np.arange(len(ids)), best]),
+            }
+        )
+
+    return ds.select_columns([id_col, list_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )

@@ -470,3 +470,54 @@ class TestReviewRegressions:
         )
         assert out["v"].tolist() == sorted(vals.tolist())
         assert out["rank"].tolist() == [1, 2, 3, 4, 5, 6]
+
+
+class TestKmeansAssign:
+    def test_assignment_numpy_oracle(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.annsearch import kmeans_assign
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(40, 8).astype(np.float32)
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(40, dtype=np.int64),
+                "embedding": [v for v in vecs],
+            }
+        )
+        out = (
+            kmeans_assign(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=4), k=4,
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        q = np.rint(vecs.astype(np.float64) * 10_000).astype(np.int64)
+        d = ((q[:, None, :] - q[None, :4, :]) ** 2).sum(axis=2)
+        want = d.argmin(axis=1)
+        assert out["cluster"].tolist() == want.tolist()
+        assert out["dist_q"].tolist() == d[np.arange(40), want].tolist()
+        # seeds assign to themselves at distance 0
+        assert out["dist_q"].tolist()[:4] == [0, 0, 0, 0]
+
+    def test_missing_seeds(self, ray_session):
+        import pytest as _pt
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.annsearch import kmeans_assign
+
+        df = pd.DataFrame(
+            {
+                "vec_id": np.array([5, 6], np.int64),
+                "embedding": [np.ones(4, np.float32)] * 2,
+            }
+        )
+        with _pt.raises(ValueError, match="seed"):
+            kmeans_assign(
+                rd.from_pandas(df), EngineConfig(), k=4
+            ).to_pandas()
