@@ -1477,6 +1477,19 @@ def q_value_outliers(sf_dir: str):
     return value_outliers(ev, _cfg(), k=3)
 
 
+def q_set_sim_join(sf_dir: str):
+    """Exact prefix-filtered set-similarity self-join (AllPairs/PPJoin):
+    every document pair with token-set Jaccard ≥ 9/10, kept by integer
+    cross-multiplication. The prefix filter is a proof, not a heuristic, so
+    the output equals the brute-force SQL twin on ANY corpus (modulo 64-bit
+    token-hash collisions)."""
+    from deepblocker_ray.stages.setjoin import set_similarity_join
+
+    return set_similarity_join(
+        _documents(sf_dir), _cfg(), tau_num=9, tau_den=10
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1568,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_cap": q_group_cap,
         "turn_windows": q_turn_windows,
         "kmeans_assign": q_kmeans_assign,
+        "set_sim_join": q_set_sim_join,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2884,6 +2898,32 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _cc_sql(simhash_pairs, "documents", "doc_id"),
         "ngram_jaccard_dedup": _cc_sql(ngram_pairs, "documents", "doc_id"),
         "tfidf_dedup": _cc_sql(tfidf_pairs, "documents", "doc_id"),
+        # set-similarity join twin: brute force over the exploded distinct
+        # token lists. Pair orientation matches the engine's string-ordered
+        # ids (VARCHAR compare); docs with zero tokens join nothing on both
+        # sides (unnest of an empty/NULL list emits no rows)
+        "set_sim_join": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_distinct({tokens})) AS tok
+                FROM documents
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i
+                FROM toks a JOIN toks b
+                  ON a.tok = b.tok
+                 AND CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+                GROUP BY 1, 2
+            )
+            SELECT CAST(l AS VARCHAR) AS left_id,
+                   CAST(r AS VARCHAR) AS right_id,
+                   CAST(i AS BIGINT) AS n_inter,
+                   CAST(sa.n + sb.n - i AS BIGINT) AS n_union
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = l
+            JOIN sizes sb ON sb.doc_id = r
+            WHERE i * 10 >= 9 * (sa.n + sb.n - i)
+        """,
         # fuzzy-join twin: DuckDB's jaro_winkler_similarity is value-
         # identical to the engine's batch kernel (string_sims pins it), so
         # the ≥ τ filter AND the jw-descending best-match ordering resolve

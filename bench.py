@@ -234,6 +234,7 @@ def main() -> None:
         "group_cap",
         "turn_windows",
         "kmeans_assign",
+        "set_sim_join",
     ]
     for name in query_names:
         r = bench_query(q[name])
