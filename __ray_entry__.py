@@ -1490,6 +1490,32 @@ def q_set_sim_join(sf_dir: str):
     )
 
 
+def q_transitions(sf_dir: str):
+    """Event-type Markov-edge counts: consecutive (from → to) event-type
+    pairs per user stream ordered by (ts, event_id), counted corpus-wide;
+    pairs touching a NULL type are dropped (the twin's lag-IS-NOT-NULL
+    rule)."""
+    from deepblocker_ray.stages.events import transition_counts
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    return transition_counts(ev, _cfg())
+
+
+def q_cluster_contingency(sf_dir: str):
+    """Exact (cluster × gold-label) contingency cells with both marginals
+    over embedding_neardup's clusters — the integer core of B-cubed /
+    purity / NMI (B³ P = Σ n_cl²/n_c / N, R = Σ n_cl²/n_l / N)."""
+    from deepblocker_ray.pipelines.evaluate import cluster_contingency
+
+    return cluster_contingency(
+        q_embedding_neardup(sf_dir),
+        _embeddings(sf_dir),
+        id_col="vec_id",
+        label_col="label",
+        cfg=_cfg(),
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1582,6 +1608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_windows": q_turn_windows,
         "kmeans_assign": q_kmeans_assign,
         "set_sim_join": q_set_sim_join,
+        "transitions": q_transitions,
+        "cluster_contingency": q_cluster_contingency,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2952,6 +2980,39 @@ def oracle_sql() -> dict[str, str]:
         # pair count is a histogram sum (c*(c-1)//2 in BIGINT) and each
         # ratio one double division of those ints — identical IEEE ops to
         # the engine's Python floats, so the row hash-matches exactly
+        "transitions": """
+            WITH o AS (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+            )
+            SELECT prev AS from_type, event_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM o
+            WHERE prev IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "cluster_contingency": f"""
+            WITH pred AS ({_cc_sql(neardup_pairs, "embeddings", "vec_id")}),
+            lab AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+                           CAST(label AS BIGINT) AS lab
+                    FROM embeddings),
+            j AS (SELECT p.cluster_id AS cl, l.lab
+                  FROM pred p JOIN lab l ON l.id = p.doc_id),
+            cells AS (SELECT cl, lab, count(*) AS n_cl FROM j GROUP BY 1, 2),
+            cs AS (SELECT cl, count(*) AS n_c FROM j GROUP BY 1),
+            ls AS (SELECT lab, count(*) AS n_l FROM j GROUP BY 1)
+            SELECT cells.cl AS cluster_id,
+                   CAST(cells.lab AS BIGINT) AS label,
+                   CAST(n_cl AS BIGINT) AS n_cl,
+                   CAST(n_c AS BIGINT) AS n_c,
+                   CAST(n_l AS BIGINT) AS n_l
+            FROM cells
+            JOIN cs ON cs.cl = cells.cl
+            JOIN ls ON ls.lab = cells.lab
+        """,
         "cluster_eval": f"""
             WITH pred AS ({_cc_sql(neardup_pairs, "embeddings", "vec_id")}),
             lab AS (SELECT CAST(vec_id AS VARCHAR) AS id,

@@ -235,6 +235,8 @@ def main() -> None:
         "turn_windows",
         "kmeans_assign",
         "set_sim_join",
+        "transitions",
+        "cluster_contingency",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -336,3 +336,113 @@ def pairwise_cluster_eval(
             }
         ]
     )
+
+
+def cluster_contingency(
+    pred,
+    labels_ds,
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    pred_id_col: str = "doc_id",
+    pred_col: str = "cluster_id",
+    cfg: EngineConfig | None = None,
+):
+    """Exact cluster-vs-gold contingency table — the integer core behind
+    B-cubed, purity and NMI: one row per occupied (cluster, label) cell
+    over items present on BOTH sides, annotated with the cell count and
+    both marginals. Emits (cluster_id, label, n_cl, n_c, n_l), all exact
+    int64 — B³ precision = Σ n_cl²/n_c / N and recall = Σ n_cl²/n_l / N
+    are one vectorized pass over this table; they are deliberately NOT
+    emitted so every output column stays integer-exact (a distributed
+    float Σ is addition-order-dependent and would break the SQL twin).
+
+    Scale shape: labels attach via the size-aware broadcast join
+    (hash-join fallback past the cap); cell counts and both marginals are
+    each ONE bucketed count exchange with per-batch partials (a cluster's
+    rows pre-combine inside each batch, so the exchange carries (key, cnt)
+    rows, not items); marginals — small by construction (≤ #clusters /
+    #labels rows) — broadcast back onto the cell table. Driver state is
+    O(num_buckets)."""
+    import numpy as np
+
+    from ..stages.relational import broadcast_join
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def lab_f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_lid": pc.cast(t.column(id_col), pa.string()),
+                "_lab": pc.cast(t.column(label_col), pa.int64()),
+            }
+        )
+
+    lab = labels_ds.map_batches(lab_f, batch_format="pyarrow").materialize()
+    j = broadcast_join(
+        pred, lab, big_key=pred_id_col, small_key="_lid",
+        payload_cols=["_lab"], cfg=cfg,
+    ).map_batches(
+        lambda t: pa.table(
+            {"_cl": pc.cast(t.column(pred_col), pa.string()),
+             "_lab": t.column("_lab")}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def counts_of(keys: list[str]):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(keys, sort=False).size().rename("c").reset_index()
+            key = g[keys[0]].astype(str)
+            for k in keys[1:]:
+                key = key + "\x00" + g[k].astype(str)
+            g["_bucket"] = bucket_of(key, cfg.num_buckets)
+            return g[keys + ["c", "_bucket"]]
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby(keys, sort=False)["c"].sum().reset_index()
+            s["c"] = s["c"].astype("int64")
+            return s
+
+        return (
+            j.map_batches(partial, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(per_bucket, batch_format="pandas")
+        )
+
+    cells = counts_of(["_cl", "_lab"]).map_batches(
+        lambda df: df.rename(columns={"c": "n_cl"}), batch_format="pandas"
+    )
+    csize = counts_of(["_cl"]).map_batches(
+        lambda df: df.rename(columns={"c": "n_c"}), batch_format="pandas"
+    )
+    lsize = counts_of(["_lab"]).map_batches(
+        lambda df: df.rename(columns={"c": "n_l", "_lab": "_lab2"}),
+        batch_format="pandas",
+    )
+
+    out = broadcast_join(
+        cells, csize, big_key="_cl", small_key="_cl",
+        payload_cols=["n_c"], cfg=cfg,
+    )
+    out = broadcast_join(
+        out.map_batches(
+            lambda df: df.rename(columns={"_lab": "_lab2"}),
+            batch_format="pandas",
+        ),
+        lsize, big_key="_lab2", small_key="_lab2",
+        payload_cols=["n_l"], cfg=cfg,
+    )
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "cluster_id": df["_cl"],
+                "label": df["_lab2"].astype("int64"),
+                "n_cl": df["n_cl"].astype("int64"),
+                "n_c": df["n_c"].astype("int64"),
+                "n_l": df["n_l"].astype("int64"),
+            }
+        ),
+        batch_format="pandas",
+    )

@@ -1021,3 +1021,80 @@ def retention(ds, cfg: EngineConfig, *, period_days: float = 7.0):
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )
+
+
+def transition_counts(ds, cfg: EngineConfig):
+    """Event-type transition (Markov-edge) counts — the user-journey
+    bigram table: for every user's event stream ordered by (ts, event_id),
+    count each consecutive (from_type → to_type) pair corpus-wide. Pairs
+    touching a NULL event_type are dropped (the twin's
+    ``prev IS NOT NULL AND event_type IS NOT NULL`` rule). Emits
+    (from_type, to_type, n_transitions:int64).
+
+    Scale shape: skinny int64 projection map-side, ONE bucketed exchange
+    on hash(user_id) (a user's whole stream co-locates, so consecutive
+    pairs are exact); per bucket a single lexsort + shifted compare and a
+    bincount over pair codes — no per-user loop. Bucket partials are
+    (from, to, cnt) rows, at most |types|² per bucket, combined by a
+    second tiny pair-bucket exchange; driver state is O(1).
+    """
+    skinny = _project_events(ds, cfg, with_type=True)
+    nb = cfg.num_buckets
+
+    empty = pd.DataFrame(
+        {
+            "from_type": pd.Series(dtype=object),
+            "to_type": pd.Series(dtype=object),
+            "cnt": pd.Series(dtype=np.int64),
+            "_bucket2": pd.Series(dtype=np.int32),
+        }
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        tcode, tuniq = pd.factorize(df["event_type"].to_numpy(object))
+        order = np.lexsort((eid, ts, u))
+        u, tcode = u[order], tcode[order]
+        ok = (u[1:] == u[:-1]) & (tcode[1:] >= 0) & (tcode[:-1] >= 0)
+        fr = tcode[:-1][ok]
+        to = tcode[1:][ok]
+        if len(fr) == 0:
+            return empty
+        k = len(tuniq)
+        counts = np.bincount(fr * k + to, minlength=k * k)
+        nz = np.nonzero(counts)[0]
+        out = pd.DataFrame(
+            {
+                "from_type": tuniq.take(nz // k),
+                "to_type": tuniq.take(nz % k),
+                "cnt": counts[nz].astype(np.int64),
+            }
+        )
+        from .canonicalize import bucket_of
+
+        out["_bucket2"] = bucket_of(
+            out["from_type"].astype(str) + "\x00" + out["to_type"].astype(str),
+            nb,
+        )
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["from_type", "to_type"], sort=False)["cnt"].sum()
+        return pd.DataFrame(
+            {
+                "from_type": s.index.get_level_values(0),
+                "to_type": s.index.get_level_values(1),
+                "n_transitions": s.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        skinny.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("_bucket2")
+        .map_groups(combine, batch_format="pandas")
+    )

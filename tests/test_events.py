@@ -848,3 +848,106 @@ class TestRetention:
             (base + P, 0, 1),      # user 3
             (base + P, 1, 1),      # user 3
         ]
+
+
+class TestTransitionCounts:
+    def _run(self, ray_session, rows):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.events import transition_counts
+
+        out = transition_counts(
+            rd.from_pandas(_events_df(rows)), CFG
+        ).to_pandas()
+        if len(out) == 0:
+            return {}
+        return {
+            (r.from_type, r.to_type): int(r.n_transitions)
+            for r in out.itertuples()
+        }
+
+    def test_basic_bigrams(self, ray_session):
+        rows = [
+            (1, 10, T0 + 0, "a", 0.0),
+            (2, 10, T0 + 1, "b", 0.0),
+            (3, 10, T0 + 2, "a", 0.0),
+            (4, 20, T0 + 0, "a", 0.0),
+            (5, 20, T0 + 5, "b", 0.0),
+        ]
+        assert self._run(ray_session, rows) == {
+            ("a", "b"): 2,
+            ("b", "a"): 1,
+        }
+
+    def test_ts_tie_breaks_on_event_id(self, ray_session):
+        rows = [
+            (9, 10, T0, "x", 0.0),
+            (3, 10, T0, "y", 0.0),  # same ts: order = event_id → y before x
+            (5, 10, T0, "z", 0.0),
+        ]
+        assert self._run(ray_session, rows) == {
+            ("y", "z"): 1,
+            ("z", "x"): 1,
+        }
+
+    def test_null_types_dropped_but_not_bridged(self, ray_session):
+        rows = [
+            (1, 10, T0 + 0, "a", 0.0),
+            (2, 10, T0 + 1, None, 0.0),
+            (3, 10, T0 + 2, "b", 0.0),
+        ]
+        # a→NULL and NULL→b both dropped; a→b must NOT appear (lag rule,
+        # not gap-bridging)
+        assert self._run(ray_session, rows) == {}
+
+    def test_single_event_users_and_empty(self, ray_session):
+        rows = [(1, 10, T0, "a", 0.0), (2, 20, T0, "b", 0.0)]
+        assert self._run(ray_session, rows) == {}
+        assert self._run(ray_session, []) == {}
+
+
+class TestClusterContingency:
+    def _run(self, ray_session, pred_rows, lab_rows, cfg=CFG):
+        import ray.data as rd
+
+        from deepblocker_ray.pipelines.evaluate import cluster_contingency
+
+        pred = rd.from_pandas(
+            pd.DataFrame(pred_rows, columns=["doc_id", "cluster_id"])
+        )
+        lab = rd.from_pandas(
+            pd.DataFrame(lab_rows, columns=["vec_id", "label"])
+        )
+        out = cluster_contingency(pred, lab, cfg=cfg).to_pandas()
+        return sorted(
+            (r.cluster_id, int(r.label), int(r.n_cl), int(r.n_c), int(r.n_l))
+            for r in out.itertuples()
+        )
+
+    PRED = [("1", "c1"), ("2", "c1"), ("3", "c1"), ("4", "c2"), ("5", "c2")]
+    LAB = [(1, 7), (2, 7), (3, 8), (4, 8), (5, 8)]
+    WANT = [
+        ("c1", 7, 2, 3, 2),
+        ("c1", 8, 1, 3, 3),
+        ("c2", 8, 2, 2, 3),
+    ]
+
+    def test_cells_and_marginals(self, ray_session):
+        assert self._run(ray_session, self.PRED, self.LAB) == self.WANT
+
+    def test_inner_join_scope(self, ray_session):
+        # item 9 only in pred, item 5 only in labels → both excluded;
+        # marginals count joined items only
+        pred = self.PRED[:4] + [("9", "c9")]
+        want = [
+            ("c1", 7, 2, 3, 2),
+            ("c1", 8, 1, 3, 2),
+            ("c2", 8, 1, 1, 2),
+        ]
+        assert self._run(ray_session, pred, self.LAB) == want
+
+    def test_join_fallback_matches_broadcast(self, ray_session):
+        small = EngineConfig(num_buckets=8, broadcast_rows_max=2)
+        assert self._run(
+            ray_session, self.PRED, self.LAB, cfg=small
+        ) == self.WANT
