@@ -1516,6 +1516,28 @@ def q_cluster_contingency(sf_dir: str):
     )
 
 
+def q_session_paths(sf_dir: str):
+    """Per-session clickstream journey strings (30-min gap rule, order
+    (ts, event_id)): (user_id, session_seq, path, n_events) with path =
+    '>'-joined event types, NULL types rendered ''."""
+    from deepblocker_ray.stages.events import session_paths
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    return session_paths(ev, _cfg())
+
+
+def q_rollup_counts(sf_dir: str):
+    """GROUPING SETS rollup of documents over (lang, source): counts at
+    all four grains in one pass, grp = SQL's GROUPING(lang, source)
+    bitmask disambiguating rolled-up NULLs from genuine NULL values."""
+    from deepblocker_ray.stages.relational import rollup_counts
+
+    docs = _documents(sf_dir).map_batches(
+        lambda t: t.select(["lang", "source"]), batch_format="pyarrow"
+    )
+    return rollup_counts(docs, _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1610,6 +1632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_sim_join": q_set_sim_join,
         "transitions": q_transitions,
         "cluster_contingency": q_cluster_contingency,
+        "session_paths": q_session_paths,
+        "rollup_counts": q_rollup_counts,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2980,6 +3004,37 @@ def oracle_sql() -> dict[str, str]:
         # pair count is a histogram sum (c*(c-1)//2 in BIGINT) and each
         # ratio one double division of those ints — identical IEEE ops to
         # the engine's Python floats, so the row hash-matches exactly
+        "session_paths": """
+            WITH o AS (
+                SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id)
+            ),
+            s AS (
+                SELECT *, CAST(sum(new_s) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                FROM o
+            )
+            SELECT user_id, session_seq,
+                   string_agg(coalesce(event_type, ''), '>'
+                              ORDER BY ts_us, event_id) AS path,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, session_seq
+        """,
+        "rollup_counts": """
+            SELECT CAST(lang AS VARCHAR) AS lang,
+                   CAST(source AS VARCHAR) AS source,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(GROUPING(lang, source) AS BIGINT) AS grp
+            FROM documents
+            GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        """,
         "transitions": """
             WITH o AS (
                 SELECT event_type,

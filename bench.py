@@ -237,6 +237,8 @@ def main() -> None:
         "set_sim_join",
         "transitions",
         "cluster_contingency",
+        "session_paths",
+        "rollup_counts",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -1098,3 +1098,68 @@ def transition_counts(ds, cfg: EngineConfig):
         .groupby("_bucket2")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def session_paths(ds, cfg: EngineConfig, *, gap_minutes: float = 30.0):
+    """Per-session ordered event-type path — the clickstream journey
+    string: sessions form exactly as in ``sessionize`` (gap > gap_minutes
+    starts a new one; order (ts, event_id)); each session emits
+    (user_id, session_seq, path, n_events) with ``path`` = event types
+    joined by '>' in stream order, NULL types rendered as '' (the twin's
+    ``string_agg(coalesce(event_type, ''), '>')``).
+
+    One bucketed exchange on hash(user_id) — the same single-lexsort
+    session kernel as sessionize; the only per-session work is the
+    unavoidable output-string join (pandas groupby-agg over codes,
+    bounded by output size)."""
+    gap_us = np.int64(round(gap_minutes * 60e6))
+    skinny = _project_events(ds, cfg, with_type=True)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype=np.int64),
+                "session_seq": pd.Series(dtype=np.int64),
+                "path": pd.Series(dtype=object),
+                "n_events": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(df) == 0:
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        etype = df["event_type"].to_numpy(object)
+        order = np.lexsort((eid, ts, u))
+        u, ts, etype = u[order], ts[order], etype[order]
+        new_user = np.ones(len(u), bool)
+        new_user[1:] = u[1:] != u[:-1]
+        new_s = new_user.copy()
+        new_s[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        sess = np.cumsum(new_s) - 1  # 0-based global session index
+        starts = np.flatnonzero(new_s)
+        n_events = np.diff(np.r_[starts, len(u)])
+        first_of_user = new_user[starts]
+        idx = np.arange(len(starts), dtype=np.int64)
+        firsts = idx[first_of_user]
+        base = np.repeat(firsts, np.diff(np.r_[firsts, len(starts)]))
+        paths = (
+            pd.Series(
+                np.where(pd.isna(etype), "", etype.astype(str)), dtype=object
+            )
+            .groupby(sess, sort=True)
+            .agg(">".join)
+            .to_numpy(object)
+        )
+        return pd.DataFrame(
+            {
+                "user_id": u[starts],
+                "session_seq": idx - base + 1,
+                "path": paths,
+                "n_events": n_events.astype(np.int64),
+            }
+        )
+
+    return skinny.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )

@@ -425,3 +425,115 @@ def snapshot_diff(
     return tagged.groupby("_bucket").map_groups(
         per_bucket, batch_format="pandas"
     )
+
+
+def rollup_counts(ds, cfg: EngineConfig, *, dims: tuple[str, str] = ("lang", "source")):
+    """Two-dimension GROUPING SETS rollup — the OLAP cube seed: counts at
+    every grain ((d0,d1), (d0), (d1), ()) in ONE pass over the data, with
+    a ``grp`` column disambiguating rolled-up NULLs from genuine NULL
+    values exactly like SQL's GROUPING(d0, d1) bitmask (bit 1 = d1 rolled,
+    bit 0 of the high side = d0 rolled → grp ∈ {0,1,2,3}).
+
+    Scale shape: per-batch partials collapse to DISTINCT (d0, d1, cnt)
+    cells before the ONE bucketed exchange, so the shuffle carries at most
+    |d0|·|d1| rows per batch; every coarser grain re-aggregates the finest
+    CELL table (bounded by the dimension-domain product, never by row
+    count) through tiny follow-up exchanges. Emits (d0, d1, n, grp)."""
+    import pyarrow as pa
+
+    from .canonicalize import bucket_of
+
+    d0, d1 = dims
+    nb = cfg.num_buckets
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby([d0, d1], sort=False, dropna=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        g["_bucket"] = bucket_of(
+            g[d0].astype(str) + "\x00" + g[d1].astype(str), nb
+        )
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby([d0, d1], sort=False, dropna=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        s["cnt"] = s["cnt"].astype("int64")
+        return s
+
+    cells = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+        .materialize()
+    )
+
+    def coarse_grains(df: pd.DataFrame) -> pd.DataFrame:
+        """All three coarser grains in ONE pandas pass over the cell table
+        — legitimate single-partition work because the cell table is
+        bounded by the dimension-domain product |d0|·|d1|, never by row
+        count (the repartition(1) moves cells, not data)."""
+        parts = []
+        if len(df):
+            g0 = df.groupby(d0, sort=False, dropna=False)["cnt"].sum()
+            parts.append(
+                pd.DataFrame(
+                    {d0: g0.index, d1: None, "n": g0.to_numpy("int64"),
+                     "grp": np.int64(1)}
+                )
+            )
+            g1 = df.groupby(d1, sort=False, dropna=False)["cnt"].sum()
+            parts.append(
+                pd.DataFrame(
+                    {d0: None, d1: g1.index, "n": g1.to_numpy("int64"),
+                     "grp": np.int64(2)}
+                )
+            )
+            parts.append(
+                pd.DataFrame(
+                    {d0: [None], d1: [None],
+                     "n": np.int64(df["cnt"].sum()), "grp": np.int64(3)}
+                )
+            )
+        if not parts:
+            return pd.DataFrame(
+                {d0: pd.Series(dtype=object), d1: pd.Series(dtype=object),
+                 "n": pd.Series(dtype=np.int64),
+                 "grp": pd.Series(dtype=np.int64)}
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    finest = cells.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                d0: df[d0],
+                d1: df[d1],
+                "n": df["cnt"].astype("int64"),
+                "grp": np.int64(0),
+            }
+        ),
+        batch_format="pandas",
+    )
+    out = finest.union(
+        cells.repartition(1).map_batches(
+            coarse_grains, batch_format="pandas"
+        )
+    )
+    # normalize the union's schema (object None columns) to typed arrow
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                d0: t.column(d0).cast(pa.string()),
+                d1: t.column(d1).cast(pa.string()),
+                "n": t.column("n").cast(pa.int64()),
+                "grp": t.column("grp").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -951,3 +951,61 @@ class TestClusterContingency:
         assert self._run(
             ray_session, self.PRED, self.LAB, cfg=small
         ) == self.WANT
+
+
+class TestSessionPaths:
+    def _run(self, ray_session, rows, gap_minutes=30.0):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.events import session_paths
+
+        out = session_paths(
+            rd.from_pandas(_events_df(rows)), CFG, gap_minutes=gap_minutes
+        ).to_pandas()
+        return sorted(
+            (int(r.user_id), int(r.session_seq), r.path, int(r.n_events))
+            for r in out.itertuples()
+        )
+
+    def test_paths_split_on_gap(self, ray_session):
+        rows = [
+            (1, 10, T0 + 0 * MIN, "a", 0.0),
+            (2, 10, T0 + 5 * MIN, "b", 0.0),
+            (3, 10, T0 + 99 * MIN, "c", 0.0),  # > 30 min gap → new session
+            (4, 20, T0, "z", 0.0),
+        ]
+        assert self._run(ray_session, rows) == [
+            (10, 1, "a>b", 2),
+            (10, 2, "c", 1),
+            (20, 1, "z", 1),
+        ]
+
+    def test_null_type_renders_empty_and_order_ties(self, ray_session):
+        rows = [
+            (7, 10, T0, None, 0.0),
+            (2, 10, T0, "b", 0.0),  # same ts → event_id order: 2 before 7
+            (9, 10, T0 + MIN, "c", 0.0),
+        ]
+        assert self._run(ray_session, rows) == [(10, 1, "b>>c", 3)]
+
+    def test_matches_sessionize_boundaries(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.events import session_paths, sessionize
+
+        rng = np.random.default_rng(3)
+        rows = [
+            (i, int(rng.integers(5)), T0 + int(rng.integers(0, 300)) * MIN,
+             str(rng.choice(["a", "b", "c"])), 0.0)
+            for i in range(200)
+        ]
+        df = _events_df(rows)
+        sp = session_paths(rd.from_pandas(df), CFG).to_pandas()
+        sz = sessionize(rd.from_pandas(df), CFG).to_pandas()
+        key = ["user_id", "session_seq"]
+        sp = sp.sort_values(key).reset_index(drop=True)
+        sz = sz.sort_values(key).reset_index(drop=True)
+        assert sp[key + ["n_events"]].equals(sz[key + ["n_events"]])
+        assert (
+            sp["path"].str.count(">") + 1 == sp["n_events"]
+        ).all()

@@ -85,3 +85,69 @@ def test_entry_smoke(ray_session):
     out = to_pandas(entrymod.entry())
     assert len(out) > 0
     assert set(out.columns) == {"conv_id", "cluster_id"}
+
+
+class TestRollupCounts:
+    def test_grains_and_null_disambiguation(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import rollup_counts
+
+        df = pd.DataFrame(
+            {
+                "lang": ["en", "en", None, "de", "de"],
+                "source": ["web", "pdf", "web", None, "web"],
+            }
+        )
+        out = rollup_counts(
+            rd.from_pandas(df), EngineConfig(num_buckets=8)
+        ).to_pandas()
+        got = [
+            (r.lang, r.source, int(r.n), int(r.grp))
+            for r in out.itertuples()
+        ]
+        want = sorted(
+            [
+                # finest (grp 0) — genuine NULL values stay distinct cells
+                ("en", "web", 1, 0),
+                ("en", "pdf", 1, 0),
+                (None, "web", 1, 0),
+                ("de", None, 1, 0),
+                ("de", "web", 1, 0),
+                # lang grain (grp 1)
+                ("en", None, 2, 1),
+                (None, None, 1, 1),
+                ("de", None, 2, 1),
+                # source grain (grp 2)
+                (None, "web", 3, 2),
+                (None, "pdf", 1, 2),
+                (None, None, 1, 2),
+                # total (grp 3)
+                (None, None, 5, 3),
+            ],
+            key=lambda t: (str(t[0]), str(t[1]), t[2], t[3]),
+        )
+        assert sorted(
+            got, key=lambda t: (str(t[0]), str(t[1]), t[2], t[3])
+        ) == want
+
+    def test_sums_are_consistent_across_grains(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import rollup_counts
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame(
+            {
+                "lang": rng.choice(["en", "de", "fr"], 500),
+                "source": rng.choice(["w", "p", "a", "x"], 500),
+            }
+        )
+        out = rollup_counts(
+            rd.from_pandas(df), EngineConfig(num_buckets=8)
+        ).to_pandas()
+        for g in (0, 1, 2, 3):
+            assert out[out["grp"] == g]["n"].sum() == 500
