@@ -1538,6 +1538,16 @@ def q_rollup_counts(sf_dir: str):
     return rollup_counts(docs, _cfg())
 
 
+def q_pivot_counts(sf_dir: str):
+    """Long→wide cross-tab: per-user event counts, one column per known
+    type + n_other (unknown/NULL) + n_total — fixed output schema, SQL
+    conditional-aggregate semantics."""
+    from deepblocker_ray.stages.events import pivot_counts
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    return pivot_counts(ev, _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1634,6 +1644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_contingency": q_cluster_contingency,
         "session_paths": q_session_paths,
         "rollup_counts": q_rollup_counts,
+        "pivot_counts": q_pivot_counts,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -3026,6 +3037,25 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY ts_us, event_id) AS path,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, session_seq
+        """,
+        "pivot_counts": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                       AS n_click,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                       AS n_view,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                       AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                       AS n_error,
+                   CAST(count(*) FILTER (
+                       event_type IS NULL OR event_type NOT IN
+                       ('click','view','purchase','signup','error')
+                   ) AS BIGINT) AS n_other,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM events GROUP BY user_id
         """,
         "rollup_counts": """
             SELECT CAST(lang AS VARCHAR) AS lang,

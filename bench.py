@@ -239,6 +239,7 @@ def main() -> None:
         "cluster_contingency",
         "session_paths",
         "rollup_counts",
+        "pivot_counts",
     ]
     for name in query_names:
         r = bench_query(q[name])

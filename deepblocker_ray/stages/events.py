@@ -1163,3 +1163,70 @@ def session_paths(ds, cfg: EngineConfig, *, gap_minutes: float = 30.0):
     return skinny.groupby("_bucket").map_groups(
         per_bucket, batch_format="pandas"
     )
+
+
+def pivot_counts(
+    ds,
+    cfg: EngineConfig,
+    *,
+    types: tuple[str, ...] = ("click", "view", "purchase", "signup", "error"),
+):
+    """Cross-tab pivot — the long→wide reshape: one row per user with one
+    ``n_<type>`` count column per requested type plus ``n_other`` (any
+    type NOT in ``types``, including NULL) and ``n_total``. The output
+    schema is FIXED by the ``types`` argument (schema discovery from data
+    would make the schema depend on which values exist — non-deterministic
+    under sampling and un-twinnable), exactly like SQL's conditional
+    aggregates.
+
+    Scale shape: each batch collapses to a (user × type) count matrix
+    map-side (factorize + one bincount — already the wide shape), so the
+    ONE hash(user) exchange carries at most |users-in-batch| skinny int64
+    rows; per bucket a plain column-sum groupby. Column count is
+    len(types)+2 — the caller bounds it."""
+    if len(set(types)) != len(types) or not types:
+        raise ValueError(f"types must be non-empty and unique, got {types!r}")
+    skinny = _project_events(ds, cfg, with_type=True)
+    cols = [f"n_{t}" for t in types] + ["n_other", "n_total"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ["user_id", *cols]}
+            )
+            out["_bucket"] = pd.Series(dtype=np.int32)
+            return out
+        u = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy(object)
+        ucode, uuniq = pd.factorize(u)
+        k = len(types)
+        tmap = {t: i for i, t in enumerate(types)}
+        tcode = np.fromiter(
+            (tmap.get(t, k) for t in et), np.int64, len(et)
+        )  # k = "other" slot (unknown or NULL type)
+        mat = np.bincount(
+            ucode * (k + 1) + tcode, minlength=len(uuniq) * (k + 1)
+        ).reshape(len(uuniq), k + 1)
+        out = pd.DataFrame(
+            {"user_id": uuniq.astype(np.int64)}
+        )
+        for i, t in enumerate(types):
+            out[f"n_{t}"] = mat[:, i].astype(np.int64)
+        out["n_other"] = mat[:, k].astype(np.int64)
+        out["n_total"] = mat.sum(axis=1).astype(np.int64)
+        out["_bucket"] = _user_bucket(
+            out["user_id"].to_numpy(np.int64), cfg.num_buckets
+        )
+        return out
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("user_id", sort=False)[cols].sum().reset_index()
+        for c in cols:
+            s[c] = s[c].astype("int64")
+        return s
+
+    return (
+        skinny.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )

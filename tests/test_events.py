@@ -1009,3 +1009,47 @@ class TestSessionPaths:
         assert (
             sp["path"].str.count(">") + 1 == sp["n_events"]
         ).all()
+
+
+class TestPivotCounts:
+    def _run(self, ray_session, rows, types=("a", "b")):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.events import pivot_counts
+
+        out = pivot_counts(
+            rd.from_pandas(_events_df(rows)), CFG, types=types
+        ).to_pandas()
+        return out.sort_values("user_id").reset_index(drop=True)
+
+    def test_counts_other_and_total(self, ray_session):
+        rows = [
+            (1, 10, T0, "a", 0.0),
+            (2, 10, T0, "a", 0.0),
+            (3, 10, T0, "b", 0.0),
+            (4, 10, T0, "zzz", 0.0),  # unknown type → n_other
+            (5, 10, T0, None, 0.0),   # NULL type → n_other
+            (6, 20, T0, "b", 0.0),
+        ]
+        out = self._run(ray_session, rows)
+        assert list(out.columns) == [
+            "user_id", "n_a", "n_b", "n_other", "n_total"
+        ]
+        assert out.values.tolist() == [
+            [10, 2, 1, 2, 5],
+            [20, 0, 1, 0, 1],
+        ]
+
+    def test_fixed_schema_with_absent_type(self, ray_session):
+        rows = [(1, 10, T0, "a", 0.0)]
+        out = self._run(ray_session, rows, types=("a", "never_seen"))
+        assert list(out.columns) == [
+            "user_id", "n_a", "n_never_seen", "n_other", "n_total"
+        ]
+        assert out.values.tolist() == [[10, 1, 0, 0, 1]]
+
+    def test_duplicate_or_empty_types_rejected(self, ray_session):
+        with pytest.raises(ValueError):
+            self._run(ray_session, [], types=("a", "a"))
+        with pytest.raises(ValueError):
+            self._run(ray_session, [], types=())
