@@ -372,8 +372,16 @@ def _pairs_from_keys(
     key_col: str = "bkey",
     hard_mult: int = 32,
     stats_out: dict | None = None,
+    size_col: str | None = None,
+    size_tau: tuple[int, int] | None = None,
 ):
     """rows (id, bkey) → intra-key candidate pairs (left_id < right_id).
+
+    ``size_col``/``size_tau``: optional PPJoin-style length filter — when
+    rows carry a per-record set size and the caller verifies Jaccard ≥
+    num/den, any qualifying pair satisfies den·|small| ≥ num·|large| (a
+    theorem: J ≥ t ⇒ |small| ≥ t·|large|), so incompatible pairs are cut
+    INSIDE the per-key merge before they materialize as string pairs.
 
     Two passes. Pass 1 aggregates per-key sizes (pre-combined inside each
     batch, then one skinny groupby) and pulls the HOT keys (> max_bucket
@@ -387,6 +395,8 @@ def _pairs_from_keys(
     (n_hot_keys / n_subsampled_keys / max_key_size), never silent."""
     import ray
 
+    if (size_col is None) != (size_tau is None):
+        raise ValueError("size_col and size_tau must be given together")
     nb = cfg.num_buckets
     hard_cap = max_bucket * hard_mult
 
@@ -443,6 +453,8 @@ def _pairs_from_keys(
                 "_key": df[key_col].to_numpy().astype(np.uint64),
             }
         )
+        if size_col is not None:
+            out["_sz"] = df[size_col].to_numpy(np.int64)
         if hot_ref is None:
             out["_skey"] = out["_key"]
             out["_side"] = np.int8(0)
@@ -462,6 +474,11 @@ def _pairs_from_keys(
             if len(hot):
                 ids = hot[id_col].to_numpy(object)
                 keys = hot["_key"].to_numpy()
+                szs = (
+                    hot["_sz"].to_numpy(np.int64)
+                    if size_col is not None
+                    else None
+                )
                 ns = np.fromiter(
                     (ns_map_[int(k)] for k in keys), np.int64, len(keys)
                 )
@@ -471,6 +488,8 @@ def _pairs_from_keys(
                 h = pd.util.hash_array(ids)
                 keep = (h % mod.astype(np.uint64)) == 0
                 ids, keys, ns, h = ids[keep], keys[keep], ns[keep], h[keep]
+                if szs is not None:
+                    szs = szs[keep]
                 salt = ((h >> np.uint64(32)) % ns.astype(np.uint64)).astype(
                     np.int64
                 )
@@ -491,33 +510,47 @@ def _pairs_from_keys(
                 side = np.where(
                     rep_salt == t, 0, np.where(rep_salt < t, 1, 2)
                 ).astype(np.int8)
-                parts.append(
-                    pd.DataFrame(
-                        {
-                            id_col: rep_ids,
-                            "_key": rep_keys,
-                            "_skey": skey,
-                            "_side": side,
-                        }
-                    )
+                rep = pd.DataFrame(
+                    {
+                        id_col: rep_ids,
+                        "_key": rep_keys,
+                        "_skey": skey,
+                        "_side": side,
+                    }
                 )
+                if szs is not None:
+                    rep["_sz"] = np.repeat(szs, ns)
+                parts.append(rep)
             out = pd.concat(parts, ignore_index=True)
         out["_bucket"] = (
             out["_skey"].to_numpy() % np.uint64(nb)
         ).astype(np.int32)
-        return out[[id_col, "_skey", "_side", "_bucket"]]
+        cols = [id_col, "_skey", "_side", "_bucket"]
+        if size_col is not None:
+            cols.append("_sz")
+        return out[cols]
+
+    def _size_ok(m: pd.DataFrame) -> pd.DataFrame | None:
+        if size_tau is None:
+            return m
+        num, den = size_tau
+        sa = m["_sz_x"].to_numpy(np.int64)
+        sb = m["_sz_y"].to_numpy(np.int64)
+        return m[den * np.minimum(sa, sb) >= num * np.maximum(sa, sb)]
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates([id_col, "_skey", "_side"])
         both = g[g["_side"] == 0]
         m = both.merge(both, on="_skey")
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        m = _size_ok(m)
         la = m[f"{id_col}_x"].to_numpy(object)
         ra = m[f"{id_col}_y"].to_numpy(object)
         lo = g[g["_side"] == 1]
         hi = g[g["_side"] == 2]
         if len(lo) and len(hi):
             m2 = lo.merge(hi, on="_skey")
+            m2 = _size_ok(m2)
             if len(m2):
                 a = m2[f"{id_col}_x"].to_numpy(object)
                 b = m2[f"{id_col}_y"].to_numpy(object)
@@ -618,7 +651,7 @@ def _verify_pairs(cand, payload_ds, id_col, payload_col, cfg, pair_fn):
             )
             ls = batch.column("left_id").to_pylist()
             rs = batch.column("right_id").to_pylist()
-            return pair_fn(ls, rs, lk.take(ls), lk.take(rs))
+            return pair_fn(ls, rs, lk.take_arrow(ls), lk.take_arrow(rs))
 
         return cand.map_batches(verify, batch_format="pyarrow")
 
@@ -661,6 +694,115 @@ def _verify_pairs(cand, payload_ds, id_col, payload_col, cfg, pair_fn):
     return joined.map_batches(verify_joined, batch_format="pyarrow")
 
 
+_BITSET_MAX_VOCAB = 2048  # ≤ 32 uint64 words per doc on the bitset path
+
+
+def _pairwise_intersect_indexed(
+    lists: list[np.ndarray], li: np.ndarray, ri: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """|a ∩ b| for PAIRS OF INDICES into a pool of UNIQUE sorted-unique
+    uint64 sets — the shape every pair verify should use: payloads are
+    deduplicated per document, so per-doc work (bit-packing, code lookup)
+    runs once per doc, not once per pair.
+
+    Two fully vectorized paths, picked per batch:
+      - bitset (batch vocabulary ≤ _BITSET_MAX_VOCAB distinct tokens):
+        docs become ⌈v/64⌉-word bitmasks; inter = popcount(l AND r),
+        chunked so the pair matrix stays cache-sized. Word-soup corpora
+        with tiny vocabularies — exactly where prefix/LSH blocking
+        degenerates to near-all-pairs — hit this path at ~10⁸ pairs/s.
+      - sort (open vocabulary): tag elements with pair index, lexsort,
+        count adjacent equal (pair, token) runs — uniqueness within each
+        side makes every run exactly one left + one right element.
+    Returns (inter, na, nb) as int64 arrays."""
+    n = len(li)
+    u = len(lists)
+    lens = np.fromiter((len(a) for a in lists), np.int64, u)
+    na = lens[li] if u else np.zeros(n, np.int64)
+    nb = lens[ri] if u else np.zeros(n, np.int64)
+    if n == 0 or lens.sum() == 0:
+        return np.zeros(n, np.int64), na, nb
+    cat = np.concatenate(lists)
+    starts = np.zeros(u + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    vocab = np.unique(cat)
+    v = len(vocab)
+    if v <= _BITSET_MAX_VOCAB:
+        words = (v + 63) // 64
+        codes = np.searchsorted(vocab, cat).astype(np.uint64)
+        rows = np.repeat(np.arange(u, dtype=np.int64), lens)
+        bits = np.zeros((u, words), np.uint64)
+        np.bitwise_or.at(
+            bits,
+            (rows, (codes >> np.uint64(6)).astype(np.int64)),
+            np.uint64(1) << (codes & np.uint64(63)),
+        )
+        inter = np.empty(n, np.int64)
+        step = max(1, (1 << 22) // max(words, 1))
+        for s in range(0, n, step):
+            e = min(n, s + step)
+            aw = bits[li[s:e]] & bits[ri[s:e]]
+            inter[s:e] = (
+                popcount64(aw.ravel())
+                .reshape(e - s, words)
+                .sum(axis=1, dtype=np.int64)
+            )
+        return inter, na, nb
+    # open-vocabulary sort path: expand per-pair element lists via pure
+    # index arithmetic (no per-pair Python concatenation)
+    def expand(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        tot = lens[idx]
+        m = int(tot.sum())
+        base = np.repeat(starts[idx], tot)
+        local = np.arange(m, dtype=np.int64) - np.repeat(
+            np.cumsum(tot) - tot, tot
+        )
+        return cat[base + local], np.repeat(
+            np.arange(n, dtype=np.int64), tot
+        )
+    tok_l, pid_l = expand(li)
+    tok_r, pid_r = expand(ri)
+    tok = np.concatenate([tok_l, tok_r])
+    pid = np.concatenate([pid_l, pid_r])
+    order = np.lexsort((tok, pid))
+    pid_s = pid[order]
+    tok_s = tok[order]
+    adj = (pid_s[1:] == pid_s[:-1]) & (tok_s[1:] == tok_s[:-1])
+    inter = np.bincount(pid_s[1:][adj], minlength=n)
+    return inter.astype(np.int64), na, nb
+
+
+def _uniquify_pair_payloads(ls, rs, lp, rp):
+    """(per-pair ids + payload arrays) → (unique payload pool, left/right
+    index arrays): np.unique over the batch's id strings picks one
+    representative payload per doc so downstream kernels do per-doc work
+    once. Payload views come from the zero-copy binary path of
+    np_u64_lists."""
+    from ..state.lookup import np_u64_lists
+
+    n = len(ls)
+    allids = np.concatenate(
+        [np.asarray(ls, object), np.asarray(rs, object)]
+    )
+    views = np_u64_lists(lp) + np_u64_lists(rp)
+    _, first, inv = np.unique(
+        allids, return_index=True, return_inverse=True
+    )
+    pool = [views[i] for i in first]
+    return pool, inv[:n], inv[n:]
+
+
+def _pairwise_intersect_sizes(
+    la: list[np.ndarray], ra: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """|a_i ∩ b_i| per pair of SORTED-UNIQUE uint64 sets (identity-indexed
+    wrapper over ``_pairwise_intersect_indexed`` for callers without a
+    shared doc pool)."""
+    n = len(la)
+    idx = np.arange(n, dtype=np.int64)
+    return _pairwise_intersect_indexed(list(la) + list(ra), idx, idx + n)
+
+
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     """Exact Jaccard of two SORTED unique uint64 arrays (empty∧empty → 1)."""
     if len(a) == 0 and len(b) == 0:
@@ -679,14 +821,14 @@ def _jaccard_verify_fn(threshold: float):
     """pair_fn: exact set Jaccard over precomputed sorted-unique hash sets."""
 
     def fn(ls, rs, lp, rp) -> pa.Table:
-        from ..state.lookup import np_u64_lists
-
-        la = np_u64_lists(lp)
-        ra = np_u64_lists(rp)
         n = len(ls)
-        sims = np.empty(n, np.float64)
-        for i in range(n):
-            sims[i] = jaccard(la[i], ra[i])
+        pool, li, ri = _uniquify_pair_payloads(ls, rs, lp, rp)
+        inter, na, nb = _pairwise_intersect_indexed(pool, li, ri)
+        union = na + nb - inter
+        # empty ∧ empty → 1.0 (same rule as the scalar `jaccard`)
+        sims = np.where(
+            union > 0, inter / np.maximum(union, 1), 1.0
+        )
         idx = np.nonzero(sims >= threshold)[0]
         ls = np.asarray(ls, object)
         rs = np.asarray(rs, object)

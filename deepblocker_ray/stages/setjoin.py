@@ -100,31 +100,18 @@ def _setjoin_verify_fn(tau_num: int, tau_den: int):
     def fn(ls, rs, lp, rp) -> pa.Table:
         import pyarrow.compute as pc
 
-        from ..state.lookup import np_u64_lists
+        from .dedup import (
+            _pairwise_intersect_indexed,
+            _uniquify_pair_payloads,
+        )
 
         valid = (
             pc.and_(pc.is_valid(lp), pc.is_valid(rp))
             .to_numpy(zero_copy_only=False)
         )
-        la = np_u64_lists(lp)
-        ra = np_u64_lists(rp)
-        n = len(ls)
-        inter = np.zeros(n, np.int64)
-        union = np.zeros(n, np.int64)
-        for i in range(n):
-            if not valid[i]:
-                continue
-            a, b = la[i], ra[i]
-            if len(a) > len(b):
-                a, b = b, a
-            if len(a) == 0:
-                union[i] = len(b)
-                continue
-            idx = np.searchsorted(b, a)
-            m = idx < len(b)
-            iv = int((b[idx[m]] == a[m]).sum())
-            inter[i] = iv
-            union[i] = len(a) + len(b) - iv
+        pool, li, ri = _uniquify_pair_payloads(ls, rs, lp, rp)
+        inter, na, nb = _pairwise_intersect_indexed(pool, li, ri)
+        union = na + nb - inter
         keep = np.nonzero(
             valid & (inter * tau_den >= tau_num * union) & (union > 0)
         )[0]
@@ -244,6 +231,7 @@ def set_similarity_join(
                 "prefix": pa.LargeListArray.from_arrays(
                     pa.array(pref_off), pa.array(bk[pmask])
                 ),
+                "n_toks": pa.array(counts.astype(np.int64)),
             }
         )
 
@@ -262,6 +250,8 @@ def set_similarity_join(
             {
                 "doc_id": t.column("doc_id").combine_chunks().take(take),
                 "bkey": lst.flatten(),
+                # set size rides along for the PPJoin length filter
+                "n_toks": t.column("n_toks").combine_chunks().take(take),
             }
         )
 
@@ -272,6 +262,7 @@ def set_similarity_join(
     cand = _pairs_from_keys(
         keys, "doc_id", max_bucket, cfg, hard_mult=hard_mult,
         stats_out=stats_out,
+        size_col="n_toks", size_tau=(tau_num, tau_den),
     )
     # a pair can surface under several shared prefix tokens and, unlike the
     # dedup family, there is no connected-components step downstream to

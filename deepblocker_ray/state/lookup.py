@@ -137,6 +137,78 @@ class ColumnLookup:
         vals = self.take_pylist(keys)
         return pa.array(vals.tolist(), type=self.payload_type)
 
+    def take_arrow(self, keys) -> pa.Array:
+        """Arrow-native ``take``: payloads are gathered with pa take per
+        touched chunk and spliced by one final indexed take — the payload
+        VALUES never round-trip through Python objects (``take``'s
+        to_pylist on large list/binary payloads measured ~200s on an 11M-
+        pair verify; this path is seconds). Missing ids → nulls."""
+        import pyarrow.compute as pc
+
+        keys_obj = np.asarray(list(keys), dtype=object)
+        n = len(keys_obj)
+        if len(self.h) == 0 or n == 0:
+            return pa.nulls(n, self.payload_type)
+        kh = pd.util.hash_array(keys_obj)
+        pos = np.searchsorted(self.h, kh)
+        pos = np.clip(pos, 0, len(self.h) - 1)
+        found = self.h[pos] == kh
+        gidx = self.order[pos]
+        ci = (
+            np.searchsorted(self.chunk_starts, gidx, side="right") - 1
+        )
+        # id verification, vectorized per chunk (hash match ≠ id match)
+        ok = np.zeros(n, bool)
+        idx_f = np.nonzero(found)[0]
+        for c in np.unique(ci[idx_f]):
+            m = idx_f[ci[idx_f] == c]
+            local = pa.array(gidx[m] - self.chunk_starts[c])
+            got = self.id_chunks[c].take(local)
+            eq = pc.equal(got, pa.array(keys_obj[m], pa.string()))
+            ok[m] = eq.to_numpy(zero_copy_only=False)
+        # payload pool: one Arrow take per touched chunk, then one splice
+        pool_parts: list[pa.Array] = []
+        pool_pos = np.full(n, -1, np.int64)
+        cursor = 0
+        sel = np.nonzero(ok)[0]
+        ci_ok = ci[sel]
+        for c in np.unique(ci_ok):
+            m = sel[ci_ok == c]
+            local = pa.array(gidx[m] - self.chunk_starts[c])
+            pool_parts.append(self.payload_chunks[c].take(local))
+            pool_pos[m] = np.arange(cursor, cursor + len(m))
+            cursor += len(m)
+        # collision path: hash matched but id didn't — walk the adjacent
+        # equal-hash run (rare: ~n²/2⁶⁴); single-row slices appended to pool
+        for i in np.nonzero(found & ~ok)[0]:
+            p = int(pos[i]) + 1
+            while p < len(self.h) and self.h[p] == kh[i]:
+                g = int(self.order[p])
+                if self._one(self.id_chunks, g) == keys_obj[i]:
+                    c = int(
+                        np.searchsorted(self.chunk_starts, g, side="right")
+                        - 1
+                    )
+                    pool_parts.append(
+                        self.payload_chunks[c].slice(
+                            int(g - self.chunk_starts[c]), 1
+                        )
+                    )
+                    pool_pos[i] = cursor
+                    cursor += 1
+                    break
+                p += 1
+        if not pool_parts:
+            return pa.nulls(n, self.payload_type)
+        pool = (
+            pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in pool_parts])
+            if len(pool_parts) > 1
+            else pool_parts[0]
+        )
+        miss = pool_pos < 0
+        idx = pa.array(np.where(miss, 0, pool_pos), pa.int64(), mask=miss)
+        return pool.take(idx)
+
 
 def np_lists(arr) -> list[np.ndarray]:
     """(Large)List pa array → list of numpy views (nulls → empty arrays)."""
@@ -162,9 +234,26 @@ def np_u64_lists(arr) -> list[np.ndarray]:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_large_binary(arr.type) or pa.types.is_binary(arr.type):
+        # zero-copy: views into the Arrow data buffer — no per-row bytes
+        # objects (to_pylist here measured minutes on an 11M-pair verify)
+        off_dt = (
+            np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        )
+        offs = np.frombuffer(
+            arr.buffers()[1], dtype=off_dt, count=len(arr) + 1,
+            offset=arr.offset * np.dtype(off_dt).itemsize,
+        ).astype(np.int64, copy=False)
+        data = (
+            np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            if arr.buffers()[2] is not None
+            else np.empty(0, np.uint8)
+        )
+        isnull = arr.is_null().to_numpy(zero_copy_only=False)
         return [
-            _EMPTY_U64 if b is None else np.frombuffer(b, np.uint64)
-            for b in arr.to_pylist()
+            _EMPTY_U64
+            if isnull[i]
+            else data[offs[i] : offs[i + 1]].view(np.uint64)
+            for i in range(len(arr))
         ]
     return np_lists(arr)
 

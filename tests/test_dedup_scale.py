@@ -298,3 +298,126 @@ class TestKnnInt8:
         a = set(map(tuple, got[["query_id", "neighbor_id"]].values))
         b = set(map(tuple, fl[["query_id", "neighbor_id"]].values))
         assert len(a & b) / len(b) >= 0.8
+
+
+class TestPairVerifyKernels:
+    def test_indexed_kernel_bitset_vs_sort_parity(self):
+        """The bitset fast path (small batch vocabulary) and the open-
+        vocabulary sort path must agree exactly; both vs per-pair
+        np.intersect1d."""
+        rng = np.random.default_rng(5)
+        # small vocab → bitset path
+        vocab_small = rng.integers(0, 2**62, 100, dtype=np.int64).astype(np.uint64)
+        pool_s = [
+            np.unique(rng.choice(vocab_small, rng.integers(0, 40)))
+            for _ in range(50)
+        ] + [np.empty(0, np.uint64)]
+        # large vocab → sort path (force by exceeding _BITSET_MAX_VOCAB)
+        pool_l = [
+            np.unique(rng.integers(0, 2**62, 60, dtype=np.int64).astype(np.uint64))
+            for _ in range(80)
+        ]
+        for pool in (pool_s, pool_l):
+            n = 300
+            li = rng.integers(0, len(pool), n)
+            ri = rng.integers(0, len(pool), n)
+            inter, na, nb = D._pairwise_intersect_indexed(pool, li, ri)
+            for k in range(n):
+                a, b = pool[li[k]], pool[ri[k]]
+                assert inter[k] == len(np.intersect1d(a, b))
+                assert na[k] == len(a) and nb[k] == len(b)
+
+    def test_sizes_wrapper_matches_indexed(self):
+        rng = np.random.default_rng(6)
+        la = [np.unique(rng.choice(50, 10).astype(np.uint64)) for _ in range(40)]
+        ra = [np.unique(rng.choice(50, 10).astype(np.uint64)) for _ in range(40)]
+        inter, na, nb = D._pairwise_intersect_sizes(la, ra)
+        for k in range(40):
+            assert inter[k] == len(np.intersect1d(la[k], ra[k]))
+
+    def test_take_arrow_matches_take(self, ray_session):
+        """Arrow-native gather must agree with the Python-object path on
+        hits, misses, and list payloads."""
+        import pyarrow as pa
+        import ray
+
+        from deepblocker_ray.state.lookup import ColumnLookup
+
+        t = pa.table(
+            {
+                "_pid": pa.array(["a", "b", "c", "d"], pa.string()),
+                "_payload": pa.array(
+                    [[1, 2], [], [7], [9, 9, 9]],
+                    pa.large_list(pa.uint64()),
+                ),
+                "_ph": pa.array(
+                    pd.util.hash_array(
+                        np.asarray(["a", "b", "c", "d"], dtype=object)
+                    )
+                ),
+            }
+        )
+        refs = [ray.put(t)]
+        lk = ColumnLookup(refs, "_pid", "_payload", hash_col="_ph")
+        keys = ["c", "missing", "a", "d", "b", "nope"]
+        got_a = lk.take_arrow(keys)
+        got_o = lk.take(keys)
+        assert got_a.to_pylist() == got_o.to_pylist()
+
+    def test_np_u64_lists_binary_buffer_path(self):
+        """Zero-copy buffer slicing must match the bytes round-trip,
+        including nulls and a sliced (offset) array."""
+        import pyarrow as pa
+
+        from deepblocker_ray.state.lookup import np_u64_lists
+
+        vals = [
+            np.arange(3, dtype=np.uint64).tobytes(),
+            None,
+            b"",
+            np.array([7, 11], np.uint64).tobytes(),
+        ]
+        arr = pa.array(vals, pa.large_binary())
+        for a in (arr, arr.slice(1)):
+            got = np_u64_lists(a)
+            want = [
+                np.frombuffer(b, np.uint64) if b is not None
+                else np.empty(0, np.uint64)
+                for b in a.to_pylist()
+            ]
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                assert np.array_equal(g, w)
+
+    def test_length_filter_exactness(self, ray_session):
+        """size_tau must cut only provably-unqualifying pairs: with the
+        filter on, the candidate set still contains every Jaccard ≥ τ
+        pair (verified end-to-end through set_similarity_join)."""
+        import ray.data as rd
+
+        from deepblocker_ray.stages.setjoin import set_similarity_join
+
+        rng = np.random.default_rng(9)
+        texts = {}
+        for i in range(80):
+            k = int(rng.integers(2, 30))
+            texts[f"d{i:03d}"] = " ".join(
+                str(w) for w in rng.choice(40, k, replace=False)
+            )
+        df = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+        out = set_similarity_join(
+            rd.from_pandas(df), CFG, tau_num=1, tau_den=2
+        ).to_pandas()
+        got = set(zip(out["left_id"], out["right_id"]))
+        import itertools
+
+        from deepblocker_ray.functions.tokenizer import tokenize
+
+        want = set()
+        sets = {k: set(tokenize(v)) for k, v in texts.items()}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            A, B = sets[a], sets[b]
+            u = len(A | B)
+            if u and 2 * len(A & B) >= u:
+                want.add((a, b))
+        assert got == want
