@@ -1548,6 +1548,26 @@ def q_pivot_counts(sf_dir: str):
     return pivot_counts(ev, _cfg())
 
 
+def q_resample_ffill(sf_dir: str):
+    """Gap-fill resampling: per user, one row per epoch-aligned hour
+    inside the event span carrying the most recent value (forward fill,
+    tie on ts → max event_id)."""
+    from deepblocker_ray.stages.events import resample_ffill
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+    return resample_ffill(ev, _cfg())
+
+
+def q_gap_stats(sf_dir: str):
+    """Per-user inter-event cadence: gap count, LOWER-median gap
+    (quantile_disc rule) and max gap over (ts, event_id)-ordered
+    streams; single-event users emit nothing."""
+    from deepblocker_ray.stages.events import gap_stats
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+    return gap_stats(ev, _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1645,6 +1665,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_paths": q_session_paths,
         "rollup_counts": q_rollup_counts,
         "pivot_counts": q_pivot_counts,
+        "resample_ffill": q_resample_ffill,
+        "gap_stats": q_gap_stats,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -3037,6 +3059,53 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY ts_us, event_id) AS path,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, session_seq
+        """,
+        "resample_ffill": """
+            WITH o AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ),
+            b AS (
+                SELECT user_id,
+                       ((min(ts_us) + 3599999999) // 3600000000)
+                           * 3600000000 AS gs,
+                       (max(ts_us) // 3600000000) * 3600000000 AS ge
+                FROM o GROUP BY user_id
+            ),
+            grid AS (
+                SELECT user_id,
+                       unnest(generate_series(gs, ge, 3600000000))
+                           AS period_us
+                FROM b WHERE gs <= ge
+            ),
+            j AS (
+                SELECT g.user_id, g.period_us, o.cents,
+                       row_number() OVER (
+                           PARTITION BY g.user_id, g.period_us
+                           ORDER BY o.ts_us DESC, o.event_id DESC
+                       ) AS rn
+                FROM grid g
+                JOIN o ON o.user_id = g.user_id
+                      AND o.ts_us <= g.period_us
+            )
+            SELECT user_id, period_us, cents FROM j WHERE rn = 1
+        """,
+        "gap_stats": """
+            WITH o AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                       ) AS gap
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_us,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us
+            FROM o WHERE gap IS NOT NULL
+            GROUP BY user_id
         """,
         "pivot_counts": """
             SELECT user_id,

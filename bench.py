@@ -240,6 +240,8 @@ def main() -> None:
         "session_paths",
         "rollup_counts",
         "pivot_counts",
+        "resample_ffill",
+        "gap_stats",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -1230,3 +1230,128 @@ def pivot_counts(
         .groupby("_bucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def resample_ffill(ds, cfg: EngineConfig, *, period_minutes: float = 60.0):
+    """Gap-fill resampling — the feature-pipeline regularizer: for every
+    user, one row per epoch-aligned period boundary inside the user's
+    event span ([ceil(min_ts/P)·P .. floor(max_ts/P)·P]), carrying the
+    most recent value at or before that boundary (forward fill; ties on
+    ts broken by max event_id). Emits (user_id, period_us, cents). Users
+    whose span contains no aligned boundary emit nothing — identical to
+    the twin's generate_series(gs, ge) being empty when gs > ge.
+
+    One bucketed exchange on hash(user_id); per bucket the grid is pure
+    index arithmetic (repeat + arange) and the fill is ONE
+    ``pandas.merge_asof`` backward scan over all users of the bucket.
+    Grid size is span/P per user — bounded by the caller's period, never
+    by event count."""
+    if period_minutes <= 0:
+        raise ValueError(f"period_minutes must be > 0, got {period_minutes}")
+    p_us = np.int64(round(period_minutes * 60e6))
+    skinny = _project_events(ds, cfg, with_value=True)
+
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype=np.int64),
+            "period_us": pd.Series(dtype=np.int64),
+            "cents": pd.Series(dtype=np.int64),
+        }
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty
+        ev = df.sort_values(["ts_us", "event_id"], kind="mergesort")[
+            ["user_id", "ts_us", "cents"]
+        ]
+        g = df.groupby("user_id", sort=True)["ts_us"].agg(["min", "max"])
+        start = -(-g["min"].to_numpy(np.int64) // p_us) * p_us
+        end = (g["max"].to_numpy(np.int64) // p_us) * p_us
+        cnt = np.maximum((end - start) // p_us + 1, 0)
+        if cnt.sum() == 0:
+            return empty
+        users = np.repeat(g.index.to_numpy(np.int64), cnt)
+        offs = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        period = np.repeat(start, cnt) + offs * p_us
+        grid = pd.DataFrame({"user_id": users, "period_us": period})
+        m = pd.merge_asof(
+            grid.sort_values("period_us", kind="mergesort"),
+            ev,
+            left_on="period_us",
+            right_on="ts_us",
+            by="user_id",
+            direction="backward",
+        )
+        # period >= the user's first event by construction → always matched
+        return pd.DataFrame(
+            {
+                "user_id": m["user_id"].to_numpy(np.int64),
+                "period_us": m["period_us"].to_numpy(np.int64),
+                "cents": m["cents"].to_numpy(np.int64),
+            }
+        )
+
+    return skinny.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+
+def gap_stats(ds, cfg: EngineConfig):
+    """Inter-event gap statistics per user — the cadence profile: over
+    each user's stream ordered by (ts, event_id), the consecutive-gap
+    list yields (user_id, n_gaps, median_gap_us, max_gap_us). Median is
+    the LOWER median (sorted[(n-1)//2]) — bit-identical to DuckDB's
+    ``quantile_disc(0.5)``. Users with a single event emit nothing (no
+    gaps), matching the twin's HAVING count(*) >= 2.
+
+    One bucketed exchange of skinny int64 rows; per bucket a single
+    lexsort + diff, then one more lexsort over (user, gap) to read each
+    user's k-th order statistic by pure index arithmetic — no per-user
+    loop."""
+    skinny = _project_events(ds, cfg)
+
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype=np.int64),
+            "n_gaps": pd.Series(dtype=np.int64),
+            "median_gap_us": pd.Series(dtype=np.int64),
+            "max_gap_us": pd.Series(dtype=np.int64),
+        }
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        same = u[1:] == u[:-1]
+        gu = u[1:][same]
+        gaps = (ts[1:] - ts[:-1])[same]
+        if len(gaps) == 0:
+            return empty
+        o2 = np.lexsort((gaps, gu))
+        gu, gaps = gu[o2], gaps[o2]
+        starts = np.flatnonzero(
+            np.concatenate(([True], gu[1:] != gu[:-1]))
+        )
+        n = np.diff(np.concatenate((starts, [len(gu)])))
+        med = gaps[starts + (n - 1) // 2]
+        mx = gaps[starts + n - 1]
+        return pd.DataFrame(
+            {
+                "user_id": gu[starts],
+                "n_gaps": n.astype(np.int64),
+                "median_gap_us": med,
+                "max_gap_us": mx,
+            }
+        )
+
+    return skinny.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )

@@ -1053,3 +1053,92 @@ class TestPivotCounts:
             self._run(ray_session, [], types=("a", "a"))
         with pytest.raises(ValueError):
             self._run(ray_session, [], types=())
+
+
+class TestResampleFfill:
+    def _run(self, ray_session, rows, period_minutes=60.0):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.events import resample_ffill
+
+        out = resample_ffill(
+            rd.from_pandas(_events_df(rows)), CFG,
+            period_minutes=period_minutes,
+        ).to_pandas()
+        return sorted(
+            (int(r.user_id), int(r.period_us), int(r.cents))
+            for r in out.itertuples()
+        )
+
+    def test_forward_fill_and_alignment(self, ray_session):
+        H = 60 * MIN
+        base = (T0 // H) * H  # aligned hour at/below T0
+        rows = [
+            (1, 10, base + 10 * MIN, "a", 1.0),   # 100 cents
+            (2, 10, base + 70 * MIN, "a", 2.5),   # 250 cents
+            (3, 10, base + 200 * MIN, "a", 4.0),  # 400 cents
+        ]
+        # span [base+10m, base+200m] → aligned boundaries h1, h2, h3
+        got = self._run(ray_session, rows)
+        assert got == [
+            (10, base + H, 100),       # h1: only the 10m event ≤ it
+            (10, base + 2 * H, 250),   # h2: 70m event is latest
+            (10, base + 3 * H, 250),   # h3: still the 70m event
+        ]
+
+    def test_tie_on_ts_takes_max_event_id(self, ray_session):
+        H = 60 * MIN
+        base = (T0 // H) * H
+        rows = [
+            (5, 10, base + H, "a", 1.0),
+            (9, 10, base + H, "a", 7.0),  # same ts, higher id wins → 700
+            (2, 10, base + H, "a", 3.0),
+        ]
+        assert self._run(ray_session, rows) == [(10, base + H, 700)]
+
+    def test_no_aligned_boundary_in_span(self, ray_session):
+        H = 60 * MIN
+        base = (T0 // H) * H
+        rows = [
+            (1, 10, base + 5 * MIN, "a", 1.0),
+            (2, 10, base + 20 * MIN, "a", 2.0),
+        ]
+        assert self._run(ray_session, rows) == []
+
+    def test_bad_period_rejected(self, ray_session):
+        with pytest.raises(ValueError):
+            self._run(ray_session, [], period_minutes=0)
+
+
+class TestGapStats:
+    def _run(self, ray_session, rows):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.events import gap_stats
+
+        out = gap_stats(rd.from_pandas(_events_df(rows)), CFG).to_pandas()
+        return sorted(
+            (int(r.user_id), int(r.n_gaps), int(r.median_gap_us),
+             int(r.max_gap_us))
+            for r in out.itertuples()
+        )
+
+    def test_lower_median_rule(self, ray_session):
+        rows = [
+            (1, 10, T0 + 0 * MIN, "a", 0.0),
+            (2, 10, T0 + 1 * MIN, "a", 0.0),   # gap 1
+            (3, 10, T0 + 4 * MIN, "a", 0.0),   # gap 3
+            (4, 10, T0 + 9 * MIN, "a", 0.0),   # gap 5
+            (5, 10, T0 + 16 * MIN, "a", 0.0),  # gap 7
+        ]
+        # gaps [1,3,5,7] → lower median = sorted[(4-1)//2] = index 1 = 3
+        assert self._run(ray_session, rows) == [(10, 4, 3 * MIN, 7 * MIN)]
+
+    def test_single_event_user_excluded_and_ties(self, ray_session):
+        rows = [
+            (1, 10, T0, "a", 0.0),
+            (7, 20, T0, "a", 0.0),
+            (3, 20, T0, "a", 0.0),  # same ts → gap 0 (order by event_id)
+            (9, 20, T0 + MIN, "a", 0.0),
+        ]
+        assert self._run(ray_session, rows) == [(20, 2, 0, MIN)]
