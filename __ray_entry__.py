@@ -1568,6 +1568,16 @@ def q_gap_stats(sf_dir: str):
     return gap_stats(ev, _cfg())
 
 
+def q_window_join(sf_dir: str):
+    """Attribution-style windowed join: every purchase matched to ALL
+    clicks of the same user in the prior hour (inclusive ends) — the
+    all-matches counterpart of asof_join."""
+    from deepblocker_ray.stages.events import window_join
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    return window_join(ev, _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1667,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_counts": q_pivot_counts,
         "resample_ffill": q_resample_ffill,
         "gap_stats": q_gap_stats,
+        "window_join": q_window_join,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -3059,6 +3070,16 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY ts_us, event_id) AS path,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, session_seq
+        """,
+        "window_join": """
+            SELECT l.event_id AS left_id, r.event_id AS right_id,
+                   l.user_id,
+                   epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+            FROM events l JOIN events r
+              ON l.user_id = r.user_id
+             AND l.event_type = 'purchase' AND r.event_type = 'click'
+             AND epoch_us(r.ts) <= epoch_us(l.ts)
+             AND epoch_us(r.ts) >= epoch_us(l.ts) - 3600000000
         """,
         "resample_ffill": """
             WITH o AS (

@@ -242,6 +242,7 @@ def main() -> None:
         "pivot_counts",
         "resample_ffill",
         "gap_stats",
+        "window_join",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -1142,3 +1142,67 @@ class TestGapStats:
             (9, 20, T0 + MIN, "a", 0.0),
         ]
         assert self._run(ray_session, rows) == [(20, 2, 0, MIN)]
+
+
+class TestWindowJoin:
+    def _run(self, ray_session, rows, **kw):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.events import window_join
+
+        out = window_join(
+            rd.from_pandas(_events_df(rows)), CFG,
+            left_type="purchase", right_type="click", **kw
+        ).to_pandas()
+        return sorted(
+            (int(r.left_id), int(r.right_id), int(r.lag_us))
+            for r in out.itertuples()
+        )
+
+    def test_all_matches_within_window(self, ray_session):
+        rows = [
+            (1, 10, T0 + 0 * MIN, "click", 0.0),
+            (2, 10, T0 + 30 * MIN, "click", 0.0),
+            (3, 10, T0 + 61 * MIN, "click", 0.0),
+            (4, 10, T0 + 61 * MIN, "purchase", 0.0),   # matches 2,3 (1 is 61m back)
+            (5, 10, T0 + 200 * MIN, "purchase", 0.0),  # nothing in window
+            (6, 20, T0 + 61 * MIN, "purchase", 0.0),   # other user: no clicks
+        ]
+        assert self._run(ray_session, rows) == [
+            (4, 2, 31 * MIN),
+            (4, 3, 0),
+        ]
+
+    def test_window_boundary_inclusive(self, ray_session):
+        rows = [
+            (1, 10, T0, "click", 0.0),
+            (2, 10, T0 + 60 * MIN, "purchase", 0.0),  # exactly Δ back → in
+        ]
+        assert self._run(ray_session, rows) == [(2, 1, 60 * MIN)]
+
+    def test_matches_brute_force(self, ray_session):
+        rng = np.random.default_rng(13)
+        rows = []
+        for i in range(400):
+            rows.append(
+                (i, int(rng.integers(6)),
+                 T0 + int(rng.integers(0, 500)) * MIN,
+                 str(rng.choice(["click", "purchase", "view"])), 0.0)
+            )
+        got = self._run(ray_session, rows)
+        lb = 60 * MIN
+        want = sorted(
+            (l[0], r[0], l[2] - r[2])
+            for l in rows if l[3] == "purchase"
+            for r in rows if r[3] == "click" and r[1] == l[1]
+            and 0 <= l[2] - r[2] <= lb
+        )
+        assert got == want
+
+    def test_validation(self, ray_session):
+        with pytest.raises(ValueError):
+            self._run(ray_session, [], lookback_minutes=0)
+        from deepblocker_ray.stages.events import window_join
+
+        with pytest.raises(ValueError):
+            window_join(None, CFG, left_type="x", right_type="x")
