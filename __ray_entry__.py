@@ -1578,6 +1578,30 @@ def q_window_join(sf_dir: str):
     return window_join(ev, _cfg())
 
 
+def q_soundex_key(sf_dir: str):
+    """Phonetic blocking keys (simplified Soundex, H/W-as-vowel variant)
+    over part names — the classic lexical ER blocking function; scalar
+    kernel runs once per DISTINCT name via factorize."""
+    import ray.data as rd
+
+    from deepblocker_ray.functions.phonetic import soundex_series
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+
+    def add_key(t: pa.Table) -> pa.Table:
+        keys = soundex_series(t.column("p_name").to_pylist())
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "soundex": pa.array(keys, pa.string()),
+            }
+        )
+
+    return part.map_batches(add_key, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1678,6 +1702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_ffill": q_resample_ffill,
         "gap_stats": q_gap_stats,
         "window_join": q_window_join,
+        "soundex_key": q_soundex_key,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -1847,6 +1872,7 @@ def _text_normalize_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from deepblocker_ray.fixtures import transcripts_from_documents_sql
+    from deepblocker_ray.functions.phonetic import sql_soundex_expr
     from deepblocker_ray.functions.tokenizer import sql_tokens_expr
 
     transcripts_cte = transcripts_from_documents_sql()
@@ -3070,6 +3096,11 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY ts_us, event_id) AS path,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, session_seq
+        """,
+        "soundex_key": f"""
+            SELECT p_partkey,
+                   {sql_soundex_expr('p_name')} AS soundex
+            FROM part
         """,
         "window_join": """
             SELECT l.event_id AS left_id, r.event_id AS right_id,

@@ -243,6 +243,7 @@ def main() -> None:
         "resample_ffill",
         "gap_stats",
         "window_join",
+        "soundex_key",
     ]
     for name in query_names:
         r = bench_query(q[name])

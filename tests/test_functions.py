@@ -335,3 +335,59 @@ class TestBpeTokenCount:
             for t in self.TEXTS
         ]
         assert sql_counts == want_bpe
+
+
+class TestSoundex:
+    def test_classic_vectors(self):
+        from deepblocker_ray.functions.phonetic import soundex
+
+        assert soundex("Robert") == "R163"
+        assert soundex("Rupert") == "R163"
+        assert soundex("Honeyman") == "H555"
+        assert soundex("Tymczak") == "T522"
+        # simplified variant: H/W are vowels, so no H/W bridging
+        assert soundex("Ashcraft") == "A226"
+        assert soundex("Pfister") == "P236"
+
+    def test_edge_inputs(self):
+        from deepblocker_ray.functions.phonetic import soundex
+
+        assert soundex("") == ""
+        assert soundex(None) == ""
+        assert soundex("123 !?") == ""
+        assert soundex("A") == "A000"
+        assert soundex("  o'Brien-X ") == "O165"
+
+    def test_series_matches_scalar_and_dedups(self):
+        import numpy as np
+
+        from deepblocker_ray.functions.phonetic import (
+            soundex,
+            soundex_series,
+        )
+
+        vals = ["Robert", None, "robert", "", "Smith", "Robert"]
+        got = soundex_series(vals)
+        assert list(got) == [soundex(v) for v in vals]
+        assert got[0] == got[5]
+
+    def test_sql_twin_parity(self):
+        import duckdb
+
+        from deepblocker_ray.functions.phonetic import (
+            soundex,
+            sql_soundex_expr,
+        )
+
+        names = [
+            "Robert", "Rupert", "Ashcraft", "Tymczak", "Honeyman",
+            "", "42", "aaaa", "LLOYD", "schwarz", "o'brien",
+        ]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t(s VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", [(n,) for n in names])
+        rows = con.execute(
+            f"SELECT s, {sql_soundex_expr('s')} FROM t"
+        ).fetchall()
+        for s, sx in rows:
+            assert sx == soundex(s), (s, sx, soundex(s))
