@@ -3204,7 +3204,7 @@ def oracle_sql() -> dict[str, str]:
             WITH pred AS ({_cc_sql(neardup_pairs, "embeddings", "vec_id")}),
             lab AS (SELECT CAST(vec_id AS VARCHAR) AS id,
                            CAST(label AS BIGINT) AS lab
-                    FROM embeddings),
+                    FROM embeddings WHERE label IS NOT NULL),
             j AS (SELECT p.cluster_id AS cl, l.lab
                   FROM pred p JOIN lab l ON l.id = p.doc_id),
             cells AS (SELECT cl, lab, count(*) AS n_cl FROM j GROUP BY 1, 2),

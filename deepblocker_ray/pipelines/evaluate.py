@@ -356,6 +356,9 @@ def cluster_contingency(
     are one vectorized pass over this table; they are deliberately NOT
     emitted so every output column stays integer-exact (a distributed
     float Σ is addition-order-dependent and would break the SQL twin).
+    Items with a NULL gold label are EXCLUDED up front (both engine and
+    twin) — otherwise pandas' NaN-dropping groupby would silently omit
+    their cells while still counting them in n_c.
 
     Scale shape: labels attach via the size-aware broadcast join
     (hash-join fallback past the cap); cell counts and both marginals are
@@ -369,9 +372,9 @@ def cluster_contingency(
     from ..stages.relational import broadcast_join
 
     cfg = cfg or EngineConfig()
-    nb = cfg.num_buckets
 
     def lab_f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(label_col)))
         return pa.table(
             {
                 "_lid": pc.cast(t.column(id_col), pa.string()),

@@ -772,6 +772,18 @@ def _pairwise_intersect_indexed(
     return inter.astype(np.int64), na, nb
 
 
+def _pair_valid_mask(lp, rp) -> np.ndarray:
+    """True where BOTH payload slots are non-null (a null means the id was
+    missing from the payload side — such pairs must be dropped, never
+    scored as empty docs)."""
+    import pyarrow.compute as pc
+
+    return (
+        pc.and_(pc.is_valid(lp), pc.is_valid(rp))
+        .to_numpy(zero_copy_only=False)
+    )
+
+
 def _uniquify_pair_payloads(ls, rs, lp, rp):
     """(per-pair ids + payload arrays) → (unique payload pool, left/right
     index arrays): np.unique over the batch's id strings picks one
@@ -790,17 +802,6 @@ def _uniquify_pair_payloads(ls, rs, lp, rp):
     )
     pool = [views[i] for i in first]
     return pool, inv[:n], inv[n:]
-
-
-def _pairwise_intersect_sizes(
-    la: list[np.ndarray], ra: list[np.ndarray]
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """|a_i ∩ b_i| per pair of SORTED-UNIQUE uint64 sets (identity-indexed
-    wrapper over ``_pairwise_intersect_indexed`` for callers without a
-    shared doc pool)."""
-    n = len(la)
-    idx = np.arange(n, dtype=np.int64)
-    return _pairwise_intersect_indexed(list(la) + list(ra), idx, idx + n)
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -822,14 +823,18 @@ def _jaccard_verify_fn(threshold: float):
 
     def fn(ls, rs, lp, rp) -> pa.Table:
         n = len(ls)
+        valid = _pair_valid_mask(lp, rp)
         pool, li, ri = _uniquify_pair_payloads(ls, rs, lp, rp)
         inter, na, nb = _pairwise_intersect_indexed(pool, li, ri)
         union = na + nb - inter
-        # empty ∧ empty → 1.0 (same rule as the scalar `jaccard`)
+        # empty ∧ empty → 1.0 (same rule as the scalar `jaccard`); pairs
+        # with a NULL payload slot (id missing from the payload side) are
+        # dropped — scoring them as empty docs would emit false duplicates
+        # (same guard as _hamming_verify_fn / _setjoin_verify_fn)
         sims = np.where(
             union > 0, inter / np.maximum(union, 1), 1.0
         )
-        idx = np.nonzero(sims >= threshold)[0]
+        idx = np.nonzero(valid & (sims >= threshold))[0]
         ls = np.asarray(ls, object)
         rs = np.asarray(rs, object)
         return pa.table(

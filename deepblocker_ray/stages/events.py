@@ -1064,14 +1064,16 @@ def transition_counts(ds, cfg: EngineConfig):
         to = tcode[1:][ok]
         if len(fr) == 0:
             return empty
-        k = len(tuniq)
-        counts = np.bincount(fr * k + to, minlength=k * k)
-        nz = np.nonzero(counts)[0]
+        # sparse pair-code counting: np.unique bounds memory by OBSERVED
+        # (from,to) pairs — a dense k*k bincount would allocate quadratic
+        # space for open type domains (URL/page-id-valued event types)
+        k = np.int64(len(tuniq))
+        nz, counts = np.unique(fr * k + to, return_counts=True)
         out = pd.DataFrame(
             {
                 "from_type": tuniq.take(nz // k),
                 "to_type": tuniq.take(nz % k),
-                "cnt": counts[nz].astype(np.int64),
+                "cnt": counts.astype(np.int64),
             }
         )
         from .canonicalize import bucket_of
@@ -1186,6 +1188,11 @@ def pivot_counts(
     len(types)+2 — the caller bounds it."""
     if len(set(types)) != len(types) or not types:
         raise ValueError(f"types must be non-empty and unique, got {types!r}")
+    if {"other", "total"} & set(types):
+        raise ValueError(
+            "'other'/'total' collide with the built-in n_other/n_total "
+            f"columns, got {types!r}"
+        )
     skinny = _project_events(ds, cfg, with_type=True)
     cols = [f"n_{t}" for t in types] + ["n_other", "n_total"]
 
@@ -1417,15 +1424,14 @@ def window_join(
         lmask = uniq[pos] == lu
         parts = []
         chunk = max(1, int((1 << 62) // span))
+        rpos = np.searchsorted(uniq, ru)  # hoisted: reused by every chunk
         for c0 in range(0, len(uniq), chunk):
             c1 = min(len(uniq), c0 + chunk)
-            rm = (np.searchsorted(uniq, ru) >= c0) & (
-                np.searchsorted(uniq, ru) < c1
-            )
+            rm = (rpos >= c0) & (rpos < c1)
             lm = lmask & (pos >= c0) & (pos < c1)
             if not rm.any() or not lm.any():
                 continue
-            rcode = (np.searchsorted(uniq, ru[rm]) - c0).astype(np.int64)
+            rcode = (rpos[rm] - c0).astype(np.int64)
             rkey = rcode * span + (rts[rm] - tmin)
             lcode = (pos[lm] - c0).astype(np.int64)
             l_ts = lts[lm]

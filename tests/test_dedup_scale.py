@@ -327,14 +327,6 @@ class TestPairVerifyKernels:
                 assert inter[k] == len(np.intersect1d(a, b))
                 assert na[k] == len(a) and nb[k] == len(b)
 
-    def test_sizes_wrapper_matches_indexed(self):
-        rng = np.random.default_rng(6)
-        la = [np.unique(rng.choice(50, 10).astype(np.uint64)) for _ in range(40)]
-        ra = [np.unique(rng.choice(50, 10).astype(np.uint64)) for _ in range(40)]
-        inter, na, nb = D._pairwise_intersect_sizes(la, ra)
-        for k in range(40):
-            assert inter[k] == len(np.intersect1d(la[k], ra[k]))
-
     def test_take_arrow_matches_take(self, ray_session):
         """Arrow-native gather must agree with the Python-object path on
         hits, misses, and list payloads."""
@@ -421,3 +413,20 @@ class TestPairVerifyKernels:
             if u and 2 * len(A & B) >= u:
                 want.add((a, b))
         assert got == want
+
+
+class TestNullPayloadGuards:
+    def test_jaccard_verify_drops_null_payload_pairs(self):
+        """A pair whose payload slot is null (id missing from the payload
+        side) must be dropped, NOT scored as an empty doc (J=1.0)."""
+        import pyarrow as pa
+
+        fn = D._jaccard_verify_fn(0.5)
+        lp = pa.array([None, b""], pa.large_binary())
+        rp = pa.array(
+            [b"", np.array([], np.uint64).tobytes()], pa.large_binary()
+        )
+        out = fn(["a", "c"], ["b", "d"], lp, rp)
+        # pair 0: null slot → dropped. pair 1: genuinely empty∧empty → 1.0
+        assert out.column("left_id").to_pylist() == ["c"]
+        assert out.column("jaccard").to_pylist() == [1.0]

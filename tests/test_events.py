@@ -1206,3 +1206,37 @@ class TestWindowJoin:
 
         with pytest.raises(ValueError):
             window_join(None, CFG, left_type="x", right_type="x")
+
+
+class TestReviewFixes:
+    def test_pivot_rejects_builtin_collisions(self, ray_session):
+        from deepblocker_ray.stages.events import pivot_counts
+
+        with pytest.raises(ValueError):
+            pivot_counts(None, CFG, types=("a", "other"))
+        with pytest.raises(ValueError):
+            pivot_counts(None, CFG, types=("total",))
+
+    def test_contingency_null_labels_excluded(self, ray_session):
+        """Items with NULL gold labels are excluded entirely — cells AND
+        both marginals stay internally consistent (sum(n_cl) == n_c)."""
+        import ray.data as rd
+
+        from deepblocker_ray.pipelines.evaluate import cluster_contingency
+
+        pred = rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": ["1", "2", "3"], "cluster_id": ["c", "c", "c"]}
+            )
+        )
+        lab = rd.from_pandas(
+            pd.DataFrame(
+                {"vec_id": [1, 2, 3], "label": pd.array([7, None, 7],
+                                                        dtype="Int64")}
+            )
+        )
+        out = cluster_contingency(pred, lab, cfg=CFG).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["cluster_id"], int(r["label"]), int(r["n_cl"]),
+                int(r["n_c"]), int(r["n_l"])) == ("c", 7, 2, 2, 2)
