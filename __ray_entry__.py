@@ -1602,6 +1602,24 @@ def q_soundex_key(sf_dir: str):
     return part.map_batches(add_key, batch_format="pyarrow")
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary (shipdate ≤ 1998-09-02) in exact
+    fixed-point units — map-side partials over a ≤6-row group domain."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import pricing_summary
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+    # naive 1998-09-02T00:00:00 in epoch micros (timestamps are tz-naive)
+    return pricing_summary(li, _cfg(), cutoff_us=904694400000000)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1703,6 +1721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_stats": q_gap_stats,
         "window_join": q_window_join,
         "soundex_key": q_soundex_key,
+        "pricing_summary": q_pricing_summary,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -3101,6 +3120,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    {sql_soundex_expr('p_name')} AS soundex
             FROM part
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       ) AS BIGINT) AS sum_disc_e4,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                            * (100 + CAST(round(l_tax * 100) AS BIGINT))
+                       ) AS BIGINT) AS sum_charge_e6,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
         """,
         "window_join": """
             SELECT l.event_id AS left_id, r.event_id AS right_id,

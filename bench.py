@@ -244,6 +244,7 @@ def main() -> None:
         "gap_stats",
         "window_join",
         "soundex_key",
+        "pricing_summary",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -537,3 +537,76 @@ def rollup_counts(ds, cfg: EngineConfig, *, dims: tuple[str, str] = ("lang", "so
         ),
         batch_format="pyarrow",
     )
+
+
+def pricing_summary(lineitem, cfg: EngineConfig, *, cutoff_us: int):
+    """TPC-H Q1-shaped pricing summary in exact integer arithmetic: over
+    lineitem rows with ``l_shipdate <= cutoff``, per (l_returnflag,
+    l_linestatus) emit sum_qty, sum_base_cents (1e-2 $), sum_disc_e4
+    (price·(100−disc), 1e-4 $), sum_charge_e6 (price·(100−disc)·(100+tax),
+    1e-6 $) and count_order. Fixed-point units make every sum associative
+    and bit-reproducible against the twin — float Σ would hash-mismatch.
+
+    Scale shape: the filter + per-batch partial aggregate run map-side
+    (the group domain is ≤ |flags|·|statuses| rows per batch), ONE
+    single-partition combine over the tiny partial stream — the exchange
+    is bounded by the domain product, never row count. Column pruning at
+    the read is the caller's job (q_pricing_summary passes columns=)."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        t = t.filter(pc.less_equal(ship, pa.scalar(cutoff_us)))
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.int64()),
+                    "sum_base_cents": pa.array([], pa.int64()),
+                    "sum_disc_e4": pa.array([], pa.int64()),
+                    "sum_charge_e6": pa.array([], pa.int64()),
+                    "count_order": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t.column("l_returnflag").to_pandas(),
+                "l_linestatus": t.column("l_linestatus").to_pandas(),
+            }
+        )
+        qty = np.round(np.asarray(t.column("l_quantity"))).astype(np.int64)
+        cents = np.round(
+            np.asarray(t.column("l_extendedprice")) * 100
+        ).astype(np.int64)
+        disc = np.round(np.asarray(t.column("l_discount")) * 100).astype(
+            np.int64
+        )
+        tax = np.round(np.asarray(t.column("l_tax")) * 100).astype(np.int64)
+        df["sum_qty"] = qty
+        df["sum_base_cents"] = cents
+        df["sum_disc_e4"] = cents * (100 - disc)
+        df["sum_charge_e6"] = cents * (100 - disc) * (100 + tax)
+        df["count_order"] = np.int64(1)
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .sum()
+            .reset_index()
+        )
+        for c in g.columns[2:]:
+            g[c] = g[c].astype("int64")
+        return g
+
+    return (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

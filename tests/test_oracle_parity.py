@@ -151,3 +151,61 @@ class TestRollupCounts:
         ).to_pandas()
         for g in (0, 1, 2, 3):
             assert out[out["grp"] == g]["n"].sum() == 500
+
+
+class TestPricingSummary:
+    def test_fixed_point_exactness_and_cutoff(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import pricing_summary
+
+        df = pd.DataFrame(
+            {
+                "l_returnflag": ["A", "A", "N", "A"],
+                "l_linestatus": ["F", "F", "O", "F"],
+                "l_quantity": [3.0, 5.0, 1.0, 9.0],
+                "l_extendedprice": [10.01, 0.07, 5.00, 1.00],
+                "l_discount": [0.05, 0.00, 0.10, 0.02],
+                "l_tax": [0.08, 0.02, 0.00, 0.01],
+                "l_shipdate": pd.to_datetime(
+                    ["1998-01-01", "1998-09-02", "1998-09-03", "1999-01-01"]
+                ),
+            }
+        )
+        # cutoff 1998-09-02 inclusive → rows 0,1 kept (A,F); rows 2,3 cut
+        out = pricing_summary(
+            rd.from_pandas(df), EngineConfig(num_buckets=8),
+            cutoff_us=904694400000000,
+        ).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["l_returnflag"], r["l_linestatus"]) == ("A", "F")
+        assert int(r["sum_qty"]) == 8
+        assert int(r["sum_base_cents"]) == 1001 + 7
+        assert int(r["sum_disc_e4"]) == 1001 * 95 + 7 * 100
+        assert int(r["sum_charge_e6"]) == 1001 * 95 * 108 + 7 * 100 * 102
+        assert int(r["count_order"]) == 2
+
+    def test_empty_after_filter(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import pricing_summary
+
+        df = pd.DataFrame(
+            {
+                "l_returnflag": ["A"],
+                "l_linestatus": ["F"],
+                "l_quantity": [1.0],
+                "l_extendedprice": [1.0],
+                "l_discount": [0.0],
+                "l_tax": [0.0],
+                "l_shipdate": pd.to_datetime(["2001-01-01"]),
+            }
+        )
+        out = pricing_summary(
+            rd.from_pandas(df), EngineConfig(num_buckets=8),
+            cutoff_us=904694400000000,
+        ).to_pandas()
+        assert len(out) == 0
