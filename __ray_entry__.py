@@ -1620,6 +1620,18 @@ def q_pricing_summary(sf_dir: str):
     return pricing_summary(li, _cfg(), cutoff_us=904694400000000)
 
 
+def q_skyline(sf_dir: str):
+    """2D Pareto frontier over purchases (minimize ts, maximize cents):
+    local frontier per block, one bounded merge pass; exact duplicate
+    points are mutually non-dominating and all kept."""
+    from deepblocker_ray.stages.events import skyline
+
+    ev = _events(
+        sf_dir, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    return skyline(ev, _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1722,6 +1734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_join": q_window_join,
         "soundex_key": q_soundex_key,
         "pricing_summary": q_pricing_summary,
+        "skyline": q_skyline,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -3120,6 +3133,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    {sql_soundex_expr('p_name')} AS soundex
             FROM part
+        """,
+        "skyline": """
+            WITH o AS (
+                SELECT event_id, epoch_us(ts) AS ts_us,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT e.event_id, e.ts_us, e.cents
+            FROM o e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM o d
+                WHERE d.ts_us <= e.ts_us AND d.cents >= e.cents
+                  AND (d.ts_us < e.ts_us OR d.cents > e.cents)
+            )
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -245,6 +245,7 @@ def main() -> None:
         "window_join",
         "soundex_key",
         "pricing_summary",
+        "skyline",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -1469,3 +1469,77 @@ def window_join(
     return skinny.groupby("_bucket").map_groups(
         per_bucket, batch_format="pandas"
     )
+
+
+def _frontier_2d(
+    ts: np.ndarray, cents: np.ndarray
+) -> np.ndarray:
+    """Boolean mask of the 2D Pareto frontier (minimize ts, maximize
+    cents) with EXACT tie semantics: a point is dominated iff some other
+    point is ≤ in ts AND ≥ in cents AND strictly better in at least one;
+    exact duplicates never dominate each other (all kept). Vectorized:
+    unique (ts, cents) pairs, per-ts max, strict running max over ts
+    ascending."""
+    n = len(ts)
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((-cents.astype(np.int64), ts))
+    ts_s, c_s = ts[order], cents[order]
+    first_of_ts = np.concatenate(([True], ts_s[1:] != ts_s[:-1]))
+    # per-ts max cents = the first entry of each ts group (cents desc)
+    grp = np.cumsum(first_of_ts) - 1
+    ts_max = c_s[first_of_ts]  # one per unique ts, ts ascending
+    prevmax = np.concatenate(
+        ([np.iinfo(np.int64).min], np.maximum.accumulate(ts_max)[:-1])
+    )
+    good_ts_group = ts_max > prevmax  # strict: equal cents earlier wins
+    keep_sorted = good_ts_group[grp] & (c_s == ts_max[grp])
+    keep = np.zeros(n, bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def skyline(
+    ds,
+    cfg: EngineConfig,
+    *,
+    event_type: str = "purchase",
+):
+    """2D Pareto frontier — "earliest high-value" events of one type:
+    keep every event not dominated by another (dominated = other has
+    ts ≤ AND cents ≥ with at least one strict; exact (ts, cents)
+    duplicates are mutually non-dominating and ALL kept). Emits
+    (event_id, ts_us, cents).
+
+    Textbook distributed skyline: each block computes its LOCAL frontier
+    map-side (global frontier points survive every local pass; locally
+    dominated points are globally dominated — both directions exact),
+    then one single-partition pass over the union of local frontiers
+    removes cross-block dominated points. The merge input is bounded by
+    the frontier sizes, not the row count (worst case — all points on
+    the frontier — degenerates to the output size, which any exact
+    skyline must materialize anyway)."""
+    skinny = _project_events(ds, cfg, with_value=True, types=(event_type,))
+
+    empty = pd.DataFrame(
+        {
+            "event_id": pd.Series(dtype=np.int64),
+            "ts_us": pd.Series(dtype=np.int64),
+            "cents": pd.Series(dtype=np.int64),
+        }
+    )
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty
+        keep = _frontier_2d(
+            df["ts_us"].to_numpy(np.int64), df["cents"].to_numpy(np.int64)
+        )
+        out = df.loc[keep, ["event_id", "ts_us", "cents"]]
+        return out.astype(np.int64)
+
+    return (
+        skinny.map_batches(local, batch_format="pandas")
+        .repartition(1)
+        .map_batches(local, batch_format="pandas")
+    )

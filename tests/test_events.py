@@ -1240,3 +1240,49 @@ class TestReviewFixes:
         r = out.iloc[0]
         assert (r["cluster_id"], int(r["label"]), int(r["n_cl"]),
                 int(r["n_c"]), int(r["n_l"])) == ("c", 7, 2, 2, 2)
+
+
+class TestSkyline:
+    def _brute(self, pts):
+        out = []
+        for i, (t, c) in enumerate(pts):
+            dom = any(
+                (t2 <= t and c2 >= c and (t2 < t or c2 > c))
+                for j, (t2, c2) in enumerate(pts) if j != i
+            )
+            if not dom:
+                out.append(i)
+        return out
+
+    def test_frontier_matches_brute_force_with_dups(self):
+        from deepblocker_ray.stages.events import _frontier_2d
+
+        rng = np.random.default_rng(21)
+        ts = rng.integers(0, 12, 300).astype(np.int64)
+        cents = rng.integers(0, 12, 300).astype(np.int64)  # many exact dups
+        keep = _frontier_2d(ts, cents)
+        want = set(self._brute(list(zip(ts, cents))))
+        assert set(np.nonzero(keep)[0]) == want
+
+    def test_distributed_merge_equals_single_pass(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.events import _frontier_2d, skyline
+
+        rng = np.random.default_rng(22)
+        n = 500
+        rows = [
+            (i, int(rng.integers(9)), T0 + int(rng.integers(0, 1000)) * MIN,
+             "purchase", float(rng.integers(0, 50)) / 7)
+            for i in range(n)
+        ]
+        # many small blocks to force a real local→merge path
+        ds = rd.from_pandas(_events_df(rows)).repartition(16)
+        out = skyline(ds, CFG).to_pandas()
+        ts = np.array([r[2] for r in rows], np.int64)
+        cents = np.round(
+            np.array([r[4] for r in rows]) * 100
+        ).astype(np.int64)
+        keep = _frontier_2d(ts, cents)
+        want = sorted(np.array([r[0] for r in rows])[keep].tolist())
+        assert sorted(out["event_id"].tolist()) == want
