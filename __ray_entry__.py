@@ -1632,6 +1632,15 @@ def q_skyline(sf_dir: str):
     return skyline(ev, _cfg())
 
 
+def q_knn_triangles(sf_dir: str):
+    """Exact triangle count of the k=5 cosine-kNN blocking graph — the
+    clustering-coefficient numerator over the candidate graph; wedges
+    generated at their smallest node so each triangle counts once."""
+    from deepblocker_ray.stages.cluster import triangle_count
+
+    return triangle_count(q_blocking_vec(sf_dir), _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1735,6 +1744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "soundex_key": q_soundex_key,
         "pricing_summary": q_pricing_summary,
         "skyline": q_skyline,
+        "knn_triangles": q_knn_triangles,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2198,6 +2208,23 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "blocking_vec": blocking_vec_sql,
+        "knn_triangles": f"""
+            WITH docs AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id, embedding
+                FROM embeddings
+            ),
+            {vec_ranked},
+            e AS (
+                SELECT least(qid, xid) AS a, greatest(qid, xid) AS b
+                FROM ranked WHERE rk <= {VEC_K} GROUP BY 1, 2
+            )
+            SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST((SELECT count(*)
+                         FROM e e1
+                         JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                         JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+                       AS BIGINT) AS n_triangles
+        """,
         "linkage_vec": _cc_sql(linkage_vec_pairs, linkage_vec_base, "vec_id"),
         "blocking_vec_2t": blocking_vec_2t_sql,
         "linkage_vec_inc": _cc_sql(

@@ -246,6 +246,7 @@ def main() -> None:
         "soundex_key",
         "pricing_summary",
         "skyline",
+        "knn_triangles",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -384,3 +384,48 @@ class TestJsonFieldExtract:
 
         with _pt.raises(ValueError):
             json_field_extract(ds, "props", "k", out_type="float")
+
+
+class TestTriangleCount:
+    def _run(self, ray_session, edges):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.cluster import triangle_count
+
+        df = pd.DataFrame(edges, columns=["left_id", "right_id"])
+        out = triangle_count(
+            rd.from_pandas(df), EngineConfig(num_buckets=8)
+        ).to_pandas()
+        return int(out["n_edges"].iloc[0]), int(out["n_triangles"].iloc[0])
+
+    def test_known_graphs(self, ray_session):
+        # triangle + pendant edge: K3 on a,b,c plus c-d
+        assert self._run(
+            ray_session, [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]
+        ) == (4, 1)
+        # K4 has 4 triangles
+        k4 = [("a", "b"), ("a", "c"), ("a", "d"),
+              ("b", "c"), ("b", "d"), ("c", "d")]
+        assert self._run(ray_session, k4) == (6, 4)
+        # path graph: none
+        assert self._run(
+            ray_session, [("a", "b"), ("b", "c"), ("c", "d")]
+        ) == (3, 0)
+
+    def test_random_graph_vs_brute(self, ray_session):
+        import itertools
+
+        rng = np.random.default_rng(31)
+        nodes = [f"n{i:02d}" for i in range(20)]
+        edges = sorted(
+            {tuple(sorted(rng.choice(nodes, 2, replace=False)))
+             for _ in range(60)}
+        )
+        eset = set(edges)
+        want = sum(
+            1 for x, y, z in itertools.combinations(nodes, 3)
+            if (x, y) in eset and (x, z) in eset and (y, z) in eset
+        )
+        got_e, got_t = self._run(ray_session, edges)
+        assert (got_e, got_t) == (len(edges), want)
