@@ -1641,6 +1641,15 @@ def q_knn_triangles(sf_dir: str):
     return triangle_count(q_blocking_vec(sf_dir), _cfg())
 
 
+def q_group_mode(sf_dir: str):
+    """Per-user modal event type (deterministic MODE: count DESC, type
+    ASC tie-break; NULL types excluded)."""
+    from deepblocker_ray.stages.events import group_mode
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    return group_mode(ev, _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1745,6 +1754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "skyline": q_skyline,
         "knn_triangles": q_knn_triangles,
+        "group_mode": q_group_mode,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -3160,6 +3170,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    {sql_soundex_expr('p_name')} AS soundex
             FROM part
+        """,
+        "group_mode": """
+            WITH c AS (
+                SELECT user_id, event_type, count(*) AS cnt
+                FROM events WHERE event_type IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id
+                    ORDER BY cnt DESC, event_type ASC
+                ) AS rn
+                FROM c
+            )
+            SELECT user_id, event_type AS mode_type,
+                   CAST(cnt AS BIGINT) AS n
+            FROM r WHERE rn = 1
         """,
         "skyline": """
             WITH o AS (

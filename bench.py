@@ -247,6 +247,7 @@ def main() -> None:
         "pricing_summary",
         "skyline",
         "knn_triangles",
+        "group_mode",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -1543,3 +1543,67 @@ def skyline(
         .repartition(1)
         .map_batches(local, batch_format="pandas")
     )
+
+
+def group_mode(ds, cfg: EngineConfig):
+    """Per-user modal event type — the deterministic MODE aggregate SQL
+    lacks portably: the type with the highest count, ties broken by type
+    ASC (bit-stable; NULL types excluded). Emits (user_id, mode_type, n).
+
+    Map-side (user, type, cnt) partials collapse each batch before the
+    ONE hash(user) exchange; per bucket one groupby-sum and one lexsort
+    picks every user's argmax row — no per-user loop."""
+    skinny = _project_events(ds, cfg, with_type=True)
+
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series(dtype=np.int64),
+            "mode_type": pd.Series(dtype=object),
+            "n": pd.Series(dtype=np.int64),
+        }
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].notna()]
+        if len(df) == 0:
+            out = empty.copy()
+            out["_bucket"] = pd.Series(dtype=np.int32)
+            return out.rename(columns={"mode_type": "event_type", "n": "cnt"})
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        g["_bucket"] = _user_bucket(
+            g["user_id"].to_numpy(np.int64), cfg.num_buckets
+        )
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty
+        s = (
+            g.groupby(["user_id", "event_type"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        u = s["user_id"].to_numpy(np.int64)
+        c = s["cnt"].to_numpy(np.int64)
+        t = s["event_type"].to_numpy(object)
+        order = np.lexsort((t, -c, u))
+        u, c, t = u[order], c[order], t[order]
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        return pd.DataFrame(
+            {
+                "user_id": u[first],
+                "mode_type": t[first],
+                "n": c[first],
+            }
+        )
+
+    return (
+        skinny.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

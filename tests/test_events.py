@@ -1286,3 +1286,26 @@ class TestSkyline:
         keep = _frontier_2d(ts, cents)
         want = sorted(np.array([r[0] for r in rows])[keep].tolist())
         assert sorted(out["event_id"].tolist()) == want
+
+
+class TestGroupMode:
+    def test_tie_breaks_on_type_asc_and_nulls_excluded(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.events import group_mode
+
+        rows = [
+            (1, 10, T0, "b", 0.0),
+            (2, 10, T0, "b", 0.0),
+            (3, 10, T0, "a", 0.0),
+            (4, 10, T0, "a", 0.0),   # tie a vs b → 'a' wins (type ASC)
+            (5, 10, T0, None, 0.0),  # NULLs excluded from counting
+            (6, 20, T0, None, 0.0),  # all-null user → no row
+            (7, 30, T0, "z", 0.0),
+        ]
+        out = group_mode(
+            rd.from_pandas(_events_df(rows)), CFG
+        ).to_pandas().sort_values("user_id")
+        assert list(
+            zip(out["user_id"], out["mode_type"], out["n"].astype(int))
+        ) == [(10, "a", 2), (30, "z", 1)]
