@@ -1650,6 +1650,15 @@ def q_group_mode(sf_dir: str):
     return group_mode(ev, _cfg())
 
 
+def q_meta_blocking(sf_dir: str):
+    """Meta-blocking with Weighted Node Pruning over word-3-gram blocks
+    (2 ≤ df ≤ 5): pair weight = shared-block count, edge kept iff
+    w ≥ mean edge weight of either endpoint (integer cross-multiplied)."""
+    from deepblocker_ray.stages.dedup import meta_blocking
+
+    return meta_blocking(_documents(sf_dir), cfg=_cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1755,6 +1764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": q_skyline,
         "knn_triangles": q_knn_triangles,
         "group_mode": q_group_mode,
+        "meta_blocking": q_meta_blocking,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -3170,6 +3180,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey,
                    {sql_soundex_expr('p_name')} AS soundex
             FROM part
+        """,
+        "meta_blocking": f"""
+            WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                              {tokens} AS tk
+                       FROM documents),
+            g AS (
+                SELECT doc_id, unnest(list_distinct(CASE
+                     WHEN len(tk) = 0 THEN []
+                     WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                     ELSE [array_to_string(tk[x : x + 2], ' ')
+                           for x in generate_series(1, len(tk) - 2)]
+                     END)) AS gram
+                FROM d
+            ),
+            f AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+            gg AS (SELECT g.doc_id, g.gram
+                   FROM g JOIN f ON f.gram = g.gram
+                   WHERE f.df BETWEEN 2 AND 5),
+            e AS (SELECT a.doc_id AS l, b.doc_id AS r,
+                         CAST(count(*) AS BIGINT) AS w
+                  FROM gg a JOIN gg b ON b.gram = a.gram
+                                     AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            nodes AS (SELECT n, CAST(count(*) AS BIGINT) AS deg,
+                             CAST(sum(w) AS BIGINT) AS sw
+                      FROM (SELECT l AS n, w FROM e
+                            UNION ALL SELECT r AS n, w FROM e)
+                      GROUP BY n)
+            SELECT e.l AS left_id, e.r AS right_id, e.w
+            FROM e JOIN nodes na ON na.n = e.l
+                   JOIN nodes nb ON nb.n = e.r
+            WHERE e.w * na.deg >= na.sw OR e.w * nb.deg >= nb.sw
         """,
         "group_mode": """
             WITH c AS (

@@ -248,6 +248,7 @@ def main() -> None:
         "skyline",
         "knn_triangles",
         "group_mode",
+        "meta_blocking",
     ]
     for name in query_names:
         r = bench_query(q[name])

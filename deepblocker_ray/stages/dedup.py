@@ -1949,3 +1949,174 @@ def dup_size_histogram(
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )
+
+
+# ------------------------------------------------------------ meta-blocking --
+
+
+def meta_blocking(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: EngineConfig | None = None,
+    ngram: int = 3,
+    df_cap: int = 5,
+):
+    """Meta-blocking with Weighted Node Pruning (Papadakis et al., TKDE'14
+    — the JedAI block-cleaning stage): build the BLOCK GRAPH from an
+    inverted index of non-stop word n-grams (2 ≤ df ≤ df_cap), weight
+    every co-occurring pair by its Common Block Scheme count (number of
+    shared blocks), and keep an edge iff its weight reaches the MEAN edge
+    weight of EITHER endpoint. The mean compare is exact integer
+    cross-multiplication (w·deg ≥ Σw), never a float. Emits
+    (left_id, right_id, w) for the retained comparisons.
+
+    Scale shape: gram signatures are the shared vectorized ``_ngram_map``
+    kernel; ONE gram-bucket exchange computes df and prunes stop grams
+    (block purging — df_cap bounds every posting list, so per-block pair
+    work is ≤ C(df_cap, 2) with no salting needed by construction); pair
+    weights pre-combine per bucket before ONE pair-bucket exchange; node
+    degree/weight sums are bounded by the doc count and attach via the
+    size-aware broadcast join."""
+    from ..config import parallel_blocks
+    from ..stages.relational import broadcast_join
+
+    if df_cap < 2:
+        raise ValueError(f"df_cap must be >= 2, got {df_cap}")
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    ds = parallel_blocks(ds).materialize()
+    sigs = ds.map_batches(
+        _ngram_map(ngram, 0, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=cfg.embed_batch_size,
+    )
+    exploded = sigs.map_batches(
+        lambda t: _explode_list(t, "grams"), batch_format="pyarrow"
+    )
+
+    def add_gram_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "bkey": df["bkey"],
+                "_bucket": (
+                    df["bkey"].to_numpy().astype(np.uint64) % np.uint64(nb)
+                ).astype(np.int32),
+            }
+        )
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a gram land in this bucket → within-group size IS df;
+        # purge stop blocks (df > cap) and singletons, pair within blocks,
+        # pre-combine pair weights before the pair exchange
+        sz = g.groupby("bkey", sort=False)["doc_id"].transform("size")
+        g = g[(sz >= 2) & (sz <= df_cap)]
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "left_id": pd.Series(dtype=object),
+                    "right_id": pd.Series(dtype=object),
+                    "w": pd.Series(dtype=np.int64),
+                    "_bucket2": pd.Series(dtype=np.int32),
+                }
+            )
+        m = g.merge(g, on="bkey")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        c = (
+            m.groupby(["doc_id_x", "doc_id_y"], sort=False)
+            .size()
+            .rename("w")
+            .reset_index()
+        )
+        out = pd.DataFrame(
+            {
+                "left_id": c["doc_id_x"],
+                "right_id": c["doc_id_y"],
+                "w": c["w"].astype(np.int64),
+            }
+        )
+        out["_bucket2"] = bucket_of(
+            out["left_id"] + "\x00" + out["right_id"], nb
+        )
+        return out
+
+    def combine_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(["left_id", "right_id"], sort=False)["w"]
+            .sum()
+            .reset_index()
+        )
+        s["w"] = s["w"].astype("int64")
+        return s
+
+    edges = (
+        exploded.map_batches(add_gram_bucket, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(block_pairs, batch_format="pandas")
+        .groupby("_bucket2")
+        .map_groups(combine_pairs, batch_format="pandas")
+        .materialize()
+    )
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "n": pd.concat([df["left_id"], df["right_id"]],
+                               ignore_index=True),
+                "w": pd.concat([df["w"], df["w"]], ignore_index=True),
+            }
+        )
+        out["_bucket"] = bucket_of(out["n"], nb)
+        return out
+
+    def node_stats(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("n", sort=False)["w"].agg(["size", "sum"]).reset_index()
+        return pd.DataFrame(
+            {
+                "n": s["n"],
+                "deg": s["size"].astype("int64"),
+                "sw": s["sum"].astype("int64"),
+            }
+        )
+
+    nodes = (
+        edges.map_batches(node_rows, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(node_stats, batch_format="pandas")
+    )
+
+    j = broadcast_join(
+        edges, nodes.map_batches(
+            lambda df: df.rename(
+                columns={"n": "left_id", "deg": "deg_a", "sw": "sw_a"}
+            ),
+            batch_format="pandas",
+        ),
+        big_key="left_id", small_key="left_id",
+        payload_cols=["deg_a", "sw_a"], cfg=cfg,
+    )
+    j = broadcast_join(
+        j, nodes.map_batches(
+            lambda df: df.rename(
+                columns={"n": "right_id", "deg": "deg_b", "sw": "sw_b"}
+            ),
+            batch_format="pandas",
+        ),
+        big_key="right_id", small_key="right_id",
+        payload_cols=["deg_b", "sw_b"], cfg=cfg,
+    )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        keep = (w * df["deg_a"].to_numpy(np.int64)
+                >= df["sw_a"].to_numpy(np.int64)) | (
+            w * df["deg_b"].to_numpy(np.int64)
+            >= df["sw_b"].to_numpy(np.int64)
+        )
+        out = df.loc[keep, ["left_id", "right_id", "w"]].copy()
+        out["w"] = out["w"].astype("int64")
+        return out
+
+    return j.map_batches(prune, batch_format="pandas")

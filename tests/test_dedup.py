@@ -237,3 +237,65 @@ class TestDecontaminate:
         assert out.loc[2, "contamination"] == 0.0
         assert not bool(out.loc[2, "is_contaminated"])
         assert out.loc[0, "n_grams"] == 6  # 8 words → 6 trigrams
+
+
+class TestMetaBlocking:
+    def test_wnp_rule_vs_brute_force(self, ray_session):
+        import itertools
+
+        import ray.data as rd
+
+        from deepblocker_ray.functions.tokenizer import tokenize
+        from deepblocker_ray.stages.dedup import meta_blocking
+
+        rng = np.random.default_rng(17)
+        vocab = [f"w{i}" for i in range(25)]
+        texts = {}
+        for i in range(50):
+            k = int(rng.integers(3, 12))
+            texts[f"d{i:03d}"] = " ".join(rng.choice(vocab, k))
+        df = pd.DataFrame(
+            {"doc_id": list(texts), "text": list(texts.values())}
+        )
+        out = meta_blocking(
+            rd.from_pandas(df), cfg=EngineConfig(num_buckets=8)
+        ).to_pandas()
+        got = sorted(
+            zip(out["left_id"], out["right_id"], out["w"].astype(int))
+        )
+
+        # brute force: word-3-gram blocks (short-doc fallback), df in [2,5],
+        # CBS weights, WNP keep rule
+        def grams(t):
+            tk = tokenize(t)
+            if not tk:
+                return set()
+            if len(tk) < 3:
+                return {" ".join(tk)}
+            return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+
+        from collections import Counter, defaultdict
+
+        gsets = {k: grams(v) for k, v in texts.items()}
+        df_ = Counter(g for s in gsets.values() for g in s)
+        w = Counter()
+        for a, b in itertools.combinations(sorted(gsets), 2):
+            shared = {
+                g for g in gsets[a] & gsets[b] if 2 <= df_[g] <= 5
+            }
+            if shared:
+                w[(a, b)] = len(shared)
+        deg, sw = Counter(), Counter()
+        for (a, b), ww in w.items():
+            deg[a] += 1; deg[b] += 1; sw[a] += ww; sw[b] += ww
+        want = sorted(
+            (a, b, ww) for (a, b), ww in w.items()
+            if ww * deg[a] >= sw[a] or ww * deg[b] >= sw[b]
+        )
+        assert got == want
+
+    def test_df_cap_validation(self, ray_session):
+        from deepblocker_ray.stages.dedup import meta_blocking
+
+        with pytest.raises(ValueError):
+            meta_blocking(None, df_cap=1)
