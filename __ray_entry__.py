@@ -1659,6 +1659,25 @@ def q_meta_blocking(sf_dir: str):
     return meta_blocking(_documents(sf_dir), cfg=_cfg())
 
 
+def q_ship_latency(sf_dir: str):
+    """Per-priority order-fulfilment latency (days from order date to the
+    LAST lineitem shipment; trunc-division matching DuckDB //): n_orders,
+    lower-median and max — a fact-to-fact co-partitioned join through one
+    shared orderkey exchange."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import ship_latency
+
+    o = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    return ship_latency(o, li, _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1765,6 +1784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_triangles": q_knn_triangles,
         "group_mode": q_group_mode,
         "meta_blocking": q_meta_blocking,
+        "ship_latency": q_ship_latency,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -3212,6 +3232,22 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN nodes na ON na.n = e.l
                    JOIN nodes nb ON nb.n = e.r
             WHERE e.w * na.deg >= na.sw OR e.w * nb.deg >= nb.sw
+        """,
+        "ship_latency": """
+            WITH lat AS (
+                SELECT o.o_orderpriority AS priority,
+                       (max(epoch_us(l.l_shipdate))
+                        - min(epoch_us(o.o_orderdate))) // 86400000000
+                           AS days
+                FROM orders o
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                GROUP BY o.o_orderkey, o.o_orderpriority
+            )
+            SELECT priority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(quantile_disc(days, 0.5) AS BIGINT) AS median_days,
+                   CAST(max(days) AS BIGINT) AS max_days
+            FROM lat GROUP BY priority
         """,
         "group_mode": """
             WITH c AS (

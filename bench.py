@@ -249,6 +249,7 @@ def main() -> None:
         "knn_triangles",
         "group_mode",
         "meta_blocking",
+        "ship_latency",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -610,3 +610,131 @@ def pricing_summary(lineitem, cfg: EngineConfig, *, cutoff_us: int):
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )
+
+
+def ship_latency(orders, lineitem, cfg: EngineConfig):
+    """Order-fulfilment latency by priority — the fact-to-fact
+    co-partitioned join shape: per order, days from o_orderdate to the
+    LAST lineitem shipment; per o_orderpriority emit (n_orders,
+    median_days, max_days) with the LOWER median (sorted[(n−1)//2] ≡
+    DuckDB quantile_disc(0.5)). Orders without lineitems emit nothing
+    (inner join).
+
+    Scale shape: both tables project to skinny int64 rows map-side and
+    meet in ONE shared hash(o_orderkey) exchange (union with a side tag —
+    no separate shuffle per table, no broadcast of a fact table); per
+    bucket a groupby-max + hash merge computes per-order latency, then
+    per-priority partial latency COUNTS (≤ |priorities| × |distinct
+    days| rows) flow through a tiny second exchange where the exact
+    order statistics read off the count vectors."""
+    nb = cfg.num_buckets
+    day_us = np.int64(86_400_000_000)
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        key = np.asarray(t.column("o_orderkey"), np.int64)
+        return pa.table(
+            {
+                "k": t.column("o_orderkey"),
+                "ts": t.column("o_orderdate")
+                .cast(pa.timestamp("us")).cast(pa.int64()),
+                "pri": t.column("o_orderpriority").cast(pa.string()),
+                "_side": pa.array(np.zeros(len(t), np.int8)),
+                "_bucket": pa.array(
+                    (key % nb).astype(np.int32)
+                ),
+            }
+        )
+
+    def l_rows(t: pa.Table) -> pa.Table:
+        key = np.asarray(t.column("l_orderkey"), np.int64)
+        return pa.table(
+            {
+                "k": t.column("l_orderkey"),
+                "ts": t.column("l_shipdate")
+                .cast(pa.timestamp("us")).cast(pa.int64()),
+                "pri": pa.nulls(len(t), pa.string()),
+                "_side": pa.array(np.ones(len(t), np.int8)),
+                "_bucket": pa.array(
+                    (key % nb).astype(np.int32)
+                ),
+            }
+        )
+
+    o = orders.map_batches(o_rows, batch_format="pyarrow")
+    li = lineitem.map_batches(l_rows, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "pri": pd.Series(dtype=object),
+                "days": pd.Series(dtype=np.int64),
+                "cnt": pd.Series(dtype=np.int64),
+                "_bucket2": pd.Series(dtype=np.int32),
+            }
+        )
+        ords = g[g["_side"] == 0]
+        lis = g[g["_side"] == 1]
+        if len(ords) == 0 or len(lis) == 0:
+            return empty
+        last = lis.groupby("k", sort=False)["ts"].max().rename("ship")
+        m = ords.merge(last, left_on="k", right_index=True)
+        if len(m) == 0:
+            return empty
+        diff = m["ship"].to_numpy(np.int64) - m["ts"].to_numpy(np.int64)
+        # trunc-toward-zero division: DuckDB's `//` truncates (-7//2 = -3)
+        # while numpy's floors (-4) — latency can be negative in synthetic
+        # data, so pin the twin's rule explicitly
+        days = np.where(diff < 0, -(-diff // day_us), diff // day_us)
+        c = (
+            pd.DataFrame({"pri": m["pri"].to_numpy(object), "days": days})
+            .groupby(["pri", "days"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        from .canonicalize import bucket_of
+
+        c["_bucket2"] = bucket_of(c["pri"].astype(str), nb)
+        return c
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "priority": pd.Series(dtype=object),
+                    "n_orders": pd.Series(dtype=np.int64),
+                    "median_days": pd.Series(dtype=np.int64),
+                    "max_days": pd.Series(dtype=np.int64),
+                }
+            )
+        s = (
+            g.groupby(["pri", "days"], sort=False)["cnt"].sum().reset_index()
+        )
+        s = s.sort_values(["pri", "days"], kind="mergesort")
+        pri = s["pri"].to_numpy(object)
+        days = s["days"].to_numpy(np.int64)
+        cnt = s["cnt"].to_numpy(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate(([True], pri[1:] != pri[:-1]))
+        )
+        bounds = np.r_[starts, len(pri)]
+        out = []
+        for i, st in enumerate(starts):
+            en = bounds[i + 1]
+            c = cnt[st:en]
+            n = int(c.sum())
+            # lower median from the count vector: first cumsum ≥ (n+1)//2
+            cum = np.cumsum(c)
+            med = days[st:en][np.searchsorted(cum, (n - 1) // 2 + 1)]
+            out.append((pri[st], n, int(med), int(days[en - 1])))
+        return pd.DataFrame(
+            out, columns=["priority", "n_orders", "median_days", "max_days"]
+        )
+
+    return (
+        o.union(li)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("_bucket2")
+        .map_groups(stats, batch_format="pandas")
+    )

@@ -209,3 +209,48 @@ class TestPricingSummary:
             cutoff_us=904694400000000,
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestShipLatency:
+    def test_latency_and_median_rules(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import ship_latency
+
+        D = 86_400_000_000
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": [1, 2, 3, 4],
+                "o_orderdate": pd.to_datetime(
+                    ["2020-01-10"] * 4
+                ),
+                "o_orderpriority": ["P1", "P1", "P1", "P2"],
+            }
+        )
+        li = pd.DataFrame(
+            {
+                "l_orderkey": [1, 1, 2, 3, 9],  # 9: no order → dropped
+                "l_shipdate": pd.to_datetime(
+                    ["2020-01-11", "2020-01-15", "2020-01-12",
+                     "2020-01-05", "2020-01-01"]
+                ),
+            }
+        )
+        out = ship_latency(
+            rd.from_pandas(orders), rd.from_pandas(li),
+            EngineConfig(num_buckets=8),
+        ).to_pandas().sort_values("priority").reset_index(drop=True)
+        # order 4 has no lineitems → dropped; P1 latencies: o1 max=5,
+        # o2=2, o3=-5 → sorted [-5,2,5], lower median = 2
+        assert out.values.tolist() == [["P1", 3, 2, 5]]
+
+    def test_trunc_division_matches_duckdb(self):
+        import numpy as np
+
+        # engine rule: trunc toward zero (DuckDB //), not numpy floor
+        diff = np.array([-7, 7, -4, 4], np.int64)
+        day = np.int64(2)
+        days = np.where(diff < 0, -(-diff // day), diff // day)
+        assert days.tolist() == [-3, 3, -2, 2]
