@@ -1678,6 +1678,60 @@ def q_ship_latency(sf_dir: str):
     return ship_latency(o, li, _cfg())
 
 
+def q_one_to_one(sf_dir: str):
+    """Reciprocal best-match 1:1 ER assignment: keep (a, b) iff each is
+    the other's exact cosine top-1 (ties by ascending string id). The
+    symmetric-best filter that precedes greedy/Hungarian matching."""
+    from deepblocker_ray.stages.matching import one_to_one_match
+
+    return one_to_one_match(_embeddings(sf_dir), _cfg())
+
+
+def q_fs_patterns(sf_dir: str):
+    """Fellegi-Sunter agreement-pattern frequency table over
+    within-customer order pairs (status / priority / $50k-price-bucket
+    agreement bits) — the sufficient statistic for m/u EM estimation."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.matching import fs_patterns
+
+    o = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=[
+            "o_custkey",
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_totalprice",
+        ],
+    )
+    return fs_patterns(o, _cfg())
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: top-10 unshipped-revenue orders for the BUILDING
+    segment (order before / shipment after 1998-06-01), revenue in exact
+    integer 1e-4 dollars, two bucketed exchanges (custkey → orderkey)."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import shipping_priority
+
+    c = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    o = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    return shipping_priority(
+        c, o, li, _cfg(), segment="BUILDING", cutoff_us=896659200000000
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1785,6 +1839,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_mode": q_group_mode,
         "meta_blocking": q_meta_blocking,
         "ship_latency": q_ship_latency,
+        "one_to_one": q_one_to_one,
+        "fs_patterns": q_fs_patterns,
+        "shipping_priority": q_shipping_priority,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -3881,5 +3938,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank < 10
+        """,
+        "one_to_one": """
+            WITH sims AS (
+                SELECT CAST(a.vec_id AS VARCHAR) AS qid,
+                       CAST(b.vec_id AS VARCHAR) AS nid,
+                       list_cosine_similarity(a.embedding, b.embedding) AS cos
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id <> b.vec_id
+            ), best AS (
+                SELECT qid, nid FROM (
+                    SELECT qid, nid,
+                           row_number() OVER (
+                               PARTITION BY qid ORDER BY cos DESC, nid
+                           ) AS r
+                    FROM sims)
+                WHERE r = 1
+            )
+            SELECT l.qid AS left_id, l.nid AS right_id
+            FROM best l JOIN best r ON l.qid = r.nid AND l.nid = r.qid
+            WHERE l.qid < l.nid
+        """,
+        "fs_patterns": """
+            WITH o AS (
+                SELECT o_custkey, o_orderkey, o_orderstatus,
+                       o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT) // 5000000
+                           AS pb
+                FROM orders
+            )
+            SELECT CAST(4 * CAST(a.o_orderstatus = b.o_orderstatus AS INT)
+                      + 2 * CAST(a.o_orderpriority = b.o_orderpriority AS INT)
+                      + CAST(a.pb = b.pb AS INT) AS INTEGER) AS pattern,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM o a JOIN o b
+              ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "shipping_priority": """
+            SELECT o.o_orderkey,
+                   CAST(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT)
+                       AS o_odate_us,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS revenue_e4
+            FROM customer c, orders o, lineitem l
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND c.c_custkey = o.o_custkey
+              AND o.o_orderkey = l.l_orderkey
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue_e4 DESC, o.o_orderdate, o.o_orderkey
+            LIMIT 10
         """,
     }

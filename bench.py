@@ -250,6 +250,9 @@ def main() -> None:
         "group_mode",
         "meta_blocking",
         "ship_latency",
+        "one_to_one",
+        "fs_patterns",
+        "shipping_priority",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -1,0 +1,173 @@
+"""Entity-resolution assignment + match-weight estimation stages.
+
+Post-blocking ER steps the reference stops short of (it emits top-K
+candidate pairs, main.py:30-36, and leaves assignment to the caller):
+
+- ``one_to_one_match`` — reciprocal best-match 1:1 assignment: keep a
+  pair iff each record is the other's single nearest neighbor. The
+  standard symmetric-best filter used before greedy/Hungarian matching.
+- ``fs_patterns`` — Fellegi-Sunter agreement-pattern frequency table:
+  for every candidate pair within a block, compute per-field agreement
+  bits and count pattern frequencies. The sufficient statistic for
+  m/u-probability EM estimation — the pairs themselves never leave the
+  block task, only the (pattern, count) partials do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import EngineConfig
+from .annsearch import prep_embeddings
+from .canonicalize import bucket_of
+from .pairing import ExactTopKPairer
+
+
+def one_to_one_match(
+    emb_ds,
+    cfg: EngineConfig | None = None,
+    id_col: str = "vec_id",
+    list_col: str = "embedding",
+):
+    """Reciprocal best-match 1:1 assignment over an embedding table.
+
+    Each record's exact cosine top-1 neighbor (self excluded; ties broken
+    by ascending string id, matching the ``knn_exact`` oracle's rank
+    order) is computed with the sharded tiled-GEMM pairer; a pair
+    (a, b) survives iff b is a's top-1 AND a is b's top-1. Output:
+    (left_id, right_id) with left_id < right_id (string order).
+
+    Scale shape: the index is pinned object-store shards (one sort), the
+    query pass is shuffle-free tiled matmuls, and the mutual filter is ONE
+    bucketed exchange over the N top-1 edges — each canonical pair lands
+    in exactly one bucket, kept iff it arrived from both directions.
+    Nothing materializes on the driver.
+    """
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    prepped = prep_embeddings(
+        emb_ds, id_col=id_col, list_col=list_col
+    ).materialize()
+    pairer = ExactTopKPairer(k=1, cfg=cfg, exclude_self=True)
+    pairer.index(prepped, id_col=id_col)
+    best = pairer.query(prepped, id_col=id_col)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        left = df["left_id"].astype(str).to_numpy(object)
+        right = df["right_id"].astype(str).to_numpy(object)
+        swap = left > right
+        lo = np.where(swap, right, left)
+        hi = np.where(swap, left, right)
+        out = pd.DataFrame({"left_id": lo, "right_id": hi})
+        out["_bucket"] = bucket_of(
+            out["left_id"] + "\x00" + out["right_id"], nb
+        )
+        return out
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["left_id", "right_id"], sort=False).size()
+        # a record emits exactly one top-1 edge, so a canonical pair
+        # arrives at most twice; twice == reciprocal
+        keep = c[c == 2].reset_index()
+        return pd.DataFrame(
+            {
+                "left_id": pd.array(
+                    keep["left_id"].to_numpy(object), dtype="string"
+                ),
+                "right_id": pd.array(
+                    keep["right_id"].to_numpy(object), dtype="string"
+                ),
+            }
+        )
+
+    return (
+        best.map_batches(canon, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(mutual, batch_format="pandas")
+    )
+
+
+def fs_patterns(orders, cfg: EngineConfig | None = None):
+    """Fellegi-Sunter agreement-pattern frequencies over within-customer
+    order pairs.
+
+    Blocks = o_custkey. For every unordered pair of orders of the same
+    customer, three agreement bits: same o_orderstatus (bit 2), same
+    o_orderpriority (bit 1), same $50k total-price bucket computed in
+    integer cents (bit 0). Output one row per pattern value 0..7 that
+    occurs: (pattern:int32, n_pairs:int64).
+
+    Scale shape: rows project map-side to four skinny columns, meet in ONE
+    hash(custkey) exchange; per bucket a self-merge on custkey enumerates
+    pairs (block size = orders-per-customer, bounded by data semantics,
+    not dataset size), and only per-pattern partial COUNTS (≤ 8 rows per
+    bucket) flow to the driver-side 8-row combine. The pair set itself is
+    never exchanged or materialized.
+    """
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def project(t: pa.Table) -> pa.Table:
+        key = np.asarray(t.column("o_custkey"), np.int64)
+        cents = np.round(
+            np.asarray(t.column("o_totalprice"), np.float64) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": t.column("o_custkey"),
+                "okey": t.column("o_orderkey"),
+                "st": t.column("o_orderstatus").cast(pa.string()),
+                "pri": t.column("o_orderpriority").cast(pa.string()),
+                "pb": pa.array(cents // 5_000_000),
+                "_bucket": pa.array((key % nb).astype(np.int32)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "pattern": pd.Series(dtype=np.int32),
+                "n_pairs": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        m = g.merge(g, on="k")
+        m = m[m["okey_x"] < m["okey_y"]]
+        if len(m) == 0:
+            return empty
+        pat = (
+            (m["st_x"].to_numpy(object) == m["st_y"].to_numpy(object))
+            .astype(np.int32)
+            * 4
+            + (m["pri_x"].to_numpy(object) == m["pri_y"].to_numpy(object))
+            .astype(np.int32)
+            * 2
+            + (m["pb_x"].to_numpy(np.int64) == m["pb_y"].to_numpy(np.int64))
+            .astype(np.int32)
+        )
+        c = np.bincount(pat, minlength=8).astype(np.int64)
+        nz = np.flatnonzero(c)
+        return pd.DataFrame(
+            {"pattern": nz.astype(np.int32), "n_pairs": c[nz]}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            df.groupby("pattern", sort=True)["n_pairs"]
+            .sum()
+            .reset_index()
+        )
+        return s.astype({"pattern": np.int32, "n_pairs": np.int64})
+
+    partials = (
+        orders.map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    # ≤ 8 rows per bucket — a single tiny combine task
+    return partials.repartition(1).map_batches(
+        combine, batch_format="pandas"
+    )

@@ -738,3 +738,163 @@ def ship_latency(orders, lineitem, cfg: EngineConfig):
         .groupby("_bucket2")
         .map_groups(stats, batch_format="pandas")
     )
+
+
+def shipping_priority(
+    customer,
+    orders,
+    lineitem,
+    cfg: EngineConfig,
+    *,
+    segment: str = "BUILDING",
+    cutoff_us: int,
+    topk: int = 10,
+):
+    """TPC-H Q3 shape: unshipped-revenue top-``topk`` orders for one market
+    segment — customers in ``segment`` × orders placed before the cutoff ×
+    lineitems shipped after it; revenue = Σ cents(l_extendedprice) ×
+    (100 − pct(l_discount)) in exact integer 1e-4 dollars. Output
+    (o_orderkey, o_odate_us, revenue_e4) ordered by revenue DESC,
+    order date ASC, o_orderkey ASC.
+
+    Dates are emitted as int64 epoch-microseconds (``o_odate_us``) so the
+    DuckDB twin compares exactly (DATE vs TIMESTAMP stringification would
+    spuriously mismatch).
+
+    Scale shape: two bucketed exchanges, both forced by key changes
+    (custkey → orderkey → global top-k), none avoidable. Exchange 1:
+    filtered customers (keys only) meet date-filtered orders on
+    hash(custkey) — the segment side is a fact-sized table at 100 TB, so
+    no broadcast. Exchange 2: surviving (orderkey, orderdate) rows meet
+    lineitem partials pre-summed per orderkey inside each map task, on
+    hash(orderkey). Per-bucket top-k partials (≤ topk rows each) then
+    merge in one tiny final task; the full revenue table never sorts
+    globally.
+    """
+    nb = cfg.num_buckets
+
+    def c_rows(t: pa.Table) -> pa.Table:
+        mask = pa.compute.equal(t.column("c_mktsegment"), segment)
+        t = t.filter(mask)
+        key = np.asarray(t.column("c_custkey"), np.int64)
+        return pa.table(
+            {
+                "k": t.column("c_custkey"),
+                "okey": pa.nulls(len(t), pa.int64()),
+                "odate": pa.nulls(len(t), pa.int64()),
+                "_side": pa.array(np.zeros(len(t), np.int8)),
+                "_bucket": pa.array((key % nb).astype(np.int32)),
+            }
+        )
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        odate = t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        t = t.append_column("_odate", odate)
+        t = t.filter(pa.compute.less(t.column("_odate"), cutoff_us))
+        key = np.asarray(t.column("o_custkey"), np.int64)
+        return pa.table(
+            {
+                "k": t.column("o_custkey"),
+                "okey": t.column("o_orderkey"),
+                "odate": t.column("_odate"),
+                "_side": pa.array(np.ones(len(t), np.int8)),
+                "_bucket": pa.array((key % nb).astype(np.int32)),
+            }
+        )
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g[g["_side"] == 0]
+        ords = g[g["_side"] == 1]
+        keep = ords[ords["k"].isin(set(cust["k"].to_numpy()))]
+        out = pd.DataFrame(
+            {
+                "okey": keep["okey"].to_numpy(np.int64, na_value=0),
+                "odate": keep["odate"].to_numpy(np.int64, na_value=0),
+            }
+            if len(keep)
+            else {
+                "okey": pd.Series(dtype=np.int64),
+                "odate": pd.Series(dtype=np.int64),
+            }
+        )
+        out["rev"] = np.zeros(len(out), np.int64)
+        out["_side"] = np.zeros(len(out), np.int8)
+        out["_bucket2"] = (
+            out["okey"].to_numpy(np.int64) % nb
+        ).astype(np.int32)
+        return out
+
+    def l_partial(t: pa.Table) -> pd.DataFrame:
+        sdate = t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        t = t.append_column("_sdate", sdate)
+        t = t.filter(pa.compute.greater(t.column("_sdate"), cutoff_us))
+        okey = np.asarray(t.column("l_orderkey"), np.int64)
+        cents = np.round(
+            np.asarray(t.column("l_extendedprice"), np.float64) * 100
+        ).astype(np.int64)
+        disc = np.round(
+            np.asarray(t.column("l_discount"), np.float64) * 100
+        ).astype(np.int64)
+        rev = cents * (100 - disc)
+        df = (
+            pd.DataFrame({"okey": okey, "rev": rev})
+            .groupby("okey", sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        df["odate"] = np.zeros(len(df), np.int64)
+        df["_side"] = np.ones(len(df), np.int8)
+        df["_bucket2"] = (df["okey"].to_numpy(np.int64) % nb).astype(np.int32)
+        return df[["okey", "odate", "rev", "_side", "_bucket2"]]
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "o_orderkey": pd.Series(dtype=np.int64),
+                "o_odate_us": pd.Series(dtype=np.int64),
+                "revenue_e4": pd.Series(dtype=np.int64),
+            }
+        )
+        ords = g[g["_side"] == 0]
+        lis = g[g["_side"] == 1]
+        if len(ords) == 0 or len(lis) == 0:
+            return empty
+        rev = lis.groupby("okey", sort=False)["rev"].sum()
+        m = ords.merge(rev.rename("revsum"), left_on="okey", right_index=True)
+        if len(m) == 0:
+            return empty
+        m = m.sort_values(
+            ["revsum", "odate", "okey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(topk)
+        return pd.DataFrame(
+            {
+                "o_orderkey": m["okey"].to_numpy(np.int64),
+                "o_odate_us": m["odate"].to_numpy(np.int64),
+                "revenue_e4": m["revsum"].to_numpy(np.int64),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_e4", "o_odate_us", "o_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(topk)
+
+    c = customer.map_batches(c_rows, batch_format="pyarrow")
+    o = orders.map_batches(o_rows, batch_format="pyarrow")
+    winners = (
+        c.union(o)
+        .groupby("_bucket")
+        .map_groups(semi, batch_format="pandas")
+    )
+    li = lineitem.map_batches(l_partial, batch_format="pyarrow")
+    return (
+        winners.union(li)
+        .groupby("_bucket2")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )

@@ -1,0 +1,139 @@
+"""ER assignment + match-weight estimation stages (stages/matching.py).
+
+The reference stops at top-K candidate emission (main.py:30-36); these
+cover the assignment tail: reciprocal best-match 1:1 filtering and the
+Fellegi-Sunter agreement-pattern sufficient statistic.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from deepblocker_ray.config import EngineConfig
+from deepblocker_ray.stages.matching import fs_patterns, one_to_one_match
+
+
+def _cfg():
+    return EngineConfig(num_buckets=8)
+
+
+def _emb_ds(vectors):
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(len(vectors), dtype=np.int64),
+                "embedding": [list(map(float, v)) for v in vectors],
+            }
+        )
+    )
+
+
+class TestOneToOne:
+    def test_mutual_pairs_only(self, ray_session):
+        # 0↔1 tight pair; 2's best is 3 but 3's best is 2? make 3's best 4:
+        # 2→3, 3→4, 4→3  ⇒ mutual pairs: (0,1), (3,4) only
+        vecs = [
+            [1.0, 0.0, 0.0],
+            [0.999, 0.01, 0.0],
+            [0.0, 1.0, 0.1],
+            [0.0, 0.9, 0.5],
+            [0.0, 0.88, 0.52],
+        ]
+        out = one_to_one_match(_emb_ds(vecs), _cfg()).to_pandas()
+        got = sorted(map(tuple, out[["left_id", "right_id"]].to_numpy()))
+        assert got == [("0", "1"), ("3", "4")]
+
+    def test_matches_brute_force(self, ray_session):
+        rng = np.random.default_rng(7)
+        mat = rng.normal(size=(40, 8)).astype(np.float64)
+        out = one_to_one_match(_emb_ds(mat), _cfg()).to_pandas()
+        # brute-force oracle: normalized top-1 with (cos DESC, id-str ASC)
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = norm @ norm.T
+        np.fill_diagonal(cos, -np.inf)
+        ids = np.array([str(i) for i in range(len(mat))], dtype=object)
+        best = {}
+        for i in range(len(mat)):
+            order = sorted(
+                range(len(mat)),
+                key=lambda j: (-cos[i, j], ids[j]),
+            )
+            best[ids[i]] = ids[order[0]]
+        want = sorted(
+            {
+                (min(x, y), max(x, y))
+                for x, y in best.items()
+                if best[y] == x
+            }
+        )
+        got = sorted(map(tuple, out[["left_id", "right_id"]].to_numpy()))
+        assert got == want
+
+    def test_string_id_tiebreak(self, ray_session):
+        # identical vectors: everyone's top-1 is the smallest OTHER id in
+        # STRING order; with ids 0,1,2: 0→1? no — "1" < "2", so 0→1, 1→0,
+        # 2→0. Mutual: (0,1) only.
+        vecs = [[1.0, 0.0]] * 3
+        out = one_to_one_match(_emb_ds(vecs), _cfg()).to_pandas()
+        got = sorted(map(tuple, out[["left_id", "right_id"]].to_numpy()))
+        assert got == [("0", "1")]
+
+
+class TestFSPatterns:
+    def _orders(self, rows):
+        return rd.from_pandas(
+            pd.DataFrame(
+                rows,
+                columns=[
+                    "o_custkey",
+                    "o_orderkey",
+                    "o_orderstatus",
+                    "o_orderpriority",
+                    "o_totalprice",
+                ],
+            )
+        )
+
+    def test_hand_computed(self, ray_session):
+        rows = [
+            # cust 1: three orders → 3 pairs
+            (1, 10, "F", "HI", 100.0),   # pb = 0
+            (1, 11, "F", "HI", 100.5),   # pb = 0
+            (1, 12, "O", "LO", 99999.0), # pb = 9999900 // 5000000 = 1
+            # cust 2: singleton → no pairs
+            (2, 20, "F", "HI", 100.0),
+        ]
+        # pairs: (10,11): st agree, pri agree, pb agree → 7
+        #        (10,12): st diff, pri diff, pb: 10000 vs 9999900 cents
+        #                 → 0 vs 1 → disagree → 0
+        #        (11,12): same → 0
+        out = fs_patterns(self._orders(rows), _cfg()).to_pandas()
+        got = dict(zip(out["pattern"], out["n_pairs"]))
+        assert got == {0: 2, 7: 1}
+        assert out["pattern"].dtype == np.int32
+        assert out["n_pairs"].dtype == np.int64
+
+    def test_pair_count_total(self, ray_session):
+        rng = np.random.default_rng(3)
+        n = 200
+        rows = [
+            (
+                int(rng.integers(0, 20)),
+                i,
+                rng.choice(["F", "O", "P"]),
+                rng.choice(["HI", "LO"]),
+                float(rng.integers(1, 200000)),
+            )
+            for i in range(n)
+        ]
+        out = fs_patterns(self._orders(rows), _cfg()).to_pandas()
+        df = pd.DataFrame(
+            rows, columns=["k", "o", "s", "p", "t"]
+        ).groupby("k").size()
+        want_pairs = int((df * (df - 1) // 2).sum())
+        assert int(out["n_pairs"].sum()) == want_pairs
+
+    def test_empty(self, ray_session):
+        out = fs_patterns(self._orders([]), _cfg()).to_pandas()
+        assert len(out) == 0
