@@ -1732,6 +1732,80 @@ def q_shipping_priority(sf_dir: str):
     )
 
 
+def q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 shape: 1997 revenue per ASIA nation from lineitems whose
+    supplier and ordering customer share the nation — six tables, two
+    bucketed fact exchanges (custkey → orderkey), constant-size dims
+    broadcast, supplier attached via guarded broadcast join."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import local_supplier_revenue
+
+    return local_supplier_revenue(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        rd.read_parquet(f"{sf_dir}/nation.parquet"),
+        rd.read_parquet(f"{sf_dir}/region.parquet"),
+        _cfg(),
+        region_name="ASIA",
+        date_lo_us=852076800000000,
+        date_hi_us=883612800000000,
+    )
+
+
+def q_corr_moments(sf_dir: str):
+    """Exact grouped co-moments (Pearson sufficient statistic) of quantity
+    vs discount-pct per l_returnflag — integer partials only, no row
+    shuffle."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import group_comoments
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    return group_comoments(li, _cfg())
+
+
+def q_pagerank(sf_dir: str):
+    """Integer-exact damped PageRank (3 iterations, scale 1e9, d=0.85)
+    over the directed k=5 exact-cosine kNN graph of the embeddings table —
+    trunc-division formula mirrored exactly by the SQL twin."""
+    import pyarrow as _pa
+
+    from deepblocker_ray.stages.annsearch import knn
+    from deepblocker_ray.stages.cluster import pagerank
+
+    edges = knn(
+        _embeddings(sf_dir), n_queries=1_000_000_000, k=5, cfg=_cfg(),
+        mode="exact",
+    ).map_batches(
+        lambda t: _pa.table(
+            {"src": t.column("query_id"), "dst": t.column("neighbor_id")}
+        ),
+        batch_format="pyarrow",
+    )
+    return pagerank(edges, _cfg(), iters=3, scale=10**9, damping_pct=85)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1842,6 +1916,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "one_to_one": q_one_to_one,
         "fs_patterns": q_fs_patterns,
         "shipping_priority": q_shipping_priority,
+        "local_supplier_revenue": q_local_supplier_revenue,
+        "corr_moments": q_corr_moments,
+        "pagerank": q_pagerank,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -3991,5 +4068,94 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey, o.o_orderdate
             ORDER BY revenue_e4 DESC, o.o_orderdate, o.o_orderkey
             LIMIT 10
+        """,
+        "local_supplier_revenue": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS revenue_e4
+            FROM customer c, orders o, lineitem l, supplier s,
+                 nation n, region r
+            WHERE c.c_custkey = o.o_custkey
+              AND l.l_orderkey = o.o_orderkey
+              AND l.l_suppkey = s.s_suppkey
+              AND c.c_nationkey = s.s_nationkey
+              AND s.s_nationkey = n.n_nationkey
+              AND n.n_regionkey = r.r_regionkey
+              AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n.n_name
+            ORDER BY revenue_e4 DESC, n.n_name
+        """,
+        "corr_moments": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(q) AS BIGINT) AS sum_q,
+                   CAST(sum(d) AS BIGINT) AS sum_d,
+                   CAST(sum(q * q) AS BIGINT) AS sum_qq,
+                   CAST(sum(d * d) AS BIGINT) AS sum_dd,
+                   CAST(sum(q * d) AS BIGINT) AS sum_qd
+            FROM (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity) AS BIGINT) AS q,
+                       CAST(round(l_discount * 100) AS BIGINT) AS d
+                FROM lineitem
+            )
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        # integer-exact damped PageRank: base = 1e9·15//100, each step
+        # d·Σ(pr//outdeg)//100 in BIGINT trunc-division — bit-identical to
+        # the engine's int64 formula (stages/cluster.py:pagerank)
+        "pagerank": """
+            WITH sims AS (
+                SELECT CAST(q.vec_id AS VARCHAR) AS src,
+                       CAST(x.vec_id AS VARCHAR) AS dst,
+                       list_cosine_similarity(q.embedding, x.embedding) AS cos
+                FROM embeddings q, embeddings x
+                WHERE x.vec_id <> q.vec_id
+            ), edges AS (
+                SELECT src, dst FROM (
+                    SELECT src, dst, row_number() OVER (
+                        PARTITION BY src ORDER BY cos DESC, dst) AS r
+                    FROM sims)
+                WHERE r <= 5
+            ), deg AS (
+                SELECT src AS id, CAST(count(*) AS BIGINT) AS od
+                FROM edges GROUP BY src
+            ), r0 AS (
+                SELECT id, CAST(1000000000 AS BIGINT) AS pr, od FROM deg
+            ), r1 AS (
+                SELECT dg.id,
+                       CAST(150000000 + 85 *
+                            CAST(COALESCE(s.c, 0) AS BIGINT) // 100
+                            AS BIGINT) AS pr,
+                       dg.od
+                FROM deg dg LEFT JOIN (
+                    SELECT e.dst AS id, SUM(p.pr // p.od) AS c
+                    FROM edges e JOIN r0 p ON p.id = e.src GROUP BY e.dst
+                ) s ON s.id = dg.id
+            ), r2 AS (
+                SELECT dg.id,
+                       CAST(150000000 + 85 *
+                            CAST(COALESCE(s.c, 0) AS BIGINT) // 100
+                            AS BIGINT) AS pr,
+                       dg.od
+                FROM deg dg LEFT JOIN (
+                    SELECT e.dst AS id, SUM(p.pr // p.od) AS c
+                    FROM edges e JOIN r1 p ON p.id = e.src GROUP BY e.dst
+                ) s ON s.id = dg.id
+            ), r3 AS (
+                SELECT dg.id,
+                       CAST(150000000 + 85 *
+                            CAST(COALESCE(s.c, 0) AS BIGINT) // 100
+                            AS BIGINT) AS pr,
+                       dg.od
+                FROM deg dg LEFT JOIN (
+                    SELECT e.dst AS id, SUM(p.pr // p.od) AS c
+                    FROM edges e JOIN r2 p ON p.id = e.src GROUP BY e.dst
+                ) s ON s.id = dg.id
+            )
+            SELECT id AS vec_id, pr FROM r3
         """,
     }

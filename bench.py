@@ -253,6 +253,9 @@ def main() -> None:
         "one_to_one",
         "fs_patterns",
         "shipping_priority",
+        "local_supplier_revenue",
+        "corr_moments",
+        "pagerank",
     ]
     for name in query_names:
         r = bench_query(q[name])

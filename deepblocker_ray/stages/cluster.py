@@ -456,3 +456,163 @@ def triangle_count(pairs, cfg=None):
         )
 
     return partials.repartition(1).map_batches(total, batch_format="pandas")
+
+
+def pagerank(edges, cfg=None, *, iters: int = 3, scale: int = 10**9,
+             damping_pct: int = 85, id_col: str = "vec_id"):
+    """Integer-exact damped PageRank over a directed edge list
+    (src:string, dst:string), fixed iteration count.
+
+    rank₀(v) = ``scale``; rankₜ₊₁(v) = scale·(100−d)//100 +
+    d·Σ_{u→v}(rankₜ(u)//outdeg(u))//100 with d = ``damping_pct`` — every
+    step is trunc-division on non-negative int64, so the result is
+    bit-reproducible and SQL-twinnable (DuckDB ``//`` on the same
+    expression). Node set = distinct srcs; the caller must ensure every
+    dst also appears as a src (true for kNN graphs, where each node emits
+    k edges). Overflow bound: d·Σ incoming ≤ d·N·scale must stay below
+    2⁶³ — at scale 1e9 that is N < 10⁸ nodes; shrink ``scale`` beyond.
+
+    Scale shape per iteration: two bucketed exchanges, both inherent to
+    edge-join + node-aggregate — (1) edges meet ranks on hash(src), each
+    bucket pre-sums contributions per dst; (2) contribution partials meet
+    the nodes' outdeg markers on hash(dst). No driver-side state; the
+    edge list is re-read per iteration from its materialized form. The
+    edge table is repartitioned to DATA-sized blocks once and the rank
+    table is materialized per iteration — synchronous PageRank has an
+    inherent barrier per round anyway, and an unbroken lazy chain of
+    2·iters all-to-alls over the raw (CPU-fanned) block count measured
+    9× slower at sf0.01 than the flattened form.
+    Output: (id_col:string, pr:int64) after ``iters`` iterations."""
+    from ..config import EngineConfig
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    base = scale * (100 - damping_pct) // 100
+    d = damping_pct
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": df["src"].astype(str).to_numpy(object),
+                "dst": df["dst"].astype(str).to_numpy(object),
+                "_bucket": bucket_of(df["src"].astype(str), nb),
+            }
+        )
+
+    ed = edges.map_batches(tag_edges, batch_format="pandas").materialize()
+    # data-sized blocks: ~2M edges per block, never the upstream task fan
+    n_edges = ed.count()
+    eblocks = max(1, -(-n_edges // 2_000_000))
+    ed = ed.repartition(eblocks).materialize()
+
+    # out-degree per src — one exchange, reused every iteration
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("src", sort=False).size().rename("od").reset_index()
+        c["_bucket"] = bucket_of(c["src"], nb)
+        return c
+
+    def deg_combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("src", sort=False)["od"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "id": c["src"].to_numpy(object),
+                "pr": np.full(len(c), scale, np.int64),
+                "od": c["od"].to_numpy(np.int64),
+                "_bucket": bucket_of(c["src"], nb),
+            }
+        )
+
+    ranks = (
+        ed.map_batches(deg_partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(deg_combine, batch_format="pandas")
+        .repartition(eblocks)
+        .materialize()
+    )
+
+    def spread(g: pd.DataFrame) -> pd.DataFrame:
+        """One bucket of (edges ∪ ranks on hash(src)): contribution
+        partials per dst + the node's own outdeg marker row."""
+        nodes = g[g["_is_rank"] == 1]
+        e = g[g["_is_rank"] == 0][["src", "dst"]]
+        out_frames = [
+            pd.DataFrame(
+                {
+                    "id": nodes["id"].to_numpy(object),
+                    "c": np.zeros(len(nodes), np.int64),
+                    "od": nodes["od"].to_numpy(np.int64),
+                    "_is_marker": np.ones(len(nodes), np.int8),
+                }
+            )
+        ]
+        if len(e) and len(nodes):
+            m = e.merge(
+                nodes[["id", "pr", "od"]], left_on="src", right_on="id"
+            )
+            contrib = m["pr"].to_numpy(np.int64) // m["od"].to_numpy(
+                np.int64
+            )
+            c = (
+                pd.DataFrame(
+                    {"id": m["dst"].to_numpy(object), "c": contrib}
+                )
+                .groupby("id", sort=False)["c"]
+                .sum()
+                .reset_index()
+            )
+            c["od"] = np.zeros(len(c), np.int64)
+            c["_is_marker"] = np.zeros(len(c), np.int8)
+            out_frames.append(c)
+        out = pd.concat(out_frames, ignore_index=True)
+        out["_bucket2"] = bucket_of(out["id"], nb)
+        return out
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("id", sort=False)["c"].sum()
+        marks = g[g["_is_marker"] == 1].drop_duplicates("id")
+        ids = marks["id"].to_numpy(object)
+        od = marks["od"].to_numpy(np.int64)
+        c = s.reindex(ids).fillna(0).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "pr": base + d * c // 100,
+                "od": od,
+                "_bucket": bucket_of(pd.Series(ids), nb),
+            }
+        )
+
+    cols = ["src", "dst", "id", "pr", "od", "_is_rank", "_bucket"]
+    for _ in range(iters):
+        tagged_ranks = ranks.map_batches(
+            lambda df: df.assign(
+                src=df["id"], dst=df["id"], _is_rank=np.int8(1)
+            )[cols],
+            batch_format="pandas",
+        )
+        tagged_edges = ed.map_batches(
+            lambda df: df.assign(
+                id="", pr=np.int64(0), od=np.int64(0), _is_rank=np.int8(0)
+            )[cols],
+            batch_format="pandas",
+        )
+        ranks = (
+            tagged_edges.union(tagged_ranks)
+            .groupby("_bucket")
+            .map_groups(spread, batch_format="pandas")
+            .groupby("_bucket2")
+            .map_groups(gather, batch_format="pandas")
+            .repartition(eblocks)
+            .materialize()
+        )
+
+    def out(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: pd.array(df["id"].to_numpy(object), dtype="string"),
+                "pr": df["pr"].to_numpy(np.int64),
+            }
+        )
+
+    return ranks.map_batches(out, batch_format="pandas")

@@ -898,3 +898,238 @@ def shipping_priority(
         .repartition(1)
         .map_batches(final, batch_format="pandas")
     )
+
+
+def local_supplier_revenue(
+    customer,
+    orders,
+    lineitem,
+    supplier,
+    nation,
+    region,
+    cfg: EngineConfig,
+    *,
+    region_name: str = "ASIA",
+    date_lo_us: int,
+    date_hi_us: int,
+):
+    """TPC-H Q5 shape: revenue per nation from LOCAL supply — lineitems
+    whose supplier nation equals the ordering customer's nation, both in
+    ``region_name``, for orders in [date_lo, date_hi). Revenue in exact
+    integer 1e-4 dollars. Output (n_name, revenue_e4), revenue DESC.
+
+    Scale shape: nation⋈region is constant-size (25×5 by schema spec) and
+    collapses driver-side to an in-region key set + key→name map shipped
+    via ``ray.put``. Supplier attaches to lineitem through the guarded
+    ``broadcast_join`` (map-side merge under the cap, hash join above it).
+    Two bucketed fact exchanges, both forced by key changes: customers
+    meet date-filtered orders on hash(custkey); the surviving
+    (orderkey, cust_nation) rows meet per-(orderkey, supp_nation)
+    pre-summed lineitem partials on hash(orderkey). Per-nation partials
+    (≤ 25 rows per bucket) merge in one tiny final task."""
+    nb = cfg.num_buckets
+
+    nat = nation.to_pandas()
+    reg = region.to_pandas()
+    rkeys = set(
+        reg.loc[reg["r_name"] == region_name, "r_regionkey"].to_numpy()
+    )
+    in_region = nat[nat["n_regionkey"].isin(rkeys)]
+    nat_keys = np.sort(in_region["n_nationkey"].to_numpy(np.int64))
+    nat_names = dict(
+        zip(
+            in_region["n_nationkey"].to_numpy(np.int64),
+            in_region["n_name"].astype(str),
+        )
+    )
+    keys_ref = ray.put(nat_keys)
+
+    def c_rows(t: pa.Table) -> pd.DataFrame:
+        from ..state.broadcast import cached_get
+
+        ks = cached_get(keys_ref)
+        cn = np.asarray(t.column("c_nationkey"), np.int64)
+        pos = np.minimum(np.searchsorted(ks, cn), len(ks) - 1)
+        keep = ks[pos] == cn
+        ck = np.asarray(t.column("c_custkey"), np.int64)[keep]
+        return pd.DataFrame(
+            {
+                "k": ck,
+                "okey": np.zeros(keep.sum(), np.int64),
+                "nat": cn[keep],
+                "_side": np.zeros(keep.sum(), np.int8),
+                "_bucket": (ck % nb).astype(np.int32),
+            }
+        )
+
+    def o_rows(t: pa.Table) -> pd.DataFrame:
+        od = np.asarray(
+            t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        keep = (od >= date_lo_us) & (od < date_hi_us)
+        ck = np.asarray(t.column("o_custkey"), np.int64)[keep]
+        return pd.DataFrame(
+            {
+                "k": ck,
+                "okey": np.asarray(t.column("o_orderkey"), np.int64)[keep],
+                "nat": np.zeros(keep.sum(), np.int64),
+                "_side": np.ones(keep.sum(), np.int8),
+                "_bucket": (ck % nb).astype(np.int32),
+            }
+        )
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g[g["_side"] == 0][["k", "nat"]]
+        ords = g[g["_side"] == 1]
+        m = ords.merge(cust, on="k", suffixes=("", "_c"))
+        okey = m["okey"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "okey": okey,
+                "nat": m["nat_c"].to_numpy(np.int64),
+                "rev": np.zeros(len(m), np.int64),
+                "_side": np.zeros(len(m), np.int8),
+                "_bucket2": (okey % nb).astype(np.int32),
+            }
+        )
+
+    li = broadcast_join(
+        lineitem,
+        supplier,
+        big_key="l_suppkey",
+        small_key="s_suppkey",
+        payload_cols=["s_nationkey"],
+        cfg=cfg,
+    )
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sn = df["s_nationkey"].to_numpy(np.int64)
+        ks = nat_keys  # tiny constant — captured, not re-shipped per batch
+        pos = np.minimum(np.searchsorted(ks, sn), len(ks) - 1)
+        keep = ks[pos] == sn
+        df = df[keep]
+        cents = np.round(
+            df["l_extendedprice"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        disc = np.round(df["l_discount"].to_numpy(np.float64) * 100).astype(
+            np.int64
+        )
+        part = (
+            pd.DataFrame(
+                {
+                    "okey": df["l_orderkey"].to_numpy(np.int64),
+                    "nat": df["s_nationkey"].to_numpy(np.int64),
+                    "rev": cents * (100 - disc),
+                }
+            )
+            .groupby(["okey", "nat"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        part["_side"] = np.ones(len(part), np.int8)
+        part["_bucket2"] = (part["okey"].to_numpy(np.int64) % nb).astype(
+            np.int32
+        )
+        return part[["okey", "nat", "rev", "_side", "_bucket2"]]
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "nat": pd.Series(dtype=np.int64),
+                "rev": pd.Series(dtype=np.int64),
+            }
+        )
+        ords = g[g["_side"] == 0][["okey", "nat"]]
+        lis = g[g["_side"] == 1]
+        if len(ords) == 0 or len(lis) == 0:
+            return empty
+        m = lis.merge(ords, on=["okey", "nat"])
+        if len(m) == 0:
+            return empty
+        return (
+            m.groupby("nat", sort=False)["rev"].sum().reset_index()
+        ).astype({"nat": np.int64, "rev": np.int64})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "n_name": pd.Series(dtype=object),
+                    "revenue_e4": pd.Series(dtype=np.int64),
+                }
+            )
+        s = df.groupby("nat", sort=False)["rev"].sum().reset_index()
+        s["n_name"] = s["nat"].map(nat_names)
+        s = s.sort_values(
+            ["rev", "n_name"], ascending=[False, True], kind="mergesort"
+        )
+        return pd.DataFrame(
+            {
+                "n_name": s["n_name"].to_numpy(object),
+                "revenue_e4": s["rev"].to_numpy(np.int64),
+            }
+        )
+
+    c = customer.map_batches(c_rows, batch_format="pyarrow")
+    o = orders.map_batches(o_rows, batch_format="pyarrow")
+    winners = (
+        c.union(o).groupby("_bucket").map_groups(semi, batch_format="pandas")
+    )
+    lp = li.map_batches(l_partial, batch_format="pandas")
+    return (
+        winners.union(lp)
+        .groupby("_bucket2")
+        .map_groups(match, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
+
+
+def group_comoments(lineitem, cfg: EngineConfig):
+    """Exact grouped co-moment aggregate (the Pearson-correlation
+    sufficient statistic) for quantity vs discount per l_returnflag:
+    (n, sum_q, sum_d, sum_qq, sum_dd, sum_qd) — q = round(l_quantity),
+    d = round(l_discount·100), all BIGINT-exact (q ≤ 50, d ≤ 100, so
+    products never overflow int64 below ~10¹⁴ rows). The caller derives
+    corr = (n·Σqd − Σq·Σd) / √((n·Σqq − (Σq)²)(n·Σdd − (Σd)²)) in floats
+    AFTER the exchange — only integer partials ever move.
+
+    Scale shape: map-side partials (≤ |returnflag| rows per batch) →
+    one single-task combine. No shuffle of row data at all."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        q = np.round(np.asarray(t.column("l_quantity"), np.float64)).astype(
+            np.int64
+        )
+        d = np.round(
+            np.asarray(t.column("l_discount"), np.float64) * 100
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": np.asarray(
+                    t.column("l_returnflag").cast(pa.string())
+                ).astype(object),
+                "n": np.ones(len(q), np.int64),
+                "sum_q": q,
+                "sum_d": d,
+                "sum_qq": q * q,
+                "sum_dd": d * d,
+                "sum_qd": q * d,
+            }
+        )
+        return df.groupby("l_returnflag", sort=False).sum().reset_index()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("l_returnflag", sort=True).sum().reset_index()
+        return out.astype(
+            {
+                c: np.int64
+                for c in ["n", "sum_q", "sum_d", "sum_qq", "sum_dd", "sum_qd"]
+            }
+        )
+
+    return (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

@@ -1,0 +1,163 @@
+"""Integer-exact PageRank (stages/cluster.py) and the round-3 relational
+additions (Q5-shape local-supplier revenue, grouped co-moments)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from deepblocker_ray.config import EngineConfig
+from deepblocker_ray.stages.cluster import pagerank
+from deepblocker_ray.stages.relational import (
+    group_comoments,
+    local_supplier_revenue,
+)
+
+
+def _cfg(**kw):
+    return EngineConfig(num_buckets=8, **kw)
+
+
+def _pr_reference(edges, iters, scale=10**9, d=85):
+    """Same integer formula, plain Python."""
+    od = {}
+    for s, _ in edges:
+        od[s] = od.get(s, 0) + 1
+    pr = {v: scale for v in od}
+    base = scale * (100 - d) // 100
+    for _ in range(iters):
+        inc = {v: 0 for v in od}
+        for s, t in edges:
+            inc[t] += pr[s] // od[s]
+        pr = {v: base + d * inc[v] // 100 for v in od}
+    return pr
+
+
+class TestPageRank:
+    def _run(self, edges, iters=3):
+        ds = rd.from_pandas(
+            pd.DataFrame(edges, columns=["src", "dst"])
+        )
+        out = pagerank(ds, _cfg(), iters=iters).to_pandas()
+        return dict(zip(out["vec_id"], out["pr"]))
+
+    def test_cycle_uniform(self, ray_session):
+        edges = [("a", "b"), ("b", "c"), ("c", "a")]
+        got = self._run(edges)
+        want = _pr_reference(edges, 3)
+        assert got == want
+        # symmetric graph ⇒ identical ranks
+        assert len(set(got.values())) == 1
+
+    def test_star_hub_dominates(self, ray_session):
+        # spokes point at hub; hub points back at one spoke
+        edges = [("s1", "h"), ("s2", "h"), ("s3", "h"), ("h", "s1")]
+        got = self._run(edges)
+        want = _pr_reference(edges, 3)
+        assert got == want
+        assert got["h"] > got["s2"] > got["s3"] - 1  # s2 == s3
+
+    def test_multi_outdegree_truncation(self, ray_session):
+        # outdeg 3 → pr // 3 truncates; the engine must truncate the same
+        edges = [
+            ("a", "b"), ("a", "c"), ("a", "d"),
+            ("b", "a"), ("c", "a"), ("d", "a"),
+        ]
+        for iters in (1, 2, 4):
+            assert self._run(edges, iters) == _pr_reference(edges, iters)
+
+    def test_random_graph_matches_reference(self, ray_session):
+        rng = np.random.default_rng(11)
+        nodes = [f"n{i}" for i in range(30)]
+        edges = []
+        for s in nodes:
+            for t in rng.choice(30, size=4, replace=False):
+                if nodes[t] != s:
+                    edges.append((s, nodes[t]))
+        assert self._run(edges) == _pr_reference(edges, 3)
+
+
+class TestGroupComoments:
+    def test_hand_computed(self, ray_session):
+        li = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "l_returnflag": ["A", "A", "B"],
+                    "l_quantity": [2.0, 3.0, 10.0],
+                    "l_discount": [0.05, 0.10, 0.0],
+                }
+            )
+        )
+        out = group_comoments(li, _cfg()).to_pandas().set_index(
+            "l_returnflag"
+        )
+        a = out.loc["A"]
+        assert (a["n"], a["sum_q"], a["sum_d"]) == (2, 5, 15)
+        assert (a["sum_qq"], a["sum_dd"], a["sum_qd"]) == (13, 125, 40)
+        b = out.loc["B"]
+        assert (b["n"], b["sum_q"], b["sum_d"], b["sum_qd"]) == (1, 10, 0, 0)
+
+
+class TestLocalSupplierRevenue:
+    def _tables(self):
+        region = pd.DataFrame(
+            {"r_regionkey": [0, 1], "r_name": ["ASIA", "EUROPE"]}
+        )
+        nation = pd.DataFrame(
+            {
+                "n_nationkey": [0, 1, 2],
+                "n_name": ["JAPAN", "CHINA", "FRANCE"],
+                "n_regionkey": [0, 0, 1],
+            }
+        )
+        supplier = pd.DataFrame(
+            {"s_suppkey": [10, 11, 12], "s_nationkey": [0, 1, 2]}
+        )
+        customer = pd.DataFrame(
+            {"c_custkey": [100, 101, 102], "c_nationkey": [0, 1, 2]}
+        )
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": [1000, 1001, 1002],
+                "o_custkey": [100, 101, 102],
+                "o_orderdate": pd.to_datetime(
+                    ["1997-06-01", "1997-07-01", "1997-08-01"]
+                ).astype("datetime64[us]"),
+            }
+        )
+        lineitem = pd.DataFrame(
+            {
+                # order 1000 (cust JAPAN): supp 10 (JAPAN, local → counts),
+                #   supp 11 (CHINA, non-local → dropped)
+                # order 1001 (cust CHINA): supp 11 (CHINA, local → counts)
+                # order 1002 (cust FRANCE): supp 12 — FRANCE not in ASIA
+                "l_orderkey": [1000, 1000, 1001, 1002],
+                "l_suppkey": [10, 11, 11, 12],
+                "l_extendedprice": [100.0, 50.0, 200.0, 70.0],
+                "l_discount": [0.10, 0.0, 0.05, 0.0],
+            }
+        )
+        return customer, orders, lineitem, supplier, nation, region
+
+    def _want(self):
+        # JAPAN: 10000 cents × (100-10) = 900000
+        # CHINA: 20000 cents × (100-5)  = 1900000
+        return [("CHINA", 1900000), ("JAPAN", 900000)]
+
+    def _run(self, cfg):
+        dss = [rd.from_pandas(t) for t in self._tables()]
+        out = local_supplier_revenue(
+            *dss,
+            cfg,
+            region_name="ASIA",
+            date_lo_us=852076800000000,
+            date_hi_us=883612800000000,
+        ).to_pandas()
+        return list(map(tuple, out[["n_name", "revenue_e4"]].to_numpy()))
+
+    def test_broadcast_path(self, ray_session):
+        assert self._run(_cfg()) == self._want()
+
+    def test_join_fallback_path(self, ray_session):
+        # supplier above the broadcast cap → hash-join attach, same result
+        assert self._run(_cfg(broadcast_rows_max=1)) == self._want()
