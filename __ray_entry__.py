@@ -1806,6 +1806,46 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, _cfg(), iters=3, scale=10**9, damping_pct=85)
 
 
+def q_fs_score(sf_dir: str):
+    """Fellegi-Sunter decision rule: within-customer order pairs scored
+    with fixed integer agree/disagree weights (status 30/−5, priority
+    20/−8, price-bucket 10/−12), emit pairs with score ≥ 32."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.matching import fs_score
+
+    o = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=[
+            "o_custkey",
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_totalprice",
+        ],
+    )
+    return fs_score(o, _cfg())
+
+
+def q_scd2(sf_dir: str):
+    """SCD type-2 validity intervals per user event ((ts, event_id)
+    order); open versions close at −1 so the int64 twin compares exactly."""
+    from deepblocker_ray.stages.events import scd2_intervals
+
+    return scd2_intervals(
+        _events(sf_dir, columns=["event_id", "ts", "user_id"]), _cfg()
+    )
+
+
+def q_kmeans_update(sf_dir: str):
+    """Lloyd update step: per (cluster, dim) exact integer coordinate
+    sums/counts and the trunc-division quantized centroid, over the same
+    nearest-seed assignment as kmeans_assign."""
+    from deepblocker_ray.stages.annsearch import kmeans_update
+
+    return kmeans_update(_embeddings(sf_dir), _cfg(), k=8)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1919,6 +1959,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_revenue": q_local_supplier_revenue,
         "corr_moments": q_corr_moments,
         "pagerank": q_pagerank,
+        "fs_score": q_fs_score,
+        "scd2": q_scd2,
+        "kmeans_update": q_kmeans_update,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -4157,5 +4200,76 @@ def oracle_sql() -> dict[str, str]:
                 ) s ON s.id = dg.id
             )
             SELECT id AS vec_id, pr FROM r3
+        """,
+        "fs_score": """
+            WITH o AS (
+                SELECT o_custkey, o_orderkey, o_orderstatus,
+                       o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT) // 5000000
+                           AS pb
+                FROM orders
+            ), scored AS (
+                SELECT a.o_orderkey AS left_okey, b.o_orderkey AS right_okey,
+                       CAST(CASE WHEN a.o_orderstatus = b.o_orderstatus
+                                 THEN 30 ELSE -5 END
+                          + CASE WHEN a.o_orderpriority = b.o_orderpriority
+                                 THEN 20 ELSE -8 END
+                          + CASE WHEN a.pb = b.pb THEN 10 ELSE -12 END
+                          AS BIGINT) AS score
+                FROM o a JOIN o b
+                  ON a.o_custkey = b.o_custkey
+                 AND a.o_orderkey < b.o_orderkey
+            )
+            SELECT left_okey, right_okey, score FROM scored
+            WHERE score >= 32
+        """,
+        "scd2": """
+            SELECT user_id, event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+                   CAST(coalesce(
+                       lead(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id),
+                       -1) AS BIGINT) AS valid_to_us
+            FROM events
+        """,
+        # Lloyd update twin: same quantize + nearest-seed CTE as
+        # kmeans_assign, then per-(cluster, 1-based dim) integer sums and
+        # the trunc-division centroid (DuckDB // truncates; the engine
+        # pins the same rule for negative sums)
+        "kmeans_update": """
+            WITH q AS (
+                SELECT vec_id,
+                       [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                        for x in embedding] AS qv
+                FROM embeddings
+            ), seeds AS (
+                SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8
+            ), d AS (
+                SELECT q.vec_id, s.cid,
+                       list_sum([ (q.qv[i] - s.cv[i])
+                                  * (q.qv[i] - s.cv[i])
+                                  for i in generate_series(1, len(q.qv))])
+                           AS dist
+                FROM q CROSS JOIN seeds s
+            ), a AS (
+                SELECT vec_id, cid AS cluster
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                      FROM d)
+                WHERE rn = 1
+            ), u AS (
+                SELECT a.cluster,
+                       unnest([ {'dim': i, 'v': q.qv[i]}
+                                for i in generate_series(1, len(q.qv)) ],
+                              recursive := true)
+                FROM q JOIN a USING (vec_id)
+            )
+            SELECT cluster, CAST(dim AS INTEGER) AS dim,
+                   CAST(sum(v) AS BIGINT) AS csum,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT)
+                        AS BIGINT) AS cmean_q
+            FROM u GROUP BY cluster, dim
         """,
     }

@@ -256,6 +256,9 @@ def main() -> None:
         "local_supplier_revenue",
         "corr_moments",
         "pagerank",
+        "fs_score",
+        "scd2",
+        "kmeans_update",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -306,3 +306,126 @@ def kmeans_assign(
     return ds.select_columns([id_col, list_col]).map_batches(
         assign, batch_format="pyarrow"
     )
+
+
+def kmeans_update(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    k: int = 8,
+    id_col: str = "vec_id",
+    list_col: str = "embedding",
+    scale: int = 10_000,
+):
+    """The Lloyd UPDATE step, distributed — completes the k-means loop
+    started by ``kmeans_assign``: per cluster and dimension, exact integer
+    (csum, cnt) over the ``round(x·scale)``-quantized coordinates of the
+    members assigned by the same nearest-seed rule, plus the quantized
+    centroid ``cmean_q = csum / cnt`` in TRUNC-toward-zero division
+    (pinned to DuckDB's ``//``; numpy floors negatives). Output one row
+    per (cluster:int64, dim:int32 1-based, csum:int64, cnt:int64,
+    cmean_q:int64); empty clusters emit nothing.
+
+    Scale shape: seeds broadcast once; each batch assigns with the int64
+    GEMM and pre-reduces to a k×D partial (one one-hot matmul) — the only
+    thing that ever moves is k·D-row partials into a single tiny combine.
+    No shuffle of vector data at all; iterating Lloyd re-broadcasts k×D
+    ints per round."""
+    import ray
+
+    cfg = cfg or EngineConfig()
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def quantize(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        col = batch.column(list_col).combine_chunks()
+        if hasattr(col, "flatten") and (
+            pa.types.is_fixed_size_list(col.type)
+            or pa.types.is_list(col.type)
+        ):
+            flat = np.asarray(col.flatten(), np.float64)
+            width = (
+                col.type.list_size
+                if pa.types.is_fixed_size_list(col.type)
+                else int(np.diff(np.asarray(col.offsets))[0])
+            )
+            mat = flat.reshape(len(col), width)
+        else:
+            mat = np.asarray(
+                col.to_numpy(zero_copy_only=False), np.float64
+            )
+        q = np.rint(mat * scale).astype(np.int64)
+        return np.asarray(batch.column(id_col), np.int64), q
+
+    def pick_seeds(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column(id_col), np.int64)
+        return t.filter(pa.array(ids < k))
+
+    seeds_pd = (
+        ds.select_columns([id_col, list_col])
+        .map_batches(pick_seeds, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if not len(seeds_pd):
+        raise ValueError(f"no seed rows with {id_col} < {k}")
+    seeds = pa.Table.from_pandas(seeds_pd, preserve_index=False)
+    sids, sq = quantize(seeds)
+    order = np.argsort(sids)
+    sids, sq = sids[order], sq[order]
+    if len(sids) != k:
+        raise ValueError(
+            f"expected {k} seed rows with {id_col} < {k}, got {len(sids)}"
+        )
+    seeds_ref = ray.put((sids, sq))
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        import pandas as pd
+
+        from ..state.broadcast import cached_get
+
+        cids, cq = cached_get(seeds_ref)
+        _, q = quantize(batch)
+        a2 = (q * q).sum(axis=1)
+        c2 = (cq * cq).sum(axis=1)
+        d = a2[:, None] + c2[None, :] - 2 * (q @ cq.T)
+        best = np.argmin(d, axis=1)
+        onehot = np.eye(len(cids), dtype=np.int64)[best]
+        sums = onehot.T @ q                      # k × D
+        cnts = np.bincount(best, minlength=len(cids)).astype(np.int64)
+        kk, dd = sums.shape
+        return pd.DataFrame(
+            {
+                "cluster": np.repeat(cids, dd),
+                "dim": np.tile(np.arange(1, dd + 1, dtype=np.int32), kk),
+                "csum": sums.ravel(),
+                "cnt": np.repeat(cnts, dd),
+            }
+        )
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        s = (
+            df.groupby(["cluster", "dim"], sort=True)[["csum", "cnt"]]
+            .sum()
+            .reset_index()
+        )
+        s = s[s["cnt"] > 0]
+        cs = s["csum"].to_numpy(np.int64)
+        cn = s["cnt"].to_numpy(np.int64)
+        mean = np.where(cs < 0, -(-cs // cn), cs // cn)
+        return pd.DataFrame(
+            {
+                "cluster": s["cluster"].to_numpy(np.int64),
+                "dim": s["dim"].to_numpy(np.int32),
+                "csum": cs,
+                "cnt": cn,
+                "cmean_q": mean.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

@@ -1607,3 +1607,54 @@ def group_mode(ds, cfg: EngineConfig):
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def scd2_intervals(ds, cfg: EngineConfig | None = None):
+    """Slowly-changing-dimension (type 2) interval build: treat each
+    user's events as state versions and emit per event its validity
+    window — valid_from_us = the event's own timestamp, valid_to_us = the
+    user's NEXT event timestamp in (ts, event_id) order, or −1 for the
+    user's current (open) version. −1, not NULL, so the int64 column
+    round-trips exactly through the SQL twin (lead() + coalesce).
+
+    Scale shape: skinny (event_id, user_id, ts_us) projection map-side,
+    ONE hash(user_id) exchange, per-bucket mergesort + shift — the
+    standard per-key ordered-window shape every rolling operator in this
+    repo uses; no global sort."""
+    cfg = cfg or EngineConfig()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype=np.int64),
+                    "event_id": pd.Series(dtype=np.int64),
+                    "valid_from_us": pd.Series(dtype=np.int64),
+                    "valid_to_us": pd.Series(dtype=np.int64),
+                }
+            )
+        g = g.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        user = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        nxt = np.empty(len(g), np.int64)
+        nxt[:-1] = ts[1:]
+        nxt[-1] = -1
+        same_user = np.empty(len(g), bool)
+        same_user[:-1] = user[1:] == user[:-1]
+        same_user[-1] = False
+        return pd.DataFrame(
+            {
+                "user_id": user,
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "valid_from_us": ts,
+                "valid_to_us": np.where(same_user, nxt, -1),
+            }
+        )
+
+    return (
+        _project_events(ds, cfg)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

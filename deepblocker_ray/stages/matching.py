@@ -171,3 +171,88 @@ def fs_patterns(orders, cfg: EngineConfig | None = None):
     return partials.repartition(1).map_batches(
         combine, batch_format="pandas"
     )
+
+
+def fs_score(
+    orders,
+    cfg: EngineConfig | None = None,
+    *,
+    w_agree: tuple[int, int, int] = (30, 20, 10),
+    w_disagree: tuple[int, int, int] = (-5, -8, -12),
+    threshold: int = 32,
+):
+    """Fellegi-Sunter DECISION rule — the apply step after ``fs_patterns``
+    estimates weights: every within-customer order pair scores
+    Σᵢ (agreeᵢ ? w_agreeᵢ : w_disagreeᵢ) over the same three fields
+    (status, priority, $50k-cents price bucket), and pairs with
+    score ≥ ``threshold`` are emitted as (left_okey, right_okey,
+    score:int64), left < right.
+
+    Scale shape: identical to ``fs_patterns`` — skinny projection, ONE
+    hash(custkey) exchange, per-bucket self-merge (block size bounded by
+    orders-per-customer); qualifying pairs leave the bucket task directly,
+    no further exchange."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    wa = tuple(int(x) for x in w_agree)
+    wd = tuple(int(x) for x in w_disagree)
+
+    def project(t: pa.Table) -> pa.Table:
+        key = np.asarray(t.column("o_custkey"), np.int64)
+        cents = np.round(
+            np.asarray(t.column("o_totalprice"), np.float64) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": t.column("o_custkey"),
+                "okey": t.column("o_orderkey"),
+                "st": t.column("o_orderstatus").cast(pa.string()),
+                "pri": t.column("o_orderpriority").cast(pa.string()),
+                "pb": pa.array(cents // 5_000_000),
+                "_bucket": pa.array((key % nb).astype(np.int32)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "left_okey": pd.Series(dtype=np.int64),
+                "right_okey": pd.Series(dtype=np.int64),
+                "score": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        m = g.merge(g, on="k")
+        m = m[m["okey_x"] < m["okey_y"]]
+        if len(m) == 0:
+            return empty
+        score = np.where(
+            m["st_x"].to_numpy(object) == m["st_y"].to_numpy(object),
+            wa[0],
+            wd[0],
+        ).astype(np.int64)
+        score += np.where(
+            m["pri_x"].to_numpy(object) == m["pri_y"].to_numpy(object),
+            wa[1],
+            wd[1],
+        )
+        score += np.where(
+            m["pb_x"].to_numpy(np.int64) == m["pb_y"].to_numpy(np.int64),
+            wa[2],
+            wd[2],
+        )
+        keep = score >= threshold
+        return pd.DataFrame(
+            {
+                "left_okey": m["okey_x"].to_numpy(np.int64)[keep],
+                "right_okey": m["okey_y"].to_numpy(np.int64)[keep],
+                "score": score[keep],
+            }
+        )
+
+    return (
+        orders.map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

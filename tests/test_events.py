@@ -1309,3 +1309,53 @@ class TestGroupMode:
         assert list(
             zip(out["user_id"], out["mode_type"], out["n"].astype(int))
         ) == [(10, "a", 2), (30, "z", 1)]
+
+
+class TestSCD2:
+    def _ds(self, rows):
+        import ray.data as rd
+
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id"]
+        )
+        df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+        return rd.from_pandas(df)
+
+    def test_intervals(self, ray_session):
+        from deepblocker_ray.stages.events import scd2_intervals
+
+        rows = [
+            (1, "2024-01-01", 7),
+            (2, "2024-01-03", 7),
+            (3, "2024-01-02", 7),
+            (4, "2024-01-05", 9),
+        ]
+        out = (
+            scd2_intervals(self._ds(rows), EngineConfig(num_buckets=4))
+            .to_pandas()
+            .sort_values(["user_id", "valid_from_us"])
+        )
+        us = lambda s: int(pd.Timestamp(s).value // 1000)
+        got = list(
+            map(tuple, out[["event_id", "valid_from_us", "valid_to_us"]].to_numpy())
+        )
+        # user 7 ordered by ts: e1 → e3 → e2 (chain), e2 open; user 9: open
+        assert got == [
+            (1, us("2024-01-01"), us("2024-01-02")),
+            (3, us("2024-01-02"), us("2024-01-03")),
+            (2, us("2024-01-03"), -1),
+            (4, us("2024-01-05"), -1),
+        ]
+
+    def test_ts_tie_breaks_by_event_id(self, ray_session):
+        from deepblocker_ray.stages.events import scd2_intervals
+
+        rows = [(5, "2024-02-01", 1), (4, "2024-02-01", 1)]
+        out = (
+            scd2_intervals(self._ds(rows), EngineConfig(num_buckets=4))
+            .to_pandas()
+            .sort_values("event_id")
+        )
+        # same ts: event 4 precedes event 5; 4 closes at 5's ts, 5 open
+        assert out.loc[out["event_id"] == 4, "valid_to_us"].iloc[0] != -1
+        assert out.loc[out["event_id"] == 5, "valid_to_us"].iloc[0] == -1

@@ -137,3 +137,55 @@ class TestFSPatterns:
     def test_empty(self, ray_session):
         out = fs_patterns(self._orders([]), _cfg()).to_pandas()
         assert len(out) == 0
+
+
+class TestFSScore:
+    def _orders(self, rows):
+        return rd.from_pandas(
+            pd.DataFrame(
+                rows,
+                columns=[
+                    "o_custkey",
+                    "o_orderkey",
+                    "o_orderstatus",
+                    "o_orderpriority",
+                    "o_totalprice",
+                ],
+            )
+        )
+
+    def test_weights_and_threshold(self, ray_session):
+        from deepblocker_ray.stages.matching import fs_score
+
+        rows = [
+            (1, 10, "F", "HI", 100.0),
+            (1, 11, "F", "HI", 100.5),    # vs 10: 30+20+10 = 60 ✓
+            (1, 12, "F", "LO", 100.0),    # vs 10: 30-8+10 = 32 ✓ (boundary)
+            (1, 13, "O", "LO", 99999.0),  # vs 10: -5-8-12 = -25 ✗
+        ]
+        out = fs_score(self._orders(rows), _cfg()).to_pandas()
+        got = {
+            (l, r): s
+            for l, r, s in out[
+                ["left_okey", "right_okey", "score"]
+            ].to_numpy()
+        }
+        assert got[(10, 11)] == 60
+        assert got[(10, 12)] == 32
+        assert (10, 13) not in got
+        # (11,12): 30-8+10=32 ✓; (11,13): -25 ✗; (12,13): 30-8-12=10 ✗
+        assert set(got) == {(10, 11), (10, 12), (11, 12)}
+
+    def test_custom_threshold(self, ray_session):
+        from deepblocker_ray.stages.matching import fs_score
+
+        rows = [(1, 1, "F", "HI", 1.0), (1, 2, "O", "HI", 1.0)]
+        # score = -5+20+10 = 25
+        out = fs_score(
+            self._orders(rows), _cfg(), threshold=25
+        ).to_pandas()
+        assert len(out) == 1 and out["score"].iloc[0] == 25
+        out = fs_score(
+            self._orders(rows), _cfg(), threshold=26
+        ).to_pandas()
+        assert len(out) == 0

@@ -521,3 +521,77 @@ class TestKmeansAssign:
             kmeans_assign(
                 rd.from_pandas(df), EngineConfig(), k=4
             ).to_pandas()
+
+
+class TestKmeansUpdate:
+    def test_update_numpy_oracle(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.annsearch import kmeans_update
+
+        rng = np.random.RandomState(5)
+        vecs = rng.randn(40, 6).astype(np.float32)
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(40, dtype=np.int64),
+                "embedding": [v for v in vecs],
+            }
+        )
+        out = (
+            kmeans_update(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=4), k=4,
+            )
+            .to_pandas()
+            .sort_values(["cluster", "dim"])
+            .reset_index(drop=True)
+        )
+        q = np.rint(vecs.astype(np.float64) * 10_000).astype(np.int64)
+        d = ((q[:, None, :] - q[None, :4, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        rows = []
+        for c in range(4):
+            members = q[assign == c]
+            if len(members) == 0:
+                continue
+            s = members.sum(axis=0)
+            n = len(members)
+            for dim in range(6):
+                cs = int(s[dim])
+                mean = -(-cs // n) if cs < 0 else cs // n  # trunc to zero
+                rows.append((c, dim + 1, cs, n, mean))
+        got = list(map(tuple, out.to_numpy()))
+        assert got == rows
+
+    def test_trunc_division_negative(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.annsearch import kmeans_update
+
+        # 2 seeds; cluster 1 = {seed1, v2} with negative coordinate sums
+        # that don't divide evenly → floor and trunc differ
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(3, dtype=np.int64),
+                "embedding": [
+                    [1.0, 1.0],
+                    [-0.00015, -1.0],      # q = (-2, -10000)
+                    [-0.00016, -1.0],      # q = (-2, -10000) → cluster 1
+                ],
+            }
+        )
+        out = (
+            kmeans_update(rd.from_pandas(df), EngineConfig(num_buckets=4), k=2)
+            .to_pandas()
+            .set_index(["cluster", "dim"])
+        )
+        # cluster 1 dim 1: -0.00015*1e4 = -1.49999… (binary) → rint -1;
+        # -0.00016*1e4 = -1.6 → -2; csum = -3, cnt = 2 → trunc division
+        # gives -1 where floor would give -2 — the case the twin pins
+        assert out.loc[(1, 1), "csum"] == -3
+        assert out.loc[(1, 1), "cmean_q"] == -1
+        # craft odd division: csum=-4, cnt=2 divides evenly; check dim 2
+        assert out.loc[(1, 2), "csum"] == -20000
+        assert out.loc[(1, 2), "cnt"] == 2
