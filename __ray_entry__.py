@@ -1846,6 +1846,24 @@ def q_kmeans_update(sf_dir: str):
     return kmeans_update(_embeddings(sf_dir), _cfg(), k=8)
 
 
+def q_multipass_blocking(sf_dir: str):
+    """Composite multi-pass blocker: SNM+JW pairs (bit 1) ∪ word-3-gram
+    meta-blocking pairs (bit 2), one bucketed pair exchange summing the
+    provenance bitmask."""
+    from deepblocker_ray.stages.matching import multipass_blocking
+
+    return multipass_blocking(_documents(sf_dir), _cfg())
+
+
+def q_local_clustering(sf_dir: str):
+    """Per-node triangle counts + degree over the k=5 exact-cosine kNN
+    blocking graph (distributed wedge-check) — the local clustering
+    coefficient's exact integer ingredients."""
+    from deepblocker_ray.stages.cluster import local_clustering
+
+    return local_clustering(q_blocking_vec(sf_dir), _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1962,6 +1980,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_score": q_fs_score,
         "scd2": q_scd2,
         "kmeans_update": q_kmeans_update,
+        "multipass_blocking": q_multipass_blocking,
+        "local_clustering": q_local_clustering,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -4271,5 +4291,98 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT)
                         AS BIGINT) AS cmean_q
             FROM u GROUP BY cluster, dim
+        """,
+        # composite blocker twin: the snm_dedup pair CTE (bit 1) unioned
+        # with the meta_blocking kept-edge CTE (bit 2); each pass emits a
+        # pair at most once so sum(flag) is the provenance bitmask
+        "multipass_blocking": f"""
+            WITH r AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       row_number() OVER (
+                           ORDER BY lower(substr(coalesce(text, ''), 1, 12)),
+                                    doc_id) - 1 AS rk
+                FROM documents
+            ),
+            snmp AS (
+                SELECT CAST(a.doc_id AS VARCHAR) AS left_id,
+                       CAST(b.doc_id AS VARCHAR) AS right_id
+                FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 4
+                WHERE jaro_winkler_similarity(a.text, b.text) >= 0.9
+            ),
+            d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                         {tokens} AS tk
+                  FROM documents),
+            g AS (
+                SELECT doc_id, unnest(list_distinct(CASE
+                     WHEN len(tk) = 0 THEN []
+                     WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                     ELSE [array_to_string(tk[x : x + 2], ' ')
+                           for x in generate_series(1, len(tk) - 2)]
+                     END)) AS gram
+                FROM d
+            ),
+            f AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+            gg AS (SELECT g.doc_id, g.gram
+                   FROM g JOIN f ON f.gram = g.gram
+                   WHERE f.df BETWEEN 2 AND 5),
+            e AS (SELECT a.doc_id AS l, b.doc_id AS r,
+                         CAST(count(*) AS BIGINT) AS w
+                  FROM gg a JOIN gg b ON b.gram = a.gram
+                                     AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            nodes AS (SELECT n, CAST(count(*) AS BIGINT) AS deg,
+                             CAST(sum(w) AS BIGINT) AS sw
+                      FROM (SELECT l AS n, w FROM e
+                            UNION ALL SELECT r AS n, w FROM e)
+                      GROUP BY n),
+            mbp AS (
+                SELECT e.l AS left_id, e.r AS right_id
+                FROM e JOIN nodes na ON na.n = e.l
+                       JOIN nodes nb ON nb.n = e.r
+                WHERE e.w * na.deg >= na.sw OR e.w * nb.deg >= nb.sw
+            ),
+            u AS (
+                SELECT left_id, right_id, 1 AS flag FROM snmp
+                UNION ALL
+                SELECT left_id, right_id, 2 AS flag FROM mbp
+            )
+            SELECT left_id, right_id, CAST(sum(flag) AS BIGINT) AS sources
+            FROM u GROUP BY left_id, right_id
+        """,
+        # per-node triangle twin: each triangle (x<y<z) found once via the
+        # ordered 3-join, credited to all three members
+        "local_clustering": f"""
+            WITH docs AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id, embedding
+                FROM embeddings
+            ),
+            {vec_ranked},
+            e AS (
+                SELECT least(qid, xid) AS a, greatest(qid, xid) AS b
+                FROM ranked WHERE rk <= {VEC_K} GROUP BY 1, 2
+            ),
+            deg AS (
+                SELECT n, CAST(count(*) AS BIGINT) AS deg
+                FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+                GROUP BY n
+            ),
+            tri AS (
+                SELECT n, CAST(count(*) AS BIGINT) AS n_tri FROM (
+                    SELECT e1.a AS n FROM e e1
+                    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+                    UNION ALL
+                    SELECT e1.b AS n FROM e e1
+                    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+                    UNION ALL
+                    SELECT e2.b AS n FROM e e1
+                    JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+                    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+                ) GROUP BY n
+            )
+            SELECT d.n AS vec_id, d.deg,
+                   CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri
+            FROM deg d LEFT JOIN tri t ON t.n = d.n
         """,
     }

@@ -259,6 +259,8 @@ def main() -> None:
         "fs_score",
         "scd2",
         "kmeans_update",
+        "multipass_blocking",
+        "local_clustering",
     ]
     for name in query_names:
         r = bench_query(q[name])

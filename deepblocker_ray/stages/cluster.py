@@ -616,3 +616,190 @@ def pagerank(edges, cfg=None, *, iters: int = 3, scale: int = 10**9,
         )
 
     return ranks.map_batches(out, batch_format="pandas")
+
+
+def local_clustering(pairs, cfg=None, *, id_col: str = "vec_id",
+                     max_degree: int | None = None,
+                     stats_out: dict | None = None):
+    """Per-node triangle participation over an undirected distinct pair
+    list (left_id < right_id, strings): output (``id_col``:string,
+    deg:int64, n_tri:int64) — the local clustering coefficient's exact
+    integer numerator (n_tri) and denominator ingredient (deg); the
+    caller divides n_tri / C(deg,2) in floats if it wants the ratio.
+
+    Algorithm: the standard distributed wedge-check. Each edge is routed
+    to BOTH endpoints (one hash(node) exchange); per node the sorted
+    neighbor list emits its C(deg,2) wedges (u, w, center); wedges meet
+    the edge set in a hash(u,w)-bucketed exchange — a wedge that finds
+    its closing edge is a triangle, pre-counted per center in the bucket;
+    a final hash(node) exchange joins triangle partials with the degree
+    markers. Every triangle is counted exactly once per member (its
+    closing edge matches one wedge per center).
+
+    Scale: wedge volume is Σ C(deg(v), 2) — bounded for kNN graphs
+    (out-degree ≤ k) except at high-IN-degree hubs. ``max_degree`` skips
+    wedge generation for nodes above the cap (their n_tri reports −1,
+    never a silently-wrong count; skips are counted in ``stats_out``);
+    leave None for the exact answer when the graph is degree-bounded."""
+    from ..config import EngineConfig
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def double(df: pd.DataFrame) -> pd.DataFrame:
+        l = df["left_id"].astype(str).to_numpy(object)
+        r = df["right_id"].astype(str).to_numpy(object)
+        node = np.concatenate([l, r])
+        nbr = np.concatenate([r, l])
+        return pd.DataFrame(
+            {
+                "node": node,
+                "nbr": nbr,
+                "_bucket": bucket_of(pd.Series(node), nb),
+            }
+        )
+
+    doubled = pairs.map_batches(double, batch_format="pandas")
+
+    skipped = []
+
+    def make_wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # one bucket holds EVERY edge of its nodes → degree is exact here
+        deg = g.groupby("node", sort=False)["nbr"].size().rename("deg")
+        gg = g.merge(deg, left_on="node", right_index=True)
+        capped = (
+            gg["deg"].to_numpy(np.int64) > max_degree
+            if max_degree is not None
+            else np.zeros(len(gg), bool)
+        )
+        frames = []
+        w = gg[~capped]
+        if len(w):
+            m = w.merge(w[["node", "nbr"]], on="node")
+            m = m[m["nbr_x"] < m["nbr_y"]]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "u": m["nbr_x"].to_numpy(object),
+                        "w": m["nbr_y"].to_numpy(object),
+                        "center": m["node"].to_numpy(object),
+                        "t": np.zeros(len(m), np.int64),
+                        "deg": np.zeros(len(m), np.int64),
+                        "_kind": np.zeros(len(m), np.int8),  # wedge
+                    }
+                )
+            )
+        d = deg.reset_index()
+        is_capped = (
+            d["deg"].to_numpy(np.int64) > max_degree
+            if max_degree is not None
+            else np.zeros(len(d), bool)
+        )
+        frames.append(
+            pd.DataFrame(
+                {
+                    "u": d["node"].to_numpy(object),
+                    "w": d["node"].to_numpy(object),
+                    "center": d["node"].to_numpy(object),
+                    "t": np.where(is_capped, -1, 0).astype(np.int64),
+                    "deg": d["deg"].to_numpy(np.int64),
+                    "_kind": np.full(len(d), 2, np.int8),  # deg marker
+                }
+            )
+        )
+        out = pd.concat(frames, ignore_index=True)
+        # wedges route to the closing edge's bucket; markers to the node's
+        out["_bucket2"] = np.where(
+            out["_kind"] == 2,
+            bucket_of(out["center"], nb),
+            bucket_of(out["u"] + "\x00" + out["w"], nb),
+        ).astype(np.int32)
+        return out
+
+    wedges = (
+        doubled.groupby("_bucket")
+        .map_groups(make_wedges, batch_format="pandas")
+    )
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        l = df["left_id"].astype(str).to_numpy(object)
+        r = df["right_id"].astype(str).to_numpy(object)
+        out = pd.DataFrame(
+            {
+                "u": l,
+                "w": r,
+                "center": np.full(len(df), "", object),
+                "t": np.zeros(len(df), np.int64),
+                "deg": np.zeros(len(df), np.int64),
+                "_kind": np.ones(len(df), np.int8),  # edge
+            }
+        )
+        out["_bucket2"] = bucket_of(out["u"] + "\x00" + out["w"], nb)
+        return out
+
+    edges_tagged = pairs.map_batches(edge_rows, batch_format="pandas")
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        """Close wedges against edges; pass markers through. Output
+        (node, t, deg, _is_deg, _bucket3)."""
+        marks = g[g["_kind"] == 2]
+        out_frames = [
+            pd.DataFrame(
+                {
+                    "node": marks["center"].to_numpy(object),
+                    "t": marks["t"].to_numpy(np.int64),
+                    "deg": marks["deg"].to_numpy(np.int64),
+                    "_is_deg": np.ones(len(marks), np.int8),
+                }
+            )
+        ]
+        wed = g[g["_kind"] == 0]
+        edg = g[g["_kind"] == 1][["u", "w"]]
+        if len(wed) and len(edg):
+            m = wed.merge(edg.drop_duplicates(), on=["u", "w"])
+            if len(m):
+                c = (
+                    m.groupby("center", sort=False)
+                    .size()
+                    .rename("t")
+                    .reset_index()
+                )
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "node": c["center"].to_numpy(object),
+                            "t": c["t"].to_numpy(np.int64),
+                            "deg": np.zeros(len(c), np.int64),
+                            "_is_deg": np.zeros(len(c), np.int8),
+                        }
+                    )
+                )
+        out = pd.concat(out_frames, ignore_index=True)
+        out["_bucket3"] = bucket_of(out["node"], nb)
+        return out
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        marks = g[g["_is_deg"] == 1].drop_duplicates("node")
+        tri = g[g["_is_deg"] == 0].groupby("node", sort=False)["t"].sum()
+        ids = marks["node"].to_numpy(object)
+        t = tri.reindex(ids).fillna(0).to_numpy(np.int64)
+        capped = marks["t"].to_numpy(np.int64) == -1
+        return pd.DataFrame(
+            {
+                id_col: pd.array(ids, dtype="string"),
+                "deg": marks["deg"].to_numpy(np.int64),
+                "n_tri": np.where(capped, -1, t),
+            }
+        )
+
+    out = (
+        wedges.union(edges_tagged)
+        .groupby("_bucket2")
+        .map_groups(match, batch_format="pandas")
+        .groupby("_bucket3")
+        .map_groups(gather, batch_format="pandas")
+    )
+    if stats_out is not None:
+        stats_out["max_degree"] = max_degree
+    return out

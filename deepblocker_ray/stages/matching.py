@@ -256,3 +256,69 @@ def fs_score(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def multipass_blocking(docs, cfg: EngineConfig | None = None):
+    """Composite multi-pass blocker — the standard ER recall booster:
+    UNION the pair sets of independent blockers and keep per-pair
+    provenance. Pass 1 = sorted-neighborhood + Jaro-Winkler verify
+    (``snm_pairs``, bit 1); pass 2 = word-3-gram meta-blocking with
+    Weighted Node Pruning (``meta_blocking``, bit 2). Output one row per
+    distinct pair: (left_id, right_id, sources:int64 bitmask 1|2|3).
+
+    Scale shape: each pass keeps its own (already-green) distributed
+    shape; the combine is ONE bucketed exchange over the tagged pair
+    union — a pair lands in exactly one bucket and its flags sum there.
+    Each pass emits a pair at most once (SNM window offsets are unique;
+    meta-blocking groups pairs), so the bitmask sum is exact."""
+    from .dedup import meta_blocking
+    from .neighborhood import snm_pairs
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def tag(flag: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "left_id": df["left_id"].astype(str).to_numpy(object),
+                    "right_id": df["right_id"].astype(str).to_numpy(object),
+                }
+            )
+            out["flag"] = np.full(len(out), flag, np.int64)
+            out["_bucket"] = bucket_of(
+                out["left_id"] + "\x00" + out["right_id"], nb
+            )
+            return out
+
+        return f
+
+    a = snm_pairs(
+        docs, cfg, key_chars=12, window=4, jw_threshold=0.9
+    ).map_batches(tag(1), batch_format="pandas")
+    b = meta_blocking(docs, cfg=cfg).map_batches(
+        tag(2), batch_format="pandas"
+    )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(["left_id", "right_id"], sort=False)["flag"]
+            .sum()
+            .rename("sources")
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "left_id": pd.array(
+                    s["left_id"].to_numpy(object), dtype="string"
+                ),
+                "right_id": pd.array(
+                    s["right_id"].to_numpy(object), dtype="string"
+                ),
+                "sources": s["sources"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        a.union(b).groupby("_bucket").map_groups(combine, batch_format="pandas")
+    )

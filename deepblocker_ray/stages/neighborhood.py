@@ -214,7 +214,7 @@ def sorted_neighborhood(
     )
 
 
-def snm_dedup(
+def snm_pairs(
     docs,
     cfg: EngineConfig | None = None,
     *,
@@ -224,12 +224,11 @@ def snm_dedup(
     window: int = 4,
     jw_threshold: float = 0.9,
 ):
-    """Classic merge/purge dedup end-to-end: sorted-neighborhood blocking on
-    a lowercased ``key_chars`` text prefix → Jaro-Winkler verify ≥
-    ``jw_threshold`` on the full text → connected components. Output
-    (doc_id, cluster_id, is_duplicate) — the same contract as the
-    minhash/simhash dedup family, as the non-learned, embedding-free
-    baseline next to them.
+    """Sorted-neighborhood VERIFIED pair stage: blocking on a lowercased
+    ``key_chars`` text prefix → Jaro-Winkler verify ≥ ``jw_threshold`` on
+    the full text. Emits distinct (left_id, right_id) string pairs — the
+    reusable middle of ``snm_dedup`` (which adds connected components) and
+    one input of ``multipass_blocking``.
 
     Pair texts are attached via the size-aware broadcast join (hash-join
     fallback past the cap); the verify is the batch-vectorized JW kernel.
@@ -238,7 +237,6 @@ def snm_dedup(
     import pyarrow.compute as pc
 
     from ..functions.textsim import jaro_winkler_batch
-    from .dedup import _components_output
     from .relational import broadcast_join
 
     cfg = cfg or EngineConfig()
@@ -305,7 +303,31 @@ def snm_dedup(
             }
         )
 
-    verified = j.map_batches(verify, batch_format="pandas")
+    return j.map_batches(verify, batch_format="pandas")
+
+
+def snm_dedup(
+    docs,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_chars: int = 12,
+    window: int = 4,
+    jw_threshold: float = 0.9,
+):
+    """Classic merge/purge dedup end-to-end: ``snm_pairs`` (sorted-
+    neighborhood blocking + Jaro-Winkler verify) → connected components.
+    Output (doc_id, cluster_id, is_duplicate) — the same contract as the
+    minhash/simhash dedup family, as the non-learned, embedding-free
+    baseline next to them."""
+    from .dedup import _components_output
+
+    cfg = cfg or EngineConfig()
+    verified = snm_pairs(
+        docs, cfg, id_col=id_col, text_col=text_col, key_chars=key_chars,
+        window=window, jw_threshold=jw_threshold,
+    )
     return _components_output(docs, verified, cfg, id_col)
 
 

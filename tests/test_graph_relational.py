@@ -161,3 +161,84 @@ class TestLocalSupplierRevenue:
     def test_join_fallback_path(self, ray_session):
         # supplier above the broadcast cap → hash-join attach, same result
         assert self._run(_cfg(broadcast_rows_max=1)) == self._want()
+
+
+class TestLocalClustering:
+    def _pairs(self, edges):
+        return rd.from_pandas(
+            pd.DataFrame(edges, columns=["left_id", "right_id"])
+        )
+
+    def test_triangle_plus_pendant(self, ray_session):
+        from deepblocker_ray.stages.cluster import local_clustering
+
+        edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]
+        out = (
+            local_clustering(self._pairs(edges), _cfg())
+            .to_pandas()
+            .set_index("vec_id")
+        )
+        assert dict(out["deg"]) == {"a": 2, "b": 2, "c": 3, "d": 1}
+        assert dict(out["n_tri"]) == {"a": 1, "b": 1, "c": 1, "d": 0}
+
+    def test_max_degree_cap_reports_minus_one(self, ray_session):
+        from deepblocker_ray.stages.cluster import local_clustering
+
+        edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]
+        out = (
+            local_clustering(self._pairs(edges), _cfg(), max_degree=2)
+            .to_pandas()
+            .set_index("vec_id")
+        )
+        # c (deg 3) is capped → no silent wrong count, −1 sentinel;
+        # a and b still close their wedge through the (b, c) edge
+        assert out.loc["c", "n_tri"] == -1
+        assert out.loc["a", "n_tri"] == 1
+        assert out.loc["b", "n_tri"] == 1
+        assert out.loc["d", "n_tri"] == 0
+
+    def test_k4_complete(self, ray_session):
+        from deepblocker_ray.stages.cluster import local_clustering
+
+        nodes = ["w", "x", "y", "z"]
+        edges = [
+            (a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]
+        ]
+        out = (
+            local_clustering(self._pairs(edges), _cfg())
+            .to_pandas()
+            .set_index("vec_id")
+        )
+        # K4: every node has deg 3 and sits in C(3,2) = 3 triangles
+        assert set(out["deg"]) == {3}
+        assert set(out["n_tri"]) == {3}
+
+
+class TestMultipassBlocking:
+    def test_provenance_bitmask(self, ray_session):
+        from deepblocker_ray.stages.matching import multipass_blocking
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": np.arange(4, dtype=np.int64),
+                    "text": [
+                        "alpha beta gamma delta",
+                        "alpha beta gamma delta",
+                        "alpha beta gamma delta",
+                        "",
+                    ],
+                }
+            )
+        )
+        out = multipass_blocking(docs, _cfg()).to_pandas()
+        got = {
+            (l, r): s
+            for l, r, s in out[
+                ["left_id", "right_id", "sources"]
+            ].to_numpy()
+        }
+        # three identical docs: SNM+JW finds all 3 pairs (bit 1) AND
+        # meta-blocking keeps all 3 gram edges (bit 2) → sources = 3;
+        # the empty doc pairs with nothing on either pass
+        assert got == {("0", "1"): 3, ("0", "2"): 3, ("1", "2"): 3}
