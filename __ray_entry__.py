@@ -1864,6 +1864,34 @@ def q_local_clustering(sf_dir: str):
     return local_clustering(q_blocking_vec(sf_dir), _cfg())
 
 
+def q_one_to_one_2t(sf_dir: str):
+    """Two-table record-linkage assignment: reciprocal cosine best-match
+    between the label<5 and label≥5 halves of the embeddings table."""
+    from deepblocker_ray.stages.matching import one_to_one_match_2t
+
+    a = _embeddings(sf_dir).filter(expr="label < 5")
+    b = _embeddings(sf_dir).filter(expr="label >= 5")
+    return one_to_one_match_2t(a, b, _cfg())
+
+
+def q_dim_stats(sf_dir: str):
+    """Per-dimension exact feature-standardization stats (n, Σq, Σq²,
+    min, max on 1e4-quantized coordinates) over the embeddings table."""
+    from deepblocker_ray.stages.annsearch import dim_stats
+
+    return dim_stats(_embeddings(sf_dir), _cfg())
+
+
+def q_rendezvous(sf_dir: str):
+    """Rendezvous-hash (HRW) shard assignment of documents to 16 shards —
+    consistent routing with md5-lower64 priorities, pure map-side."""
+    from deepblocker_ray.stages.shuffle import rendezvous_assign
+
+    return rendezvous_assign(
+        _documents(sf_dir).select_columns(["doc_id"]), _cfg(), n_shards=16
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -1982,6 +2010,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_update": q_kmeans_update,
         "multipass_blocking": q_multipass_blocking,
         "local_clustering": q_local_clustering,
+        "one_to_one_2t": q_one_to_one_2t,
+        "dim_stats": q_dim_stats,
+        "rendezvous": q_rendezvous,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -4384,5 +4415,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.n AS vec_id, d.deg,
                    CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri
             FROM deg d LEFT JOIN tri t ON t.n = d.n
+        """,
+        "one_to_one_2t": """
+            WITH a AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding
+                       FROM embeddings WHERE label < 5),
+            b AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding
+                  FROM embeddings WHERE label >= 5),
+            ab AS (
+                SELECT a.id AS aid, b.id AS bid,
+                       list_cosine_similarity(a.embedding, b.embedding) AS cos
+                FROM a, b
+            ),
+            best_ab AS (
+                SELECT aid, bid FROM (
+                    SELECT aid, bid, row_number() OVER (
+                        PARTITION BY aid ORDER BY cos DESC, bid) AS r
+                    FROM ab) WHERE r = 1
+            ),
+            best_ba AS (
+                SELECT aid, bid FROM (
+                    SELECT aid, bid, row_number() OVER (
+                        PARTITION BY bid ORDER BY cos DESC, aid) AS r
+                    FROM ab) WHERE r = 1
+            )
+            SELECT x.aid AS left_id, x.bid AS right_id
+            FROM best_ab x JOIN best_ba y
+              ON x.aid = y.aid AND x.bid = y.bid
+        """,
+        "dim_stats": """
+            WITH q AS (
+                SELECT vec_id,
+                       [CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)
+                        for x in embedding] AS qv
+                FROM embeddings
+            ), u AS (
+                SELECT unnest([ {'dim': i, 'v': qv[i]}
+                                for i in generate_series(1, len(qv)) ],
+                              recursive := true)
+                FROM q
+            )
+            SELECT CAST(dim AS INTEGER) AS dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS sum_q,
+                   CAST(sum(v * v) AS BIGINT) AS sum_qq,
+                   CAST(min(v) AS BIGINT) AS min_q,
+                   CAST(max(v) AS BIGINT) AS max_q
+            FROM u GROUP BY dim ORDER BY dim
+        """,
+        "rendezvous": """
+            WITH p AS (
+                SELECT d.doc_id, s.s AS shard,
+                       CAST(md5_number_lower(
+                           CAST(d.doc_id AS VARCHAR) || '#'
+                           || CAST(s.s AS VARCHAR)) // 2 AS BIGINT)
+                           AS priority
+                FROM documents d,
+                     (SELECT unnest(generate_series(0, 15)) AS s) s
+            )
+            SELECT doc_id, CAST(shard AS INTEGER) AS shard, priority
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY priority DESC, shard) AS rn
+                  FROM p)
+            WHERE rn = 1
         """,
     }

@@ -261,6 +261,9 @@ def main() -> None:
         "kmeans_update",
         "multipass_blocking",
         "local_clustering",
+        "one_to_one_2t",
+        "dim_stats",
+        "rendezvous",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -429,3 +429,77 @@ def kmeans_update(
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )
+
+
+def dim_stats(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "vec_id",
+    list_col: str = "embedding",
+    scale: int = 10_000,
+):
+    """Per-dimension feature-standardization statistics over an embedding
+    column, exact: (dim:int32 1-based, n:int64, sum_q:int64,
+    sum_qq:int64, min_q:int64, max_q:int64) on ``round(x·scale)``
+    quantized coordinates — the global μ/σ ingredient for normalizing
+    vectors before indexing, integer-exact so the SQL twin matches
+    bit-for-bit (float Σx² is order-dependent; int64 is associative).
+
+    Scale shape: each batch reduces to one D-row partial (columnar
+    sums/extrema, no per-row work beyond the quantize); partials meet in
+    a single tiny combine. Nothing else moves."""
+    cfg = cfg or EngineConfig()
+
+    def partial(batch: pa.Table) -> "pd.DataFrame":
+        import pandas as pd
+
+        col = batch.column(list_col).combine_chunks()
+        if hasattr(col, "flatten") and (
+            pa.types.is_fixed_size_list(col.type)
+            or pa.types.is_list(col.type)
+        ):
+            flat = np.asarray(col.flatten(), np.float64)
+            width = (
+                col.type.list_size
+                if pa.types.is_fixed_size_list(col.type)
+                else int(np.diff(np.asarray(col.offsets))[0])
+            )
+            mat = flat.reshape(len(col), width)
+        else:
+            mat = np.asarray(col.to_numpy(zero_copy_only=False), np.float64)
+        q = np.rint(mat * scale).astype(np.int64)
+        d = q.shape[1]
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, d + 1, dtype=np.int32),
+                "n": np.full(d, len(q), np.int64),
+                "sum_q": q.sum(axis=0),
+                "sum_qq": (q * q).sum(axis=0),
+                "min_q": q.min(axis=0),
+                "max_q": q.max(axis=0),
+            }
+        )
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.groupby("dim", sort=True)
+        out = g.agg(
+            n=("n", "sum"),
+            sum_q=("sum_q", "sum"),
+            sum_qq=("sum_qq", "sum"),
+            min_q=("min_q", "min"),
+            max_q=("max_q", "max"),
+        ).reset_index()
+        return out.astype(
+            {
+                "dim": np.int32,
+                **{c: np.int64 for c in
+                   ["n", "sum_q", "sum_qq", "min_q", "max_q"]},
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

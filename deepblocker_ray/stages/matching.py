@@ -322,3 +322,70 @@ def multipass_blocking(docs, cfg: EngineConfig | None = None):
     return (
         a.union(b).groupby("_bucket").map_groups(combine, batch_format="pandas")
     )
+
+
+def one_to_one_match_2t(
+    a_ds,
+    b_ds,
+    cfg: EngineConfig | None = None,
+    id_col: str = "vec_id",
+    list_col: str = "embedding",
+):
+    """Two-table reciprocal best-match — the record-linkage assignment
+    step between two sources A and B: keep (a, b) iff b is a's cosine
+    top-1 IN B and a is b's top-1 IN A (ties by ascending string id).
+    Output (left_id from A, right_id from B). Ids must be unique across
+    both tables.
+
+    Scale shape: two pinned indexes (one sort each), two shuffle-free
+    tiled-GEMM query passes, then ONE bucketed exchange over the
+    |A|+|B| directed best edges — an (a, b) key is kept iff it arrived
+    from both directions. Symmetric to ``one_to_one_match`` but with the
+    direction known from which pass emitted the edge, so no string-order
+    canonicalization is needed."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    a_prep = prep_embeddings(a_ds, id_col=id_col, list_col=list_col).materialize()
+    b_prep = prep_embeddings(b_ds, id_col=id_col, list_col=list_col).materialize()
+
+    p_ab = ExactTopKPairer(k=1, cfg=cfg, exclude_self=False)
+    p_ab.index(b_prep, id_col=id_col)
+    ab = p_ab.query(a_prep, id_col=id_col)     # left=a, right=b
+
+    p_ba = ExactTopKPairer(k=1, cfg=cfg, exclude_self=False)
+    p_ba.index(a_prep, id_col=id_col)
+    ba = p_ba.query(b_prep, id_col=id_col)     # left=b, right=a
+
+    def orient(a_is_left: bool):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            l = df["left_id"].astype(str).to_numpy(object)
+            r = df["right_id"].astype(str).to_numpy(object)
+            a, b = (l, r) if a_is_left else (r, l)
+            out = pd.DataFrame({"left_id": a, "right_id": b})
+            out["_bucket"] = bucket_of(
+                out["left_id"] + "\x00" + out["right_id"], nb
+            )
+            return out
+
+        return f
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["left_id", "right_id"], sort=False).size()
+        keep = c[c == 2].reset_index()
+        return pd.DataFrame(
+            {
+                "left_id": pd.array(
+                    keep["left_id"].to_numpy(object), dtype="string"
+                ),
+                "right_id": pd.array(
+                    keep["right_id"].to_numpy(object), dtype="string"
+                ),
+            }
+        )
+
+    return (
+        ab.map_batches(orient(True), batch_format="pandas")
+        .union(ba.map_batches(orient(False), batch_format="pandas"))
+        .groupby("_bucket")
+        .map_groups(mutual, batch_format="pandas")
+    )

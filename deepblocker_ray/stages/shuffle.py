@@ -118,3 +118,44 @@ def corpus_shuffle(
         .groupby("_bucket")
         .map_groups(rank, batch_format="pandas")
     )
+
+
+def rendezvous_assign(ds, cfg=None, *, id_col: str = "doc_id",
+                      n_shards: int = 16):
+    """Rendezvous (highest-random-weight) shard assignment: each record
+    goes to argmaxₛ hash(id ‖ '#' ‖ s) over s ∈ [0, n_shards) — the
+    consistent-routing rule whose defining property is minimal movement
+    when shards are added/removed (only keys whose winner changes move,
+    ≈ 1/(n+1) of them). Priority is the repo's md5-lower64 stable hash
+    shifted into int63 (DuckDB ``md5_number_lower(...) // 2``), ties
+    broken by the smaller shard. Output (``id_col``, shard:int32,
+    priority:int64 of the winner).
+
+    Scale shape: pure map-side — n_shards vectorized hash passes per
+    batch, one argmax; no shuffle, no state."""
+    import pandas as pd
+
+    from ..config import EngineConfig
+    from .dedup import hash64_strs
+
+    cfg = cfg or EngineConfig()
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].astype(str)
+        pri = np.empty((len(df), n_shards), np.int64)
+        for s in range(n_shards):
+            pri[:, s] = (
+                hash64_strs(ids + f"#{s}") // np.uint64(2)
+            ).astype(np.int64)
+        best = pri.argmax(axis=1)  # first max = smallest shard on ties
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "shard": best.astype(np.int32),
+                "priority": pri[np.arange(len(df)), best],
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")

@@ -189,3 +189,72 @@ class TestFSScore:
             self._orders(rows), _cfg(), threshold=26
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestOneToOne2T:
+    def test_mutual_across_tables(self, ray_session):
+        from deepblocker_ray.stages.matching import one_to_one_match_2t
+
+        # A = ids 0,1 ; B = ids 10, 11, 12
+        # 0 ↔ 10 tight; 1 → 11 but 11's best in A is 0?  craft:
+        a = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": np.array([0, 1], dtype=np.int64),
+                    "embedding": [[1.0, 0.0], [0.0, 1.0]],
+                }
+            )
+        )
+        b = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": np.array([10, 11, 12], dtype=np.int64),
+                    "embedding": [
+                        [0.99, 0.01],   # 10: closest to 0
+                        [0.1, 0.9],     # 11: closest to 1
+                        [0.98, 0.02],   # 12: also near 0 but 10 wins
+                    ],
+                }
+            )
+        )
+        out = one_to_one_match_2t(a, b, _cfg()).to_pandas()
+        got = sorted(map(tuple, out[["left_id", "right_id"]].to_numpy()))
+        assert got == [("0", "10"), ("1", "11")]
+
+    def test_brute_force_parity(self, ray_session):
+        from deepblocker_ray.stages.matching import one_to_one_match_2t
+
+        rng = np.random.default_rng(9)
+        na, nb_ = 15, 20
+        mat = rng.normal(size=(na + nb_, 6))
+        ids = np.arange(na + nb_, dtype=np.int64)
+        mk = lambda lo, hi: rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": ids[lo:hi],
+                    "embedding": [list(v) for v in mat[lo:hi]],
+                }
+            )
+        )
+        out = one_to_one_match_2t(mk(0, na), mk(na, na + nb_), _cfg())
+        got = sorted(
+            map(tuple, out.to_pandas()[["left_id", "right_id"]].to_numpy())
+        )
+        norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        cos = norm[:na] @ norm[na:].T
+        sa = [str(i) for i in range(na)]
+        sb = [str(na + j) for j in range(nb_)]
+        best_ab = {
+            sa[i]: min(range(nb_), key=lambda j: (-cos[i, j], sb[j]))
+            for i in range(na)
+        }
+        best_ba = {
+            sb[j]: min(range(na), key=lambda i: (-cos[i, j], sa[i]))
+            for j in range(nb_)
+        }
+        want = sorted(
+            (sa[best_ba[sb[j]]], sb[j])
+            for j in range(nb_)
+            if best_ab[sa[best_ba[sb[j]]]] == j
+        )
+        assert got == want

@@ -595,3 +595,41 @@ class TestKmeansUpdate:
         # craft odd division: csum=-4, cnt=2 divides evenly; check dim 2
         assert out.loc[(1, 2), "csum"] == -20000
         assert out.loc[(1, 2), "cnt"] == 2
+
+
+class TestDimStats:
+    def test_hand_computed(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.annsearch import dim_stats
+
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(3, dtype=np.int64),
+                "embedding": [
+                    [0.1, -0.2],
+                    [0.3, 0.0],
+                    [-0.1, 0.5],
+                ],
+            }
+        )
+        out = (
+            dim_stats(
+                rd.from_pandas([p for p in np.array_split(df, 2)]),
+                EngineConfig(num_buckets=4),
+            )
+            .to_pandas()
+            .set_index("dim")
+        )
+        # dim 1: q = 1000, 3000, -1000 → sum 3000, sumsq 11e6
+        assert out.loc[1, "n"] == 3
+        assert out.loc[1, "sum_q"] == 3000
+        assert out.loc[1, "sum_qq"] == 11_000_000
+        assert out.loc[1, "min_q"] == -1000
+        assert out.loc[1, "max_q"] == 3000
+        # dim 2: q = -2000, 0, 5000
+        assert out.loc[2, "sum_q"] == 3000
+        assert out.loc[2, "sum_qq"] == 29_000_000
+        assert out.loc[2, "min_q"] == -2000
+        assert out.loc[2, "max_q"] == 5000

@@ -129,3 +129,43 @@ class TestClusterRepresentatives:
         # the longer ("padded") copy survives each near-dup cluster
         keep_ids = set(got.loc[got["keep"], "doc_id"].astype(int))
         assert {0, 10} <= keep_ids and not {1, 11} & keep_ids
+
+
+class TestRendezvous:
+    def _assign(self, ids, n_shards):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.shuffle import rendezvous_assign
+
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": ids}))
+        out = rendezvous_assign(
+            ds, EngineConfig(num_buckets=4), n_shards=n_shards
+        ).to_pandas()
+        return dict(zip(out["doc_id"], out["shard"]))
+
+    def test_minimal_movement_on_shard_removal(self, ray_session):
+        ids = [f"doc{i}" for i in range(200)]
+        a16 = self._assign(ids, 16)
+        a15 = self._assign(ids, 15)
+        moved = 0
+        for k in ids:
+            if a16[k] < 15:
+                # winner survives the removal → assignment MUST not change
+                assert a15[k] == a16[k]
+            else:
+                moved += 1
+        # HRW property: only keys whose winner was the removed shard move
+        assert moved == sum(1 for k in ids if a16[k] == 15)
+        assert 0 < moved < len(ids) // 4
+
+    def test_deterministic_and_spread(self, ray_session):
+        ids = [f"u{i}" for i in range(400)]
+        a = self._assign(ids, 8)
+        b = self._assign(ids, 8)
+        assert a == b
+        import collections
+
+        counts = collections.Counter(a.values())
+        assert set(counts) == set(range(8))   # every shard used
+        assert max(counts.values()) < 3 * (400 // 8)
