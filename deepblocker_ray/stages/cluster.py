@@ -647,6 +647,13 @@ def local_clustering(pairs, cfg=None, *, id_col: str = "vec_id",
     cfg = cfg or EngineConfig()
     nb = cfg.num_buckets
 
+    # data-sized blocks: a CPU-fanned upstream (e.g. the pairer's 128
+    # blocks) makes the chained exchanges pay per-fragment coordination —
+    # measured 7.5 s vs 0.7 s at sf0.1 for identical output
+    pairs = pairs.materialize()
+    pblocks = max(1, -(-pairs.count() // 2_000_000))
+    pairs = pairs.repartition(pblocks).materialize()
+
     def double(df: pd.DataFrame) -> pd.DataFrame:
         l = df["left_id"].astype(str).to_numpy(object)
         r = df["right_id"].astype(str).to_numpy(object)

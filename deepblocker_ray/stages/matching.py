@@ -52,7 +52,12 @@ def one_to_one_match(
     ).materialize()
     pairer = ExactTopKPairer(k=1, cfg=cfg, exclude_self=True)
     pairer.index(prepped, id_col=id_col)
-    best = pairer.query(prepped, id_col=id_col)
+    # data-sized blocks before the exchange: the query stage emits one
+    # fragment per index tile and the groupby pays per fragment
+    best = pairer.query(prepped, id_col=id_col).materialize()
+    best = best.repartition(
+        max(1, -(-best.count() // 2_000_000))
+    ).materialize()
 
     def canon(df: pd.DataFrame) -> pd.DataFrame:
         left = df["left_id"].astype(str).to_numpy(object)
@@ -348,13 +353,19 @@ def one_to_one_match_2t(
     a_prep = prep_embeddings(a_ds, id_col=id_col, list_col=list_col).materialize()
     b_prep = prep_embeddings(b_ds, id_col=id_col, list_col=list_col).materialize()
 
+    def _flat(ds):
+        ds = ds.materialize()
+        return ds.repartition(
+            max(1, -(-ds.count() // 2_000_000))
+        ).materialize()
+
     p_ab = ExactTopKPairer(k=1, cfg=cfg, exclude_self=False)
     p_ab.index(b_prep, id_col=id_col)
-    ab = p_ab.query(a_prep, id_col=id_col)     # left=a, right=b
+    ab = _flat(p_ab.query(a_prep, id_col=id_col))   # left=a, right=b
 
     p_ba = ExactTopKPairer(k=1, cfg=cfg, exclude_self=False)
     p_ba.index(a_prep, id_col=id_col)
-    ba = p_ba.query(b_prep, id_col=id_col)     # left=b, right=a
+    ba = _flat(p_ba.query(b_prep, id_col=id_col))   # left=b, right=a
 
     def orient(a_is_left: bool):
         def f(df: pd.DataFrame) -> pd.DataFrame:
