@@ -1892,6 +1892,69 @@ def q_rendezvous(sf_dir: str):
     )
 
 
+def q_inverted_index(sf_dir: str):
+    """Materialize the inverted index itself: (token, df, postings =
+    ascending comma-joined doc ids) over the documents table."""
+    from deepblocker_ray.stages.search import inverted_index
+
+    return inverted_index(_documents(sf_dir), _cfg())
+
+
+def q_label_denoise(sf_dir: str):
+    """One round of majority-vote label propagation over the k=5 cosine
+    kNN blocking graph: each node adopts the deterministic MODE of its
+    neighbors' labels (count DESC, label ASC)."""
+    from deepblocker_ray.stages.cluster import neighbor_majority_label
+
+    return neighbor_majority_label(
+        q_blocking_vec(sf_dir), _embeddings(sf_dir), _cfg()
+    )
+
+
+def q_fk_audit(sf_dir: str):
+    """Referential-integrity audit across five relations — forward
+    orphans (child key missing from parent) and reverse childless
+    parents; each relation is one anti-exists pass that never
+    materializes the violating rows."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import fk_orphans
+
+    cfg = _cfg()
+
+    def rp(name, cols):
+        return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=cols)
+
+    li_ok = rp("lineitem", ["l_orderkey"])
+    li_pk = rp("lineitem", ["l_partkey"])
+    li_sk = rp("lineitem", ["l_suppkey"])
+    orders_ok = rp("orders", ["o_orderkey"])
+    orders_ck = rp("orders", ["o_custkey"])
+    cust = rp("customer", ["c_custkey"])
+    part = rp("part", ["p_partkey"])
+    supp = rp("supplier", ["s_suppkey"])
+
+    audits = [
+        fk_orphans(li_ok, orders_ok, cfg, child_key="l_orderkey",
+                   parent_key="o_orderkey", relation="lineitem->orders"),
+        fk_orphans(orders_ck, cust, cfg, child_key="o_custkey",
+                   parent_key="c_custkey", relation="orders->customer"),
+        fk_orphans(cust, orders_ck, cfg, child_key="c_custkey",
+                   parent_key="o_custkey",
+                   relation="customer_without_orders"),
+        fk_orphans(part, li_pk, cfg, child_key="p_partkey",
+                   parent_key="l_partkey",
+                   relation="part_without_lineitem"),
+        fk_orphans(supp, li_sk, cfg, child_key="s_suppkey",
+                   parent_key="l_suppkey",
+                   relation="supplier_without_lineitem"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.union(a)
+    return out
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2013,6 +2076,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "one_to_one_2t": q_one_to_one_2t,
         "dim_stats": q_dim_stats,
         "rendezvous": q_rendezvous,
+        "inverted_index": q_inverted_index,
+        "label_denoise": q_label_denoise,
+        "fk_audit": q_fk_audit,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -4478,5 +4544,65 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY priority DESC, shard) AS rn
                   FROM p)
             WHERE rn = 1
+        """,
+        "inverted_index": f"""
+            WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                              {tokens} AS tk
+                       FROM documents),
+            t AS (SELECT DISTINCT doc_id, unnest(tk) AS token FROM d)
+            SELECT token, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+            FROM t GROUP BY token
+        """,
+        "label_denoise": f"""
+            WITH docs AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id, embedding
+                FROM embeddings
+            ),
+            {vec_ranked},
+            e AS (
+                SELECT least(qid, xid) AS a, greatest(qid, xid) AS b
+                FROM ranked WHERE rk <= {VEC_K} GROUP BY 1, 2
+            ),
+            dbl AS (
+                SELECT a AS n, b AS m FROM e
+                UNION ALL SELECT b AS n, a AS m FROM e
+            ),
+            lab AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id,
+                       CAST(label AS BIGINT) AS label
+                FROM embeddings
+            ),
+            c AS (
+                SELECT d.n, l.label, count(*) AS cnt
+                FROM dbl d JOIN lab l ON l.id = d.m GROUP BY 1, 2
+            )
+            SELECT n AS vec_id, label AS maj_label
+            FROM (SELECT n, label, row_number() OVER (
+                      PARTITION BY n ORDER BY cnt DESC, label) AS rn
+                  FROM c)
+            WHERE rn = 1
+        """,
+        "fk_audit": """
+            SELECT 'lineitem->orders' AS relation,
+                   CAST(count(*) AS BIGINT) AS n_orphans
+            FROM lineitem l WHERE NOT EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+            UNION ALL
+            SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+            FROM orders o WHERE NOT EXISTS (
+                SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'customer_without_orders', CAST(count(*) AS BIGINT)
+            FROM customer c WHERE NOT EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            UNION ALL
+            SELECT 'part_without_lineitem', CAST(count(*) AS BIGINT)
+            FROM part p WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+            UNION ALL
+            SELECT 'supplier_without_lineitem', CAST(count(*) AS BIGINT)
+            FROM supplier s WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
         """,
     }

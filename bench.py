@@ -264,6 +264,9 @@ def main() -> None:
         "one_to_one_2t",
         "dim_stats",
         "rendezvous",
+        "inverted_index",
+        "label_denoise",
+        "fk_audit",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -810,3 +810,95 @@ def local_clustering(pairs, cfg=None, *, id_col: str = "vec_id",
     if stats_out is not None:
         stats_out["max_degree"] = max_degree
     return out
+
+
+def neighbor_majority_label(pairs, labels, cfg=None, *,
+                            id_col: str = "vec_id",
+                            label_col: str = "label"):
+    """One round of majority-vote label propagation over an undirected
+    pair list — the label-denoising / semi-supervised step: each node in
+    the graph adopts the MODE of its neighbors' labels (count DESC, label
+    ASC tie-break; deterministic). Nodes outside the graph emit nothing.
+    Output (``id_col``:string, maj_label:int64).
+
+    Scale shape: edges double map-side; labels project to skinny
+    (id, label) rows; they meet in ONE hash(neighbor-id) exchange where
+    each edge picks up its neighbor's label; per-(node, label) partial
+    counts flow through a second hash(node) exchange where the mode reads
+    off the count vector. No driver state, no label table broadcast."""
+    from ..config import EngineConfig
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def dbl(df: pd.DataFrame) -> pd.DataFrame:
+        l = df["left_id"].astype(str).to_numpy(object)
+        r = df["right_id"].astype(str).to_numpy(object)
+        node = np.concatenate([l, r])
+        nbr = np.concatenate([r, l])
+        return pd.DataFrame(
+            {
+                "node": node,
+                "key": nbr,
+                "label": np.zeros(len(node), np.int64),
+                "_is_lab": np.zeros(len(node), np.int8),
+                "_bucket": bucket_of(pd.Series(nbr), nb),
+            }
+        )
+
+    def lab_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].astype(str).to_numpy(object)
+        return pd.DataFrame(
+            {
+                "node": np.full(len(df), "", object),
+                "key": ids,
+                "label": df[label_col].to_numpy(np.int64),
+                "_is_lab": np.ones(len(df), np.int8),
+                "_bucket": bucket_of(pd.Series(ids), nb),
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["_is_lab"] == 1][["key", "label"]].drop_duplicates("key")
+        edg = g[g["_is_lab"] == 0][["node", "key"]]
+        m = edg.merge(lab, on="key")
+        c = (
+            m.groupby(["node", "label"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        c["_bucket2"] = bucket_of(c["node"], nb)
+        return c
+
+    def mode(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(["node", "label"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        s = s.sort_values(
+            ["node", "cnt", "label"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("node")
+        return pd.DataFrame(
+            {
+                id_col: pd.array(s["node"].to_numpy(object), dtype="string"),
+                "maj_label": s["label"].to_numpy(np.int64),
+            }
+        )
+
+    pairs = pairs.materialize()
+    pblocks = max(1, -(-pairs.count() // 2_000_000))
+    pairs = pairs.repartition(pblocks).materialize()
+    e = pairs.map_batches(dbl, batch_format="pandas")
+    lb = labels.map_batches(lab_rows, batch_format="pandas")
+    return (
+        e.union(lb)
+        .groupby("_bucket")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("_bucket2")
+        .map_groups(mode, batch_format="pandas")
+    )

@@ -1133,3 +1133,72 @@ def group_comoments(lineitem, cfg: EngineConfig):
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )
+
+
+def fk_orphans(
+    child,
+    parent,
+    cfg: EngineConfig,
+    *,
+    child_key: str,
+    parent_key: str,
+    relation: str,
+):
+    """Referential-integrity audit for ONE relation: count child rows
+    whose ``child_key`` has no match in ``parent[parent_key]`` (orphans).
+    Output exactly one row (relation, n_orphans:int64). Run it with the
+    roles swapped to count childless parents.
+
+    Scale shape: the existence side reduces to its distinct int64 key set
+    map-side and rides ``broadcast_exists_join`` (broadcast under the
+    cap, one bucketed marker join above it); the surviving orphan rows
+    collapse to per-batch counts and one tiny combine — the audit never
+    materializes the orphan rows themselves."""
+    import ray.data as rd
+
+    orphans = broadcast_exists_join(
+        child.select_columns([child_key]),
+        parent.select_columns([parent_key]),
+        big_key=child_key,
+        small_key=parent_key,
+        cfg=cfg,
+        anti=True,
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"relation": [relation], "n": [np.int64(len(t))]}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "relation": [relation],
+                "n_orphans": [np.int64(df["n"].sum() if len(df) else 0)],
+            }
+        )
+
+    counted = (
+        orphans.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )
+    # an empty orphan stream yields zero blocks — union a zero row so the
+    # relation always reports (then combine keeps the max = real count)
+    zero = rd.from_pandas(
+        pd.DataFrame({"relation": [relation], "n_orphans": [np.int64(0)]})
+    )
+
+    def keep_max(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "relation": [relation],
+                "n_orphans": [np.int64(df["n_orphans"].max())],
+            }
+        )
+
+    return (
+        counted.union(zero)
+        .repartition(1)
+        .map_batches(keep_max, batch_format="pandas")
+    )

@@ -323,3 +323,71 @@ def tfidf_search(
         scores, cfg, order_col="score", id_col=id_col, k=k,
         group_col=query_id_col,
     )
+
+
+def inverted_index(docs, cfg=None, *, id_col: str = "doc_id",
+                   text_col: str = "text", df_cap: int | None = None):
+    """Materialize the inverted index itself as a table: one row per
+    token — (token, df:int64, postings: comma-joined doc ids in ascending
+    STRING order). The artifact behind token blocking / lexical search,
+    exposed as an output a downstream engine can load. ``df_cap`` (if
+    given) drops stop tokens with df > cap — block purging at the index,
+    where it is one comparison instead of a posting-list explosion later.
+
+    Scale shape: per batch, tokenize + per-doc distinct → skinny
+    (token, doc) pairs; ONE hash(token) bucket exchange; per bucket a
+    vectorized groupby builds each posting list. Posting lists for
+    stop-like tokens are the classic skew hazard — cap them with
+    ``df_cap`` (the cap is exact, applied after the full df is known in
+    the token's single bucket)."""
+    import pandas as pd
+
+    from ..config import EngineConfig
+    from ..functions.tokenizer import tokenize_many
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        ids = t.column(id_col).cast(pa.string()).to_pandas().to_numpy(object)
+        texts = (
+            t.column(text_col)
+            .cast(pa.string())
+            .fill_null("")
+            .to_pandas()
+            .to_numpy(object)
+        )
+        toks = tokenize_many(texts)
+        lens = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        doc = np.repeat(ids, lens)
+        tok = np.concatenate([np.asarray(x, object) for x in toks]) \
+            if lens.sum() else np.empty(0, object)
+        df = pd.DataFrame({"token": tok, "doc_id": doc}).drop_duplicates()
+        df["_bucket"] = bucket_of(df["token"], nb)
+        return df
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["token", "doc_id"])
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        grouped = g.groupby("token", sort=False)["doc_id"]
+        df_counts = grouped.size()
+        if df_cap is not None:
+            keep = df_counts[df_counts <= df_cap].index
+            g = g[g["token"].isin(set(keep))]
+            grouped = g.groupby("token", sort=False)["doc_id"]
+            df_counts = grouped.size()
+        postings = grouped.agg(",".join)
+        return pd.DataFrame(
+            {
+                "token": df_counts.index.to_numpy(object),
+                "df": df_counts.to_numpy(np.int64),
+                "postings": postings.to_numpy(object),
+            }
+        )
+
+    return (
+        docs.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(build, batch_format="pandas")
+    )

@@ -242,3 +242,62 @@ class TestMultipassBlocking:
         # meta-blocking keeps all 3 gram edges (bit 2) → sources = 3;
         # the empty doc pairs with nothing on either pass
         assert got == {("0", "1"): 3, ("0", "2"): 3, ("1", "2"): 3}
+
+
+class TestNeighborMajorityLabel:
+    def test_mode_and_tiebreak(self, ray_session):
+        from deepblocker_ray.stages.cluster import neighbor_majority_label
+
+        pairs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "left_id": ["a", "a", "a", "b"],
+                    "right_id": ["b", "c", "d", "c"],
+                }
+            )
+        )
+        labels = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": ["a", "b", "c", "d"],
+                    "label": np.array([9, 2, 2, 1], np.int64),
+                }
+            )
+        )
+        out = (
+            neighbor_majority_label(pairs, labels, _cfg())
+            .to_pandas()
+            .set_index("vec_id")
+        )
+        # a's nbrs: b(2), c(2), d(1) → 2; b's nbrs: a(9), c(2) → tie 1-1
+        #   → smaller label 2; c's nbrs: a(9), b(2) → 2; d's nbrs: a → 9
+        assert dict(out["maj_label"]) == {"a": 2, "b": 2, "c": 2, "d": 9}
+
+
+class TestFKOrphans:
+    def _run(self, child_keys, parent_keys, cfg, swap=False):
+        from deepblocker_ray.stages.relational import fk_orphans
+
+        child = rd.from_pandas(
+            pd.DataFrame({"ck": np.asarray(child_keys, np.int64)})
+        )
+        parent = rd.from_pandas(
+            pd.DataFrame({"pk": np.asarray(parent_keys, np.int64)})
+        )
+        out = fk_orphans(
+            child, parent, cfg, child_key="ck", parent_key="pk",
+            relation="t",
+        ).to_pandas()
+        assert list(out["relation"]) == ["t"]
+        return int(out["n_orphans"].iloc[0])
+
+    def test_planted_orphans(self, ray_session):
+        # children 0..9; parents cover 0..6 → orphans 7, 8, 9 (+dup 8)
+        assert self._run([*range(10), 8], range(7), _cfg()) == 4
+
+    def test_no_orphans(self, ray_session):
+        assert self._run(range(5), range(9), _cfg()) == 0
+
+    def test_join_fallback_path(self, ray_session):
+        cfg = _cfg(broadcast_rows_max=2)
+        assert self._run([*range(10), 8], range(7), cfg) == 4

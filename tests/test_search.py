@@ -151,3 +151,40 @@ class TestTfidfSearch:
             _ds(DOCS), _ds(queries), CFG, k=1, stats_out=stats
         ).materialize()
         assert stats == {"n_queries": 2, "n_query_terms": 2}
+
+
+class TestInvertedIndex:
+    def test_postings_df_and_cap(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.search import inverted_index
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": np.arange(4, dtype=np.int64),
+                    "text": [
+                        "apple banana apple",
+                        "banana cherry",
+                        "apple",
+                        None,
+                    ],
+                }
+            )
+        )
+        out = (
+            inverted_index(docs, EngineConfig(num_buckets=4))
+            .to_pandas()
+            .set_index("token")
+        )
+        assert out.loc["apple", "df"] == 2
+        assert out.loc["apple", "postings"] == "0,2"
+        assert out.loc["banana", "postings"] == "0,1"
+        assert out.loc["cherry", "postings"] == "1"
+        capped = (
+            inverted_index(docs, EngineConfig(num_buckets=4), df_cap=1)
+            .to_pandas()
+            .set_index("token")
+        )
+        assert set(capped.index) == {"cherry"}
