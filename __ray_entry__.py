@@ -1955,6 +1955,60 @@ def q_fk_audit(sf_dir: str):
     return out
 
 
+def q_ntile(sf_dir: str):
+    """Exact equal-frequency decile binning of event values (cents):
+    bin = (rank−1)·10 // n over (cents, event_id) order — the explicit
+    floor formula, not SQL NTILE (different remainder split)."""
+    from deepblocker_ray.stages.scan import ntile_bins
+
+    ev = _events(sf_dir, columns=["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        c = _np.round(
+            _np.asarray(t.column("value"), _np.float64) * 100
+        ).astype(_np.int64)
+        return pa.table(
+            {"event_id": t.column("event_id"), "cents": pa.array(c)}
+        )
+
+    return ntile_bins(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        _cfg(), id_col="event_id", value_col="cents", k=10,
+    )
+
+
+def q_nearest_join(sf_dir: str):
+    """Bidirectional as-of join: each click matched to the SAME user's
+    nearest view in either direction (|Δts| min; ties prefer backward,
+    then max/min event id per the pinned rule)."""
+    from deepblocker_ray.stages.events import nearest_event_join
+
+    return nearest_event_join(
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"]),
+        _cfg(),
+    )
+
+
+def q_table_fingerprint(sf_dir: str):
+    """Order-insensitive per-column dataset fingerprint (n_rows, n_nulls,
+    Σ md5-lower64(str(v)) mod 2⁶³) over three orders columns — the
+    snapshot-regression check."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.profile import table_fingerprint
+
+    o = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    )
+    return table_fingerprint(
+        o, _cfg(),
+        columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2079,6 +2133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "label_denoise": q_label_denoise,
         "fk_audit": q_fk_audit,
+        "ntile": q_ntile,
+        "nearest_join": q_nearest_join,
+        "table_fingerprint": q_table_fingerprint,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -4604,5 +4661,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'supplier_without_lineitem', CAST(count(*) AS BIGINT)
             FROM supplier s WHERE NOT EXISTS (
                 SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+        """,
+        "ntile": """
+            WITH e AS (
+                SELECT event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), r AS (
+                SELECT event_id, cents,
+                       row_number() OVER (ORDER BY cents, event_id) AS rank
+                FROM e
+            )
+            SELECT event_id, cents, CAST(rank AS BIGINT) AS rank,
+                   CAST((rank - 1) * 10 // (SELECT count(*) FROM e)
+                        AS BIGINT) AS bin
+            FROM r
+        """,
+        "nearest_join": """
+            WITH l AS (
+                SELECT event_id, user_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts
+                FROM events WHERE event_type = 'click'
+            ), r AS (
+                SELECT event_id, user_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts
+                FROM events WHERE event_type = 'view'
+            ), c AS (
+                SELECT l.event_id, l.user_id, l.ts AS lts,
+                       r.event_id AS rid, r.ts AS rts
+                FROM l JOIN r ON r.user_id = l.user_id
+            )
+            SELECT event_id, user_id, lts AS ts_us,
+                   CAST(rid AS BIGINT) AS matched_id,
+                   CAST(rts - lts AS BIGINT) AS delta_us
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY event_id
+                      ORDER BY abs(rts - lts),
+                               CAST(rts > lts AS INT),
+                               CASE WHEN rts <= lts THEN -rid
+                                    ELSE rid END) AS rn
+                  FROM c)
+            WHERE rn = 1
+        """,
+        "table_fingerprint": """
+            SELECT 'o_orderkey' AS column,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+                   CAST(CAST(coalesce(sum(md5_number_lower(
+                            CAST(o_orderkey AS VARCHAR))), 0) AS HUGEINT)
+                        % 9223372036854775808 AS BIGINT) AS hash_sum
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_orderstatus) AS BIGINT),
+                   CAST(CAST(coalesce(sum(md5_number_lower(
+                            CAST(o_orderstatus AS VARCHAR))), 0) AS HUGEINT)
+                        % 9223372036854775808 AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                   CAST(count(*) - count(o_orderpriority) AS BIGINT),
+                   CAST(CAST(coalesce(sum(md5_number_lower(
+                            CAST(o_orderpriority AS VARCHAR))), 0) AS HUGEINT)
+                        % 9223372036854775808 AS BIGINT)
+            FROM orders
         """,
     }

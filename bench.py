@@ -267,6 +267,9 @@ def main() -> None:
         "inverted_index",
         "label_denoise",
         "fk_audit",
+        "ntile",
+        "nearest_join",
+        "table_fingerprint",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -1658,3 +1658,89 @@ def scd2_intervals(ds, cfg: EngineConfig | None = None):
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def nearest_event_join(
+    ds,
+    cfg: EngineConfig,
+    left_type: str = "click",
+    right_type: str = "view",
+):
+    """Bidirectional as-of ("nearest") join: for every ``left_type``
+    event, the ``right_type`` event of the SAME user closest in time in
+    EITHER direction. Tie rules, pinned exactly in the SQL twin: smaller
+    |Δts| wins; equal |Δts| prefers the backward match (right.ts ≤
+    left.ts); within the winning side, backward ties take the MAX right
+    event_id (merge_asof backward keeps the last duplicate) and forward
+    ties the MIN (forward keeps the first). Emits (event_id, user_id,
+    ts_us, matched_id, delta_us = right.ts − left.ts, signed); left
+    events of users with no right events drop (inner semantics).
+
+    Scale shape: identical to ``asof_join`` — skinny typed projection,
+    ONE hash(user) exchange, two vectorized ``merge_asof`` scans
+    (backward + forward) per bucket and a vectorized argmin pick."""
+    if left_type == right_type:
+        raise ValueError(
+            "nearest_event_join requires distinct left/right event types"
+        )
+    skinny = _project_events(ds, cfg, types=(left_type, right_type))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype=np.int64),
+                "user_id": pd.Series(dtype=np.int64),
+                "ts_us": pd.Series(dtype=np.int64),
+                "matched_id": pd.Series(dtype=np.int64),
+                "delta_us": pd.Series(dtype=np.int64),
+            }
+        )
+        left = df[df["event_type"] == left_type]
+        right = df[df["event_type"] == right_type]
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        left = left.sort_values(
+            ["ts_us", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        right = right.sort_values(
+            ["ts_us", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        r = right[["user_id", "ts_us", "event_id"]].rename(
+            columns={"ts_us": "r_ts", "event_id": "r_id"}
+        )
+        back = pd.merge_asof(
+            left, r, left_on="ts_us", right_on="r_ts", by="user_id",
+            direction="backward",
+        )
+        fwd = pd.merge_asof(
+            left, r, left_on="ts_us", right_on="r_ts", by="user_id",
+            direction="forward",
+        )
+        lts = left["ts_us"].to_numpy(np.int64)
+        bd = lts - back["r_ts"].to_numpy(np.float64)   # NaN if no match
+        fd = fwd["r_ts"].to_numpy(np.float64) - lts
+        use_back = np.where(
+            np.isnan(bd), False,
+            np.where(np.isnan(fd), True, bd <= fd),
+        )
+        has = ~(np.isnan(bd) & np.isnan(fd))
+        mid = np.where(
+            use_back,
+            back["r_id"].to_numpy(np.float64),
+            fwd["r_id"].to_numpy(np.float64),
+        )
+        delta = np.where(use_back, -bd, fd)
+        keep = has
+        return pd.DataFrame(
+            {
+                "event_id": left["event_id"].to_numpy(np.int64)[keep],
+                "user_id": left["user_id"].to_numpy(np.int64)[keep],
+                "ts_us": lts[keep],
+                "matched_id": mid[keep].astype(np.int64),
+                "delta_us": delta[keep].astype(np.int64),
+            }
+        )
+
+    return (
+        skinny.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+    )

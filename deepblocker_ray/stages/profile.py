@@ -179,3 +179,67 @@ def _empty_profile() -> pd.DataFrame:
     for c in ("n_rows", "n_nulls", "n_distinct", "min_len", "max_len"):
         cols[c] = pd.Series(dtype=np.int64)
     return pd.DataFrame(cols)
+
+
+def table_fingerprint(ds, cfg=None, *, columns: list[str]):
+    """Order-insensitive dataset fingerprint for regression checks /
+    snapshot diffing: per column, (n_rows, n_nulls, hash_sum) where
+    hash_sum = Σ md5-lower64(str(value)) over non-null values, mod 2⁶³ —
+    the same md5 convention as every twinnable identity in this repo, so
+    two runs (or two engines) agree iff the multiset of values agrees.
+    Values hash via their canonical STRING form; use it on int/string
+    columns (float VARCHAR forms are engine-dependent — cents first).
+
+    Scale shape: pure map-side — each batch reduces to one row per
+    column (hash sums accumulate as exact Python ints, no overflow);
+    one tiny combine."""
+    import pandas as pd
+
+    from ..config import EngineConfig
+    from .dedup import hash64_strs
+
+    cfg = cfg or EngineConfig()
+    if not columns:
+        raise ValueError("columns must be non-empty")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in columns:
+            s = df[c]
+            nn = s.isna()
+            vals = s[~nn]
+            hs = (
+                int(hash64_strs(vals.astype(str)).astype(object).sum())
+                if len(vals)
+                else 0
+            )
+            rows.append((c, len(s), int(nn.sum()), hs))
+        return pd.DataFrame(
+            rows, columns=["column", "n_rows", "n_nulls", "hsum"]
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("column", sort=True)
+        out = pd.DataFrame(
+            {
+                "column": list(g.groups),
+                "n_rows": g["n_rows"].sum().to_numpy(np.int64),
+                "n_nulls": g["n_nulls"].sum().to_numpy(np.int64),
+                "hash_sum": np.array(
+                    [
+                        int(v) % (2**63)
+                        for v in g["hsum"].agg(
+                            lambda s: sum(int(x) for x in s)
+                        )
+                    ],
+                    np.int64,
+                ),
+            }
+        )
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

@@ -143,3 +143,27 @@ def rank_transform(ds, cfg, *, id_col: str, value_col: str):
         .groupby("_bucket")
         .map_groups(rank, batch_format="pandas")
     )
+
+
+def ntile_bins(ds, cfg, *, id_col: str, value_col: str, k: int = 10):
+    """Exact equal-frequency binning: bin = (rank − 1)·k // n over the
+    total order (value asc, id asc) — the feature-engineering quantile
+    bucket. The explicit floor formula (remainder spread evenly across
+    bins) is pinned in the SQL twin rather than SQL NTILE, whose
+    remainder goes to the FIRST bins — a different split. Emits
+    (id, value, rank, bin:int64).
+
+    Scale shape: ``rank_transform``'s range-partitioned scan (no global
+    sort) plus one map-side formula; n is one driver-side scalar."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ranked = rank_transform(ds, cfg, id_col=id_col, value_col=value_col)
+    ranked = ranked.materialize()
+    n = ranked.count()
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        r = np.asarray(t.column("rank"), np.int64)
+        b = (r - 1) * k // max(n, 1)
+        return t.append_column("bin", pa.array(b))
+
+    return ranked.map_batches(add_bin, batch_format="pyarrow")

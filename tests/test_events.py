@@ -1359,3 +1359,45 @@ class TestSCD2:
         # same ts: event 4 precedes event 5; 4 closes at 5's ts, 5 open
         assert out.loc[out["event_id"] == 4, "valid_to_us"].iloc[0] != -1
         assert out.loc[out["event_id"] == 5, "valid_to_us"].iloc[0] == -1
+
+
+class TestNearestJoin:
+    def _run(self, rows):
+        from deepblocker_ray.stages.events import nearest_event_join
+
+        return (
+            nearest_event_join(_from_pandas(None, _events_df(rows)), CFG)
+            .to_pandas()
+            .set_index("event_id")
+        )
+
+    def test_direction_pick_and_ties(self, ray_session):
+        rows = [
+            # user 1: views at T0 and T0+10min; clicks between
+            (1, 1, T0, "view", 0.0),
+            (2, 1, T0 + 10 * MIN, "view", 0.0),
+            (3, 1, T0 + 3 * MIN, "click", 0.0),   # nearer backward (3<7)
+            (4, 1, T0 + 7 * MIN, "click", 0.0),   # nearer forward (3<7)
+            (5, 1, T0 + 5 * MIN, "click", 0.0),   # exact tie → backward
+            # user 2: no views → clicks drop
+            (6, 2, T0, "click", 0.0),
+        ]
+        out = self._run(rows)
+        assert out.loc[3, "matched_id"] == 1
+        assert out.loc[3, "delta_us"] == -3 * MIN
+        assert out.loc[4, "matched_id"] == 2
+        assert out.loc[4, "delta_us"] == 3 * MIN
+        assert out.loc[5, "matched_id"] == 1     # tie → backward
+        assert out.loc[5, "delta_us"] == -5 * MIN
+        assert 6 not in out.index
+
+    def test_same_ts_duplicates(self, ray_session):
+        rows = [
+            (1, 1, T0, "view", 0.0),
+            (2, 1, T0, "view", 0.0),       # same ts: backward takes MAX id
+            (3, 1, T0, "click", 0.0),
+            (4, 1, T0 + MIN, "view", 0.0),
+        ]
+        out = self._run(rows)
+        assert out.loc[3, "matched_id"] == 2
+        assert out.loc[3, "delta_us"] == 0

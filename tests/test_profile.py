@@ -633,3 +633,34 @@ class TestDimStats:
         assert out.loc[2, "sum_qq"] == 29_000_000
         assert out.loc[2, "min_q"] == -2000
         assert out.loc[2, "max_q"] == 5000
+
+
+class TestTableFingerprint:
+    def test_multiset_identity_and_nulls(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.profile import table_fingerprint
+
+        df1 = pd.DataFrame(
+            {"a": [1, 2, 3, None], "b": ["x", "y", "y", "z"]}
+        )
+        df2 = df1.sample(frac=1.0, random_state=3).reset_index(drop=True)
+        cfg = EngineConfig(num_buckets=4)
+        f = lambda d: (
+            table_fingerprint(
+                rd.from_pandas([p for p in np.array_split(d, 2)]),
+                cfg, columns=["a", "b"],
+            )
+            .to_pandas()
+            .set_index("column")
+        )
+        o1, o2 = f(df1), f(df2)
+        # row order must not matter; nulls counted, not hashed
+        assert o1.equals(o2)
+        assert o1.loc["a", "n_nulls"] == 1
+        assert o1.loc["a", "n_rows"] == 4
+        df3 = df1.copy()
+        df3.loc[0, "b"] = "CHANGED"
+        assert f(df3).loc["b", "hash_sum"] != o1.loc["b", "hash_sum"]
+        assert f(df3).loc["a", "hash_sum"] == o1.loc["a", "hash_sum"]

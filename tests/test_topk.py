@@ -429,3 +429,32 @@ class TestTriangleCount:
         )
         got_e, got_t = self._run(ray_session, edges)
         assert (got_e, got_t) == (len(edges), want)
+
+
+class TestNtileBins:
+    def test_even_split_and_remainder(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.scan import ntile_bins
+
+        # n = 23, k = 4 → floor((rank-1)*4/23): remainder spread evenly
+        df = pd.DataFrame(
+            {
+                "id": np.arange(23, dtype=np.int64),
+                "v": np.arange(23, dtype=np.int64)[::-1].copy(),
+            }
+        )
+        out = (
+            ntile_bins(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=4), id_col="id", value_col="v",
+                k=4,
+            )
+            .to_pandas()
+            .sort_values("rank")
+        )
+        want = [(r - 1) * 4 // 23 for r in range(1, 24)]
+        assert out["bin"].tolist() == want
+        # ranks follow value order: id 22 has v=0 → rank 1
+        assert out.iloc[0]["id"] == 22
