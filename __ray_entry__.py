@@ -2009,6 +2009,39 @@ def q_table_fingerprint(sf_dir: str):
     )
 
 
+def q_id_gaps(sf_dir: str):
+    """Gaps-and-islands over the click event ids: every missing id range
+    strictly inside [min, max] — the ingest sequence-integrity check."""
+    from deepblocker_ray.stages.scan import id_gaps
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    return id_gaps(clicks, _cfg(), id_col="event_id")
+
+
+def q_event_runs(sf_dir: str):
+    """Run-length encoding of each user's event-type timeline:
+    consecutive same-type events collapse to (run_idx, type, start, end,
+    n_events)."""
+    from deepblocker_ray.stages.events import event_runs
+
+    return event_runs(
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"]),
+        _cfg(),
+    )
+
+
+def q_fd_violations(sf_dir: str):
+    """Functional-dependency audit user_id → event_type: users mapped to
+    more than one distinct type, with the distinct count."""
+    from deepblocker_ray.stages.profile import fd_violations
+
+    return fd_violations(
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "event_type"]),
+        _cfg(), lhs="user_id", rhs="event_type",
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2136,6 +2169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile": q_ntile,
         "nearest_join": q_nearest_join,
         "table_fingerprint": q_table_fingerprint,
+        "id_gaps": q_id_gaps,
+        "event_runs": q_event_runs,
+        "fd_violations": q_fd_violations,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -4725,5 +4761,55 @@ def oracle_sql() -> dict[str, str]:
                             CAST(o_orderpriority AS VARCHAR))), 0) AS HUGEINT)
                         % 9223372036854775808 AS BIGINT)
             FROM orders
+        """,
+        "id_gaps": """
+            WITH ids AS (
+                SELECT DISTINCT event_id AS id FROM events
+                WHERE event_type = 'click'
+            ), s AS (
+                SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM ids
+            )
+            SELECT CAST(id + 1 AS BIGINT) AS gap_start,
+                   CAST(nxt - 1 AS BIGINT) AS gap_end,
+                   CAST(nxt - id - 1 AS BIGINT) AS gap_len
+            FROM s WHERE nxt > id + 1
+        """,
+        "event_runs": """
+            WITH e AS (
+                SELECT user_id, event_type,
+                       CAST(epoch_us(ts) AS BIGINT) AS ts, event_id
+                FROM events WHERE event_type IS NOT NULL
+            ), s AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn,
+                       row_number() OVER (
+                           PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS rt
+                FROM e
+            ), g AS (
+                SELECT user_id, event_type, rn - rt AS grp,
+                       CAST(min(ts) AS BIGINT) AS start_us,
+                       CAST(max(ts) AS BIGINT) AS end_us,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       min(rn) AS ord
+                FROM s GROUP BY 1, 2, 3
+            )
+            SELECT user_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY ord) - 1
+                       AS BIGINT) AS run_idx,
+                   event_type, start_us, end_us, n_events
+            FROM g
+        """,
+        "fd_violations": """
+            SELECT user_id,
+                   CAST(count(DISTINCT event_type) AS BIGINT)
+                       AS n_distinct_rhs
+            FROM events
+            WHERE event_type IS NOT NULL
+            GROUP BY user_id
+            HAVING count(DISTINCT event_type) > 1
         """,
     }

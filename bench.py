@@ -270,6 +270,9 @@ def main() -> None:
         "ntile",
         "nearest_join",
         "table_fingerprint",
+        "id_gaps",
+        "event_runs",
+        "fd_violations",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -1744,3 +1744,74 @@ def nearest_event_join(
     return (
         skinny.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def event_runs(ds, cfg: EngineConfig | None = None):
+    """Run-length encoding of each user's event-type timeline — the
+    gaps-and-islands collapse: consecutive same-type events (in (ts,
+    event_id) order) become one run. Emits (user_id, run_idx 0-based
+    per user, event_type, start_us, end_us, n_events). NULL event types
+    are excluded before the collapse (they would otherwise glue or split
+    runs arbitrarily).
+
+    Scale shape: skinny typed projection → ONE hash(user) exchange →
+    per-bucket mergesort + boundary-mask reduceat (fully vectorized
+    across all users of the bucket)."""
+    cfg = cfg or EngineConfig()
+
+    def not_null_type(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_valid(t.column("event_type")))
+
+    skinny = _project_events(
+        ds.map_batches(not_null_type, batch_format="pyarrow"),
+        cfg, with_type=True,
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype=np.int64),
+                "run_idx": pd.Series(dtype=np.int64),
+                "event_type": pd.Series(dtype=object),
+                "start_us": pd.Series(dtype=np.int64),
+                "end_us": pd.Series(dtype=np.int64),
+                "n_events": pd.Series(dtype=np.int64),
+            }
+        )
+        if len(g) == 0:
+            return empty
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        user = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        new_user = np.empty(len(g), bool)
+        new_user[0] = True
+        new_user[1:] = user[1:] != user[:-1]
+        new_run = new_user.copy()
+        new_run[1:] |= et[1:] != et[:-1]
+        starts = np.flatnonzero(new_run)
+        ends = np.r_[starts[1:], len(g)] - 1
+        run_user = user[starts]
+        # run_idx: 0-based within user
+        first_run_of_user = np.flatnonzero(new_user[starts])
+        run_idx = np.arange(len(starts), dtype=np.int64)
+        offsets = np.zeros(len(starts), np.int64)
+        offsets[first_run_of_user] = run_idx[first_run_of_user]
+        np.maximum.accumulate(offsets, out=offsets)
+        run_idx = run_idx - offsets
+        return pd.DataFrame(
+            {
+                "user_id": run_user,
+                "run_idx": run_idx,
+                "event_type": et[starts],
+                "start_us": ts[starts],
+                "end_us": ts[ends],
+                "n_events": (ends - starts + 1).astype(np.int64),
+            }
+        )
+
+    return (
+        skinny.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+    )

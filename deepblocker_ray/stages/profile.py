@@ -243,3 +243,49 @@ def table_fingerprint(ds, cfg=None, *, columns: list[str]):
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )
+
+
+def fd_violations(ds, cfg=None, *, lhs: str, rhs: str):
+    """Functional-dependency audit (lhs → rhs): every lhs value mapped
+    to MORE than one distinct non-null rhs value, with its distinct-rhs
+    count — the schema-inference / normalization check. Output
+    (``lhs``:int64, n_distinct_rhs:int64), violators only.
+
+    Scale shape: per-batch DISTINCT (lhs, rhs) pairs (the map-side
+    combiner that bounds the exchange at |distinct pairs|, not rows) →
+    ONE hash(lhs) exchange → per-bucket exact distinct count + filter."""
+    import pandas as pd
+
+    from ..config import EngineConfig
+    from .events import _user_bucket
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[lhs, rhs]].dropna().drop_duplicates()
+        d = pd.DataFrame(
+            {lhs: d[lhs].to_numpy(np.int64), rhs: d[rhs].astype(str)}
+        )
+        d["_bucket"] = _user_bucket(d[lhs].to_numpy(np.int64), nb)
+        return d
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            g.drop_duplicates([lhs, rhs])
+            .groupby(lhs, sort=False)[rhs]
+            .size()
+        )
+        c = c[c > 1]
+        return pd.DataFrame(
+            {
+                lhs: c.index.to_numpy(np.int64),
+                "n_distinct_rhs": c.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(count, batch_format="pandas")
+    )

@@ -167,3 +167,107 @@ def ntile_bins(ds, cfg, *, id_col: str, value_col: str, k: int = 10):
         return t.append_column("bin", pa.array(b))
 
     return ranked.map_batches(add_bin, batch_format="pyarrow")
+
+
+def id_gaps(ds, cfg, *, id_col: str):
+    """Gaps-and-islands over an int64 id column: every maximal missing
+    range strictly inside [min, max] of the DISTINCT ids — (gap_start,
+    gap_end, gap_len:int64). The sequence-integrity check for ingest
+    pipelines (dropped offsets, missing file parts).
+
+    Scale shape: one (min, max) aggregate fixes nb equal-WIDTH value
+    ranges; ids route to their range (dups land together and dedupe
+    there); each range emits its internal gaps vectorized (diff on the
+    sorted unique ids) plus one (range, lo, hi) summary row; the R
+    summaries meet in a single tiny combine that emits the cross-range
+    gaps (empty ranges collapse into them). Every globally-consecutive
+    id pair is either intra-range (stage 2) or spans ranges (stage 3) —
+    exactly one stage emits each gap."""
+    import pandas as pd
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    nr = cfg.num_buckets
+    skinny = ds.select_columns([id_col]).materialize()
+    bounds = skinny.aggregate(Min(id_col), Max(id_col))
+    empty = pa.table(
+        {
+            "gap_start": pa.array([], pa.int64()),
+            "gap_end": pa.array([], pa.int64()),
+            "gap_len": pa.array([], pa.int64()),
+        }
+    )
+    if bounds is None or bounds.get(f"min({id_col})") is None:
+        return rd.from_arrow(empty)
+    lo, hi = int(bounds[f"min({id_col})"]), int(bounds[f"max({id_col})"])
+    width = max(1, (hi - lo) // nr + 1)
+
+    def route(t: pa.Table) -> pd.DataFrame:
+        ids = np.unique(np.asarray(t.column(id_col), np.int64))
+        return pd.DataFrame(
+            {"id": ids, "_bucket": ((ids - lo) // width).astype(np.int32)}
+        )
+
+    def in_range(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["id"].to_numpy(np.int64))
+        d = np.diff(ids)
+        at = np.flatnonzero(d > 1)
+        gaps = pd.DataFrame(
+            {
+                "gap_start": ids[at] + 1,
+                "gap_end": ids[at + 1] - 1,
+                "_lo": np.zeros(len(at), np.int64),
+                "_hi": np.zeros(len(at), np.int64),
+                "_is_summary": np.zeros(len(at), np.int8),
+            }
+        )
+        summary = pd.DataFrame(
+            {
+                "gap_start": [np.int64(0)],
+                "gap_end": [np.int64(0)],
+                "_lo": [ids[0]],
+                "_hi": [ids[-1]],
+                "_is_summary": [np.int8(1)],
+            }
+        )
+        return pd.concat([gaps, summary], ignore_index=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["_is_summary"] == 0][["gap_start", "gap_end"]]
+        s = df[df["_is_summary"] == 1].sort_values("_lo")
+        hi_prev = s["_hi"].to_numpy(np.int64)[:-1]
+        lo_next = s["_lo"].to_numpy(np.int64)[1:]
+        cross = lo_next > hi_prev + 1
+        out = pd.concat(
+            [
+                out,
+                pd.DataFrame(
+                    {
+                        "gap_start": hi_prev[cross] + 1,
+                        "gap_end": lo_next[cross] - 1,
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        gs = out["gap_start"].to_numpy(np.int64)
+        ge = out["gap_end"].to_numpy(np.int64)
+        # explicit Arrow schema: a 0-row pandas block loses its columns on
+        # the way out (Ray drops empty pandas blocks from the schema)
+        return pa.table(
+            {
+                "gap_start": pa.array(gs, pa.int64()),
+                "gap_end": pa.array(ge, pa.int64()),
+                "gap_len": pa.array(ge - gs + 1, pa.int64()),
+            }
+        )
+
+    return (
+        skinny.map_batches(route, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(in_range, batch_format="pandas")
+        .repartition(1)
+        .map_batches(finish, batch_format="pandas")
+    )

@@ -1401,3 +1401,40 @@ class TestNearestJoin:
         out = self._run(rows)
         assert out.loc[3, "matched_id"] == 2
         assert out.loc[3, "delta_us"] == 0
+
+
+class TestEventRuns:
+    def test_runs_collapse_and_null_excluded(self, ray_session):
+        from deepblocker_ray.stages.events import event_runs
+
+        rows = [
+            (1, 1, T0 + 0 * MIN, "a", 0.0),
+            (2, 1, T0 + 1 * MIN, "a", 0.0),
+            (3, 1, T0 + 2 * MIN, None, 0.0),   # excluded — a-runs merge?
+            (4, 1, T0 + 3 * MIN, "a", 0.0),    # ...yes: still run 0
+            (5, 1, T0 + 4 * MIN, "b", 0.0),
+            (6, 1, T0 + 5 * MIN, "a", 0.0),
+            (7, 2, T0, "b", 0.0),
+        ]
+        out = (
+            event_runs(_from_pandas(None, _events_df(rows)), CFG)
+            .to_pandas()
+            .sort_values(["user_id", "run_idx"])
+            .reset_index(drop=True)
+        )
+        got = list(
+            map(
+                tuple,
+                out[
+                    ["user_id", "run_idx", "event_type", "n_events"]
+                ].to_numpy(),
+            )
+        )
+        assert got == [
+            (1, 0, "a", 3),
+            (1, 1, "b", 1),
+            (1, 2, "a", 1),
+            (2, 0, "b", 1),
+        ]
+        r0 = out.iloc[0]
+        assert r0["start_us"] == T0 and r0["end_us"] == T0 + 3 * MIN

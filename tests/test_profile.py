@@ -664,3 +664,29 @@ class TestTableFingerprint:
         df3.loc[0, "b"] = "CHANGED"
         assert f(df3).loc["b", "hash_sum"] != o1.loc["b", "hash_sum"]
         assert f(df3).loc["a", "hash_sum"] == o1.loc["a", "hash_sum"]
+
+
+class TestFDViolations:
+    def test_violators_only_nulls_dropped(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.profile import fd_violations
+
+        df = pd.DataFrame(
+            {
+                "k": np.array([1, 1, 1, 2, 2, 3, 4, 4], np.int64),
+                "v": ["a", "b", "a", "x", "x", "q", None, "z"],
+            }
+        )
+        out = (
+            fd_violations(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=4), lhs="k", rhs="v",
+            )
+            .to_pandas()
+            .set_index("k")
+        )
+        # k=1 → {a,b} violation; k=2 → {x} ok; k=3 ok; k=4 → null dropped,
+        # only {z} → ok
+        assert dict(out["n_distinct_rhs"]) == {1: 2}

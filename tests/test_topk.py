@@ -458,3 +458,46 @@ class TestNtileBins:
         assert out["bin"].tolist() == want
         # ranks follow value order: id 22 has v=0 → rank 1
         assert out.iloc[0]["id"] == 22
+
+
+class TestIdGaps:
+    def _run(self, ids, nb=4):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.scan import id_gaps
+
+        df = pd.DataFrame({"event_id": np.asarray(ids, np.int64)})
+        out = id_gaps(
+            rd.from_pandas([p for p in np.array_split(df, 3)])
+            if len(df) >= 3 else rd.from_pandas(df),
+            EngineConfig(num_buckets=nb), id_col="event_id",
+        ).to_pandas()
+        if len(out) == 0:
+            # Ray drops 0-row map outputs, so an all-dense input loses the
+            # schema too — callers must len-check before column access
+            return []
+        return list(map(tuple, out.sort_values("gap_start").to_numpy()))
+
+    def test_gaps_with_duplicates_and_cross_range(self, ray_session):
+        # ids spread over [0, 1000] so the 4 value-ranges split them;
+        # dup 500 must not create phantom gaps
+        ids = [0, 1, 5, 500, 500, 501, 999, 1000]
+        assert self._run(ids) == [
+            (2, 4, 3),
+            (6, 499, 494),
+            (502, 998, 497),
+        ]
+
+    def test_dense_no_gaps(self, ray_session):
+        assert self._run(list(range(50))) == []
+
+    def test_python_oracle_random(self, ray_session):
+        rng = np.random.default_rng(2)
+        ids = np.unique(rng.integers(0, 3000, 400))
+        want = [
+            (int(a) + 1, int(b) - 1, int(b - a - 1))
+            for a, b in zip(ids[:-1], ids[1:])
+            if b > a + 1
+        ]
+        assert self._run(ids.tolist(), nb=8) == want
