@@ -2042,6 +2042,41 @@ def q_fd_violations(sf_dir: str):
     )
 
 
+def q_time_histogram(sf_dir: str):
+    """Exact event counts per (day-of-week, hour-of-day) from epoch-µs
+    integer arithmetic (dow 0 = Sunday, DuckDB convention)."""
+    from deepblocker_ray.stages.events import time_histogram
+
+    return time_histogram(_events(sf_dir, columns=["event_id", "ts"]), _cfg())
+
+
+def q_join_size(sf_dir: str):
+    """Exact orders⋈lineitem cardinality WITHOUT executing the join
+    (Σₖ cntA·cntB) plus per-side row/key totals — the planner primitive;
+    only per-batch (key, count) partials ride the one shared exchange."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import join_size_estimate
+
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    return join_size_estimate(
+        o, li, _cfg(), left_key="o_orderkey", right_key="l_orderkey"
+    )
+
+
+def q_running_total(sf_dir: str):
+    """Exact daily revenue running total (distributed prefix sum over
+    day ranges — no global sort, O(ranges) driver offsets)."""
+    from deepblocker_ray.stages.scan import running_total
+
+    return running_total(
+        _events(sf_dir, columns=["event_id", "ts", "value"]), _cfg()
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2172,6 +2207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "id_gaps": q_id_gaps,
         "event_runs": q_event_runs,
         "fd_violations": q_fd_violations,
+        "time_histogram": q_time_histogram,
+        "join_size": q_join_size,
+        "running_total": q_running_total,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -4811,5 +4849,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type IS NOT NULL
             GROUP BY user_id
             HAVING count(DISTINCT event_type) > 1
+        """,
+        "time_histogram": """
+            SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INTEGER)
+                       AS dow,
+                   CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER)
+                       AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "join_size": """
+            WITH a AS (SELECT o_orderkey AS k, count(*) AS c
+                       FROM orders GROUP BY 1),
+                 b AS (SELECT l_orderkey AS k, count(*) AS c
+                       FROM lineitem GROUP BY 1)
+            SELECT
+                CAST(coalesce((SELECT sum(a.c * b.c)
+                               FROM a JOIN b ON a.k = b.k), 0) AS BIGINT)
+                    AS join_rows,
+                CAST((SELECT sum(c) FROM a) AS BIGINT) AS left_rows,
+                CAST((SELECT sum(c) FROM b) AS BIGINT) AS right_rows,
+                CAST((SELECT count(*) FROM a) AS BIGINT) AS left_keys,
+                CAST((SELECT count(*) FROM b) AS BIGINT) AS right_keys
+        """,
+        "running_total": """
+            WITH d AS (
+                SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS day_cents
+                FROM events GROUP BY 1
+            )
+            SELECT day, day_cents,
+                   CAST(sum(day_cents) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_cents
+            FROM d
         """,
     }

@@ -273,6 +273,9 @@ def main() -> None:
         "id_gaps",
         "event_runs",
         "fd_violations",
+        "time_histogram",
+        "join_size",
+        "running_total",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -1815,3 +1815,49 @@ def event_runs(ds, cfg: EngineConfig | None = None):
     return (
         skinny.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def time_histogram(ds, cfg: EngineConfig | None = None):
+    """Calendar telemetry histogram: exact event counts per (day-of-week,
+    hour-of-day), computed from epoch-µs integer arithmetic — dow 0 =
+    Sunday (DuckDB ``dayofweek`` convention, 1970-01-01 was a Thursday:
+    (days + 4) % 7), hour = (µs // 3.6e9) % 24. Output (dow:int32,
+    hour:int32, n_events:int64).
+
+    Scale shape: per-batch 2-D bincount partial (≤ 168 rows each) → one
+    tiny combine. Nothing else moves."""
+    cfg = cfg or EngineConfig()
+    day_us = np.int64(86_400_000_000)
+    hour_us = np.int64(3_600_000_000)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = np.asarray(
+            t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        dow = ((ts // day_us + 4) % 7).astype(np.int64)
+        hod = ((ts // hour_us) % 24).astype(np.int64)
+        c = np.bincount(dow * 24 + hod, minlength=168).astype(np.int64)
+        nz = np.flatnonzero(c)
+        return pd.DataFrame(
+            {
+                "dow": (nz // 24).astype(np.int32),
+                "hour": (nz % 24).astype(np.int32),
+                "n_events": c[nz],
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            df.groupby(["dow", "hour"], sort=True)["n_events"]
+            .sum()
+            .reset_index()
+        )
+        return s.astype(
+            {"dow": np.int32, "hour": np.int32, "n_events": np.int64}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

@@ -1202,3 +1202,80 @@ def fk_orphans(
         .repartition(1)
         .map_batches(keep_max, batch_format="pandas")
     )
+
+
+def join_size_estimate(left, right, cfg: EngineConfig, *,
+                       left_key: str, right_key: str):
+    """EXACT equi-join cardinality WITHOUT executing the join — the
+    planner primitive: |A ⋈ B| = Σₖ cntA(k)·cntB(k). Also reports each
+    side's row and distinct-key totals. Output one row (join_rows,
+    left_rows, right_rows, left_keys, right_keys), all int64.
+
+    Scale shape: each side pre-combines to per-batch (key, count)
+    partials map-side — the exchange carries |distinct keys per batch|
+    rows, never data rows; ONE shared hash(key) exchange (union + side
+    tag); per bucket the product-sum and key counts reduce to a 1-row
+    partial; one tiny combine."""
+    nb = cfg.num_buckets
+
+    def side_counts(key: str, tag: int):
+        def f(t: pa.Table) -> pd.DataFrame:
+            k = np.asarray(t.column(key), np.int64)
+            u, c = np.unique(k, return_counts=True)
+            return pd.DataFrame(
+                {
+                    "k": u,
+                    "cnt": c.astype(np.int64),
+                    "_side": np.full(len(u), tag, np.int8),
+                    "_bucket": (u % nb).astype(np.int32),
+                }
+            )
+
+        return f
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = (
+            g[g["_side"] == 0]
+            .groupby("k", sort=False)["cnt"]
+            .sum()
+        )
+        b = (
+            g[g["_side"] == 1]
+            .groupby("k", sort=False)["cnt"]
+            .sum()
+        )
+        common = a.index.intersection(b.index)
+        join_rows = int(
+            (a.loc[common].to_numpy(np.int64)
+             * b.loc[common].to_numpy(np.int64)).sum()
+        ) if len(common) else 0
+        return pd.DataFrame(
+            {
+                "join_rows": [np.int64(join_rows)],
+                "left_rows": [np.int64(a.sum())],
+                "right_rows": [np.int64(b.sum())],
+                "left_keys": [np.int64(len(a))],
+                "right_keys": [np.int64(len(b))],
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                c: [np.int64(df[c].sum() if len(df) else 0)]
+                for c in [
+                    "join_rows", "left_rows", "right_rows",
+                    "left_keys", "right_keys",
+                ]
+            }
+        )
+
+    l = left.map_batches(side_counts(left_key, 0), batch_format="pyarrow")
+    r = right.map_batches(side_counts(right_key, 1), batch_format="pyarrow")
+    return (
+        l.union(r)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

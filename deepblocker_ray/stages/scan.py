@@ -271,3 +271,106 @@ def id_gaps(ds, cfg, *, id_col: str):
         .repartition(1)
         .map_batches(finish, batch_format="pandas")
     )
+
+
+def running_total(ds, cfg, *, ts_col: str = "ts", value_col: str = "value"):
+    """Exact global running total by day — the distributed prefix sum:
+    (day = epoch-µs // 86400e6, day_cents = Σ round(value·100),
+    cum_cents = running Σ over day order), all int64.
+
+    Scale shape: the ``rank_transform`` scan pattern — per-batch per-day
+    partials route to nb equal-WIDTH day ranges; range subtotals (R
+    scalars, bounded by nb) come to the driver ONCE and ship back as
+    prefix offsets; each range then finishes independently (sort its few
+    days, cumsum, add offset). No global sort, no serial scan."""
+    import pandas as pd
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    from ..state.broadcast import cached_get
+
+    nr = cfg.num_buckets
+    day_us = np.int64(86_400_000_000)
+
+    def day_partial(t: pa.Table) -> pd.DataFrame:
+        ts = np.asarray(
+            t.column(ts_col).cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        cents = np.round(
+            np.asarray(t.column(value_col), np.float64) * 100
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame({"day": ts // day_us, "cents": cents})
+            .groupby("day", sort=False)["cents"]
+            .sum()
+            .reset_index()
+        )
+        return df
+
+    partials = ds.map_batches(
+        day_partial, batch_format="pyarrow"
+    ).materialize()
+    bounds = partials.aggregate(Min("day"), Max("day"))
+    if bounds is None or bounds.get("min(day)") is None:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "day_cents": pa.array([], pa.int64()),
+                    "cum_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+    lo, hi = int(bounds["min(day)"]), int(bounds["max(day)"])
+    width = max(1, (hi - lo) // nr + 1)
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_range"] = (
+            (out["day"].to_numpy(np.int64) - lo) // width
+        ).astype(np.int32)
+        return out
+
+    routed = partials.map_batches(route, batch_format="pandas").materialize()
+
+    def subtotal(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "_range": [np.int32(g["_range"].iloc[0])],
+                "total": [np.int64(g["cents"].sum())],
+            }
+        )
+
+    sub = (
+        routed.groupby("_range")
+        .map_groups(subtotal, batch_format="pandas")
+        .to_pandas()
+        .sort_values("_range")
+    )
+    offsets = np.zeros(nr + 1, np.int64)
+    cum = 0
+    for _, row in sub.iterrows():
+        offsets[int(row["_range"])] = cum
+        cum += int(row["total"])
+    off_ref = ray.put(offsets)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        offs = cached_get(off_ref)
+        s = (
+            g.groupby("day", sort=False)["cents"].sum().reset_index()
+        ).sort_values("day", kind="mergesort")
+        day_cents = s["cents"].to_numpy(np.int64)
+        cumv = np.cumsum(day_cents) + offs[int(g["_range"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "day": s["day"].to_numpy(np.int64),
+                "day_cents": day_cents,
+                "cum_cents": cumv.astype(np.int64),
+            }
+        )
+
+    return (
+        routed.groupby("_range").map_groups(finish, batch_format="pandas")
+    )

@@ -1438,3 +1438,22 @@ class TestEventRuns:
         ]
         r0 = out.iloc[0]
         assert r0["start_us"] == T0 and r0["end_us"] == T0 + 3 * MIN
+
+
+class TestTimeHistogram:
+    def test_epoch_dow_hour(self, ray_session):
+        from deepblocker_ray.stages.events import time_histogram
+
+        # 1970-01-01 00:xx was a THURSDAY (dow 4, Sunday=0)
+        rows = [
+            (1, 1, 0, "a", 0.0),                       # Thu 00
+            (2, 1, 3_600_000_000, "a", 0.0),           # Thu 01
+            (3, 1, 3 * 86_400_000_000, "a", 0.0),      # Sun 00 (Jan 4)
+            (4, 1, 3 * 86_400_000_000 + 1, "a", 0.0),  # Sun 00
+        ]
+        out = (
+            time_histogram(_from_pandas(None, _events_df(rows)), CFG)
+            .to_pandas()
+        )
+        got = {(d, h): n for d, h, n in out.to_numpy()}
+        assert got == {(4, 0): 1, (4, 1): 1, (0, 0): 2}

@@ -301,3 +301,23 @@ class TestFKOrphans:
     def test_join_fallback_path(self, ray_session):
         cfg = _cfg(broadcast_rows_max=2)
         assert self._run([*range(10), 8], range(7), cfg) == 4
+
+
+class TestJoinSizeEstimate:
+    def test_exact_cardinality(self, ray_session):
+        from deepblocker_ray.stages.relational import join_size_estimate
+
+        l = rd.from_pandas(
+            pd.DataFrame({"k": np.array([1, 1, 2, 3, 3, 3], np.int64)})
+        )
+        r = rd.from_pandas(
+            pd.DataFrame({"k": np.array([1, 3, 3, 4], np.int64)})
+        )
+        out = join_size_estimate(
+            l, r, _cfg(), left_key="k", right_key="k"
+        ).to_pandas()
+        row = out.iloc[0]
+        # 1: 2×1=2 ; 3: 3×2=6 → 8
+        assert row["join_rows"] == 8
+        assert row["left_rows"] == 6 and row["right_rows"] == 4
+        assert row["left_keys"] == 3 and row["right_keys"] == 3

@@ -501,3 +501,35 @@ class TestIdGaps:
             if b > a + 1
         ]
         assert self._run(ids.tolist(), nb=8) == want
+
+
+class TestRunningTotal:
+    def test_prefix_sum_across_ranges(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.scan import running_total
+
+        day = 86_400_000_000
+        rows = []
+        # 40 days spread across the 4 ranges, 2 events/day
+        for d in range(40):
+            rows.append((2 * d, d * day, 7, "a", float(d)))
+            rows.append((2 * d + 1, d * day + 1, 7, "a", 0.5))
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts_us", "user_id", "event_type",
+                           "value"]
+        )
+        df["ts"] = pd.to_datetime(df.pop("ts_us"), unit="us")
+        out = (
+            running_total(
+                rd.from_pandas([p for p in np.array_split(df, 5)]),
+                EngineConfig(num_buckets=4),
+            )
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        want_day = [d * 100 + 50 for d in range(40)]
+        assert out["day_cents"].tolist() == want_day
+        assert out["cum_cents"].tolist() == np.cumsum(want_day).tolist()
