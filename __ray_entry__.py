@@ -2077,6 +2077,23 @@ def q_running_total(sf_dir: str):
     )
 
 
+def q_calibration_pairs(sf_dir: str):
+    """Deterministic pseudo-random pair sample (hash-sampled docs, md5
+    bucket collisions) scored with Jaro-Winkler and reduced to a 20-bin
+    score histogram — the threshold-calibration distribution."""
+    from deepblocker_ray.stages.matching import calibration_pairs
+
+    return calibration_pairs(_documents(sf_dir), _cfg())
+
+
+def q_blocker_agreement(sf_dir: str):
+    """Inter-blocker agreement: pair counts per multipass provenance
+    bitmask (1 = SNM only, 2 = meta-blocking only, 3 = both)."""
+    from deepblocker_ray.stages.matching import blocker_agreement
+
+    return blocker_agreement(_documents(sf_dir), _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2210,6 +2227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_histogram": q_time_histogram,
         "join_size": q_join_size,
         "running_total": q_running_total,
+        "calibration_pairs": q_calibration_pairs,
+        "blocker_agreement": q_blocker_agreement,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -4883,5 +4902,94 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(day_cents) OVER (ORDER BY day) AS BIGINT)
                        AS cum_cents
             FROM d
+        """,
+        # calibration twin: identical md5 sampling/bucketing formulas;
+        # jaro_winkler_similarity is bit-equal to the engine kernel
+        # (string_sims pins it), so floor(jw·20) bins identically
+        "calibration_pairs": """
+            WITH p AS (
+                SELECT CAST(doc_id AS VARCHAR) AS id,
+                       coalesce(text, '') AS t
+                FROM documents
+                WHERE md5_number_lower(
+                          CAST(doc_id AS VARCHAR) || '|s7') % 4 = 0
+            ), asg AS (
+                SELECT id, t, r.r,
+                       md5_number_lower(
+                           id || '|' || CAST(r.r AS VARCHAR) || '|7')
+                           % 64 AS bkt
+                FROM p, (SELECT unnest(generate_series(0, 1)) AS r) r
+            ), pr AS (
+                SELECT DISTINCT a.id AS l, b.id AS rr,
+                       a.t AS ta, b.t AS tb
+                FROM asg a JOIN asg b
+                  ON b.r = a.r AND b.bkt = a.bkt AND a.id < b.id
+            ), binned AS (
+                SELECT least(CAST(floor(
+                           jaro_winkler_similarity(ta, tb) * 20)
+                           AS BIGINT), 19) AS bin
+                FROM pr
+            )
+            SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM binned GROUP BY bin ORDER BY bin
+        """,
+        "blocker_agreement": f"""
+            WITH r AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       row_number() OVER (
+                           ORDER BY lower(substr(coalesce(text, ''), 1, 12)),
+                                    doc_id) - 1 AS rk
+                FROM documents
+            ),
+            snmp AS (
+                SELECT CAST(a.doc_id AS VARCHAR) AS left_id,
+                       CAST(b.doc_id AS VARCHAR) AS right_id
+                FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 4
+                WHERE jaro_winkler_similarity(a.text, b.text) >= 0.9
+            ),
+            d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                         {tokens} AS tk
+                  FROM documents),
+            g AS (
+                SELECT doc_id, unnest(list_distinct(CASE
+                     WHEN len(tk) = 0 THEN []
+                     WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                     ELSE [array_to_string(tk[x : x + 2], ' ')
+                           for x in generate_series(1, len(tk) - 2)]
+                     END)) AS gram
+                FROM d
+            ),
+            f AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+            gg AS (SELECT g.doc_id, g.gram
+                   FROM g JOIN f ON f.gram = g.gram
+                   WHERE f.df BETWEEN 2 AND 5),
+            e AS (SELECT a.doc_id AS l, b.doc_id AS r,
+                         CAST(count(*) AS BIGINT) AS w
+                  FROM gg a JOIN gg b ON b.gram = a.gram
+                                     AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+            nodes AS (SELECT n, CAST(count(*) AS BIGINT) AS deg,
+                             CAST(sum(w) AS BIGINT) AS sw
+                      FROM (SELECT l AS n, w FROM e
+                            UNION ALL SELECT r AS n, w FROM e)
+                      GROUP BY n),
+            mbp AS (
+                SELECT e.l AS left_id, e.r AS right_id
+                FROM e JOIN nodes na ON na.n = e.l
+                       JOIN nodes nb ON nb.n = e.r
+                WHERE e.w * na.deg >= na.sw OR e.w * nb.deg >= nb.sw
+            ),
+            u AS (
+                SELECT left_id, right_id, 1 AS flag FROM snmp
+                UNION ALL
+                SELECT left_id, right_id, 2 AS flag FROM mbp
+            ),
+            pairs AS (
+                SELECT left_id, right_id,
+                       CAST(sum(flag) AS BIGINT) AS sources
+                FROM u GROUP BY left_id, right_id
+            )
+            SELECT sources, CAST(count(*) AS BIGINT) AS n_pairs
+            FROM pairs GROUP BY sources ORDER BY sources
         """,
     }

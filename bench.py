@@ -276,6 +276,8 @@ def main() -> None:
         "time_histogram",
         "join_size",
         "running_total",
+        "calibration_pairs",
+        "blocker_agreement",
     ]
     for name in query_names:
         r = bench_query(q[name])

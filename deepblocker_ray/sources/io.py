@@ -108,3 +108,21 @@ def union_by_name(a, b):
     return a.map_batches(align, batch_format="pyarrow").union(
         b.map_batches(align, batch_format="pyarrow")
     )
+
+
+def read_jsonl(path: str, columns: list[str] | None = None):
+    """JSONL source: newline-delimited JSON records → Dataset, optionally
+    pruned to ``columns`` right after parse (Arrow's JSON reader parses
+    whole lines, so projection happens at the first map, not the read —
+    at 100 TB prefer parquet; this exists for ingest conformance with
+    crawl/export dumps)."""
+    import ray.data as rd
+
+    ds = rd.read_json(path)
+    return ds.select_columns(columns) if columns else ds
+
+
+def write_jsonl(ds, path: str, min_rows_per_file: int = 500_000) -> None:
+    """Partitioned JSONL sink — one directory of .json part files
+    (resumable, never one giant file), mirroring ``write_partitioned``."""
+    ds.write_json(path, min_rows_per_file=min_rows_per_file)

@@ -400,3 +400,145 @@ def one_to_one_match_2t(
         .groupby("_bucket")
         .map_groups(mutual, batch_format="pandas")
     )
+
+
+def calibration_pairs(
+    docs,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    doc_mod: int = 4,
+    rounds: int = 2,
+    n_buckets: int = 64,
+    bins: int = 20,
+    seed: int = 7,
+):
+    """Match-score calibration sample: a DETERMINISTIC pseudo-random pair
+    sample (no n² enumeration) scored with Jaro-Winkler and reduced to an
+    integer score histogram — the distribution a practitioner reads to
+    place a match threshold. Docs are hash-sampled 1/``doc_mod``; each
+    survivor gets ``rounds`` md5 bucket assignments over ``n_buckets``
+    buckets; pairs form within a (round, bucket) cell (expected pairs ≈
+    rounds·(n/doc_mod)²/(2·n_buckets) — callers scale n_buckets with n);
+    a pair colliding in several rounds counts ONCE (same texts → same
+    bin, deduped exactly). Output (bin:int64 = floor(jw·bins), n_pairs).
+
+    Scale shape: one (round, bucket) exchange forms pairs and scores them
+    in-cell (texts ride the exchange ``rounds`` times — calibration
+    samples are sized to make that cheap); distinct (pair, bin) rows
+    dedupe in a second pair-hash exchange that emits per-bin partial
+    counts; one tiny combine."""
+    from ..functions.textsim import jaro_winkler_batch
+    from .dedup import hash64_strs
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].astype(str)
+        keep = hash64_strs(ids + f"|s{seed}") % np.uint64(doc_mod) == 0
+        d = df[keep]
+        ids = d[id_col].astype(str).to_numpy(object)
+        txt = (
+            d[text_col].fillna("").astype(str).to_numpy(object)
+            if len(d)
+            else np.empty(0, object)
+        )
+        frames = []
+        for r in range(rounds):
+            bkt = (
+                hash64_strs(pd.Series(ids).astype(str) + f"|{r}|{seed}")
+                % np.uint64(n_buckets)
+            ).astype(np.int64)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id": ids,
+                        "t": txt,
+                        "cell": bkt + r * n_buckets,
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["_bucket"] = (out["cell"].to_numpy() % nb).astype(np.int32)
+        return out
+
+    def score_cell(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "l": pd.Series(dtype=object),
+                "r": pd.Series(dtype=object),
+                "bin": pd.Series(dtype=np.int64),
+                "_bucket2": pd.Series(dtype=np.int32),
+            }
+        )
+        g = g.drop_duplicates(["id", "cell"])
+        m = g.merge(g[["id", "t", "cell"]], on="cell")
+        m = m[m["id_x"] < m["id_y"]]
+        if len(m) == 0:
+            return empty
+        # a pair meeting in several cells scores identically — keep one
+        m = m.drop_duplicates(["id_x", "id_y"])
+        jw = jaro_winkler_batch(
+            m["t_x"].to_numpy(object), m["t_y"].to_numpy(object)
+        )
+        b = np.minimum(np.floor(jw * bins).astype(np.int64), bins - 1)
+        out = pd.DataFrame(
+            {"l": m["id_x"].to_numpy(object),
+             "r": m["id_y"].to_numpy(object), "bin": b}
+        )
+        out["_bucket2"] = bucket_of(out["l"] + "\x00" + out["r"], nb)
+        return out
+
+    def dedupe_count(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["l", "r"])
+        c = np.bincount(d["bin"].to_numpy(np.int64), minlength=bins)
+        nz = np.flatnonzero(c)
+        return pd.DataFrame(
+            {"bin": nz.astype(np.int64), "n_pairs": c[nz].astype(np.int64)}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("bin", sort=True)["n_pairs"].sum().reset_index()
+        return s.astype({"bin": np.int64, "n_pairs": np.int64})
+
+    return (
+        docs.map_batches(assign, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(score_cell, batch_format="pandas")
+        .groupby("_bucket2")
+        .map_groups(dedupe_count, batch_format="pandas")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )
+
+
+def blocker_agreement(docs, cfg: EngineConfig | None = None):
+    """Inter-blocker agreement statistics from ``multipass_blocking``'s
+    provenance bitmask: pair counts per sources value (1 = SNM only,
+    2 = meta-blocking only, 3 = both) — the Cohen's-kappa ingredient for
+    judging whether a second blocking pass adds recall or only cost.
+
+    Scale shape: the multipass pair stream reduces to per-batch bincount
+    partials; one tiny combine."""
+    cfg = cfg or EngineConfig()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.bincount(df["sources"].to_numpy(np.int64), minlength=4)
+        nz = np.flatnonzero(c)
+        return pd.DataFrame(
+            {"sources": nz.astype(np.int64),
+             "n_pairs": c[nz].astype(np.int64)}
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby("sources", sort=True)["n_pairs"].sum().reset_index()
+        return s.astype({"sources": np.int64, "n_pairs": np.int64})
+
+    return (
+        multipass_blocking(docs, cfg)
+        .map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

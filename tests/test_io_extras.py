@@ -121,3 +121,28 @@ class TestUnionByName:
         c = rd.from_pandas(pd.DataFrame({"id": ["s"], "x": ["v"]}))
         with _pt.raises(ValueError, match="conflicting"):
             union_by_name(a, c)
+
+
+class TestJsonl:
+    def test_roundtrip_and_pruned_read(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from deepblocker_ray.sources.io import read_jsonl, write_jsonl
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(7, dtype=np.int64),
+                "text": [f"line {i}" for i in range(7)],
+                "extra": np.arange(7, dtype=np.int64) * 2,
+            }
+        )
+        out_dir = str(tmp_path / "jl")
+        write_jsonl(rd.from_pandas(df), out_dir)
+        back = (
+            read_jsonl(out_dir, columns=["doc_id", "text"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(back.columns) == ["doc_id", "text"]
+        assert back["text"].tolist() == df["text"].tolist()

@@ -258,3 +258,61 @@ class TestOneToOne2T:
             if best_ab[sa[best_ba[sb[j]]]] == j
         )
         assert got == want
+
+
+class TestCalibrationPairs:
+    def test_dedup_across_rounds_and_bins(self, ray_session):
+        from deepblocker_ray.stages.matching import calibration_pairs
+
+        # n_buckets=1 → every sampled doc collides in BOTH rounds: the
+        # histogram must count each pair once (identical-bin dedup)
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": np.arange(40, dtype=np.int64),
+                    "text": ["hello world"] * 40,
+                }
+            )
+        )
+        out = calibration_pairs(
+            docs, _cfg(), doc_mod=1, rounds=2, n_buckets=1
+        ).to_pandas()
+        # identical texts → jw = 1.0 → clamped to the top bin (19)
+        assert out["bin"].tolist() == [19]
+        assert int(out["n_pairs"].iloc[0]) == 40 * 39 // 2
+
+    def test_doc_sampling_reduces_pairs(self, ray_session):
+        from deepblocker_ray.stages.matching import calibration_pairs
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": np.arange(60, dtype=np.int64),
+                    "text": ["abc"] * 60,
+                }
+            )
+        )
+        full = calibration_pairs(
+            docs, _cfg(), doc_mod=1, rounds=1, n_buckets=1
+        ).to_pandas()["n_pairs"].sum()
+        sampled = calibration_pairs(
+            docs, _cfg(), doc_mod=4, rounds=1, n_buckets=1
+        ).to_pandas()["n_pairs"].sum()
+        assert 0 < sampled < full
+
+
+class TestBlockerAgreement:
+    def test_bitmask_counts(self, ray_session):
+        from deepblocker_ray.stages.matching import blocker_agreement
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": np.arange(3, dtype=np.int64),
+                    "text": ["alpha beta gamma delta"] * 3,
+                }
+            )
+        )
+        out = blocker_agreement(docs, _cfg()).to_pandas()
+        # all 3 pairs found by BOTH passes → one row (sources=3, n=3)
+        assert out.to_dict("records") == [{"sources": 3, "n_pairs": 3}]
