@@ -2094,6 +2094,57 @@ def q_blocker_agreement(sf_dir: str):
     return blocker_agreement(_documents(sf_dir), _cfg())
 
 
+def q_winsorize(sf_dir: str):
+    """Exact P5/P95 winsorization of event values (cents) — bounds at
+    the lower order statistic rank (n−1)·p//100 + 1, clip map-side."""
+    from deepblocker_ray.stages.scan import winsorize
+
+    ev = _events(sf_dir, columns=["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        c = _np.round(
+            _np.asarray(t.column("value"), _np.float64) * 100
+        ).astype(_np.int64)
+        return pa.table(
+            {"event_id": t.column("event_id"), "cents": pa.array(c)}
+        )
+
+    return winsorize(
+        ev.map_batches(cents, batch_format="pyarrow"), _cfg(),
+        id_col="event_id", value_col="cents",
+    )
+
+
+def q_range_splits(sf_dir: str):
+    """Balanced range-shard boundaries for the lineitem orderkey space
+    (k=8): the key at rank i·n//8 under (key, linenumber-id) order."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.scan import range_splits
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+
+    def rowid(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        rid = (
+            _np.asarray(t.column("l_orderkey"), _np.int64) * 16
+            + _np.asarray(t.column("l_linenumber"), _np.int64)
+        )
+        return pa.table(
+            {"rid": pa.array(rid), "l_orderkey": t.column("l_orderkey")}
+        )
+
+    return range_splits(
+        li.map_batches(rowid, batch_format="pyarrow"), _cfg(),
+        id_col="rid", key_col="l_orderkey", k=8,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2229,6 +2280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": q_running_total,
         "calibration_pairs": q_calibration_pairs,
         "blocker_agreement": q_blocker_agreement,
+        "winsorize": q_winsorize,
+        "range_splits": q_range_splits,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -4991,5 +5044,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT sources, CAST(count(*) AS BIGINT) AS n_pairs
             FROM pairs GROUP BY sources ORDER BY sources
+        """,
+        "winsorize": """
+            WITH e AS (
+                SELECT event_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), r AS (
+                SELECT event_id, cents,
+                       row_number() OVER (ORDER BY cents, event_id) AS rk,
+                       count(*) OVER () AS n
+                FROM e
+            ), b AS (
+                SELECT max(CASE WHEN rk = (n - 1) * 5 // 100 + 1
+                                THEN cents END) AS lo,
+                       max(CASE WHEN rk = (n - 1) * 95 // 100 + 1
+                                THEN cents END) AS hi
+                FROM r
+            )
+            SELECT event_id, cents,
+                   CAST(least(greatest(cents, b.lo), b.hi) AS BIGINT)
+                       AS clipped
+            FROM e, b
+        """,
+        "range_splits": """
+            WITH li AS (
+                SELECT l_orderkey * 16 + l_linenumber AS rid, l_orderkey
+                FROM lineitem
+            ), r AS (
+                SELECT l_orderkey,
+                       row_number() OVER (ORDER BY l_orderkey, rid) AS rk,
+                       count(*) OVER () AS n
+                FROM li
+            )
+            SELECT CAST(s.i AS BIGINT) AS split_idx,
+                   r.l_orderkey AS boundary
+            FROM r JOIN (SELECT unnest(generate_series(1, 7)) AS i) s
+              ON r.rk = s.i * r.n // 8
+            ORDER BY 1
         """,
     }

@@ -278,6 +278,8 @@ def main() -> None:
         "running_total",
         "calibration_pairs",
         "blocker_agreement",
+        "winsorize",
+        "range_splits",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -374,3 +374,114 @@ def running_total(ds, cfg, *, ts_col: str = "ts", value_col: str = "value"):
     return (
         routed.groupby("_range").map_groups(finish, batch_format="pandas")
     )
+
+
+def _order_stats(ds, cfg, *, id_col: str, value_col: str,
+                 ranks: list[int]):
+    """Values at specific 1-based global ranks (order statistics) via the
+    rank scan — returns {rank: value} on the driver (len(ranks) scalars).
+    Shared by winsorize / range_splits."""
+    ranked = rank_transform(
+        ds, cfg, id_col=id_col, value_col=value_col
+    ).materialize()
+    want = set(int(r) for r in ranks)
+
+    def pick(t: pa.Table) -> pa.Table:
+        r = np.asarray(t.column("rank"), np.int64)
+        mask = np.isin(r, np.fromiter(want, np.int64, len(want)))
+        return t.filter(pa.array(mask))
+
+    rows = ranked.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return ranked, dict(
+        zip(rows["rank"].to_numpy(np.int64),
+            rows[value_col].to_numpy(np.int64))
+    )
+
+
+def winsorize(ds, cfg, *, id_col: str, value_col: str,
+              lo_pct: int = 5, hi_pct: int = 95):
+    """Exact percentile winsorization: clip values to the LOWER
+    order-statistic bounds at ``lo_pct``/``hi_pct`` — rank (n−1)·p//100
+    + 1 (1-based), the same lower-quantile rule as every exact quantile
+    in this repo. Emits (id, value, clipped), all int64.
+
+    Scale shape: the rank scan (no global sort) finds the two bounds —
+    2 scalars to the driver — then one map-side clip over the already
+    -materialized ranked rows; no further exchange."""
+    if not (0 <= lo_pct <= hi_pct <= 100):
+        raise ValueError(f"bad percentiles {lo_pct}, {hi_pct}")
+    skinny = ds.select_columns([id_col, value_col]).materialize()
+    n = skinny.count()
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    value_col: pa.array([], pa.int64()),
+                    "clipped": pa.array([], pa.int64()),
+                }
+            )
+        )
+    r_lo = (n - 1) * lo_pct // 100 + 1
+    r_hi = (n - 1) * hi_pct // 100 + 1
+    ranked, stats = _order_stats(
+        skinny, cfg, id_col=id_col, value_col=value_col,
+        ranks=[r_lo, r_hi],
+    )
+    lo_v, hi_v = stats[r_lo], stats[r_hi]
+
+    def clip(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(value_col), np.int64)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                value_col: t.column(value_col),
+                "clipped": pa.array(np.clip(v, lo_v, hi_v)),
+            }
+        )
+
+    return ranked.map_batches(clip, batch_format="pyarrow").select_columns(
+        [id_col, value_col, "clipped"]
+    )
+
+
+def range_splits(ds, cfg, *, id_col: str, key_col: str, k: int):
+    """Balanced range-shard boundaries: the key at 1-based rank i·n//k
+    for i = 1..k−1 under (key, id) order — the partition planner for
+    range-sharding a 100-TB keyspace so each shard holds ~n/k rows.
+    Output (split_idx:int64, boundary:int64); shard i = keys in
+    (boundary[i−1], boundary[i]].
+
+    Scale shape: the rank scan, then a k−1-row filter — boundaries never
+    exceed O(k) driver state."""
+    import ray.data as rd
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    skinny = ds.select_columns([id_col, key_col]).materialize()
+    n = skinny.count()
+    targets = {i * n // k: i for i in range(1, k) if 1 <= i * n // k <= n}
+    if not targets:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "split_idx": pa.array([], pa.int64()),
+                    "boundary": pa.array([], pa.int64()),
+                }
+            )
+        )
+    _, stats = _order_stats(
+        skinny, cfg, id_col=id_col, value_col=key_col,
+        ranks=list(targets),
+    )
+    items = sorted((i, stats[r]) for r, i in targets.items())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "split_idx": pa.array([i for i, _ in items], pa.int64()),
+                "boundary": pa.array([b for _, b in items], pa.int64()),
+            }
+        )
+    )

@@ -533,3 +533,58 @@ class TestRunningTotal:
         want_day = [d * 100 + 50 for d in range(40)]
         assert out["day_cents"].tolist() == want_day
         assert out["cum_cents"].tolist() == np.cumsum(want_day).tolist()
+
+
+class TestWinsorize:
+    def test_bounds_and_clip(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.scan import winsorize
+
+        # n=21: lo rank = 20*5//100+1 = 2 → value 2; hi = 20*95//100+1=20
+        df = pd.DataFrame(
+            {
+                "id": np.arange(21, dtype=np.int64),
+                "v": np.arange(1, 22, dtype=np.int64),
+            }
+        )
+        out = (
+            winsorize(
+                rd.from_pandas([p for p in np.array_split(df, 4)]),
+                EngineConfig(num_buckets=4), id_col="id", value_col="v",
+            )
+            .to_pandas()
+            .sort_values("id")
+        )
+        assert out["clipped"].min() == 2
+        assert out["clipped"].max() == 20
+        assert out.loc[out["v"] == 10, "clipped"].iloc[0] == 10
+        assert len(out) == 21
+
+
+class TestRangeSplits:
+    def test_balanced_boundaries(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.scan import range_splits
+
+        df = pd.DataFrame(
+            {
+                "rid": np.arange(100, dtype=np.int64),
+                "key": np.arange(100, dtype=np.int64) * 3,
+            }
+        )
+        out = (
+            range_splits(
+                rd.from_pandas([p for p in np.array_split(df, 5)]),
+                EngineConfig(num_buckets=4), id_col="rid", key_col="key",
+                k=4,
+            )
+            .to_pandas()
+            .sort_values("split_idx")
+        )
+        # boundaries at ranks 25, 50, 75 → keys 24*3, 49*3, 74*3
+        assert out["split_idx"].tolist() == [1, 2, 3]
+        assert out["boundary"].tolist() == [72, 147, 222]
