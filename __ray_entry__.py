@@ -2145,6 +2145,40 @@ def q_range_splits(sf_dir: str):
     )
 
 
+SEG_WORDS = 8  # segment_dedup word-window width (shared with the twin)
+
+
+def q_segment_dedup(sf_dir: str):
+    """Span-level exact dedup with reassembly (the CCNet/C4 line-dedup
+    shape over 8-word windows): first occurrence of each distinct segment
+    survives, docs rebuild from surviving segments in original order."""
+    from deepblocker_ray.stages.dedup import segment_dedup
+
+    return segment_dedup(_documents(sf_dir), _cfg(), seg_words=SEG_WORDS)
+
+
+def q_modularity(sf_dir: str):
+    """Newman modularity of the embedding_neardup clustering against the
+    k=5 cosine-kNN blocking graph — exact-integer numerator, one final
+    IEEE division."""
+    from deepblocker_ray.stages.cluster import graph_modularity
+
+    return graph_modularity(
+        q_blocking_vec(sf_dir), q_embedding_neardup(sf_dir), _cfg()
+    )
+
+
+def q_three_way_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment from the stable
+    id-hash — disjoint by construction, stable under corpus growth."""
+    from deepblocker_ray.stages.sampling import split_assign
+
+    return split_assign(
+        _documents(sf_dir).select_columns(["doc_id"]),
+        id_col="doc_id", seed=3, train_pct=80, val_pct=10,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2282,6 +2316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocker_agreement": q_blocker_agreement,
         "winsorize": q_winsorize,
         "range_splits": q_range_splits,
+        "segment_dedup": q_segment_dedup,
+        "modularity": q_modularity,
+        "three_way_split": q_three_way_split,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2453,6 +2490,7 @@ def oracle_sql() -> dict[str, str]:
     from deepblocker_ray.fixtures import transcripts_from_documents_sql
     from deepblocker_ray.functions.phonetic import sql_soundex_expr
     from deepblocker_ray.functions.tokenizer import sql_tokens_expr
+    from deepblocker_ray.stages.sampling import split_thresholds
 
     transcripts_cte = transcripts_from_documents_sql()
     tokens = sql_tokens_expr("text")
@@ -3666,6 +3704,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT lid AS left_id, rid AS right_id, jw FROM b WHERE rn = 1
         """,
         "embedding_neardup": _cc_sql(neardup_pairs, "embeddings", "vec_id"),
+        # modularity: exact-HUGEINT numerator over the kNN edge set (same
+        # ranked CTE as blocking_vec) × the neardup-CC labels; the one
+        # float is the final division — identical IEEE op in the engine
+        "modularity": f"""
+            WITH docs AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id, embedding
+                FROM embeddings
+            ),
+            {vec_ranked},
+            e AS (SELECT least(qid, xid) AS a, greatest(qid, xid) AS b
+                  FROM ranked WHERE rk <= {VEC_K} GROUP BY 1, 2),
+            lab AS (SELECT doc_id, cluster_id
+                    FROM ({_cc_sql(neardup_pairs, "embeddings", "vec_id")})),
+            le AS (SELECT la.cluster_id AS ca, lb.cluster_id AS cb
+                   FROM e JOIN lab la ON la.doc_id = e.a
+                          JOIN lab lb ON lb.doc_id = e.b),
+            percl AS (
+                SELECT cluster, sum(e_in) AS e_c, sum(deg) AS d_c FROM (
+                    SELECT ca AS cluster,
+                           CASE WHEN ca = cb THEN 1 ELSE 0 END AS e_in,
+                           1 AS deg
+                    FROM le
+                    UNION ALL
+                    SELECT cb, 0, 1 FROM le
+                ) GROUP BY cluster
+            ),
+            tot AS (SELECT CAST((SELECT count(*) FROM e) AS HUGEINT) AS m,
+                           sum(CAST(e_c AS HUGEINT)) AS se,
+                           sum(CAST(d_c AS HUGEINT)
+                               * CAST(d_c AS HUGEINT)) AS sd2
+                    FROM percl)
+            SELECT CAST(m AS BIGINT) AS n_edges,
+                   CAST((SELECT count(DISTINCT cluster_id) FROM lab)
+                       AS BIGINT) AS n_clusters,
+                   CAST(4 * m * se - sd2 AS DOUBLE)
+                       / CAST(4 * m * m AS DOUBLE) AS q
+            FROM tot
+        """,
         # pairwise-F1 twin: the neardup CC statement nests as a CTE; every
         # pair count is a histogram sum (c*(c-1)//2 in BIGINT) and each
         # ratio one double division of those ints — identical IEEE ops to
@@ -5066,6 +5142,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(greatest(cents, b.lo), b.hi) AS BIGINT)
                        AS clipped
             FROM e, b
+        """,
+        # segment_dedup: winner per distinct 8-word segment = min (doc_id,
+        # seg_idx); engine identity is the 128-bit md5 of the segment (a
+        # false merge needs an md5 collision), the twin partitions by the
+        # segment text itself — equal under no-collision
+        "segment_dedup": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            segs AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+                       array_to_string(
+                           list_slice(ws, i*{SEG_WORDS}+1,
+                                      i*{SEG_WORDS}+{SEG_WORDS}), ' ') AS seg
+                FROM (SELECT doc_id, ws,
+                             unnest(generate_series(
+                                 0, (len(ws) + {SEG_WORDS} - 1)
+                                    // {SEG_WORDS} - 1)) AS i
+                      FROM toks)
+            ),
+            win AS (
+                SELECT doc_id, seg_idx FROM (
+                    SELECT doc_id, seg_idx,
+                           row_number() OVER (
+                               PARTITION BY seg
+                               ORDER BY doc_id, seg_idx) AS rn
+                    FROM segs) WHERE rn = 1
+            ),
+            kept AS (
+                SELECT s.doc_id,
+                       string_agg(s.seg, ' ' ORDER BY s.seg_idx) AS text,
+                       count(*) AS n_kept
+                FROM segs s JOIN win w
+                  ON w.doc_id = s.doc_id AND w.seg_idx = s.seg_idx
+                GROUP BY s.doc_id
+            )
+            SELECT d.doc_id, coalesce(k.text, '') AS text,
+                   CAST((len(string_split(d.text, ' ')) + {SEG_WORDS} - 1)
+                        // {SEG_WORDS} AS BIGINT) AS n_segs,
+                   CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+            FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+        """,
+        "three_way_split": f"""
+            SELECT doc_id,
+                   CASE WHEN h < {split_thresholds(80, 10)[0]} THEN 'train'
+                        WHEN h < {split_thresholds(80, 10)[1]} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         md5_number_lower(CAST(doc_id AS VARCHAR) || '|3')
+                             % 4294967296 AS h
+                  FROM documents)
         """,
         "range_splits": """
             WITH li AS (

@@ -902,3 +902,190 @@ def neighbor_majority_label(pairs, labels, cfg=None, *,
         .groupby("_bucket2")
         .map_groups(mode, batch_format="pandas")
     )
+
+
+def graph_modularity(
+    edges,
+    labels,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    label_col: str = "cluster_id",
+):
+    """Newman modularity Q of a clustering against an undirected deduped
+    edge list (left_id, right_id) — the standard partition-quality score
+    for a blocking/dedup campaign (how much denser are clusters than a
+    random graph with the same degrees):
+
+        Q = Σ_c [ e_c/m − (d_c/2m)² ]  =  (4m·Σ_c e_c − Σ_c d_c²) / 4m²
+
+    with m = |edges|, e_c = within-cluster edges, d_c = total degree of
+    cluster c. The numerator is EXACT integer arithmetic end-to-end; Q is
+    the single final IEEE division (the repo-wide ratios rule), so the
+    engine and the HUGEINT SQL twin cannot drift. One row out:
+    (n_edges, n_clusters, q).
+
+    Scale shape: labels attach to the edge stream via the guarded broadcast
+    (dict under broadcast_rows_max, two hash joins past it); each labeled
+    batch collapses to (cluster, e_partial, d_partial) rows; ONE bucketed
+    exchange on hash(cluster) combines them, and each bucket reduces to a
+    single row carrying Σe (int64 — bounded by m) and Σd² as an
+    arbitrary-precision DECIMAL STRING (d_c² sums overflow int64 once a
+    cluster's degree passes ~3·10⁹) — O(num_buckets) driver state no matter
+    how many clusters exist. n_clusters is an exact bucketed distinct."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    lab_skinny = labels.map_batches(
+        lambda t: pa.table(
+            {
+                "_id": t.column(id_col).cast(pa.string()),
+                "_lab": t.column(label_col).cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    m = edges.count()
+
+    # --- exact distinct cluster count: per-batch unique -> label-hash
+    # buckets partition the label space, so per-bucket nuniques are disjoint
+    def lab_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["_lab"].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "_lab": u.values,
+                "_bucket": (
+                    pd.util.hash_array(np.asarray(u.values, dtype=object))
+                    % np.uint64(nb)
+                ).astype("int32"),
+            }
+        )
+
+    def lab_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"_n": [np.int64(g["_lab"].nunique())]})
+
+    ncl_df = (
+        lab_skinny.map_batches(lab_partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(lab_count, batch_format="pandas")
+        .to_pandas()
+    )
+    n_clusters = int(ncl_df["_n"].sum()) if len(ncl_df) else 0
+
+    def partials_from(la: pd.Series, lb: pd.Series) -> pd.DataFrame:
+        both = pd.concat(
+            [
+                pd.DataFrame(
+                    {
+                        "_c": la.values,
+                        "_e": (la.values == lb.values).astype(np.int64),
+                        "_d": np.ones(len(la), np.int64),
+                    }
+                ),
+                pd.DataFrame(
+                    {
+                        "_c": lb.values,
+                        "_e": np.zeros(len(lb), np.int64),
+                        "_d": np.ones(len(lb), np.int64),
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+        agg = both.groupby("_c", sort=False).sum().reset_index()
+        agg["_bucket"] = (
+            pd.util.hash_array(np.asarray(agg["_c"].values, dtype=object))
+            % np.uint64(nb)
+        ).astype("int32")
+        return agg
+
+    fits = (
+        lab_skinny.count() <= cfg.broadcast_rows_max
+        and lab_skinny.size_bytes() <= cfg.broadcast_bytes_max
+    )
+    if fits:
+        lab_df = lab_skinny.to_pandas()
+        lab_ref = ray.put(dict(zip(lab_df["_id"], lab_df["_lab"])))
+
+        def edge_partial(df: pd.DataFrame) -> pd.DataFrame:
+            from ..state.broadcast import cached_get
+
+            lk = cached_get(lab_ref)
+            la = df["left_id"].astype(str).map(lk)
+            lb = df["right_id"].astype(str).map(lk)
+            ok = la.notna() & lb.notna()
+            return partials_from(la[ok], lb[ok])
+
+        cell_stream = edges.map_batches(edge_partial, batch_format="pandas")
+    else:
+        from ..config import join_partitions
+
+        e_sk = edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "_id": t.column("left_id").cast(pa.string()),
+                    "_rid": t.column("right_id").cast(pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        j1 = e_sk.join(
+            lab_skinny, join_type="inner",
+            num_partitions=join_partitions(), on=("_id",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "_id": t.column("_rid"),
+                    "_la": t.column("_lab"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        j2 = j1.join(
+            lab_skinny, join_type="inner",
+            num_partitions=join_partitions(), on=("_id",),
+        )
+
+        def joined_partial(df: pd.DataFrame) -> pd.DataFrame:
+            return partials_from(df["_la"], df["_lab"])
+
+        cell_stream = j2.map_batches(joined_partial, batch_format="pandas")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("_c", sort=False).agg(
+            e=("_e", "sum"), d=("_d", "sum")
+        )
+        sum_e = int(agg["e"].sum())
+        sum_d2 = sum(int(x) * int(x) for x in agg["d"].values)
+        return pd.DataFrame(
+            {"_sum_e": [str(sum_e)], "_sum_d2": [str(sum_d2)]}
+        )
+
+    bucket_rows = (
+        cell_stream.groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    sum_e = sum(int(s) for s in bucket_rows["_sum_e"]) if len(bucket_rows) else 0
+    sum_d2 = (
+        sum(int(s) for s in bucket_rows["_sum_d2"]) if len(bucket_rows) else 0
+    )
+    q = (
+        float(4 * m * sum_e - sum_d2) / float(4 * m * m) if m > 0 else 0.0
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([m], pa.int64()),
+                "n_clusters": pa.array([n_clusters], pa.int64()),
+                "q": pa.array([q], pa.float64()),
+            }
+        )
+    )

@@ -2120,3 +2120,244 @@ def meta_blocking(
         return out
 
     return j.map_batches(prune, batch_format="pandas")
+
+
+# ---------------------------------------------------- segment-level dedup --
+
+
+def _word_segments(txt, seg_words: int):
+    """Fixed word-window segmentation of a string array: tokens = split on a
+    single literal space (exactly the twin's ``string_split(text, ' ')``
+    contract — NOT ``\\s+``), segment ``j`` of a doc = tokens
+    ``[j·W, (j+1)·W)`` joined by ' '. Returns (segment StringArray in
+    (doc, seg_idx) order, per-doc segment counts int64).
+
+    Vectorized: ONE split kernel, then a ListArray re-windowed over the SAME
+    flat token buffer (zero-copy — consecutive segments tile each doc and
+    docs are contiguous, so the window bounds are themselves a valid
+    monotonic offsets vector) + ONE binary_join. No per-row Python."""
+    import pyarrow.compute as pc
+
+    w = int(seg_words)
+    if w < 1:
+        raise ValueError(f"seg_words must be >= 1, got {seg_words}")
+    toks = pc.split_pattern(pc.fill_null(pc.cast(txt, pa.string()), ""), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = np.asarray(toks.offsets, np.int64)
+    seg_counts = -(-np.diff(off) // w)  # ceil(L/W); L >= 1 (split("") = [""])
+    total = int(seg_counts.sum())
+    if total == 0:
+        return pa.array([], pa.string()), seg_counts
+    doc_of = np.repeat(np.arange(len(seg_counts)), seg_counts)
+    first = np.repeat(np.cumsum(seg_counts) - seg_counts, seg_counts)
+    starts = off[:-1][doc_of] + (np.arange(total) - first) * w
+    bounds = np.append(starts, off[-1]).astype(np.int32)
+    seg_list = pa.ListArray.from_arrays(pa.array(bounds, pa.int32()), toks.values)
+    return pc.binary_join(seg_list, " "), seg_counts
+
+
+def _md5_128_codes(values: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, h2) uint64 md5-128 per row, hashing each DISTINCT string once
+    (duplicate-heavy by premise). Identity convention matches exact_dedup."""
+    codes, uniq = pd.factorize(values, sort=False)
+    u1 = np.empty(len(uniq), np.uint64)
+    u2 = np.empty(len(uniq), np.uint64)
+    for i, t in enumerate(uniq):
+        d = hashlib.md5(str(t).encode("utf-8", "surrogatepass")).digest()
+        u1[i] = int.from_bytes(d[:8], "little")
+        u2[i] = int.from_bytes(d[8:], "little")
+    return u1[codes], u2[codes]
+
+
+def segment_dedup(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 8,
+):
+    """Span-level exact dedup WITH reassembly — the CCNet/C4 line-dedup
+    shape over fixed word windows (this corpus has no newlines, so the
+    dedup unit is every run of ``seg_words`` consecutive words; swap the
+    segmentation fn for '\\n' splitting on a corpus with real lines).
+    Globally, only the FIRST occurrence of each distinct segment survives
+    (winner = lexicographic min (doc_id, seg_idx) — associative, so
+    map-side partials are exact); every doc reassembles from its surviving
+    segments in original order (possibly down to empty text).
+    Output (doc_id, text, n_segs, n_kept).
+
+    Scale shape (the exact_dedup discipline): the corpus text NEVER rides
+    an exchange. Pass A ships only (md5-128 segment hash, doc, seg_idx)
+    skinny rows pre-reduced per batch; winners regroup per doc into packed
+    int32 keep-blobs on a second skinny exchange; blobs re-attach to the
+    streaming docs via the byte-capped broadcast lookup, falling back to a
+    left-outer hash join. Segment identity is the 128-bit md5 (false merge
+    ~ n²/2¹²⁸). Reassembly re-derives the segmentation map-side — recompute
+    beats shipping the corpus twice."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    w = int(seg_words)
+
+    def partial(df_in: pd.DataFrame) -> pd.DataFrame:
+        segs, nseg = _word_segments(
+            pa.array(df_in[text_col], pa.string()), w
+        )
+        h1, h2 = _md5_128_codes(segs.to_pandas())
+        df = pd.DataFrame(
+            {
+                "_h1": h1,
+                "_h2": h2,
+                "_doc": df_in[id_col].values.repeat(nseg),
+                "_seg": (
+                    np.arange(len(segs))
+                    - np.repeat(np.cumsum(nseg) - nseg, nseg)
+                ).astype(np.int64),
+            }
+        )
+        df = df.sort_values(
+            ["_h1", "_h2", "_doc", "_seg"], kind="mergesort"
+        ).drop_duplicates(["_h1", "_h2"])
+        df["_bucket"] = (
+            df["_h1"].to_numpy(np.uint64) % np.uint64(nb)
+        ).astype("int32")
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["_h1", "_h2", "_doc", "_seg"], kind="mergesort"
+        ).drop_duplicates(["_h1", "_h2"])
+        return pd.DataFrame(
+            {"_doc": g["_doc"].values, "_seg": g["_seg"].values}
+        )
+
+    winners = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+    def add_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["_b2"] = (
+            pd.util.hash_array(np.asarray(df["_doc"].values, dtype=object))
+            % np.uint64(nb)
+        ).astype("int32")
+        return df
+
+    def keep_blobs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_doc", "_seg"], kind="mergesort")
+        docs = g["_doc"].values
+        segs = g["_seg"].to_numpy(np.int64).astype("<i4")
+        change = np.flatnonzero(docs[1:] != docs[:-1]) + 1
+        bnds = np.concatenate(([0], change, [len(docs)]))
+        pid = [str(docs[b]) for b in bnds[:-1]]
+        blob = [segs[a:b].tobytes() for a, b in zip(bnds[:-1], bnds[1:])]
+        return pd.DataFrame(
+            {
+                "_pid": pd.array(pid, dtype="string"),
+                "_blob": pd.Series(blob, dtype=object),
+            }
+        )
+
+    blob_tbl = (
+        winners.map_batches(add_doc_bucket, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(keep_blobs, batch_format="pandas")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "_pid": t.column("_pid").cast(pa.string()),
+                    "_ph": pa.array(
+                        pd.util.hash_array(
+                            np.asarray(
+                                t.column("_pid").to_pylist(), dtype=object
+                            )
+                        )
+                    ),
+                    "_blob": t.column("_blob").cast(pa.large_binary()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def rebuild(t: pa.Table, blobs: np.ndarray) -> pa.Table:
+        import pyarrow.compute as pc
+
+        segs, nseg = _word_segments(t.column(text_col), w)
+        seg_start = np.cumsum(nseg) - nseg
+        gidx: list[np.ndarray] = []
+        counts = np.zeros(len(t), np.int64)
+        for i, b in enumerate(blobs):
+            if b is None:
+                continue
+            k = np.frombuffer(b, "<i4").astype(np.int64)
+            gidx.append(seg_start[i] + k)
+            counts[i] = len(k)
+        flat = (
+            np.concatenate(gidx) if gidx else np.empty(0, np.int64)
+        )
+        taken = segs.take(pa.array(flat, pa.int64()))
+        off2 = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        out_txt = pc.fill_null(
+            pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(off2, pa.int32()), taken),
+                " ",
+            ),
+            "",
+        )
+        return pa.table(
+            {
+                "doc_id": t.column(id_col),
+                "text": out_txt,
+                "n_segs": pa.array(nseg.astype(np.int64)),
+                "n_kept": pa.array(counts),
+            }
+        )
+
+    mat = blob_tbl.materialize()
+    fits = (
+        mat.count() <= cfg.broadcast_rows_max
+        and mat.size_bytes() <= cfg.broadcast_bytes_max
+    )
+    if fits:
+        refs = mat.to_arrow_refs()
+        cache_key = "segwin:" + ",".join(r.hex() for r in refs)
+
+        def attach(batch: pa.Table) -> pa.Table:
+            from ..state.broadcast import cached_compute
+            from ..state.lookup import ColumnLookup
+
+            lk = cached_compute(
+                cache_key,
+                lambda: ColumnLookup(refs, "_pid", "_blob", hash_col="_ph"),
+            )
+            ids = [str(x) for x in batch.column(id_col).to_pylist()]
+            return rebuild(batch, lk.take_pylist(ids))
+
+        return ds.map_batches(attach, batch_format="pyarrow")
+
+    from ..config import join_partitions
+
+    joined = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "_pid": t.column(id_col).cast(pa.string()),
+                id_col: t.column(id_col),
+                text_col: t.column(text_col),
+            }
+        ),
+        batch_format="pyarrow",
+    ).join(
+        mat.select_columns(["_pid", "_blob"]),
+        join_type="left_outer",
+        num_partitions=join_partitions(),
+        on=("_pid",),
+    )
+    return joined.map_batches(
+        lambda t: rebuild(
+            t, np.asarray(t.column("_blob").to_pylist(), dtype=object)
+        ),
+        batch_format="pyarrow",
+    )

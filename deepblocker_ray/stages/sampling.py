@@ -254,3 +254,55 @@ def group_cap(
         skinny, cfg, order_col="priority", id_col=id_col, k=n_max,
         group_col=strata_col, descending=False,
     )
+
+
+def split_thresholds(train_pct: int, val_pct: int) -> tuple[int, int]:
+    """Integer hash-space thresholds for the 3-way split, in one place so
+    the engine and the SQL twin compare against the SAME constants:
+    t1 = (train_pct << 32) // 100, t2 = ((train_pct + val_pct) << 32) // 100.
+    Floor division of exact ints — a float round would hang engine-vs-
+    oracle equality on a rounding boundary (the balance_sample rule)."""
+    if not (0 <= train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError(
+            f"invalid split percentages train={train_pct} val={val_pct}"
+        )
+    t1 = (train_pct << 32) // 100
+    t2 = ((train_pct + val_pct) << 32) // 100
+    return t1, t2
+
+
+def split_assign(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    train_pct: int = 80,
+    val_pct: int = 10,
+):
+    """Deterministic train/val/test split — the dataset-versioning staple
+    of a training pipeline: every row gets a split label from its stable
+    id-hash alone (train if h32 < t1, val if < t2, else test), so the
+    assignment is shuffle-free, rerun/resume-stable, independent of
+    partitioning, and DISJOINT BY CONSTRUCTION (one hash, three bands —
+    unlike three independent samples, which would overlap). Growing the
+    corpus never moves an existing row between splits. Output
+    (id, split). Same md5-lower64 identity as hash_sample, so the split is
+    exactly SQL-twinnable."""
+    t1, t2 = split_thresholds(train_pct, val_pct)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = _id_hashes(batch.column(id_col).cast(pa.string()), seed)
+        h32 = (h % _DENOM).astype(np.uint64)
+        lab = np.where(
+            h32 < np.uint64(t1),
+            "train",
+            np.where(h32 < np.uint64(t2), "val", "test"),
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "split": pa.array(lab, pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -299,3 +299,91 @@ class TestMetaBlocking:
 
         with pytest.raises(ValueError):
             meta_blocking(None, df_cap=1)
+
+
+class TestSegmentDedup:
+    """Span-level dedup with reassembly: winner = min (doc_id, seg_idx),
+    docs rebuild in original order, both attach paths identical."""
+
+    def _docs(self, rd):
+        import pandas as pd
+
+        w8a = "a b c d e f g h"          # shared 8-word run
+        w8b = "p q r s t u v w"
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3, 4],
+                    "text": [
+                        w8a + " " + w8b,          # doc1: owns both segments
+                        w8b + " " + "x y z",      # doc2: loses seg0, keeps tail
+                        w8a,                      # doc3: loses its only segment
+                        "solo words here",        # doc4: unique, kept whole
+                    ],
+                }
+            )
+        )
+
+    def test_first_occurrence_wins_and_reassembly(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.dedup import segment_dedup
+
+        out = (
+            segment_dedup(self._docs(rd), EngineConfig(num_buckets=4),
+                          seg_words=8)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert out.loc[1, "text"] == "a b c d e f g h p q r s t u v w"
+        assert out.loc[2, "text"] == "x y z"      # seg0 lost, 3-word tail kept
+        assert out.loc[3, "text"] == ""           # all segments lost
+        assert out.loc[3, "n_kept"] == 0 and out.loc[3, "n_segs"] == 1
+        assert out.loc[4, "text"] == "solo words here"
+        assert out.loc[1, "n_segs"] == 2 and out.loc[1, "n_kept"] == 2
+
+    def test_attach_paths_equal(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.dedup import segment_dedup
+
+        a = (
+            segment_dedup(self._docs(rd), EngineConfig(num_buckets=4),
+                          seg_words=8)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            segment_dedup(
+                self._docs(rd),
+                EngineConfig(num_buckets=4, broadcast_rows_max=0),
+                seg_words=8,
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_cross_batch_winner_order(self, ray_session):
+        """Winner must be the global (doc_id, seg_idx) minimum even when
+        the occurrences land in different blocks."""
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.dedup import segment_dedup
+
+        seg = "k l m n o p q r"
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": list(range(10, 0, -1)),
+                 "text": [seg] * 10}
+            )
+        ).repartition(5)
+        out = (
+            segment_dedup(docs, EngineConfig(num_buckets=4), seg_words=8)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert out.loc[1, "text"] == seg
+        assert (out.loc[2:, "text"] == "").all()

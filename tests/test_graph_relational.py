@@ -321,3 +321,82 @@ class TestJoinSizeEstimate:
         assert row["join_rows"] == 8
         assert row["left_rows"] == 6 and row["right_rows"] == 4
         assert row["left_keys"] == 3 and row["right_keys"] == 3
+
+
+class TestGraphModularity:
+    """Hand-computed Newman Q + attach-path parity."""
+
+    def _data(self, rd):
+        import pandas as pd
+
+        # two triangles joined by one bridge edge; labels = the triangles.
+        # m = 7, e_A = e_B = 3, d_A = d_B = 7 (bridge adds 1 to each side).
+        # Q = (4·7·6 − 2·49) / (4·49) = (168 − 98) / 196 = 70/196
+        edges = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "left_id": ["a1", "a1", "a2", "b1", "b1", "b2", "a3"],
+                    "right_id": ["a2", "a3", "a3", "b2", "b3", "b3", "b1"],
+                }
+            )
+        )
+        labels = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": ["a1", "a2", "a3", "b1", "b2", "b3"],
+                    "cluster_id": ["A", "A", "A", "B", "B", "B"],
+                }
+            )
+        )
+        return edges, labels
+
+    def test_hand_computed(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.cluster import graph_modularity
+
+        edges, labels = self._data(rd)
+        out = graph_modularity(
+            edges, labels, EngineConfig(num_buckets=4)
+        ).to_pandas()
+        assert out.loc[0, "n_edges"] == 7
+        assert out.loc[0, "n_clusters"] == 2
+        assert out.loc[0, "q"] == 70.0 / 196.0
+
+    def test_attach_paths_equal(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.cluster import graph_modularity
+
+        edges, labels = self._data(rd)
+        a = graph_modularity(
+            edges, labels, EngineConfig(num_buckets=4)
+        ).to_pandas()
+        edges, labels = self._data(rd)
+        b = graph_modularity(
+            edges, labels, EngineConfig(num_buckets=4, broadcast_rows_max=0)
+        ).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_singleton_labels_zero_internal(self, ray_session):
+        """Every node its own cluster: no within-cluster edges, Q < 0."""
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.cluster import graph_modularity
+
+        edges = rd.from_pandas(
+            pd.DataFrame({"left_id": ["x"], "right_id": ["y"]})
+        )
+        labels = rd.from_pandas(
+            pd.DataFrame({"doc_id": ["x", "y"], "cluster_id": ["x", "y"]})
+        )
+        out = graph_modularity(
+            edges, labels, EngineConfig(num_buckets=4)
+        ).to_pandas()
+        # m=1, Σe=0, d_x=d_y=1 → Q = (0 − 2)/4 = −0.5
+        assert out.loc[0, "q"] == -0.5

@@ -241,3 +241,65 @@ class TestGroupCap:
             .reset_index(drop=True)
         )
         assert out["doc_id"].tolist() == out2["doc_id"].tolist()
+
+
+class TestSplitAssign:
+    def test_partition_of_corpus(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.sampling import split_assign
+
+        out = split_assign(
+            _docs(rd), id_col="doc_id", seed=9, train_pct=70, val_pct=20
+        ).to_pandas()
+        assert len(out) == 400                      # every row labeled
+        assert set(out["split"]) <= {"train", "val", "test"}
+        counts = out["split"].value_counts()
+        # Binomial(400, p): all three bands populated at these fractions
+        assert counts.get("train", 0) > counts.get("val", 0) > 0
+        assert counts.get("test", 0) > 0
+
+    def test_stable_under_repartition_and_growth(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.sampling import split_assign
+
+        a = (
+            split_assign(_docs(rd, 200), id_col="doc_id", seed=9)
+            .to_pandas().set_index("doc_id")["split"]
+        )
+        b = (
+            split_assign(
+                _docs(rd, 400).repartition(16), id_col="doc_id", seed=9
+            )
+            .to_pandas().set_index("doc_id")["split"]
+        )
+        # growing the corpus never moves an existing row between splits
+        assert (b.loc[a.index] == a).all()
+
+    def test_threshold_rule_exact(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.dedup import _stable_hash64
+        from deepblocker_ray.stages.sampling import (
+            split_assign,
+            split_thresholds,
+        )
+
+        t1, t2 = split_thresholds(80, 10)
+        out = (
+            split_assign(_docs(rd, 50), id_col="doc_id", seed=3)
+            .to_pandas().set_index("doc_id")["split"]
+        )
+        for i in range(50):
+            h = int(_stable_hash64(f"{i}|3".encode())) % (1 << 32)
+            want = "train" if h < t1 else ("val" if h < t2 else "test")
+            assert out.loc[i] == want
+
+    def test_invalid_percents_raise(self, ray_session):
+        import pytest as _pytest
+
+        from deepblocker_ray.stages.sampling import split_thresholds
+
+        with _pytest.raises(ValueError):
+            split_thresholds(90, 20)
