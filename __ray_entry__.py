@@ -2179,6 +2179,50 @@ def q_three_way_split(sf_dir: str):
     )
 
 
+def q_kcore(sf_dir: str):
+    """Bounded-round k-core peeling (k=3, 2 rounds) of the k=5 cosine-kNN
+    blocking graph — drop records whose candidate neighborhood is too
+    sparse to ever cluster."""
+    from deepblocker_ray.stages.cluster import kcore_peel
+
+    return kcore_peel(q_blocking_vec(sf_dir), _cfg(), k=3, rounds=2)
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds 300
+    units (exact integer centi-units), enriched with customer name."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import large_orders
+
+    return large_orders(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        ),
+        _cfg(),
+        min_qty_cents=30000,
+    )
+
+
+BLOCKLIST_TERMS = ["slow", "dup", "batch"]
+
+
+def q_blocklist(sf_dir: str):
+    """Content-policy wordlist screening (the C4 bad-words filter shape):
+    whole-word blocklist hit counts per document, inside RE2 on both
+    sides."""
+    from deepblocker_ray.stages.textstats import blocklist_filter
+
+    return blocklist_filter(_documents(sf_dir), BLOCKLIST_TERMS)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2319,6 +2363,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": q_segment_dedup,
         "modularity": q_modularity,
         "three_way_split": q_three_way_split,
+        "kcore": q_kcore,
+        "large_orders": q_large_orders,
+        "blocklist": q_blocklist,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -2491,6 +2538,7 @@ def oracle_sql() -> dict[str, str]:
     from deepblocker_ray.functions.phonetic import sql_soundex_expr
     from deepblocker_ray.functions.tokenizer import sql_tokens_expr
     from deepblocker_ray.stages.sampling import split_thresholds
+    from deepblocker_ray.stages.textstats import blocklist_regex
 
     transcripts_cte = transcripts_from_documents_sql()
     tokens = sql_tokens_expr("text")
@@ -5142,6 +5190,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(greatest(cents, b.lo), b.hi) AS BIGINT)
                        AS clipped
             FROM e, b
+        """,
+        # kcore: two unrolled peel rounds over the same ranked CTE as the
+        # blocking_vec edge set (the pagerank fixed-iteration contract)
+        "kcore": f"""
+            WITH docs AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id, embedding
+                FROM embeddings
+            ),
+            {vec_ranked},
+            e0 AS (SELECT least(qid, xid) AS a, greatest(qid, xid) AS b
+                   FROM ranked WHERE rk <= {VEC_K} GROUP BY 1, 2),
+            d0 AS (SELECT node, count(*) AS deg FROM (
+                       SELECT a AS node FROM e0
+                       UNION ALL SELECT b FROM e0) GROUP BY node),
+            v0 AS (SELECT node FROM d0 WHERE deg >= 3),
+            e1 AS (SELECT a, b FROM e0
+                   WHERE a IN (SELECT node FROM v0)
+                     AND b IN (SELECT node FROM v0)),
+            d1 AS (SELECT node, count(*) AS deg FROM (
+                       SELECT a AS node FROM e1
+                       UNION ALL SELECT b FROM e1) GROUP BY node),
+            v1 AS (SELECT node FROM d1 WHERE deg >= 3),
+            e2 AS (SELECT a, b FROM e1
+                   WHERE a IN (SELECT node FROM v1)
+                     AND b IN (SELECT node FROM v1))
+            SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+            GROUP BY node
+        """,
+        "large_orders": """
+            WITH q AS (
+                SELECT l_orderkey AS o_orderkey,
+                       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                           AS BIGINT) AS sum_qty_cents
+                FROM lineitem GROUP BY 1
+                HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 30000
+            )
+            SELECT c.c_name, o.o_orderkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       AS o_total_cents,
+                   q.sum_qty_cents
+            FROM q JOIN orders o USING (o_orderkey)
+                   JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        # blocklist: the alternation is GENERATED from BLOCKLIST_TERMS on
+        # both sides (the pii_scrub discipline); same RE2 engine
+        "blocklist": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(
+                       lower(text), '{blocklist_regex(BLOCKLIST_TERMS)}'))
+                       AS BIGINT) AS n_blocked,
+                   len(regexp_extract_all(
+                       lower(text), '{blocklist_regex(BLOCKLIST_TERMS)}'))
+                       > 0 AS flagged
+            FROM documents
         """,
         # segment_dedup: winner per distinct 8-word segment = min (doc_id,
         # seg_idx); engine identity is the 128-bit md5 of the segment (a

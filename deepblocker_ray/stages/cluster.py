@@ -1089,3 +1089,122 @@ def graph_modularity(
             }
         )
     )
+
+
+def _node_degrees(edges, cfg: EngineConfig, out_node="node", out_deg="degree"):
+    """Exact degree of every node of an undirected deduped edge list:
+    per-batch factorize+bincount partials (each edge credits both ends),
+    ONE bucketed exchange on hash(node) — the edge list never moves twice."""
+    nb = cfg.num_buckets
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        both = np.concatenate(
+            [
+                np.asarray(df["left_id"].values, dtype=object),
+                np.asarray(df["right_id"].values, dtype=object),
+            ]
+        )
+        codes, uniq = pd.factorize(both, sort=False)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "_n": uniq,
+                "_c": cnt,
+                "_bucket": (
+                    pd.util.hash_array(np.asarray(uniq, dtype=object))
+                    % np.uint64(nb)
+                ).astype("int32"),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("_n", sort=False)["_c"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                out_node: agg["_n"].astype(str).values,
+                out_deg: agg["_c"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        edges.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def kcore_peel(
+    pairs,
+    cfg: EngineConfig | None = None,
+    *,
+    k: int = 2,
+    rounds: int = 2,
+):
+    """Bounded-round k-core peeling of an undirected deduped edge list —
+    the graph-densification step of a blocking campaign (drop records whose
+    candidate neighborhood is too sparse to ever cluster). Each round
+    removes every node of degree < k together with its edges; once peeling
+    converges the survivors ARE the exact k-core, and a FIXED round count is
+    the same determinism contract as ``pagerank``'s fixed iterations (the
+    twin unrolls the same number of CTE rounds — an unbounded loop has no
+    SQL twin). Output: (node, degree) over the edge set surviving all
+    rounds (nodes that lost every edge do not appear).
+
+    Scale shape: per round, one bucketed degree exchange + two guarded
+    semi-joins (the ≥k node set broadcasts under the cap, distinct-marker
+    hash join past it); the edge set is re-materialized per round — the
+    synchronous barrier peeling has anyway (the pagerank measurement:
+    an unflattened lazy chain was 9× slower). The semi-joins compare
+    md5-lower64 node hashes (broadcast_exists_join's int64 contract) — the
+    house identity convention; a false retention needs a 64-bit collision
+    between live node ids."""
+    from .dedup import hash64_strs
+    from .relational import broadcast_exists_join
+
+    cfg = cfg or EngineConfig()
+
+    def add_edge_hashes(t: pa.Table) -> pa.Table:
+        lh = hash64_strs(
+            t.column("left_id").cast(pa.string())
+        ).view(np.int64)
+        rh = hash64_strs(
+            t.column("right_id").cast(pa.string())
+        ).view(np.int64)
+        return pa.table(
+            {
+                "left_id": t.column("left_id"),
+                "right_id": t.column("right_id"),
+                "_lh": pa.array(lh),
+                "_rh": pa.array(rh),
+            }
+        )
+
+    def add_node_hash(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "_kh": pa.array(
+                    hash64_strs(
+                        t.column("node").cast(pa.string())
+                    ).view(np.int64)
+                )
+            }
+        )
+
+    edges = (
+        pairs.select_columns(["left_id", "right_id"])
+        .map_batches(add_edge_hashes, batch_format="pyarrow")
+        .materialize()
+    )
+    for _ in range(int(rounds)):
+        keep = (
+            _node_degrees(edges, cfg)
+            .filter(expr=f"degree >= {int(k)}")
+            .map_batches(add_node_hash, batch_format="pyarrow")
+        )
+        edges = broadcast_exists_join(
+            edges, keep, big_key="_lh", small_key="_kh", cfg=cfg
+        )
+        edges = broadcast_exists_join(
+            edges, keep, big_key="_rh", small_key="_kh", cfg=cfg
+        ).materialize()
+    return _node_degrees(edges, cfg)

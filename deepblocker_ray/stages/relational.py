@@ -1279,3 +1279,99 @@ def join_size_estimate(left, right, cfg: EngineConfig, *,
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )
+
+
+def large_orders(
+    lineitem,
+    orders,
+    customer,
+    cfg: EngineConfig | None = None,
+    *,
+    min_qty_cents: int = 30000,
+):
+    """TPC-H Q18 shape (large-volume orders): orders whose total lineitem
+    quantity exceeds the threshold, enriched with customer name and order
+    facts. Quantity is exact integer centi-units (round(qty·100) — the
+    repo-wide money/measure rule) so the HAVING comparison cannot drift.
+    Output (c_name, o_orderkey, o_total_cents, sum_qty_cents).
+
+    Scale shape: lineitem pre-sums quantity per orderkey MAP-SIDE, so only
+    (orderkey, partial) rows ride the ONE bucketed exchange; the HAVING
+    filter shrinks the qualifying set to a broadcastable table that attaches
+    to the streaming orders fact via the guarded broadcast join (orders
+    never shuffles; hash join past the cap), and customer attaches the same
+    way — the two facts never co-shuffle."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(
+            df["l_quantity"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        agg = (
+            pd.DataFrame({"_ok": df["l_orderkey"].values, "_q": c})
+            .groupby("_ok", sort=False)["_q"]
+            .sum()
+            .reset_index()
+        )
+        agg["_bucket"] = (agg["_ok"].to_numpy(np.int64) % nb).astype("int32")
+        return agg
+
+    def qualify(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("_ok", sort=False)["_q"].sum().reset_index()
+        agg = agg[agg["_q"] > min_qty_cents]
+        return pd.DataFrame(
+            {
+                "o_orderkey": agg["_ok"].to_numpy(np.int64),
+                "sum_qty_cents": agg["_q"].to_numpy(np.int64),
+            }
+        )
+
+    qualifying = (
+        lineitem.select_columns(["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(qualify, batch_format="pandas")
+    )
+
+    def order_cents(t: pa.Table) -> pa.Table:
+        tot = np.round(
+            np.asarray(t.column("o_totalprice"), np.float64) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_total_cents": pa.array(tot),
+            }
+        )
+
+    enriched = broadcast_join(
+        orders.select_columns(
+            ["o_orderkey", "o_custkey", "o_totalprice"]
+        ).map_batches(order_cents, batch_format="pyarrow"),
+        qualifying,
+        big_key="o_orderkey",
+        small_key="o_orderkey",
+        payload_cols=["sum_qty_cents"],
+        cfg=cfg,
+    )
+    named = broadcast_join(
+        enriched,
+        customer.select_columns(["c_custkey", "c_name"]).map_batches(
+            lambda t: pa.table(
+                {"o_custkey": t.column("c_custkey"), "c_name": t.column("c_name")}
+            ),
+            batch_format="pyarrow",
+        ),
+        big_key="o_custkey",
+        small_key="o_custkey",
+        payload_cols=["c_name"],
+        cfg=cfg,
+    )
+    return named.map_batches(
+        lambda t: t.select(
+            ["c_name", "o_orderkey", "o_total_cents", "sum_qty_cents"]
+        ),
+        batch_format="pyarrow",
+    )

@@ -962,3 +962,48 @@ def bigram_familiarity(
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def blocklist_regex(terms: list[str]) -> str:
+    """The single whole-word alternation both the engine and the SQL twin
+    compile — generated from one list so they cannot drift (the
+    PII_PATTERNS discipline). Terms must be lowercase word characters."""
+    import re as _re
+
+    for t in terms:
+        if not t or _re.fullmatch(r"[a-z0-9_]+", t) is None:
+            raise ValueError(f"blocklist term must be lowercase \\w+: {t!r}")
+    return r"\b(" + "|".join(terms) + r")\b"
+
+
+def blocklist_filter(
+    ds,
+    terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Content-policy wordlist screening (the C4 'bad words' filter shape):
+    per doc, the number of whole-word blocklist hits (case-insensitive) and
+    a flag. Counting runs entirely inside pyarrow's RE2 kernel over the
+    lowercased text — no per-row Python; DuckDB's regexp functions are the
+    same RE2 engine, so counts are exact on both sides. Output
+    (id, n_blocked, flagged)."""
+    import pyarrow.compute as pc
+
+    pat = blocklist_regex(terms)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        arr = pc.utf8_lower(
+            pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+        )
+        n = np.asarray(pc.count_substring_regex(arr, pat), np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_blocked": pa.array(n),
+                "flagged": pa.array(n > 0),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -391,3 +391,41 @@ class TestSoundex:
         ).fetchall()
         for s, sx in rows:
             assert sx == soundex(s), (s, sx, soundex(s))
+
+
+class TestBlocklistFilter:
+    def test_whole_word_and_case(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.stages.textstats import blocklist_filter
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3, 4],
+                    "text": [
+                        "Slow batch slow",     # 3 hits (case-insensitive)
+                        "dedup dups duplicate",  # 0: 'dup' only whole-word
+                        "dup",                  # 1
+                        "clean text here",      # 0
+                    ],
+                }
+            )
+        )
+        out = (
+            blocklist_filter(docs, ["slow", "dup", "batch"])
+            .to_pandas().set_index("doc_id")
+        )
+        assert out["n_blocked"].to_dict() == {1: 3, 2: 0, 3: 1, 4: 0}
+        assert out["flagged"].to_dict() == {
+            1: True, 2: False, 3: True, 4: False,
+        }
+
+    def test_invalid_terms_raise(self, ray_session):
+        import pytest as _pytest
+
+        from deepblocker_ray.stages.textstats import blocklist_regex
+
+        with _pytest.raises(ValueError):
+            blocklist_regex(["ok", "Bad Term"])

@@ -400,3 +400,110 @@ class TestGraphModularity:
         ).to_pandas()
         # m=1, Σe=0, d_x=d_y=1 → Q = (0 − 2)/4 = −0.5
         assert out.loc[0, "q"] == -0.5
+
+
+class TestKCorePeel:
+    def _edges(self, rd, pairs):
+        import pandas as pd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "left_id": [a for a, _ in pairs],
+                    "right_id": [b for _, b in pairs],
+                }
+            )
+        )
+
+    def test_k4_with_pendant(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.cluster import kcore_peel
+
+        k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+              ("b", "d"), ("c", "d"), ("a", "e")]
+        out = (
+            kcore_peel(self._edges(rd, k4), EngineConfig(num_buckets=4),
+                       k=3, rounds=2)
+            .to_pandas().set_index("node")["degree"].to_dict()
+        )
+        # pendant e peels in round 1; the K4 is the exact 3-core
+        assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+    def test_chain_peels_to_empty(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.cluster import kcore_peel
+
+        chain = [("a", "b"), ("b", "c"), ("c", "d")]
+        out = kcore_peel(
+            self._edges(rd, chain), EngineConfig(num_buckets=4),
+            k=2, rounds=2,
+        ).to_pandas()
+        assert len(out) == 0   # ends peel first, then the middle edge
+
+    def test_semi_join_paths_equal(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.cluster import kcore_peel
+
+        k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+              ("b", "d"), ("c", "d"), ("a", "e"), ("e", "f")]
+        a = (
+            kcore_peel(self._edges(rd, k4), EngineConfig(num_buckets=4),
+                       k=2, rounds=2)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        b = (
+            kcore_peel(
+                self._edges(rd, k4),
+                EngineConfig(num_buckets=4, broadcast_rows_max=0),
+                k=2, rounds=2,
+            )
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestLargeOrders:
+    def test_hand_computed(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import large_orders
+
+        li = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "l_orderkey": [1, 1, 2, 3, 3, 3],
+                    "l_quantity": [200.0, 150.5, 100.0, 120.0, 90.0, 95.0],
+                }
+            )
+        )
+        orders = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "o_orderkey": [1, 2, 3],
+                    "o_custkey": [10, 20, 10],
+                    "o_totalprice": [1000.25, 50.0, 700.0],
+                }
+            )
+        )
+        cust = rd.from_pandas(
+            pd.DataFrame({"c_custkey": [10, 20], "c_name": ["alice", "bob"]})
+        )
+        out = (
+            large_orders(li, orders, cust, EngineConfig(num_buckets=4),
+                         min_qty_cents=30000)
+            .to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        )
+        # order1: 35050 > 30000; order2: 10000 no; order3: 30500 > 30000
+        assert list(out["o_orderkey"]) == [1, 3]
+        assert list(out["sum_qty_cents"]) == [35050, 30500]
+        assert list(out["o_total_cents"]) == [100025, 70000]
+        assert list(out["c_name"]) == ["alice", "alice"]
