@@ -2223,6 +2223,50 @@ def q_blocklist(sf_dir: str):
     return blocklist_filter(_documents(sf_dir), BLOCKLIST_TERMS)
 
 
+def q_adjusted_rand(sf_dir: str):
+    """Chance-corrected cluster agreement (ARI) of embedding_neardup's
+    clusters vs the gold labels — exact-integer numerator/denominator from
+    the pair-sum histograms, one final IEEE division."""
+    from deepblocker_ray.pipelines.evaluate import adjusted_rand_index
+
+    return adjusted_rand_index(
+        q_embedding_neardup(sf_dir),
+        _embeddings(sf_dir),
+        id_col="vec_id",
+        label_col="label",
+        cfg=_cfg(),
+    )
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: promo-part revenue share in exact 1e-4-dollar
+    integer units, dimension broadcast onto the streaming fact."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import promo_revenue
+
+    return promo_revenue(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        ),
+        _cfg(),
+    )
+
+
+def q_shared_prefixes(sf_dir: str):
+    """Boilerplate-prefix scan: 24-code-point document prefixes shared by
+    at least 2 docs."""
+    from deepblocker_ray.stages.dedup import shared_prefixes
+
+    return shared_prefixes(
+        _documents(sf_dir), _cfg(), prefix_chars=24, min_docs=2
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2366,6 +2410,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": q_kcore,
         "large_orders": q_large_orders,
         "blocklist": q_blocklist,
+        "adjusted_rand": q_adjusted_rand,
+        "promo_revenue": q_promo_revenue,
+        "shared_prefixes": q_shared_prefixes,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -4035,6 +4082,65 @@ def oracle_sql() -> dict[str, str]:
             FROM cells
             JOIN cs ON cs.cl = cells.cl
             JOIN ls ON ls.lab = cells.lab
+        """,
+        # adjusted_rand: same histogram sufficient statistics as
+        # cluster_eval; ARI numerator/denominator in HUGEINT, one division
+        "adjusted_rand": f"""
+            WITH pred AS ({_cc_sql(neardup_pairs, "embeddings", "vec_id")}),
+            lab AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+                           CAST(label AS BIGINT) AS lab
+                    FROM embeddings),
+            j AS (SELECT p.cluster_id AS cl, l.lab
+                  FROM pred p JOIN lab l ON l.id = p.doc_id),
+            pp AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0)
+                       AS HUGEINT) AS pred_pairs
+                   FROM (SELECT count(*) AS c FROM j GROUP BY cl)),
+            gp AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0)
+                       AS HUGEINT) AS gold_pairs
+                   FROM (SELECT count(*) AS c FROM j GROUP BY lab)),
+            tp AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0)
+                       AS HUGEINT) AS tp_pairs
+                   FROM (SELECT count(*) AS c FROM j GROUP BY cl, lab)),
+            n AS (SELECT CAST(count(*) AS HUGEINT) AS n_items FROM lab),
+            m AS (SELECT n.n_items, pp.pred_pairs, gp.gold_pairs,
+                         tp.tp_pairs,
+                         n.n_items * (n.n_items - 1) // 2 AS tot
+                  FROM n, pp, gp, tp)
+            SELECT CAST(n_items AS BIGINT) AS n_items,
+                   CAST(pred_pairs AS BIGINT) AS pred_pairs,
+                   CAST(gold_pairs AS BIGINT) AS gold_pairs,
+                   CAST(tp_pairs AS BIGINT) AS tp_pairs,
+                   CASE WHEN tot * (pred_pairs + gold_pairs)
+                             - 2 * pred_pairs * gold_pairs = 0 THEN 0.0
+                        ELSE CAST(2 * (tot * tp_pairs
+                                       - pred_pairs * gold_pairs) AS DOUBLE)
+                             / CAST(tot * (pred_pairs + gold_pairs)
+                                    - 2 * pred_pairs * gold_pairs AS DOUBLE)
+                        END AS ari
+            FROM m
+        """,
+        "promo_revenue": """
+            WITH j AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS rev,
+                       p_type
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+            )
+            SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                       AS BIGINT) AS promo_revenue,
+                   CAST(sum(rev) AS BIGINT) AS total_revenue,
+                   CASE WHEN sum(rev) = 0 THEN 0.0
+                        ELSE 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                               THEN rev ELSE 0 END) AS DOUBLE)
+                             / CAST(sum(rev) AS DOUBLE)
+                        END AS promo_pct
+            FROM j
+        """,
+        "shared_prefixes": """
+            SELECT substr(text, 1, 24) AS prefix,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1 HAVING count(*) >= 2
         """,
         "cluster_eval": f"""
             WITH pred AS ({_cc_sql(neardup_pairs, "embeddings", "vec_id")}),

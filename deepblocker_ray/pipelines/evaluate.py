@@ -449,3 +449,55 @@ def cluster_contingency(
         ),
         batch_format="pandas",
     )
+
+
+def adjusted_rand_index(
+    pred,
+    labels_ds,
+    *,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    pred_id_col: str = "doc_id",
+    pred_col: str = "cluster_id",
+    cfg: EngineConfig | None = None,
+):
+    """Adjusted Rand Index of predicted clusters against gold labels — the
+    chance-corrected agreement score next to pairwise F1. Derived ENTIRELY
+    from pairwise_cluster_eval's histogram sufficient statistics (pair sums
+    never materialize pairs):
+
+        ARI = 2·(tot·tp − pp·gp) / (tot·(pp + gp) − 2·pp·gp)
+
+    with tot = C(n,2), pp = Σ_c C(n_c,2), gp = Σ_l C(n_l,2),
+    tp = Σ_{c,l} C(n_{c,l},2). The numerator and denominator are exact
+    arbitrary-precision integers (Python ints; the products overflow int64
+    near ~10⁹ items — the SQL twin uses HUGEINT); ARI is the single final
+    IEEE division. Degenerate case (denominator 0: both partitions all-
+    singleton or all-one-cluster) pins ARI = 0.0. One row out:
+    (n_items, pred_pairs, gold_pairs, tp_pairs, ari)."""
+    base = pairwise_cluster_eval(
+        pred, labels_ds,
+        id_col=id_col, label_col=label_col,
+        pred_id_col=pred_id_col, pred_col=pred_col, cfg=cfg,
+    ).iloc[0]
+    n = int(base["n_items"])
+    pp = int(base["pred_pairs"])
+    gp = int(base["gold_pairs"])
+    tp = int(base["tp_pairs"])
+    tot = n * (n - 1) // 2
+    num = 2 * (tot * tp - pp * gp)
+    den = tot * (pp + gp) - 2 * pp * gp
+    ari = float(num) / float(den) if den != 0 else 0.0
+    import numpy as np
+
+    return pd.DataFrame(
+        [
+            {
+                "n_items": np.int64(n),
+                "pred_pairs": np.int64(pp),
+                "gold_pairs": np.int64(gp),
+                "tp_pairs": np.int64(tp),
+                "ari": ari,
+            }
+        ]
+    )

@@ -2361,3 +2361,61 @@ def segment_dedup(
         ),
         batch_format="pyarrow",
     )
+
+
+def shared_prefixes(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_chars: int = 24,
+    min_docs: int = 2,
+):
+    """Boilerplate-prefix report — the header/template detection scan of a
+    dedup campaign: every ``prefix_chars``-code-point document prefix shared
+    by ≥ ``min_docs`` docs, with its count. Output (prefix, n_docs).
+
+    Scale shape: ONE utf8_slice kernel per batch (code-point semantics ==
+    DuckDB substr, so the twin holds for non-ASCII), per-batch (prefix,
+    count) partials — bounded by distinct prefixes, never rows — ride ONE
+    bucketed exchange on hash(prefix); the documents stream never moves.
+    Prefixes are caller-bounded short strings, so shipping the text of a
+    partial (unlike full-doc dedup) is O(distinct · prefix_chars)."""
+    import pyarrow.compute as pc
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    n = int(prefix_chars)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pref = pc.utf8_slice_codeunits(
+            pa.array(df[text_col].fillna(""), pa.string()), 0, n
+        ).to_pandas()
+        g = pref.value_counts()
+        return pd.DataFrame(
+            {
+                "_p": g.index.values,
+                "_c": g.to_numpy(np.int64),
+                "_bucket": (
+                    pd.util.hash_array(np.asarray(g.index.values, object))
+                    % np.uint64(nb)
+                ).astype("int32"),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("_p", sort=False)["_c"].sum().reset_index()
+        agg = agg[agg["_c"] >= min_docs]
+        return pd.DataFrame(
+            {
+                "prefix": agg["_p"].values,
+                "n_docs": agg["_c"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )

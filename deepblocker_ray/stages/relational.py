@@ -1375,3 +1375,74 @@ def large_orders(
         ),
         batch_format="pyarrow",
     )
+
+
+def promo_revenue(
+    lineitem,
+    part,
+    cfg: EngineConfig | None = None,
+    *,
+    promo_type: str = "PROMO",
+):
+    """TPC-H Q14 shape (promotion effect): the share of revenue from
+    promo-type parts. Revenue in exact 1e-4-dollar integer units
+    (round(price·100)·(100−round(disc·100)) — the segment_revenue rule) so
+    the sums are order-independent; the two global sums accumulate as
+    arbitrary-precision Python ints from per-batch decimal-string partials
+    (int64 would overflow near ~10¹² lineitems), and the percentage is the
+    single final IEEE expression 100.0·promo/total. One row out:
+    (promo_revenue, total_revenue, promo_pct).
+
+    Scale shape: the part dimension attaches to the streaming lineitem fact
+    via the guarded broadcast join (hash join past the cap — lineitem never
+    shuffles on the broadcast path); each batch collapses to ONE partial
+    row, so the driver sees O(blocks) tiny rows."""
+    cfg = cfg or EngineConfig()
+
+    j = broadcast_join(
+        lineitem.select_columns(
+            ["l_partkey", "l_extendedprice", "l_discount"]
+        ),
+        part.select_columns(["p_partkey", "p_type"]).map_batches(
+            lambda t: pa.table(
+                {"l_partkey": t.column("p_partkey"), "p_type": t.column("p_type")}
+            ),
+            batch_format="pyarrow",
+        ),
+        big_key="l_partkey",
+        small_key="l_partkey",
+        payload_cols=["p_type"],
+        cfg=cfg,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        price = np.round(
+            df["l_extendedprice"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        disc = np.round(
+            df["l_discount"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        rev = price * (100 - disc)
+        promo = df["p_type"].to_numpy(object) == promo_type
+        return pd.DataFrame(
+            {
+                "_promo": [str(int(rev[promo].sum()))],
+                "_total": [str(int(rev.sum()))],
+            }
+        )
+
+    parts_df = j.map_batches(partial, batch_format="pandas").to_pandas()
+    promo_u = sum(int(s) for s in parts_df["_promo"]) if len(parts_df) else 0
+    total_u = sum(int(s) for s in parts_df["_total"]) if len(parts_df) else 0
+    pct = (100.0 * float(promo_u)) / float(total_u) if total_u else 0.0
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "promo_revenue": pa.array([promo_u], pa.int64()),
+                "total_revenue": pa.array([total_u], pa.int64()),
+                "promo_pct": pa.array([pct], pa.float64()),
+            }
+        )
+    )

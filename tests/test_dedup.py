@@ -387,3 +387,62 @@ class TestSegmentDedup:
         )
         assert out.loc[1, "text"] == seg
         assert (out.loc[2:, "text"] == "").all()
+
+
+class TestSharedPrefixes:
+    def test_counts_and_threshold(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.dedup import shared_prefixes
+
+        head = "x" * 24
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3, 4],
+                    "text": [
+                        head + " tail one",
+                        head + " tail two",
+                        "unique document text here",
+                        head + " tail three",
+                    ],
+                }
+            )
+        ).repartition(3)
+        out = (
+            shared_prefixes(
+                docs, EngineConfig(num_buckets=4),
+                prefix_chars=24, min_docs=2,
+            )
+            .to_pandas()
+        )
+        assert len(out) == 1
+        assert out.iloc[0]["prefix"] == head
+        assert out.iloc[0]["n_docs"] == 3
+
+    def test_codepoint_slicing(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.dedup import shared_prefixes
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": ["ü" * 3 + "abc", "ü" * 3 + "xyz"],
+                }
+            )
+        )
+        out = shared_prefixes(
+            docs, EngineConfig(num_buckets=4), prefix_chars=4, min_docs=2
+        ).to_pandas()
+        # 4 CODE POINTS, not bytes: 'üüüa' vs 'üüüx' differ → no shared prefix
+        assert len(out) == 0
+        out3 = shared_prefixes(
+            docs, EngineConfig(num_buckets=4), prefix_chars=3, min_docs=2
+        ).to_pandas()
+        assert len(out3) == 1 and out3.iloc[0]["prefix"] == "üüü"

@@ -507,3 +507,61 @@ class TestLargeOrders:
         assert list(out["sum_qty_cents"]) == [35050, 30500]
         assert list(out["o_total_cents"]) == [100025, 70000]
         assert list(out["c_name"]) == ["alice", "alice"]
+
+
+class TestPromoRevenue:
+    def test_hand_computed(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import promo_revenue
+
+        li = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "l_partkey": [1, 2, 1],
+                    "l_extendedprice": [10.0, 20.0, 5.5],
+                    "l_discount": [0.10, 0.0, 0.05],
+                }
+            )
+        )
+        part = rd.from_pandas(
+            pd.DataFrame(
+                {"p_partkey": [1, 2], "p_type": ["PROMO", "STANDARD"]}
+            )
+        )
+        row = (
+            promo_revenue(li, part, EngineConfig(num_buckets=4))
+            .to_pandas().iloc[0]
+        )
+        # rev units: 1000·90=90000 (promo), 2000·100=200000, 550·95=52250 (promo)
+        assert row["promo_revenue"] == 142250
+        assert row["total_revenue"] == 342250
+        assert row["promo_pct"] == (100.0 * 142250.0) / 342250.0
+
+    def test_empty_total_pins_zero(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import promo_revenue
+
+        li = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "l_partkey": [9],
+                    "l_extendedprice": [10.0],
+                    "l_discount": [0.0],
+                }
+            )
+        )
+        part = rd.from_pandas(
+            pd.DataFrame({"p_partkey": [1], "p_type": ["PROMO"]})
+        )
+        row = (
+            promo_revenue(li, part, EngineConfig(num_buckets=4))
+            .to_pandas().iloc[0]
+        )
+        # inner join drops the orphan lineitem: nothing qualifies
+        assert row["total_revenue"] == 0 and row["promo_pct"] == 0.0

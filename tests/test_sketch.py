@@ -535,3 +535,67 @@ class TestFuzzyJoin:
         ).to_pandas()
         assert out["right_id"].tolist() == ["3"]
         assert out["jw"].tolist() == [1.0]
+
+
+class TestAdjustedRand:
+    def _pred_labels(self, rd):
+        pred = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": ["1", "2", "3", "4", "5"],
+                    "cluster_id": ["a", "a", "a", "b", "b"],
+                }
+            )
+        )
+        labels = rd.from_pandas(
+            pd.DataFrame(
+                {"vec_id": [1, 2, 3, 4, 5], "label": [7, 7, 9, 9, 9]}
+            )
+        )
+        return pred, labels
+
+    def test_hand_computed(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.pipelines.evaluate import adjusted_rand_index
+
+        # tot = C(5,2) = 10, pp = gp = 4, tp = 2
+        # ARI = 2·(10·2 − 16) / (10·8 − 32) = 8/48 = 1/6
+        pred, labels = self._pred_labels(rd)
+        row = adjusted_rand_index(pred, labels, cfg=CFG).iloc[0]
+        assert row["tp_pairs"] == 2
+        assert row["ari"] == 8.0 / 48.0
+
+    def test_perfect_agreement_is_one(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.pipelines.evaluate import adjusted_rand_index
+
+        pred = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": ["1", "2", "3", "4"],
+                    "cluster_id": ["a", "a", "b", "b"],
+                }
+            )
+        )
+        labels = rd.from_pandas(
+            pd.DataFrame({"vec_id": [1, 2, 3, 4], "label": [5, 5, 6, 6]})
+        )
+        assert adjusted_rand_index(pred, labels, cfg=CFG).iloc[0]["ari"] == 1.0
+
+    def test_degenerate_all_singletons(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.pipelines.evaluate import adjusted_rand_index
+
+        pred = rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": ["1", "2", "3"], "cluster_id": ["1", "2", "3"]}
+            )
+        )
+        labels = rd.from_pandas(
+            pd.DataFrame({"vec_id": [1, 2, 3], "label": [1, 2, 3]})
+        )
+        # pp = gp = tp = 0 → denominator 0 → pinned 0.0
+        assert adjusted_rand_index(pred, labels, cfg=CFG).iloc[0]["ari"] == 0.0
