@@ -2267,6 +2267,60 @@ def q_shared_prefixes(sf_dir: str):
     )
 
 
+def q_edit_join(sf_dir: str):
+    """Ed-Join edit-distance self-join over part names (d≤2, byte-2-gram
+    prefix filtering) — checked against DuckDB's brute-force native
+    levenshtein join."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.dedup import edit_distance_join
+
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    return edit_distance_join(
+        parts, _cfg(), id_col="p_partkey", text_col="p_name",
+        max_dist=2, q=2,
+    )
+
+
+def q_template_shapes(sf_dir: str):
+    """Log-template mining over the event stream: digit runs collapse to
+    '#', shapes with ≥2 rows are the templates."""
+    from deepblocker_ray.stages.textstats import template_shapes
+
+    def concat(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "text": pc.binary_join_element_wise(
+                    pc.fill_null(t.column("event_type"), ""),
+                    pc.fill_null(t.column("props"), ""),
+                    " ",
+                )
+            }
+        )
+
+    ev = _events(sf_dir, columns=["event_type", "props"]).map_batches(
+        concat, batch_format="pyarrow"
+    )
+    return template_shapes(ev, _cfg(), min_docs=2)
+
+
+def q_count_encode(sf_dir: str):
+    """Frequency encoding: every event row annotated with its event_type's
+    global count (count(*) OVER (PARTITION BY event_type))."""
+    from deepblocker_ray.stages.profile import count_encode
+
+    return count_encode(
+        _events(sf_dir, columns=["event_id", "event_type"]),
+        _cfg(),
+        id_col="event_id",
+        value_col="event_type",
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2413,6 +2467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adjusted_rand": q_adjusted_rand,
         "promo_revenue": q_promo_revenue,
         "shared_prefixes": q_shared_prefixes,
+        "edit_join": q_edit_join,
+        "template_shapes": q_template_shapes,
+        "count_encode": q_count_encode,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -4141,6 +4198,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT substr(text, 1, 24) AS prefix,
                    CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY 1 HAVING count(*) >= 2
+        """,
+        # edit_join: the twin is the BRUTE-FORCE native-levenshtein join —
+        # any candidate the engine's q-gram prefix filter missed would
+        # surface here as a row-count mismatch
+        "edit_join": """
+            SELECT least(CAST(a.p_partkey AS VARCHAR),
+                         CAST(b.p_partkey AS VARCHAR)) AS left_id,
+                   greatest(CAST(a.p_partkey AS VARCHAR),
+                            CAST(b.p_partkey AS VARCHAR)) AS right_id,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+            FROM part a JOIN part b
+              ON CAST(a.p_partkey AS VARCHAR) < CAST(b.p_partkey AS VARCHAR)
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+        """,
+        "template_shapes": """
+            SELECT regexp_replace(
+                       coalesce(event_type, '') || ' '
+                           || coalesce(props, ''),
+                       '[0-9]+', '#', 'g') AS shape,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM events GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "count_encode": """
+            SELECT event_id, event_type,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS value_count
+            FROM events
         """,
         "cluster_eval": f"""
             WITH pred AS ({_cc_sql(neardup_pairs, "embeddings", "vec_id")}),

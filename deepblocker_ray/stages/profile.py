@@ -289,3 +289,61 @@ def fd_violations(ds, cfg=None, *, lhs: str, rhs: str):
         .groupby("_bucket")
         .map_groups(count, batch_format="pandas")
     )
+
+
+def count_encode(
+    ds,
+    cfg=None,
+    *,
+    id_col: str,
+    value_col: str,
+):
+    """Frequency (count) encoding — the feature-engineering staple: attach
+    each row's GLOBAL value count as a feature column. Output
+    (id, value, value_count) ≡ SQL count(*) OVER (PARTITION BY value).
+
+    Scale shape: per-batch (value, count) partials → ONE bucketed exchange
+    (O(distinct values), never rows) → the combined count table attaches
+    back to the streaming rows via the size-aware broadcast join (hash join
+    past the cap). The row stream shuffles ONLY on the fallback path."""
+    from ..config import EngineConfig
+    from .relational import broadcast_join
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[value_col].value_counts()
+        return pd.DataFrame(
+            {
+                "_v": g.index.values,
+                "_c": g.to_numpy(np.int64),
+                "_bucket": (
+                    pd.util.hash_array(np.asarray(g.index.values, object))
+                    % np.uint64(nb)
+                ).astype("int32"),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("_v", sort=False)["_c"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                value_col: agg["_v"].values,
+                "value_count": agg["_c"].to_numpy(np.int64),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return broadcast_join(
+        ds.select_columns([id_col, value_col]),
+        counts,
+        big_key=value_col,
+        small_key=value_col,
+        payload_cols=["value_count"],
+        cfg=cfg,
+    )

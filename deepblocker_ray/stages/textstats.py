@@ -1007,3 +1007,66 @@ def blocklist_filter(
         )
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def template_shapes(
+    ds,
+    cfg=None,
+    *,
+    text_col: str = "text",
+    min_docs: int = 2,
+):
+    """Log-template mining (Drain-lite): collapse every digit run to '#'
+    and report each resulting shape with its row count (shapes seen ≥
+    ``min_docs`` times are the templates; the variable parts are the
+    numbers). The normalization is ONE RE2 replace kernel per batch —
+    identical to the twin's regexp_replace(text, '[0-9]+', '#', 'g').
+    Output (shape, n_docs).
+
+    Scale shape: per-batch (shape, count) partials — bounded by distinct
+    shapes, which template-structured data keeps tiny — on ONE bucketed
+    exchange; the row stream never moves."""
+    import pyarrow.compute as pc
+
+    from ..config import EngineConfig
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        shapes = pc.replace_substring_regex(
+            pa.array(df[text_col].fillna(""), pa.string()),
+            pattern="[0-9]+",
+            replacement="#",
+        ).to_pandas()
+        g = shapes.value_counts()
+        return pd.DataFrame(
+            {
+                "_s": g.index.values,
+                "_c": g.to_numpy(np.int64),
+                "_bucket": (
+                    pd.util.hash_array(np.asarray(g.index.values, object))
+                    % np.uint64(nb)
+                ).astype("int32"),
+            }
+        )
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        agg = g.groupby("_s", sort=False)["_c"].sum().reset_index()
+        agg = agg[agg["_c"] >= min_docs]
+        return pd.DataFrame(
+            {
+                "shape": agg["_s"].values,
+                "n_docs": agg["_c"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )

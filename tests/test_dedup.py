@@ -446,3 +446,77 @@ class TestSharedPrefixes:
             docs, EngineConfig(num_buckets=4), prefix_chars=3, min_docs=2
         ).to_pandas()
         assert len(out3) == 1 and out3.iloc[0]["prefix"] == "üüü"
+
+
+class TestEditDistanceJoin:
+    def test_brute_force_parity(self, ray_session):
+        """Random short strings from a small alphabet — every ≤d pair must
+        survive the prefix filter (exactness), nothing above d emitted."""
+        import itertools
+        import random
+
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.functions.textsim import levenshtein_batch
+        from deepblocker_ray.stages.dedup import edit_distance_join
+
+        rng = random.Random(7)
+        words = ["ring", "bolt", "gear", "widget", "gizmo", "sprocket"]
+        texts = [
+            " ".join(rng.choices(words, k=rng.randint(2, 3)))
+            for _ in range(80)
+        ]
+        docs = rd.from_pandas(
+            pd.DataFrame({"doc_id": range(80), "text": texts})
+        ).repartition(4)
+        out = edit_distance_join(
+            docs, EngineConfig(num_buckets=8), max_dist=2, q=2
+        ).to_pandas()
+        got = set(zip(out["left_id"], out["right_id"], out["dist"]))
+
+        want = set()
+        for i, j in itertools.combinations(range(80), 2):
+            d = int(levenshtein_batch([texts[i]], [texts[j]])[0])
+            if d <= 2:
+                a, b = sorted((str(i), str(j)))
+                want.add((a, b, d))
+        assert got == want
+
+    def test_low_gram_docs_surfaced(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.dedup import edit_distance_join
+
+        # 'aaaa' has ONE distinct 2-gram < q·d+1 = 5 → vacuous count bound
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": [1, 2], "text": ["aaaa", "some longer text here"]}
+            )
+        )
+        stats: dict = {}
+        edit_distance_join(
+            docs, EngineConfig(num_buckets=4), max_dist=2, q=2,
+            stats_out=stats,
+        ).to_pandas()
+        assert stats["low_gram_docs"] == 1
+
+    def test_exact_duplicates_distance_zero(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.dedup import edit_distance_join
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {"doc_id": [1, 2, 3], "text": ["same text"] * 3}
+            )
+        )
+        out = edit_distance_join(
+            docs, EngineConfig(num_buckets=4), max_dist=1, q=2
+        ).to_pandas()
+        assert len(out) == 3 and (out["dist"] == 0).all()

@@ -429,3 +429,32 @@ class TestBlocklistFilter:
 
         with _pytest.raises(ValueError):
             blocklist_regex(["ok", "Bad Term"])
+
+
+class TestTemplateShapes:
+    def test_digit_collapse_and_threshold(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.textstats import template_shapes
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "text": [
+                        "job 17 failed after 300ms",
+                        "job 9 failed after 12ms",
+                        "disk /dev/sda1 at 93%",
+                        "one of a kind line",
+                    ]
+                }
+            )
+        ).repartition(2)
+        out = (
+            template_shapes(docs, EngineConfig(num_buckets=4), min_docs=2)
+            .to_pandas()
+        )
+        assert len(out) == 1
+        assert out.iloc[0]["shape"] == "job # failed after #ms"
+        assert out.iloc[0]["n_docs"] == 2

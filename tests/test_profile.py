@@ -690,3 +690,56 @@ class TestFDViolations:
         # k=1 → {a,b} violation; k=2 → {x} ok; k=3 ok; k=4 → null dropped,
         # only {z} → ok
         assert dict(out["n_distinct_rhs"]) == {1: 2}
+
+
+class TestCountEncode:
+    def test_window_count_semantics(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.profile import count_encode
+
+        rows = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [1, 2, 3, 4, 5],
+                    "event_type": ["a", "b", "a", "a", "b"],
+                }
+            )
+        ).repartition(3)
+        out = (
+            count_encode(
+                rows, EngineConfig(num_buckets=4),
+                id_col="event_id", value_col="event_type",
+            )
+            .to_pandas().set_index("event_id")["value_count"].to_dict()
+        )
+        assert out == {1: 3, 2: 2, 3: 3, 4: 3, 5: 2}
+
+    def test_join_fallback_path_equal(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.profile import count_encode
+
+        def rows():
+            return rd.from_pandas(
+                pd.DataFrame(
+                    {
+                        "event_id": range(20),
+                        "event_type": [str(i % 3) for i in range(20)],
+                    }
+                )
+            )
+
+        a = count_encode(
+            rows(), EngineConfig(num_buckets=4),
+            id_col="event_id", value_col="event_type",
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+        b = count_encode(
+            rows(), EngineConfig(num_buckets=4, broadcast_rows_max=0),
+            id_col="event_id", value_col="event_type",
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
