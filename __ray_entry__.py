@@ -2321,6 +2321,31 @@ def q_count_encode(sf_dir: str):
     )
 
 
+def q_role_audit(sf_dir: str):
+    """Transcript-hygiene audit: per conversation, first role + adjacent
+    same-role violation count (the derived view alternates perfectly, so
+    the audit reads all-clean — violations are pinned by pytest)."""
+    from deepblocker_ray.stages.canonicalize import role_alternation_audit
+
+    return role_alternation_audit(_transcripts(sf_dir), _cfg())
+
+
+def q_boilerplate_turns(sf_dir: str):
+    """Cross-conversation boilerplate-turn report: turn texts appearing in
+    ≥2 distinct conversations."""
+    from deepblocker_ray.stages.canonicalize import boilerplate_turns
+
+    return boilerplate_turns(_transcripts(sf_dir), _cfg(), min_convs=2)
+
+
+def q_token_budget(sf_dir: str):
+    """Context-window packing: each conversation's longest turn prefix with
+    cumulative whitespace-token count ≤ 20."""
+    from deepblocker_ray.stages.canonicalize import token_budget_truncate
+
+    return token_budget_truncate(_transcripts(sf_dir), _cfg(), budget=20)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2470,6 +2495,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_join": q_edit_join,
         "template_shapes": q_template_shapes,
         "count_encode": q_count_encode,
+        "role_audit": q_role_audit,
+        "boilerplate_turns": q_boilerplate_turns,
+        "token_budget": q_token_budget,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -4225,6 +4253,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
                        AS value_count
             FROM events
+        """,
+        "role_audit": f"""
+            WITH transcripts AS ({transcripts_cte}),
+            l AS (SELECT conv_id, turn_idx, coalesce(role, '') AS role,
+                         lag(coalesce(role, '')) OVER (
+                             PARTITION BY conv_id ORDER BY turn_idx) AS prev
+                  FROM transcripts)
+            SELECT conv_id,
+                   arg_min(role, turn_idx) AS first_role,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN prev = role THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_same_role_adjacent,
+                   sum(CASE WHEN prev = role THEN 1 ELSE 0 END) = 0
+                       AS alternates
+            FROM l GROUP BY conv_id
+        """,
+        "boilerplate_turns": f"""
+            WITH transcripts AS ({transcripts_cte})
+            SELECT text AS turn_text,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(count(*) AS BIGINT) AS n_turns
+            FROM transcripts GROUP BY text
+            HAVING count(DISTINCT conv_id) >= 2
+        """,
+        "token_budget": f"""
+            WITH transcripts AS ({transcripts_cte}),
+            c AS (SELECT conv_id, turn_idx,
+                         CAST(len(regexp_extract_all(text, '\\S+'))
+                             AS BIGINT) AS n_tokens
+                  FROM transcripts),
+            s AS (SELECT conv_id, turn_idx, n_tokens,
+                         sum(n_tokens) OVER (
+                             PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                  FROM c)
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM s WHERE cum_tokens <= 20
         """,
         "cluster_eval": f"""
             WITH pred AS ({_cc_sql(neardup_pairs, "embeddings", "vec_id")}),

@@ -329,3 +329,176 @@ def turn_windows(ds, cfg, *, k: int = 3, sep: str = " "):
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def role_alternation_audit(ds, cfg: EngineConfig | None = None):
+    """Transcript-hygiene audit: per conversation, does the turn stream
+    alternate roles cleanly? Emits (conv_id, first_role, n_turns,
+    n_same_role_adjacent, alternates) where ``n_same_role_adjacent`` counts
+    adjacent turn pairs (in turn_idx order) with the SAME role — the broken-
+    alternation signal that poisons instruction-tuning data. NULL roles
+    compare as the empty string (two adjacent NULLs are a violation).
+
+    Scale shape: skinny (conv, turn_idx, role) projection → ONE bucketed
+    exchange on hash(conv_id) → per bucket one lexsort + shifted compare
+    over ALL conversations at once (no per-conv loop)."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def project(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "conv_id": t.column("conv_id").to_pandas().astype(str),
+                "turn_idx": np.asarray(t.column("turn_idx")).astype(np.int64),
+                "role": t.column("role").to_pandas().fillna("").astype(str),
+            }
+        )
+        df["_bucket"] = bucket_of(df["conv_id"], nb)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy(object)
+        role = g["role"].to_numpy(object)
+        starts = np.nonzero(
+            np.concatenate(([True], conv[1:] != conv[:-1]))
+        )[0]
+        counts = np.diff(np.concatenate((starts, [len(conv)])))
+        same = np.concatenate(
+            ([False], (conv[1:] == conv[:-1]) & (role[1:] == role[:-1]))
+        )
+        viol = np.add.reduceat(same.astype(np.int64), starts)
+        return pd.DataFrame(
+            {
+                "conv_id": conv[starts],
+                "first_role": role[starts],
+                "n_turns": counts.astype(np.int64),
+                "n_same_role_adjacent": viol,
+                "alternates": viol == 0,
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def boilerplate_turns(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    min_convs: int = 2,
+):
+    """Cross-conversation boilerplate-turn report: every turn text that
+    appears in ≥ ``min_convs`` DISTINCT conversations, with its conv and
+    turn counts — the system-prompt / canned-reply detector that decides
+    what turn-level dedup should strip. Output
+    (turn_text, n_convs, n_turns).
+
+    Scale shape: each batch pre-reduces to DISTINCT (text, conv, count)
+    triples (boilerplate is duplicate-heavy by premise), bucketed on
+    hash(text); per bucket all rows of a text co-locate, so the distinct-
+    conv count is exact. The exchange is O(distinct (text, conv) pairs ×
+    turn length) — turn texts are short by construction here; corpora with
+    unbounded turns should key on the md5 surrogate (the segment_dedup
+    pattern) instead of shipping text."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "_t": t.column("text").to_pandas().fillna("").astype(str),
+                "_c": t.column("conv_id").to_pandas().astype(str),
+            }
+        )
+        g = df.groupby(["_t", "_c"], sort=False).size().rename("_n")
+        g = g.reset_index()
+        g["_bucket"] = bucket_of(g["_t"], nb)
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("_t", sort=False).agg(
+            n_convs=("_c", "nunique"), n_turns=("_n", "sum")
+        )
+        agg = agg[agg["n_convs"] >= min_convs].reset_index()
+        return pd.DataFrame(
+            {
+                "turn_text": agg["_t"].values,
+                "n_convs": agg["n_convs"].to_numpy(np.int64),
+                "n_turns": agg["n_turns"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def token_budget_truncate(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    budget: int,
+):
+    """Context-window packing for transcripts: keep each conversation's
+    LONGEST PREFIX of turns whose cumulative whitespace-token count stays
+    ≤ ``budget`` (the keep-oldest dual of ``tail_turns``; a first turn
+    alone above budget keeps nothing). Tokens are ``\\S+`` runs counted in
+    pyarrow's RE2 kernel — DuckDB's regexp_extract_all is the same engine.
+    Output: the kept turn rows (conv_id, turn_idx, n_tokens, cum_tokens).
+
+    Scale shape: token counts are computed MAP-SIDE so only skinny
+    (conv, turn_idx, n_tokens) int rows ride the ONE bucketed exchange;
+    per bucket one lexsort + segmented cumsum over all conversations at
+    once (segment starts reset via index arithmetic, no per-conv loop)."""
+    import pyarrow.compute as pc
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def project(t: pa.Table) -> pd.DataFrame:
+        nt = np.asarray(
+            pc.count_substring_regex(
+                pc.fill_null(pc.cast(t.column("text"), pa.string()), ""),
+                r"\S+",
+            ),
+            np.int64,
+        )
+        df = pd.DataFrame(
+            {
+                "conv_id": t.column("conv_id").to_pandas().astype(str),
+                "turn_idx": np.asarray(t.column("turn_idx")).astype(np.int64),
+                "n_tokens": nt,
+            }
+        )
+        df["_bucket"] = bucket_of(df["conv_id"], nb)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy(object)
+        nt = g["n_tokens"].to_numpy(np.int64)
+        starts = np.nonzero(
+            np.concatenate(([True], conv[1:] != conv[:-1]))
+        )[0]
+        run = np.cumsum(nt)
+        base = np.repeat(
+            np.concatenate(([0], run[starts[1:] - 1])), 
+            np.diff(np.concatenate((starts, [len(conv)]))),
+        )
+        cum = run - base
+        keep = cum <= budget
+        out = g.loc[keep, ["conv_id", "turn_idx", "n_tokens"]].copy()
+        out["cum_tokens"] = cum[keep]
+        return out
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -228,3 +228,125 @@ class TestTurnWindows:
             ("a", 0, "a0 a1 "),
             ("a", 1, "a1  a3"),
         ]
+
+
+class TestRoleAlternationAudit:
+    def test_planted_violations(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.canonicalize import role_alternation_audit
+
+        tr = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "conv_id": ["a"] * 4 + ["b"] * 3 + ["c"],
+                    "turn_idx": [0, 1, 2, 3, 0, 1, 2, 0],
+                    "role": [
+                        "user", "assistant", "assistant", "assistant",  # 2 viol
+                        "assistant", "user", "assistant",               # clean
+                        None,                                           # single
+                    ],
+                }
+            )
+        ).repartition(3)
+        out = (
+            role_alternation_audit(tr, EngineConfig(num_buckets=4))
+            .to_pandas().set_index("conv_id").sort_index()
+        )
+        assert out.loc["a", "n_same_role_adjacent"] == 2
+        assert not out.loc["a", "alternates"]
+        assert out.loc["a", "first_role"] == "user"
+        assert out.loc["b", "n_same_role_adjacent"] == 0
+        assert out.loc["b", "alternates"]
+        assert out.loc["b", "first_role"] == "assistant"
+        assert out.loc["c", "n_turns"] == 1 and out.loc["c", "alternates"]
+        assert out.loc["c", "first_role"] == ""   # NULL role → ''
+
+    def test_adjacent_nulls_violate(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.canonicalize import role_alternation_audit
+
+        tr = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "conv_id": ["x", "x"],
+                    "turn_idx": [0, 1],
+                    "role": [None, None],
+                }
+            )
+        )
+        out = role_alternation_audit(tr, EngineConfig(num_buckets=4)).to_pandas()
+        assert out.iloc[0]["n_same_role_adjacent"] == 1
+
+
+class TestBoilerplateTurns:
+    def test_distinct_conv_counting(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.canonicalize import boilerplate_turns
+
+        tr = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "conv_id": ["a", "a", "b", "c", "c"],
+                    "turn_idx": [0, 1, 0, 0, 1],
+                    "text": [
+                        "you are helpful",   # conv a (twice in a? no: once)
+                        "you are helpful",   # a again → n_turns 2, convs {a}
+                        "you are helpful",   # b → convs {a,b}, turns 3
+                        "unique question",
+                        "another unique",
+                    ],
+                }
+            )
+        ).repartition(3)
+        out = (
+            boilerplate_turns(tr, EngineConfig(num_buckets=4), min_convs=2)
+            .to_pandas()
+        )
+        assert len(out) == 1
+        assert out.iloc[0]["turn_text"] == "you are helpful"
+        assert out.iloc[0]["n_convs"] == 2      # DISTINCT convs, not rows
+        assert out.iloc[0]["n_turns"] == 3
+
+
+class TestTokenBudgetTruncate:
+    def test_prefix_budget(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.canonicalize import token_budget_truncate
+
+        tr = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "conv_id": ["a"] * 3 + ["b"] * 2,
+                    "turn_idx": [0, 1, 2, 0, 1],
+                    "text": [
+                        "one two three",        # 3 → cum 3
+                        "four five",            # 2 → cum 5
+                        "six seven eight nine", # 4 → cum 9 > 6: dropped
+                        "w x y z p q r",        # 7 > 6: first turn dropped
+                        "short",                # NOT kept (prefix broke at 0)
+                    ],
+                }
+            )
+        ).repartition(2)
+        out = (
+            token_budget_truncate(tr, EngineConfig(num_buckets=4), budget=6)
+            .to_pandas().sort_values(["conv_id", "turn_idx"])
+        )
+        a = out[out["conv_id"] == "a"]
+        assert list(a["turn_idx"]) == [0, 1]
+        assert list(a["cum_tokens"]) == [3, 5]
+        # conv b: first turn exceeds the budget → the whole conv drops...
+        # note the cumulative-sum rule: turn 1 has cum 7+1=8 > 6 → dropped too
+        assert (out["conv_id"] == "b").sum() == 0
