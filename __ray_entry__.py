@@ -2346,6 +2346,42 @@ def q_token_budget(sf_dir: str):
     return token_budget_truncate(_transcripts(sf_dir), _cfg(), budget=20)
 
 
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue, shared
+    orderkey exchange + associative global top-k."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import returned_revenue_topk
+
+    return returned_revenue_topk(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+            ],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        ),
+        _cfg(),
+        k=20,
+    )
+
+
+GAZETTEER_TERMS = ["spark", "merge", "window", "vector"]
+
+
+def q_gazetteer(sf_dir: str):
+    """Dictionary-based entity tagging: one row per (doc, matched gazetteer
+    term) with whole-word hit counts."""
+    from deepblocker_ray.stages.textstats import gazetteer_tag
+
+    return gazetteer_tag(_documents(sf_dir), GAZETTEER_TERMS)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2498,6 +2534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_audit": q_role_audit,
         "boilerplate_turns": q_boilerplate_turns,
         "token_budget": q_token_budget,
+        "returned_revenue": q_returned_revenue,
+        "gazetteer": q_gazetteer,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -4277,6 +4315,33 @@ def oracle_sql() -> dict[str, str]:
             FROM transcripts GROUP BY text
             HAVING count(DISTINCT conv_id) >= 2
         """,
+        "returned_revenue": """
+            WITH r AS (
+                SELECT o.o_custkey AS c_custkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                           AS rev
+                FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE l_returnflag = 'R' GROUP BY 1
+            ),
+            t AS (SELECT c_custkey, CAST(rev AS BIGINT) AS revenue,
+                         row_number() OVER (ORDER BY rev DESC, c_custkey)
+                             AS rank
+                  FROM r)
+            SELECT CAST(rank AS BIGINT) AS rank, t.c_custkey, c.c_name,
+                   revenue
+            FROM t JOIN customer c USING (c_custkey) WHERE rank <= 20
+        """,
+        # gazetteer: one UNION ALL branch per term, GENERATED from
+        # GAZETTEER_TERMS (the pii_scrub discipline)
+        "gazetteer": "SELECT doc_id, term, n_hits FROM ("
+        + " UNION ALL ".join(
+            f"SELECT doc_id, '{t}' AS term, "
+            f"CAST(len(regexp_extract_all(lower(text), '\\b{t}\\b')) "
+            f"AS BIGINT) AS n_hits FROM documents"
+            for t in GAZETTEER_TERMS
+        )
+        + ") WHERE n_hits >= 1",
         "token_budget": f"""
             WITH transcripts AS ({transcripts_cte}),
             c AS (SELECT conv_id, turn_idx,

@@ -1446,3 +1446,137 @@ def promo_revenue(
             }
         )
     )
+
+
+def returned_revenue_topk(
+    lineitem,
+    orders,
+    customer,
+    cfg: EngineConfig | None = None,
+    *,
+    k: int = 20,
+    flag: str = "R",
+):
+    """TPC-H Q10 shape (returned-item losses): the top-k customers by
+    revenue on return-flagged lineitems. Revenue in exact 1e-4-dollar
+    integer units (the segment_revenue rule) so sums are order-independent
+    and the ranking is bit-reproducible under the total order
+    (revenue desc, custkey asc). Output (rank, c_custkey, c_name, revenue).
+
+    Scale shape: flagged lineitems pre-sum revenue per orderkey MAP-SIDE
+    and meet orders in ONE shared hash(orderkey) exchange (union + side
+    tag — the ship_latency pattern: no per-table shuffle, no fact
+    broadcast); per bucket the (custkey, revenue) partials collapse, ride
+    a second hash(custkey) exchange, and the global top-k runs as
+    associative map-side partials (group_topk). Customer names attach to
+    the k winners via the guarded broadcast join — k rows, trivially under
+    the cap."""
+    import pyarrow.compute as pc
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def li_rows(t: pa.Table) -> pd.DataFrame:
+        mask = pc.equal(
+            pc.fill_null(t.column("l_returnflag").cast(pa.string()), ""),
+            flag,
+        )
+        t = t.filter(mask)
+        price = np.round(
+            np.asarray(t.column("l_extendedprice"), np.float64) * 100
+        ).astype(np.int64)
+        disc = np.round(
+            np.asarray(t.column("l_discount"), np.float64) * 100
+        ).astype(np.int64)
+        agg = (
+            pd.DataFrame(
+                {
+                    "k": np.asarray(t.column("l_orderkey"), np.int64),
+                    "rev": price * (100 - disc),
+                }
+            )
+            .groupby("k", sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        agg["cust"] = np.int64(0)
+        agg["_side"] = np.int8(1)
+        agg["_bucket"] = (agg["k"].to_numpy(np.int64) % nb).astype("int32")
+        return agg[["k", "rev", "cust", "_side", "_bucket"]]
+
+    def o_rows(t: pa.Table) -> pd.DataFrame:
+        key = np.asarray(t.column("o_orderkey"), np.int64)
+        return pd.DataFrame(
+            {
+                "k": key,
+                "rev": np.zeros(len(t), np.int64),
+                "cust": np.asarray(t.column("o_custkey"), np.int64),
+                "_side": np.full(len(t), 0, np.int8),
+                "_bucket": (key % nb).astype(np.int32),
+            }
+        )
+
+    li = lineitem.select_columns(
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(li_rows, batch_format="pyarrow")
+    o = orders.select_columns(["o_orderkey", "o_custkey"]).map_batches(
+        o_rows, batch_format="pyarrow"
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lis = g[g["_side"] == 1]
+        ords = g[g["_side"] == 0]
+        if len(lis) == 0 or len(ords) == 0:
+            return pd.DataFrame(
+                {
+                    "cust": pd.Series(dtype=np.int64),
+                    "rev": pd.Series(dtype=np.int64),
+                    "_b2": pd.Series(dtype=np.int32),
+                }
+            )
+        rev = lis.groupby("k", sort=False)["rev"].sum().rename("r")
+        m = ords.merge(rev, left_on="k", right_index=True)
+        agg = m.groupby("cust", sort=False)["r"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "cust": agg["cust"].to_numpy(np.int64),
+                "rev": agg["r"].to_numpy(np.int64),
+                "_b2": (agg["cust"].to_numpy(np.int64) % nb).astype(np.int32),
+            }
+        )
+
+    def cust_total(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("cust", sort=False)["rev"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "c_custkey": agg["cust"].to_numpy(np.int64),
+                "revenue": agg["rev"].to_numpy(np.int64),
+            }
+        )
+
+    totals = (
+        li.union(o)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(cust_total, batch_format="pandas")
+    )
+
+    from .topk import group_topk
+
+    top = group_topk(
+        totals, cfg, order_col="revenue", id_col="c_custkey", k=k,
+        group_col=None, descending=True,
+    )
+    named = broadcast_join(
+        customer.select_columns(["c_custkey", "c_name"]),
+        top,
+        big_key="c_custkey",
+        small_key="c_custkey",
+        payload_cols=["rank", "revenue"],
+        cfg=cfg,
+    )
+    return named.map_batches(
+        lambda t: t.select(["rank", "c_custkey", "c_name", "revenue"]),
+        batch_format="pyarrow",
+    )

@@ -1070,3 +1070,65 @@ def template_shapes(
         .groupby("_bucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def gazetteer_tag(
+    ds,
+    terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Dictionary-based entity tagging (gazetteer weak labeling): one output
+    row per (doc, matched term) with the whole-word case-insensitive hit
+    count — the distant-supervision primitive for NER-style labeling.
+    Per term, ONE RE2 count kernel over the lowercased batch (the term list
+    is caller-bounded); rows explode map-side, no shuffle. The SQL twin is
+    GENERATED from the same term list (the pii_scrub discipline). Output
+    (id, term, n_hits ≥ 1)."""
+    import pyarrow.compute as pc
+
+    from .textstats import blocklist_regex  # validates term syntax
+
+    blocklist_regex(terms)  # raise early on invalid terms
+
+    def tag(batch: pa.Table) -> pa.Table:
+        arr = pc.utf8_lower(
+            pc.fill_null(batch.column(text_col).cast(pa.string()), "")
+        )
+        ids = batch.column(id_col)
+        out_ids, out_terms, out_n = [], [], []
+        for term in terms:
+            n = np.asarray(
+                pc.count_substring_regex(arr, r"\b" + term + r"\b"),
+                np.int64,
+            )
+            hit = np.nonzero(n > 0)[0]
+            if len(hit):
+                out_ids.append(ids.take(pa.array(hit, pa.int64())))
+                out_terms.append(
+                    pa.array(np.full(len(hit), term, object), pa.string())
+                )
+                out_n.append(pa.array(n[hit]))
+        if not out_ids:
+            return pa.table(
+                {
+                    id_col: ids.slice(0, 0),
+                    "term": pa.array([], pa.string()),
+                    "n_hits": pa.array([], pa.int64()),
+                }
+            )
+        import pyarrow as _pa
+
+        return pa.table(
+            {
+                id_col: _pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, _pa.ChunkedArray)
+                     else c for c in out_ids]
+                ),
+                "term": _pa.concat_arrays(out_terms),
+                "n_hits": _pa.concat_arrays(out_n),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")

@@ -458,3 +458,30 @@ class TestTemplateShapes:
         assert len(out) == 1
         assert out.iloc[0]["shape"] == "job # failed after #ms"
         assert out.iloc[0]["n_docs"] == 2
+
+
+class TestGazetteerTag:
+    def test_explode_whole_word(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.stages.textstats import gazetteer_tag
+
+        docs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "Spark and spark again",       # spark ×2 (case-fold)
+                        "sparkle is not a match",      # whole-word only
+                        "vector merge vector",         # two terms
+                    ],
+                }
+            )
+        ).repartition(2)
+        out = (
+            gazetteer_tag(docs, ["spark", "merge", "vector"])
+            .to_pandas().sort_values(["doc_id", "term"]).reset_index(drop=True)
+        )
+        rows = list(zip(out["doc_id"], out["term"], out["n_hits"]))
+        assert rows == [(1, "spark", 2), (3, "merge", 1), (3, "vector", 2)]

@@ -565,3 +565,43 @@ class TestPromoRevenue:
         )
         # inner join drops the orphan lineitem: nothing qualifies
         assert row["total_revenue"] == 0 and row["promo_pct"] == 0.0
+
+
+class TestReturnedRevenueTopK:
+    def test_hand_computed(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import returned_revenue_topk
+
+        li = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "l_orderkey": [1, 1, 2, 3],
+                    "l_returnflag": ["R", "N", "R", "R"],
+                    "l_extendedprice": [10.0, 99.0, 20.0, 5.0],
+                    "l_discount": [0.0, 0.0, 0.10, 0.0],
+                }
+            )
+        )
+        orders = rd.from_pandas(
+            pd.DataFrame(
+                {"o_orderkey": [1, 2, 3], "o_custkey": [7, 8, 7]}
+            )
+        )
+        cust = rd.from_pandas(
+            pd.DataFrame({"c_custkey": [7, 8], "c_name": ["ann", "bo"]})
+        )
+        out = (
+            returned_revenue_topk(
+                li, orders, cust, EngineConfig(num_buckets=4), k=2
+            )
+            .to_pandas().sort_values("rank").reset_index(drop=True)
+        )
+        # cust 7: order1 R 1000·100 + order3 R 500·100 = 150000
+        # cust 8: order2 R 2000·90 = 180000 → rank 1
+        assert list(out["rank"]) == [1, 2]
+        assert list(out["c_custkey"]) == [8, 7]
+        assert list(out["revenue"]) == [180000, 150000]
+        assert list(out["c_name"]) == ["bo", "ann"]
