@@ -2382,6 +2382,60 @@ def q_gazetteer(sf_dir: str):
     return gazetteer_tag(_documents(sf_dir), GAZETTEER_TERMS)
 
 
+def q_cluster_sizes(sf_dir: str):
+    """Cluster-size histogram of embedding_neardup's clusters — the
+    campaign-sizing scan at the cluster level."""
+    from deepblocker_ray.stages.cluster import cluster_size_histogram
+
+    return cluster_size_histogram(q_embedding_neardup(sf_dir), _cfg())
+
+
+FORECAST_TS_LO = 852076800000000      # 1997-01-01 epoch µs
+FORECAST_TS_HI = 883612800000000      # 1998-01-01 epoch µs
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: Σ price·discount over shipdate-1997, discount 5–7%,
+    quantity < 24 — every comparison in exact integer space."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import forecast_revenue
+
+    return forecast_revenue(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+            ],
+        ),
+        _cfg(),
+        ts_lo_us=FORECAST_TS_LO,
+        ts_hi_us=FORECAST_TS_HI,
+        disc_lo_pct=5,
+        disc_hi_pct=7,
+        max_qty_cents=2400,
+    )
+
+
+def q_source_similarity(sf_dir: str):
+    """KMV pairwise Jaccard estimates between document sources — the
+    corpus-mixing overlap diagnostic; the approximation itself is
+    bit-exact vs SQL."""
+    from deepblocker_ray.stages.sketch import kmv_source_similarity
+
+    import ray.data as rd
+
+    return kmv_source_similarity(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["source", "text"]
+        ),
+        _cfg(),
+        group_col="source",
+        key_col="text",
+        k=16,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2536,6 +2590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget": q_token_budget,
         "returned_revenue": q_returned_revenue,
         "gazetteer": q_gazetteer,
+        "cluster_sizes": q_cluster_sizes,
+        "forecast_revenue": q_forecast_revenue,
+        "source_similarity": q_source_similarity,
         "vocab_build": q_vocab_build,
         "snm_dedup": q_snm_dedup,
         "value_outliers": q_value_outliers,
@@ -4205,6 +4262,58 @@ def oracle_sql() -> dict[str, str]:
             FROM cells
             JOIN cs ON cs.cl = cells.cl
             JOIN ls ON ls.lab = cells.lab
+        """,
+        "cluster_sizes": f"""
+            WITH lab AS (SELECT cluster_id
+                         FROM ({_cc_sql(neardup_pairs, "embeddings",
+                                        "vec_id")})),
+            s AS (SELECT cluster_id, count(*) AS sz FROM lab GROUP BY 1)
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM s GROUP BY sz
+        """,
+        "forecast_revenue": f"""
+            SELECT CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(coalesce(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)), 0)
+                       AS BIGINT) AS revenue
+            FROM lineitem
+            WHERE epoch_us(l_shipdate) >= {FORECAST_TS_LO}
+              AND epoch_us(l_shipdate) < {FORECAST_TS_HI}
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND CAST(round(l_quantity * 100) AS BIGINT) < 2400
+        """,
+        "source_similarity": """
+            WITH h AS (SELECT DISTINCT source, md5_number_lower(text) AS hv
+                       FROM documents),
+            r AS (SELECT source, hv,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY hv) AS rk
+                  FROM h),
+            kmv AS (SELECT source, hv FROM r WHERE rk <= 16),
+            srcs AS (SELECT DISTINCT source FROM documents),
+            pairs AS (SELECT a.source AS sa, b.source AS sb
+                      FROM srcs a JOIN srcs b ON b.source > a.source),
+            u AS (SELECT p.sa, p.sb, k.hv,
+                         max(CASE WHEN k.source = p.sa THEN 1 ELSE 0 END)
+                             AS ina,
+                         max(CASE WHEN k.source = p.sb THEN 1 ELSE 0 END)
+                             AS inb
+                  FROM pairs p
+                  JOIN kmv k ON k.source = p.sa OR k.source = p.sb
+                  GROUP BY 1, 2, 3),
+            m AS (SELECT sa, sb, hv, ina, inb,
+                         row_number() OVER (PARTITION BY sa, sb
+                                            ORDER BY hv) AS rk
+                  FROM u)
+            SELECT sa AS source_a, sb AS source_b,
+                   CAST(count(*) AS BIGINT) AS k_merged,
+                   CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_shared,
+                   CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*) AS jaccard_est
+            FROM m WHERE rk <= 16 GROUP BY sa, sb
         """,
         # adjusted_rand: same histogram sufficient statistics as
         # cluster_eval; ARI numerator/denominator in HUGEINT, one division

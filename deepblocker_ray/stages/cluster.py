@@ -1208,3 +1208,59 @@ def kcore_peel(
             edges, keep, big_key="_rh", small_key="_kh", cfg=cfg
         ).materialize()
     return _node_degrees(edges, cfg)
+
+
+def cluster_size_histogram(labeled, cfg: EngineConfig | None = None,
+                           *, label_col: str = "cluster_id"):
+    """Cluster-size histogram over any (row → cluster label) table — the
+    dedup-campaign sizing scan at the CLUSTER level (dup_size_histogram's
+    CC-aware sibling): how many clusters have exactly n members. Output
+    (cluster_size, n_clusters).
+
+    Scale shape: per-batch (label, count) partials ride ONE bucketed
+    exchange on hash(label) (labels of a cluster co-locate ⇒ exact sizes);
+    per bucket sizes collapse to (size, count) partials — O(distinct sizes)
+    — and one tiny second exchange combines them. Rows never move."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[label_col].astype(str).value_counts()
+        return pd.DataFrame(
+            {
+                "_l": g.index.values,
+                "_c": g.to_numpy(np.int64),
+                "_bucket": (
+                    pd.util.hash_array(np.asarray(g.index.values, object))
+                    % np.uint64(nb)
+                ).astype("int32"),
+            }
+        )
+
+    def sizes(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby("_l", sort=False)["_c"].sum()
+        h = sz.value_counts()
+        return pd.DataFrame(
+            {
+                "_s": h.index.to_numpy(np.int64),
+                "_n": h.to_numpy(np.int64),
+                "_b2": (h.index.to_numpy(np.int64) % nb).astype(np.int32),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("_s", sort=False)["_n"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "cluster_size": agg["_s"].to_numpy(np.int64),
+                "n_clusters": agg["_n"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        labeled.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(sizes, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(combine, batch_format="pandas")
+    )

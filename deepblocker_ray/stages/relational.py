@@ -1580,3 +1580,66 @@ def returned_revenue_topk(
         lambda t: t.select(["rank", "c_custkey", "c_name", "revenue"]),
         batch_format="pyarrow",
     )
+
+
+def forecast_revenue(
+    lineitem,
+    cfg: EngineConfig | None = None,
+    *,
+    ts_lo_us: int,
+    ts_hi_us: int,
+    disc_lo_pct: int,
+    disc_hi_pct: int,
+    max_qty_cents: int,
+):
+    """TPC-H Q6 shape (forecasting revenue change): Σ price·discount over
+    one shipdate year, a discount band, and a quantity cap — every
+    comparison in exact integer space (epoch-µs timestamps, discount as
+    round(d·100) percent, quantity as centi-units) so the filter cannot
+    hang on a float boundary; revenue in exact 1e-6-dollar units
+    (price_cents · disc_pct · 100 ... = round(p·100)·round(d·100)). One
+    row out: (n_items, revenue).
+
+    Scale shape: pure map-side — each batch collapses to ONE (count, sum)
+    partial, Python-int accumulation on the driver (the promo_revenue
+    overflow rule); nothing shuffles."""
+    cfg = cfg or EngineConfig()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["l_shipdate"].to_numpy("datetime64[us]").astype(np.int64)
+        disc = np.round(
+            df["l_discount"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        qty = np.round(
+            df["l_quantity"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        price = np.round(
+            df["l_extendedprice"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        m = (
+            (ts >= ts_lo_us)
+            & (ts < ts_hi_us)
+            & (disc >= disc_lo_pct)
+            & (disc <= disc_hi_pct)
+            & (qty < max_qty_cents)
+        )
+        rev = price[m] * disc[m]
+        return pd.DataFrame(
+            {"_n": [int(m.sum())], "_r": [str(int(rev.sum()))]}
+        )
+
+    parts = lineitem.select_columns(
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+    ).map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(parts["_n"].sum()) if len(parts) else 0
+    rev = sum(int(s) for s in parts["_r"]) if len(parts) else 0
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_items": pa.array([n], pa.int64()),
+                "revenue": pa.array([rev], pa.int64()),
+            }
+        )
+    )

@@ -315,3 +315,89 @@ def bloom_semi_join(big_ds, keys_ds, *, big_key: str, small_key: str,
         return t.filter(pa.array(hit_u[inv]))
 
     return big_ds.map_batches(probe, batch_format="pyarrow")
+
+
+def kmv_source_similarity(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    group_col: str = "source",
+    key_col: str = "text",
+    k: int = 16,
+):
+    """K-minimum-values pairwise set-similarity between EVERY pair of
+    groups (the corpus-mixing diagnostic: how much do two crawl sources /
+    dumps overlap?): per group, the k smallest distinct md5-lower64 key
+    hashes; for each group pair, the KMV Jaccard estimate
+    |merged-top-k ∩ both| / |merged-top-k|. The estimate — including its
+    sampling error — is a DETERMINISTIC integer function of the same md5
+    values on both engines, so even the *approximation* is bit-exact
+    SQL-twinnable (the approx_distinct rule). Output
+    (source_a, source_b, k_merged, n_shared, jaccard_est) for a < b.
+
+    Scale shape: per-batch DISTINCT (group, hash) pairs collapse to ≤ k
+    rows per group MAP-SIDE (min-k is associative — the group_topk rule),
+    ride ONE bucketed exchange on hash(group), and the O(groups·k) sketch
+    visits the driver for the pairwise merge — groups are a bounded
+    dimension domain (the rollup_counts containment argument); the corpus
+    never moves."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {
+                "_g": df[group_col].astype(str).values,
+                # UNSIGNED order throughout — md5_number_lower is UBIGINT;
+                # an int64 view would rank high-bit hashes first
+                "_h": hash64_strs(
+                    pa.array(df[key_col].fillna("").astype(str))
+                ),
+            }
+        ).drop_duplicates()
+        g = g.sort_values(["_g", "_h"], kind="mergesort")
+        keep = g.groupby("_g", sort=False).cumcount() < k
+        out = g[keep].copy()
+        out["_bucket"] = (
+            pd.util.hash_array(np.asarray(out["_g"].values, object))
+            % np.uint64(nb)
+        ).astype("int32")
+        return out
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["_g", "_h"]).sort_values(
+            ["_g", "_h"], kind="mergesort"
+        )
+        keep = g.groupby("_g", sort=False).cumcount() < k
+        return g.loc[keep, ["_g", "_h"]]
+
+    sk = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(per_group, batch_format="pandas")
+        .to_pandas()
+    )
+    groups = sorted(sk["_g"].unique())
+    by_g = {g: set(sk.loc[sk["_g"] == g, "_h"]) for g in groups}
+    rows = []
+    for i, a in enumerate(groups):
+        for b in groups[i + 1:]:
+            sa, sb = by_g[a], by_g[b]
+            merged = sorted(sa | sb)[:k]
+            shared = sum(1 for h in merged if h in sa and h in sb)
+            rows.append(
+                {
+                    "source_a": a,
+                    "source_b": b,
+                    "k_merged": np.int64(len(merged)),
+                    "n_shared": np.int64(shared),
+                    "jaccard_est": (
+                        float(shared) / float(len(merged)) if merged else 0.0
+                    ),
+                }
+            )
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(rows))

@@ -605,3 +605,61 @@ class TestReturnedRevenueTopK:
         assert list(out["c_custkey"]) == [8, 7]
         assert list(out["revenue"]) == [180000, 150000]
         assert list(out["c_name"]) == ["bo", "ann"]
+
+
+class TestClusterSizeHistogram:
+    def test_hand_computed(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.cluster import cluster_size_histogram
+
+        labeled = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": list("abcdefg"),
+                    "cluster_id": ["x", "x", "x", "y", "y", "z", "w"],
+                }
+            )
+        ).repartition(3)
+        out = (
+            cluster_size_histogram(labeled, EngineConfig(num_buckets=4))
+            .to_pandas().set_index("cluster_size")["n_clusters"].to_dict()
+        )
+        assert out == {3: 1, 2: 1, 1: 2}
+
+
+class TestForecastRevenue:
+    def test_hand_computed(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import forecast_revenue
+
+        li = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "l_shipdate": pd.to_datetime(
+                        ["1997-06-01", "1997-06-02", "1996-12-31",
+                         "1997-06-03", "1997-06-04"]
+                    ),
+                    "l_discount": [0.06, 0.05, 0.06, 0.04, 0.06],
+                    "l_quantity": [10.0, 23.99, 10.0, 10.0, 24.0],
+                    "l_extendedprice": [100.0, 200.0, 300.0, 400.0, 500.0],
+                }
+            )
+        ).repartition(2)
+        row = (
+            forecast_revenue(
+                li, EngineConfig(num_buckets=4),
+                ts_lo_us=852076800000000, ts_hi_us=883612800000000,
+                disc_lo_pct=5, disc_hi_pct=7, max_qty_cents=2400,
+            )
+            .to_pandas().iloc[0]
+        )
+        # rows 1, 2 qualify (row 3 out of window, row 4 disc 4%, row 5 qty=24)
+        # revenue = 10000·6 + 20000·5 = 160000 (1e-6-dollar units)
+        assert row["n_items"] == 2
+        assert row["revenue"] == 160000

@@ -599,3 +599,60 @@ class TestAdjustedRand:
         )
         # pp = gp = tp = 0 → denominator 0 → pinned 0.0
         assert adjusted_rand_index(pred, labels, cfg=CFG).iloc[0]["ari"] == 0.0
+
+
+class TestKMVSourceSimilarity:
+    def test_exact_small_overlap(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.dedup import _stable_hash64
+        from deepblocker_ray.stages.sketch import kmv_source_similarity
+
+        # with k >= |union| the KMV estimate IS the exact Jaccard
+        a_keys = [f"k{i}" for i in range(6)]
+        b_keys = [f"k{i}" for i in range(3, 9)]   # overlap = 3, union = 9
+        df = pd.DataFrame(
+            {
+                "source": ["a"] * 6 + ["b"] * 6,
+                "text": a_keys + b_keys,
+            }
+        )
+        out = (
+            kmv_source_similarity(
+                rd.from_pandas(df).repartition(3), CFG,
+                group_col="source", key_col="text", k=16,
+            )
+            .to_pandas().iloc[0]
+        )
+        assert out["k_merged"] == 9
+        assert out["n_shared"] == 3
+        assert out["jaccard_est"] == 3.0 / 9.0
+        del _stable_hash64
+
+    def test_truncated_k_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.dedup import _stable_hash64
+        from deepblocker_ray.stages.sketch import kmv_source_similarity
+
+        keys_a = [f"x{i}" for i in range(40)]
+        keys_b = [f"x{i}" for i in range(20, 60)]
+        df = pd.DataFrame(
+            {"source": ["a"] * 40 + ["b"] * 40, "text": keys_a + keys_b}
+        )
+        k = 8
+        out = (
+            kmv_source_similarity(
+                rd.from_pandas(df).repartition(5), CFG,
+                group_col="source", key_col="text", k=k,
+            )
+            .to_pandas().iloc[0]
+        )
+        # scalar recompute of the same estimator
+        ha = sorted(int(_stable_hash64(s.encode())) for s in keys_a)[:k]
+        hb = sorted(int(_stable_hash64(s.encode())) for s in keys_b)[:k]
+        merged = sorted(set(ha) | set(hb))[:k]
+        shared = sum(1 for h in merged if h in set(ha) and h in set(hb))
+        assert out["k_merged"] == len(merged)
+        assert out["n_shared"] == shared
+        assert out["jaccard_est"] == float(shared) / len(merged)
