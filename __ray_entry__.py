@@ -2436,6 +2436,22 @@ def q_source_similarity(sf_dir: str):
     )
 
 
+def q_sft_pairs(sf_dir: str):
+    """SFT (prompt, response) extraction: assistant turns directly preceded
+    by a user turn, with whitespace-token counts for both sides."""
+    from deepblocker_ray.stages.canonicalize import sft_pairs
+
+    return sft_pairs(_transcripts(sf_dir), _cfg())
+
+
+def q_dpo_pairs(sf_dir: str):
+    """Preference-pair mining over repeated prompts: chosen/rejected per
+    prompt text with ≥2 distinct responses (length-proxy ranking)."""
+    from deepblocker_ray.stages.canonicalize import dpo_pairs
+
+    return dpo_pairs(_transcripts(sf_dir), _cfg(), min_responses=2)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2603,6 +2619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": q_ngram_counts,
         "rolling_agg": q_rolling_agg,
         "tfidf_search": q_tfidf_search,
+        "sft_pairs": q_sft_pairs,
+        "dpo_pairs": q_dpo_pairs,
     }
 
 
@@ -5742,5 +5760,60 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN (SELECT unnest(generate_series(1, 7)) AS i) s
               ON r.rk = s.i * r.n // 8
             ORDER BY 1
+        """,
+        "sft_pairs": f"""
+            WITH transcripts AS ({transcripts_cte}),
+            l AS (
+                SELECT conv_id, turn_idx, role, text,
+                       lag(role) OVER w AS prev_role,
+                       lag(text) OVER w AS prev_text,
+                       lag(turn_idx) OVER w AS prev_idx
+                FROM transcripts
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   prev_text AS prompt, text AS response,
+                   CAST(len(regexp_extract_all(prev_text, '\\S+'))
+                       AS BIGINT) AS prompt_tokens,
+                   CAST(len(regexp_extract_all(text, '\\S+'))
+                       AS BIGINT) AS response_tokens
+            FROM l
+            WHERE role = 'assistant' AND prev_role = 'user'
+              AND prev_idx = turn_idx - 1
+        """,
+        "dpo_pairs": f"""
+            WITH transcripts AS ({transcripts_cte}),
+            l AS (
+                SELECT conv_id, turn_idx, role, text,
+                       lag(role) OVER w AS prev_role,
+                       lag(text) OVER w AS prev_text,
+                       lag(turn_idx) OVER w AS prev_idx
+                FROM transcripts
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            sft AS (
+                SELECT prev_text AS prompt, text AS response
+                FROM l
+                WHERE role = 'assistant' AND prev_role = 'user'
+                  AND prev_idx = turn_idx - 1
+            ),
+            d AS (
+                SELECT DISTINCT prompt, response,
+                       len(regexp_extract_all(response, '\\S+')) AS n_tokens
+                FROM sft
+            ),
+            r AS (
+                SELECT prompt, response,
+                       row_number() OVER (PARTITION BY prompt
+                           ORDER BY n_tokens DESC, response ASC) AS rb,
+                       row_number() OVER (PARTITION BY prompt
+                           ORDER BY n_tokens ASC, response DESC) AS rw,
+                       count(*) OVER (PARTITION BY prompt) AS n
+                FROM d
+            )
+            SELECT c.prompt, c.response AS chosen, w.response AS rejected,
+                   CAST(c.n AS BIGINT) AS n_responses
+            FROM r c JOIN r w ON c.prompt = w.prompt
+            WHERE c.rb = 1 AND w.rw = 1 AND c.n >= 2
         """,
     }

@@ -502,3 +502,147 @@ def token_budget_truncate(
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def sft_pairs(
+    ds,
+    cfg: EngineConfig | None = None,
+):
+    """SFT (prompt, response) extraction from transcripts: every assistant
+    turn whose IMMEDIATELY preceding turn (by turn_idx within the
+    conversation) is a user turn becomes one training pair
+    (conv_id, turn_idx = the assistant turn's index, prompt, response,
+    prompt_tokens, response_tokens). Assistant turns without a directly
+    preceding user turn (conversation openers, assistant→assistant runs)
+    are skipped — the adjacency rule, not a windowed search.
+
+    Scale shape: ONE bucketed exchange on hash(conv_id) co-locates each
+    conversation; per bucket a single lexsort + shifted-array compare pairs
+    ALL conversations at once (prev-row mask where conv unchanged AND
+    turn_idx is exactly prev+1), no per-conversation loop. Token counts are
+    RE2 ``\\S+`` runs computed map-side so the exchange carries each turn
+    text once."""
+    import pyarrow.compute as pc
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def project(t: pa.Table) -> pd.DataFrame:
+        txt = pc.fill_null(pc.cast(t.column("text"), pa.string()), "")
+        nt = np.asarray(
+            pc.count_substring_regex(txt, r"\S+"), np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "conv_id": t.column("conv_id").to_pandas().astype(str),
+                "turn_idx": np.asarray(t.column("turn_idx")).astype(np.int64),
+                "role": t.column("role").to_pandas().astype(str),
+                "text": txt.to_pandas().astype(str),
+                "n_tokens": nt,
+            }
+        )
+        df["_bucket"] = bucket_of(df["conv_id"], nb)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        conv = g["conv_id"].to_numpy(object)
+        tidx = g["turn_idx"].to_numpy(np.int64)
+        role = g["role"].to_numpy(object)
+        same = np.concatenate(([False], conv[1:] == conv[:-1]))
+        adjacent = np.concatenate(([False], tidx[1:] == tidx[:-1] + 1))
+        cur_assist = role == "assistant"
+        prev_user = np.concatenate(([False], role[:-1] == "user"))
+        keep = same & adjacent & cur_assist & prev_user
+        idx = np.nonzero(keep)[0]
+        txt = g["text"].to_numpy(object)
+        ntk = g["n_tokens"].to_numpy(np.int64)
+        # explicit Arrow types: 0-row object outputs confuse block sizing
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[idx], pa.string()),
+                "turn_idx": pa.array(tidx[idx], pa.int64()),
+                "prompt": pa.array(txt[idx - 1], pa.string()),
+                "response": pa.array(txt[idx], pa.string()),
+                "prompt_tokens": pa.array(ntk[idx - 1], pa.int64()),
+                "response_tokens": pa.array(ntk[idx], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def dpo_pairs(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    min_responses: int = 2,
+):
+    """Preference-pair mining over repeated prompts: for every prompt text
+    that received ≥ ``min_responses`` DISTINCT responses across the corpus
+    (boilerplate prompts — the only place preference pairs exist without a
+    reward model), emit (prompt, chosen, rejected, n_responses) where
+    chosen = the response with the most whitespace tokens (ties → lexic.
+    smaller response) and rejected = the fewest (ties → lexic. larger),
+    the deterministic length-proxy ranking. Composes ``sft_pairs``.
+
+    Scale shape: sft extraction (one conv exchange), then per-batch
+    DISTINCT (prompt, response) pre-reduce and ONE bucketed exchange on
+    hash(prompt); per bucket one lexsort + segment boundaries pick each
+    prompt's argmax/argmin — no per-prompt loop, exchange is O(distinct
+    pairs)."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    pairs = sft_pairs(ds, cfg)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "prompt": t.column("prompt").to_pandas().astype(str),
+                "response": t.column("response").to_pandas().astype(str),
+                "n_tokens": np.asarray(
+                    t.column("response_tokens"), np.int64
+                ),
+            }
+        )
+        df = df.drop_duplicates(["prompt", "response"])
+        df["_bucket"] = bucket_of(df["prompt"], nb)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["prompt", "response"])
+        # total order inside each prompt: best = max (n_tokens, rev-lex
+        # response) — realized as sort by (prompt asc, n_tokens asc,
+        # response desc) so the segment's LAST row is chosen and FIRST is
+        # rejected under the documented tie rule
+        g = g.sort_values(
+            ["prompt", "n_tokens", "response"],
+            ascending=[True, True, False],
+            kind="mergesort",
+        )
+        prm = g["prompt"].to_numpy(object)
+        starts = np.nonzero(
+            np.concatenate(([True], prm[1:] != prm[:-1]))
+        )[0]
+        ends = np.concatenate((starts[1:], [len(prm)])) - 1
+        cnt = ends - starts + 1
+        sel = cnt >= min_responses
+        resp = g["response"].to_numpy(object)
+        return pa.table(
+            {
+                "prompt": pa.array(prm[starts[sel]], pa.string()),
+                "chosen": pa.array(resp[ends[sel]], pa.string()),
+                "rejected": pa.array(resp[starts[sel]], pa.string()),
+                "n_responses": pa.array(cnt[sel].astype(np.int64)),
+            }
+        )
+
+    return (
+        pairs.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -350,3 +350,113 @@ class TestTokenBudgetTruncate:
         # conv b: first turn exceeds the budget → the whole conv drops...
         # note the cumulative-sum rule: turn 1 has cum 7+1=8 > 6 → dropped too
         assert (out["conv_id"] == "b").sum() == 0
+
+
+class TestSftPairs:
+    def _ds(self, rows):
+        import ray.data as rd
+
+        df = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text"]
+        )
+        df["tool"] = pd.array([None] * len(df), dtype="string")
+        df["ts"] = pd.Timestamp("2024-01-01")
+        return rd.from_pandas(df)
+
+    def test_adjacency_rule(self, ray_session):
+        from deepblocker_ray.stages.canonicalize import sft_pairs
+
+        rows = [
+            # normal user->assistant adjacency
+            ("c1", 0, "user", "hi there"),
+            ("c1", 1, "assistant", "hello friend indeed"),
+            # assistant->assistant run: second one skipped
+            ("c1", 2, "assistant", "more"),
+            # gap in turn_idx: not adjacent, skipped
+            ("c2", 0, "user", "ping"),
+            ("c2", 2, "assistant", "pong"),
+            # assistant opener: no preceding turn, skipped
+            ("c3", 0, "assistant", "opener"),
+            # arrives out of order but pairs after the in-bucket sort
+            ("c4", 1, "assistant", "answer two words"),
+            ("c4", 0, "user", "question"),
+        ]
+        out = (
+            sft_pairs(self._ds(rows), EngineConfig(num_buckets=4))
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["conv_id"]) == ["c1", "c4"]
+        assert list(out["prompt"]) == ["hi there", "question"]
+        assert list(out["response"]) == [
+            "hello friend indeed", "answer two words"
+        ]
+        assert list(out["prompt_tokens"]) == [2, 1]
+        assert list(out["response_tokens"]) == [3, 3]
+        assert list(out["turn_idx"]) == [1, 1]
+
+    def test_empty(self, ray_session):
+        from deepblocker_ray.stages.canonicalize import sft_pairs
+
+        out = sft_pairs(
+            self._ds([("c1", 0, "assistant", "x")]),
+            EngineConfig(num_buckets=4),
+        ).to_pandas()
+        assert len(out) == 0
+
+
+class TestDpoPairs:
+    def _ds(self, rows):
+        import ray.data as rd
+
+        df = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text"]
+        )
+        df["tool"] = pd.array([None] * len(df), dtype="string")
+        df["ts"] = pd.Timestamp("2024-01-01")
+        return rd.from_pandas(df)
+
+    def test_chosen_rejected_rules(self, ray_session):
+        from deepblocker_ray.stages.canonicalize import dpo_pairs
+
+        rows = []
+        # prompt "p" with 3 distinct responses of token counts 1, 3, 3:
+        # chosen = max tokens, tie -> lexicographically smaller response
+        # rejected = min tokens
+        for i, resp in enumerate(["short", "a b c", "x y z"]):
+            rows += [
+                (f"c{i}", 0, "user", "p"),
+                (f"c{i}", 1, "assistant", resp),
+            ]
+        # duplicated identical response must count once (distinct rule)
+        rows += [("c9", 0, "user", "p"), ("c9", 1, "assistant", "short")]
+        # prompt with a single response: filtered by min_responses
+        rows += [("d0", 0, "user", "solo"), ("d0", 1, "assistant", "only")]
+        out = (
+            dpo_pairs(self._ds(rows), EngineConfig(num_buckets=4))
+            .to_pandas()
+        )
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert r["prompt"] == "p"
+        assert r["chosen"] == "a b c"   # 3 tokens, lex smaller than "x y z"
+        assert r["rejected"] == "short"  # 1 token
+        assert r["n_responses"] == 3
+
+    def test_rejected_tie_rule(self, ray_session):
+        from deepblocker_ray.stages.canonicalize import dpo_pairs
+
+        rows = []
+        # all responses tie on tokens: chosen = lex smallest,
+        # rejected = lex largest
+        for i, resp in enumerate(["bb", "aa", "cc"]):
+            rows += [
+                (f"c{i}", 0, "user", "p"),
+                (f"c{i}", 1, "assistant", resp),
+            ]
+        out = dpo_pairs(
+            self._ds(rows), EngineConfig(num_buckets=4)
+        ).to_pandas()
+        assert out.iloc[0]["chosen"] == "aa"
+        assert out.iloc[0]["rejected"] == "cc"
