@@ -2452,6 +2452,38 @@ def q_dpo_pairs(sf_dir: str):
     return dpo_pairs(_transcripts(sf_dir), _cfg(), min_responses=2)
 
 
+def q_attribution(sf_dir: str):
+    """Linear multi-touch revenue attribution: purchases split value
+    equally across the user's click/view touches in a 72h lookback."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.events import attribution
+
+    return attribution(
+        rd.read_parquet(f"{sf_dir}/events.parquet"),
+        _cfg(),
+        touch_types=("click", "view"),
+        conversion_type="purchase",
+        lookback_hours=72.0,
+    )
+
+
+def q_group_regression(sf_dir: str):
+    """Per-event-type OLS of cents on epoch-hours from exact integer
+    sufficient statistics."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.events import group_regression
+
+    return group_regression(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "ts", "value"],
+        ),
+        _cfg(),
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2621,6 +2653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_search": q_tfidf_search,
         "sft_pairs": q_sft_pairs,
         "dpo_pairs": q_dpo_pairs,
+        "attribution": q_attribution,
+        "group_regression": q_group_regression,
     }
 
 
@@ -5815,5 +5849,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.n AS BIGINT) AS n_responses
             FROM r c JOIN r w ON c.prompt = w.prompt
             WHERE c.rb = 1 AND w.rw = 1 AND c.n >= 2
+        """,
+        "attribution": """
+            WITH t AS (
+                SELECT event_id AS tid, user_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type IN ('click', 'view')
+            ), p AS (
+                SELECT event_id AS pid, user_id, epoch_us(ts) AS ts_us,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'
+            ), j AS (
+                SELECT p.pid, t.tid, p.cents,
+                       count(*) OVER (PARTITION BY p.pid) AS n
+                FROM p JOIN t ON t.user_id = p.user_id
+                             AND t.ts_us >= p.ts_us - 259200000000
+                             AND t.ts_us < p.ts_us
+            )
+            SELECT pid AS purchase_id, tid AS touch_id,
+                   CAST(n AS BIGINT) AS n_touches,
+                   CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) AS credit_cents
+            FROM j
+        """,
+        "group_regression": """
+            WITH b AS (
+                SELECT event_type,
+                       epoch_us(ts) // 3600000000 AS x,
+                       CAST(round(value * 100) AS BIGINT) AS y
+                FROM events
+            ), s AS (
+                SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM b GROUP BY event_type
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                        ELSE (CAST(sy AS DOUBLE)
+                              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                                * CAST(sx AS DOUBLE))
+                             / CAST(n AS DOUBLE) END AS intercept
+            FROM s
         """,
     }

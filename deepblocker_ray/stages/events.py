@@ -1861,3 +1861,174 @@ def time_histogram(ds, cfg: EngineConfig | None = None):
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )
+
+
+def attribution(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    touch_types: tuple[str, ...] = ("click", "view"),
+    conversion_type: str = "purchase",
+    lookback_hours: float = 72.0,
+):
+    """Linear multi-touch revenue attribution: every conversion's value is
+    split EQUALLY across all of that user's touch events in the lookback
+    window [conv_ts − lookback, conv_ts) — inclusive left edge, strictly
+    before the conversion. Emits one row per (conversion, touch) pair:
+    (purchase_id, touch_id, n_touches:int64, credit_cents:double), where
+    credit_cents = cents / n_touches is ONE IEEE division of exact int64
+    operands, so every row is bit-reproducible in SQL with no float-sum
+    ordering argument (conversions with zero touches emit nothing — inner
+    semantics, like the twin's join).
+
+    Scale shape: the standard skinny projection (int64 id/ts/cents rows
+    only) and ONE hash(user_id) exchange; per bucket the touch ranks for
+    ALL conversions at once come from a single merge-rank pass (concat +
+    lexsort + cumsum — no per-user loop, no per-row searchsorted), and the
+    pair expansion is repeat/cumsum index arithmetic. Output size is the
+    true attribution fan-out Σ n_touches; a pathological user's window
+    bounds one bucket's output, never a shuffle blow-up."""
+    cfg = cfg or EngineConfig()
+    look_us = np.int64(round(lookback_hours * 3_600_000_000))
+    kinds = tuple(touch_types) + (conversion_type,)
+
+    skinny = _project_events(ds, cfg, with_value=True, types=kinds)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        is_conv = (g["event_type"] == conversion_type).to_numpy()
+        conv = g[is_conv]
+        touch = g[~is_conv]
+        empty = pa.table(
+            {
+                "purchase_id": pa.array([], pa.int64()),
+                "touch_id": pa.array([], pa.int64()),
+                "n_touches": pa.array([], pa.int64()),
+                "credit_cents": pa.array([], pa.float64()),
+            }
+        )
+        if len(conv) == 0 or len(touch) == 0:
+            return empty
+        tu = touch["user_id"].to_numpy(np.int64)
+        tt = touch["ts_us"].to_numpy(np.int64)
+        tid = touch["event_id"].to_numpy(np.int64)
+        t_order = np.lexsort((tid, tt, tu))
+        tu, tt, tid = tu[t_order], tt[t_order], tid[t_order]
+        nt = len(tu)
+
+        pu = conv["user_id"].to_numpy(np.int64)
+        pt = conv["ts_us"].to_numpy(np.int64)
+        pid = conv["event_id"].to_numpy(np.int64)
+        cents = conv["cents"].to_numpy(np.int64)
+        npur = len(pu)
+
+        # merge-rank: rank(q) = #touches with (user, ts) < (q_user, q_ts);
+        # queries sort BEFORE touches at equal keys, so a touch exactly at
+        # the window edge is INSIDE at the left bound (ts = conv−look
+        # counts) and OUTSIDE at the right (ts = conv_ts excluded)
+        qu = np.concatenate([pu, pu])
+        qx = np.concatenate([pt - look_us, pt])
+        flag = np.concatenate(
+            [np.ones(nt, np.int8), np.zeros(2 * npur, np.int8)]
+        )
+        order = np.lexsort(
+            (flag, np.concatenate([tt, qx]), np.concatenate([tu, qu]))
+        )
+        cum = np.cumsum(flag[order])
+        qmask = order >= nt
+        ranks = np.empty(2 * npur, np.int64)
+        ranks[order[qmask] - nt] = cum[qmask]
+        lo, hi = ranks[:npur], ranks[npur:]
+
+        reps = hi - lo
+        cs = np.concatenate(([0], np.cumsum(reps)))
+        total = int(cs[-1])
+        if total == 0:
+            return empty
+        pidx = np.repeat(np.arange(npur), reps)
+        intra = np.arange(total) - np.repeat(cs[:-1], reps)
+        tpos = np.repeat(lo, reps) + intra
+        n_rep = reps[pidx]
+        return pa.table(
+            {
+                "purchase_id": pa.array(pid[pidx]),
+                "touch_id": pa.array(tid[tpos]),
+                "n_touches": pa.array(n_rep),
+                "credit_cents": pa.array(
+                    cents[pidx].astype(np.float64) / n_rep.astype(np.float64)
+                ),
+            }
+        )
+
+    return skinny.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+
+
+def group_regression(ds, cfg: EngineConfig | None = None):
+    """Per-group ordinary least squares — value trend per event type:
+    y = cents regressed on x = epoch-HOURS (ts_us // 3.6e9), emitting
+    (event_type, n:int64, slope:double, intercept:double). The five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) are EXACT integers, so
+    slope = (nΣxy − ΣxΣy) / (nΣx² − Σx²) and
+    intercept = (Σy − slope·Σx) / n are fixed short sequences of IEEE ops
+    over exact operands — bit-identical in any engine that writes the same
+    formula (the SQL twin does, via HUGEINT sums). Degenerate groups
+    (single x value) emit NULL slope/intercept rather than ±inf.
+
+    Scale shape: map-side per-type partials (5 int64 sums each) collapse
+    every batch to O(types) rows; the single tiny combine runs in PYTHON
+    ints (Σx² at corpus scale exceeds int64 — the promo_revenue overflow
+    rule), so no intermediate ever wraps."""
+    cfg = cfg or EngineConfig()
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ts = np.asarray(
+            t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        x = ts // np.int64(3_600_000_000)
+        y = _cents(np.asarray(t.column("value")))
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pandas().astype(str),
+                "n": np.ones(len(x), np.int64),
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+            }
+        )
+        return df.groupby("event_type", sort=False, as_index=False).sum()
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        types, ns, slopes, inters = [], [], [], []
+        for et, g in df.groupby("event_type", sort=False):
+            # Python ints: the global Σx² overflows int64 at corpus scale
+            n = int(g["n"].sum())
+            sx = sum(int(v) for v in g["sx"])
+            sy = sum(int(v) for v in g["sy"])
+            sxy = sum(int(v) for v in g["sxy"])
+            sxx = sum(int(v) for v in g["sxx"])
+            den = n * sxx - sx * sx
+            if den == 0:
+                slope = inter = None
+            else:
+                slope = float(n * sxy - sx * sy) / float(den)
+                inter = (float(sy) - slope * float(sx)) / float(n)
+            types.append(et)
+            ns.append(n)
+            slopes.append(slope)
+            inters.append(inter)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "slope": pa.array(slopes, pa.float64()),
+                "intercept": pa.array(inters, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

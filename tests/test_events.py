@@ -1457,3 +1457,114 @@ class TestTimeHistogram:
         )
         got = {(d, h): n for d, h, n in out.to_numpy()}
         assert got == {(4, 0): 1, (4, 1): 1, (0, 0): 2}
+
+
+class TestAttribution:
+    def test_window_edges_and_split(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import attribution
+
+        base = pd.Timestamp("2026-01-01")
+        h = pd.Timedelta(hours=1)
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(8, dtype=np.int64),
+                "user_id": np.array([1, 1, 1, 1, 1, 2, 2, 3], np.int64),
+                "event_type": [
+                    "click",     # e0: exactly at conv-72h -> INSIDE
+                    "view",      # e1: inside
+                    "click",     # e2: exactly at conv ts -> EXCLUDED
+                    "purchase",  # e3: conversion, 2 touches
+                    "click",     # e4: after conversion -> excluded
+                    "click",     # e5: other user's touch
+                    "purchase",  # e6: user 2, 1 touch
+                    "purchase",  # e7: user 3, zero touches -> dropped
+                ],
+                "ts": [
+                    base,                # = e3.ts - 72h
+                    base + 10 * h,
+                    base + 72 * h,       # = e3.ts
+                    base + 72 * h,
+                    base + 73 * h,
+                    base + 71 * h,
+                    base + 72 * h,
+                    base + 72 * h,
+                ],
+                "value": [0.0, 0.0, 0.0, 10.0, 0.0, 0.0, 7.77, 5.0],
+                "props": ["{}"] * 8,
+            }
+        )
+        out = (
+            attribution(
+                rd.from_pandas(df), EngineConfig(num_buckets=4),
+                lookback_hours=72.0,
+            )
+            .to_pandas()
+            .sort_values(["purchase_id", "touch_id"])
+            .reset_index(drop=True)
+        )
+        assert list(out["purchase_id"]) == [3, 3, 6]
+        assert list(out["touch_id"]) == [0, 1, 5]
+        assert list(out["n_touches"]) == [2, 2, 1]
+        assert list(out["credit_cents"]) == [500.0, 500.0, 777.0]
+
+    def test_empty_sides(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import attribution
+
+        df = pd.DataFrame(
+            {
+                "event_id": np.array([0], np.int64),
+                "user_id": np.array([1], np.int64),
+                "event_type": ["purchase"],
+                "ts": [pd.Timestamp("2026-01-01")],
+                "value": [1.0],
+                "props": ["{}"],
+            }
+        )
+        out = attribution(
+            rd.from_pandas(df), EngineConfig(num_buckets=4)
+        ).to_pandas()
+        assert len(out) == 0
+
+
+class TestGroupRegression:
+    def test_matches_closed_form(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import group_regression
+
+        base = pd.Timestamp("2026-01-01")
+        h = pd.Timedelta(hours=1)
+        # type a: y = 100*x + noise-free line in cents over 4 hours
+        # type b: single x value -> NULL slope/intercept
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(6, dtype=np.int64),
+                "user_id": np.ones(6, np.int64),
+                "event_type": ["a", "a", "a", "a", "b", "b"],
+                "ts": [base, base + h, base + 2 * h, base + 3 * h,
+                       base, base],
+                "value": [1.0, 2.0, 3.0, 4.0, 9.0, 11.0],
+                "props": ["{}"] * 6,
+            }
+        )
+        out = (
+            group_regression(rd.from_pandas(df), EngineConfig(num_buckets=4))
+            .to_pandas()
+            .set_index("event_type")
+        )
+        a = out.loc["a"]
+        assert a["n"] == 4
+        # exact line: slope 100 cents/hour
+        assert a["slope"] == pytest.approx(100.0, abs=1e-9)
+        x0 = (base - pd.Timestamp("1970-01-01")).value // int(3.6e12)
+        assert a["intercept"] == pytest.approx(100.0 - 100.0 * x0, rel=1e-12)
+        b = out.loc["b"]
+        assert b["n"] == 2
+        assert pd.isna(b["slope"]) and pd.isna(b["intercept"])
