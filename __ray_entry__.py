@@ -2484,6 +2484,14 @@ def q_group_regression(sf_dir: str):
     )
 
 
+def q_auc_eval(sf_dir: str):
+    """Exact tie-aware ROC AUC of the int8-quantized dot-product pair score
+    vs same-label ground truth over a 32-query panel."""
+    from deepblocker_ray.pipelines.evaluate import pair_score_auc
+
+    return pair_score_auc(_embeddings(sf_dir), _cfg(), n_queries=32)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2655,6 +2663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dpo_pairs": q_dpo_pairs,
         "attribution": q_attribution,
         "group_regression": q_group_regression,
+        "auc_eval": q_auc_eval,
     }
 
 
@@ -5869,6 +5878,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n_touches,
                    CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) AS credit_cents
             FROM j
+        """,
+        # auc_eval: the quantized integer score (knn_int8 rule) makes every
+        # tie group identical across engines; 2*avg_rank = 2*rank()+t-1
+        # stays integer until the single final division
+        "auc_eval": """
+            WITH qz AS (
+                SELECT vec_id, label,
+                       list_transform(embedding, x ->
+                           floor(CAST(x AS DOUBLE) *
+                                 (127.0 / list_aggregate(
+                                      list_transform(embedding,
+                                          y -> abs(CAST(y AS DOUBLE))),
+                                      'max')) + 0.5)) AS qv
+                FROM embeddings
+            ), p AS (
+                SELECT CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS score,
+                       CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS pos
+                FROM qz a, qz b
+                WHERE a.vec_id < 32 AND b.vec_id <> a.vec_id
+            ), r AS (
+                SELECT pos,
+                       rank() OVER (ORDER BY score) AS rmin,
+                       count(*) OVER (PARTITION BY score) AS t
+                FROM p
+            ), s AS (
+                SELECT sum(CASE WHEN pos = 1 THEN 2 * rmin + t - 1
+                                ELSE 0 END) AS s2,
+                       sum(pos) AS np, count(*) AS n
+                FROM r
+            )
+            SELECT CAST(n AS BIGINT) AS n_pairs, CAST(np AS BIGINT) AS n_pos,
+                   CAST(n - np AS BIGINT) AS n_neg,
+                   CASE WHEN np = 0 OR n - np = 0 THEN NULL
+                        ELSE CAST(s2 - np * (np + 1) AS DOUBLE)
+                             / CAST(2 * np * (n - np) AS DOUBLE) END AS auc
+            FROM s
         """,
         "group_regression": """
             WITH b AS (

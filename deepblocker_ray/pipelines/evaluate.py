@@ -9,6 +9,7 @@ broadcast, on unordered normalized pairs.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -500,4 +501,179 @@ def adjusted_rand_index(
                 "ari": ari,
             }
         ]
+    )
+
+
+def pair_score_auc(
+    emb_ds,
+    cfg=None,
+    *,
+    n_queries: int = 32,
+    id_col: str = "vec_id",
+    list_col: str = "embedding",
+    label_col: str = "label",
+):
+    """Exact tie-aware ROC AUC of a candidate-pair score against same-label
+    ground truth — the threshold-free matcher-quality metric next to
+    ``pairwise_cluster_eval``'s P/R/F1. Pairs are (query panel
+    ``id < n_queries``) × (every other vector); score = the int8-quantized
+    dot product (integer, exact — the ``knn_int8`` rule, so engine and SQL
+    agree bit-for-bit on every tie group); positive ⇔ equal labels. AUC is
+    the Mann-Whitney rank statistic with AVERAGE ranks for ties:
+    AUC = (Σ_pos 2·avg_rank − n_pos(n_pos+1)) / (2·n_pos·n_neg), where
+    2·avg_rank = 2·(count below) + ties + 1 stays integer throughout; the
+    one float division happens at the very end (NULL if a class is empty).
+
+    Scale shape: the panel is collected once (≤ n_queries rows by
+    construction) and broadcast; the corpus streams through ONE map pass
+    (float64 GEMM per batch — int8 products are exact below 2^53 — then a
+    per-batch np.unique pre-reduce to (score, pos, cnt) partials), ONE
+    score-bucketed exchange aggregates per-score counts, and the final
+    task walks the ≤ min(n_pairs, 254²·dim+1) distinct scores with
+    object-dtype (Python-int) cumsums so nothing wraps at any corpus size.
+    Output: one row (n_pairs, n_pos, n_neg, auc)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..config import EngineConfig
+    from ..stages.annsearch import _quantize_rows
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def _mat(t: pa.Table) -> np.ndarray:
+        col = t.column(list_col).combine_chunks()
+        if pa.types.is_fixed_size_list(col.type):
+            width = col.type.list_size
+        else:
+            offs = np.asarray(col.offsets)
+            widths = np.diff(offs)
+            if len(widths) and (widths != widths[0]).any():
+                raise ValueError(f"ragged {list_col!r} column")
+            width = int(widths[0]) if len(widths) else 0
+        flat = np.asarray(col.flatten()).astype(np.float64)
+        return flat.reshape(len(col), width)
+
+    # query panel: small by construction -> one driver collect + broadcast
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column(id_col), pa.scalar(n_queries)))
+
+    panel = (
+        emb_ds.map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    pt = pa.Table.from_pandas(panel, preserve_index=False)
+    qmat = _quantize_rows(_mat(pt))
+    qids = panel[id_col].to_numpy(np.int64)
+    qlabels = panel[label_col].to_numpy(np.int64)
+    panel_ref = ray.put((qmat, qids, qlabels))
+
+    empty = pa.table(
+        {
+            "score": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int8()),
+            "cnt": pa.array([], pa.int64()),
+            "_bucket": pa.array([], pa.int32()),
+        }
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..state.broadcast import cached_get
+
+        qm, qi, ql = cached_get(panel_ref)
+        if len(t) == 0 or len(qi) == 0:
+            return empty
+        xm = _quantize_rows(_mat(t))
+        dim = xm.shape[1]
+        bound = np.int64(127 * 127) * dim
+        ids = np.asarray(t.column(id_col), np.int64)
+        labels = np.asarray(t.column(label_col), np.int64)
+        # int8 products are exact in float64 (|dot| <= 127^2 * dim << 2^53)
+        dots = (qm @ xm.T).astype(np.int64)
+        pos = (ql[:, None] == labels[None, :]).astype(np.int64)
+        keep = (qi[:, None] != ids[None, :]).ravel()
+        score = dots.ravel()[keep]
+        posf = pos.ravel()[keep]
+        # pre-reduce: one row per distinct (score, pos) in the batch
+        comp = score * 2 + posf
+        uniq, cnt = np.unique(comp, return_counts=True)
+        u_score = uniq >> 1
+        u_pos = (uniq & 1).astype(np.int8)
+        # fixed equal-width ranges over the KNOWN score domain [-B, B]
+        bucket = (
+            (u_score + bound) * nb // (2 * bound + 1)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "score": pa.array(u_score),
+                "pos": pa.array(u_pos),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "_bucket": pa.array(bucket),
+            }
+        )
+
+    def per_range(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["score", "pos"], sort=False, as_index=False)[
+            "cnt"
+        ].sum()
+        agg["_bucket"] = np.int32(g["_bucket"].iloc[0])
+        return agg
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("n_pairs", pa.int64()),
+                ("n_pos", pa.int64()),
+                ("n_neg", pa.int64()),
+                ("auc", pa.float64()),
+            ]
+        )
+        if len(df) == 0:
+            return pa.table(
+                {
+                    "n_pairs": [0],
+                    "n_pos": [0],
+                    "n_neg": [0],
+                    "auc": pa.array([None], pa.float64()),
+                },
+                schema=out_schema,
+            )
+        s = (
+            df.pivot_table(
+                index="score", columns="pos", values="cnt",
+                aggfunc="sum", fill_value=0,
+            )
+            .reindex(columns=[0, 1], fill_value=0)
+            .sort_index()
+        )
+        # object dtype = Python-int arithmetic: rank sums reach O(n_pairs^2)
+        t_s = (s[0] + s[1]).to_numpy(np.int64).astype(object)
+        p_s = s[1].to_numpy(np.int64).astype(object)
+        c_below = np.concatenate(([0], np.cumsum(t_s)[:-1]))
+        s2 = int((p_s * (2 * c_below + t_s + 1)).sum())
+        n_pos = int(p_s.sum())
+        n = int(t_s.sum())
+        n_neg = n - n_pos
+        num = s2 - n_pos * (n_pos + 1)
+        den = 2 * n_pos * n_neg
+        auc = float(num) / float(den) if den != 0 else None
+        return pa.table(
+            {
+                "n_pairs": [n],
+                "n_pos": [n_pos],
+                "n_neg": [n_neg],
+                "auc": pa.array([auc], pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        emb_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_range, batch_format="pandas")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
     )

@@ -656,3 +656,73 @@ class TestKMVSourceSimilarity:
         assert out["k_merged"] == len(merged)
         assert out["n_shared"] == shared
         assert out["jaccard_est"] == float(shared) / len(merged)
+
+
+class TestPairScoreAuc:
+    def _emb_ds(self, vecs, labels):
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "vec_id": np.arange(len(vecs), dtype=np.int64),
+                    "embedding": [list(map(float, v)) for v in vecs],
+                    "label": np.asarray(labels, np.int32),
+                }
+            )
+        )
+
+    @staticmethod
+    def _brute_auc(scores, pos):
+        """Probabilistic definition: P(s_pos > s_neg) + 0.5 P(tie)."""
+        s = np.asarray(scores, np.int64)
+        p = np.asarray(pos, bool)
+        sp, sn = s[p], s[~p]
+        if len(sp) == 0 or len(sn) == 0:
+            return None
+        gt = (sp[:, None] > sn[None, :]).sum()
+        eq = (sp[:, None] == sn[None, :]).sum()
+        return (gt + 0.5 * eq) / (len(sp) * len(sn))
+
+    def test_matches_brute_force_with_ties(self, ray_session):
+        from deepblocker_ray.pipelines.evaluate import pair_score_auc
+        from deepblocker_ray.stages.annsearch import _quantize_rows
+
+        rng = np.random.default_rng(7)
+        n, d = 40, 6
+        vecs = rng.normal(size=(n, d))
+        # coarse value grid so quantized dots collide -> real tie groups
+        vecs = np.round(vecs * 2) / 2 + 0.5
+        vecs[np.abs(vecs).sum(axis=1) == 0] += 1.0
+        labels = rng.integers(0, 3, n)
+        out = pair_score_auc(
+            self._emb_ds(vecs, labels), CFG, n_queries=5
+        ).to_pandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+
+        q = _quantize_rows(vecs.astype(np.float64))
+        scores, pos = [], []
+        for i in range(5):
+            for j in range(n):
+                if j == i:
+                    continue
+                scores.append(int(q[i] @ q[j]))
+                pos.append(labels[i] == labels[j])
+        exp = self._brute_auc(scores, pos)
+        assert row["n_pairs"] == 5 * (n - 1)
+        assert row["n_pos"] == int(np.sum(pos))
+        assert row["auc"] == pytest.approx(exp, abs=1e-12)
+        # ties must actually occur for this test to bite
+        assert len(np.unique(scores)) < len(scores)
+
+    def test_single_class_null(self, ray_session):
+        from deepblocker_ray.pipelines.evaluate import pair_score_auc
+
+        vecs = np.eye(4) + 0.1
+        out = pair_score_auc(
+            self._emb_ds(vecs, [1, 1, 1, 1]), CFG, n_queries=2
+        ).to_pandas()
+        row = out.iloc[0]
+        assert row["n_neg"] == 0
+        assert pd.isna(row["auc"])
