@@ -2492,6 +2492,43 @@ def q_auc_eval(sf_dir: str):
     return pair_score_auc(_embeddings(sf_dir), _cfg(), n_queries=32)
 
 
+def q_suffix_blocking(sf_dir: str):
+    """Aizawa-Oyama suffix blocking over customer names: candidates share
+    any suffix of length >= 3 whose block holds <= 50 records."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.neighborhood import suffix_blocking
+
+    return suffix_blocking(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        ),
+        _cfg(),
+        id_col="c_custkey",
+        key_col="c_name",
+        min_len=3,
+        max_block=50,
+    )
+
+
+def q_block_cleaning(sf_dir: str):
+    """JedAI block purging + filtering over token blocks of part names."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.neighborhood import block_cleaning
+
+    return block_cleaning(
+        rd.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+        ),
+        _cfg(),
+        id_col="p_partkey",
+        key_col="p_name",
+        purge_cap=260,
+        keep_per_record=2,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2664,6 +2701,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution": q_attribution,
         "group_regression": q_group_regression,
         "auc_eval": q_auc_eval,
+        "suffix_blocking": q_suffix_blocking,
+        "block_cleaning": q_block_cleaning,
     }
 
 
@@ -5878,6 +5917,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n_touches,
                    CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) AS credit_cents
             FROM j
+        """,
+        "suffix_blocking": """
+            WITH s AS (
+                SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS id,
+                       substr(c_name, len(c_name) - k + 1) AS suf
+                FROM customer,
+                     (SELECT unnest(generate_series(
+                          3, (SELECT CAST(max(len(c_name)) AS BIGINT)
+                              FROM customer))) AS k)
+                WHERE len(c_name) >= k
+            ), sz AS (
+                SELECT suf, count(*) AS n FROM s GROUP BY suf
+            )
+            SELECT DISTINCT a.id AS left_id, b.id AS right_id
+            FROM s a JOIN s b ON a.suf = b.suf AND a.id < b.id
+            JOIN sz ON sz.suf = a.suf
+            WHERE sz.n BETWEEN 2 AND 50
+        """,
+        "block_cleaning": """
+            WITH b AS (
+                SELECT DISTINCT id, w AS bkey
+                FROM (SELECT p_partkey AS id,
+                             unnest(string_split(lower(p_name), ' ')) AS w
+                      FROM part)
+                WHERE w <> ''
+            ), sz AS (
+                SELECT bkey, count(*) AS n FROM b GROUP BY bkey
+            ), kept AS (
+                SELECT b.id, b.bkey, sz.n
+                FROM b JOIN sz USING (bkey) WHERE sz.n <= 260
+            ), r AS (
+                SELECT id, bkey, n,
+                       row_number() OVER (PARTITION BY id
+                           ORDER BY n, bkey) AS rk
+                FROM kept
+            )
+            SELECT bkey, CAST(id AS BIGINT) AS id,
+                   CAST(n AS BIGINT) AS block_size
+            FROM r WHERE rk <= 2
         """,
         # auc_eval: the quantized integer score (knn_int8 rule) makes every
         # tie group identical across engines; 2*avg_rank = 2*rank()+t-1

@@ -666,3 +666,222 @@ def block_skew(
         .groupby("_bucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def suffix_blocking(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str,
+    key_col: str,
+    min_len: int = 3,
+    max_block: int = 50,
+):
+    """Suffix blocking (Aizawa-Oyama): two records are candidates when
+    their blocking keys share ANY suffix of length ≥ ``min_len`` whose
+    block holds ≤ ``max_block`` records (oversized suffix blocks are
+    purged — common trailing tokens carry no signal). Emits DISTINCT
+    (left_id, right_id) with left < right as strings — the classic
+    typo-robust blocking baseline next to prefix ``fuzzy_join`` and
+    ``sorted_neighborhood``.
+
+    Scale shape: suffixes are emitted map-side with one code-point slice
+    kernel per length (a key of length L yields L−min_len+1 skinny rows,
+    bounded by key length, never corpus size); ONE hash(suffix) exchange
+    co-locates each block, whose pairs are bounded by max_block² BY
+    CONSTRUCTION (purge before pairing — no salting needed); a second
+    pair-hash exchange dedupes pairs that arise from nested suffixes.
+    Code-point slicing == DuckDB substr, so the twin holds for non-ASCII
+    keys."""
+    import pyarrow.compute as pc
+
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def emit(t: pa.Table) -> pd.DataFrame:
+        keys = pc.fill_null(pc.cast(t.column(key_col), pa.string()), "")
+        ids = t.column(id_col).cast(pa.string()).to_pandas().astype(str)
+        lens = np.asarray(pc.utf8_length(keys), np.int64)
+        max_len = int(lens.max()) if len(lens) else 0
+        sufs, out_ids = [], []
+        for k in range(min_len, max_len + 1):
+            mask = lens >= k
+            if not mask.any():
+                continue
+            suf = pc.utf8_slice_codeunits(keys, start=-k)
+            sub = pd.Series(np.asarray(suf, object)[mask])
+            sufs.append(sub)
+            out_ids.append(ids[mask])
+        if not sufs:
+            return pd.DataFrame(
+                {
+                    "suf": pd.Series(dtype=object),
+                    "id": pd.Series(dtype=object),
+                    "_bucket": pd.Series(dtype=np.int32),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "suf": pd.concat(sufs, ignore_index=True),
+                "id": pd.concat(
+                    [s.reset_index(drop=True) for s in out_ids],
+                    ignore_index=True,
+                ),
+            }
+        )
+        df["_bucket"] = bucket_of(df["suf"], nb)
+        return df
+
+    def pair_block(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["suf", "id"])
+        sizes = g.groupby("suf", sort=False)["id"].transform("size")
+        g = g[(sizes >= 2) & (sizes <= max_block)]
+        if len(g) == 0:
+            out = pd.DataFrame({"left_id": [], "right_id": []})
+            pb = np.array([], np.int32)
+        else:
+            m = g.merge(g, on="suf")
+            m = m[m["id_x"] < m["id_y"]]
+            out = m[["id_x", "id_y"]].drop_duplicates()
+            out = out.rename(columns={"id_x": "left_id", "id_y": "right_id"})
+            pb = bucket_of(
+                out["left_id"].astype(str) + "|"
+                + out["right_id"].astype(str),
+                nb,
+            )
+        return pa.table(
+            {
+                "left_id": pa.array(
+                    out["left_id"].to_numpy(object), pa.string()
+                ),
+                "right_id": pa.array(
+                    out["right_id"].to_numpy(object), pa.string()
+                ),
+                "_pb": pa.array(pb),
+            }
+        )
+
+    def dedupe(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["left_id", "right_id"])
+        return pa.table(
+            {
+                "left_id": pa.array(
+                    d["left_id"].to_numpy(object), pa.string()
+                ),
+                "right_id": pa.array(
+                    d["right_id"].to_numpy(object), pa.string()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pair_block, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(dedupe, batch_format="pandas")
+    )
+
+
+def block_cleaning(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str,
+    key_col: str,
+    purge_cap: int = 260,
+    keep_per_record: int = 2,
+):
+    """JedAI-style block PURGING + FILTERING over schema-agnostic token
+    blocking: blocks are the lowercased whitespace tokens of ``key_col``;
+    blocks larger than ``purge_cap`` are dropped entirely (stop-word
+    blocks), then each record keeps only its ``keep_per_record`` SMALLEST
+    surviving blocks (ties by block key asc) — the standard cleaning pass
+    before meta-blocking prunes edges. Emits (bkey, id:int64,
+    block_size:int64).
+
+    Scale shape: distinct (token, id) pairs map-side; ONE hash(token)
+    exchange computes exact block sizes and purges oversized blocks in
+    place; ONE hash(id) exchange ranks each record's surviving blocks by
+    a single lexsort + segment index arithmetic. Both exchanges carry only
+    skinny token/id rows."""
+    import pyarrow.compute as pc
+
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def tokens(t: pa.Table) -> pd.DataFrame:
+        txt = pc.utf8_lower(
+            pc.fill_null(pc.cast(t.column(key_col), pa.string()), "")
+        )
+        toks = pc.split_pattern(txt, " ")
+        flat = toks.combine_chunks() if hasattr(toks, "combine_chunks") else toks
+        offs = np.asarray(flat.offsets)
+        ids = np.asarray(t.column(id_col), np.int64)
+        rep = np.diff(offs)
+        df = pd.DataFrame(
+            {
+                "bkey": np.asarray(flat.flatten(), object),
+                "id": np.repeat(ids, rep),
+            }
+        )
+        df = df[df["bkey"] != ""].drop_duplicates(["bkey", "id"])
+        df["_bucket"] = bucket_of(df["bkey"], nb)
+        return df
+
+    def size_purge(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["bkey", "id"])
+        sizes = g.groupby("bkey", sort=False)["id"].transform("size")
+        g = g[sizes <= purge_cap]
+        ids = g["id"].to_numpy(np.int64)
+        ib = (
+            (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(33)
+        ) % np.uint64(nb)
+        # explicit Arrow types: 0-row object outputs confuse block sizing
+        return pa.table(
+            {
+                "bkey": pa.array(g["bkey"].to_numpy(object), pa.string()),
+                "id": pa.array(ids),
+                "block_size": pa.array(
+                    sizes[sizes <= purge_cap].to_numpy(np.int64)
+                ),
+                "_ib": pa.array(ib.astype(np.int32)),
+            }
+        )
+
+    def keep_smallest(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["id", "block_size", "bkey"], kind="mergesort"
+        )
+        ids = g["id"].to_numpy(np.int64)
+        starts = np.nonzero(
+            np.concatenate(([True], ids[1:] != ids[:-1]))
+        )[0]
+        intra = np.arange(len(ids)) - np.repeat(starts, np.diff(
+            np.concatenate((starts, [len(ids)]))
+        ))
+        keep = intra < keep_per_record
+        return pa.table(
+            {
+                "bkey": pa.array(
+                    g["bkey"].to_numpy(object)[keep], pa.string()
+                ),
+                "id": pa.array(ids[keep]),
+                "block_size": pa.array(
+                    g["block_size"].to_numpy(np.int64)[keep]
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(tokens, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(size_purge, batch_format="pandas")
+        .groupby("_ib")
+        .map_groups(keep_smallest, batch_format="pandas")
+    )

@@ -316,3 +316,117 @@ class TestBlockerAgreement:
         out = blocker_agreement(docs, _cfg()).to_pandas()
         # all 3 pairs found by BOTH passes → one row (sources=3, n=3)
         assert out.to_dict("records") == [{"sources": 3, "n_pairs": 3}]
+
+
+class TestSuffixBlocking:
+    def test_shared_suffix_pairs_and_purge(self, ray_session):
+        from deepblocker_ray.stages.neighborhood import suffix_blocking
+
+        df = pd.DataFrame(
+            {
+                "id": np.arange(6, dtype=np.int64),
+                "key": [
+                    "smith",    # 0: shares "ith">="ith" with 1
+                    "smyith",   # 1: suffixes ith/yith/myith...
+                    "jones",    # 2: singleton suffixes
+                    "bones",    # 3: shares "ones"/"nes" with 2
+                    "xx",       # 4: shorter than min_len -> no suffixes
+                    "ith",      # 5: whole key = the shared suffix
+                ],
+            }
+        )
+        out = (
+            suffix_blocking(
+                rd.from_pandas(df),
+                EngineConfig(num_buckets=4),
+                id_col="id",
+                key_col="key",
+                min_len=3,
+                max_block=50,
+            )
+            .to_pandas()
+            .sort_values(["left_id", "right_id"])
+            .reset_index(drop=True)
+        )
+        got = set(map(tuple, out[["left_id", "right_id"]].values))
+        assert got == {("0", "1"), ("0", "5"), ("1", "5"), ("2", "3")}
+
+    def test_purged_block_emits_nothing(self, ray_session):
+        from deepblocker_ray.stages.neighborhood import suffix_blocking
+
+        # all 5 keys share suffix "abc": block size 5 > max_block 4 purged
+        df = pd.DataFrame(
+            {
+                "id": np.arange(5, dtype=np.int64),
+                "key": [f"{c}abc" for c in "vwxyz"],
+            }
+        )
+        out = suffix_blocking(
+            rd.from_pandas(df),
+            EngineConfig(num_buckets=4),
+            id_col="id",
+            key_col="key",
+            min_len=3,
+            max_block=4,
+        ).to_pandas()
+        assert len(out) == 0
+
+
+class TestBlockCleaning:
+    def test_purge_then_keep_smallest(self, ray_session):
+        from deepblocker_ray.stages.neighborhood import block_cleaning
+
+        # token "common" appears in 4 records -> purged at cap 3;
+        # the rest: record 0 has 3 surviving blocks, keeps the 2 smallest
+        df = pd.DataFrame(
+            {
+                "id": np.arange(4, dtype=np.int64),
+                "key": [
+                    "common alpha beta gamma",
+                    "common alpha beta",
+                    "common alpha",
+                    "common",
+                ],
+            }
+        )
+        out = (
+            block_cleaning(
+                rd.from_pandas(df),
+                EngineConfig(num_buckets=4),
+                id_col="id",
+                key_col="key",
+                purge_cap=3,
+                keep_per_record=2,
+            )
+            .to_pandas()
+            .sort_values(["id", "bkey"])
+            .reset_index(drop=True)
+        )
+        got = set(map(tuple, out[["id", "bkey", "block_size"]].values))
+        # sizes: alpha=3, beta=2, gamma=1; common=4 purged
+        # id0: smallest two = gamma(1), beta(2); id1: beta(2), alpha(3)
+        # id2: alpha(3); id3: nothing left
+        assert got == {
+            (0, "gamma", 1),
+            (0, "beta", 2),
+            (1, "beta", 2),
+            (1, "alpha", 3),
+            (2, "alpha", 3),
+        }
+
+    def test_tie_by_key(self, ray_session):
+        from deepblocker_ray.stages.neighborhood import block_cleaning
+
+        # two blocks of equal size 1 -> tie broken by key asc
+        df = pd.DataFrame(
+            {"id": np.array([7], np.int64), "key": ["zeta eta"]}
+        )
+        out = block_cleaning(
+            rd.from_pandas(df),
+            EngineConfig(num_buckets=4),
+            id_col="id",
+            key_col="key",
+            purge_cap=10,
+            keep_per_record=1,
+        ).to_pandas()
+        assert list(out["bkey"]) == ["eta"]
