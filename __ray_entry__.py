@@ -2529,6 +2529,31 @@ def q_block_cleaning(sf_dir: str):
     )
 
 
+def q_containment_dedup(sf_dir: str):
+    """Directed gram-set containment pairs (quote/excerpt detection):
+    inner's 3-gram set >= 70% contained in outer's."""
+    from deepblocker_ray.stages.dedup import containment_dedup
+
+    return containment_dedup(
+        _documents(sf_dir), cfg=_cfg(), ngram=3, threshold=(7, 10)
+    )
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit audit over lineitem extended prices."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.profile import benford_audit
+
+    return benford_audit(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+        ),
+        _cfg(),
+        value_col="l_extendedprice",
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2703,6 +2728,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc_eval": q_auc_eval,
         "suffix_blocking": q_suffix_blocking,
         "block_cleaning": q_block_cleaning,
+        "containment_dedup": q_containment_dedup,
+        "benford": q_benford,
     }
 
 
@@ -5917,6 +5944,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS BIGINT) AS n_touches,
                    CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) AS credit_cents
             FROM j
+        """,
+        # containment twin: same gram rule as the ngram twin, both
+        # directions, integer cross-multiplied threshold; brute force over
+        # doc pairs (the engine's anchor blocking + verify is exact on any
+        # corpus where near-supersets share a smallest-hash anchor — the
+        # same recall argument the green ngram_jaccard twin rests on)
+        "containment_dedup": f"""
+            WITH toks AS (SELECT doc_id, {tokens} AS tk FROM documents),
+            gr AS (
+                SELECT doc_id,
+                       list_distinct(CASE
+                            WHEN len(tk) = 0 THEN []
+                            WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                            ELSE [array_to_string(tk[x : x + 2], ' ')
+                                  for x in generate_series(1, len(tk) - 2)]
+                            END) AS g
+                FROM toks
+            )
+            SELECT CAST(a.doc_id AS VARCHAR) AS inner_id,
+                   CAST(b.doc_id AS VARCHAR) AS outer_id,
+                   CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_shared,
+                   CAST(len(a.g) AS BIGINT) AS inner_size
+            FROM gr a JOIN gr b ON a.doc_id <> b.doc_id
+            WHERE len(a.g) > 0
+              AND 10 * len(list_intersect(a.g, b.g)) >= 7 * len(a.g)
+        """,
+        "benford": """
+            WITH c AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                FROM lineitem
+                WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0
+            ), d AS (
+                SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit
+                FROM c
+            ), g AS (
+                SELECT digit, count(*) AS n FROM d GROUP BY digit
+            ), t AS (SELECT sum(n) AS total FROM g)
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS frac
+            FROM g, t
         """,
         "suffix_blocking": """
             WITH s AS (

@@ -2608,3 +2608,88 @@ def edit_distance_join(
     return _verify_pairs(
         cand, payload, "doc_id", text_col, cfg, _lev_verify_fn(max_dist)
     )
+
+
+def _containment_verify_fn(tau_num: int, tau_den: int):
+    """pair_fn: DIRECTED gram-set containment |A∩B| / |A| over precomputed
+    sorted-unique hash sets — both directions evaluated per unordered
+    candidate pair, kept ⇔ tau_den·inter ≥ tau_num·|inner| (int64 cross-
+    multiplication, no float threshold). Empty inner sets are excluded
+    (containment undefined), NULL payload slots dropped (the
+    _jaccard_verify_fn guard)."""
+
+    def fn(ls, rs, lp, rp) -> pa.Table:
+        valid = _pair_valid_mask(lp, rp)
+        pool, li, ri = _uniquify_pair_payloads(ls, rs, lp, rp)
+        inter, na, nb = _pairwise_intersect_indexed(pool, li, ri)
+        inter = inter.astype(np.int64)
+        na = na.astype(np.int64)
+        nb = nb.astype(np.int64)
+        ls = np.asarray(ls, object)
+        rs = np.asarray(rs, object)
+        a_in_b = valid & (na > 0) & (tau_den * inter >= tau_num * na)
+        b_in_a = valid & (nb > 0) & (tau_den * inter >= tau_num * nb)
+        i1 = np.nonzero(a_in_b)[0]
+        i2 = np.nonzero(b_in_a)[0]
+        return pa.table(
+            {
+                "inner_id": pa.array(
+                    np.concatenate([ls[i1], rs[i2]]), pa.string()
+                ),
+                "outer_id": pa.array(
+                    np.concatenate([rs[i1], ls[i2]]), pa.string()
+                ),
+                "n_shared": pa.array(np.concatenate([inter[i1], inter[i2]])),
+                "inner_size": pa.array(np.concatenate([na[i1], nb[i2]])),
+            }
+        )
+
+    return fn
+
+
+def containment_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: EngineConfig | None = None,
+    ngram: int = 3,
+    threshold: tuple[int, int] = (7, 10),
+    num_anchors: int = 4,
+    max_bucket: int = 200,
+    stats_out: dict | None = None,
+):
+    """Asymmetric near-SUPERSET detection: directed pairs (inner, outer)
+    where the inner doc's word-n-gram set is ≥ num/den contained in the
+    outer's — the quote/excerpt/wrapped-copy signal that symmetric Jaccard
+    misses (a short doc pasted into a long one has low Jaccard but high
+    containment). Output (inner_id, outer_id, n_shared:int64,
+    inner_size:int64); all columns integer/string so the twin is exact.
+
+    Scale shape: identical to ``ngram_jaccard_dedup`` — one vectorized
+    gram/anchor pass (``_ngram_map``), anchor-key candidate generation with
+    exact hot-key salting, ONE pair-hash dedup exchange (this operator has
+    no CC step to absorb duplicate candidates), byte-capped payload attach,
+    adaptive set-intersection kernels. Reference: the reference library has
+    no dedup at all (SURVEY §2.7, blocking_utils.py:37-38 comment vs code);
+    this is the LLM-corpus operator family's containment member."""
+    from ..config import parallel_blocks
+
+    cfg = cfg or EngineConfig()
+    tau_num, tau_den = int(threshold[0]), int(threshold[1])
+    ds = parallel_blocks(ds).materialize()
+    sigs = ds.map_batches(
+        _ngram_map(ngram, num_anchors, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=cfg.embed_batch_size,
+    ).materialize()
+    keys = sigs.map_batches(
+        lambda t: _explode_list(t, "anchors"), batch_format="pyarrow"
+    ).materialize()
+    cand = _dedup_pairs(
+        _pairs_from_keys(keys, "doc_id", max_bucket, cfg, stats_out=stats_out),
+        cfg,
+    ).materialize()
+    return _verify_pairs(
+        cand, sigs, "doc_id", "grams", cfg,
+        _containment_verify_fn(tau_num, tau_den),
+    )

@@ -347,3 +347,58 @@ def count_encode(
         payload_cols=["value_count"],
         cfg=cfg,
     )
+
+
+def benford_audit(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    value_col: str,
+):
+    """Benford first-significant-digit audit over a money column — the
+    fabricated-data / unit-mixup screen: (digit 1-9, n:int64, frac:double)
+    where frac = n/total is ONE IEEE division of exact ints. Values are
+    integer cents (round(value·100)); non-positive cents are excluded
+    (no leading digit). The expected Benford mass log10(1+1/d) is left to
+    the caller — libm log10 is not bit-pinned across engines, counts and
+    fractions are.
+
+    Scale shape: the leading digit comes from an integer divide-by-10 loop
+    (≤ 18 vectorized passes, no float log10, no string formatting); each
+    batch collapses to ≤ 9 (digit, count) partials, one tiny combine."""
+    import numpy as np
+
+    cfg = cfg or EngineConfig()
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = np.rint(
+            np.asarray(t.column(value_col), np.float64) * 100.0
+        ).astype(np.int64)
+        cents = cents[cents > 0]
+        while (cents >= 10).any():
+            big = cents >= 10
+            cents[big] //= 10
+        cnt = np.bincount(cents, minlength=10)[1:10]
+        nz = np.nonzero(cnt)[0]
+        return pd.DataFrame(
+            {"digit": (nz + 1).astype(np.int64), "n": cnt[nz].astype(np.int64)}
+        )
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("digit", as_index=False)["n"].sum()
+        total = int(g["n"].sum())
+        return pa.table(
+            {
+                "digit": pa.array(g["digit"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+                "frac": pa.array(
+                    g["n"].to_numpy(np.float64) / float(total)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

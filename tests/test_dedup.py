@@ -520,3 +520,46 @@ class TestEditDistanceJoin:
             docs, EngineConfig(num_buckets=4), max_dist=1, q=2
         ).to_pandas()
         assert len(out) == 3 and (out["dist"] == 0).all()
+
+
+class TestContainmentDedup:
+    def test_planted_excerpt_is_directed(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.dedup import containment_dedup
+
+        words = [f"w{i}" for i in range(30)]
+        full = " ".join(words)             # doc 0: the container
+        excerpt = " ".join(words[5:15])    # doc 1: contiguous excerpt
+        other = " ".join(f"z{i}" for i in range(30))  # doc 2: unrelated
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(3, dtype=np.int64),
+                "text": [full, excerpt, other],
+            }
+        )
+        out = containment_dedup(
+            rd.from_pandas(df), cfg=CFG, ngram=3, threshold=(9, 10)
+        ).to_pandas()
+        got = set(map(tuple, out[["inner_id", "outer_id"]].values))
+        # the excerpt's grams are all in the container; not vice versa
+        assert got == {("1", "0")}
+        row = out.iloc[0]
+        # excerpt has 10 tokens -> 8 distinct 3-grams, all shared
+        assert row["inner_size"] == 8
+        assert row["n_shared"] == 8
+
+    def test_mutual_containment_of_duplicates(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.dedup import containment_dedup
+
+        text = " ".join(f"a{i}" for i in range(20))
+        df = pd.DataFrame(
+            {"doc_id": np.array([0, 1], np.int64), "text": [text, text]}
+        )
+        out = containment_dedup(
+            rd.from_pandas(df), cfg=CFG, threshold=(10, 10)
+        ).to_pandas()
+        got = set(map(tuple, out[["inner_id", "outer_id"]].values))
+        assert got == {("0", "1"), ("1", "0")}

@@ -743,3 +743,36 @@ class TestCountEncode:
             id_col="event_id", value_col="event_type",
         ).to_pandas().sort_values("event_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestBenfordAudit:
+    def test_digits_and_fracs(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.profile import benford_audit
+
+        df = pd.DataFrame(
+            {
+                "v": [
+                    1.23,    # cents 123  -> digit 1
+                    0.05,    # cents 5    -> digit 5
+                    99.99,   # cents 9999 -> digit 9
+                    55.00,   # cents 5500 -> digit 5
+                    0.0,     # excluded (non-positive)
+                    -3.50,   # excluded
+                ]
+            }
+        )
+        out = (
+            benford_audit(
+                rd.from_pandas(df), EngineConfig(num_buckets=4),
+                value_col="v",
+            )
+            .to_pandas()
+            .sort_values("digit")
+            .reset_index(drop=True)
+        )
+        assert list(out["digit"]) == [1, 5, 9]
+        assert list(out["n"]) == [1, 2, 1]
+        assert list(out["frac"]) == [0.25, 0.5, 0.25]
