@@ -2554,6 +2554,14 @@ def q_benford(sf_dir: str):
     )
 
 
+def q_assortativity(sf_dir: str):
+    """Degree assortativity (Newman r) of the k=5 cosine-kNN blocking
+    graph — the hub-vs-regular block-structure diagnostic."""
+    from deepblocker_ray.stages.cluster import degree_assortativity
+
+    return degree_assortativity(q_blocking_vec(sf_dir), _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2730,6 +2738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "block_cleaning": q_block_cleaning,
         "containment_dedup": q_containment_dedup,
         "benford": q_benford,
+        "assortativity": q_assortativity,
     }
 
 
@@ -3201,6 +3210,32 @@ def oracle_sql() -> dict[str, str]:
                          JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
                          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
                        AS BIGINT) AS n_triangles
+        """,
+        "assortativity": f"""
+            WITH docs AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id, embedding
+                FROM embeddings
+            ),
+            {vec_ranked},
+            e AS (
+                SELECT least(qid, xid) AS a, greatest(qid, xid) AS b
+                FROM ranked WHERE rk <= {VEC_K} GROUP BY 1, 2
+            ),
+            dd AS (SELECT a AS src, b AS dst FROM e
+                   UNION ALL SELECT b, a FROM e),
+            dg AS (SELECT src, count(*) AS deg FROM dd GROUP BY src),
+            xy AS (SELECT ds.deg AS x, dt.deg AS y
+                   FROM dd JOIN dg ds ON ds.src = dd.src
+                           JOIN dg dt ON dt.src = dd.dst),
+            s AS (SELECT count(*) AS m, sum(x) AS s1, sum(x * y) AS sxy,
+                         sum(x * x) AS sxx FROM xy)
+            SELECT CAST((SELECT count(*) FROM dg) AS BIGINT) AS n_nodes,
+                   CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                   CASE WHEN m * sxx - s1 * s1 = 0 THEN NULL
+                        ELSE CAST(m * sxy - s1 * s1 AS DOUBLE)
+                             / CAST(m * sxx - s1 * s1 AS DOUBLE)
+                        END AS assortativity
+            FROM s
         """,
         "linkage_vec": _cc_sql(linkage_vec_pairs, linkage_vec_base, "vec_id"),
         "blocking_vec_2t": blocking_vec_2t_sql,

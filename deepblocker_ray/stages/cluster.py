@@ -1264,3 +1264,85 @@ def cluster_size_histogram(labeled, cfg: EngineConfig | None = None,
         .groupby("_b2")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def degree_assortativity(pairs, cfg=None):
+    """Degree assortativity of an undirected graph given as a deduped edge
+    list (left_id, right_id string ids) — Pearson correlation of endpoint
+    degrees over directed stubs (each edge counted both ways, the standard
+    Newman definition). The blocking-graph health diagnostic next to
+    ``triangle_count``: strongly negative r means hubs attach to leaves
+    (skewed blocks), r ≈ 0 is the kNN-regular regime. Emits ONE row
+    (n_nodes, n_edges, assortativity:double); by x/y symmetry the
+    correlation needs only M, Σx, Σx², Σxy — all EXACT integers, one float
+    division at the end (NULL when degrees are constant).
+
+    Scale shape: two skinny exchanges, no degree-table join anywhere —
+    after doubling each edge, a node's OUT-degree at the first hash(src)
+    exchange and its IN-degree at the second hash(dst) exchange both equal
+    its degree, so each side's degree is a per-bucket group size. Partial
+    sums leave each bucket as one row; the tiny combine runs in PYTHON
+    ints (Σdeg²·deg² wraps int64 at hub scale)."""
+    import pandas as pd
+
+    from ..config import EngineConfig
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def double(df: pd.DataFrame) -> pd.DataFrame:
+        src = pd.concat([df["left_id"], df["right_id"]], ignore_index=True)
+        dst = pd.concat([df["right_id"], df["left_id"]], ignore_index=True)
+        out = pd.DataFrame({"src": src.astype(str), "dst": dst.astype(str)})
+        out["_bucket"] = bucket_of(out["src"], nb)
+        return out
+
+    def out_degree(g: pd.DataFrame) -> pd.DataFrame:
+        x = g.groupby("src", sort=False)["dst"].transform("size")
+        out = pd.DataFrame(
+            {"dst": g["dst"], "x": x.to_numpy(np.int64)}
+        )
+        out["_b2"] = bucket_of(out["dst"], nb)
+        return out
+
+    def in_degree_partial(g: pd.DataFrame) -> pd.DataFrame:
+        y = g.groupby("dst", sort=False)["x"].transform("size").to_numpy(
+            np.int64
+        )
+        x = g["x"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "m": [np.int64(len(x))],
+                "nodes": [np.int64(g["dst"].nunique())],
+                "s1": [np.int64(x.sum())],
+                "sxy": [np.int64((x * y).sum())],
+                "sxx": [np.int64((x * x).sum())],
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        m = int(df["m"].sum())
+        nodes = int(df["nodes"].sum())
+        s1 = sum(int(v) for v in df["s1"])
+        sxy = sum(int(v) for v in df["sxy"])
+        sxx = sum(int(v) for v in df["sxx"])
+        den = m * sxx - s1 * s1
+        r = float(m * sxy - s1 * s1) / float(den) if den != 0 else None
+        return pa.table(
+            {
+                "n_nodes": pa.array([nodes], pa.int64()),
+                "n_edges": pa.array([m // 2], pa.int64()),
+                "assortativity": pa.array([r], pa.float64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(double, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(out_degree, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(in_degree_partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

@@ -663,3 +663,51 @@ class TestForecastRevenue:
         # revenue = 10000·6 + 20000·5 = 160000 (1e-6-dollar units)
         assert row["n_items"] == 2
         assert row["revenue"] == 160000
+
+
+_ACFG = EngineConfig(num_buckets=8)
+
+
+class TestDegreeAssortativity:
+    def _pairs(self, edges):
+        import ray.data as rd
+
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "left_id": [str(a) for a, _ in edges],
+                    "right_id": [str(b) for _, b in edges],
+                }
+            )
+        )
+
+    def test_star_is_perfectly_disassortative(self, ray_session):
+        from deepblocker_ray.stages.cluster import degree_assortativity
+
+        out = degree_assortativity(
+            self._pairs([(0, 1), (0, 2), (0, 3)]), _ACFG
+        ).to_pandas()
+        row = out.iloc[0]
+        assert row["n_nodes"] == 4
+        assert row["n_edges"] == 3
+        assert row["assortativity"] == -1.0
+
+    def test_regular_graph_is_degenerate_null(self, ray_session):
+        from deepblocker_ray.stages.cluster import degree_assortativity
+
+        # triangle: every degree 2 -> zero variance -> NULL
+        out = degree_assortativity(
+            self._pairs([(0, 1), (1, 2), (0, 2)]), _ACFG
+        ).to_pandas()
+        assert pd.isna(out.iloc[0]["assortativity"])
+
+    def test_path_matches_hand_value(self, ray_session):
+        from deepblocker_ray.stages.cluster import degree_assortativity
+
+        # path 0-1-2-3: stubs x,y pairs:
+        # (1,2),(2,1),(2,2),(2,2),(2,1),(1,2)
+        # m=6 s1=10 sxy=16 sxx=18 -> r=(96-100)/(108-100) = -0.5
+        out = degree_assortativity(
+            self._pairs([(0, 1), (1, 2), (2, 3)]), _ACFG
+        ).to_pandas()
+        assert out.iloc[0]["assortativity"] == -0.5
