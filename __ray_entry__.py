@@ -2562,6 +2562,36 @@ def q_assortativity(sf_dir: str):
     return degree_assortativity(q_blocking_vec(sf_dir), _cfg())
 
 
+def q_late_events(sf_dir: str):
+    """Out-of-order arrival audit: events whose ts precedes the running
+    max over smaller event_ids (distributed prefix-max scan)."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.events import late_events
+
+    return late_events(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"]),
+        _cfg(),
+    )
+
+
+def q_ab_test(sf_dir: str):
+    """Two-proportion A/B z-statistic: variant = user_id % 2, converted =
+    any purchase event; pinned IEEE float expression."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.events import ab_test
+
+    return ab_test(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "event_type"],
+        ),
+        _cfg(),
+        conversion_type="purchase",
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2739,6 +2769,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_dedup": q_containment_dedup,
         "benford": q_benford,
         "assortativity": q_assortativity,
+        "late_events": q_late_events,
+        "ab_test": q_ab_test,
     }
 
 
@@ -6004,6 +6036,60 @@ def oracle_sql() -> dict[str, str]:
             FROM gr a JOIN gr b ON a.doc_id <> b.doc_id
             WHERE len(a.g) > 0
               AND 10 * len(list_intersect(a.g, b.g)) >= 7 * len(a.g)
+        """,
+        # late_events: deterministic hashed replay order (the corpus_shuffle
+        # hash convention), watermark = running max event-time over earlier
+        # arrivals
+        "late_events": """
+            WITH b AS (
+                SELECT event_id, epoch_us(ts) AS ts_us,
+                       md5_number_lower(CAST(event_id AS VARCHAR) || '|1')
+                           AS h
+                FROM events
+            ), r AS (
+                SELECT event_id, ts_us,
+                       max(ts_us) OVER (ORDER BY h, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max
+                FROM b
+            )
+            SELECT event_id, ts_us,
+                   CAST(prev_max - ts_us AS BIGINT) AS lateness_us
+            FROM r WHERE prev_max > ts_us
+        """,
+        "ab_test": """
+            WITH u AS (
+                SELECT user_id % 2 AS variant,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS conv
+                FROM events GROUP BY user_id
+            ), s AS (
+                SELECT sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+                       sum(CASE WHEN variant = 0 THEN conv ELSE 0 END)
+                           AS conv_a,
+                       sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+                       sum(CASE WHEN variant = 1 THEN conv ELSE 0 END)
+                           AS conv_b
+                FROM u
+            ), f AS (
+                SELECT CAST(n_a AS BIGINT) AS n_a,
+                       CAST(conv_a AS BIGINT) AS conv_a,
+                       CAST(n_b AS BIGINT) AS n_b,
+                       CAST(conv_b AS BIGINT) AS conv_b,
+                       CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+                       CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+                       CAST(conv_a + conv_b AS DOUBLE)
+                           / CAST(n_a + n_b AS DOUBLE) AS p
+                FROM s
+            )
+            SELECT n_a, conv_a, n_b, conv_b, rate_a, rate_b,
+                   CASE WHEN n_a = 0 OR n_b = 0 OR p <= 0 OR p >= 1 THEN NULL
+                        ELSE (rate_b - rate_a)
+                             / sqrt(p * (1.0 - p)
+                                    * (1.0 / CAST(n_a AS DOUBLE)
+                                       + 1.0 / CAST(n_b AS DOUBLE)))
+                        END AS z
+            FROM f
         """,
         "benford": """
             WITH c AS (

@@ -2032,3 +2032,188 @@ def group_regression(ds, cfg: EngineConfig | None = None):
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )
+
+
+def late_events(ds, cfg: EngineConfig | None = None, *, seed: int = 1):
+    """Out-of-order arrival audit — the watermark diagnostic for streaming
+    ingest: replay the stream in a DETERMINISTIC shuffled arrival order
+    (the ``corpus_shuffle`` hash convention: md5-lower64(event_id|seed),
+    ties by event_id — a seed-stable stand-in for a wall-clock ingest
+    order; real pipelines would carry an arrival column) and flag every
+    event whose event-time ts precedes the running maximum ts over
+    earlier-arriving events. Emits only the late rows:
+    (event_id, ts_us, lateness_us = watermark − ts_us > 0), all int64.
+
+    Scale shape: the distributed prefix-MAX — the ``scan`` machinery's
+    shape with max instead of sum: skinny (event_id, ts_us, h) rows route
+    to hash ranges via h's top 32 bits (uniform ⇒ skew-free BY
+    CONSTRUCTION), per-range max partials collapse to O(R) driver state,
+    exclusive prefix maxima broadcast back, each range finishes with one
+    sort + shifted cummax. No global sort, corpus rows move once."""
+    import ray
+    import ray.data as rd
+
+    from ..state.broadcast import cached_get
+    from .sampling import _id_hashes
+
+    cfg = cfg or EngineConfig()
+    nr = cfg.num_buckets
+
+    def rng_of(h: np.ndarray) -> np.ndarray:
+        return (
+            (h >> np.uint64(32)) * np.uint64(nr) >> np.uint64(32)
+        ).astype(np.int64)
+
+    def project(t: pa.Table) -> pa.Table:
+        h = _id_hashes(t.column("event_id").cast(pa.string()), seed)
+        return pa.table(
+            {
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "ts_us": t.column("ts")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "h": pa.array(h),
+                "_bucket": pa.array(rng_of(h).astype(np.int32)),
+            }
+        )
+
+    skinny = ds.map_batches(project, batch_format="pyarrow").materialize()
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts_us": pa.array([], pa.int64()),
+            "lateness_us": pa.array([], pa.int64()),
+        }
+    )
+    if skinny.count() == 0:
+        return rd.from_arrow(empty)
+
+    def max_partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "_rng": np.asarray(t.column("_bucket"), np.int64),
+                "mx": np.asarray(t.column("ts_us"), np.int64),
+            }
+        )
+        return df.groupby("_rng", as_index=False)["mx"].max()
+
+    parts = (
+        skinny.map_batches(max_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("_rng")["mx"]
+        .max()
+    )
+    range_max = np.full(nr, np.iinfo(np.int64).min, np.int64)
+    range_max[parts.index.to_numpy(np.int64)] = parts.to_numpy(np.int64)
+    # exclusive prefix max: the watermark entering each range
+    enter = np.empty(nr, np.int64)
+    enter[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(range_max[:-1], out=enter[1:])
+    enter_ref = ray.put(enter)
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        offs = cached_get(enter_ref)
+        g = g.sort_values(["h", "event_id"], kind="mergesort")
+        ts = g["ts_us"].to_numpy(np.int64)
+        prev = np.empty(len(ts), np.int64)
+        prev[0] = offs[int(g["_bucket"].iloc[0])]
+        if len(ts) > 1:
+            np.maximum.accumulate(ts[:-1], out=prev[1:])
+            np.maximum(prev[1:], prev[0], out=prev[1:])
+        late = prev > ts
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy(np.int64)[late]),
+                "ts_us": pa.array(ts[late]),
+                "lateness_us": pa.array(prev[late] - ts[late]),
+            }
+        )
+
+    return skinny.groupby("_bucket").map_groups(
+        finish, batch_format="pandas"
+    )
+
+
+def ab_test(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    conversion_type: str = "purchase",
+):
+    """Two-proportion A/B z-statistic with deterministic assignment
+    (variant = user_id % 2; unit = user, converted ⇔ any conversion_type
+    event). Output ONE row (n_a, conv_a, n_b, conv_b, rate_a, rate_b, z).
+    Every float is a PINNED IEEE expression of exact integer counts —
+    division/multiply/sqrt are all correctly rounded, so writing the same
+    expression tree in SQL reproduces z bit-for-bit; z is NULL when a
+    variant is empty or the pooled rate is degenerate (0 or 1).
+
+    Scale shape: per-batch (user, converted) partials pre-reduced with
+    groupby-max, ONE hash(user) exchange makes users exact-distinct, per
+    bucket O(1) count rows, tiny combine."""
+    import math
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        user = np.asarray(t.column("user_id"), np.int64)
+        conv = (
+            t.column("event_type").to_pandas().astype(str)
+            == conversion_type
+        ).to_numpy(np.int64)
+        df = (
+            pd.DataFrame({"user": user, "conv": conv})
+            .groupby("user", as_index=False)["conv"]
+            .max()
+        )
+        df["_bucket"] = _user_bucket(
+            df["user"].to_numpy(np.int64), nb
+        )
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.groupby("user", as_index=False)["conv"].max()
+        variant = u["user"].to_numpy(np.int64) % 2
+        conv = u["conv"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n_a": [np.int64((variant == 0).sum())],
+                "conv_a": [np.int64(conv[variant == 0].sum())],
+                "n_b": [np.int64((variant == 1).sum())],
+                "conv_b": [np.int64(conv[variant == 1].sum())],
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        na, ca = int(df["n_a"].sum()), int(df["conv_a"].sum())
+        nbv, cb = int(df["n_b"].sum()), int(df["conv_b"].sum())
+        rate_a = float(ca) / float(na) if na else None
+        rate_b = float(cb) / float(nbv) if nbv else None
+        z = None
+        if na and nbv:
+            p = float(ca + cb) / float(na + nbv)
+            if 0.0 < p < 1.0:
+                # pinned expression tree — mirrored verbatim in the twin
+                z = (rate_b - rate_a) / math.sqrt(
+                    p * (1.0 - p) * (1.0 / float(na) + 1.0 / float(nbv))
+                )
+        return pa.table(
+            {
+                "n_a": pa.array([na], pa.int64()),
+                "conv_a": pa.array([ca], pa.int64()),
+                "n_b": pa.array([nbv], pa.int64()),
+                "conv_b": pa.array([cb], pa.int64()),
+                "rate_a": pa.array([rate_a], pa.float64()),
+                "rate_b": pa.array([rate_b], pa.float64()),
+                "z": pa.array([z], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

@@ -1568,3 +1568,106 @@ class TestGroupRegression:
         b = out.loc["b"]
         assert b["n"] == 2
         assert pd.isna(b["slope"]) and pd.isna(b["intercept"])
+
+
+class TestLateEvents:
+    def test_matches_pandas_replay(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import late_events
+        from deepblocker_ray.stages.sampling import _id_hashes
+        import pyarrow as pa
+
+        base = pd.Timestamp("2026-01-01")
+        s = pd.Timedelta(seconds=1)
+        n = 50
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "ts": [base + int(x) * s for x in rng.integers(0, 40, n)],
+            }
+        )
+        out = (
+            late_events(rd.from_pandas(df), EngineConfig(num_buckets=4))
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        # oracle: replay in (hash, id) order, running max
+        h = _id_hashes(pa.array([str(i) for i in range(n)]), 1)
+        order = np.lexsort((np.arange(n), h))
+        ts = (
+            df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        )[order]
+        exp = []
+        wm = None
+        for pos, i in enumerate(order):
+            if wm is not None and ts[pos] < wm:
+                exp.append((i, int(wm - ts[pos])))
+            wm = ts[pos] if wm is None else max(wm, ts[pos])
+        exp.sort()
+        assert list(map(tuple, out[["event_id", "lateness_us"]].values)) \
+            == exp
+        assert len(exp) > 0  # the shuffled replay must produce lateness
+
+    def test_empty(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import late_events
+
+        df = pd.DataFrame(
+            {"event_id": pd.Series(dtype=np.int64),
+             "ts": pd.Series(dtype="datetime64[us]")}
+        )
+        out = late_events(
+            rd.from_pandas(df), EngineConfig(num_buckets=4)
+        ).to_pandas()
+        assert len(out) == 0
+
+
+class TestABTest:
+    def test_counts_and_z(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import ab_test
+
+        # users 0,2 variant A (0 converts), users 1,3,5 variant B (2 convert)
+        rows = [
+            (0, "view"), (0, "purchase"),
+            (2, "click"),
+            (1, "purchase"), (1, "purchase"),
+            (3, "view"),
+            (5, "purchase"),
+        ]
+        df = pd.DataFrame(rows, columns=["user_id", "event_type"])
+        out = ab_test(
+            rd.from_pandas(df), EngineConfig(num_buckets=4)
+        ).to_pandas()
+        r = out.iloc[0]
+        assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (2, 1, 3, 2)
+        p = 3.0 / 5.0
+        z = (2.0 / 3.0 - 1.0 / 2.0) / math.sqrt(
+            p * (1.0 - p) * (1.0 / 2.0 + 1.0 / 3.0)
+        )
+        assert r["z"] == z
+
+    def test_degenerate_null(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import ab_test
+
+        # nobody converts -> pooled p = 0 -> NULL z
+        df = pd.DataFrame(
+            [(0, "view"), (1, "view")], columns=["user_id", "event_type"]
+        )
+        out = ab_test(
+            rd.from_pandas(df), EngineConfig(num_buckets=4)
+        ).to_pandas()
+        assert pd.isna(out.iloc[0]["z"])
