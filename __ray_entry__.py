@@ -2592,6 +2592,21 @@ def q_ab_test(sf_dir: str):
     )
 
 
+def q_funnel_steps(sf_dir: str):
+    """3-step window funnel (signup -> click -> purchase within 24h of the
+    earliest signup, greedy-earliest pinned semantics)."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.events import funnel_steps
+
+    return funnel_steps(
+        rd.read_parquet(f"{sf_dir}/events.parquet"),
+        _cfg(),
+        steps=("signup", "click", "purchase"),
+        window_hours=24.0,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2771,6 +2786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": q_assortativity,
         "late_events": q_late_events,
         "ab_test": q_ab_test,
+        "funnel_steps": q_funnel_steps,
     }
 
 
@@ -6036,6 +6052,29 @@ def oracle_sql() -> dict[str, str]:
             FROM gr a JOIN gr b ON a.doc_id <> b.doc_id
             WHERE len(a.g) > 0
               AND 10 * len(list_intersect(a.g, b.g)) >= 7 * len(a.g)
+        """,
+        "funnel_steps": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS ts FROM events
+            ),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                   WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                     AND e.ts <= s1.t1 + 86400000000
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     AND e.ts <= s1.t1 + 86400000000
+                   GROUP BY e.user_id)
+            SELECT s1.user_id, CAST(s1.t1 AS BIGINT) AS t1_us,
+                   CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                             WHEN s2.user_id IS NOT NULL THEN 2
+                             ELSE 1 END AS BIGINT) AS level
+            FROM s1 LEFT JOIN s2 ON s2.user_id = s1.user_id
+                    LEFT JOIN s3 ON s3.user_id = s1.user_id
         """,
         # late_events: deterministic hashed replay order (the corpus_shuffle
         # hash convention), watermark = running max event-time over earlier

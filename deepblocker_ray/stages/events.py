@@ -2217,3 +2217,89 @@ def ab_test(
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )
+
+
+def funnel_steps(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    steps: tuple[str, ...],
+    window_hours: float = 24.0,
+):
+    """k-step window funnel (the ClickHouse ``windowFunnel`` shape, with
+    PINNED greedy semantics): per user, level = length of the longest step
+    prefix reachable by anchoring t₁ at the user's EARLIEST step-1 event
+    and then taking each next step's earliest event STRICTLY after the
+    previous step and ≤ t₁ + window. Anchoring at the earliest step-1
+    (rather than trying every anchor) is the documented deterministic
+    rule — greedy-earliest is optimal GIVEN the anchor. Emits
+    (user_id, t1_us:int64, level:int64) for users with level ≥ 1;
+    generalizes the 2-step ``funnel``.
+
+    Scale shape: skinny (user, ts, step-index) rows — non-step events are
+    dropped map-side — through ONE hash(user) exchange; per bucket k−1
+    vectorized passes (per-user min via groupby over the masked step
+    rows), no per-user loop."""
+    cfg = cfg or EngineConfig()
+    if len(steps) < 1:
+        raise ValueError("steps must be non-empty")
+    win_us = np.int64(round(window_hours * 3_600_000_000))
+
+    skinny = _project_events(ds, cfg, types=tuple(steps))
+
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        si = g["event_type"].map(step_of).to_numpy(np.int64)
+        user = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        first = (
+            pd.DataFrame({"u": user[si == 0], "t": ts[si == 0]})
+            .groupby("u")["t"]
+            .min()
+        )
+        if len(first) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "t1_us": pa.array([], pa.int64()),
+                    "level": pa.array([], pa.int64()),
+                }
+            )
+        level = pd.Series(np.int64(1), index=first.index)
+        prev_t = first.copy()
+        deadline = first + win_us
+        for i in range(1, len(steps)):
+            m = si == i
+            u_i = user[m]
+            t_i = ts[m]
+            pt = pd.Series(u_i).map(prev_t).to_numpy()
+            dl = pd.Series(u_i).map(deadline).to_numpy()
+            ok = (
+                ~pd.isna(pt)
+                & (t_i > np.where(pd.isna(pt), 0, pt).astype(np.int64))
+                & (t_i <= np.where(pd.isna(dl), 0, dl).astype(np.int64))
+            )
+            nxt = (
+                pd.DataFrame({"u": u_i[ok], "t": t_i[ok]})
+                .groupby("u")["t"]
+                .min()
+            )
+            # only users already at level i can advance
+            nxt = nxt[nxt.index.map(level).to_numpy(np.int64) == i]
+            if len(nxt) == 0:
+                break
+            level.loc[nxt.index] = i + 1
+            prev_t = nxt  # users not in nxt keep NaN on .map -> excluded
+            deadline = deadline.loc[nxt.index]
+        return pa.table(
+            {
+                "user_id": pa.array(first.index.to_numpy(np.int64)),
+                "t1_us": pa.array(first.to_numpy(np.int64)),
+                "level": pa.array(level.to_numpy(np.int64)),
+            }
+        )
+
+    return skinny.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )

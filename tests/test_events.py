@@ -1671,3 +1671,63 @@ class TestABTest:
             rd.from_pandas(df), EngineConfig(num_buckets=4)
         ).to_pandas()
         assert pd.isna(out.iloc[0]["z"])
+
+
+class TestFunnelSteps:
+    def _ds(self, rows):
+        import ray.data as rd
+
+        df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+        df["event_id"] = np.arange(len(df), dtype=np.int64)
+        df["value"] = 0.0
+        df["props"] = "{}"
+        return rd.from_pandas(df)
+
+    def test_levels_and_window(self, ray_session):
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import funnel_steps
+
+        base = pd.Timestamp("2026-01-01")
+        h = pd.Timedelta(hours=1)
+        rows = [
+            # user 1: full funnel within 24h of earliest A
+            (1, "A", base), (1, "B", base + h), (1, "C", base + 2 * h),
+            # user 2: B exactly at t1 (not strictly after) -> level 1
+            (2, "A", base), (2, "B", base),
+            # user 3: C before B -> greedy order blocks it -> level 2
+            (3, "A", base), (3, "C", base + h), (3, "B", base + 2 * h),
+            # user 4: B outside the 24h window of earliest A -> level 1
+            (4, "A", base), (4, "B", base + 25 * h),
+            # user 5: no A at all -> absent
+            (5, "B", base), (5, "C", base + h),
+            # user 6: B at exactly t1+24h (inclusive end) -> level 2
+            (6, "A", base), (6, "B", base + 24 * h),
+        ]
+        out = (
+            funnel_steps(
+                self._ds(rows), EngineConfig(num_buckets=4),
+                steps=("A", "B", "C"), window_hours=24.0,
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["user_id"]) == [1, 2, 3, 4, 6]
+        assert list(out["level"]) == [3, 1, 2, 1, 2]
+
+    def test_anchor_is_earliest_first_step(self, ray_session):
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import funnel_steps
+
+        base = pd.Timestamp("2026-01-01")
+        h = pd.Timedelta(hours=1)
+        # a LATER anchor (A at +30h) would reach B at +31h, but the pinned
+        # rule anchors at the EARLIEST A: window ends +24h -> level 1
+        rows = [
+            (1, "A", base), (1, "A", base + 30 * h), (1, "B", base + 31 * h),
+        ]
+        out = funnel_steps(
+            self._ds(rows), EngineConfig(num_buckets=4),
+            steps=("A", "B"), window_hours=24.0,
+        ).to_pandas()
+        assert list(out["level"]) == [1]
