@@ -2607,6 +2607,55 @@ def q_funnel_steps(sf_dir: str):
     )
 
 
+def q_bfs_hops(sf_dir: str):
+    """Bounded multi-source BFS over the kNN blocking graph: min hops from
+    the vec_id < 8 seed panel, max 6 rounds."""
+    from deepblocker_ray.stages.cluster import bfs_hops
+
+    return bfs_hops(
+        q_blocking_vec(sf_dir), [str(i) for i in range(8)], _cfg(),
+        max_hops=6,
+    )
+
+
+def q_cross_source_dups(sf_dir: str):
+    """Exact cross-source duplicate matrix over transcript TURN texts:
+    distinct turns (by md5) appearing verbatim in conversations from both
+    sources of each pair (documents has no whole-doc exact dups; turns
+    do repeat across sources)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from deepblocker_ray.stages.dedup import cross_source_dups
+    from deepblocker_ray.stages.relational import broadcast_join
+
+    def derive_doc(t: pa.Table) -> pa.Table:
+        doc_id = pc.cast(
+            pc.utf8_slice_codeunits(
+                pc.cast(t.column("conv_id"), pa.string()), start=5
+            ),
+            pa.int64(),
+        )
+        return pa.table({"text": t.column("text"), "doc_id": doc_id})
+
+    turns = _transcripts(sf_dir).map_batches(
+        derive_doc, batch_format="pyarrow"
+    )
+    with_src = broadcast_join(
+        turns,
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        ),
+        big_key="doc_id",
+        small_key="doc_id",
+        payload_cols=["source"],
+        cfg=_cfg(),
+    )
+    return cross_source_dups(with_src, _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2787,6 +2836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": q_late_events,
         "ab_test": q_ab_test,
         "funnel_steps": q_funnel_steps,
+        "bfs_hops": q_bfs_hops,
+        "cross_source_dups": q_cross_source_dups,
     }
 
 
@@ -3258,6 +3309,41 @@ def oracle_sql() -> dict[str, str]:
                          JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
                          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
                        AS BIGINT) AS n_triangles
+        """,
+        "bfs_hops": f"""
+            WITH RECURSIVE docs AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id, embedding
+                FROM embeddings
+            ),
+            {vec_ranked},
+            e0 AS (
+                SELECT least(qid, xid) AS a, greatest(qid, xid) AS b
+                FROM ranked WHERE rk <= {VEC_K} GROUP BY 1, 2
+            ),
+            e AS (SELECT a AS src, b AS dst FROM e0
+                  UNION ALL SELECT b, a FROM e0),
+            walk(id, hop) AS (
+                SELECT CAST(vec_id AS VARCHAR), 0 FROM embeddings
+                WHERE vec_id < 8
+                UNION
+                SELECT e.dst, walk.hop + 1
+                FROM walk JOIN e ON e.src = walk.id
+                WHERE walk.hop < 6
+            )
+            SELECT id, CAST(min(hop) AS BIGINT) AS hop
+            FROM walk GROUP BY id
+        """,
+        "cross_source_dups": f"""
+            WITH transcripts AS ({transcripts_cte}),
+            t AS (SELECT tr.text, d.source
+                  FROM transcripts tr
+                  JOIN documents d ON tr.conv_id = 'conv-' || d.doc_id),
+            g AS (SELECT DISTINCT md5(text) AS h, source FROM t),
+            p AS (SELECT a.source AS source_a, b.source AS source_b
+                  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source)
+            SELECT source_a, source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared_texts
+            FROM p GROUP BY 1, 2
         """,
         "assortativity": f"""
             WITH docs AS (

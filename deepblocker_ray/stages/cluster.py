@@ -1346,3 +1346,117 @@ def degree_assortativity(pairs, cfg=None):
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )
+
+
+def bfs_hops(edges, seeds, cfg=None, *, max_hops: int = 6):
+    """Bounded-round multi-source BFS: min hop distance from any seed over
+    an undirected edge list (left_id, right_id string ids) — the
+    reachability/radius probe for blocking graphs (how far does a seed
+    entity's candidate neighborhood extend?). ``seeds`` is a driver-side
+    list of node ids (a bounded panel by construction). Emits
+    (id:string, hop:int64) for every node within ``max_hops``; like
+    ``kcore``/``pagerank`` the round count is fixed (synchronous BFS has
+    an inherent barrier per round).
+
+    Scale shape per round: labels ∪ directed edges meet on hash(src)
+    (spread: every labeled node offers hop+1 to its neighbors, per-bucket
+    pre-min per dst), then candidates meet existing labels on hash(id)
+    (gather: global min, old labels win) — two skinny bucketed exchanges,
+    no driver-side frontier state."""
+    from ..config import EngineConfig
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        src = pd.concat([df["left_id"], df["right_id"]], ignore_index=True)
+        dst = pd.concat([df["right_id"], df["left_id"]], ignore_index=True)
+        out = pd.DataFrame(
+            {"src": src.astype(str).to_numpy(object),
+             "dst": dst.astype(str).to_numpy(object)}
+        )
+        out["_bucket"] = bucket_of(out["src"], nb)
+        return out
+
+    ed = edges.map_batches(tag_edges, batch_format="pandas").materialize()
+
+    import ray.data as rd
+
+    labels = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "id": pd.Series([str(s) for s in seeds], dtype=object),
+                "hop": np.zeros(len(seeds), np.int64),
+            }
+        )
+    ).materialize()
+
+    cols = ["src", "dst", "id", "hop", "_is_label", "_bucket"]
+
+    def spread(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["_is_label"] == 1]
+        e = g[g["_is_label"] == 0][["src", "dst"]]
+        frames = [
+            pd.DataFrame(
+                {
+                    "id": lab["id"].to_numpy(object),
+                    "hop": lab["hop"].to_numpy(np.int64),
+                }
+            )
+        ]
+        if len(e) and len(lab):
+            m = e.merge(lab[["id", "hop"]], left_on="src", right_on="id")
+            c = (
+                pd.DataFrame(
+                    {
+                        "id": m["dst"].to_numpy(object),
+                        "hop": m["hop"].to_numpy(np.int64) + 1,
+                    }
+                )
+                .groupby("id", sort=False)["hop"]
+                .min()
+                .reset_index()
+            )
+            frames.append(c)
+        out = pd.concat(frames, ignore_index=True)
+        out["_b2"] = bucket_of(out["id"], nb)
+        return out
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("id", sort=False)["hop"].min().reset_index()
+        s["_bucket"] = bucket_of(s["id"], nb)
+        return s
+
+    for _ in range(max_hops):
+        tagged_labels = labels.map_batches(
+            lambda df: df.assign(
+                src=df["id"], dst="", _is_label=np.int8(1),
+                _bucket=bucket_of(df["id"].astype(str), nb),
+            )[cols],
+            batch_format="pandas",
+        )
+        tagged_edges = ed.map_batches(
+            lambda df: df.assign(
+                id="", hop=np.int64(0), _is_label=np.int8(0)
+            )[cols],
+            batch_format="pandas",
+        )
+        labels = (
+            tagged_labels.union(tagged_edges)
+            .groupby("_bucket")
+            .map_groups(spread, batch_format="pandas")
+            .groupby("_b2")
+            .map_groups(gather, batch_format="pandas")
+            .materialize()
+        )
+
+    def out(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.array(df["id"].to_numpy(object), pa.string()),
+                "hop": pa.array(df["hop"].to_numpy(np.int64)),
+            }
+        )
+
+    return labels.map_batches(out, batch_format="pandas")

@@ -2693,3 +2693,97 @@ def containment_dedup(
         cand, sigs, "doc_id", "grams", cfg,
         _containment_verify_fn(tau_num, tau_den),
     )
+
+
+def cross_source_dups(
+    ds,
+    cfg: EngineConfig | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """Cross-source exact-duplicate matrix — the corpus-governance view of
+    exact dedup: for every unordered source pair, how many DISTINCT texts
+    (by md5, the ``fingerprint`` convention) appear verbatim in BOTH
+    sources. Emits (source_a, source_b, n_shared_texts:int64),
+    source_a < source_b. The licensing/contamination complement to
+    ``kmv_source_similarity``'s estimate: this one is exact and keyed on
+    whole-document equality.
+
+    Scale shape: map-side DISTINCT (md5, source) pairs (dup-heavy inputs
+    collapse before the exchange), ONE hash(md5) exchange — every text's
+    source set co-locates, per bucket a sorted segment sweep emits
+    C(n_sources, 2) pairs per text (bounded by the SOURCE COUNT, not by
+    how many copies exist), and the tiny per-pair partials meet in one
+    final combine. The corpus text never rides an exchange."""
+    import hashlib
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def project(t: pa.Table) -> pd.DataFrame:
+        txt = t.column(text_col).to_pylist()
+        md5s = [
+            hashlib.md5(("" if x is None else x).encode()).hexdigest()
+            for x in txt
+        ]
+        df = pd.DataFrame(
+            {
+                "h": md5s,
+                "src": t.column(source_col).to_pandas().astype(str),
+            }
+        ).drop_duplicates()
+        df["_bucket"] = bucket_of(df["h"], nb)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["h", "src"])
+        g = g.sort_values(["h", "src"], kind="mergesort")
+        m = g.merge(g, on="h")
+        m = m[m["src_x"] < m["src_y"]]
+        c = (
+            m.groupby(["src_x", "src_y"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        # explicit Arrow types: 0-row object outputs confuse block sizing
+        # and Ray drops empty pandas blocks from the schema
+        return pa.table(
+            {
+                "src_x": pa.array(c["src_x"].to_numpy(object), pa.string()),
+                "src_y": pa.array(c["src_y"].to_numpy(object), pa.string()),
+                "n": pa.array(c["n"].to_numpy(np.int64)),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pa.table(
+                {
+                    "source_a": pa.array([], pa.string()),
+                    "source_b": pa.array([], pa.string()),
+                    "n_shared_texts": pa.array([], pa.int64()),
+                }
+            )
+        c = (
+            df.groupby(["src_x", "src_y"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source_a": pa.array(c["src_x"].to_numpy(object), pa.string()),
+                "source_b": pa.array(c["src_y"].to_numpy(object), pa.string()),
+                "n_shared_texts": pa.array(c["n"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .repartition(1)
+        .map_batches(combine, batch_format="pandas")
+    )

@@ -563,3 +563,28 @@ class TestContainmentDedup:
         ).to_pandas()
         got = set(map(tuple, out[["inner_id", "outer_id"]].values))
         assert got == {("0", "1"), ("1", "0")}
+
+
+class TestCrossSourceDups:
+    def test_shared_text_matrix(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.dedup import cross_source_dups
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(7, dtype=np.int64),
+                "text": ["x", "x", "x", "y", "y", "z", "x"],
+                "source": ["A", "B", "B", "A", "C", "A", "C"],
+            }
+        )
+        # text x in {A, B, C} -> pairs AB, AC, BC; y in {A, C} -> AC
+        # z only in A -> nothing; duplicate (x, B) counts once
+        out = (
+            cross_source_dups(rd.from_pandas(df), CFG)
+            .to_pandas()
+            .sort_values(["source_a", "source_b"])
+            .reset_index(drop=True)
+        )
+        got = set(map(tuple, out.values))
+        assert got == {("A", "B", 1), ("A", "C", 2), ("B", "C", 1)}

@@ -711,3 +711,44 @@ class TestDegreeAssortativity:
             self._pairs([(0, 1), (1, 2), (2, 3)]), _ACFG
         ).to_pandas()
         assert out.iloc[0]["assortativity"] == -0.5
+
+
+class TestBfsHops:
+    def test_min_hops_and_bound(self, ray_session):
+        from deepblocker_ray.stages.cluster import bfs_hops
+
+        # path 0-1-2-3-4 plus shortcut 0-3: hops 0,1,2,1,2; node 9 isolated
+        edges = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (8, 9)]
+        pairs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "left_id": [str(a) for a, _ in edges],
+                    "right_id": [str(b) for _, b in edges],
+                }
+            )
+        )
+        out = (
+            bfs_hops(pairs, ["0"], _ACFG, max_hops=6)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        got = dict(zip(out["id"], out["hop"]))
+        assert got == {"0": 0, "1": 1, "2": 2, "3": 1, "4": 2}
+
+    def test_multi_seed_and_round_bound(self, ray_session):
+        from deepblocker_ray.stages.cluster import bfs_hops
+
+        # chain 0-1-2-3-4-5; seeds 0 and 5; max_hops=1 -> only 1 hop out
+        edges = [(i, i + 1) for i in range(5)]
+        pairs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "left_id": [str(a) for a, _ in edges],
+                    "right_id": [str(b) for _, b in edges],
+                }
+            )
+        )
+        out = bfs_hops(pairs, ["0", "5"], _ACFG, max_hops=1).to_pandas()
+        got = dict(zip(out["id"], out["hop"]))
+        assert got == {"0": 0, "5": 0, "1": 1, "4": 1}
