@@ -2656,6 +2656,28 @@ def q_cross_source_dups(sf_dir: str):
     return cross_source_dups(with_src, _cfg())
 
 
+def q_skipgram(sf_dir: str):
+    """Skip-gram window-2 cooccurrence counts over document tokens
+    (ordered positional pairs, occurrence-counted, n >= 5)."""
+    from deepblocker_ray.stages.textstats import skipgram_cooccurrence
+
+    return skipgram_cooccurrence(
+        _documents(sf_dir), _cfg(), window=2, min_count=5
+    )
+
+
+def q_interval_coverage(sf_dir: str):
+    """Per-user union-of-intervals busy time: event spans of
+    round(value*100)*10ms microseconds, overlaps collapsed exactly."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.events import interval_coverage
+
+    return interval_coverage(
+        rd.read_parquet(f"{sf_dir}/events.parquet"), _cfg()
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2838,6 +2860,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_steps": q_funnel_steps,
         "bfs_hops": q_bfs_hops,
         "cross_source_dups": q_cross_source_dups,
+        "skipgram": q_skipgram,
+        "interval_coverage": q_interval_coverage,
     }
 
 
@@ -3309,6 +3333,43 @@ def oracle_sql() -> dict[str, str]:
                          JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
                          JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
                        AS BIGINT) AS n_triangles
+        """,
+        "skipgram": f"""
+            WITH t AS (SELECT doc_id, {tokens} AS tk FROM documents),
+            e AS (
+                SELECT doc_id, unnest(tk) AS tok,
+                       unnest(generate_series(1, len(tk))) AS i
+                FROM t WHERE len(tk) > 0
+            ),
+            p AS (
+                SELECT a.tok AS token_a, b.tok AS token_b
+                FROM e a JOIN e b ON b.doc_id = a.doc_id
+                              AND b.i > a.i AND b.i <= a.i + 2
+            )
+            SELECT token_a, token_b, CAST(count(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 5
+        """,
+        "interval_coverage": """
+            WITH b AS (
+                SELECT user_id, event_id, epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + CAST(round(value * 100) AS BIGINT) * 10000 AS e
+                FROM events
+            ), r AS (
+                SELECT user_id, s, e,
+                       max(e) OVER (PARTITION BY user_id
+                           ORDER BY s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pm
+                FROM b
+            )
+            SELECT user_id,
+                   CAST(sum(CASE
+                        WHEN pm IS NULL OR pm < s THEN
+                             CASE WHEN e > s THEN e - s ELSE 0 END
+                        WHEN pm < e THEN e - pm
+                        ELSE 0 END) AS BIGINT) AS covered_us
+            FROM r GROUP BY user_id
         """,
         "bfs_hops": f"""
             WITH RECURSIVE docs AS (

@@ -2303,3 +2303,53 @@ def funnel_steps(
     return skinny.groupby("_bucket").map_groups(
         per_bucket, batch_format="pandas"
     )
+
+
+def interval_coverage(ds, cfg: EngineConfig | None = None):
+    """Per-user union-of-intervals length: each event spans
+    [ts, ts + round(value·10⁶)µs) and overlaps within a user collapse —
+    the busy-time / session-coverage statistic computed EXACTLY in int64
+    (the gaps-and-islands sweep, summed). Emits (user_id,
+    covered_us:int64).
+
+    Scale shape: skinny (user, ts, end, event_id) int rows, ONE
+    hash(user) exchange; per bucket one lexsort by (user, ts, event_id)
+    + a per-group running max of interval ends (pandas C-level cummax
+    shifted by one) gives every row's overlap clip — contribution =
+    max(0, end − max(start, prev_max_end)) — then one groupby-sum. No
+    per-user loop; zero/negative durations contribute nothing."""
+    cfg = cfg or EngineConfig()
+
+    skinny = _project_events(ds, cfg, with_value=True)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        s = g["ts_us"].to_numpy(np.int64)
+        # value carries SECONDS here: cents = round(value*100) so
+        # duration_us = cents * 10_000 == round(value * 1e6)
+        e = s + g["cents"].to_numpy(np.int64) * np.int64(10_000)
+        prev = (
+            pd.Series(e, index=g.index).groupby(
+                g["user_id"], sort=False
+            ).cummax().groupby(g["user_id"], sort=False).shift(1)
+        )
+        lo = np.maximum(s, prev.fillna(np.iinfo(np.int64).min).to_numpy(np.int64))
+        contrib = np.maximum(e - lo, 0)
+        out = (
+            pd.DataFrame({"u": g["user_id"].to_numpy(np.int64), "c": contrib})
+            .groupby("u", sort=False)["c"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(out["u"].to_numpy(np.int64)),
+                "covered_us": pa.array(out["c"].to_numpy(np.int64)),
+            }
+        )
+
+    return skinny.groupby("_bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )

@@ -1132,3 +1132,110 @@ def gazetteer_tag(
         )
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def skipgram_cooccurrence(
+    ds,
+    cfg,
+    *,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 1,
+):
+    """Skip-gram window cooccurrence — OCCURRENCE counts of ordered
+    positional token pairs (t[i], t[i+d]) for 1 ≤ d ≤ ``window`` within a
+    document (the word2vec / PMI-table preprocessing statistic; the
+    positional complement to document-level ``cooccurrence``). Emits
+    (token_a, token_b, n:int64) with n ≥ ``min_count`` — token_a is the
+    EARLIER token, pairs are ordered, and every occurrence counts (not
+    per-doc distinct).
+
+    Scale shape: per batch ONE tokenize pass builds the concatenated
+    token-code array (factorize once); each of the ``window`` shifted
+    compares masks cross-doc windows and bincounts pair codes — no pair
+    enumeration in Python. Per-batch (a, b, n) partials ride ONE bucketed
+    exchange on hash(a‖b); min_count filters AFTER the global combine
+    (all rows of a pair co-locate), bounding the zipfian count-1 tail's
+    exit from each bucket task."""
+    import pandas as pd
+
+    from ..functions.tokenizer import tokenize_many
+    from ..stages.canonicalize import bucket_of
+
+    nb = cfg.num_buckets
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks = tokenize_many(t.column(text_col).to_pylist())
+        counts = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        total = int(counts.sum())
+        empty = pd.DataFrame(
+            {
+                "token_a": pd.Series(dtype=object),
+                "token_b": pd.Series(dtype=object),
+                "n": pd.Series(dtype=np.int64),
+                "_bucket": pd.Series(dtype=np.int32),
+            }
+        )
+        if total == 0:
+            return empty
+        flat = np.empty(total, object)
+        pos = 0
+        for x in toks:
+            flat[pos : pos + len(x)] = x
+            pos += len(x)
+        codes, uniq = pd.factorize(flat, sort=False)
+        u = len(uniq)
+        doc = np.repeat(np.arange(len(toks), dtype=np.int64), counts)
+        pair_parts = []
+        for d in range(1, window + 1):
+            if total <= d:
+                break
+            same = doc[d:] == doc[:-d]
+            a = codes[:-d][same].astype(np.int64)
+            b = codes[d:][same].astype(np.int64)
+            pair_parts.append(a * u + b)
+        if not pair_parts:
+            return empty
+        pairs = np.concatenate(pair_parts)
+        uniq_pairs, n = np.unique(pairs, return_counts=True)
+        ua = uniq[uniq_pairs // u]
+        ub = uniq[uniq_pairs % u]
+        df = pd.DataFrame(
+            {
+                "token_a": ua,
+                "token_b": ub,
+                "n": n.astype(np.int64),
+            }
+        )
+        df["_bucket"] = bucket_of(
+            df["token_a"].astype(str) + "\x00" + df["token_b"].astype(str),
+            nb,
+        )
+        return df
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        c = (
+            g.groupby(["token_a", "token_b"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        c = c[c["n"] >= min_count]
+        return pa.table(
+            {
+                "token_a": pa.array(
+                    c["token_a"].to_numpy(object), pa.string()
+                ),
+                "token_b": pa.array(
+                    c["token_b"].to_numpy(object), pa.string()
+                ),
+                "n": pa.array(c["n"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -1731,3 +1731,77 @@ class TestFunnelSteps:
             steps=("A", "B"), window_hours=24.0,
         ).to_pandas()
         assert list(out["level"]) == [1]
+
+
+class TestIntervalCoverage:
+    def _ds(self, rows):
+        import ray.data as rd
+
+        df = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        df["event_id"] = np.arange(len(df), dtype=np.int64)
+        df["event_type"] = "x"
+        df["props"] = "{}"
+        return rd.from_pandas(df)
+
+    def test_union_semantics(self, ray_session):
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import interval_coverage
+
+        base = pd.Timestamp("2026-01-01")
+        s = pd.Timedelta(seconds=1)
+        rows = [
+            # user 1: [0,10) + [5,12) overlap -> 12; [12,20) touches -> 20
+            (1, base, 10.0), (1, base + 5 * s, 7.0), (1, base + 12 * s, 8.0),
+            # user 2: nested [0,10) contains [2,4) -> 10; disjoint [20,25) -> 15
+            (2, base, 10.0), (2, base + 2 * s, 2.0), (2, base + 20 * s, 5.0),
+            # user 3: zero-duration event -> 0
+            (3, base, 0.0),
+        ]
+        out = (
+            interval_coverage(self._ds(rows), EngineConfig(num_buckets=4))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["user_id"]) == [1, 2, 3]
+        assert list(out["covered_us"]) == [20_000_000, 15_000_000, 0]
+
+    def test_matches_brute_force(self, ray_session):
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import interval_coverage
+
+        rng = np.random.RandomState(11)
+        base = pd.Timestamp("2026-01-01")
+        rows = [
+            (int(rng.randint(0, 8)),
+             base + pd.Timedelta(microseconds=int(rng.randint(0, 5_000_000))),
+             float(np.round(rng.uniform(0, 3), 2)))
+            for _ in range(300)
+        ]
+        out = (
+            interval_coverage(self._ds(rows), EngineConfig(num_buckets=4))
+            .to_pandas()
+            .set_index("user_id")["covered_us"]
+            .to_dict()
+        )
+        # brute-force oracle: merge sorted intervals per user
+        from collections import defaultdict
+
+        ivs = defaultdict(list)
+        for u, ts, v in rows:
+            s0 = (ts - base) // pd.Timedelta(microseconds=1)
+            ivs[u].append((s0, s0 + int(round(v * 100)) * 10_000))
+        for u, spans in ivs.items():
+            tot, cur_s, cur_e = 0, None, None
+            for a, b in sorted(spans):
+                if b <= a:
+                    continue
+                if cur_e is None or a > cur_e:
+                    if cur_e is not None:
+                        tot += cur_e - cur_s
+                    cur_s, cur_e = a, b
+                else:
+                    cur_e = max(cur_e, b)
+            if cur_e is not None:
+                tot += cur_e - cur_s
+            assert out[u] == tot, u

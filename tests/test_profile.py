@@ -776,3 +776,68 @@ class TestBenfordAudit:
         assert list(out["digit"]) == [1, 5, 9]
         assert list(out["n"]) == [1, 2, 1]
         assert list(out["frac"]) == [0.25, 0.5, 0.25]
+
+
+class TestSkipgramCooccurrence:
+    def test_window_and_occurrence_counts(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.textstats import skipgram_cooccurrence
+
+        df = pd.DataFrame(
+            {
+                "text": [
+                    "a b a b",   # d1: ab ba ab ; d2: aa bb
+                    "a b",       # d1: ab
+                    None,
+                    "",
+                    "solo",
+                ]
+            }
+        )
+        out = (
+            skipgram_cooccurrence(
+                rd.from_pandas([p for p in np.array_split(df, 2)]),
+                EngineConfig(num_buckets=4), window=2, min_count=1,
+            )
+            .to_pandas()
+            .sort_values(["token_a", "token_b"])
+            .reset_index(drop=True)
+        )
+        got = {(r.token_a, r.token_b): r.n for r in out.itertuples()}
+        # ordered pairs, every occurrence counted, window=2
+        assert got == {
+            ("a", "b"): 3, ("b", "a"): 1, ("a", "a"): 1, ("b", "b"): 1,
+        }
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.functions.tokenizer import tokenize_many
+        from deepblocker_ray.stages.textstats import skipgram_cooccurrence
+
+        rng = np.random.RandomState(7)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = [
+            " ".join(rng.choice(vocab, rng.randint(0, 9)))
+            for _ in range(120)
+        ]
+        out = (
+            skipgram_cooccurrence(
+                rd.from_pandas(pd.DataFrame({"text": docs})),
+                EngineConfig(num_buckets=4), window=3, min_count=2,
+            )
+            .to_pandas()
+        )
+        got = {(r.token_a, r.token_b): r.n for r in out.itertuples()}
+        from collections import Counter
+
+        cnt = Counter()
+        for tks in tokenize_many(docs):
+            for i, a in enumerate(tks):
+                for b in tks[i + 1 : i + 4]:
+                    cnt[(a, b)] += 1
+        want = {k: v for k, v in cnt.items() if v >= 2}
+        assert got == want
