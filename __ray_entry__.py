@@ -2678,6 +2678,35 @@ def q_interval_coverage(sf_dir: str):
     )
 
 
+def q_rank_tests(sf_dir: str):
+    """Exact tie-corrected Mann-Whitney U + KS distance between the two
+    user-parity variants, as integer sufficient statistics (one row)."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.events import rank_tests
+
+    return rank_tests(
+        rd.read_parquet(f"{sf_dir}/events.parquet"), _cfg()
+    )
+
+
+def q_gini(sf_dir: str):
+    """Exact per-priority Gini coefficient of order value as integer
+    sufficient statistics (n, sum_cents, gini_num)."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import gini_by_group
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return gini_by_group(
+        orders, _cfg(), group_col="o_orderpriority",
+        value_col="o_totalprice",
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2862,6 +2891,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_dups": q_cross_source_dups,
         "skipgram": q_skipgram,
         "interval_coverage": q_interval_coverage,
+        "rank_tests": q_rank_tests,
+        "gini": q_gini,
     }
 
 
@@ -3348,6 +3379,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT token_a, token_b, CAST(count(*) AS BIGINT) AS n
             FROM p GROUP BY 1, 2 HAVING count(*) >= 5
+        """,
+        "rank_tests": """
+            WITH b AS (
+                SELECT CAST(user_id % 2 AS BIGINT) AS variant,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), h AS (
+                SELECT cents,
+                       CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS a,
+                       CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b
+                FROM b GROUP BY cents
+            ), s AS (
+                SELECT a, b, a + b AS t,
+                       COALESCE(sum(a + b) OVER (ORDER BY cents
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS p,
+                       sum(a) OVER (ORDER BY cents) AS ca,
+                       sum(b) OVER (ORDER BY cents) AS cb
+                FROM h
+            ), tot AS (
+                SELECT CAST(sum(a) AS BIGINT) AS na,
+                       CAST(sum(b) AS BIGINT) AS nb FROM h
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   CAST(sum(a * (2*p + t + 1)) - na*(na+1) AS BIGINT)
+                       AS u2_a,
+                   CAST(sum(b * (2*p + t + 1)) - nb*(nb+1) AS BIGINT)
+                       AS u2_b,
+                   CAST(sum(t*t*t - t) AS BIGINT) AS tie_cubes,
+                   CAST(max(abs(nb*ca - na*cb)) AS BIGINT) AS d_num
+            FROM s, tot GROUP BY na, nb
+        """,
+        "gini": """
+            WITH v AS (
+                SELECT o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                FROM orders
+            ), r AS (
+                SELECT o_orderpriority, c,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY c) AS i,
+                       count(*) OVER (PARTITION BY o_orderpriority) AS n
+                FROM v
+            )
+            SELECT o_orderpriority,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS sum_cents,
+                   CAST(sum((2*i - n - 1) * c) AS BIGINT) AS gini_num
+            FROM r GROUP BY o_orderpriority
         """,
         "interval_coverage": """
             WITH b AS (

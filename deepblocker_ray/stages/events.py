@@ -2353,3 +2353,84 @@ def interval_coverage(ds, cfg: EngineConfig | None = None):
     return skinny.groupby("_bucket").map_groups(
         per_bucket, batch_format="pandas"
     )
+
+
+def rank_tests(ds, cfg: EngineConfig | None = None):
+    """Exact tie-corrected two-sample rank statistics between the two
+    deterministic variants (variant = user_id % 2; one observation per
+    EVENT, value in integer cents): Mann-Whitney U and the
+    Kolmogorov-Smirnov distance, emitted as INTEGER sufficient statistics
+    so the result is bit-reproducible — ONE row
+
+        (n_a, n_b, u2_a, u2_b, tie_cubes, d_num)  all int64
+
+    where u2_x = 2·U_x (doubled so tie midranks stay integral), tie_cubes
+    = Σ(t³−t) over tie groups (the variance correction term), and the KS
+    distance is the exact rational d_num / (n_a·n_b) (cross-multiplied so
+    no division happens). Consumers finish z / D with two float ops.
+
+    Scale shape: per batch ONE value-histogram partial (variant, cents,
+    cnt) — partial size is bounded by DISTINCT cents, not rows; a
+    hash(cents) bucketed exchange combines duplicates; the combined
+    histogram (≤ one row per distinct price point, independent of corpus
+    size) meets in a single final task that sorts it and applies the
+    closed forms: a tie block of t = a+b rows after P predecessors holds
+    ranks P+1..P+t, so Σ 2·midrank over the block's a-side = a·(2P+t+1)
+    and Σ over a rank block of (2i−n−1) collapses likewise."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        user = np.asarray(t.column("user_id"), np.int64)
+        c = _cents(np.asarray(t.column("value")))
+        df = (
+            pd.DataFrame({"variant": user % 2, "cents": c})
+            .groupby(["variant", "cents"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        df["_bucket"] = _user_bucket(df["cents"].to_numpy(np.int64), nb)
+        return df
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["variant", "cents"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+
+    def finish(df: pd.DataFrame) -> pa.Table:
+        cols = ["n_a", "n_b", "u2_a", "u2_b", "tie_cubes", "d_num"]
+        if len(df) == 0:
+            return pa.table({k: pa.array([], pa.int64()) for k in cols})
+        h = (
+            df.pivot_table(
+                index="cents", columns="variant", values="cnt",
+                aggfunc="sum", fill_value=0,
+            )
+            .reindex(columns=[0, 1], fill_value=0)
+            .sort_index()
+        )
+        a = h[0].to_numpy(np.int64)
+        b = h[1].to_numpy(np.int64)
+        t = a + b
+        p = np.concatenate(([np.int64(0)], np.cumsum(t)[:-1]))
+        na, nb_ = int(a.sum()), int(b.sum())
+        r2 = 2 * p + t + 1
+        u2_a = int((a * r2).sum()) - na * (na + 1)
+        u2_b = int((b * r2).sum()) - nb_ * (nb_ + 1)
+        tie_cubes = int((t * t * t - t).sum())
+        d_num = int(np.abs(nb_ * np.cumsum(a) - na * np.cumsum(b)).max())
+        vals = [na, nb_, u2_a, u2_b, tie_cubes, d_num]
+        return pa.table(
+            {k: pa.array([v], pa.int64()) for k, v in zip(cols, vals)}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+        .repartition(1)
+        .map_batches(finish, batch_format="pandas")
+    )

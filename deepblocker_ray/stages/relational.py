@@ -1643,3 +1643,61 @@ def forecast_revenue(
             }
         )
     )
+
+
+def gini_by_group(ds, cfg: EngineConfig, *, group_col: str,
+                  value_col: str):
+    """Exact per-group Gini inequality coefficient over a money column,
+    emitted as INTEGER sufficient statistics: (group, n, sum_cents,
+    gini_num) with gini_num = Σᵢ (2i − n − 1)·x₍ᵢ₎ over the group's values
+    sorted ascending (1-based i) — Gini = gini_num / (n · sum_cents), a
+    single float division left to the consumer so the row hashes exactly.
+    The numerator is invariant under permutations of tied values, so no
+    tie-break rule is needed.
+
+    Scale shape: per batch ONE value-histogram partial (group, cents,
+    cnt) — bounded by distinct price points, not rows; Ray's groupby
+    co-locates each group's combined histogram, where prefix counts give
+    the closed form per distinct value v with count c after P
+    predecessors: Σ over its rank block of (2i − n − 1) = c·(2P + c − n),
+    so gini_num = Σ_v v·c·(2P + c − n). Per-group state is histogram-
+    bounded; group count is small by construction (a reporting dimension).
+    """
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = np.rint(
+            np.asarray(t.column(value_col), np.float64) * 100.0
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"g": t.column(group_col).to_pandas(), "cents": cents}
+            )
+            .groupby(["g", "cents"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        h = (
+            g.groupby("cents", sort=False)["cnt"].sum().sort_index()
+        )
+        v = h.index.to_numpy(np.int64)
+        c = h.to_numpy(np.int64)
+        n = int(c.sum())
+        p = np.concatenate(([np.int64(0)], np.cumsum(c)[:-1]))
+        gini_num = int((v * c * (2 * p + c - n)).sum())
+        return pa.table(
+            {
+                group_col: pa.array([g["g"].iloc[0]], pa.string()),
+                "n": pa.array([n], pa.int64()),
+                "sum_cents": pa.array([int((v * c).sum())], pa.int64()),
+                "gini_num": pa.array([gini_num], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(finish, batch_format="pandas")
+    )

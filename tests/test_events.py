@@ -1805,3 +1805,68 @@ class TestIntervalCoverage:
             if cur_e is not None:
                 tot += cur_e - cur_s
             assert out[u] == tot, u
+
+
+class TestRankTests:
+    def _ds(self, users, values):
+        import ray.data as rd
+
+        df = pd.DataFrame(
+            {
+                "user_id": np.asarray(users, np.int64),
+                "value": np.asarray(values, np.float64),
+            }
+        )
+        df["event_id"] = np.arange(len(df), dtype=np.int64)
+        df["event_type"] = "x"
+        df["ts"] = pd.Timestamp("2026-01-01")
+        df["props"] = "{}"
+        return rd.from_pandas(df)
+
+    def test_matches_brute_force(self, ray_session):
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import rank_tests
+
+        rng = np.random.RandomState(3)
+        users = rng.randint(0, 40, 500)
+        values = np.round(rng.uniform(0, 3, 500), 2)  # heavy ties
+        out = rank_tests(
+            self._ds(users, values), EngineConfig(num_buckets=4)
+        ).to_pandas()
+        assert len(out) == 1
+        r = out.iloc[0]
+        cents = np.rint(values * 100).astype(np.int64)
+        a = cents[users % 2 == 0]
+        b = cents[users % 2 == 1]
+        # brute force: doubled U from pairwise comparisons
+        gt = (a[:, None] > b[None, :]).sum()
+        eq = (a[:, None] == b[None, :]).sum()
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert r["u2_a"] == 2 * gt + eq
+        assert r["u2_b"] == 2 * (len(a) * len(b) - gt - eq) + eq
+        # tie term
+        _, t = np.unique(cents, return_counts=True)
+        assert r["tie_cubes"] == int((t**3 - t).sum())
+        # KS distance cross-multiplied
+        vals = np.unique(cents)
+        ca = np.array([(a <= v).sum() for v in vals])
+        cb = np.array([(b <= v).sum() for v in vals])
+        assert r["d_num"] == np.abs(len(b) * ca - len(a) * cb).max()
+
+    def test_empty_and_one_sided(self, ray_session):
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import rank_tests
+
+        out = rank_tests(
+            self._ds([], []), EngineConfig(num_buckets=4)
+        ).to_pandas()
+        assert len(out) == 0
+        # all users even -> variant b empty
+        out = rank_tests(
+            self._ds([2, 4, 6], [1.0, 2.0, 3.0]),
+            EngineConfig(num_buckets=4),
+        ).to_pandas()
+        r = out.iloc[0]
+        assert (r["n_a"], r["n_b"], r["u2_a"], r["u2_b"], r["d_num"]) == (
+            3, 0, 0, 0, 0,
+        )

@@ -841,3 +841,43 @@ class TestSkipgramCooccurrence:
                     cnt[(a, b)] += 1
         want = {k: v for k, v in cnt.items() if v >= 2}
         assert got == want
+
+
+class TestGiniByGroup:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import gini_by_group
+
+        rng = np.random.RandomState(9)
+        g = rng.choice(["x", "y", "z"], 400)
+        v = np.round(rng.lognormal(3, 1, 400), 2)
+        df = pd.DataFrame({"grp": g, "price": v})
+        out = (
+            gini_by_group(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=4),
+                group_col="grp", value_col="price",
+            )
+            .to_pandas()
+            .set_index("grp")
+        )
+        for grp in ["x", "y", "z"]:
+            cents = np.sort(
+                np.rint(v[g == grp] * 100).astype(np.int64)
+            )
+            n = len(cents)
+            i = np.arange(1, n + 1, dtype=np.int64)
+            num = int(((2 * i - n - 1) * cents).sum())
+            r = out.loc[grp]
+            assert r["n"] == n
+            assert r["sum_cents"] == cents.sum()
+            assert r["gini_num"] == num
+            # sanity: Gini of a constant column is 0
+        const = pd.DataFrame({"grp": ["c"] * 10, "price": [5.0] * 10})
+        out2 = gini_by_group(
+            rd.from_pandas(const), EngineConfig(num_buckets=4),
+            group_col="grp", value_col="price",
+        ).to_pandas()
+        assert out2["gini_num"].iloc[0] == 0
