@@ -2707,6 +2707,52 @@ def q_gini(sf_dir: str):
     )
 
 
+def q_hits(sf_dir: str):
+    """Integer-exact HITS (2 iterations, no normalization — identical
+    ranking, exact int64 values) over the directed k=5 exact-cosine kNN
+    graph of the embeddings table."""
+    import pyarrow as _pa
+
+    from deepblocker_ray.stages.annsearch import knn
+    from deepblocker_ray.stages.cluster import hits
+
+    edges = knn(
+        _embeddings(sf_dir), n_queries=1_000_000_000, k=5, cfg=_cfg(),
+        mode="exact",
+    ).map_batches(
+        lambda t: _pa.table(
+            {"src": t.column("query_id"), "dst": t.column("neighbor_id")}
+        ),
+        batch_format="pyarrow",
+    )
+    return hits(edges, _cfg(), iters=2)
+
+
+def q_mad(sf_dir: str):
+    """Exact per-priority robust dispersion of order value: doubled
+    median and quadrupled MAD as integers (n, med2, mad4)."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import dispersion_by_group
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return dispersion_by_group(
+        orders, _cfg(), group_col="o_orderpriority",
+        value_col="o_totalprice",
+    )
+
+
+def q_surprisal(sf_dir: str):
+    """Integer-bits unigram surprisal per document: bits =
+    Σ_tokens (⌊log₂ N⌋ − ⌊log₂ c(tok)⌋) with corpus-global counts."""
+    from deepblocker_ray.stages.textstats import surprisal
+
+    return surprisal(_documents(sf_dir), _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2893,6 +2939,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": q_interval_coverage,
         "rank_tests": q_rank_tests,
         "gini": q_gini,
+        "hits": q_hits,
+        "mad": q_mad,
+        "surprisal": q_surprisal,
     }
 
 
@@ -3452,6 +3501,113 @@ def oracle_sql() -> dict[str, str]:
                         WHEN pm < e THEN e - pm
                         ELSE 0 END) AS BIGINT) AS covered_us
             FROM r GROUP BY user_id
+        """,
+        # integer-exact HITS, 2 rounds, NO normalization (stages/cluster.py:
+        # hits): hub0=1; auth(v)=Σ_{{u→v}}hub(u); hub(v)=Σ_{{v→u}}auth(v)
+        "hits": """
+            WITH sims AS (
+                SELECT CAST(q.vec_id AS VARCHAR) AS src,
+                       CAST(x.vec_id AS VARCHAR) AS dst,
+                       list_cosine_similarity(q.embedding, x.embedding) AS cos
+                FROM embeddings q, embeddings x
+                WHERE x.vec_id <> q.vec_id
+            ), edges AS (
+                SELECT src, dst FROM (
+                    SELECT src, dst, row_number() OVER (
+                        PARTITION BY src ORDER BY cos DESC, dst) AS r
+                    FROM sims)
+                WHERE r <= 5
+            ), nodes AS (
+                SELECT DISTINCT src AS id FROM edges
+            ), a1 AS (
+                SELECT n.id, CAST(COALESCE(s.c, 0) AS BIGINT) AS a
+                FROM nodes n LEFT JOIN (
+                    SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst
+                ) s ON s.id = n.id
+            ), h1 AS (
+                SELECT n.id, CAST(COALESCE(s.c, 0) AS BIGINT) AS h
+                FROM nodes n LEFT JOIN (
+                    SELECT e.src AS id, SUM(p.a) AS c
+                    FROM edges e JOIN a1 p ON p.id = e.dst GROUP BY e.src
+                ) s ON s.id = n.id
+            ), a2 AS (
+                SELECT n.id, CAST(COALESCE(s.c, 0) AS BIGINT) AS a
+                FROM nodes n LEFT JOIN (
+                    SELECT e.dst AS id, SUM(p.h) AS c
+                    FROM edges e JOIN h1 p ON p.id = e.src GROUP BY e.dst
+                ) s ON s.id = n.id
+            ), h2 AS (
+                SELECT n.id, CAST(COALESCE(s.c, 0) AS BIGINT) AS h
+                FROM nodes n LEFT JOIN (
+                    SELECT e.src AS id, SUM(p.a) AS c
+                    FROM edges e JOIN a2 p ON p.id = e.dst GROUP BY e.src
+                ) s ON s.id = n.id
+            )
+            SELECT n.id AS vec_id, h2.h AS hub, a2.a AS auth
+            FROM nodes n
+            JOIN h2 ON h2.id = n.id
+            JOIN a2 ON a2.id = n.id
+        """,
+        # doubled median / quadrupled MAD: med2 = c[(n+1)//2] + c[(n+2)//2]
+        # (1-based order statistics; odd n → 2·middle) applied twice —
+        # exactly stages/relational.py:dispersion_by_group's integer rule
+        "mad": """
+            WITH v AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                FROM orders
+            ), r AS (
+                SELECT g, c,
+                       row_number() OVER (PARTITION BY g ORDER BY c) AS i,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM v
+            ), med AS (
+                SELECT g, CAST(max(n) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN i = (n+1)//2 THEN c ELSE 0 END)
+                          + sum(CASE WHEN i = (n+2)//2 THEN c ELSE 0 END)
+                          AS BIGINT) AS med2
+                FROM r GROUP BY g
+            ), d AS (
+                SELECT v.g, abs(2*v.c - m.med2) AS dc
+                FROM v JOIN med m ON m.g = v.g
+            ), dr AS (
+                SELECT g, dc,
+                       row_number() OVER (PARTITION BY g ORDER BY dc) AS i,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM d
+            ), madt AS (
+                SELECT g,
+                       CAST(sum(CASE WHEN i = (n+1)//2 THEN dc ELSE 0 END)
+                          + sum(CASE WHEN i = (n+2)//2 THEN dc ELSE 0 END)
+                          AS BIGINT) AS mad4
+                FROM dr GROUP BY g
+            )
+            SELECT m.g AS o_orderpriority, m.n, m.med2, t.mad4
+            FROM med m JOIN madt t ON t.g = m.g
+        """,
+        # integer-bits unigram surprisal (stages/textstats.py:surprisal):
+        # ⌊log₂ c⌋ via binary-digit count; every token is in-corpus (no OOV)
+        "surprisal": f"""
+            WITH t AS (SELECT doc_id, {tokens} AS tk FROM documents),
+            e AS (
+                SELECT doc_id, unnest(tk) AS tok FROM t WHERE len(tk) > 0
+            ), f AS (
+                SELECT tok, count(*) AS c FROM e GROUP BY tok
+            ), tot AS (
+                SELECT length(printf('%b',
+                           greatest(CAST(sum(c) AS BIGINT), 1))) - 1 AS lg_n
+                FROM f
+            ), per_doc AS (
+                SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(length(printf('%b', f.c)) - 1) AS BIGINT)
+                           AS lgsum
+                FROM e JOIN f ON f.tok = e.tok GROUP BY e.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   CAST(COALESCE(p.n_tokens, 0) * (SELECT lg_n FROM tot)
+                        - COALESCE(p.lgsum, 0) AS BIGINT) AS bits
+            FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
         """,
         "bfs_hops": f"""
             WITH RECURSIVE docs AS (

@@ -1460,3 +1460,167 @@ def bfs_hops(edges, seeds, cfg=None, *, max_hops: int = 6):
         )
 
     return labels.map_batches(out, batch_format="pandas")
+
+
+def hits(edges, cfg=None, *, iters: int = 2, id_col: str = "vec_id"):
+    """Integer-exact HITS hub/authority scores over a directed edge list
+    (src:string, dst:string), fixed iteration count, NO normalization:
+    hub₀(v) = 1; authₜ(v) = Σ_{u→v} hubₜ₋₁(u); hubₜ(v) = Σ_{v→u} authₜ(u).
+    Skipping the usual L2 normalization keeps every value an exact int64
+    (the RANKING it induces is identical — normalization is a positive
+    scalar per round), so the output is bit-reproducible and SQL-twinnable
+    as ``iters`` rounds of plain join-aggregate. Node set = distinct srcs;
+    the caller must ensure every dst also appears as a src (true for kNN
+    graphs — each node emits k edges). Overflow: scores grow ≤ ×(k·Δin)
+    per half-step; (k·Δin)^iters must stay < 2⁶³ (k=5, Δin ≤ 10⁴ allows
+    iters=2 up to ~10⁹ nodes). Output (id_col, hub:int64, auth:int64).
+
+    Scale shape: two bucketed exchanges per half-step (edges meet scores
+    on hash(join endpoint), partials meet the node markers on hash(dst)) —
+    the same small-int bucket pattern as ``pagerank``; the edge list is
+    tagged once per orientation and re-read from its materialized,
+    data-sized-block form every round. No driver-side state."""
+    from ..config import EngineConfig
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def orient(frm: str, to: str):
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df[frm].astype(str)
+            return pd.DataFrame(
+                {
+                    "id": ids.to_numpy(object),
+                    "other": df[to].astype(str).to_numpy(object),
+                    "s": np.zeros(len(df), np.int64),
+                    "_is_rank": np.zeros(len(df), np.int8),
+                    "_bucket": bucket_of(ids, nb),
+                }
+            )
+
+        return edges.map_batches(tag, batch_format="pandas")
+
+    ed_src = orient("src", "dst").materialize()
+    n_edges = ed_src.count()
+    eblocks = max(1, -(-n_edges // 2_000_000))
+    ed_src = ed_src.repartition(eblocks).materialize()
+    ed_dst = orient("dst", "src").repartition(eblocks).materialize()
+
+    # node set = distinct srcs (one bucketed dedup exchange)
+    def node_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[df["_is_rank"] == 0]["id"].drop_duplicates()
+        return pd.DataFrame({"id": u.to_numpy(object),
+                             "_bucket": bucket_of(u, nb)})
+
+    def node_combine(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["id"].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "id": u.to_numpy(object),
+                "other": np.full(len(u), "", object),
+                "s": np.zeros(len(u), np.int64),
+                "_is_rank": np.ones(len(u), np.int8),
+                "_bucket": bucket_of(u, nb),
+            }
+        )
+
+    zero_nodes = (
+        ed_src.map_batches(node_partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(node_combine, batch_format="pandas")
+        .materialize()
+    )
+
+    def _with_score(nodes_ds, value: int):
+        def setv(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out["s"] = np.full(len(df), value, np.int64)
+            return out
+
+        return nodes_ds.map_batches(setv, batch_format="pandas")
+
+    def spread(g: pd.DataFrame) -> pd.DataFrame:
+        sc = g[g["_is_rank"] == 1][["id", "s"]]
+        e = g[g["_is_rank"] == 0][["id", "other"]]
+        if len(e) == 0 or len(sc) == 0:
+            return pd.DataFrame(
+                {"id": pd.Series(dtype=object),
+                 "other": pd.Series(dtype=object),
+                 "s": pd.Series(dtype=np.int64),
+                 "_is_rank": pd.Series(dtype=np.int8),
+                 "_bucket": pd.Series(dtype=np.int32)}
+            )
+        m = e.merge(sc, on="id")
+        p = m.groupby("other", sort=False)["s"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "id": p["other"].to_numpy(object),
+                "other": np.full(len(p), "", object),
+                "s": p["s"].to_numpy(np.int64),
+                "_is_rank": np.zeros(len(p), np.int8),
+                "_bucket": bucket_of(p["other"], nb),
+            }
+        )
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("id", sort=False)["s"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "id": c["id"].to_numpy(object),
+                "other": np.full(len(c), "", object),
+                "s": c["s"].to_numpy(np.int64),
+                "_is_rank": np.ones(len(c), np.int8),
+                "_bucket": bucket_of(c["id"], nb),
+            }
+        )
+
+    def _push(scores, ed_oriented):
+        stage1 = (
+            ed_oriented.union(scores)
+            .groupby("_bucket")
+            .map_groups(spread, batch_format="pandas")
+        )
+        return (
+            stage1.union(zero_nodes)
+            .groupby("_bucket")
+            .map_groups(collect, batch_format="pandas")
+            .materialize()
+        )
+
+    hub = _with_score(zero_nodes, 1).materialize()
+    auth = zero_nodes
+    for _ in range(iters):
+        auth = _push(hub, ed_src)   # auth(v) = Σ_{u→v} hub(u)
+        hub = _push(auth, ed_dst)   # hub(v)  = Σ_{v→u} auth(u)
+
+    def tag_kind(kind: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["id", "s", "_bucket"]].copy()
+            out["_kind"] = np.full(len(df), kind, np.int8)
+            return out
+
+        return f
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        p = (
+            g.pivot_table(index="id", columns="_kind", values="s",
+                          aggfunc="sum", fill_value=0)
+            .reindex(columns=[0, 1], fill_value=0)
+            .reset_index()
+        )
+        return pa.table(
+            {
+                id_col: pa.array(p["id"].astype(str).to_numpy(object),
+                                 pa.string()),
+                "hub": pa.array(p[1].to_numpy(np.int64)),
+                "auth": pa.array(p[0].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        auth.map_batches(tag_kind(0), batch_format="pandas")
+        .union(hub.map_batches(tag_kind(1), batch_format="pandas"))
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -1701,3 +1701,76 @@ def gini_by_group(ds, cfg: EngineConfig, *, group_col: str,
         .groupby("g")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def dispersion_by_group(ds, cfg: EngineConfig, *, group_col: str,
+                        value_col: str):
+    """Exact per-group robust dispersion: doubled median and quadrupled
+    median-absolute-deviation, kept INTEGER so the row hashes exactly —
+    (group, n:int64, med2:int64, mad4:int64) with
+
+        med2 = 2·median(cents)            (odd n: 2·middle;
+                                           even n: lower + upper middle)
+        mad4 = 2·median(|2·cents − med2|) (same rule on the deviations)
+
+    so median = med2/2 and MAD = mad4/4, each one float division left to
+    the consumer. The doubling makes the even-n interpolated median an
+    integer (x+y instead of (x+y)/2), matching DuckDB's ``2*median()`` /
+    interpolated quantile exactly while staying order-independent.
+
+    Scale shape: the same value-histogram partials as ``gini_by_group``
+    (bounded by distinct price points, not rows); per group both medians
+    come from searchsorted on the histogram's cumulative counts — the
+    deviation pass reuses the histogram (|2v − med2| with the same
+    counts), so no second exchange."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = np.rint(
+            np.asarray(t.column(value_col), np.float64) * 100.0
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"g": t.column(group_col).to_pandas(), "cents": cents}
+            )
+            .groupby(["g", "cents"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+
+    def med2_of(v: np.ndarray, c: np.ndarray) -> int:
+        """2·median of a sorted value histogram (v ascending, counts c)."""
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        if n % 2 == 1:
+            return 2 * int(v[np.searchsorted(cum, (n + 1) // 2)])
+        lo = int(v[np.searchsorted(cum, n // 2)])
+        hi = int(v[np.searchsorted(cum, n // 2 + 1)])
+        return lo + hi
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        h = g.groupby("cents", sort=False)["cnt"].sum().sort_index()
+        v = h.index.to_numpy(np.int64)
+        c = h.to_numpy(np.int64)
+        n = int(c.sum())
+        med2 = med2_of(v, c)
+        dev = pd.Series(c, index=np.abs(2 * v - med2)).groupby(
+            level=0
+        ).sum().sort_index()
+        mad4 = med2_of(
+            dev.index.to_numpy(np.int64), dev.to_numpy(np.int64)
+        )
+        return pa.table(
+            {
+                group_col: pa.array([g["g"].iloc[0]], pa.string()),
+                "n": pa.array([n], pa.int64()),
+                "med2": pa.array([med2], pa.int64()),
+                "mad4": pa.array([mad4], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(finish, batch_format="pandas")
+    )

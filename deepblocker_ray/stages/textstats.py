@@ -1239,3 +1239,88 @@ def skipgram_cooccurrence(
         .groupby("_bucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def surprisal(ds, cfg, *, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """Integer-bits unigram surprisal score per document — the coarse
+    LM-quality filter: bits = Σ_tokens (⌊log₂ N⌋ − ⌊log₂ c(token)⌋) where
+    c is the corpus-global token count and N the corpus token total.
+    Rare-token-heavy documents score high (gibberish / OCR noise), and
+    keeping the per-token surprisal an exact INTEGER bit count (⌊log₂⌋
+    of an int64 via exponent extraction, never float ln) makes the sum
+    order-independent and bit-reproducible in the SQL twin
+    (``length(printf('%b', c)) - 1``). Exact while counts < 2⁵³ (beyond
+    that the int→float conversion inside frexp rounds). Emits
+    (id_col, n_tokens:int64, bits:int64); empty/null docs score (0, 0).
+
+    Scale shape: ONE frequency exchange (vocabulary-bounded partial
+    counts, the ``token_frequencies`` kernel) builds the count table; it
+    ships to workers as sorted-hash plasma blocks (HashedWeightsHandle —
+    O(1) driver memory, zero-copy per process) with weight = ⌊log₂ c⌋;
+    the corpus then streams shuffle-free, each batch scoring its docs via
+    one vectorized hash-probe + reduceat."""
+    import ray
+
+    from ..functions.tokenizer import tokenize_many
+    from ..state.lookup import HashedWeightsHandle, hash_tokens_2x
+    from .embed import token_frequencies
+
+    def ilog2(c: np.ndarray) -> np.ndarray:
+        return (np.frexp(c.astype(np.float64))[1] - 1).astype(np.int64)
+
+    def to_hashed(t: pa.Table) -> pa.Table:
+        toks = np.asarray(t.column("token").to_pylist(), dtype=object)
+        h1, h2 = hash_tokens_2x(toks)
+        c = np.asarray(t.column("count"), np.int64)
+        return pa.table(
+            {
+                "_h1": pa.array(h1),
+                "_h2": pa.array(h2),
+                "_w": pa.array(ilog2(c).astype(np.float64)),
+            }
+        )
+
+    freq = token_frequencies(ds, text_col, cfg).materialize()
+    from ray.data.aggregate import Sum
+
+    agg = freq.aggregate(Sum("count"))
+    total = int(agg["sum(count)"] or 0) if agg else 0
+    lg_n = int(ilog2(np.array([max(total, 1)], np.int64))[0])
+    hashed = freq.map_batches(to_hashed, batch_format="pyarrow").materialize()
+    handle = HashedWeightsHandle(
+        hashed.to_arrow_refs() if hashed.count() > 0 else []
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        w = handle.resolve()
+        toks = tokenize_many(t.column(text_col).to_pylist())
+        counts = np.fromiter(
+            (len(x) for x in toks), np.int64, len(toks)
+        )
+        total_toks = int(counts.sum())
+        if total_toks == 0:
+            lg_sum = np.zeros(len(toks), np.int64)
+        else:
+            flat = np.empty(total_toks, object)
+            pos = 0
+            for x in toks:
+                flat[pos : pos + len(x)] = x
+                pos += len(x)
+            # every token was counted in this same corpus: no OOV
+            lg = w.get_many(flat).astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            lg_sum = np.zeros(len(toks), np.int64)
+            nz = counts > 0
+            lg_sum[nz] = np.add.reduceat(lg, offs[nz])
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_tokens": pa.array(counts),
+                "bits": pa.array(counts * lg_n - lg_sum),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow")
+    out._surprisal_pin = (hashed, handle)  # pin plasma blocks
+    return out

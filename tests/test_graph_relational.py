@@ -752,3 +752,64 @@ class TestBfsHops:
         out = bfs_hops(pairs, ["0", "5"], _ACFG, max_hops=1).to_pandas()
         got = dict(zip(out["id"], out["hop"]))
         assert got == {"0": 0, "5": 0, "1": 1, "4": 1}
+
+
+class TestHits:
+    def _edges(self, pairs):
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "src": [str(a) for a, _ in pairs],
+                    "dst": [str(b) for _, b in pairs],
+                }
+            )
+        )
+
+    def test_matches_numpy_power_steps(self, ray_session):
+        from deepblocker_ray.stages.cluster import hits
+
+        rng = np.random.RandomState(11)
+        n = 12
+        # every node emits 3 edges (kNN-graph shape: all dsts are srcs)
+        pairs = []
+        for u in range(n):
+            for v in rng.choice(
+                [x for x in range(n) if x != u], 3, replace=False
+            ):
+                pairs.append((u, int(v)))
+        A = np.zeros((n, n), np.int64)
+        for u, v in pairs:
+            A[u, v] = 1
+        hub = np.ones(n, np.int64)
+        for _ in range(2):
+            auth = A.T @ hub
+            hub = A @ auth
+        out = (
+            hits(self._edges(pairs), _ACFG, iters=2, id_col="vec_id")
+            .to_pandas()
+            .sort_values("vec_id", key=lambda s: s.astype(int))
+            .reset_index(drop=True)
+        )
+        assert list(out.columns) == ["vec_id", "hub", "auth"]
+        np.testing.assert_array_equal(out["hub"].to_numpy(np.int64), hub)
+        np.testing.assert_array_equal(out["auth"].to_numpy(np.int64), auth)
+
+    def test_star_graph_hand_values(self, ray_session):
+        from deepblocker_ray.stages.cluster import hits
+
+        # 1,2,3 -> 0 and 0 -> 1 (so 0 is a src too).
+        # auth1 = in-deg = [1,3,0,0]... wait hand-compute:
+        # auth1(0)=3, auth1(1)=1; hub1(0)=auth1(1)=1, hub1(k)=auth1(0)=3
+        # auth2(0)=hub1(1)+hub1(2)+hub1(3)=9, auth2(1)=hub1(0)=1
+        # hub2(0)=auth2(1)=1, hub2(k)=auth2(0)=9
+        pairs = [(1, 0), (2, 0), (3, 0), (0, 1)]
+        out = hits(self._edges(pairs), _ACFG, iters=2).to_pandas()
+        got = {
+            r["vec_id"]: (r["hub"], r["auth"]) for _, r in out.iterrows()
+        }
+        assert got == {
+            "0": (1, 9),
+            "1": (9, 1),
+            "2": (9, 0),
+            "3": (9, 0),
+        }

@@ -881,3 +881,116 @@ class TestGiniByGroup:
             group_col="grp", value_col="price",
         ).to_pandas()
         assert out2["gini_num"].iloc[0] == 0
+
+
+class TestDispersionByGroup:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import dispersion_by_group
+
+        rng = np.random.RandomState(17)
+        # odd- and even-sized groups, with duplicated values
+        g = np.array(["x"] * 151 + ["y"] * 150 + ["z"] * 7)
+        v = np.round(rng.lognormal(3, 1, len(g)), 2)
+        v[g == "z"] = [1.0, 1.0, 2.0, 3.0, 3.0, 3.0, 9.0]
+        df = pd.DataFrame({"grp": g, "price": v})
+        out = (
+            dispersion_by_group(
+                rd.from_pandas([p for p in np.array_split(df, 4)]),
+                EngineConfig(num_buckets=4),
+                group_col="grp", value_col="price",
+            )
+            .to_pandas()
+            .set_index("grp")
+        )
+
+        def med2(c):
+            c = np.sort(c)
+            n = len(c)
+            if n % 2 == 1:
+                return 2 * int(c[(n - 1) // 2])
+            return int(c[n // 2 - 1]) + int(c[n // 2])
+
+        for grp in ["x", "y", "z"]:
+            cents = np.rint(v[g == grp] * 100).astype(np.int64)
+            m2 = med2(cents)
+            m4 = med2(np.abs(2 * cents - m2))
+            r = out.loc[grp]
+            assert r["n"] == len(cents)
+            assert r["med2"] == m2
+            assert r["mad4"] == m4
+        # z by hand: cents sorted 100,100,200,300,300,300,900 -> med2=600
+        # |2c-600|: 400,400,200,0,0,0,1200 -> sorted 0,0,0,200,400,400,1200
+        # -> mad4=400
+        assert out.loc["z", "med2"] == 600
+        assert out.loc["z", "mad4"] == 400
+
+    def test_constant_group_zero_mad(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import dispersion_by_group
+
+        df = pd.DataFrame({"grp": ["c"] * 10, "price": [5.0] * 10})
+        out = dispersion_by_group(
+            rd.from_pandas(df), EngineConfig(num_buckets=4),
+            group_col="grp", value_col="price",
+        ).to_pandas()
+        assert out["med2"].iloc[0] == 1000
+        assert out["mad4"].iloc[0] == 0
+
+
+class TestSurprisal:
+    def test_matches_brute_force(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.functions.tokenizer import tokenize_many
+        from deepblocker_ray.stages.textstats import surprisal
+
+        texts = [
+            "the cat sat on the mat",
+            "the dog sat",
+            "a rare ocelot appeared",
+            "",
+            None,
+            "the the the",
+        ]
+        ids = [f"d{i}" for i in range(len(texts))]
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": ids, "text": texts})
+        ).repartition(3)
+        out = (
+            surprisal(ds, EngineConfig(num_buckets=4))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+
+        toks = tokenize_many(texts)
+        from collections import Counter
+
+        cnt = Counter(t for x in toks for t in x)
+        total = sum(cnt.values())
+        lg_n = int(math.log2(total))
+        for i, tk in enumerate(toks):
+            bits = sum(lg_n - int(math.log2(cnt[t])) for t in tk)
+            r = out.loc[f"d{i}"]
+            assert r["n_tokens"] == len(tk)
+            assert r["bits"] == bits
+
+    def test_empty_corpus(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.textstats import surprisal
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": ["a", "b"], "text": [None, ""]})
+        )
+        out = surprisal(ds, EngineConfig(num_buckets=4)).to_pandas()
+        assert (out["n_tokens"] == 0).all()
+        assert (out["bits"] == 0).all()
