@@ -2753,6 +2753,77 @@ def q_surprisal(sf_dir: str):
     return surprisal(_documents(sf_dir), _cfg())
 
 
+def q_rank_fusion(sf_dir: str):
+    """Borda fusion of the exact-cosine and int8-quantized kNN rankings
+    (k=10, missing-from-one-list penalty 10) — integer fused scores, per
+    query top-10."""
+    from deepblocker_ray.stages.annsearch import knn, knn_int8
+    from deepblocker_ray.stages.topk import rank_fusion
+
+    emb = _embeddings(sf_dir)
+    a = knn(emb, n_queries=10, k=10, cfg=_cfg(), mode="exact")
+    b = knn_int8(emb, n_queries=10, k=10, cfg=_cfg())
+    return rank_fusion(a, b, _cfg(), k=10)
+
+
+def q_monge_elkan(sf_dir: str):
+    """Monge-Elkan token-set similarity (quantized-integer JW maxima,
+    both directions) on adjacent-document pairs."""
+    from deepblocker_ray.stages.matching import monge_elkan
+
+    nb = _cfg().num_buckets
+
+    def pair_key(df: pd.DataFrame) -> pd.DataFrame:
+        pair = df["doc_id"] // 2
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "text": df["text"],
+                "_pair": pair,
+                "_bucket": (pair % nb).astype("int32"),
+            }
+        )
+
+    def to_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        evens = g[g["doc_id"] % 2 == 0]
+        odds = g[g["doc_id"] % 2 == 1]
+        m = pd.merge(
+            evens.assign(_pair=evens["doc_id"] // 2),
+            odds.assign(_pair=odds["doc_id"] // 2),
+            on="_pair",
+            suffixes=("_l", "_r"),
+        )
+        return pd.DataFrame(
+            {
+                "left_id": m["doc_id_l"].astype("int64"),
+                "right_id": m["doc_id_r"].astype("int64"),
+                "left_text": m["text_l"].astype(str),
+                "right_text": m["text_r"].astype(str),
+            }
+        )
+
+    pairs = (
+        _documents(sf_dir)
+        .map_batches(pair_key, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(to_pairs, batch_format="pandas")
+    )
+    return monge_elkan(pairs, _cfg())
+
+
+def q_cusum(sf_dir: str):
+    """Exact CUSUM changepoint statistic per event type: max |n·Sᵢ − i·Sₙ|
+    over the (ts, event_id)-ordered cents stream plus its earliest argmax."""
+    from deepblocker_ray.stages.events import cusum_by_type
+
+    return cusum_by_type(
+        _events(
+            sf_dir, columns=["event_id", "ts", "event_type", "value"]
+        ),
+        _cfg(),
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -2942,6 +3013,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "mad": q_mad,
         "surprisal": q_surprisal,
+        "rank_fusion": q_rank_fusion,
+        "monge_elkan": q_monge_elkan,
+        "cusum": q_cusum,
     }
 
 
@@ -3608,6 +3682,153 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(p.n_tokens, 0) * (SELECT lg_n FROM tot)
                         - COALESCE(p.lgsum, 0) AS BIGINT) AS bits
             FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+        """,
+        # Borda fusion of the exact and int8-quantized kNN rankings
+        # (stages/topk.py:rank_fusion): missing-from-a-list rank → 10
+        "rank_fusion": """
+            WITH sims AS (
+                SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
+                       CAST(x.vec_id AS VARCHAR) AS neighbor_id,
+                       list_cosine_similarity(q.embedding, x.embedding) AS cos
+                FROM embeddings q, embeddings x
+                WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id
+            ), ranked_e AS (
+                SELECT query_id, neighbor_id, rank FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) - 1 AS rank
+                    FROM sims)
+                WHERE rank < 10
+            ), q8 AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id, vec_id,
+                       list_transform(embedding, x ->
+                           floor(CAST(x AS DOUBLE) *
+                                 (127.0 / list_aggregate(
+                                      list_transform(embedding,
+                                          y -> abs(CAST(y AS DOUBLE))),
+                                      'max')) + 0.5)) AS qv
+                FROM embeddings
+            ), sims8 AS (
+                SELECT a.id AS query_id, b.id AS neighbor_id,
+                       list_cosine_similarity(a.qv, b.qv) AS cos
+                FROM q8 a, q8 b
+                WHERE a.vec_id < 10 AND b.id <> a.id
+            ), ranked_8 AS (
+                SELECT query_id, neighbor_id, rank FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) - 1 AS rank
+                    FROM sims8)
+                WHERE rank < 10
+            ), fusedt AS (
+                SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+                       COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+                       CAST(COALESCE(a.rank, 10) + COALESCE(b.rank, 10)
+                            AS BIGINT) AS fused
+                FROM ranked_e a
+                FULL OUTER JOIN ranked_8 b
+                  ON b.query_id = a.query_id
+                 AND b.neighbor_id = a.neighbor_id
+            )
+            SELECT query_id, neighbor_id, fused, rank FROM (
+                SELECT query_id, neighbor_id, fused,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY fused, neighbor_id) - 1
+                       AS BIGINT) AS rank
+                FROM fusedt)
+            WHERE rank < 10
+        """,
+        # Monge-Elkan (stages/matching.py:monge_elkan): per direction
+        # Σ_tokens-with-multiplicity max over the OTHER side's distinct
+        # tokens of ⌊jaro_winkler·10⁶⌋ — DuckDB's native JW computes the
+        # identical double (pinned by string_sims), so the floor-quantized
+        # integer maxima/sums agree exactly
+        "monge_elkan": f"""
+            WITH d AS (SELECT doc_id, {tokens} AS tk FROM documents),
+            p AS (
+                SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                       l.tk AS tka, r.tk AS tkb
+                FROM d l JOIN d r
+                  ON r.doc_id = l.doc_id + 1 AND l.doc_id % 2 = 0
+            ), la AS (
+                SELECT left_id, t, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT left_id, unnest(tka) AS t FROM p)
+                GROUP BY left_id, t
+            ), lb AS (
+                SELECT left_id, unnest(list_distinct(tkb)) AS u FROM p
+            ), ra AS (
+                SELECT right_id, u, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT right_id, unnest(tkb) AS u FROM p)
+                GROUP BY right_id, u
+            ), rb AS (
+                SELECT right_id, unnest(list_distinct(tka)) AS t FROM p
+            ), mxa AS (
+                SELECT a.left_id, a.t, a.c,
+                       max(CAST(floor(jaro_winkler_similarity(a.t, b.u)
+                                      * 1000000) AS BIGINT)) AS mq
+                FROM la a JOIN lb b ON b.left_id = a.left_id
+                GROUP BY a.left_id, a.t, a.c
+            ), mxb AS (
+                SELECT a.right_id, a.u, a.c,
+                       max(CAST(floor(jaro_winkler_similarity(a.u, b.t)
+                                      * 1000000) AS BIGINT)) AS mq
+                FROM ra a JOIN rb b ON b.right_id = a.right_id
+                GROUP BY a.right_id, a.u, a.c
+            ), mea AS (
+                SELECT left_id, CAST(sum(c * mq) AS BIGINT) AS me_lr
+                FROM mxa GROUP BY left_id
+            ), meb AS (
+                SELECT right_id, CAST(sum(c * mq) AS BIGINT) AS me_rl
+                FROM mxb GROUP BY right_id
+            )
+            SELECT p.left_id, p.right_id,
+                   CAST(len(p.tka) AS BIGINT) AS n_left,
+                   COALESCE(a.me_lr, 0) AS me_lr,
+                   CAST(len(p.tkb) AS BIGINT) AS n_right,
+                   COALESCE(b.me_rl, 0) AS me_rl
+            FROM p
+            LEFT JOIN mea a ON a.left_id = p.left_id
+            LEFT JOIN meb b ON b.right_id = p.right_id
+        """,
+        # exact CUSUM (stages/events.py:cusum_by_type): dev in HUGEINT,
+        # result cast back to BIGINT (documented bound n·|S| < 2⁶³)
+        "cusum": """
+            WITH b AS (
+                SELECT event_type, event_id, ts,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), e AS (
+                SELECT event_type,
+                       CAST(row_number() OVER w AS HUGEINT) AS i,
+                       CAST(sum(cents) OVER w AS HUGEINT) AS s
+                FROM b
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+            ), tot AS (
+                SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(cents) AS HUGEINT) AS st
+                FROM b GROUP BY event_type
+            ), dv AS (
+                SELECT e.event_type, e.i,
+                       abs(t.n * e.s - e.i * t.st) AS dev
+                FROM e JOIN tot t ON t.event_type = e.event_type
+            ), mx AS (
+                SELECT event_type, max(dev) AS mxd FROM dv
+                GROUP BY event_type
+            )
+            SELECT d.event_type,
+                   CAST(t.n AS BIGINT) AS n,
+                   CAST(t.st AS BIGINT) AS total_cents,
+                   CAST(m.mxd AS BIGINT) AS max_dev,
+                   CAST(min(d.i) AS BIGINT) AS at_i
+            FROM dv d
+            JOIN mx m ON m.event_type = d.event_type AND d.dev = m.mxd
+            JOIN tot t ON t.event_type = d.event_type
+            GROUP BY d.event_type, t.n, t.st, m.mxd
         """,
         "bfs_hops": f"""
             WITH RECURSIVE docs AS (

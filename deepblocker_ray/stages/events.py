@@ -2434,3 +2434,193 @@ def rank_tests(ds, cfg: EngineConfig | None = None):
         .repartition(1)
         .map_batches(finish, batch_format="pandas")
     )
+
+
+def cusum_by_type(ds, cfg: EngineConfig | None = None, *,
+                  group_col: str = "event_type", ts_col: str = "ts",
+                  id_col: str = "event_id", value_col: str = "value"):
+    """Exact CUSUM changepoint statistic per group — the level-shift /
+    drift screen over a metric stream: with the group's events in
+    (ts, event_id) order and Sᵢ the running cents sum,
+
+        devᵢ = |n·Sᵢ − i·Sₙ|      (the scaled CUSUM: n·Sₙ·|Fᵢ − i/n|)
+
+    emit per group (group, n, total_cents, max_dev, at_i) where max_dev =
+    maxᵢ devᵢ and at_i = the SMALLEST 1-based i attaining it (the split
+    point of the best single changepoint). Scaling by n instead of
+    dividing by it keeps every value an exact integer: deviations are
+    computed in arbitrary-precision Python ints and must fit int64 on
+    output (n·|S| < 2⁶³ — holds to ~10⁹ events of ~10⁹ total cents;
+    callers beyond that shard by time first). A constant stream has
+    devᵢ ≡ 0 everywhere, so it reports (0, at_i=1); ties always resolve
+    to the earliest i.
+
+    Scale shape: the shared prefix-scan pattern (stages/scan.py) — rows
+    route to ts-RANGE shards (monotone float mapping, same-ts rows share
+    a shard so the (ts, id) tiebreak never crosses shards), per-(shard ×
+    group) count/sum partials collapse to O(R·groups) driver state,
+    exclusive prefixes broadcast back, each shard finishes with one sort
+    + cumsum per group slice. No global sort; rows move once."""
+    import ray
+    import ray.data as rd
+
+    from ..state.broadcast import cached_get
+    from .dedup import hash64_strs
+
+    cfg = cfg or EngineConfig()
+    nr = cfg.num_buckets
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "g": t.column(group_col).cast(pa.string()),
+                "ts_us": t.column(ts_col)
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "id": t.column(id_col).cast(pa.int64()),
+                "cents": pa.array(
+                    _cents(np.asarray(t.column(value_col), np.float64))
+                ),
+            }
+        )
+
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "total_cents": pa.array([], pa.int64()),
+            "max_dev": pa.array([], pa.int64()),
+            "at_i": pa.array([], pa.int64()),
+        }
+    )
+    skinny = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Max, Min
+
+    bounds = skinny.aggregate(Min("ts_us"), Max("ts_us"))
+    if bounds is None or bounds.get("min(ts_us)") is None:
+        return rd.from_arrow(empty)
+    lo, hi = int(bounds["min(ts_us)"]), int(bounds["max(ts_us)"])
+    span = float(hi - lo + 1)
+
+    def rng_of(ts: np.ndarray) -> np.ndarray:
+        r = ts.astype(np.float64) - float(lo)
+        return np.minimum(
+            np.maximum((r / span * nr).astype(np.int64), 0),
+            np.int64(nr - 1),
+        )
+
+    # per-(range, group) count/sum partials -> O(R·groups) driver state
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "_rng": rng_of(np.asarray(t.column("ts_us"), np.int64)),
+                "g": t.column("g").to_pandas(),
+                "cents": np.asarray(t.column("cents"), np.int64),
+            }
+        )
+        agg = df.groupby(["_rng", "g"], sort=False).agg(
+            cnt=("cents", "size"), sm=("cents", "sum")
+        )
+        return agg.reset_index()
+
+    parts = (
+        skinny.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["_rng", "g"], sort=True)
+        .sum()
+        .reset_index()
+    )
+    # exclusive prefix (entering count i0 / sum s0) per group per range,
+    # plus group totals — all O(R·groups)
+    state: dict[str, tuple[np.ndarray, np.ndarray, int, int]] = {}
+    for g, gdf in parts.groupby("g", sort=False):
+        i0 = np.zeros(nr, np.int64)
+        s0 = np.zeros(nr, np.int64)
+        r = gdf["_rng"].to_numpy(np.int64)
+        cnt = np.zeros(nr, np.int64)
+        sm = np.zeros(nr, np.int64)
+        cnt[r] = gdf["cnt"].to_numpy(np.int64)
+        sm[r] = gdf["sm"].to_numpy(np.int64)
+        np.cumsum(cnt[:-1], out=i0[1:])
+        np.cumsum(sm[:-1], out=s0[1:])
+        state[str(g)] = (i0, s0, int(cnt.sum()), int(sm.sum()))
+    state_ref = ray.put(state)
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket",
+            pa.array(
+                rng_of(np.asarray(t.column("ts_us"), np.int64)).astype(
+                    np.int32
+                )
+            ),
+        )
+
+    def finish(grp: pd.DataFrame) -> pd.DataFrame:
+        st = cached_get(state_ref)
+        rng = int(grp["_bucket"].iloc[0])
+        out_g, out_dev, out_i = [], [], []
+        for g, gdf in grp.groupby("g", sort=False):
+            i0, s0, n_tot, s_tot = st[str(g)]
+            gdf = gdf.sort_values(["ts_us", "id"], kind="mergesort")
+            c = gdf["cents"].to_numpy(np.int64)
+            i = (
+                np.arange(1, len(c) + 1, dtype=np.int64) + i0[rng]
+            ).astype(object)
+            s = (np.cumsum(c) + s0[rng]).astype(object)
+            dev = np.abs(n_tot * s - i * s_tot)
+            j = int(np.argmax(dev == dev.max()))
+            out_g.append(g)
+            out_dev.append(int(dev[j]))
+            out_i.append(int(i[j]))
+        garr = np.asarray(out_g, object)
+        return pd.DataFrame(
+            {
+                "g": garr,
+                "max_dev": np.asarray(out_dev, np.int64),
+                "at_i": np.asarray(out_i, np.int64),
+                # the final combine co-locates by GROUP (a group's
+                # per-range partials must all meet), not by range
+                "_bucket": (hash64_strs(garr) % np.uint64(nr)).astype(
+                    np.int32
+                ),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        st = cached_get(state_ref)
+        best = (
+            g.sort_values(["g", "max_dev", "at_i"],
+                          ascending=[True, False, True], kind="mergesort")
+            .groupby("g", sort=False)
+            .head(1)
+        )
+        names = best["g"].tolist()
+        return pa.table(
+            {
+                group_col: pa.array(names, pa.string()),
+                "n": pa.array(
+                    [st[n][2] for n in names], pa.int64()
+                ),
+                "total_cents": pa.array(
+                    [st[n][3] for n in names], pa.int64()
+                ),
+                "max_dev": pa.array(
+                    best["max_dev"].to_numpy(np.int64)
+                ),
+                "at_i": pa.array(best["at_i"].to_numpy(np.int64)),
+            }
+        )
+
+    partial_max = (
+        skinny.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(finish, batch_format="pandas")
+    )
+    # O(R·groups) partial rows remain; per-group max is associative, so a
+    # second tiny hash(group)-bucketed combine finishes without a driver
+    # collect
+    return partial_max.groupby("_bucket").map_groups(
+        combine, batch_format="pandas"
+    )

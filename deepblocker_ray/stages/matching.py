@@ -542,3 +542,116 @@ def blocker_agreement(docs, cfg: EngineConfig | None = None):
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )
+
+
+# ------------------------------------------- Monge-Elkan token-set score --
+
+
+def _me_direction(
+    toks_a: list[list[str]], toks_b: list[list[str]]
+) -> np.ndarray:
+    """Σ_{t∈A (with multiplicity)} max_{u∈B} ⌊JW(t,u)·10⁶⌋ per row pair,
+    as exact int64 (empty B ⇒ every max is 0; empty A ⇒ 0). Vectorized:
+    distinct (row, t) / (row, u) sets cross-join via repeat/tile index
+    arithmetic, then the Jaro-Winkler kernel runs ONCE per distinct
+    (t, u) TOKEN pair across the whole batch (vocabulary-bounded — the
+    same pre-reduce that makes SIF/surprisal scale), scores fan back via
+    inverse indices, segment-max + count-weighted segment-sum."""
+    from collections import Counter
+
+    from ..functions.textsim import jaro_winkler_batch
+
+    n = len(toks_a)
+    out = np.zeros(n, np.int64)
+    # distinct per-row tokens with multiplicities on the A side
+    rows_a, tok_a, cnt_a = [], [], []
+    rows_b, tok_b = [], []
+    for i in range(n):
+        if not toks_a[i] or not toks_b[i]:
+            continue
+        ca = Counter(toks_a[i])
+        rows_a.extend([i] * len(ca))
+        tok_a.extend(ca.keys())
+        cnt_a.extend(ca.values())
+        ub = set(toks_b[i])
+        rows_b.extend([i] * len(ub))
+        tok_b.extend(ub)
+    if not rows_a:
+        return out
+    rows_a = np.asarray(rows_a, np.int64)
+    tok_a = np.asarray(tok_a, dtype=object)
+    cnt_a = np.asarray(cnt_a, np.int64)
+    rows_b = np.asarray(rows_b, np.int64)
+    tok_b = np.asarray(tok_b, dtype=object)
+    # cross join within each row: A entry i× (all B entries of its row)
+    nb_per_row = np.bincount(rows_b, minlength=n)
+    b_starts = np.concatenate(([0], np.cumsum(nb_per_row)[:-1]))
+    reps = nb_per_row[rows_a]
+    ai = np.repeat(np.arange(len(rows_a)), reps)
+    # B index: per A entry, the run b_starts[row] .. +nb_per_row[row]
+    off = np.arange(reps.sum(), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+    )
+    bi = np.repeat(b_starts[rows_a], reps) + off
+    # dedupe to distinct TOKEN pairs (vocabulary-bounded JW work)
+    ca_codes, ua = pd.factorize(tok_a[ai], sort=False)
+    cb_codes, ub = pd.factorize(tok_b[bi], sort=False)
+    pair_code = ca_codes.astype(np.int64) * len(ub) + cb_codes
+    uniq, first = np.unique(pair_code, return_index=True)
+    jw = jaro_winkler_batch(
+        list(tok_a[ai[first]]), list(tok_b[bi[first]])
+    )
+    q = np.floor(jw * 1e6).astype(np.int64)
+    score = q[np.searchsorted(uniq, pair_code)]
+    # segment max over each A entry's B run, then count-weighted sum
+    seg_max = np.maximum.reduceat(
+        score, np.concatenate(([0], np.cumsum(reps)[:-1]))
+    )
+    np.add.at(out, rows_a, cnt_a * seg_max)
+    return out
+
+
+def monge_elkan(pairs_ds, cfg: EngineConfig | None = None, *,
+                left_id: str = "left_id", right_id: str = "right_id",
+                left_text: str = "left_text", right_text: str = "right_text"):
+    """Monge-Elkan token-set similarity over candidate pairs — the hybrid
+    string measure for multi-word names/titles where record-level
+    Levenshtein/JW miss token reorderings: in each direction,
+
+        me_num = Σ_{t ∈ tokens(x), with multiplicity}
+                     max_{u ∈ tokens(y)} ⌊JW(t, u) · 10⁶⌋
+
+    so ME(x→y) = me_num / (10⁶·n) with ONE division left to the consumer.
+    Quantizing each token-level JW to an integer BEFORE the sum makes the
+    score order-independent and bit-reproducible in SQL (DuckDB's native
+    jaro_winkler_similarity computes the identical double — pinned by the
+    string_sims oracle — and ⌊·⌋ of the same double is the same int).
+    Emits (left_id, right_id, n_left, me_lr, n_right, me_rl): both
+    directions, callers symmetrize as (lr+rl)/2 if desired. Empty token
+    sets score 0.
+
+    Scale shape: a pure per-batch map over an already-paired dataset (no
+    exchange); JW runs once per distinct token pair per batch
+    (vocabulary-bounded, same pre-reduce as SIF/surprisal), everything
+    else is repeat/reduceat index arithmetic."""
+    from ..functions.tokenizer import tokenize_many
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ta = tokenize_many(df[left_text].tolist())
+        tb = tokenize_many(df[right_text].tolist())
+        return pd.DataFrame(
+            {
+                left_id: df[left_id].to_numpy(),
+                right_id: df[right_id].to_numpy(),
+                "n_left": np.fromiter(
+                    (len(x) for x in ta), np.int64, len(ta)
+                ),
+                "me_lr": _me_direction(ta, tb),
+                "n_right": np.fromiter(
+                    (len(x) for x in tb), np.int64, len(tb)
+                ),
+                "me_rl": _me_direction(tb, ta),
+            }
+        )
+
+    return pairs_ds.map_batches(score, batch_format="pandas")

@@ -208,3 +208,91 @@ def group_quantile_filter(
         return df[mask.fillna(False)]
 
     return ds.map_batches(gate, batch_format="pandas")
+
+
+# ------------------------------------------------------ Borda rank fusion --
+
+
+def rank_fusion(
+    ranked_a,
+    ranked_b,
+    cfg: EngineConfig,
+    *,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    penalty: int | None = None,
+):
+    """Borda-count fusion of two per-query candidate rankings — the
+    standard hybrid-retrieval combiner (dense kNN list ∪ lexical/quantized
+    list) kept INTEGER so the fused order is exact and SQL-twinnable:
+
+        fused(q, item) = coalesce(rank_a, penalty) + coalesce(rank_b, penalty)
+
+    with ``penalty`` defaulting to ``k`` (one past the worst possible
+    0-based rank — an item missing from a list scores as if ranked just
+    below its tail; reciprocal-rank fusion needs float 1/(c+r) sums whose
+    order-dependence breaks exact reproducibility, Borda does not). Emits
+    the per-query top-``k`` under (fused asc, item asc):
+    (query_col, item_col, fused:int64, rank:int64 0-based) — missing-from-
+    both items are by construction absent, queries present in either input
+    appear with ≤ k rows.
+
+    Scale shape: both inputs are already ≤ L rows per query (candidate
+    lists, not the corpus); ONE hash(query) bucket exchange co-locates a
+    query's ≤ 2L tagged rows, then one vectorized per-bucket pivot + sort.
+    No corpus data rides the exchange and no per-distinct-query groupby is
+    paid (the repo's standard small-int-bucket pattern)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pen = k if penalty is None else int(penalty)
+    nb = cfg.num_buckets
+
+    def tag(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            q = df[query_col].astype(str)
+            return pd.DataFrame(
+                {
+                    "_q": q.to_numpy(object),
+                    "_item": df[item_col].astype(str).to_numpy(object),
+                    "_r": df[rank_col].to_numpy(np.int64),
+                    "_side": np.full(len(df), side, np.int8),
+                    "_bucket": _hash_bucket_strs(q, nb),
+                }
+            )
+
+        return f
+
+    def fuse(g: pd.DataFrame) -> pd.DataFrame:
+        p = (
+            g.pivot_table(
+                index=["_q", "_item"], columns="_side", values="_r",
+                aggfunc="min",
+            )
+            .reindex(columns=[0, 1])
+            .reset_index()
+        )
+        ra = p[0].fillna(pen).astype(np.int64) if 0 in p else np.full(
+            len(p), pen, np.int64
+        )
+        rb = p[1].fillna(pen).astype(np.int64) if 1 in p else np.full(
+            len(p), pen, np.int64
+        )
+        p["fused"] = ra + rb
+        p = p.sort_values(["_q", "fused", "_item"], kind="mergesort")
+        top = p.groupby("_q", sort=False).head(k)
+        rank = top.groupby("_q", sort=False).cumcount().astype(np.int64)
+        return pd.DataFrame(
+            {
+                query_col: top["_q"].to_numpy(object),
+                item_col: top["_item"].to_numpy(object),
+                "fused": top["fused"].to_numpy(np.int64),
+                "rank": rank.to_numpy(np.int64),
+            }
+        )
+
+    tagged = ranked_a.map_batches(tag(0), batch_format="pandas").union(
+        ranked_b.map_batches(tag(1), batch_format="pandas")
+    )
+    return tagged.groupby("_bucket").map_groups(fuse, batch_format="pandas")

@@ -1870,3 +1870,93 @@ class TestRankTests:
         assert (r["n_a"], r["n_b"], r["u2_a"], r["u2_b"], r["d_num"]) == (
             3, 0, 0, 0, 0,
         )
+
+
+class TestCusumByType:
+    def test_matches_brute_force_with_planted_shift(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import cusum_by_type
+
+        r = np.random.RandomState(7)
+        n = 500
+        ev = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "ts": pd.to_datetime("2026-01-01")
+                + pd.to_timedelta(r.randint(0, 10000, n), unit="s"),
+                "event_type": r.choice(["a", "b", "c"], n),
+                "value": np.round(r.lognormal(2, 1, n), 2),
+            }
+        )
+        shift = (ev.event_type == "a") & (
+            ev.ts > pd.to_datetime("2026-01-01 01:00:00")
+        )
+        ev.loc[shift, "value"] += 50
+        out = (
+            cusum_by_type(
+                rd.from_pandas(ev).repartition(4),
+                EngineConfig(num_buckets=8),
+            )
+            .to_pandas()
+            .set_index("event_type")
+        )
+        assert len(out) == 3  # one row per group, no per-range dupes
+        for g, gdf in ev.groupby("event_type"):
+            gdf = gdf.sort_values(["ts", "event_id"], kind="mergesort")
+            c = (
+                np.rint(gdf["value"].to_numpy() * 100)
+                .astype(np.int64)
+                .astype(object)
+            )
+            s = np.cumsum(c)
+            ntot, stot = len(c), int(s[-1])
+            i = np.arange(1, ntot + 1).astype(object)
+            dev = np.abs(ntot * s - i * stot)
+            j = int(np.argmax(dev == dev.max()))
+            row = out.loc[g]
+            assert row["n"] == ntot
+            assert row["total_cents"] == stot
+            assert row["max_dev"] == int(dev[j])
+            assert row["at_i"] == j + 1
+
+    def test_constant_stream_and_ties(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import cusum_by_type
+
+        ev = pd.DataFrame(
+            {
+                "event_id": np.arange(6, dtype=np.int64),
+                "ts": pd.to_datetime("2026-01-01")
+                + pd.to_timedelta(np.arange(6), unit="s"),
+                "event_type": ["k"] * 6,
+                "value": [2.0] * 6,
+            }
+        )
+        out = cusum_by_type(
+            rd.from_pandas(ev), EngineConfig(num_buckets=8)
+        ).to_pandas()
+        assert out["max_dev"].iloc[0] == 0
+        assert out["at_i"].iloc[0] == 1  # earliest tie wins
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import cusum_by_type
+
+        ev = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype=np.int64),
+                "ts": pd.Series(dtype="datetime64[us]"),
+                "event_type": pd.Series(dtype=str),
+                "value": pd.Series(dtype=np.float64),
+            }
+        )
+        out = cusum_by_type(
+            rd.from_pandas(ev), EngineConfig(num_buckets=8)
+        ).to_pandas()
+        assert len(out) == 0

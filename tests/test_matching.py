@@ -430,3 +430,78 @@ class TestBlockCleaning:
             keep_per_record=1,
         ).to_pandas()
         assert list(out["bkey"]) == ["eta"]
+
+
+class TestMongeElkan:
+    def _brute(self, at, bt):
+        from deepblocker_ray.functions.textsim import jaro_winkler
+        from deepblocker_ray.functions.tokenizer import tokenize_many
+
+        ta, tb = tokenize_many([at])[0], tokenize_many([bt])[0]
+        s = 0
+        for t in ta:
+            if tb:
+                s += max(
+                    int(np.floor(jaro_winkler(t, u) * 1e6)) for u in tb
+                )
+        return len(ta), s
+
+    def test_matches_scalar_brute_force(self, ray_session):
+        from deepblocker_ray.stages.matching import monge_elkan
+
+        pairs = pd.DataFrame(
+            {
+                "left_id": [0, 1, 2, 3, 4],
+                "right_id": [10, 11, 12, 13, 14],
+                "left_text": [
+                    "acme corp ltd",
+                    "the quick fox fox",
+                    "",
+                    "hello",
+                    "jon smith junior",
+                ],
+                "right_text": [
+                    "acme corporation",
+                    "quick brown fox",
+                    "world",
+                    "",
+                    "smith jon jr",
+                ],
+            }
+        )
+        out = (
+            monge_elkan(
+                rd.from_pandas(pairs).repartition(2),
+                EngineConfig(num_buckets=4),
+            )
+            .to_pandas()
+            .sort_values("left_id")
+            .reset_index(drop=True)
+        )
+        for i, r in out.iterrows():
+            na, lr = self._brute(
+                pairs.loc[i, "left_text"], pairs.loc[i, "right_text"]
+            )
+            nb, rl = self._brute(
+                pairs.loc[i, "right_text"], pairs.loc[i, "left_text"]
+            )
+            assert (r["n_left"], r["me_lr"]) == (na, lr)
+            assert (r["n_right"], r["me_rl"]) == (nb, rl)
+
+    def test_reordered_tokens_score_near_max(self, ray_session):
+        from deepblocker_ray.stages.matching import monge_elkan
+
+        pairs = pd.DataFrame(
+            {
+                "left_id": [0],
+                "right_id": [1],
+                "left_text": ["alpha beta gamma"],
+                "right_text": ["gamma alpha beta"],
+            }
+        )
+        out = monge_elkan(
+            rd.from_pandas(pairs), EngineConfig(num_buckets=4)
+        ).to_pandas()
+        # exact token permutation: every max is JW=1.0 -> 10^6 each
+        assert out["me_lr"].iloc[0] == 3 * 10**6
+        assert out["me_rl"].iloc[0] == 3 * 10**6

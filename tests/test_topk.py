@@ -588,3 +588,91 @@ class TestRangeSplits:
         # boundaries at ranks 25, 50, 75 → keys 24*3, 49*3, 74*3
         assert out["split_idx"].tolist() == [1, 2, 3]
         assert out["boundary"].tolist() == [72, 147, 222]
+
+
+class TestRankFusion:
+    def _mk(self, seed):
+        import ray.data as rd
+
+        r = np.random.RandomState(seed)
+        rows = []
+        for q in range(5):
+            for rk, it in enumerate(r.choice(20, 10, replace=False)):
+                rows.append((str(q), str(it), rk))
+        df = pd.DataFrame(
+            rows, columns=["query_id", "neighbor_id", "rank"]
+        )
+        return df, rd.from_pandas(df).repartition(3)
+
+    def test_matches_pandas_borda(self, ray_session):
+        from deepblocker_ray.stages.topk import rank_fusion
+
+        da, a = self._mk(1)
+        db, b = self._mk(2)
+        out = (
+            rank_fusion(a, b, EngineConfig(num_buckets=4), k=10)
+            .to_pandas()
+            .sort_values(["query_id", "rank"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        m = da.merge(
+            db, on=["query_id", "neighbor_id"], how="outer",
+            suffixes=("_a", "_b"),
+        )
+        m["fused"] = (
+            m["rank_a"].fillna(10).astype(np.int64)
+            + m["rank_b"].fillna(10).astype(np.int64)
+        )
+        m = m.sort_values(
+            ["query_id", "fused", "neighbor_id"], kind="mergesort"
+        )
+        top = m.groupby("query_id").head(10).copy()
+        top["rank"] = top.groupby("query_id").cumcount().astype(np.int64)
+        want = top[
+            ["query_id", "neighbor_id", "fused", "rank"]
+        ].reset_index(drop=True)
+        assert out.astype(str).equals(want.astype(str))
+
+    def test_agreeing_lists_and_missing_query(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.topk import rank_fusion
+
+        # identical lists -> fused = 2*rank; query only in one list ->
+        # every item pays the penalty once
+        df = pd.DataFrame(
+            {
+                "query_id": ["a", "a", "b"],
+                "neighbor_id": ["x", "y", "z"],
+                "rank": [0, 1, 0],
+            }
+        )
+        only_a = df[df["query_id"] == "b"]
+        out = rank_fusion(
+            rd.from_pandas(df), rd.from_pandas(df.drop(only_a.index)),
+            EngineConfig(num_buckets=4), k=2, penalty=5,
+        ).to_pandas()
+        got = {
+            (r["query_id"], r["neighbor_id"]): (r["fused"], r["rank"])
+            for _, r in out.iterrows()
+        }
+        assert got == {
+            ("a", "x"): (0, 0),
+            ("a", "y"): (2, 1),
+            ("b", "z"): (5, 0),
+        }
+
+    def test_k_validation(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from deepblocker_ray.stages.topk import rank_fusion
+
+        df = pd.DataFrame(
+            {"query_id": ["a"], "neighbor_id": ["x"], "rank": [0]}
+        )
+        with pytest.raises(ValueError):
+            rank_fusion(
+                rd.from_pandas(df), rd.from_pandas(df),
+                EngineConfig(num_buckets=4), k=0,
+            )
