@@ -3943,14 +3943,14 @@ def oracle_sql() -> dict[str, str]:
                        AS punct_count
             FROM documents
         """,
-        "bpe_token_count": """
+        "bpe_token_count": r"""
             -- same RE2 engine (DuckDB regexp_extract_all) and the same
             -- lookahead-free pattern as the pyarrow kernel: exact counts
             SELECT doc_id,
                    len(regexp_extract_all(text,
                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
                        AS n_bpe_tokens,
-                   len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens
+                   len(regexp_extract_all(text, '\S+')) AS n_ws_tokens
             FROM documents
         """,
         "fingerprint": """

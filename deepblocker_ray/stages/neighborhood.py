@@ -764,6 +764,10 @@ def suffix_blocking(
         )
 
     def dedupe(g: pd.DataFrame) -> pa.Table:
+        # the sentinel row (null ids) exists only to keep the final
+        # exchange non-empty so a zero-pair corpus still yields a TYPED
+        # empty result (an all-empty groupby loses the schema)
+        g = g[g["left_id"].notna()]
         d = g.drop_duplicates(["left_id", "right_id"])
         return pa.table(
             {
@@ -776,10 +780,22 @@ def suffix_blocking(
             }
         )
 
+    import ray.data as rd
+
+    sentinel = rd.from_arrow(
+        pa.table(
+            {
+                "left_id": pa.array([None], pa.string()),
+                "right_id": pa.array([None], pa.string()),
+                "_pb": pa.array([np.int32(0)]),
+            }
+        )
+    )
     return (
         ds.map_batches(emit, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(pair_block, batch_format="pandas")
+        .union(sentinel)
         .groupby("_pb")
         .map_groups(dedupe, batch_format="pandas")
     )

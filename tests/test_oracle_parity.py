@@ -35,7 +35,15 @@ def to_pandas(result) -> pd.DataFrame:
         return result
     if isinstance(result, pa.Table):
         return result.to_pandas()
-    return result.to_pandas()
+    df = result.to_pandas()
+    if len(df) == 0 and len(df.columns) == 0:
+        # Ray's to_pandas drops the schema of an all-empty Dataset;
+        # rebuild the columns from the Dataset schema so a legitimately
+        # empty result (e.g. zero blocking pairs at sf0.001) still
+        # compares by column names against the oracle
+        df = pd.DataFrame({n: pd.Series(dtype=object)
+                           for n in result.schema().names})
+    return df
 
 
 def canonical(df: pd.DataFrame) -> pd.DataFrame:
