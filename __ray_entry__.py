@@ -2824,6 +2824,40 @@ def q_cusum(sf_dir: str):
     )
 
 
+def q_label_prop(sf_dir: str):
+    """Deterministic synchronous label propagation (2 rounds, min-label
+    ties) over the undirected k=5 cosine-kNN blocking graph."""
+    from deepblocker_ray.stages.cluster import label_prop
+
+    return label_prop(q_blocking_vec(sf_dir), _cfg(), iters=2)
+
+
+def q_readability(sf_dir: str):
+    """Readability sufficient statistics per document: RE2-counted word /
+    sentence / vowel-group runs (the Flesch inputs, kept integer)."""
+    from deepblocker_ray.stages.textstats import readability
+
+    return readability(_documents(sf_dir), _cfg())
+
+
+def q_column_overlap(sf_dir: str):
+    """Instance-based schema matching between customer and supplier:
+    exact distinct-value overlap for every column pair."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.profile import column_overlap
+
+    ca = ["c_name", "c_nationkey", "c_mktsegment"]
+    cb = ["s_name", "s_nationkey"]
+    return column_overlap(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=ca),
+        rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=cb),
+        _cfg(),
+        cols_a=ca,
+        cols_b=cb,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3016,6 +3050,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_fusion": q_rank_fusion,
         "monge_elkan": q_monge_elkan,
         "cusum": q_cusum,
+        "label_prop": q_label_prop,
+        "readability": q_readability,
+        "column_overlap": q_column_overlap,
     }
 
 
@@ -3792,6 +3829,97 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             LEFT JOIN mea a ON a.left_id = p.left_id
             LEFT JOIN meb b ON b.right_id = p.right_id
+        """,
+        # synchronous LPA (stages/cluster.py:label_prop): 2 rounds of
+        # join-count-argmax with (count desc, label asc) determinism
+        "label_prop": f"""
+            WITH docs AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id, embedding
+                FROM embeddings
+            ),
+            {vec_ranked},
+            e0 AS (
+                SELECT least(qid, xid) AS a, greatest(qid, xid) AS b
+                FROM ranked WHERE rk <= {VEC_K} GROUP BY 1, 2
+            ),
+            e AS (SELECT a AS src, b AS dst FROM e0
+                  UNION ALL SELECT b, a FROM e0),
+            l0 AS (SELECT DISTINCT src AS id, src AS lab FROM e),
+            c1 AS (
+                SELECT e.dst AS id, l.lab, count(*) AS c
+                FROM e JOIN l0 l ON l.id = e.src GROUP BY 1, 2
+            ),
+            l1 AS (
+                SELECT id, lab FROM (
+                    SELECT id, lab, row_number() OVER (
+                        PARTITION BY id ORDER BY c DESC, lab) AS r
+                    FROM c1)
+                WHERE r = 1
+            ),
+            c2 AS (
+                SELECT e.dst AS id, l.lab, count(*) AS c
+                FROM e JOIN l1 l ON l.id = e.src GROUP BY 1, 2
+            ),
+            l2 AS (
+                SELECT id, lab FROM (
+                    SELECT id, lab, row_number() OVER (
+                        PARTITION BY id ORDER BY c DESC, lab) AS r
+                    FROM c2)
+                WHERE r = 1
+            )
+            SELECT id AS vec_id, lab AS label FROM l2
+        """,
+        # RE2 run counts (stages/textstats.py:readability) — DuckDB's
+        # regexp_extract_all is the same RE2 engine as the pyarrow kernel
+        "readability": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                        AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                        '[.!?]+')) AS BIGINT) AS n_sentences,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                        '[aeiouyAEIOUY]+')) AS BIGINT) AS n_vowel_groups
+            FROM documents
+        """,
+        # instance-based schema matching (stages/profile.py:
+        # column_overlap): exact distinct-value overlap per column pair
+        "column_overlap": """
+            WITH a AS (
+                SELECT DISTINCT 'c_name' AS col,
+                       CAST(c_name AS VARCHAR) AS v
+                FROM customer WHERE c_name IS NOT NULL
+                UNION SELECT DISTINCT 'c_nationkey',
+                       CAST(c_nationkey AS VARCHAR)
+                FROM customer WHERE c_nationkey IS NOT NULL
+                UNION SELECT DISTINCT 'c_mktsegment',
+                       CAST(c_mktsegment AS VARCHAR)
+                FROM customer WHERE c_mktsegment IS NOT NULL
+            ), b AS (
+                SELECT DISTINCT 's_name' AS col,
+                       CAST(s_name AS VARCHAR) AS v
+                FROM supplier WHERE s_name IS NOT NULL
+                UNION SELECT DISTINCT 's_nationkey',
+                       CAST(s_nationkey AS VARCHAR)
+                FROM supplier WHERE s_nationkey IS NOT NULL
+            ), na AS (
+                SELECT col, CAST(count(*) AS BIGINT) AS n FROM a
+                GROUP BY col
+            ), nbt AS (
+                SELECT col, CAST(count(*) AS BIGINT) AS n FROM b
+                GROUP BY col
+            ), ovl AS (
+                SELECT a.col AS ca, b.col AS cb,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM a JOIN b ON b.v = a.v GROUP BY 1, 2
+            )
+            SELECT p.col_a, p.col_b, p.n_a, p.n_b,
+                   COALESCE(o.n, 0) AS n_both
+            FROM (
+                SELECT na.col AS col_a, nbt.col AS col_b,
+                       na.n AS n_a, nbt.n AS n_b
+                FROM na, nbt
+            ) p
+            LEFT JOIN ovl o ON o.ca = p.col_a AND o.cb = p.col_b
         """,
         # exact CUSUM (stages/events.py:cusum_by_type): dev in HUGEINT,
         # result cast back to BIGINT (documented bound n·|S| < 2⁶³)

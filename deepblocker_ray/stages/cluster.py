@@ -1624,3 +1624,139 @@ def hits(edges, cfg=None, *, iters: int = 2, id_col: str = "vec_id"):
         .groupby("_bucket")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def label_prop(pairs, cfg=None, *, iters: int = 2, id_col: str = "vec_id"):
+    """Synchronous label propagation over an undirected edge list
+    (left_id, right_id) — community detection at propagation cost, the
+    modularity-free complement to ``connected_components`` (CC merges
+    everything reachable; LPA keeps densely-linked cores apart after a
+    fixed round count). Deterministic variant: every node starts as its
+    own label (label₀(v) = v); each round ALL nodes update simultaneously
+    to the most frequent label among their neighbors, ties broken by the
+    LEXICOGRAPHICALLY SMALLEST label — no random order, so the result is
+    bit-reproducible and SQL-twinnable as ``iters`` rounds of
+    join-count-argmax. Every node of an edge has ≥ 1 neighbor, so no
+    keep-own-label rule is needed. Output (id_col, label:string).
+
+    Scale shape: two bucketed exchanges per round (the ``hits``/
+    ``pagerank`` shape): edges meet labels on hash(src) with a per-bucket
+    (dst, label) COUNT pre-reduce — only label-count partials ride the
+    second exchange on hash(dst), where the argmax folds them. The edge
+    list is tagged once and re-read from its materialized data-sized
+    blocks every round; no driver-side state."""
+    from ..config import EngineConfig
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def orient(frm: str, to: str):
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df[frm].astype(str)
+            return pd.DataFrame(
+                {
+                    "id": ids.to_numpy(object),
+                    "lab": df[to].astype(str).to_numpy(object),
+                    "c": np.zeros(len(df), np.int64),
+                    "_is_lab": np.zeros(len(df), np.int8),
+                    "_bucket": bucket_of(ids, nb),
+                }
+            )
+
+        return pairs.map_batches(tag, batch_format="pandas")
+
+    both = orient("left_id", "right_id").union(
+        orient("right_id", "left_id")
+    ).materialize()
+    n_edges = max(1, both.count())
+    both = both.repartition(max(1, -(-n_edges // 2_000_000))).materialize()
+
+    # labels₀: every endpoint labels itself (distinct ids per bucket)
+    def self_label(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["id"].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "id": u.to_numpy(object),
+                "lab": u.to_numpy(object),
+                "c": np.zeros(len(u), np.int64),
+                "_is_lab": np.ones(len(u), np.int8),
+                "_bucket": bucket_of(u, nb),
+            }
+        )
+
+    labels = (
+        both.groupby("_bucket")
+        .map_groups(self_label, batch_format="pandas")
+        .materialize()
+    )
+
+    def spread(g: pd.DataFrame) -> pd.DataFrame:
+        lb = g[g["_is_lab"] == 1][["id", "lab"]]
+        e = g[g["_is_lab"] == 0][["id", "lab"]].rename(
+            columns={"lab": "dst"}
+        )
+        if len(e) == 0 or len(lb) == 0:
+            return pd.DataFrame(
+                {"id": pd.Series(dtype=object),
+                 "lab": pd.Series(dtype=object),
+                 "c": pd.Series(dtype=np.int64),
+                 "_is_lab": pd.Series(dtype=np.int8),
+                 "_bucket": pd.Series(dtype=np.int32)}
+            )
+        m = e.merge(lb, on="id")
+        p = (
+            m.groupby(["dst", "lab"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "id": p["dst"].to_numpy(object),
+                "lab": p["lab"].to_numpy(object),
+                "c": p["c"].to_numpy(np.int64),
+                "_is_lab": np.zeros(len(p), np.int8),
+                "_bucket": bucket_of(p["dst"], nb),
+            }
+        )
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.groupby(["id", "lab"], sort=False)["c"]
+            .sum()
+            .reset_index()
+            .sort_values(["id", "c", "lab"],
+                         ascending=[True, False, True], kind="mergesort")
+            .groupby("id", sort=False)
+            .head(1)
+        )
+        return pd.DataFrame(
+            {
+                "id": s["id"].to_numpy(object),
+                "lab": s["lab"].to_numpy(object),
+                "c": np.zeros(len(s), np.int64),
+                "_is_lab": np.ones(len(s), np.int8),
+                "_bucket": bucket_of(s["id"], nb),
+            }
+        )
+
+    for _ in range(iters):
+        labels = (
+            both.union(labels)
+            .groupby("_bucket")
+            .map_groups(spread, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(argmax, batch_format="pandas")
+            .materialize()
+        )
+
+    def out(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array(df["id"].to_numpy(object), pa.string()),
+                "label": pa.array(df["lab"].to_numpy(object), pa.string()),
+            }
+        )
+
+    return labels.map_batches(out, batch_format="pandas")

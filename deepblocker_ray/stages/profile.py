@@ -402,3 +402,154 @@ def benford_audit(
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )
+
+
+def column_overlap(ds_a, ds_b, cfg=None, *, cols_a: list[str],
+                   cols_b: list[str]):
+    """Instance-based schema matching: for EVERY column pair (a ∈ cols_a,
+    b ∈ cols_b), the exact distinct-value overlap as integer sufficient
+    statistics — (col_a, col_b, n_a, n_b, n_both) with n_both =
+    |distinct(a) ∩ distinct(b)| over stringified non-null values, so
+    Jaccard/containment are one division away for the consumer. The
+    standard first pass when linking tables with unknown column
+    correspondence (which supplier column IS the customer's phone?).
+
+    Scale shape: per batch each side emits map-side-DEDUPED (value, col)
+    rows — bounded by distinct values, not rows; ONE hash(value) exchange
+    co-locates every column's claim on a value, where a per-bucket
+    presence-matrix pivot emits ≤ |cols_a|·|cols_b| pair partials plus
+    per-column distinct partials; a tiny second exchange (pairs bucketed
+    by hash of the pair name) folds them. Values never ride an exchange
+    twice and the final state is O(|cols_a|·|cols_b|)."""
+    import ray.data as rd
+
+    from ..config import EngineConfig
+    from .dedup import hash64_strs
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    if not cols_a or not cols_b:
+        raise ValueError("cols_a and cols_b must be non-empty")
+
+    def emit(columns: list[str], side: int):
+        def f(t: pa.Table) -> pd.DataFrame:
+            vals, cols = [], []
+            for c in columns:
+                col = pc.drop_null(pc.cast(t.column(c), pa.string()))
+                u = pc.unique(col)
+                vals.append(np.asarray(u, object))
+                cols.append(np.full(len(u), c, object))
+            v = np.concatenate(vals) if vals else np.array([], object)
+            cf = np.concatenate(cols) if cols else np.array([], object)
+            codes, uniq = pd.factorize(pd.Series(v), sort=False)
+            h = hash64_strs(uniq)[codes] if len(uniq) else np.array(
+                [], np.uint64
+            )
+            return pd.DataFrame(
+                {
+                    "v": v,
+                    "col": cf,
+                    "side": np.full(len(v), side, np.int8),
+                    "_bucket": (h % np.uint64(nb)).astype(np.int32),
+                }
+            )
+
+        return f
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["v", "col", "side"])
+        out_a, out_b, out_n = [], [], []
+        # per-column distinct counts (side-qualified sentinel pairs)
+        for (side, col), n in g.groupby(["side", "col"], sort=False)[
+            "v"
+        ].nunique().items():
+            out_a.append(col if side == 0 else "")
+            out_b.append(col if side == 1 else "")
+            out_n.append(int(n))
+        # presence matrix: value → (cols_a present, cols_b present)
+        ga = g[g["side"] == 0]
+        gb = g[g["side"] == 1]
+        if len(ga) and len(gb):
+            m = ga.merge(gb, on="v", suffixes=("_a", "_b"))
+            for (ca, cb), n in m.groupby(
+                ["col_a", "col_b"], sort=False
+            ).size().items():
+                out_a.append(ca)
+                out_b.append(cb)
+                out_n.append(int(n))
+        key = pd.Series(
+            [f"{a}|{b}" for a, b in zip(out_a, out_b)], dtype=object
+        )
+        h = hash64_strs(key.to_numpy(object)) if len(key) else np.array(
+            [], np.uint64
+        )
+        return pd.DataFrame(
+            {
+                "col_a": np.asarray(out_a, object),
+                "col_b": np.asarray(out_b, object),
+                "n": np.asarray(out_n, np.int64),
+                "_pb": (h % np.uint64(nb)).astype(np.int32),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["col_a", "col_b"], sort=False)["n"].sum()
+        return pa.table(
+            {
+                "col_a": pa.array(
+                    [k[0] for k in s.index], pa.string()
+                ),
+                "col_b": pa.array(
+                    [k[1] for k in s.index], pa.string()
+                ),
+                "n": pa.array(s.to_numpy(np.int64)),
+            }
+        )
+
+    tagged = ds_a.map_batches(
+        emit(cols_a, 0), batch_format="pyarrow"
+    ).union(ds_b.map_batches(emit(cols_b, 1), batch_format="pyarrow"))
+    folded = (
+        tagged.groupby("_bucket")
+        .map_groups(pair_partial, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    # assemble the dense |cols_a|·|cols_b| matrix driver-side (it IS the
+    # output — O(columns²), independent of data size)
+    na = {
+        r["col_a"]: r["n"]
+        for _, r in folded[folded["col_b"] == ""].iterrows()
+    }
+    nb_ = {
+        r["col_b"]: r["n"]
+        for _, r in folded[folded["col_a"] == ""].iterrows()
+    }
+    both = {
+        (r["col_a"], r["col_b"]): r["n"]
+        for _, r in folded.iterrows()
+        if r["col_a"] != "" and r["col_b"] != ""
+    }
+    rows = [
+        (
+            a,
+            b,
+            int(na.get(a, 0)),
+            int(nb_.get(b, 0)),
+            int(both.get((a, b), 0)),
+        )
+        for a in cols_a
+        for b in cols_b
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "col_a": pa.array([r[0] for r in rows], pa.string()),
+                "col_b": pa.array([r[1] for r in rows], pa.string()),
+                "n_a": pa.array([r[2] for r in rows], pa.int64()),
+                "n_b": pa.array([r[3] for r in rows], pa.int64()),
+                "n_both": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+    )

@@ -1324,3 +1324,44 @@ def surprisal(ds, cfg, *, text_col: str = "text",
     out = ds.map_batches(score, batch_format="pyarrow")
     out._surprisal_pin = (hashed, handle)  # pin plasma blocks
     return out
+
+
+def readability(ds, cfg=None, *, text_col: str = "text",
+                id_col: str = "doc_id"):
+    """Readability SUFFICIENT STATISTICS per document — the three integer
+    counts behind Flesch-style formulas (words per sentence, syllables
+    per word), emitted raw so the one float formula stays with the
+    consumer: (id, n_words, n_sentences, n_vowel_groups) with
+
+        n_words        = maximal non-whitespace runs        \\S+
+        n_sentences    = maximal sentence-terminator runs   [.!?]+
+        n_vowel_groups = maximal vowel runs (the classic    [aeiouyAEIOUY]+
+                         syllable estimate)
+
+    All three run entirely inside pyarrow's RE2 ``count_substring_regex``
+    kernel — no per-row Python — and DuckDB's regexp functions use the
+    same RE2 engine, so the counts are exact in the SQL twin (the
+    ``bpe_token_count`` precedent). Null text counts as empty.
+
+    Scale shape: a pure streaming map; nothing is exchanged."""
+    import pyarrow.compute as pc
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t.column(text_col), pa.string()), "")
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_words": pc.cast(
+                    pc.count_substring_regex(txt, r"\S+"), pa.int64()
+                ),
+                "n_sentences": pc.cast(
+                    pc.count_substring_regex(txt, r"[.!?]+"), pa.int64()
+                ),
+                "n_vowel_groups": pc.cast(
+                    pc.count_substring_regex(txt, r"[aeiouyAEIOUY]+"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")

@@ -813,3 +813,61 @@ class TestHits:
             "2": (9, 0),
             "3": (9, 0),
         }
+
+
+class TestLabelProp:
+    def _pairs_ds(self, edges):
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "left_id": [str(a) for a, _ in edges],
+                    "right_id": [str(b) for _, b in edges],
+                }
+            )
+        )
+
+    def _brute(self, edges, iters):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(str(a), []).append(str(b))
+            adj.setdefault(str(b), []).append(str(a))
+        lab = {v: v for v in adj}
+        for _ in range(iters):
+            new = {}
+            for v, ns in adj.items():
+                cnt = {}
+                for u in ns:
+                    cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+                best = sorted(cnt.items(), key=lambda x: (-x[1], x[0]))[0]
+                new[v] = best[0]
+            lab = new
+        return lab
+
+    def test_matches_brute_force_sync(self, ray_session):
+        from deepblocker_ray.stages.cluster import label_prop
+
+        # two triangles bridged by one edge + a random tail
+        edges = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+                 ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+                 ("a3", "b1"), ("b3", "c1")]
+        out = label_prop(
+            self._pairs_ds(edges), _ACFG, iters=2, id_col="vec_id"
+        ).to_pandas()
+        got = dict(zip(out["vec_id"], out["label"]))
+        assert got == self._brute(edges, 2)
+
+    def test_random_graph_three_rounds(self, ray_session):
+        from deepblocker_ray.stages.cluster import label_prop
+
+        r = np.random.RandomState(5)
+        edges = set()
+        for _ in range(60):
+            a, b = r.randint(0, 25, 2)
+            if a != b:
+                edges.add((str(min(a, b)), str(max(a, b))))
+        edges = sorted(edges)
+        out = label_prop(
+            self._pairs_ds(edges), _ACFG, iters=3
+        ).to_pandas()
+        got = dict(zip(out["vec_id"], out["label"]))
+        assert got == self._brute(edges, 3)

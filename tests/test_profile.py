@@ -994,3 +994,75 @@ class TestSurprisal:
         out = surprisal(ds, EngineConfig(num_buckets=4)).to_pandas()
         assert (out["n_tokens"] == 0).all()
         assert (out["bits"] == 0).all()
+
+
+class TestReadability:
+    def test_hand_counts(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.textstats import readability
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "Hello world. How are you?!",
+                    "queueing",
+                    None,
+                    "x y  z...",
+                ],
+            }
+        )
+        out = (
+            readability(rd.from_pandas(docs), EngineConfig(num_buckets=4))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # doc 0: 5 words; terminator runs "." and "?!" -> 2; vowel runs
+        # h[e]ll[o] w[o]rld h[o]w [a]r[e] [you] -> 2+1+1+2+1 = 7
+        assert tuple(out.loc[0]) == (5, 2, 7)
+        # "queueing": u-e-u-e-i = one run "ueuei"? q[ueuei]ng -> 1 run
+        assert tuple(out.loc[1]) == (1, 0, 1)
+        assert tuple(out.loc[2]) == (0, 0, 0)
+        # "x y  z...": 3 words, one "..." run, one vowel run (the lone y)
+        assert tuple(out.loc[3]) == (3, 1, 1)
+
+
+class TestColumnOverlap:
+    def test_exact_counts(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.profile import column_overlap
+
+        a = pd.DataFrame(
+            {
+                "x": ["p", "q", "r", "r", None],
+                "y": ["1", "2", "3", "4", "4"],
+            }
+        )
+        b = pd.DataFrame(
+            {
+                "u": ["q", "r", "zz", "zz"],
+                "w": ["9", "9", "9", "9"],
+            }
+        )
+        out = column_overlap(
+            rd.from_pandas(a).repartition(2),
+            rd.from_pandas(b).repartition(2),
+            EngineConfig(num_buckets=4),
+            cols_a=["x", "y"],
+            cols_b=["u", "w"],
+        ).to_pandas()
+        got = {
+            (r["col_a"], r["col_b"]): (r["n_a"], r["n_b"], r["n_both"])
+            for _, r in out.iterrows()
+        }
+        assert got == {
+            ("x", "u"): (3, 3, 2),   # q, r shared
+            ("x", "w"): (3, 1, 0),
+            ("y", "u"): (4, 3, 0),
+            ("y", "w"): (4, 1, 0),
+        }
+        assert len(out) == 4
