@@ -2858,6 +2858,42 @@ def q_column_overlap(sf_dir: str):
     )
 
 
+def q_wl_signature(sf_dir: str):
+    """Weisfeiler-Lehman node signatures (2 color-refinement rounds,
+    md5-lower64) over the undirected k=5 cosine-kNN blocking graph."""
+    from deepblocker_ray.stages.cluster import wl_signature
+
+    return wl_signature(q_blocking_vec(sf_dir), _cfg(), iters=2)
+
+
+def q_proximity(sf_dir: str):
+    """Positional proximity search: documents where 'hash' and 'join'
+    co-occur within 3 token positions, with pair count and closest gap."""
+    from deepblocker_ray.stages.textstats import proximity_search
+
+    return proximity_search(
+        _documents(sf_dir), _cfg(), term_a="hash", term_b="join",
+        window=3,
+    )
+
+
+def q_weighted_median(sf_dir: str):
+    """Exact quantity-weighted doubled median of extended price per
+    return flag."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import weighted_median_by_group
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    return weighted_median_by_group(
+        li, _cfg(), group_col="l_returnflag",
+        value_col="l_extendedprice", weight_col="l_quantity",
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3053,6 +3089,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_prop": q_label_prop,
         "readability": q_readability,
         "column_overlap": q_column_overlap,
+        "wl_signature": q_wl_signature,
+        "proximity": q_proximity,
+        "weighted_median": q_weighted_median,
     }
 
 
@@ -3868,6 +3907,94 @@ def oracle_sql() -> dict[str, str]:
                 WHERE r = 1
             )
             SELECT id AS vec_id, lab AS label FROM l2
+        """,
+        # 1-WL color refinement (stages/cluster.py:wl_signature): 2 rounds
+        # of sorted-neighbor-multiset md5 folding; md5_number_lower IS the
+        # engine's stable hash, binary collation matches Python sorted
+        "wl_signature": f"""
+            WITH docs AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id, embedding
+                FROM embeddings
+            ),
+            {vec_ranked},
+            e0 AS (
+                SELECT least(qid, xid) AS a, greatest(qid, xid) AS b
+                FROM ranked WHERE rk <= {VEC_K} GROUP BY 1, 2
+            ),
+            e AS (SELECT a AS src, b AS dst FROM e0
+                  UNION ALL SELECT b, a FROM e0),
+            s0 AS (SELECT DISTINCT src AS id, src AS sig FROM e),
+            g1 AS (
+                SELECT e.dst AS id,
+                       string_agg(s.sig, ',' ORDER BY s.sig) AS ns
+                FROM e JOIN s0 s ON s.id = e.src GROUP BY e.dst
+            ),
+            s1 AS (
+                SELECT s.id,
+                       CAST(md5_number_lower(s.sig || '|' || g.ns)
+                            AS VARCHAR) AS sig
+                FROM s0 s JOIN g1 g ON g.id = s.id
+            ),
+            g2 AS (
+                SELECT e.dst AS id,
+                       string_agg(s.sig, ',' ORDER BY s.sig) AS ns
+                FROM e JOIN s1 s ON s.id = e.src GROUP BY e.dst
+            ),
+            s2 AS (
+                SELECT s.id,
+                       CAST(md5_number_lower(s.sig || '|' || g.ns)
+                            AS VARCHAR) AS sig
+                FROM s1 s JOIN g2 g ON g.id = s.id
+            )
+            SELECT id AS vec_id, sig AS wl_sig FROM s2
+        """,
+        # positional proximity (stages/textstats.py:proximity_search):
+        # 1-based positions, |i−j| <= window, both terms' position sets
+        "proximity": f"""
+            WITH t AS (SELECT doc_id, {tokens} AS tk FROM documents),
+            e AS (
+                SELECT doc_id, unnest(tk) AS tok,
+                       unnest(generate_series(1, len(tk))) AS i
+                FROM t WHERE len(tk) > 0
+            ),
+            a AS (SELECT doc_id, i FROM e WHERE tok = 'hash'),
+            b AS (SELECT doc_id, i FROM e WHERE tok = 'join'),
+            p AS (
+                SELECT a.doc_id, abs(a.i - b.i) AS gap
+                FROM a JOIN b ON b.doc_id = a.doc_id
+                WHERE abs(a.i - b.i) <= 3
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(min(gap) AS BIGINT) AS min_gap
+            FROM p GROUP BY doc_id
+        """,
+        # weighted doubled median (stages/relational.py:
+        # weighted_median_by_group): lo/hi order statistics over the
+        # value-ordered cumulative weights
+        "weighted_median": """
+            WITH v AS (
+                SELECT l_returnflag AS g,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+                       CAST(round(l_quantity) AS BIGINT) AS w
+                FROM lineitem
+            ), h AS (
+                SELECT g, c, CAST(sum(w) AS BIGINT) AS w FROM v
+                GROUP BY g, c
+            ), r AS (
+                SELECT g, c,
+                       CAST(sum(w) OVER (PARTITION BY g ORDER BY c)
+                            AS BIGINT) AS cw
+                FROM h
+            ), tot AS (
+                SELECT g, CAST(sum(w) AS BIGINT) AS wt FROM v GROUP BY g
+            )
+            SELECT t.g AS l_returnflag, t.wt AS w_total,
+                   CAST((SELECT min(c) FROM r
+                         WHERE r.g = t.g AND r.cw >= (t.wt + 1) // 2)
+                      + (SELECT min(c) FROM r
+                         WHERE r.g = t.g AND r.cw >= t.wt // 2 + 1)
+                        AS BIGINT) AS wmed2
+            FROM tot t
         """,
         # RE2 run counts (stages/textstats.py:readability) — DuckDB's
         # regexp_extract_all is the same RE2 engine as the pyarrow kernel

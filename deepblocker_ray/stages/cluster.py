@@ -1760,3 +1760,139 @@ def label_prop(pairs, cfg=None, *, iters: int = 2, id_col: str = "vec_id"):
         )
 
     return labels.map_batches(out, batch_format="pandas")
+
+
+def wl_signature(pairs, cfg=None, *, iters: int = 2,
+                 id_col: str = "vec_id"):
+    """Weisfeiler-Lehman node signatures over an undirected edge list —
+    the 1-WL color-refinement step behind graph-isomorphism tests and
+    structural-role dedup: each round every node's signature becomes
+
+        sig_t(v) = md5-lower64( sig_{t-1}(v) || '|' ||
+                                ','-join(SORTED multiset of neighbor
+                                         sig_{t-1}) )
+
+    rendered as the UNSIGNED decimal string, so two nodes share a
+    signature after k rounds iff their depth-k neighborhood trees agree —
+    the structural complement to ``label_prop`` (which finds communities,
+    not roles). md5-lower64 is the repo's SQL-twinnable stable hash
+    (DuckDB ``md5_number_lower``); lexicographic neighbor ordering under
+    binary collation matches Python ``sorted`` exactly. sig₀(v) = the id
+    string. Output (id_col, wl_sig:string).
+
+    Scale shape: per round ONE hash(src) exchange gathers neighbor
+    signatures along edges (O(edges) skinny rows) and ONE hash(dst)
+    exchange folds them with the node's own signature (sort + join +
+    one md5 per node); the edge list is materialized once per
+    orientation at data-sized blocks. No driver state."""
+    from ..config import EngineConfig
+    from .canonicalize import bucket_of
+    from .dedup import hash64_strs
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def orient(frm: str, to: str):
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df[frm].astype(str)
+            return pd.DataFrame(
+                {
+                    "id": ids.to_numpy(object),
+                    "sig": df[to].astype(str).to_numpy(object),
+                    "_is_sig": np.zeros(len(df), np.int8),
+                    "_bucket": bucket_of(ids, nb),
+                }
+            )
+
+        return pairs.map_batches(tag, batch_format="pandas")
+
+    both = orient("left_id", "right_id").union(
+        orient("right_id", "left_id")
+    ).materialize()
+    both = both.repartition(
+        max(1, -(-both.count() // 2_000_000))
+    ).materialize()
+
+    def self_sig(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["id"].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "id": u.to_numpy(object),
+                "sig": u.to_numpy(object),
+                "_is_sig": np.ones(len(u), np.int8),
+                "_bucket": bucket_of(u, nb),
+            }
+        )
+
+    sigs = (
+        both.groupby("_bucket")
+        .map_groups(self_sig, batch_format="pandas")
+        .materialize()
+    )
+
+    def gather(g: pd.DataFrame) -> pd.DataFrame:
+        sg = g[g["_is_sig"] == 1][["id", "sig"]]
+        e = g[g["_is_sig"] == 0][["id", "sig"]].rename(
+            columns={"sig": "dst"}
+        )
+        if len(e) == 0 or len(sg) == 0:
+            return pd.DataFrame(
+                {"id": pd.Series(dtype=object),
+                 "sig": pd.Series(dtype=object),
+                 "_is_sig": pd.Series(dtype=np.int8),
+                 "_bucket": pd.Series(dtype=np.int32)}
+            )
+        m = e.merge(sg, on="id")
+        return pd.DataFrame(
+            {
+                "id": m["dst"].to_numpy(object),
+                "sig": m["sig"].to_numpy(object),
+                "_is_sig": np.zeros(len(m), np.int8),
+                "_bucket": bucket_of(m["dst"], nb),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        own = g[g["_is_sig"] == 1][["id", "sig"]]
+        nbr = g[g["_is_sig"] == 0][["id", "sig"]]
+        joined = (
+            nbr.sort_values(["id", "sig"], kind="mergesort")
+            .groupby("id", sort=False)["sig"]
+            .agg(",".join)
+        )
+        m = own.merge(
+            joined.rename("ns"), left_on="id", right_index=True
+        )
+        composed = (m["sig"] + "|" + m["ns"]).to_numpy(object)
+        new = hash64_strs(composed).astype(np.uint64)
+        return pd.DataFrame(
+            {
+                "id": m["id"].to_numpy(object),
+                "sig": np.asarray([str(x) for x in new], object),
+                "_is_sig": np.ones(len(m), np.int8),
+                "_bucket": bucket_of(m["id"], nb),
+            }
+        )
+
+    for _ in range(iters):
+        partials = (
+            both.union(sigs)
+            .groupby("_bucket")
+            .map_groups(gather, batch_format="pandas")
+        )
+        sigs = (
+            partials.union(sigs)
+            .groupby("_bucket")
+            .map_groups(fold, batch_format="pandas")
+            .materialize()
+        )
+
+    def out(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.array(df["id"].to_numpy(object), pa.string()),
+                "wl_sig": pa.array(df["sig"].to_numpy(object), pa.string()),
+            }
+        )
+
+    return sigs.map_batches(out, batch_format="pandas")

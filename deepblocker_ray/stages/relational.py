@@ -1774,3 +1774,66 @@ def dispersion_by_group(ds, cfg: EngineConfig, *, group_col: str,
         .groupby("g")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def weighted_median_by_group(ds, cfg: EngineConfig, *, group_col: str,
+                             value_col: str, weight_col: str):
+    """Exact per-group WEIGHTED doubled median — the robust center when
+    rows carry multiplicity (price weighted by quantity, latency by
+    request count): (group, w_total:int64, wmed2:int64) with
+
+        wmed2 = (min v : cumw(v) ≥ ⌈(W+1)/2⌉… precisely
+                 lo = min v with cumw ≥ (W+1)//2,
+                 hi = min v with cumw ≥ W//2 + 1,  wmed2 = lo + hi)
+
+    over value-ascending cumulative weights — for odd W both targets
+    coincide (2·the weighted middle), for even W it is the lower+upper
+    middle, and with all weights 1 it reduces exactly to
+    ``dispersion_by_group``'s med2. Weights must be positive integers
+    (quantities); values are money → integer cents.
+
+    Scale shape: per-batch (group, cents)→Σweight histogram partials
+    (bounded by distinct price points), one tiny exchange, per group a
+    single cumsum + two searchsorted probes."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = np.rint(
+            np.asarray(t.column(value_col), np.float64) * 100.0
+        ).astype(np.int64)
+        w = np.rint(
+            np.asarray(t.column(weight_col), np.float64)
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {
+                    "g": t.column(group_col).to_pandas(),
+                    "cents": cents,
+                    "w": w,
+                }
+            )
+            .groupby(["g", "cents"], sort=False)["w"]
+            .sum()
+            .rename("w")
+            .reset_index()
+        )
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        h = g.groupby("cents", sort=False)["w"].sum().sort_index()
+        v = h.index.to_numpy(np.int64)
+        cw = np.cumsum(h.to_numpy(np.int64))
+        wt = int(cw[-1])
+        lo = int(v[np.searchsorted(cw, (wt + 1) // 2)])
+        hi = int(v[np.searchsorted(cw, wt // 2 + 1)])
+        return pa.table(
+            {
+                group_col: pa.array([g["g"].iloc[0]], pa.string()),
+                "w_total": pa.array([wt], pa.int64()),
+                "wmed2": pa.array([lo + hi], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -1365,3 +1365,93 @@ def readability(ds, cfg=None, *, text_col: str = "text",
         )
 
     return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def proximity_search(ds, cfg=None, *, term_a: str, term_b: str,
+                     window: int = 3, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Positional proximity search — the phrase/near-query primitive on
+    top of an inverted index: for two DISTINCT terms, every document
+    where they co-occur within ``window`` token positions, with the
+    exact pair count and closest gap: (id, n_pairs, min_gap) where
+    n_pairs = |{(i, j) : tok_i = a, tok_j = b, |i − j| ≤ window}| and
+    min_gap = min |i − j| (positions 1-based under the basic_english
+    tokenizer, the ``skipgram`` convention). Docs with no qualifying
+    pair are absent.
+
+    Scale shape: a pure streaming map — per batch the token stream
+    flattens once, term positions key as doc·2³² + pos, and the pair
+    count per ``a`` occurrence is two searchsorted probes into the
+    ``b`` positions (the closest-gap probe is the same two neighbors);
+    no exchange, no per-row Python loop."""
+    from ..functions.tokenizer import tokenize_many
+
+    if term_a == term_b:
+        raise ValueError("term_a and term_b must differ")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    BIG = np.int64(1) << np.int64(32)
+
+    def score(t: pa.Table) -> pa.Table:
+        toks = tokenize_many(t.column(text_col).to_pylist())
+        counts = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        total = int(counts.sum())
+        empty = pa.table(
+            {
+                id_col: t.column(id_col).slice(0, 0),
+                "n_pairs": pa.array([], pa.int64()),
+                "min_gap": pa.array([], pa.int64()),
+            }
+        )
+        if total == 0:
+            return empty
+        flat = np.empty(total, object)
+        pos = 0
+        for x in toks:
+            flat[pos : pos + len(x)] = x
+            pos += len(x)
+        doc_of = np.repeat(np.arange(len(toks), dtype=np.int64), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        # 1-based position within the doc
+        p = np.arange(total, dtype=np.int64) - starts[doc_of] + 1
+        am = flat == term_a
+        bm = flat == term_b
+        if not am.any() or not bm.any():
+            return empty
+        ka = doc_of[am] * BIG + p[am]
+        kb = doc_of[bm] * BIG + p[bm]  # ascending by construction
+        w = np.int64(window)
+        lo = np.maximum(p[am] - w, 1) + doc_of[am] * BIG
+        hi = ka + w
+        li = np.searchsorted(kb, lo, side="left")
+        ri = np.searchsorted(kb, hi, side="right")
+        cnt = ri - li
+        n_pairs = np.zeros(len(toks), np.int64)
+        np.add.at(n_pairs, doc_of[am], cnt)
+        # closest b per a: the two candidates around the insertion point
+        ins = np.searchsorted(kb, ka)
+        gap = np.full(len(ka), np.iinfo(np.int64).max, np.int64)
+        right_ok = ins < len(kb)
+        ri2 = np.clip(ins, 0, len(kb) - 1)
+        same = right_ok & (kb[ri2] // BIG == doc_of[am])
+        gap[same] = np.abs(kb[ri2][same] - ka[same])
+        left_ok = ins > 0
+        li2 = np.clip(ins - 1, 0, len(kb) - 1)
+        same_l = left_ok & (kb[li2] // BIG == doc_of[am])
+        gap[same_l] = np.minimum(
+            gap[same_l], np.abs(ka[same_l] - kb[li2][same_l])
+        )
+        min_gap = np.full(len(toks), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(min_gap, doc_of[am], gap)
+        keep = n_pairs > 0
+        return pa.table(
+            {
+                id_col: t.column(id_col).take(
+                    pa.array(np.nonzero(keep)[0])
+                ),
+                "n_pairs": pa.array(n_pairs[keep]),
+                "min_gap": pa.array(min_gap[keep]),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

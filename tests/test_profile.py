@@ -1066,3 +1066,102 @@ class TestColumnOverlap:
             ("y", "w"): (4, 1, 0),
         }
         assert len(out) == 4
+
+
+class TestProximitySearch:
+    def test_hand_counts(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.textstats import proximity_search
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "hash join hash x join",   # a@1,3 b@2,5: pairs w<=2:
+                                               # (1,2)g1 (3,2)g1 (3,5)g2 -> 3
+                    "hash x x x join",         # gap 4 > 2: no pair
+                    "join only here",          # no a
+                    None,
+                ],
+            }
+        )
+        out = (
+            proximity_search(
+                rd.from_pandas(docs), EngineConfig(num_buckets=4),
+                term_a="hash", term_b="join", window=2,
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert len(out) == 1
+        assert tuple(out.loc[0]) == (3, 1)
+
+    def test_validation(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.textstats import proximity_search
+
+        docs = rd.from_pandas(
+            pd.DataFrame({"doc_id": [0], "text": ["x"]})
+        )
+        with pytest.raises(ValueError):
+            proximity_search(
+                docs, EngineConfig(num_buckets=4),
+                term_a="x", term_b="x",
+            )
+
+
+class TestWeightedMedianByGroup:
+    def test_matches_brute_force_and_unweighted_reduction(
+        self, ray_session
+    ):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import (
+            dispersion_by_group,
+            weighted_median_by_group,
+        )
+
+        rng = np.random.RandomState(23)
+        g = rng.choice(["x", "y"], 300)
+        v = np.round(rng.lognormal(3, 1, 300), 2)
+        w = rng.randint(1, 9, 300)
+        df = pd.DataFrame({"grp": g, "price": v, "qty": w.astype(float)})
+        out = (
+            weighted_median_by_group(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=4),
+                group_col="grp", value_col="price", weight_col="qty",
+            )
+            .to_pandas()
+            .set_index("grp")
+        )
+        for grp in ["x", "y"]:
+            cents = np.rint(v[g == grp] * 100).astype(np.int64)
+            ww = w[g == grp].astype(np.int64)
+            expanded = np.sort(np.repeat(cents, ww))
+            n = len(expanded)
+            if n % 2 == 1:
+                m2 = 2 * int(expanded[(n - 1) // 2])
+            else:
+                m2 = int(expanded[n // 2 - 1]) + int(expanded[n // 2])
+            r = out.loc[grp]
+            assert r["w_total"] == ww.sum()
+            assert r["wmed2"] == m2
+        # all-ones weights reduce exactly to dispersion's med2
+        ones = df.assign(qty=1.0)
+        wm = weighted_median_by_group(
+            rd.from_pandas(ones), EngineConfig(num_buckets=4),
+            group_col="grp", value_col="price", weight_col="qty",
+        ).to_pandas().set_index("grp")
+        dm = dispersion_by_group(
+            rd.from_pandas(ones), EngineConfig(num_buckets=4),
+            group_col="grp", value_col="price",
+        ).to_pandas().set_index("grp")
+        for grp in ["x", "y"]:
+            assert wm.loc[grp, "wmed2"] == dm.loc[grp, "med2"]
