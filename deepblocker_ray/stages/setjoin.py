@@ -255,10 +255,20 @@ def set_similarity_join(
             }
         )
 
-    # skinny (doc_id, bkey) rows; _pairs_from_keys reads them twice
-    keys = docs.map_batches(
-        explode_prefix, batch_format="pyarrow"
-    ).materialize()
+    # skinny (doc_id, bkey) rows; _pairs_from_keys reads them twice.
+    # Data-size the blocks: the bucket exchange's output partition count
+    # follows the INPUT block count, and the upstream doc-bucket groupby
+    # can collapse to a handful of blocks — which would serialize the two
+    # heavy stages (pair fan-out, payload verify) regardless of bucket
+    # count (measured at sf0.1: 3 pair tasks / 8 verify tasks on 32 CPUs,
+    # 15.8 s wall → 64/64 tasks, 4.3 s)
+    from ..config import parallel_blocks_sized
+
+    keys = parallel_blocks_sized(
+        docs.map_batches(
+            explode_prefix, batch_format="pyarrow"
+        ).materialize()
+    )
     cand = _pairs_from_keys(
         keys, "doc_id", max_bucket, cfg, hard_mult=hard_mult,
         stats_out=stats_out,
