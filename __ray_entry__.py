@@ -2894,6 +2894,34 @@ def q_weighted_median(sf_dir: str):
     )
 
 
+def q_doc_keywords(sf_dir: str):
+    """Per-document top-3 keywords by integer-bits TF-IDF (tf × bit-count
+    IDF from a vocabulary-bounded document-frequency exchange)."""
+    from deepblocker_ray.stages.textstats import doc_keywords
+
+    return doc_keywords(_documents(sf_dir), _cfg(), k=3)
+
+
+def q_kendall(sf_dir: str):
+    """Kendall-tau disagreement between the exact and int8-quantized kNN
+    rankings: per query, shared items and exact discordant-pair count."""
+    from deepblocker_ray.stages.annsearch import knn, knn_int8
+    from deepblocker_ray.stages.topk import kendall_disagreement
+
+    emb = _embeddings(sf_dir)
+    a = knn(emb, n_queries=10, k=10, cfg=_cfg(), mode="exact")
+    b = knn_int8(emb, n_queries=10, k=10, cfg=_cfg())
+    return kendall_disagreement(a, b, _cfg())
+
+
+def q_edge_features(sf_dir: str):
+    """Per-edge structural features (degrees + common-neighbor count)
+    over the undirected k=5 cosine-kNN blocking graph."""
+    from deepblocker_ray.stages.cluster import edge_features
+
+    return edge_features(q_blocking_vec(sf_dir), _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3092,6 +3120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wl_signature": q_wl_signature,
         "proximity": q_proximity,
         "weighted_median": q_weighted_median,
+        "doc_keywords": q_doc_keywords,
+        "kendall": q_kendall,
+        "edge_features": q_edge_features,
     }
 
 
@@ -3868,6 +3899,125 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             LEFT JOIN mea a ON a.left_id = p.left_id
             LEFT JOIN meb b ON b.right_id = p.right_id
+        """,
+        # per-doc integer-bits TF-IDF keywords (stages/textstats.py:
+        # doc_keywords): tf × (⌊log₂N⌋ − ⌊log₂df⌋), top-3 per doc
+        "doc_keywords": f"""
+            WITH t AS (SELECT doc_id, {tokens} AS tk FROM documents),
+            e AS (
+                SELECT doc_id, unnest(tk) AS tok FROM t WHERE len(tk) > 0
+            ), tf AS (
+                SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM e GROUP BY 1, 2
+            ), df AS (
+                SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfc
+                FROM e GROUP BY tok
+            ), n AS (
+                SELECT length(printf('%b', count(*))) - 1 AS lgn
+                FROM documents
+            ), sc AS (
+                SELECT tf.doc_id, tf.tok AS token,
+                       CAST(tf.tf * ((SELECT lgn FROM n)
+                            - (length(printf('%b', df.dfc)) - 1))
+                           AS BIGINT) AS score
+                FROM tf JOIN df ON df.tok = tf.tok
+            )
+            SELECT doc_id, token, score, rank FROM (
+                SELECT doc_id, token, score,
+                       CAST(row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, token) AS BIGINT) AS rank
+                FROM sc)
+            WHERE rank <= 3
+        """,
+        # Kendall disagreement between the exact and int8 kNN rankings
+        # (stages/topk.py:kendall_disagreement)
+        "kendall": """
+            WITH sims AS (
+                SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
+                       CAST(x.vec_id AS VARCHAR) AS neighbor_id,
+                       list_cosine_similarity(q.embedding, x.embedding) AS cos
+                FROM embeddings q, embeddings x
+                WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id
+            ), ranked_e AS (
+                SELECT query_id, neighbor_id, rank FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) - 1 AS rank
+                    FROM sims)
+                WHERE rank < 10
+            ), q8 AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id, vec_id,
+                       list_transform(embedding, x ->
+                           floor(CAST(x AS DOUBLE) *
+                                 (127.0 / list_aggregate(
+                                      list_transform(embedding,
+                                          y -> abs(CAST(y AS DOUBLE))),
+                                      'max')) + 0.5)) AS qv
+                FROM embeddings
+            ), sims8 AS (
+                SELECT a.id AS query_id, b.id AS neighbor_id,
+                       list_cosine_similarity(a.qv, b.qv) AS cos
+                FROM q8 a, q8 b
+                WHERE a.vec_id < 10 AND b.id <> a.id
+            ), ranked_8 AS (
+                SELECT query_id, neighbor_id, rank FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) - 1 AS rank
+                    FROM sims8)
+                WHERE rank < 10
+            ), shared AS (
+                SELECT a.query_id, a.neighbor_id,
+                       a.rank AS ra, b.rank AS rb
+                FROM ranked_e a JOIN ranked_8 b
+                  ON b.query_id = a.query_id
+                 AND b.neighbor_id = a.neighbor_id
+            ), d AS (
+                SELECT s.query_id, CAST(count(*) AS BIGINT) AS nd
+                FROM shared s JOIN shared t
+                  ON t.query_id = s.query_id
+                 AND s.ra < t.ra AND s.rb > t.rb
+                GROUP BY s.query_id
+            )
+            SELECT s.query_id, CAST(count(*) AS BIGINT) AS n_shared,
+                   COALESCE(max(d.nd), 0) AS n_disc
+            FROM shared s LEFT JOIN d ON d.query_id = s.query_id
+            GROUP BY s.query_id
+        """,
+        # per-edge structural features (stages/cluster.py:edge_features)
+        "edge_features": f"""
+            WITH docs AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id, embedding
+                FROM embeddings
+            ),
+            {vec_ranked},
+            e0 AS (
+                SELECT least(qid, xid) AS a, greatest(qid, xid) AS b
+                FROM ranked WHERE rk <= {VEC_K} GROUP BY 1, 2
+            ),
+            e AS (SELECT a AS src, b AS dst FROM e0
+                  UNION ALL SELECT b, a FROM e0),
+            deg AS (
+                SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+                FROM e GROUP BY src
+            ),
+            cmn AS (
+                SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS n
+                FROM e0 p
+                JOIN e x ON x.src = p.a
+                JOIN e y ON y.src = p.b AND y.dst = x.dst
+                GROUP BY p.a, p.b
+            )
+            SELECT p.a AS left_id, p.b AS right_id,
+                   da.d AS deg_l, db.d AS deg_r,
+                   COALESCE(c.n, 0) AS n_common
+            FROM e0 p
+            JOIN deg da ON da.id = p.a
+            JOIN deg db ON db.id = p.b
+            LEFT JOIN cmn c ON c.a = p.a AND c.b = p.b
         """,
         # synchronous LPA (stages/cluster.py:label_prop): 2 rounds of
         # join-count-argmax with (count desc, label asc) determinism

@@ -1896,3 +1896,137 @@ def wl_signature(pairs, cfg=None, *, iters: int = 2,
         )
 
     return sigs.map_batches(out, batch_format="pandas")
+
+
+def edge_features(pairs, cfg=None):
+    """Per-edge structural features over an undirected distinct pair list
+    (left_id < right_id, strings) — the link-prediction / ER-evidence
+    triple: (left_id, right_id, deg_l, deg_r, n_common) where n_common =
+    |N(l) ∩ N(r)| (common neighbors, excluding the endpoints themselves —
+    a neighbor can't be l or r because the graph has no self-loops).
+    Neighborhood Jaccard, Adamic-Adar denominators, and the k-truss edge
+    support (n_common ≥ k−2) are all one expression away; everything
+    stays integer.
+
+    Algorithm: the ``local_clustering`` wedge-check re-aimed at EDGES —
+    each edge routes to both endpoints (one hash(node) exchange), per
+    node its sorted neighbor list emits C(deg,2) wedges (u, w); wedges
+    meet the edge set in a hash(u|w)-bucketed exchange where each wedge
+    that finds its closing edge contributes 1 to that edge's n_common
+    (a common neighbor c of edge (u,w) IS the wedge (u,w) centered at
+    c); degrees attach to the edge at the same exchange via marker rows.
+    Wedge volume is Σ C(deg,2) — bounded for degree-capped kNN graphs
+    (the local_clustering containment note applies to hubs)."""
+    from ..config import EngineConfig
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    pairs = pairs.materialize()
+    pairs = pairs.repartition(
+        max(1, -(-pairs.count() // 2_000_000))
+    ).materialize()
+
+    def double(df: pd.DataFrame) -> pd.DataFrame:
+        l = df["left_id"].astype(str).to_numpy(object)
+        r = df["right_id"].astype(str).to_numpy(object)
+        node = np.concatenate([l, r])
+        nbr = np.concatenate([r, l])
+        return pd.DataFrame(
+            {
+                "node": node,
+                "nbr": nbr,
+                "_bucket": bucket_of(pd.Series(node), nb),
+            }
+        )
+
+    def wedges_and_degrees(g: pd.DataFrame) -> pd.DataFrame:
+        # per node: degree marker rows (kind 1 for left endpoint, 2 for
+        # right) keyed by each INCIDENT edge, plus C(deg,2) wedge rows
+        # (kind 0) keyed by the wedge pair — all meet at hash(pair)
+        g = g.sort_values(["node", "nbr"], kind="mergesort")
+        node = g["node"].to_numpy(object)
+        nbr = g["nbr"].to_numpy(object)
+        starts = np.nonzero(
+            np.concatenate(([True], node[1:] != node[:-1]))
+        )[0]
+        counts = np.diff(np.concatenate((starts, [len(node)])))
+        deg = counts  # per distinct node
+        # degree markers: one row per incident edge, oriented canonically
+        is_left = node < nbr
+        ka = np.where(is_left, node, nbr)
+        kb = np.where(is_left, nbr, node)
+        kind = np.where(is_left, 1, 2).astype(np.int8)
+        n_mark = np.repeat(deg, counts)  # this node's degree, per edge
+        # wedges: for each node, all (i < j) neighbor pairs
+        reps = np.repeat(
+            counts - 1, counts
+        ) - (np.arange(len(node), dtype=np.int64)
+             - np.repeat(starts, counts))
+        reps = np.maximum(reps, 0)
+        i_idx = np.repeat(np.arange(len(node), dtype=np.int64), reps)
+        off = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        j_idx = i_idx + 1 + off
+        wa, wb = nbr[i_idx], nbr[j_idx]  # sorted: wa < wb within node
+        out = pd.DataFrame(
+            {
+                "a": np.concatenate([ka, wa]),
+                "b": np.concatenate([kb, wb]),
+                "kind": np.concatenate(
+                    [kind, np.zeros(len(wa), np.int8)]
+                ),
+                "n": np.concatenate(
+                    [n_mark.astype(np.int64),
+                     np.ones(len(wa), np.int64)]
+                ),
+            }
+        )
+        out["_bucket"] = bucket_of(out["a"].astype(str) + "|"
+                                   + out["b"].astype(str), nb)
+        return out
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        marks = g[g["kind"] != 0]
+        if len(marks) == 0:
+            return pa.table(
+                {
+                    "left_id": pa.array([], pa.string()),
+                    "right_id": pa.array([], pa.string()),
+                    "deg_l": pa.array([], pa.int64()),
+                    "deg_r": pa.array([], pa.int64()),
+                    "n_common": pa.array([], pa.int64()),
+                }
+            )
+        w = (
+            g[g["kind"] == 0]
+            .groupby(["a", "b"], sort=False)["n"]
+            .sum()
+            .rename("n_common")
+        )
+        p = marks.pivot_table(
+            index=["a", "b"], columns="kind", values="n", aggfunc="max"
+        ).reset_index()
+        m = p.merge(w, left_on=["a", "b"], right_index=True, how="left")
+        return pa.table(
+            {
+                "left_id": pa.array(m["a"].to_numpy(object), pa.string()),
+                "right_id": pa.array(m["b"].to_numpy(object),
+                                     pa.string()),
+                "deg_l": pa.array(m[1].to_numpy(np.int64)),
+                "deg_r": pa.array(m[2].to_numpy(np.int64)),
+                "n_common": pa.array(
+                    m["n_common"].fillna(0).to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        pairs.map_batches(double, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(wedges_and_degrees, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+    )

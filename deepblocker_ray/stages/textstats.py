@@ -1455,3 +1455,142 @@ def proximity_search(ds, cfg=None, *, term_a: str, term_b: str,
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def doc_keywords(ds, cfg=None, *, k: int = 3, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Per-document keyword extraction — top-``k`` tokens by the
+    integer-bits TF-IDF score
+
+        score(doc, tok) = tf(doc, tok) · (⌊log₂ N_docs⌋ − ⌊log₂ df(tok)⌋)
+
+    (tf = in-doc occurrences, df = documents containing the token,
+    N_docs = corpus document count) under the total order (score desc,
+    token asc), rank 1-based. The bit-count IDF is the ``surprisal``
+    trick: exponent extraction keeps every score an exact int64 so the
+    ranking is bit-reproducible and SQL-twinnable. Ubiquitous tokens
+    (df ≈ N) score 0 but still rank. Docs with no tokens emit nothing.
+    Output (id, token, score:int64, rank:int64).
+
+    Scale shape: ONE vocabulary-bounded exchange builds the document-
+    frequency table from map-side-deduped (token, doc) partials; weights
+    ship as sorted-hash plasma blocks (HashedWeightsHandle); the corpus
+    then streams shuffle-free — per batch one tokenize + groupby-count +
+    segment top-k (each doc is one row, so its tokens never cross a
+    batch)."""
+    from ..functions.tokenizer import tokenize_many
+    from ..state.lookup import HashedWeightsHandle, hash_tokens_2x
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def ilog2(c: np.ndarray) -> np.ndarray:
+        return (np.frexp(c.astype(np.float64))[1] - 1).astype(np.int64)
+
+    # document-frequency exchange: map-side per-batch DISTINCT (token, doc)
+    # collapses to per-token doc counts, bucketed on the token hash (the
+    # token_frequencies exchange shape with docs-counted partials)
+    from ..config import EngineConfig
+    from .canonicalize import bucket_of
+
+    nb = (cfg or EngineConfig()).num_buckets
+
+    def df_partial(t: pa.Table) -> pd.DataFrame:
+        toks = tokenize_many(t.column(text_col).to_pylist())
+        c = pd.Series(
+            [tok for x in toks for tok in set(x)], dtype=object
+        ).value_counts()
+        return pd.DataFrame(
+            {
+                "token": c.index.to_numpy(object),
+                "count": c.to_numpy(np.int64),
+                "_bucket": bucket_of(
+                    pd.Series(c.index.to_numpy(object)), nb
+                ),
+            }
+        )
+
+    def df_combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("token", sort=False)["count"].sum()
+        return pd.DataFrame(
+            {
+                "token": c.index.to_numpy(object),
+                "count": c.to_numpy(np.int64),
+            }
+        )
+
+    n_docs = ds.count()
+    lg_n = int(ilog2(np.array([max(n_docs, 1)], np.int64))[0])
+    df_tab = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(df_combine, batch_format="pandas")
+        .materialize()
+    )
+
+    def to_hashed(t: pa.Table) -> pa.Table:
+        toks = np.asarray(t.column("token").to_pylist(), dtype=object)
+        h1, h2 = hash_tokens_2x(toks)
+        dfc = np.asarray(t.column("count"), np.int64)
+        return pa.table(
+            {
+                "_h1": pa.array(h1),
+                "_h2": pa.array(h2),
+                "_w": pa.array((lg_n - ilog2(dfc)).astype(np.float64)),
+            }
+        )
+
+    hashed = df_tab.map_batches(
+        to_hashed, batch_format="pyarrow"
+    ).materialize()
+    handle = HashedWeightsHandle(
+        hashed.to_arrow_refs() if hashed.count() > 0 else []
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        w = handle.resolve()
+        toks = tokenize_many(t.column(text_col).to_pylist())
+        ids = t.column(id_col).to_pandas()
+        rows_id, rows_tok, rows_tf = [], [], []
+        for i, x in enumerate(toks):
+            if not x:
+                continue
+            s = pd.Series(x).value_counts()
+            rows_id.extend([i] * len(s))
+            rows_tok.extend(s.index)
+            rows_tf.extend(s.to_numpy())
+        if not rows_id:
+            return pa.table(
+                {
+                    id_col: t.column(id_col).slice(0, 0),
+                    "token": pa.array([], pa.string()),
+                    "score": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        tok_arr = np.asarray(rows_tok, object)
+        sc = np.asarray(rows_tf, np.int64) * w.get_many(tok_arr).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {"i": np.asarray(rows_id, np.int64), "token": tok_arr,
+             "score": sc}
+        ).sort_values(["i", "score", "token"],
+                      ascending=[True, False, True], kind="mergesort")
+        top = df.groupby("i", sort=False).head(k)
+        rank = top.groupby("i", sort=False).cumcount() + 1
+        return pa.table(
+            {
+                id_col: t.column(id_col).take(
+                    pa.array(top["i"].to_numpy(np.int64))
+                ),
+                "token": pa.array(top["token"].to_numpy(object),
+                                  pa.string()),
+                "score": pa.array(top["score"].to_numpy(np.int64)),
+                "rank": pa.array(rank.to_numpy(np.int64)),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow")
+    out._keywords_pin = (hashed, handle)  # pin plasma blocks
+    return out

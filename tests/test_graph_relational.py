@@ -930,3 +930,68 @@ class TestWLSignature:
         gb = dict(zip(b["vec_id"], b["wl_sig"]))
         assert ga == gb
         assert len(set(ga)) == 6
+
+
+class TestEdgeFeatures:
+    def test_matches_brute_force(self, ray_session):
+        from deepblocker_ray.stages.cluster import edge_features
+
+        r = np.random.RandomState(13)
+        edges = set()
+        for _ in range(50):
+            a, b = (str(x) for x in r.randint(0, 18, 2))
+            if a != b:
+                # the stage contract: left < right as STRINGS
+                edges.add((min(a, b), max(a, b)))
+        edges = sorted(edges)
+        pairs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "left_id": [x for x, _ in edges],
+                    "right_id": [y for _, y in edges],
+                }
+            )
+        )
+        out = edge_features(pairs, _ACFG).to_pandas()
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        got = {
+            (r2["left_id"], r2["right_id"]): (
+                r2["deg_l"], r2["deg_r"], r2["n_common"]
+            )
+            for _, r2 in out.iterrows()
+        }
+        want = {
+            (a, b): (len(adj[a]), len(adj[b]), len(adj[a] & adj[b]))
+            for a, b in edges
+        }
+        assert got == want
+
+    def test_triangle_and_path(self, ray_session):
+        from deepblocker_ray.stages.cluster import edge_features
+
+        # triangle abc + pendant d off c
+        edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")]
+        pairs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "left_id": [x for x, _ in edges],
+                    "right_id": [y for _, y in edges],
+                }
+            )
+        )
+        out = edge_features(pairs, _ACFG).to_pandas()
+        got = {
+            (r["left_id"], r["right_id"]): (
+                r["deg_l"], r["deg_r"], r["n_common"]
+            )
+            for _, r in out.iterrows()
+        }
+        assert got == {
+            ("a", "b"): (2, 2, 1),
+            ("a", "c"): (2, 3, 1),
+            ("b", "c"): (2, 3, 1),
+            ("c", "d"): (3, 1, 0),
+        }

@@ -1165,3 +1165,57 @@ class TestWeightedMedianByGroup:
         ).to_pandas().set_index("grp")
         for grp in ["x", "y"]:
             assert wm.loc[grp, "wmed2"] == dm.loc[grp, "med2"]
+
+
+class TestDocKeywords:
+    def test_matches_brute_force(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.functions.tokenizer import tokenize_many
+        from deepblocker_ray.stages.textstats import doc_keywords
+
+        texts = [
+            "apple banana apple cherry",
+            "banana banana date",
+            "apple egg egg egg fig",
+            "",
+            None,
+        ]
+        ids = [f"d{i}" for i in range(len(texts))]
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": ids, "text": texts})
+        ).repartition(2)
+        out = (
+            doc_keywords(ds, EngineConfig(num_buckets=4), k=2)
+            .to_pandas()
+        )
+        toks = tokenize_many(texts)
+        n_docs = len(texts)
+        dfc = {}
+        for x in toks:
+            for tok in set(x):
+                dfc[tok] = dfc.get(tok, 0) + 1
+        lg_n = int(math.log2(n_docs))
+        for i, x in enumerate(toks):
+            if not x:
+                assert f"d{i}" not in set(out["doc_id"])
+                continue
+            from collections import Counter
+
+            tf = Counter(x)
+            scored = sorted(
+                (
+                    (-tf[t] * (lg_n - int(math.log2(dfc[t]))), t)
+                    for t in tf
+                ),
+            )[:2]
+            rows = out[out.doc_id == f"d{i}"].sort_values("rank")
+            assert [
+                (r["token"], r["score"]) for _, r in rows.iterrows()
+            ] == [(t, -s) for s, t in scored]
+            assert rows["rank"].tolist() == list(
+                range(1, len(scored) + 1)
+            )

@@ -676,3 +676,69 @@ class TestRankFusion:
                 rd.from_pandas(df), rd.from_pandas(df),
                 EngineConfig(num_buckets=4), k=0,
             )
+
+
+class TestKendallDisagreement:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.topk import kendall_disagreement
+
+        r = np.random.RandomState(3)
+        rows_a, rows_b = [], []
+        for q in range(6):
+            items = [str(x) for x in r.choice(30, 10, replace=False)]
+            perm = list(items)
+            r.shuffle(perm)
+            # ranker B sees a subset in permuted order
+            sub = perm[:7]
+            rows_a += [(str(q), it, i) for i, it in enumerate(items)]
+            rows_b += [(str(q), it, i) for i, it in enumerate(sub)]
+        cols = ["query_id", "neighbor_id", "rank"]
+        da = pd.DataFrame(rows_a, columns=cols)
+        db = pd.DataFrame(rows_b, columns=cols)
+        out = kendall_disagreement(
+            rd.from_pandas(da).repartition(2),
+            rd.from_pandas(db).repartition(3),
+            EngineConfig(num_buckets=4),
+        ).to_pandas()
+        got = {
+            r2["query_id"]: (r2["n_shared"], r2["n_disc"])
+            for _, r2 in out.iterrows()
+        }
+        for q in range(6):
+            a = da[da.query_id == str(q)].set_index("neighbor_id")["rank"]
+            b = db[db.query_id == str(q)].set_index("neighbor_id")["rank"]
+            shared = sorted(set(a.index) & set(b.index))
+            disc = sum(
+                1
+                for i in range(len(shared))
+                for j in range(len(shared))
+                if a[shared[i]] < a[shared[j]]
+                and b[shared[i]] > b[shared[j]]
+            )
+            assert got[str(q)] == (len(shared), disc)
+
+    def test_identical_and_reversed(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.topk import kendall_disagreement
+
+        df = pd.DataFrame(
+            {
+                "query_id": ["q"] * 4,
+                "neighbor_id": list("wxyz"),
+                "rank": [0, 1, 2, 3],
+            }
+        )
+        rev = df.assign(rank=[3, 2, 1, 0])
+        same = kendall_disagreement(
+            rd.from_pandas(df), rd.from_pandas(df),
+            EngineConfig(num_buckets=4),
+        ).to_pandas()
+        assert tuple(same.iloc[0][["n_shared", "n_disc"]]) == (4, 0)
+        flipped = kendall_disagreement(
+            rd.from_pandas(df), rd.from_pandas(rev),
+            EngineConfig(num_buckets=4),
+        ).to_pandas()
+        assert tuple(flipped.iloc[0][["n_shared", "n_disc"]]) == (4, 6)
