@@ -2922,6 +2922,39 @@ def q_edge_features(sf_dir: str):
     return edge_features(q_blocking_vec(sf_dir), _cfg())
 
 
+def q_ktruss(sf_dir: str):
+    """Bounded 2-round 4-truss peeling (edges need ≥ 2 common neighbors,
+    re-checked after the first peel) over the kNN blocking graph."""
+    from deepblocker_ray.stages.cluster import ktruss
+
+    return ktruss(q_blocking_vec(sf_dir), _cfg(), k=4, rounds=2)
+
+
+def q_fof(sf_dir: str):
+    """Friend-of-friend structural candidates: non-edge pairs of the kNN
+    blocking graph sharing ≥ 2 common neighbors."""
+    from deepblocker_ray.stages.cluster import fof_candidates
+
+    return fof_candidates(q_blocking_vec(sf_dir), _cfg(), min_common=2)
+
+
+def q_trimmed(sf_dir: str):
+    """Exact 10%-trimmed-mean sufficient statistics of order value per
+    priority (n, n_kept, sum_kept cents)."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import trimmed_stats_by_group
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return trimmed_stats_by_group(
+        orders, _cfg(), group_col="o_orderpriority",
+        value_col="o_totalprice", trim_pct=10,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3123,6 +3156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": q_doc_keywords,
         "kendall": q_kendall,
         "edge_features": q_edge_features,
+        "ktruss": q_ktruss,
+        "fof": q_fof,
+        "trimmed": q_trimmed,
     }
 
 
@@ -3986,6 +4022,84 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # bounded 2-round 4-truss peel (stages/cluster.py:ktruss):
+        # support = common neighbors in the CURRENT edge set, HAVING >= 2
+        "ktruss": f"""
+            WITH docs AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id, embedding
+                FROM embeddings
+            ),
+            {vec_ranked},
+            e0 AS (
+                SELECT least(qid, xid) AS a, greatest(qid, xid) AS b
+                FROM ranked WHERE rk <= {VEC_K} GROUP BY 1, 2
+            ),
+            f0 AS (SELECT a AS src, b AS dst FROM e0
+                   UNION ALL SELECT b, a FROM e0),
+            e1 AS (
+                SELECT p.a, p.b FROM e0 p
+                JOIN f0 x ON x.src = p.a
+                JOIN f0 y ON y.src = p.b AND y.dst = x.dst
+                GROUP BY p.a, p.b HAVING count(*) >= 2
+            ),
+            f1 AS (SELECT a AS src, b AS dst FROM e1
+                   UNION ALL SELECT b, a FROM e1),
+            e2 AS (
+                SELECT p.a, p.b FROM e1 p
+                JOIN f1 x ON x.src = p.a
+                JOIN f1 y ON y.src = p.b AND y.dst = x.dst
+                GROUP BY p.a, p.b HAVING count(*) >= 2
+            )
+            SELECT a AS left_id, b AS right_id FROM e2
+        """,
+        # friend-of-friend candidates (stages/cluster.py:fof_candidates):
+        # non-edges with >= 2 common neighbors; a < b as strings
+        "fof": f"""
+            WITH docs AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id, embedding
+                FROM embeddings
+            ),
+            {vec_ranked},
+            e0 AS (
+                SELECT least(qid, xid) AS a, greatest(qid, xid) AS b
+                FROM ranked WHERE rk <= {VEC_K} GROUP BY 1, 2
+            ),
+            e AS (SELECT a AS src, b AS dst FROM e0
+                  UNION ALL SELECT b, a FROM e0),
+            wedge AS (
+                SELECT x.dst AS a, y.dst AS b
+                FROM e x JOIN e y ON y.src = x.src AND y.dst > x.dst
+            ),
+            cnt AS (
+                SELECT a, b, CAST(count(*) AS BIGINT) AS n
+                FROM wedge GROUP BY a, b
+            )
+            SELECT c.a AS left_id, c.b AS right_id, c.n AS n_common
+            FROM cnt c LEFT JOIN e0 p ON p.a = c.a AND p.b = c.b
+            WHERE p.a IS NULL AND c.n >= 2
+        """,
+        # 10%-trimmed sufficient statistics (stages/relational.py:
+        # trimmed_stats_by_group): kept ranks k+1 .. n−k, k = n·10//100
+        "trimmed": """
+            WITH v AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                FROM orders
+            ), r AS (
+                SELECT g, c,
+                       row_number() OVER (PARTITION BY g ORDER BY c) AS i,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM v
+            )
+            SELECT g AS o_orderpriority,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST(max(n) - 2 * (max(n) * 10 // 100) AS BIGINT)
+                       AS n_kept,
+                   CAST(sum(CASE WHEN i > n * 10 // 100
+                                  AND i <= n - n * 10 // 100
+                                 THEN c ELSE 0 END) AS BIGINT) AS sum_kept
+            FROM r GROUP BY g
         """,
         # per-edge structural features (stages/cluster.py:edge_features)
         "edge_features": f"""

@@ -2030,3 +2030,155 @@ def edge_features(pairs, cfg=None):
         .groupby("_bucket")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def ktruss(pairs, cfg=None, *, k: int = 4, rounds: int = 2):
+    """Bounded-round k-truss edge peeling — the cohesion filter that keeps
+    only edges embedded in enough triangles (support = common-neighbor
+    count ≥ k−2), iterated ``rounds`` times so edges whose support relied
+    on already-peeled edges drop too (full k-truss = iterate to fixpoint;
+    a fixed round count gives the same deterministic, SQL-twinnable
+    bounded semantics as ``kcore``'s bounded peeling). Emits the
+    surviving (left_id, right_id) pairs.
+
+    Scale shape: each round IS ``edge_features`` (two bucketed
+    exchanges) + a streaming filter; rounds are sequential
+    materializations of a shrinking edge set."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    need = k - 2
+
+    edges = pairs
+    for _ in range(rounds):
+        feats = edge_features(edges, cfg)
+
+        def keep(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.greater_equal(t.column("n_common"), need)
+            f = t.filter(mask)
+            return pa.table(
+                {
+                    "left_id": f.column("left_id"),
+                    "right_id": f.column("right_id"),
+                }
+            )
+
+        edges = feats.map_batches(keep, batch_format="pyarrow")
+    return edges
+
+
+def fof_candidates(pairs, cfg=None, *, min_common: int = 2):
+    """Friend-of-friend candidate generation — triadic-closure blocking:
+    NON-edge node pairs with at least ``min_common`` common neighbors,
+    emitted as (left_id, right_id, n_common) with left < right as
+    strings. The structural candidate generator that finds likely links
+    a similarity blocker can't see (two records never compared directly
+    but sharing many neighbors in the kNN/candidate graph).
+
+    Scale shape: the ``edge_features`` wedge machinery verbatim — one
+    hash(node) exchange emits C(deg,2) wedges + edge markers, one
+    hash(pair) exchange folds; here the fold INVERTS the edge test
+    (pairs WITH markers are existing edges and are dropped) and applies
+    the min_common floor. Wedge volume Σ C(deg,2), degree-capped for
+    kNN graphs."""
+    from ..config import EngineConfig
+    from .canonicalize import bucket_of
+
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    pairs = pairs.materialize()
+    pairs = pairs.repartition(
+        max(1, -(-pairs.count() // 2_000_000))
+    ).materialize()
+
+    def double(df: pd.DataFrame) -> pd.DataFrame:
+        l = df["left_id"].astype(str).to_numpy(object)
+        r = df["right_id"].astype(str).to_numpy(object)
+        node = np.concatenate([l, r])
+        nbr = np.concatenate([r, l])
+        return pd.DataFrame(
+            {
+                "node": node,
+                "nbr": nbr,
+                "_bucket": bucket_of(pd.Series(node), nb),
+            }
+        )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["node", "nbr"], kind="mergesort")
+        node = g["node"].to_numpy(object)
+        nbr = g["nbr"].to_numpy(object)
+        starts = np.nonzero(
+            np.concatenate(([True], node[1:] != node[:-1]))
+        )[0]
+        counts = np.diff(np.concatenate((starts, [len(node)])))
+        # existing-edge markers (one per orientation; fold drops pairs
+        # that have any)
+        is_left = node < nbr
+        ka = np.where(is_left, node, nbr)
+        kb = np.where(is_left, nbr, node)
+        kind_m = np.ones(len(node), np.int8)
+        reps = np.repeat(
+            counts - 1, counts
+        ) - (np.arange(len(node), dtype=np.int64)
+             - np.repeat(starts, counts))
+        reps = np.maximum(reps, 0)
+        i_idx = np.repeat(np.arange(len(node), dtype=np.int64), reps)
+        off = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        j_idx = i_idx + 1 + off
+        wa, wb = nbr[i_idx], nbr[j_idx]
+        out = pd.DataFrame(
+            {
+                "a": np.concatenate([ka, wa]),
+                "b": np.concatenate([kb, wb]),
+                "kind": np.concatenate(
+                    [kind_m, np.zeros(len(wa), np.int8)]
+                ),
+            }
+        )
+        out["_bucket"] = bucket_of(out["a"].astype(str) + "|"
+                                   + out["b"].astype(str), nb)
+        return out
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        has_edge = set(
+            map(tuple, g[g["kind"] == 1][["a", "b"]].to_numpy())
+        )
+        w = (
+            g[g["kind"] == 0]
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        if len(w):
+            keys = list(map(tuple, w[["a", "b"]].to_numpy()))
+            keep = np.array(
+                [kk not in has_edge for kk in keys], bool
+            ) & (w["n"].to_numpy(np.int64) >= min_common)
+            w = w[keep]
+        return pa.table(
+            {
+                "left_id": pa.array(w["a"].to_numpy(object), pa.string()),
+                "right_id": pa.array(w["b"].to_numpy(object),
+                                     pa.string()),
+                "n_common": pa.array(w["n"].to_numpy(np.int64))
+                if len(w)
+                else pa.array([], pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(double, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(wedges, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -1837,3 +1837,66 @@ def weighted_median_by_group(ds, cfg: EngineConfig, *, group_col: str,
         .groupby("g")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def trimmed_stats_by_group(ds, cfg: EngineConfig, *, group_col: str,
+                           value_col: str, trim_pct: int = 10):
+    """Exact per-group trimmed-mean SUFFICIENT STATISTICS — the robust
+    center that drops the k = ⌊n·trim_pct/100⌋ smallest and largest
+    values before averaging (the one float division left to the
+    consumer): (group, n:int64, n_kept:int64, sum_kept:int64) where
+    sum_kept = Σ of the cents ranked k+1 … n−k under value-ascending
+    order (ties resolved by value, so the kept MULTISET is
+    order-of-arrival independent and exact).
+
+    Scale shape: the gini/dispersion value-histogram partials (bounded
+    by distinct price points, not rows); per group the two cut points
+    come from searchsorted on cumulative counts and the kept sum is one
+    weighted prefix-sum difference with boundary-value clipping — no
+    row-level sort anywhere."""
+    if not (0 <= trim_pct < 50):
+        raise ValueError(f"trim_pct must be in [0, 50), got {trim_pct}")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = np.rint(
+            np.asarray(t.column(value_col), np.float64) * 100.0
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"g": t.column(group_col).to_pandas(), "cents": cents}
+            )
+            .groupby(["g", "cents"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        h = g.groupby("cents", sort=False)["cnt"].sum().sort_index()
+        v = h.index.to_numpy(np.int64)
+        c = h.to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        k = n * trim_pct // 100
+        lo_rank, hi_rank = k + 1, n - k  # 1-based kept range
+        # full buckets strictly inside the kept range plus clipped
+        # boundary buckets: for each bucket, kept occurrences =
+        # overlap of its rank interval [cum−c+1, cum] with [lo, hi]
+        lo_in = np.maximum(cum - c + 1, lo_rank)
+        hi_in = np.minimum(cum, hi_rank)
+        take = np.maximum(hi_in - lo_in + 1, 0)
+        sum_kept = int((v * take).sum())
+        return pa.table(
+            {
+                group_col: pa.array([g["g"].iloc[0]], pa.string()),
+                "n": pa.array([n], pa.int64()),
+                "n_kept": pa.array([max(n - 2 * k, 0)], pa.int64()),
+                "sum_kept": pa.array([sum_kept], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(finish, batch_format="pandas")
+    )

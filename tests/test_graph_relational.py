@@ -995,3 +995,78 @@ class TestEdgeFeatures:
             ("b", "c"): (2, 3, 1),
             ("c", "d"): (3, 1, 0),
         }
+
+
+class TestKtrussAndFof:
+    def _pairs(self, edges):
+        return rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "left_id": [x for x, _ in edges],
+                    "right_id": [y for _, y in edges],
+                }
+            )
+        )
+
+    def test_ktruss_peels_bridge_then_dependents(self, ray_session):
+        from deepblocker_ray.stages.cluster import ktruss
+
+        # K4 on a,b,c,d (every edge has 2 common nbrs) plus a triangle
+        # d-e-f attached: triangle edges have 1 common nbr -> peeled in
+        # round 1; K4 edges keep support 2 -> survive both rounds
+        k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+              ("b", "d"), ("c", "d")]
+        tri = [("d", "e"), ("d", "f"), ("e", "f")]
+        out = ktruss(
+            self._pairs(k4 + tri), _ACFG, k=4, rounds=2
+        ).to_pandas()
+        got = {
+            (r["left_id"], r["right_id"]) for _, r in out.iterrows()
+        }
+        assert got == set(k4)
+
+    def test_ktruss_cascade(self, ray_session):
+        from deepblocker_ray.stages.cluster import ktruss
+
+        # two triangles sharing an edge: every edge has support >= 1;
+        # k=3 (need >= 1) keeps all, k=4 (need >= 2) keeps only the
+        # shared edge in round 1, which then dies in round 2
+        edges = [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"),
+                 ("c", "d")]
+        keep3 = ktruss(self._pairs(edges), _ACFG, k=3, rounds=2).to_pandas()
+        assert len(keep3) == 5
+        keep4 = ktruss(self._pairs(edges), _ACFG, k=4, rounds=2).to_pandas()
+        assert len(keep4) == 0
+
+    def test_fof_matches_brute_force(self, ray_session):
+        from deepblocker_ray.stages.cluster import fof_candidates
+
+        r = np.random.RandomState(19)
+        edges = set()
+        for _ in range(60):
+            a, b = (str(x) for x in r.randint(0, 20, 2))
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        edges = sorted(edges)
+        out = fof_candidates(
+            self._pairs(edges), _ACFG, min_common=2
+        ).to_pandas()
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        nodes = sorted(adj)
+        eset = set(edges)
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1 :]:
+                if (u, v) in eset:
+                    continue
+                n = len(adj[u] & adj[v])
+                if n >= 2:
+                    want[(u, v)] = n
+        got = {
+            (r2["left_id"], r2["right_id"]): r2["n_common"]
+            for _, r2 in out.iterrows()
+        }
+        assert got == want

@@ -1219,3 +1219,50 @@ class TestDocKeywords:
             assert rows["rank"].tolist() == list(
                 range(1, len(scored) + 1)
             )
+
+
+class TestTrimmedStats:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import trimmed_stats_by_group
+
+        rng = np.random.RandomState(29)
+        g = rng.choice(["x", "y", "z"], 333)
+        v = np.round(rng.lognormal(3, 1, 333), 2)
+        df = pd.DataFrame({"grp": g, "price": v})
+        out = (
+            trimmed_stats_by_group(
+                rd.from_pandas([p for p in np.array_split(df, 4)]),
+                EngineConfig(num_buckets=4),
+                group_col="grp", value_col="price", trim_pct=10,
+            )
+            .to_pandas()
+            .set_index("grp")
+        )
+        for grp in ["x", "y", "z"]:
+            cents = np.sort(np.rint(v[g == grp] * 100).astype(np.int64))
+            n = len(cents)
+            k = n * 10 // 100
+            kept = cents[k : n - k]
+            r = out.loc[grp]
+            assert r["n"] == n
+            assert r["n_kept"] == len(kept)
+            assert r["sum_kept"] == kept.sum()
+
+    def test_tiny_group_and_zero_trim(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import trimmed_stats_by_group
+
+        df = pd.DataFrame({"grp": ["a"] * 3, "price": [1.0, 2.0, 3.0]})
+        out = trimmed_stats_by_group(
+            rd.from_pandas(df), EngineConfig(num_buckets=4),
+            group_col="grp", value_col="price", trim_pct=10,
+        ).to_pandas()
+        # k = 3*10//100 = 0: nothing trimmed
+        assert tuple(out.iloc[0][["n", "n_kept", "sum_kept"]]) == (
+            3, 3, 600,
+        )
