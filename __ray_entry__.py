@@ -2955,6 +2955,33 @@ def q_trimmed(sf_dir: str):
     )
 
 
+def q_source_cosine(sf_dir: str):
+    """Exact integer cosine sufficient statistics (dot, norms) between
+    every pair of document sources over token-count vectors."""
+    from deepblocker_ray.stages.textstats import source_cosine
+
+    return source_cosine(_documents(sf_dir), _cfg())
+
+
+def q_burstiness(sf_dir: str):
+    """Per-token burstiness sufficient statistics (n_docs, Σtf, Σtf²)
+    for tokens in ≥ 5 documents."""
+    from deepblocker_ray.stages.textstats import token_burstiness
+
+    return token_burstiness(_documents(sf_dir), _cfg(), min_docs=5)
+
+
+def q_burst_detect(sf_dir: str):
+    """Sliding 1-day-window burst audit: users with > 8 events inside
+    any window, with violation count and max burst."""
+    from deepblocker_ray.stages.events import burst_detect
+
+    return burst_detect(
+        _events(sf_dir, columns=["user_id", "ts"]), _cfg(),
+        window_us=86_400_000_000, cap=8,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3159,6 +3186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss": q_ktruss,
         "fof": q_fof,
         "trimmed": q_trimmed,
+        "source_cosine": q_source_cosine,
+        "burstiness": q_burstiness,
+        "burst_detect": q_burst_detect,
     }
 
 
@@ -4022,6 +4052,65 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # exact source-pair cosine ingredients (stages/textstats.py:
+        # source_cosine): token-count vectors, integer dot + norms
+        "source_cosine": f"""
+            WITH t AS (SELECT source, {tokens} AS tk FROM documents),
+            e AS (
+                SELECT source, unnest(tk) AS tok FROM t WHERE len(tk) > 0
+            ), cv AS (
+                SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM e GROUP BY 1, 2
+            ), n2 AS (
+                SELECT source, CAST(sum(tf * tf) AS BIGINT) AS norm2
+                FROM cv GROUP BY source
+            ), dots AS (
+                SELECT a.source AS sa, b.source AS sb,
+                       CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+                FROM cv a JOIN cv b
+                  ON b.tok = a.tok AND b.source > a.source
+                GROUP BY 1, 2
+            )
+            SELECT na.source AS source_a, nb2.source AS source_b,
+                   COALESCE(d.dot, 0) AS dot,
+                   na.norm2 AS norm2_a, nb2.norm2 AS norm2_b
+            FROM n2 na JOIN n2 nb2 ON nb2.source > na.source
+            LEFT JOIN dots d
+              ON d.sa = na.source AND d.sb = nb2.source
+        """,
+        # per-token burstiness (stages/textstats.py:token_burstiness)
+        "burstiness": f"""
+            WITH t AS (SELECT doc_id, {tokens} AS tk FROM documents),
+            e AS (
+                SELECT doc_id, unnest(tk) AS tok FROM t WHERE len(tk) > 0
+            ), tf AS (
+                SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM e GROUP BY 1, 2
+            )
+            SELECT tok AS token, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(tf) AS BIGINT) AS sum_tf,
+                   CAST(sum(tf * tf) AS BIGINT) AS sum_tf2
+            FROM tf GROUP BY tok HAVING count(*) >= 5
+        """,
+        # sliding-window burst audit (stages/events.py:burst_detect):
+        # RANGE frame peers == the engine's tie-inclusive count
+        "burst_detect": """
+            WITH b AS (
+                SELECT user_id, epoch_us(ts) AS t FROM events
+            ), w AS (
+                SELECT user_id,
+                       CAST(count(*) OVER (
+                           PARTITION BY user_id ORDER BY t
+                           RANGE BETWEEN 86399999999 PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS burst
+                FROM b
+            )
+            SELECT user_id,
+                   CAST(sum(CASE WHEN burst > 8 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations,
+                   CAST(max(burst) AS BIGINT) AS max_burst
+            FROM w GROUP BY user_id HAVING max(burst) > 8
         """,
         # bounded 2-round 4-truss peel (stages/cluster.py:ktruss):
         # support = common neighbors in the CURRENT edge set, HAVING >= 2

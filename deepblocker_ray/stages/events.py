@@ -2624,3 +2624,66 @@ def cusum_by_type(ds, cfg: EngineConfig | None = None, *,
     return partial_max.groupby("_bucket").map_groups(
         combine, batch_format="pandas"
     )
+
+
+def burst_detect(ds, cfg: EngineConfig | None = None, *,
+                 window_us: int = 60_000_000, cap: int = 10):
+    """Sliding-window burst / rate-limit audit per user: for every event,
+    its burst size = count of the SAME user's events with event-time in
+    (t − window, t] — tie times all count, matching SQL's RANGE-frame
+    peer semantics, so the number is arrival-order independent. Emits
+    one row per user whose maximum burst EXCEEDS ``cap``:
+    (user_id:int64, n_violations:int64 = events whose burst > cap,
+    max_burst:int64). The throttling/abuse screen next to ``debounce``
+    (which collapses bursts) and ``late_events`` (which audits order).
+
+    Scale shape: skinny (user, ts) projection, ONE hash(user) exchange,
+    per bucket one lexsort then two searchsorted probes per event within
+    each user's slice; only violating users are emitted."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    w = np.int64(window_us)
+
+    def project(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t.column("user_id"), np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "ts_us": t.column("ts")
+                .cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "_bucket": pa.array(_user_bucket(uid, nb)),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        t = g["ts_us"].to_numpy(np.int64)
+        starts = np.nonzero(
+            np.concatenate(([True], uid[1:] != uid[:-1]))
+        )[0]
+        ends = np.concatenate((starts[1:], [len(uid)]))
+        out_u, out_n, out_m = [], [], []
+        for s, e in zip(starts, ends):
+            tu = t[s:e]
+            burst = np.searchsorted(tu, tu, side="right") - \
+                np.searchsorted(tu, tu - w + 1, side="left")
+            mx = int(burst.max())
+            if mx > cap:
+                out_u.append(int(uid[s]))
+                out_n.append(int((burst > cap).sum()))
+                out_m.append(mx)
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "n_violations": pa.array(out_n, pa.int64()),
+                "max_burst": pa.array(out_m, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(finish, batch_format="pandas")
+    )

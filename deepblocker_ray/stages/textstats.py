@@ -1594,3 +1594,174 @@ def doc_keywords(ds, cfg=None, *, k: int = 3, text_col: str = "text",
     out = ds.map_batches(score, batch_format="pyarrow")
     out._keywords_pin = (hashed, handle)  # pin plasma blocks
     return out
+
+
+def source_cosine(ds, cfg=None, *, group_col: str = "source",
+                  text_col: str = "text", min_norm: int = 1):
+    """Exact corpus-similarity matrix between sources as INTEGER cosine
+    sufficient statistics: per source the token-count vector over the
+    shared vocabulary, per source pair (a < b as strings)
+
+        (source_a, source_b, dot:int64, norm2_a:int64, norm2_b:int64)
+
+    with dot = Σ_tok tf_a·tf_b and norm2 = Σ tf² — cosine is one
+    float expression away, every ingredient exact (the EXACT complement
+    to the KMV ``source_similarity`` estimate; that one scales to
+    unbounded source counts, this one is quadratic in sources but exact
+    and SQL-twinnable). Emits all pairs including dot = 0.
+
+    Scale shape: ONE vocabulary-bounded exchange (per-batch (source,
+    token, tf) partials bucketed on the token hash); per bucket the
+    source×source partial dot/norm products fold to O(sources²) rows; a
+    tiny second exchange sums them. Token rows never move twice."""
+    from ..config import EngineConfig
+    from .canonicalize import bucket_of
+    from ..functions.tokenizer import tokenize_many
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks = tokenize_many(t.column(text_col).to_pylist())
+        src = t.column(group_col).to_pandas().astype(str)
+        rows_s, rows_t = [], []
+        for i, x in enumerate(toks):
+            rows_s.extend([src.iloc[i]] * len(x))
+            rows_t.extend(x)
+        df = (
+            pd.DataFrame({"s": rows_s, "t": rows_t}, dtype=object)
+            .groupby(["s", "t"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        df["_bucket"] = bucket_of(df["t"], nb)
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype=object),
+                 "b": pd.Series(dtype=object),
+                 "v": pd.Series(dtype=np.int64)}
+            )
+        # dense (tokens-in-bucket × sources) count matrix, one BLAS Gram
+        # product gives every pairwise dot + norm partial at once
+        m = (
+            g.groupby(["t", "s"], sort=False)["tf"]
+            .sum()
+            .unstack(fill_value=0)
+            .sort_index(axis=1)
+        )
+        srcs = np.asarray(m.columns, object)
+        # int64 matmul (numpy's non-BLAS path): exact up to 2⁶³ — the
+        # matrix is vocabulary-in-bucket × sources, always small
+        mat = m.to_numpy(np.int64)
+        gram = mat.T @ mat
+        iu = np.triu_indices(len(srcs))
+        return pd.DataFrame(
+            {
+                "a": srcs[iu[0]],
+                "b": srcs[iu[1]],
+                "v": gram[iu],
+            }
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    # O(sources²) assembly — this IS the output size
+    sums = folded.groupby(["a", "b"], sort=True)["v"].sum()
+    norms = {a: int(v) for (a, b), v in sums.items() if a == b}
+    srcs = sorted(norms)
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            rows.append(
+                (a, b, int(sums.get((a, b), 0)), norms[a], norms[b])
+            )
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source_a": pa.array([r[0] for r in rows], pa.string()),
+                "source_b": pa.array([r[1] for r in rows], pa.string()),
+                "dot": pa.array([r[2] for r in rows], pa.int64()),
+                "norm2_a": pa.array([r[3] for r in rows], pa.int64()),
+                "norm2_b": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
+def token_burstiness(ds, cfg=None, *, text_col: str = "text",
+                     min_docs: int = 5):
+    """Per-token burstiness sufficient statistics — the stopword/topic
+    discriminator (a bursty token concentrates its occurrences in few
+    docs; a function word spreads evenly): for every token appearing in
+    ≥ ``min_docs`` documents, (token, n_docs:int64, sum_tf:int64,
+    sum_tf2:int64) over its per-document term frequencies, so the Fano
+    factor (variance/mean) is one float expression away and every
+    ingredient is an exact integer.
+
+    Scale shape: per-batch (token → (docs, Σtf, Σtf²)) partials (each
+    doc is one row, so its tf is complete within the batch), ONE
+    vocabulary-bounded token-hash exchange, vectorized combine."""
+    from ..config import EngineConfig
+    from .canonicalize import bucket_of
+    from ..functions.tokenizer import tokenize_many
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks = tokenize_many(t.column(text_col).to_pylist())
+        rows_i, rows_t = [], []
+        for i, x in enumerate(toks):
+            rows_i.extend([i] * len(x))
+            rows_t.extend(x)
+        if not rows_t:
+            return pd.DataFrame(
+                {"token": pd.Series(dtype=object),
+                 "n_docs": pd.Series(dtype=np.int64),
+                 "sum_tf": pd.Series(dtype=np.int64),
+                 "sum_tf2": pd.Series(dtype=np.int64),
+                 "_bucket": pd.Series(dtype=np.int32)}
+            )
+        tf = (
+            pd.DataFrame({"i": rows_i, "token": rows_t})
+            .groupby(["token", "i"], sort=False)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        agg = tf.groupby("token", sort=False)["tf"].agg(
+            n_docs="size", sum_tf="sum", sum_tf2=lambda s: int((s**2).sum())
+        ).reset_index()
+        agg["_bucket"] = bucket_of(agg["token"], nb)
+        return agg
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        c = g.groupby("token", sort=False)[
+            ["n_docs", "sum_tf", "sum_tf2"]
+        ].sum()
+        c = c[c["n_docs"] >= min_docs].reset_index()
+        return pa.table(
+            {
+                "token": pa.array(c["token"].to_numpy(object),
+                                  pa.string()),
+                "n_docs": pa.array(c["n_docs"].to_numpy(np.int64)),
+                "sum_tf": pa.array(c["sum_tf"].to_numpy(np.int64)),
+                "sum_tf2": pa.array(c["sum_tf2"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )

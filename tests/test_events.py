@@ -1960,3 +1960,65 @@ class TestCusumByType:
             rd.from_pandas(ev), EngineConfig(num_buckets=8)
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestBurstDetect:
+    def test_matches_brute_force_with_ties(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import burst_detect
+
+        r = np.random.RandomState(31)
+        n = 400
+        ev = pd.DataFrame(
+            {
+                "user_id": r.randint(0, 12, n).astype(np.int64),
+                # coarse second resolution forces tie timestamps
+                "ts": pd.to_datetime("2026-01-01")
+                + pd.to_timedelta(r.randint(0, 500, n), unit="s"),
+            }
+        )
+        w_us, cap = 60_000_000, 4
+        out = (
+            burst_detect(
+                rd.from_pandas(ev).repartition(3),
+                EngineConfig(num_buckets=8),
+                window_us=w_us, cap=cap,
+            )
+            .to_pandas()
+            .set_index("user_id")
+        )
+        for u, g in ev.groupby("user_id"):
+            t = np.sort(
+                g["ts"].astype("datetime64[us]").astype(np.int64)
+            )
+            burst = np.searchsorted(t, t, "right") - np.searchsorted(
+                t, t - w_us + 1, "left"
+            )
+            if burst.max() > cap:
+                row = out.loc[u]
+                assert row["max_burst"] == burst.max()
+                assert row["n_violations"] == int((burst > cap).sum())
+            else:
+                assert u not in out.index
+
+    def test_quiet_stream_empty(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import burst_detect
+
+        ev = pd.DataFrame(
+            {
+                "user_id": np.array([1, 1, 2], np.int64),
+                "ts": pd.to_datetime(
+                    ["2026-01-01", "2026-01-02", "2026-01-01"]
+                ),
+            }
+        )
+        out = burst_detect(
+            rd.from_pandas(ev), EngineConfig(num_buckets=4),
+            window_us=1_000_000, cap=1,
+        ).to_pandas()
+        assert len(out) == 0

@@ -1266,3 +1266,80 @@ class TestTrimmedStats:
         assert tuple(out.iloc[0][["n", "n_kept", "sum_kept"]]) == (
             3, 3, 600,
         )
+
+
+class TestSourceCosine:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.functions.tokenizer import tokenize_many
+        from deepblocker_ray.stages.textstats import source_cosine
+
+        docs = pd.DataFrame(
+            {
+                "source": ["s1", "s1", "s2", "s3", "s3", "s2"],
+                "text": [
+                    "a b a",
+                    "b c",
+                    "a a a",
+                    "zz zz",
+                    None,
+                    "",
+                ],
+            }
+        )
+        out = source_cosine(
+            rd.from_pandas(docs).repartition(2),
+            EngineConfig(num_buckets=4),
+        ).to_pandas()
+        from collections import Counter
+
+        vecs = {}
+        for s, txt in zip(docs["source"], docs["text"]):
+            vecs.setdefault(s, Counter()).update(
+                tokenize_many([txt])[0]
+            )
+        got = {
+            (r["source_a"], r["source_b"]): (
+                r["dot"], r["norm2_a"], r["norm2_b"]
+            )
+            for _, r in out.iterrows()
+        }
+        srcs = sorted(vecs)
+        for i, a in enumerate(srcs):
+            for b in srcs[i + 1 :]:
+                dot = sum(
+                    vecs[a][t] * vecs[b][t] for t in vecs[a]
+                )
+                na = sum(v * v for v in vecs[a].values())
+                nb = sum(v * v for v in vecs[b].values())
+                assert got[(a, b)] == (dot, na, nb)
+        # s1·s2: a appears 2× in s1 and 3× in s2 -> dot 6
+        assert got[("s1", "s2")][0] == 6
+        assert got[("s1", "s3")][0] == 0
+
+
+class TestTokenBurstiness:
+    def test_hand_counts(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.textstats import token_burstiness
+
+        texts = ["a a a b", "a b", "a", "b a", "c c", "a b"]
+        out = (
+            token_burstiness(
+                rd.from_pandas(pd.DataFrame({"text": texts})).repartition(
+                    3
+                ),
+                EngineConfig(num_buckets=4), min_docs=4,
+            )
+            .to_pandas()
+            .set_index("token")
+        )
+        # a: docs 0,1,2,3,5 tf (3,1,1,1,1) -> n=5 sum=7 sum2=13
+        assert tuple(out.loc["a"]) == (5, 7, 13)
+        # b in 4 docs (tf 1 each); c in only 1 doc -> filtered
+        assert tuple(out.loc["b"]) == (4, 4, 4)
+        assert "c" not in out.index
