@@ -2982,6 +2982,38 @@ def q_burst_detect(sf_dir: str):
     )
 
 
+def q_fd_discovery(sf_dir: str):
+    """Functional-dependency discovery sweep over customer columns:
+    every ordered pair's distinct-lhs and violating-lhs counts."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.profile import fd_discovery
+
+    cols = ["c_nationkey", "c_mktsegment", "c_name"]
+    return fd_discovery(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=cols),
+        _cfg(),
+        columns=cols,
+    )
+
+
+def q_spearman(sf_dir: str):
+    """Exact per-returnflag Spearman sufficient statistics between
+    quantity and extended price (doubled tie-averaged ranks)."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import spearman_by_group
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return spearman_by_group(
+        li, _cfg(), group_col="l_returnflag",
+        x_col="l_quantity", y_col="l_extendedprice",
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3189,6 +3221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cosine": q_source_cosine,
         "burstiness": q_burstiness,
         "burst_detect": q_burst_detect,
+        "fd_discovery": q_fd_discovery,
+        "spearman": q_spearman,
     }
 
 
@@ -4052,6 +4086,96 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # FD discovery sweep (stages/profile.py:fd_discovery): distinct
+        # rhs per lhs value, every ordered column pair
+        "fd_discovery": """
+            WITH p AS (
+                SELECT 'c_nationkey' AS lhs, 'c_mktsegment' AS rhs,
+                       CAST(c_nationkey AS VARCHAR) AS lv,
+                       CAST(c_mktsegment AS VARCHAR) AS rv
+                FROM customer
+                UNION ALL SELECT 'c_nationkey', 'c_name',
+                       CAST(c_nationkey AS VARCHAR), CAST(c_name AS VARCHAR)
+                FROM customer
+                UNION ALL SELECT 'c_mktsegment', 'c_nationkey',
+                       CAST(c_mktsegment AS VARCHAR),
+                       CAST(c_nationkey AS VARCHAR)
+                FROM customer
+                UNION ALL SELECT 'c_mktsegment', 'c_name',
+                       CAST(c_mktsegment AS VARCHAR), CAST(c_name AS VARCHAR)
+                FROM customer
+                UNION ALL SELECT 'c_name', 'c_nationkey',
+                       CAST(c_name AS VARCHAR), CAST(c_nationkey AS VARCHAR)
+                FROM customer
+                UNION ALL SELECT 'c_name', 'c_mktsegment',
+                       CAST(c_name AS VARCHAR), CAST(c_mktsegment AS VARCHAR)
+                FROM customer
+            ), d AS (
+                SELECT DISTINCT lhs, rhs,
+                       COALESCE(lv, chr(0) || 'null') AS lv,
+                       COALESCE(rv, chr(0) || 'null') AS rv
+                FROM p
+            ), per AS (
+                SELECT lhs, rhs, lv, count(DISTINCT rv) AS k
+                FROM d GROUP BY 1, 2, 3
+            )
+            SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS n_lhs,
+                   CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating
+            FROM per GROUP BY lhs, rhs
+        """,
+        # per-group Spearman sufficient statistics (stages/relational.py:
+        # spearman_by_group): doubled tie-averaged ranks from the value
+        # histogram, HUGEINT squared-difference sum
+        "spearman": """
+            WITH v AS (
+                SELECT l_returnflag AS g,
+                       CAST(round(l_quantity) AS BIGINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                FROM lineitem
+            ), hx AS (
+                SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM v
+                GROUP BY g, x
+            ), cx AS (
+                SELECT g, x,
+                       CAST(2 * COALESCE(sum(c) OVER (
+                                PARTITION BY g ORDER BY x
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) + c + 1
+                            AS BIGINT) AS r2
+                FROM hx
+            ), hy AS (
+                SELECT g, y, CAST(count(*) AS BIGINT) AS c FROM v
+                GROUP BY g, y
+            ), cy AS (
+                SELECT g, y,
+                       CAST(2 * COALESCE(sum(c) OVER (
+                                PARTITION BY g ORDER BY y
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) + c + 1
+                            AS BIGINT) AS r2
+                FROM hy
+            ), j AS (
+                SELECT v.g, cx.r2 AS rx, cy.r2 AS ry
+                FROM v
+                JOIN cx ON cx.g = v.g AND cx.x = v.x
+                JOIN cy ON cy.g = v.g AND cy.y = v.y
+            ), tx AS (
+                SELECT g, CAST(sum(c*c*c - c) AS BIGINT) AS tie_x
+                FROM hx GROUP BY g
+            ), ty AS (
+                SELECT g, CAST(sum(c*c*c - c) AS BIGINT) AS tie_y
+                FROM hy GROUP BY g
+            )
+            SELECT j.g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(j.rx - j.ry AS HUGEINT)
+                            * (j.rx - j.ry)) AS BIGINT) AS d2,
+                   tx.tie_x, ty.tie_y
+            FROM j
+            JOIN tx ON tx.g = j.g
+            JOIN ty ON ty.g = j.g
+            GROUP BY j.g, tx.tie_x, ty.tie_y
         """,
         # exact source-pair cosine ingredients (stages/textstats.py:
         # source_cosine): token-count vectors, integer dot + norms

@@ -553,3 +553,87 @@ def column_overlap(ds_a, ds_b, cfg=None, *, cols_a: list[str],
             }
         )
     )
+
+
+def fd_discovery(ds, cfg=None, *, columns: list[str]):
+    """Functional-dependency DISCOVERY over every ordered column pair —
+    the profiling sweep that ranks candidate keys/dependencies before
+    ``fd_violations`` audits a chosen one: for each (lhs, rhs) pair of
+    ``columns``, (lhs, rhs, n_lhs:int64 = distinct lhs values,
+    n_violating:int64 = lhs values mapping to > 1 distinct rhs), so
+    lhs → rhs holds exactly iff n_violating = 0. Nulls participate as
+    ordinary values (stringified, the fd_violations convention).
+
+    Scale shape: per batch each ordered pair emits map-side-DEDUPED
+    (pair, lhs_val, rhs_val) rows — bounded by distinct pairs, not rows;
+    ONE hash(pair|lhs_val) exchange counts distinct rhs per lhs value and
+    pre-folds to ≤ |pairs| partial rows per bucket; the O(|pairs|²)
+    result assembles driver-side (it IS the output)."""
+    import ray.data as rd
+
+    from ..config import EngineConfig
+    from .dedup import hash64_strs
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    if len(columns) < 2:
+        raise ValueError("need at least two columns")
+
+    pairs = [
+        (a, b) for a in columns for b in columns if a != b
+    ]
+
+    def emit(t: pa.Table) -> pd.DataFrame:
+        cols = {
+            c: pc.fill_null(pc.cast(t.column(c), pa.string()), "\x00null")
+            for c in columns
+        }
+        frames = []
+        for pi, (a, b) in enumerate(pairs):
+            df = pd.DataFrame(
+                {
+                    "lhs": np.asarray(cols[a], object),
+                    "rhs": np.asarray(cols[b], object),
+                }
+            ).drop_duplicates()
+            df["pair"] = np.int64(pi)
+            frames.append(df)
+        out = pd.concat(frames, ignore_index=True)
+        key = out["pair"].astype(str) + "|" + out["lhs"].astype(str)
+        codes, uniq = pd.factorize(key, sort=False)
+        h = hash64_strs(uniq)[codes]
+        out["_bucket"] = (h % np.uint64(nb)).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["pair", "lhs", "rhs"])
+        per_lhs = d.groupby(["pair", "lhs"], sort=False)["rhs"].nunique()
+        agg = per_lhs.groupby("pair").agg(["size", lambda s: int((s > 1).sum())])
+        agg.columns = ["n_lhs", "n_violating"]
+        return agg.reset_index()
+
+    folded = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    sums = folded.groupby("pair")[["n_lhs", "n_violating"]].sum()
+    rows = []
+    for pi, (a, b) in enumerate(pairs):
+        r = sums.loc[pi] if pi in sums.index else None
+        rows.append(
+            (a, b,
+             int(r["n_lhs"]) if r is not None else 0,
+             int(r["n_violating"]) if r is not None else 0)
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lhs": pa.array([r[0] for r in rows], pa.string()),
+                "rhs": pa.array([r[1] for r in rows], pa.string()),
+                "n_lhs": pa.array([r[2] for r in rows], pa.int64()),
+                "n_violating": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    )

@@ -1343,3 +1343,103 @@ class TestTokenBurstiness:
         # b in 4 docs (tf 1 each); c in only 1 doc -> filtered
         assert tuple(out.loc["b"]) == (4, 4, 4)
         assert "c" not in out.index
+
+
+class TestFdDiscovery:
+    def test_hand_built_dependencies(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.profile import fd_discovery
+
+        df = pd.DataFrame(
+            {
+                "id": ["1", "2", "3", "4"],          # unique
+                "grp": ["a", "a", "b", "b"],
+                "val": ["x", "x", "y", None],        # grp b -> {y, null}
+            }
+        )
+        out = fd_discovery(
+            rd.from_pandas(df).repartition(2),
+            EngineConfig(num_buckets=4),
+            columns=["id", "grp", "val"],
+        ).to_pandas()
+        got = {
+            (r["lhs"], r["rhs"]): (r["n_lhs"], r["n_violating"])
+            for _, r in out.iterrows()
+        }
+        assert got[("id", "grp")] == (4, 0)    # key -> anything holds
+        assert got[("id", "val")] == (4, 0)
+        assert got[("grp", "id")] == (2, 2)    # both groups split
+        assert got[("grp", "val")] == (2, 1)   # only b violates
+        assert got[("val", "grp")] == (3, 0)   # x->a, y->b, null->b
+        assert len(got) == 6
+
+    def test_column_validation(self):
+        import pytest as _pt
+
+        from deepblocker_ray.stages.profile import fd_discovery
+
+        with _pt.raises(ValueError):
+            fd_discovery(None, columns=["only_one"])
+
+
+class TestSpearmanByGroup:
+    def test_matches_scipy_free_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import spearman_by_group
+
+        rng = np.random.RandomState(41)
+        g = rng.choice(["p", "q"], 250)
+        x = rng.randint(1, 20, 250).astype(float)   # heavy ties
+        y = np.round(x * 3 + rng.normal(0, 5, 250), 2)
+        df = pd.DataFrame({"grp": g, "xv": x, "yv": y})
+        out = (
+            spearman_by_group(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=4),
+                group_col="grp", x_col="xv", y_col="yv",
+                x_scale=1, y_scale=100,
+            )
+            .to_pandas()
+            .set_index("grp")
+        )
+
+        def rank2(v):
+            import collections
+
+            cnt = collections.Counter(v)
+            vals = sorted(cnt)
+            below, acc = {}, 0
+            for u in vals:
+                below[u] = acc
+                acc += cnt[u]
+            return (
+                np.array([2 * below[u] + cnt[u] + 1 for u in v]),
+                sum(c**3 - c for c in cnt.values()),
+            )
+
+        for grp in ["p", "q"]:
+            xv = np.rint(x[g == grp]).astype(np.int64)
+            yv = np.rint(y[g == grp] * 100).astype(np.int64)
+            rx, tx = rank2(xv)
+            ry, ty = rank2(yv)
+            d2 = int(((rx - ry) ** 2).sum())
+            r = out.loc[grp]
+            assert r["n"] == len(xv)
+            assert r["d2"] == d2
+            assert r["tie_x"] == tx
+            assert r["tie_y"] == ty
+        # sanity: strong positive association -> d2 far below the
+        # independence expectation n(n^2-1)*... just check ordering vs a
+        # shuffled control
+        xs = x.copy()
+        rng.shuffle(xs)
+        ctrl = spearman_by_group(
+            rd.from_pandas(pd.DataFrame({"grp": g, "xv": xs, "yv": y})),
+            EngineConfig(num_buckets=4),
+            group_col="grp", x_col="xv", y_col="yv",
+        ).to_pandas().set_index("grp")
+        assert (out["d2"] < ctrl["d2"]).all()
