@@ -3014,6 +3014,42 @@ def q_spearman(sf_dir: str):
     )
 
 
+def q_novelty(sf_dir: str):
+    """Per-document gram novelty: distinct 8-byte shingles and how many
+    appear in at least one other document (boilerplate share)."""
+    from deepblocker_ray.stages.dedup import gram_novelty
+
+    return gram_novelty(_documents(sf_dir), _cfg(), k=8)
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth: new tokens charged to the doc-id
+    range (width 2 — the synthetic vocabulary saturates within the
+    first docs, so a fine range keeps the curve non-trivial)."""
+    from deepblocker_ray.stages.textstats import vocab_growth
+
+    return vocab_growth(_documents(sf_dir), _cfg(), bucket_width=2)
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust 1.5·MAD outlier flags on order value per priority (all
+    integer inequalities over the doubled/quadrupled stats; the classic
+    3.5 fence flags nothing on near-uniform synthetic prices, 1.5 is
+    the boxplot-style fence)."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import mad_outliers
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    return mad_outliers(
+        orders, _cfg(), group_col="o_orderpriority",
+        value_col="o_totalprice", id_col="o_orderkey", k_halves=3,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3223,6 +3259,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_detect": q_burst_detect,
         "fd_discovery": q_fd_discovery,
         "spearman": q_spearman,
+        "novelty": q_novelty,
+        "vocab_growth": q_vocab_growth,
+        "mad_outliers": q_mad_outliers,
     }
 
 
@@ -4086,6 +4125,79 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # per-doc gram novelty (stages/dedup.py:gram_novelty): the
+        # minhash shingle convention (char-based twin; ASCII note applies)
+        "novelty": """
+            WITH sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           CASE WHEN length(text) < 8 THEN [text]
+                                ELSE [substr(text, x, 8)
+                                      for x in generate_series(
+                                          1, length(text) - 7)]
+                           END)) AS g
+                FROM documents
+            ), df AS (
+                SELECT g, count(*) AS d FROM sh GROUP BY g
+            )
+            SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared
+            FROM sh JOIN df ON df.g = sh.g
+            GROUP BY sh.doc_id
+        """,
+        # Heaps-law growth (stages/textstats.py:vocab_growth)
+        "vocab_growth": f"""
+            WITH t AS (SELECT doc_id, {tokens} AS tk FROM documents),
+            e AS (
+                SELECT doc_id, unnest(tk) AS tok FROM t WHERE len(tk) > 0
+            ), f AS (
+                SELECT tok, CAST(min(doc_id) AS BIGINT) AS fd
+                FROM e GROUP BY tok
+            )
+            SELECT fd // 2 AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_new_tokens
+            FROM f GROUP BY 1
+        """,
+        # robust MAD outliers (stages/relational.py:mad_outliers):
+        # 4·|2c − med2| > 3·mad4 over the `mad` twin's statistics
+        "mad_outliers": """
+            WITH v AS (
+                SELECT o_orderkey, o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                FROM orders
+            ), r AS (
+                SELECT g, c,
+                       row_number() OVER (PARTITION BY g ORDER BY c) AS i,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM v
+            ), med AS (
+                SELECT g,
+                       CAST(sum(CASE WHEN i = (n+1)//2 THEN c ELSE 0 END)
+                          + sum(CASE WHEN i = (n+2)//2 THEN c ELSE 0 END)
+                          AS BIGINT) AS med2
+                FROM r GROUP BY g
+            ), d AS (
+                SELECT v.g, abs(2*v.c - m.med2) AS dc
+                FROM v JOIN med m ON m.g = v.g
+            ), dr AS (
+                SELECT g, dc,
+                       row_number() OVER (PARTITION BY g ORDER BY dc) AS i,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM d
+            ), madt AS (
+                SELECT g,
+                       CAST(sum(CASE WHEN i = (n+1)//2 THEN dc ELSE 0 END)
+                          + sum(CASE WHEN i = (n+2)//2 THEN dc ELSE 0 END)
+                          AS BIGINT) AS mad4
+                FROM dr GROUP BY g
+            )
+            SELECT v.o_orderkey, v.g AS o_orderpriority, v.c AS cents
+            FROM v
+            JOIN med m ON m.g = v.g
+            JOIN madt t ON t.g = v.g
+            WHERE 4 * abs(2*v.c - m.med2) > 3 * t.mad4
         """,
         # FD discovery sweep (stages/profile.py:fd_discovery): distinct
         # rhs per lhs value, every ordered column pair

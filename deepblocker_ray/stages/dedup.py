@@ -2787,3 +2787,75 @@ def cross_source_dups(
         .repartition(1)
         .map_batches(combine, batch_format="pandas")
     )
+
+
+def gram_novelty(ds, cfg=None, *, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 8):
+    """Per-document gram novelty — the near-duplicate RICHNESS measure
+    the dedup family's pair output can't give you (how much of each doc
+    is boilerplate shared with the rest of the corpus): for every doc,
+    (id, n_grams:int64 = distinct k-byte shingles, n_shared:int64 =
+    those appearing in ≥ 2 documents), so the novel fraction is
+    1 − n_shared/n_grams. Short docs (< k bytes) count as one whole-text
+    gram (the minhash rule); cardinalities are hash-invariant, so the
+    character-based SQL twin agrees on ASCII corpora (the documented
+    minhash/shingle ASCII note).
+
+    Scale shape: the vectorized shingle kernel emits per-doc distinct
+    gram hashes; ONE hash(gram) exchange sees each gram's full document
+    set and pre-folds to per-(doc, bucket) partial counts; ONE hash(doc)
+    exchange sums the partials. Gram rows ride an exchange exactly
+    once; no broadcast state."""
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def emit(t: pa.Table) -> pd.DataFrame:
+        texts = t.column(text_col).to_pylist()
+        ids = np.asarray(t.column(id_col), np.int64)
+        vals, offs = _shingle_hashes_batch(texts, k)
+        counts = np.diff(offs)
+        return pd.DataFrame(
+            {
+                "h": vals,
+                "doc": np.repeat(ids, counts),
+                "_bucket": (vals % np.uint64(nb)).astype(np.int32),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        df_per_gram = g.groupby("h", sort=False)["doc"].transform("size")
+        shared = (df_per_gram >= 2).to_numpy()
+        agg = (
+            pd.DataFrame(
+                {
+                    "doc": g["doc"].to_numpy(np.int64),
+                    "n": np.ones(len(g), np.int64),
+                    "s": shared.astype(np.int64),
+                }
+            )
+            .groupby("doc", sort=False)
+            .sum()
+            .reset_index()
+        )
+        agg["_bucket"] = bucket_of(agg["doc"], nb)
+        return agg
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        c = g.groupby("doc", sort=False)[["n", "s"]].sum().reset_index()
+        return pa.table(
+            {
+                id_col: pa.array(c["doc"].to_numpy(np.int64)),
+                "n_grams": pa.array(c["n"].to_numpy(np.int64)),
+                "n_shared": pa.array(c["s"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -1977,3 +1977,63 @@ def spearman_by_group(ds, cfg: EngineConfig, *, group_col: str,
         .groupby("_bucket")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def mad_outliers(ds, cfg: EngineConfig, *, group_col: str,
+                 value_col: str, id_col: str, k_halves: int = 7):
+    """Robust per-group outlier flags via the median/MAD rule — the
+    screen that survives the heavy tails that break z-scores: emit the
+    rows where
+
+        |value − median| > (k_halves/2) · MAD
+        ⇔ 4·|2·cents − med2| > k_halves·mad4    (all integers;
+          LHS = 8·|c − med|, RHS = 4·k_halves·MAD)
+
+    using ``dispersion_by_group``'s doubled/quadrupled integer
+    statistics (k_halves = 7 is the classic 3.5·MAD fence). Output
+    (id_col:int64, group, cents:int64). Groups with mad4 = 0 (over half
+    the mass on one value) flag every row off the median — the standard
+    caveat, left to callers.
+
+    Scale shape: the dispersion stats collapse to O(groups) rows and
+    broadcast via ray.put; the corpus then streams shuffle-free through
+    one vectorized filter."""
+    import ray
+
+    from ..state.broadcast import cached_get
+
+    stats = dispersion_by_group(
+        ds, cfg, group_col=group_col, value_col=value_col
+    ).to_pandas()
+    table = {
+        r[group_col]: (int(r["med2"]), int(r["mad4"]))
+        for _, r in stats.iterrows()
+    }
+    ref = ray.put(table)
+
+    def filt(t: pa.Table) -> pa.Table:
+        tab = cached_get(ref)
+        g = t.column(group_col).to_pandas().astype(str)
+        cents = np.rint(
+            np.asarray(t.column(value_col), np.float64) * 100.0
+        ).astype(np.int64)
+        med2 = np.fromiter(
+            (tab.get(x, (0, 0))[0] for x in g), np.int64, len(g)
+        )
+        mad4 = np.fromiter(
+            (tab.get(x, (0, 0))[1] for x in g), np.int64, len(g)
+        )
+        mask = 4 * np.abs(2 * cents - med2) > k_halves * mad4
+        keep = np.nonzero(mask)[0]
+        idx = pa.array(keep)
+        return pa.table(
+            {
+                id_col: t.column(id_col).cast(pa.int64()).take(idx),
+                group_col: t.column(group_col).take(idx),
+                "cents": pa.array(cents[keep]),
+            }
+        )
+
+    out = ds.map_batches(filt, batch_format="pyarrow")
+    out._mad_pin = ref
+    return out

@@ -1765,3 +1765,79 @@ def token_burstiness(ds, cfg=None, *, text_col: str = "text",
         .groupby("_bucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def vocab_growth(ds, cfg=None, *, text_col: str = "text",
+                 id_col: str = "doc_id", bucket_width: int = 50):
+    """Vocabulary-growth (Heaps-law) curve at doc-id-range granularity:
+    every token is charged to the document range where it FIRST appears
+    (first = minimum doc id), emitting (bucket:int64 = first_doc //
+    bucket_width, n_new_tokens:int64) for non-empty buckets — cumulative
+    vocabulary size over ingest order is one prefix sum away. The
+    corpus-health diagnostic for dedup/curation: a flattening curve
+    means new data stopped contributing new language.
+
+    Scale shape: per-batch token→min(doc) partials (vocabulary-bounded),
+    ONE token-hash exchange folds mins, and the per-range histogram
+    partials (≤ ranges rows per bucket) collapse in a second tiny
+    exchange."""
+    from ..config import EngineConfig
+    from ..functions.tokenizer import tokenize_many
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks = tokenize_many(t.column(text_col).to_pylist())
+        ids = np.asarray(t.column(id_col), np.int64)
+        rows_t, rows_d = [], []
+        for i, x in enumerate(toks):
+            for tok in set(x):
+                rows_t.append(tok)
+                rows_d.append(ids[i])
+        df = (
+            pd.DataFrame({"token": rows_t, "doc": rows_d})
+            .groupby("token", sort=False)["doc"]
+            .min()
+            .reset_index()
+        )
+        df["_bucket"] = bucket_of(df["token"], nb)
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("token", sort=False)["doc"].min()
+        h = (
+            (first // bucket_width)
+            .value_counts()
+            .rename("n_new_tokens")
+            .reset_index()
+            .rename(columns={"doc": "bucket"})
+        )
+        h["_b2"] = (h["bucket"].to_numpy(np.int64) % nb).astype(np.int32)
+        return h
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        c = (
+            g.groupby("bucket", sort=False)["n_new_tokens"]
+            .sum()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(c["bucket"].to_numpy(np.int64)),
+                "n_new_tokens": pa.array(
+                    c["n_new_tokens"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -588,3 +588,50 @@ class TestCrossSourceDups:
         )
         got = set(map(tuple, out.values))
         assert got == {("A", "B", 1), ("A", "C", 2), ("B", "C", 1)}
+
+
+class TestGramNovelty:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.dedup import gram_novelty
+
+        texts = [
+            "the quick brown fox jumps",
+            "the quick brown cat sleeps",
+            "completely different words here",
+            "tiny",                       # < 8 bytes: whole-text gram
+            "tiny",                       # duplicate short doc
+        ]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(5, dtype=np.int64), "text": texts}
+        )
+        out = (
+            gram_novelty(
+                rd.from_pandas(df).repartition(2),
+                EngineConfig(num_buckets=4), k=8,
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+
+        def grams(t):
+            b = t.encode()
+            if len(b) < 8:
+                return {t}
+            return {b[i : i + 8] for i in range(len(b) - 7)}
+
+        gsets = [grams(t) for t in texts]
+        for i, gs in enumerate(gsets):
+            shared = sum(
+                1
+                for g in gs
+                if any(g in other for j, other in enumerate(gsets) if j != i)
+            )
+            r = out.loc[i]
+            assert r["n_grams"] == len(gs)
+            assert r["n_shared"] == shared
+        # the twin short docs share their single gram
+        assert out.loc[3, "n_shared"] == 1
+        assert out.loc[2, "n_shared"] == 0

@@ -1443,3 +1443,59 @@ class TestSpearmanByGroup:
             group_col="grp", x_col="xv", y_col="yv",
         ).to_pandas().set_index("grp")
         assert (out["d2"] < ctrl["d2"]).all()
+
+
+class TestVocabGrowth:
+    def test_first_occurrence_buckets(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.textstats import vocab_growth
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(6, dtype=np.int64),
+                "text": [
+                    "a b",        # bucket 0: a, b
+                    "a c",        # bucket 0: c
+                    "a b c",      # nothing new
+                    "d",          # bucket 1: d
+                    "e d",        # bucket 2: e
+                    "a e",        # nothing new
+                ],
+            }
+        )
+        out = (
+            vocab_growth(
+                rd.from_pandas(df).repartition(3),
+                EngineConfig(num_buckets=4), bucket_width=2,
+            )
+            .to_pandas()
+            .set_index("bucket")
+        )
+        assert dict(out["n_new_tokens"]) == {0: 3, 1: 1, 2: 1}
+
+
+class TestMadOutliers:
+    def test_fence_and_groups(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import mad_outliers
+
+        # group g: tight cluster around 10.00 plus two wild values
+        vals = [10.0, 10.1, 9.9, 10.05, 9.95, 10.0, 50.0, -30.0]
+        df = pd.DataFrame(
+            {
+                "rid": np.arange(len(vals), dtype=np.int64),
+                "grp": ["g"] * len(vals),
+                "val": vals,
+            }
+        )
+        out = mad_outliers(
+            rd.from_pandas(df).repartition(2),
+            EngineConfig(num_buckets=4),
+            group_col="grp", value_col="val", id_col="rid", k_halves=7,
+        ).to_pandas()
+        assert set(out["rid"]) == {6, 7}
+        assert set(out["cents"]) == {5000, -3000}
