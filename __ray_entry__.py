@@ -3050,6 +3050,26 @@ def q_mad_outliers(sf_dir: str):
     )
 
 
+def q_overlap_depth(sf_dir: str):
+    """Depth-wise overlap counts (the RBO/recall@k sufficient stats)
+    between the exact and int8-quantized kNN rankings, depths 1..10."""
+    from deepblocker_ray.stages.annsearch import knn, knn_int8
+    from deepblocker_ray.stages.topk import overlap_at_depth
+
+    emb = _embeddings(sf_dir)
+    a = knn(emb, n_queries=10, k=10, cfg=_cfg(), mode="exact")
+    b = knn_int8(emb, n_queries=10, k=10, cfg=_cfg())
+    return overlap_at_depth(a, b, _cfg(), k=10)
+
+
+def q_streaks(sf_dir: str):
+    """Per-user activity streaks: distinct active days and the longest
+    consecutive-day run."""
+    from deepblocker_ray.stages.events import streaks
+
+    return streaks(_events(sf_dir, columns=["user_id", "ts"]), _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3262,6 +3282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novelty": q_novelty,
         "vocab_growth": q_vocab_growth,
         "mad_outliers": q_mad_outliers,
+        "overlap_depth": q_overlap_depth,
+        "streaks": q_streaks,
     }
 
 
@@ -4125,6 +4147,85 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # depth-wise overlap counts (stages/topk.py:overlap_at_depth):
+        # a shared item enters at depth greatest(ra, rb)+1
+        "overlap_depth": """
+            WITH sims AS (
+                SELECT CAST(q.vec_id AS VARCHAR) AS query_id,
+                       CAST(x.vec_id AS VARCHAR) AS neighbor_id,
+                       list_cosine_similarity(q.embedding, x.embedding) AS cos
+                FROM embeddings q, embeddings x
+                WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id
+            ), ranked_e AS (
+                SELECT query_id, neighbor_id, rank FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) - 1 AS rank
+                    FROM sims)
+                WHERE rank < 10
+            ), q8 AS (
+                SELECT CAST(vec_id AS VARCHAR) AS id, vec_id,
+                       list_transform(embedding, x ->
+                           floor(CAST(x AS DOUBLE) *
+                                 (127.0 / list_aggregate(
+                                      list_transform(embedding,
+                                          y -> abs(CAST(y AS DOUBLE))),
+                                      'max')) + 0.5)) AS qv
+                FROM embeddings
+            ), sims8 AS (
+                SELECT a.id AS query_id, b.id AS neighbor_id,
+                       list_cosine_similarity(a.qv, b.qv) AS cos
+                FROM q8 a, q8 b
+                WHERE a.vec_id < 10 AND b.id <> a.id
+            ), ranked_8 AS (
+                SELECT query_id, neighbor_id, rank FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) - 1 AS rank
+                    FROM sims8)
+                WHERE rank < 10
+            ), shared AS (
+                SELECT a.query_id, greatest(a.rank, b.rank) AS enter
+                FROM ranked_e a JOIN ranked_8 b
+                  ON b.query_id = a.query_id
+                 AND b.neighbor_id = a.neighbor_id
+            ), qs AS (
+                SELECT DISTINCT query_id FROM ranked_e
+                UNION SELECT DISTINCT query_id FROM ranked_8
+            ), depths AS (
+                SELECT unnest(generate_series(1, 10)) AS depth
+            )
+            SELECT q.query_id, CAST(d.depth AS BIGINT) AS depth,
+                   CAST(COALESCE(sum(CASE WHEN s.enter < d.depth
+                                          THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_overlap
+            FROM qs q
+            CROSS JOIN depths d
+            LEFT JOIN shared s ON s.query_id = q.query_id
+            GROUP BY q.query_id, d.depth
+        """,
+        # activity streaks (stages/events.py:streaks): gaps-and-islands
+        # on distinct UTC day indexes
+        "streaks": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ), i AS (
+                SELECT user_id, day,
+                       day - row_number() OVER (
+                           PARTITION BY user_id ORDER BY day) AS isl
+                FROM d
+            ), r AS (
+                SELECT user_id, isl, count(*) AS len
+                FROM i GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+                   CAST(max(len) AS BIGINT) AS max_streak
+            FROM r GROUP BY user_id
         """,
         # per-doc gram novelty (stages/dedup.py:gram_novelty): the
         # minhash shingle convention (char-based twin; ASCII note applies)

@@ -2687,3 +2687,66 @@ def burst_detect(ds, cfg: EngineConfig | None = None, *,
         .groupby("_bucket")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def streaks(ds, cfg: EngineConfig | None = None):
+    """Per-user activity streaks — the engagement-consistency signal the
+    cohort ``retention`` table aggregates away: over each user's DISTINCT
+    active days (UTC day index = epoch_us // 86 400 000 000), the count
+    of active days and the longest run of CONSECUTIVE days:
+    (user_id:int64, n_active_days:int64, max_streak:int64).
+
+    Scale shape: map-side day dedup shrinks the exchange to (user, day)
+    rows; ONE hash(user) exchange, then a single lexsort + boolean-diff
+    + bincount pass finds every user's islands at once (the
+    gaps-and-islands kernel on calendar days)."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    DAY = np.int64(86_400_000_000)
+
+    def project(t: pa.Table) -> pd.DataFrame:
+        uid = np.asarray(t.column("user_id"), np.int64)
+        day = (
+            np.asarray(
+                t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            )
+            // DAY
+        )
+        df = pd.DataFrame({"user_id": uid, "day": day}).drop_duplicates()
+        df["_bucket"] = _user_bucket(
+            df["user_id"].to_numpy(np.int64), nb
+        )
+        return df
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        uid = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        new_run = new_user | np.concatenate(
+            ([True], (day[1:] - day[:-1]) != 1)
+        )
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_user = uid[new_run]
+        users, uinv = np.unique(run_user, return_inverse=True)
+        max_streak = np.zeros(len(users), np.int64)
+        np.maximum.at(max_streak, uinv, run_len)
+        n_days = np.bincount(
+            np.unique(uid, return_inverse=True)[1]
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(users),
+                "n_active_days": pa.array(n_days),
+                "max_streak": pa.array(max_streak),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(finish, batch_format="pandas")
+    )

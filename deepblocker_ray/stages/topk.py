@@ -473,3 +473,78 @@ def kendall_disagreement(
         ranked_b.map_batches(tag(1), batch_format="pandas")
     )
     return tagged.groupby("_bucket").map_groups(fold, batch_format="pandas")
+
+
+def overlap_at_depth(
+    ranked_a,
+    ranked_b,
+    cfg: EngineConfig,
+    *,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int = 10,
+):
+    """Depth-wise ranking agreement — the integer sufficient statistics
+    behind rank-biased overlap (RBO) and recall@k curves: per query and
+    every depth d ∈ 1..k, n_overlap = |top_d(A) ∩ top_d(B)| (0-based
+    ranks; a shared item enters at depth max(rank_a, rank_b)+1). RBO's
+    geometric weighting is a float fold the CONSUMER applies to these
+    exact counts — summing floats here would be order-dependent. Emits
+    (query, depth:int64, n_overlap:int64), k rows per query present in
+    either input.
+
+    Scale shape: candidate lists are ≤ L rows per query; ONE hash(query)
+    bucket exchange, then one bincount+cumsum per query."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    nb = cfg.num_buckets
+
+    def tag(side: int):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            q = df[query_col].astype(str)
+            return pd.DataFrame(
+                {
+                    "_q": q.to_numpy(object),
+                    "_item": df[item_col].astype(str).to_numpy(object),
+                    "_r": df[rank_col].to_numpy(np.int64),
+                    "_side": np.full(len(df), side, np.int8),
+                    "_bucket": _hash_bucket_strs(q, nb),
+                }
+            )
+
+        return f
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        a = g[g["_side"] == 0][["_q", "_item", "_r"]]
+        b = g[g["_side"] == 1][["_q", "_item", "_r"]]
+        m = a.merge(b, on=["_q", "_item"], suffixes=("_a", "_b"))
+        queries = pd.unique(g["_q"])
+        qidx = {q: i for i, q in enumerate(queries)}
+        counts = np.zeros((len(queries), k), np.int64)
+        if len(m):
+            enter = np.maximum(
+                m["_r_a"].to_numpy(np.int64), m["_r_b"].to_numpy(np.int64)
+            )
+            qs = m["_q"].map(qidx).to_numpy(np.int64)
+            ok = enter < k
+            np.add.at(counts, (qs[ok], enter[ok]), 1)
+        cum = np.cumsum(counts, axis=1)
+        return pa.table(
+            {
+                query_col: pa.array(
+                    np.repeat(np.asarray(queries, object), k),
+                    pa.string(),
+                ),
+                "depth": pa.array(
+                    np.tile(np.arange(1, k + 1, dtype=np.int64),
+                            len(queries))
+                ),
+                "n_overlap": pa.array(cum.ravel()),
+            }
+        )
+
+    tagged = ranked_a.map_batches(tag(0), batch_format="pandas").union(
+        ranked_b.map_batches(tag(1), batch_format="pandas")
+    )
+    return tagged.groupby("_bucket").map_groups(fold, batch_format="pandas")

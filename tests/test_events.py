@@ -2022,3 +2022,36 @@ class TestBurstDetect:
             window_us=1_000_000, cap=1,
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestStreaks:
+    def test_hand_built_runs(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import streaks
+
+        days = {
+            1: ["2026-01-01", "2026-01-02", "2026-01-03", "2026-01-07"],
+            2: ["2026-01-05"],
+            3: ["2026-02-01", "2026-02-02", "2026-02-04", "2026-02-05",
+                "2026-02-06", "2026-02-07"],
+        }
+        rows = []
+        for u, ds_ in days.items():
+            for d in ds_:
+                # two events on some days: dedup must collapse them
+                rows.append((u, d + " 08:00:00"))
+                rows.append((u, d + " 20:00:00"))
+        ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+        ev["ts"] = pd.to_datetime(ev["ts"])
+        ev["user_id"] = ev["user_id"].astype(np.int64)
+        out = (
+            streaks(rd.from_pandas(ev).repartition(3),
+                    EngineConfig(num_buckets=4))
+            .to_pandas()
+            .set_index("user_id")
+        )
+        assert tuple(out.loc[1]) == (4, 3)
+        assert tuple(out.loc[2]) == (1, 1)
+        assert tuple(out.loc[3]) == (6, 4)

@@ -742,3 +742,65 @@ class TestKendallDisagreement:
             EngineConfig(num_buckets=4),
         ).to_pandas()
         assert tuple(flipped.iloc[0][["n_shared", "n_disc"]]) == (4, 6)
+
+
+class TestOverlapAtDepth:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.topk import overlap_at_depth
+
+        r = np.random.RandomState(7)
+        rows_a, rows_b = [], []
+        for q in range(4):
+            ia = [str(x) for x in r.choice(25, 8, replace=False)]
+            ib = [str(x) for x in r.choice(25, 8, replace=False)]
+            rows_a += [(str(q), it, i) for i, it in enumerate(ia)]
+            rows_b += [(str(q), it, i) for i, it in enumerate(ib)]
+        cols = ["query_id", "neighbor_id", "rank"]
+        da, db = pd.DataFrame(rows_a, columns=cols), pd.DataFrame(
+            rows_b, columns=cols
+        )
+        k = 8
+        out = overlap_at_depth(
+            rd.from_pandas(da).repartition(2),
+            rd.from_pandas(db).repartition(2),
+            EngineConfig(num_buckets=4), k=k,
+        ).to_pandas()
+        for q in range(4):
+            a = da[da.query_id == str(q)]
+            b = db[db.query_id == str(q)]
+            for d in range(1, k + 1):
+                want = len(
+                    set(a[a["rank"] < d]["neighbor_id"])
+                    & set(b[b["rank"] < d]["neighbor_id"])
+                )
+                got = out[
+                    (out.query_id == str(q)) & (out.depth == d)
+                ]["n_overlap"].iloc[0]
+                assert got == want, (q, d, got, want)
+        assert len(out) == 4 * k
+
+    def test_disjoint_and_identical(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.topk import overlap_at_depth
+
+        df = pd.DataFrame(
+            {
+                "query_id": ["q"] * 3,
+                "neighbor_id": ["a", "b", "c"],
+                "rank": [0, 1, 2],
+            }
+        )
+        other = df.assign(neighbor_id=["x", "y", "z"])
+        out = overlap_at_depth(
+            rd.from_pandas(df), rd.from_pandas(df),
+            EngineConfig(num_buckets=4), k=3,
+        ).to_pandas().sort_values("depth")
+        assert out["n_overlap"].tolist() == [1, 2, 3]
+        out2 = overlap_at_depth(
+            rd.from_pandas(df), rd.from_pandas(other),
+            EngineConfig(num_buckets=4), k=3,
+        ).to_pandas()
+        assert (out2["n_overlap"] == 0).all()
