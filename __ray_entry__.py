@@ -3070,6 +3070,31 @@ def q_streaks(sf_dir: str):
     return streaks(_events(sf_dir, columns=["user_id", "ts"]), _cfg())
 
 
+def q_column_entropy(sf_dir: str):
+    """Per-column value-concentration bits (integer surprisal over value
+    frequencies) for customer columns."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.profile import column_entropy
+
+    cols = ["c_name", "c_nationkey", "c_mktsegment"]
+    return column_entropy(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=cols),
+        _cfg(),
+        columns=cols,
+    )
+
+
+def q_top_shared_pairs(sf_dir: str):
+    """Global top-20 document pairs by discriminative shared-gram count
+    (2 ≤ gram df ≤ 50)."""
+    from deepblocker_ray.stages.dedup import top_shared_pairs
+
+    return top_shared_pairs(
+        _documents(sf_dir), _cfg(), k_top=20, gram_k=8, df_cap=50
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3284,6 +3309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": q_mad_outliers,
         "overlap_depth": q_overlap_depth,
         "streaks": q_streaks,
+        "column_entropy": q_column_entropy,
+        "top_shared_pairs": q_top_shared_pairs,
     }
 
 
@@ -4147,6 +4174,62 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # per-column surprisal bits (stages/profile.py:column_entropy)
+        "column_entropy": """
+            WITH u AS (
+                SELECT 'c_name' AS col, CAST(c_name AS VARCHAR) AS v
+                FROM customer WHERE c_name IS NOT NULL
+                UNION ALL SELECT 'c_nationkey',
+                       CAST(c_nationkey AS VARCHAR)
+                FROM customer WHERE c_nationkey IS NOT NULL
+                UNION ALL SELECT 'c_mktsegment',
+                       CAST(c_mktsegment AS VARCHAR)
+                FROM customer WHERE c_mktsegment IS NOT NULL
+            ), c AS (
+                SELECT col, v, CAST(count(*) AS BIGINT) AS cnt
+                FROM u GROUP BY 1, 2
+            ), agg AS (
+                SELECT col, CAST(sum(cnt) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS d,
+                       CAST(sum(cnt * (length(printf('%b', cnt)) - 1))
+                            AS BIGINT) AS clg
+                FROM c GROUP BY col
+            )
+            SELECT col AS "column", n, d AS n_distinct,
+                   CAST(n * (length(printf('%b', greatest(n, 1))) - 1)
+                        - clg AS BIGINT) AS bits
+            FROM agg
+        """,
+        # global worst-offender duplication pairs (stages/dedup.py:
+        # top_shared_pairs): discriminative grams only, 2 <= df <= 50
+        "top_shared_pairs": """
+            WITH sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           CASE WHEN length(text) < 8 THEN [text]
+                                ELSE [substr(text, x, 8)
+                                      for x in generate_series(
+                                          1, length(text) - 7)]
+                           END)) AS g
+                FROM documents
+            ), df AS (
+                SELECT g, count(*) AS d FROM sh GROUP BY g
+            ), p AS (
+                SELECT a.doc_id AS l, b.doc_id AS r,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM sh a
+                JOIN sh b ON b.g = a.g AND b.doc_id > a.doc_id
+                JOIN df ON df.g = a.g AND df.d BETWEEN 2 AND 50
+                GROUP BY 1, 2
+            )
+            SELECT l AS left_id, r AS right_id, n AS n_shared, rank
+            FROM (
+                SELECT l, r, n,
+                       CAST(row_number() OVER (ORDER BY n DESC, l, r)
+                            AS BIGINT) AS rank
+                FROM p)
+            WHERE rank <= 20
         """,
         # depth-wise overlap counts (stages/topk.py:overlap_at_depth):
         # a shared item enters at depth greatest(ra, rb)+1

@@ -2859,3 +2859,110 @@ def gram_novelty(ds, cfg=None, *, text_col: str = "text",
         .groupby("_bucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def top_shared_pairs(ds, cfg=None, *, text_col: str = "text",
+                     id_col: str = "doc_id", k_top: int = 20,
+                     gram_k: int = 8, df_cap: int = 50):
+    """Global top-``k_top`` document pairs by shared-gram count — the
+    "worst offenders" duplication report complementing the dedup
+    family's thresholded pair sets: pairs rank by how many distinct
+    k-byte shingles they share, counting only DISCRIMINATIVE grams
+    (2 ≤ document frequency ≤ ``df_cap``; ubiquitous boilerplate grams
+    carry no pair signal and would blow the fan-out — the block-purging
+    rule, identical on the SQL side). Output (left_id, right_id,
+    n_shared:int64, rank:int64 1-based) under (n_shared desc, left asc,
+    right asc).
+
+    Scale shape: ONE hash(gram) exchange sees each gram's doc set and
+    fans out ≤ C(df_cap, 2) pairs per gram with per-bucket pre-reduce;
+    ONE hash(pair) exchange sums; map-side partial top-k per block then
+    a single tiny final block (the group_topk global pattern)."""
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    if k_top < 1:
+        raise ValueError(f"k_top must be >= 1, got {k_top}")
+
+    def emit(t: pa.Table) -> pd.DataFrame:
+        texts = t.column(text_col).to_pylist()
+        ids = np.asarray(t.column(id_col), np.int64)
+        vals, offs = _shingle_hashes_batch(texts, gram_k)
+        counts = np.diff(offs)
+        return pd.DataFrame(
+            {
+                "h": vals,
+                "doc": np.repeat(ids, counts),
+                "_bucket": (vals % np.uint64(nb)).astype(np.int32),
+            }
+        )
+
+    def fan_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc"], kind="mergesort")
+        h = g["h"].to_numpy(np.uint64)
+        doc = g["doc"].to_numpy(np.int64)
+        starts = np.nonzero(
+            np.concatenate(([True], h[1:] != h[:-1]))
+        )[0]
+        cnt = np.diff(np.concatenate((starts, [len(h)])))
+        ok = (cnt >= 2) & (cnt <= df_cap)
+        li, ri = [], []
+        for s, c in zip(starts[ok], cnt[ok]):
+            d = doc[s : s + c]
+            iu = np.triu_indices(c, 1)
+            li.append(d[iu[0]])
+            ri.append(d[iu[1]])
+        if not li:
+            return pd.DataFrame(
+                {"l": pd.Series(dtype=np.int64),
+                 "r": pd.Series(dtype=np.int64),
+                 "n": pd.Series(dtype=np.int64),
+                 "_pb": pd.Series(dtype=np.int32)}
+            )
+        l = np.concatenate(li)
+        r = np.concatenate(ri)
+        p = (
+            pd.DataFrame({"l": l, "r": r})
+            .groupby(["l", "r"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        p["_pb"] = bucket_of(
+            p["l"].astype(str) + "|" + p["r"].astype(str), nb
+        )
+        return p
+
+    def topk_frame(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "l", "r"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k_top)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["l", "r"], sort=False)["n"].sum().reset_index()
+        return topk_frame(s)[["l", "r", "n"]]
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        top = topk_frame(df)
+        return pa.table(
+            {
+                "left_id": pa.array(top["l"].to_numpy(np.int64)),
+                "right_id": pa.array(top["r"].to_numpy(np.int64)),
+                "n_shared": pa.array(top["n"].to_numpy(np.int64)),
+                "rank": pa.array(
+                    np.arange(1, len(top) + 1, dtype=np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fan_pairs, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )

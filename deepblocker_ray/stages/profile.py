@@ -637,3 +637,103 @@ def fd_discovery(ds, cfg=None, *, columns: list[str]):
             }
         )
     )
+
+
+def column_entropy(ds, cfg=None, *, columns: list[str]):
+    """Per-column value-concentration audit in exact INTEGER bits — the
+    uniformity/skew profile next to column_profile's counts: for each
+    column, over its non-null stringified values,
+
+        bits = Σ_values c(v) · (⌊log₂ N⌋ − ⌊log₂ c(v)⌋)
+
+    (N = non-null rows of that column) — the surprisal trick applied to
+    value frequencies: ~N·log₂(distinct) for uniform columns, → 0 as one
+    value dominates. Emits (column, n:int64, n_distinct:int64,
+    bits:int64).
+
+    Scale shape: per-batch (column, value)→count partials (bounded by
+    distinct values), ONE hash(column|value) exchange so each value's
+    global count folds once, per-bucket ≤ columns partial rows, tiny
+    driver assembly (O(columns) — it IS the output)."""
+    import ray.data as rd
+
+    from ..config import EngineConfig
+    from .dedup import hash64_strs
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    if not columns:
+        raise ValueError("columns must be non-empty")
+
+    def ilog2(c: np.ndarray) -> np.ndarray:
+        return (np.frexp(c.astype(np.float64))[1] - 1).astype(np.int64)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        frames = []
+        for c in columns:
+            col = pc.drop_null(pc.cast(t.column(c), pa.string()))
+            vc = pd.Series(np.asarray(col, object)).value_counts()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "col": np.full(len(vc), c, object),
+                        "v": vc.index.to_numpy(object),
+                        "cnt": vc.to_numpy(np.int64),
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        key = out["col"].astype(str) + "|" + out["v"].astype(str)
+        codes, uniq = pd.factorize(key, sort=False)
+        h = hash64_strs(uniq)[codes] if len(uniq) else np.array(
+            [], np.uint64
+        )
+        out["_bucket"] = (h % np.uint64(nb)).astype(np.int32)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["col", "v"], sort=False)["cnt"].sum().reset_index()
+        cnt = c["cnt"].to_numpy(np.int64)
+        agg = (
+            pd.DataFrame(
+                {
+                    "col": c["col"].to_numpy(object),
+                    "n": cnt,
+                    "d": np.ones(len(c), np.int64),
+                    # Σ c·⌊log₂ c⌋ partial; the N term joins at assembly
+                    "clg": cnt * ilog2(cnt),
+                }
+            )
+            .groupby("col", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return agg
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    sums = folded.groupby("col")[["n", "d", "clg"]].sum()
+    rows = []
+    for c in columns:
+        if c in sums.index:
+            n = int(sums.loc[c, "n"])
+            d = int(sums.loc[c, "d"])
+            lg_n = int(ilog2(np.array([max(n, 1)], np.int64))[0])
+            bits = n * lg_n - int(sums.loc[c, "clg"])
+        else:
+            n, d, bits = 0, 0, 0
+        rows.append((c, n, d, bits))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "column": pa.array([r[0] for r in rows], pa.string()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "n_distinct": pa.array([r[2] for r in rows], pa.int64()),
+                "bits": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    )

@@ -635,3 +635,54 @@ class TestGramNovelty:
         # the twin short docs share their single gram
         assert out.loc[3, "n_shared"] == 1
         assert out.loc[2, "n_shared"] == 0
+
+
+class TestTopSharedPairs:
+    def test_ranking_and_df_cap(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.dedup import top_shared_pairs
+
+        base = "abcdefghijklmnopqrst"       # 20 chars -> 13 grams
+        texts = [
+            base,                            # 0: shares 13 grams with 1
+            base,                            # 1
+            base[:12],                       # 2: shares 5 grams with 0/1
+            "zzzzzzzzzzz",                   # 3: unrelated
+            "completely different text",    # 4
+        ]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(5, dtype=np.int64), "text": texts}
+        )
+        out = top_shared_pairs(
+            rd.from_pandas(df).repartition(2),
+            EngineConfig(num_buckets=4), k_top=3, gram_k=8, df_cap=50,
+        ).to_pandas()
+        assert list(out.iloc[0][["left_id", "right_id", "n_shared"]]) \
+            == [0, 1, 13]
+        assert out.iloc[0]["rank"] == 1
+        # next: (0,2) and (1,2) sharing the first 5 grams, tie broken
+        # by (left, right)
+        assert list(out.iloc[1][["left_id", "right_id", "n_shared"]]) \
+            == [0, 2, 5]
+        assert list(out.iloc[2][["left_id", "right_id", "n_shared"]]) \
+            == [1, 2, 5]
+
+    def test_ubiquitous_grams_excluded(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.dedup import top_shared_pairs
+
+        # the shared gram appears in ALL 4 docs; df_cap=3 excludes it
+        texts = ["XXcommonXX1", "XXcommonXX2", "XXcommonXX3",
+                 "XXcommonXX4"]
+        df = pd.DataFrame(
+            {"doc_id": np.arange(4, dtype=np.int64), "text": texts}
+        )
+        out = top_shared_pairs(
+            rd.from_pandas(df), EngineConfig(num_buckets=4),
+            k_top=5, gram_k=8, df_cap=3,
+        ).to_pandas()
+        assert len(out) == 0

@@ -1499,3 +1499,41 @@ class TestMadOutliers:
         ).to_pandas()
         assert set(out["rid"]) == {6, 7}
         assert set(out["cents"]) == {5000, -3000}
+
+
+class TestColumnEntropy:
+    def test_hand_computed_bits(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.profile import column_entropy
+
+        df = pd.DataFrame(
+            {
+                "uniform": ["a", "b", "c", "d", "e", "f", "g", "h"],
+                "skew": ["x"] * 7 + ["y"],
+                "const": ["k"] * 8,
+                "withnull": ["p", "q", None, None, "p", "p", "q", "p"],
+            }
+        )
+        out = (
+            column_entropy(
+                rd.from_pandas(df).repartition(3),
+                EngineConfig(num_buckets=4),
+                columns=["uniform", "skew", "const", "withnull"],
+            )
+            .to_pandas()
+            .set_index("column")
+        )
+
+        def bits(counts):
+            n = sum(counts)
+            lg = lambda c: int(math.log2(c))
+            return sum(c * (lg(n) - lg(c)) for c in counts)
+
+        assert tuple(out.loc["uniform"]) == (8, 8, bits([1] * 8))  # 24
+        assert tuple(out.loc["skew"]) == (8, 2, bits([7, 1]))
+        assert tuple(out.loc["const"]) == (8, 1, 0)
+        assert tuple(out.loc["withnull"]) == (6, 2, bits([4, 2]))
