@@ -3095,6 +3095,34 @@ def q_top_shared_pairs(sf_dir: str):
     )
 
 
+def q_tail_risk(sf_dir: str):
+    """Exact upper-5% tail statistics of order value per priority
+    (CVaR numerator, count-based tie resolution)."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import tail_risk_by_group
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return tail_risk_by_group(
+        orders, _cfg(), group_col="o_orderpriority",
+        value_col="o_totalprice", tail_pct=5,
+    )
+
+
+def q_cube(sf_dir: str):
+    """2-D CUBE counts over (event_type, user_id % 7): every grouping
+    set with '*' subtotal markers."""
+    from deepblocker_ray.stages.events import cube_counts
+
+    return cube_counts(
+        _events(sf_dir, columns=["event_type", "user_id"]), _cfg(),
+        b_mod=7,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3311,6 +3339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaks": q_streaks,
         "column_entropy": q_column_entropy,
         "top_shared_pairs": q_top_shared_pairs,
+        "tail_risk": q_tail_risk,
+        "cube": q_cube,
     }
 
 
@@ -4174,6 +4204,40 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # upper-tail CVaR statistics (stages/relational.py:
+        # tail_risk_by_group): k = ceil(n·5/100) largest occurrences;
+        # equal-value ties make the occurrence-ranked sum deterministic
+        "tail_risk": """
+            WITH v AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                FROM orders
+            ), r AS (
+                SELECT g, c,
+                       row_number() OVER (PARTITION BY g ORDER BY c DESC)
+                           AS i,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM v
+            )
+            SELECT g AS o_orderpriority,
+                   CAST(max(n) AS BIGINT) AS n,
+                   CAST((max(n) * 5 + 99) // 100 AS BIGINT) AS n_tail,
+                   CAST(sum(CASE WHEN i <= (n * 5 + 99) // 100
+                                 THEN c ELSE 0 END) AS BIGINT) AS sum_tail
+            FROM r GROUP BY g
+        """,
+        # 2-D CUBE counts (stages/events.py:cube_counts)
+        "cube": """
+            WITH b0 AS (
+                SELECT CAST(event_type AS VARCHAR) AS a,
+                       CAST(user_id % 7 AS VARCHAR) AS b
+                FROM events
+            )
+            SELECT COALESCE(a, '*') AS event_type,
+                   COALESCE(b, '*') AS user_id,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b0 GROUP BY CUBE (a, b)
         """,
         # per-column surprisal bits (stages/profile.py:column_entropy)
         "column_entropy": """

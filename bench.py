@@ -280,6 +280,39 @@ def main() -> None:
         "blocker_agreement",
         "winsorize",
         "range_splits",
+        # round-3 session-8 additions
+        "hits",
+        "mad",
+        "surprisal",
+        "rank_fusion",
+        "monge_elkan",
+        "cusum",
+        "label_prop",
+        "readability",
+        "column_overlap",
+        "wl_signature",
+        "proximity",
+        "weighted_median",
+        "doc_keywords",
+        "kendall",
+        "edge_features",
+        "ktruss",
+        "fof",
+        "trimmed",
+        "source_cosine",
+        "burstiness",
+        "burst_detect",
+        "fd_discovery",
+        "spearman",
+        "novelty",
+        "vocab_growth",
+        "mad_outliers",
+        "overlap_depth",
+        "streaks",
+        "column_entropy",
+        "top_shared_pairs",
+        "tail_risk",
+        "cube",
     ]
     for name in query_names:
         r = bench_query(q[name])

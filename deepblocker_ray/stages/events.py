@@ -2750,3 +2750,69 @@ def streaks(ds, cfg: EngineConfig | None = None):
         .groupby("_bucket")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def cube_counts(ds, cfg: EngineConfig | None = None, *,
+                a_col: str = "event_type", b_col: str = "user_id",
+                b_mod: int = 7, total_marker: str = "*"):
+    """2-D CUBE aggregation — counts for every grouping set of
+    (a, b-class): (a, b), (a, *), (*, b), (*, *), with ``b_mod`` folding
+    the second dimension to a small class (user_id % b_mod — a stand-in
+    for day-of-week-style classes). The OLAP subtotal primitive next to
+    ``rollup_counts``' one-dimension hierarchy. Emits
+    (a:string, b:string, n:int64); subtotal rows carry the marker.
+
+    Scale shape: per-batch (a, b) partial counts (bounded by distinct
+    combinations), ONE tiny hash(a‖b) exchange; the three subtotal
+    levels derive from the SAME partials map-side (each partial row
+    re-emits under its subtotal keys), so the corpus is read once."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    from .canonicalize import bucket_of
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        a = t.column(a_col).to_pandas().astype(str)
+        b = (
+            np.asarray(t.column(b_col), np.int64) % np.int64(b_mod)
+        ).astype(str)
+        base = (
+            pd.DataFrame({"a": a.to_numpy(object), "b": b})
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        star = np.full(len(base), total_marker, object)
+        frames = [
+            base,
+            base.assign(b=star),
+            base.assign(a=star),
+            base.assign(a=star, b=star),
+        ]
+        out = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["a", "b"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        out["_bucket"] = bucket_of(
+            out["a"].astype(str) + "|" + out["b"].astype(str), nb
+        )
+        return out
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        c = g.groupby(["a", "b"], sort=False)["n"].sum().reset_index()
+        return pa.table(
+            {
+                a_col: pa.array(c["a"].to_numpy(object), pa.string()),
+                b_col: pa.array(c["b"].to_numpy(object), pa.string()),
+                "n": pa.array(c["n"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(combine, batch_format="pandas")
+    )

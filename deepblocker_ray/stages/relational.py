@@ -2037,3 +2037,65 @@ def mad_outliers(ds, cfg: EngineConfig, *, group_col: str,
     out = ds.map_batches(filt, batch_format="pyarrow")
     out._mad_pin = ref
     return out
+
+
+def tail_risk_by_group(ds, cfg: EngineConfig, *, group_col: str,
+                       value_col: str, tail_pct: int = 5):
+    """Exact per-group upper-tail (CVaR-style) sufficient statistics —
+    the revenue-concentration / risk complement to
+    ``trimmed_stats_by_group``'s robust center: with k = ⌈n·pct/100⌉
+    (at least one row whenever pct > 0 and n > 0),
+
+        (group, n:int64, n_tail:int64 = k,
+         sum_tail:int64 = Σ of the k LARGEST cents)
+
+    so CVaR_α = sum_tail / (100·k) dollars is one division away. Ties at
+    the cut value are resolved by COUNT, not identity (the tail takes
+    exactly k occurrences), which keeps the result order-independent.
+
+    Scale shape: the shared value-histogram partials; per group one
+    reversed cumulative count + a single searchsorted cut with
+    boundary-bucket clipping."""
+    if not (0 < tail_pct <= 100):
+        raise ValueError(f"tail_pct must be in (0, 100], got {tail_pct}")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = np.rint(
+            np.asarray(t.column(value_col), np.float64) * 100.0
+        ).astype(np.int64)
+        return (
+            pd.DataFrame(
+                {"g": t.column(group_col).to_pandas(), "cents": cents}
+            )
+            .groupby(["g", "cents"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        h = g.groupby("cents", sort=False)["cnt"].sum().sort_index()
+        v = h.index.to_numpy(np.int64)
+        c = h.to_numpy(np.int64)
+        n = int(c.sum())
+        k = -(-n * tail_pct // 100)  # ceil
+        # take from the top: reversed cumulative occurrence ranks
+        rev_cum = np.cumsum(c[::-1])[::-1]  # occurrences >= v[i]
+        take = np.minimum(rev_cum, k) - np.minimum(
+            rev_cum - c, k
+        )
+        sum_tail = int((v * take).sum())
+        return pa.table(
+            {
+                group_col: pa.array([g["g"].iloc[0]], pa.string()),
+                "n": pa.array([n], pa.int64()),
+                "n_tail": pa.array([k], pa.int64()),
+                "sum_tail": pa.array([sum_tail], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -2055,3 +2055,34 @@ class TestStreaks:
         assert tuple(out.loc[1]) == (4, 3)
         assert tuple(out.loc[2]) == (1, 1)
         assert tuple(out.loc[3]) == (6, 4)
+
+
+class TestCubeCounts:
+    def test_all_grouping_sets(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import cube_counts
+
+        ev = pd.DataFrame(
+            {
+                "event_type": ["a", "a", "b", "b", "b"],
+                "user_id": np.array([0, 1, 0, 8, 15], np.int64),
+            }
+        )
+        out = cube_counts(
+            rd.from_pandas(ev).repartition(2),
+            EngineConfig(num_buckets=4), b_mod=7,
+        ).to_pandas()
+        got = {
+            (r["event_type"], r["user_id"]): r["n"]
+            for _, r in out.iterrows()
+        }
+        # user_id % 7: 0,1,0,1,1
+        assert got == {
+            ("a", "0"): 1, ("a", "1"): 1,
+            ("b", "0"): 1, ("b", "1"): 2,
+            ("a", "*"): 2, ("b", "*"): 3,
+            ("*", "0"): 2, ("*", "1"): 3,
+            ("*", "*"): 5,
+        }

@@ -1537,3 +1537,37 @@ class TestColumnEntropy:
         assert tuple(out.loc["skew"]) == (8, 2, bits([7, 1]))
         assert tuple(out.loc["const"]) == (8, 1, 0)
         assert tuple(out.loc["withnull"]) == (6, 2, bits([4, 2]))
+
+
+class TestTailRisk:
+    def test_matches_brute_force_and_tie_rule(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import tail_risk_by_group
+
+        rng = np.random.RandomState(43)
+        g = rng.choice(["x", "y"], 200)
+        v = np.round(rng.lognormal(3, 1, 200), 2)
+        # plant duplicated values straddling the cut
+        v[:30] = 99.99
+        df = pd.DataFrame({"grp": g, "price": v})
+        out = (
+            tail_risk_by_group(
+                rd.from_pandas([p for p in np.array_split(df, 3)]),
+                EngineConfig(num_buckets=4),
+                group_col="grp", value_col="price", tail_pct=5,
+            )
+            .to_pandas()
+            .set_index("grp")
+        )
+        for grp in ["x", "y"]:
+            cents = np.sort(
+                np.rint(v[g == grp] * 100).astype(np.int64)
+            )[::-1]
+            n = len(cents)
+            k = -(-n * 5 // 100)
+            r = out.loc[grp]
+            assert r["n"] == n
+            assert r["n_tail"] == k
+            assert r["sum_tail"] == cents[:k].sum()
