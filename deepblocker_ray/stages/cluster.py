@@ -1898,6 +1898,48 @@ def wl_signature(pairs, cfg=None, *, iters: int = 2,
     return sigs.map_batches(out, batch_format="pandas")
 
 
+def _double_edges_fn(nb: int):
+    """Shared map fn: route each undirected edge to BOTH endpoints,
+    bucketed on the node (the wedge-machinery input)."""
+    from .canonicalize import bucket_of
+
+    def double(df: pd.DataFrame) -> pd.DataFrame:
+        l = df["left_id"].astype(str).to_numpy(object)
+        r = df["right_id"].astype(str).to_numpy(object)
+        node = np.concatenate([l, r])
+        nbr = np.concatenate([r, l])
+        return pd.DataFrame(
+            {
+                "node": node,
+                "nbr": nbr,
+                "_bucket": bucket_of(pd.Series(node), nb),
+            }
+        )
+
+    return double
+
+
+def _wedge_pairs(node: np.ndarray, nbr: np.ndarray):
+    """All (i < j) neighbor pairs per node over (node, nbr)-sorted
+    arrays — the shared reps/offset index arithmetic. Returns
+    (wa, wb, starts, counts) with wa < wb within each node."""
+    starts = np.nonzero(
+        np.concatenate(([True], node[1:] != node[:-1]))
+    )[0]
+    counts = np.diff(np.concatenate((starts, [len(node)])))
+    reps = np.repeat(
+        counts - 1, counts
+    ) - (np.arange(len(node), dtype=np.int64)
+         - np.repeat(starts, counts))
+    reps = np.maximum(reps, 0)
+    i_idx = np.repeat(np.arange(len(node), dtype=np.int64), reps)
+    off = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+    )
+    j_idx = i_idx + 1 + off
+    return nbr[i_idx], nbr[j_idx], starts, counts
+
+
 def edge_features(pairs, cfg=None):
     """Per-edge structural features over an undirected distinct pair list
     (left_id < right_id, strings) — the link-prediction / ER-evidence
@@ -1927,19 +1969,7 @@ def edge_features(pairs, cfg=None):
     pairs = pairs.repartition(
         max(1, -(-pairs.count() // 2_000_000))
     ).materialize()
-
-    def double(df: pd.DataFrame) -> pd.DataFrame:
-        l = df["left_id"].astype(str).to_numpy(object)
-        r = df["right_id"].astype(str).to_numpy(object)
-        node = np.concatenate([l, r])
-        nbr = np.concatenate([r, l])
-        return pd.DataFrame(
-            {
-                "node": node,
-                "nbr": nbr,
-                "_bucket": bucket_of(pd.Series(node), nb),
-            }
-        )
+    double = _double_edges_fn(nb)
 
     def wedges_and_degrees(g: pd.DataFrame) -> pd.DataFrame:
         # per node: degree marker rows (kind 1 for left endpoint, 2 for
@@ -1948,10 +1978,7 @@ def edge_features(pairs, cfg=None):
         g = g.sort_values(["node", "nbr"], kind="mergesort")
         node = g["node"].to_numpy(object)
         nbr = g["nbr"].to_numpy(object)
-        starts = np.nonzero(
-            np.concatenate(([True], node[1:] != node[:-1]))
-        )[0]
-        counts = np.diff(np.concatenate((starts, [len(node)])))
+        wa, wb, starts, counts = _wedge_pairs(node, nbr)
         deg = counts  # per distinct node
         # degree markers: one row per incident edge, oriented canonically
         is_left = node < nbr
@@ -1959,18 +1986,6 @@ def edge_features(pairs, cfg=None):
         kb = np.where(is_left, nbr, node)
         kind = np.where(is_left, 1, 2).astype(np.int8)
         n_mark = np.repeat(deg, counts)  # this node's degree, per edge
-        # wedges: for each node, all (i < j) neighbor pairs
-        reps = np.repeat(
-            counts - 1, counts
-        ) - (np.arange(len(node), dtype=np.int64)
-             - np.repeat(starts, counts))
-        reps = np.maximum(reps, 0)
-        i_idx = np.repeat(np.arange(len(node), dtype=np.int64), reps)
-        off = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
-        )
-        j_idx = i_idx + 1 + off
-        wa, wb = nbr[i_idx], nbr[j_idx]  # sorted: wa < wb within node
         out = pd.DataFrame(
             {
                 "a": np.concatenate([ka, wa]),
@@ -2096,45 +2111,19 @@ def fof_candidates(pairs, cfg=None, *, min_common: int = 2):
     pairs = pairs.repartition(
         max(1, -(-pairs.count() // 2_000_000))
     ).materialize()
-
-    def double(df: pd.DataFrame) -> pd.DataFrame:
-        l = df["left_id"].astype(str).to_numpy(object)
-        r = df["right_id"].astype(str).to_numpy(object)
-        node = np.concatenate([l, r])
-        nbr = np.concatenate([r, l])
-        return pd.DataFrame(
-            {
-                "node": node,
-                "nbr": nbr,
-                "_bucket": bucket_of(pd.Series(node), nb),
-            }
-        )
+    double = _double_edges_fn(nb)
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["node", "nbr"], kind="mergesort")
         node = g["node"].to_numpy(object)
         nbr = g["nbr"].to_numpy(object)
-        starts = np.nonzero(
-            np.concatenate(([True], node[1:] != node[:-1]))
-        )[0]
-        counts = np.diff(np.concatenate((starts, [len(node)])))
+        wa, wb, _starts, _counts = _wedge_pairs(node, nbr)
         # existing-edge markers (one per orientation; fold drops pairs
         # that have any)
         is_left = node < nbr
         ka = np.where(is_left, node, nbr)
         kb = np.where(is_left, nbr, node)
         kind_m = np.ones(len(node), np.int8)
-        reps = np.repeat(
-            counts - 1, counts
-        ) - (np.arange(len(node), dtype=np.int64)
-             - np.repeat(starts, counts))
-        reps = np.maximum(reps, 0)
-        i_idx = np.repeat(np.arange(len(node), dtype=np.int64), reps)
-        off = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
-        )
-        j_idx = i_idx + 1 + off
-        wa, wb = nbr[i_idx], nbr[j_idx]
         out = pd.DataFrame(
             {
                 "a": np.concatenate([ka, wa]),

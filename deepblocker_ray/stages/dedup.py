@@ -2789,6 +2789,27 @@ def cross_source_dups(
     )
 
 
+def _gram_doc_rows(text_col: str, id_col: str, k: int, nb: int):
+    """Shared map fn for the gram-level corpus analyses: one row per
+    (distinct k-byte shingle, doc), bucketed on the gram hash — the
+    gram_novelty / top_shared_pairs exchange input."""
+
+    def emit(t: pa.Table) -> pd.DataFrame:
+        texts = t.column(text_col).to_pylist()
+        ids = np.asarray(t.column(id_col), np.int64)
+        vals, offs = _shingle_hashes_batch(texts, k)
+        counts = np.diff(offs)
+        return pd.DataFrame(
+            {
+                "h": vals,
+                "doc": np.repeat(ids, counts),
+                "_bucket": (vals % np.uint64(nb)).astype(np.int32),
+            }
+        )
+
+    return emit
+
+
 def gram_novelty(ds, cfg=None, *, text_col: str = "text",
                  id_col: str = "doc_id", k: int = 8):
     """Per-document gram novelty — the near-duplicate RICHNESS measure
@@ -2810,19 +2831,7 @@ def gram_novelty(ds, cfg=None, *, text_col: str = "text",
 
     cfg = cfg or EngineConfig()
     nb = cfg.num_buckets
-
-    def emit(t: pa.Table) -> pd.DataFrame:
-        texts = t.column(text_col).to_pylist()
-        ids = np.asarray(t.column(id_col), np.int64)
-        vals, offs = _shingle_hashes_batch(texts, k)
-        counts = np.diff(offs)
-        return pd.DataFrame(
-            {
-                "h": vals,
-                "doc": np.repeat(ids, counts),
-                "_bucket": (vals % np.uint64(nb)).astype(np.int32),
-            }
-        )
+    emit = _gram_doc_rows(text_col, id_col, k, nb)
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         df_per_gram = g.groupby("h", sort=False)["doc"].transform("size")
@@ -2884,19 +2893,7 @@ def top_shared_pairs(ds, cfg=None, *, text_col: str = "text",
     nb = cfg.num_buckets
     if k_top < 1:
         raise ValueError(f"k_top must be >= 1, got {k_top}")
-
-    def emit(t: pa.Table) -> pd.DataFrame:
-        texts = t.column(text_col).to_pylist()
-        ids = np.asarray(t.column(id_col), np.int64)
-        vals, offs = _shingle_hashes_batch(texts, gram_k)
-        counts = np.diff(offs)
-        return pd.DataFrame(
-            {
-                "h": vals,
-                "doc": np.repeat(ids, counts),
-                "_bucket": (vals % np.uint64(nb)).astype(np.int32),
-            }
-        )
+    emit = _gram_doc_rows(text_col, id_col, gram_k, nb)
 
     def fan_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["h", "doc"], kind="mergesort")
@@ -2907,21 +2904,29 @@ def top_shared_pairs(ds, cfg=None, *, text_col: str = "text",
         )[0]
         cnt = np.diff(np.concatenate((starts, [len(h)])))
         ok = (cnt >= 2) & (cnt <= df_cap)
-        li, ri = [], []
-        for s, c in zip(starts[ok], cnt[ok]):
-            d = doc[s : s + c]
-            iu = np.triu_indices(c, 1)
-            li.append(d[iu[0]])
-            ri.append(d[iu[1]])
-        if not li:
+        # vectorized all-pairs within each eligible gram run: the shared
+        # reps/offset index arithmetic (no per-gram Python loop)
+        row_in_run = np.arange(len(h), dtype=np.int64) - np.repeat(
+            starts, cnt
+        )
+        keep = np.repeat(ok, cnt)
+        reps = np.where(
+            keep, np.repeat(cnt, cnt) - row_in_run - 1, 0
+        )
+        if int(reps.sum()) == 0:
             return pd.DataFrame(
                 {"l": pd.Series(dtype=np.int64),
                  "r": pd.Series(dtype=np.int64),
                  "n": pd.Series(dtype=np.int64),
                  "_pb": pd.Series(dtype=np.int32)}
             )
-        l = np.concatenate(li)
-        r = np.concatenate(ri)
+        i_idx = np.repeat(np.arange(len(h), dtype=np.int64), reps)
+        off = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        j_idx = i_idx + 1 + off
+        l = doc[i_idx]
+        r = doc[j_idx]
         p = (
             pd.DataFrame({"l": l, "r": r})
             .groupby(["l", "r"], sort=False)

@@ -2773,8 +2773,10 @@ def cube_counts(ds, cfg: EngineConfig | None = None, *,
 
     def partial(t: pa.Table) -> pd.DataFrame:
         a = t.column(a_col).to_pandas().astype(str)
-        b = (
-            np.asarray(t.column(b_col), np.int64) % np.int64(b_mod)
+        # C-style (sign-of-dividend) remainder to match SQL's `%` on
+        # negative ids; numpy's `%` is floor-mod and would diverge
+        b = np.fmod(
+            np.asarray(t.column(b_col), np.int64), np.int64(b_mod)
         ).astype(str)
         base = (
             pd.DataFrame({"a": a.to_numpy(object), "b": b})

@@ -1550,7 +1550,6 @@ def doc_keywords(ds, cfg=None, *, k: int = 3, text_col: str = "text",
     def score(t: pa.Table) -> pa.Table:
         w = handle.resolve()
         toks = tokenize_many(t.column(text_col).to_pylist())
-        ids = t.column(id_col).to_pandas()
         rows_id, rows_tok, rows_tf = [], [], []
         for i, x in enumerate(toks):
             if not x:
@@ -1597,7 +1596,7 @@ def doc_keywords(ds, cfg=None, *, k: int = 3, text_col: str = "text",
 
 
 def source_cosine(ds, cfg=None, *, group_col: str = "source",
-                  text_col: str = "text", min_norm: int = 1):
+                  text_col: str = "text"):
     """Exact corpus-similarity matrix between sources as INTEGER cosine
     sufficient statistics: per source the token-count vector over the
     shared vocabulary, per source pair (a < b as strings)

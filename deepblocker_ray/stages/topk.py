@@ -314,99 +314,12 @@ def kendall_disagreement(
 
         n_disc = |{(i, j) : i < j by ranker A, j < i by ranker B}|
 
-    plus n_shared, so Kendall's τ over the shared set is one formula
-    away (1 − 4·n_disc / (s·(s−1))). Ranks are distinct within a ranker,
-    so there are no ties to correct for. Queries present in both inputs
-    emit one row even when n_shared < 2 (n_disc = 0).
-
-    Scale shape: candidate lists are ≤ L rows per query; ONE hash(query)
-    bucket exchange co-locates a query's rows, then pairs enumerate by
-    repeat/offset index arithmetic over the per-query segments (O(s²)
-    with s ≤ L by construction — never corpus-sized)."""
-    nb = cfg.num_buckets
-
-    def tag(side: int):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            q = df[query_col].astype(str)
-            return pd.DataFrame(
-                {
-                    "_q": q.to_numpy(object),
-                    "_item": df[item_col].astype(str).to_numpy(object),
-                    "_r": df[rank_col].to_numpy(np.int64),
-                    "_side": np.full(len(df), side, np.int8),
-                    "_bucket": _hash_bucket_strs(q, nb),
-                }
-            )
-
-        return f
-
-    def fold(g: pd.DataFrame) -> pa.Table:
-        a = g[g["_side"] == 0][["_q", "_item", "_r"]]
-        b = g[g["_side"] == 1][["_q", "_item", "_r"]]
-        m = a.merge(b, on=["_q", "_item"], suffixes=("_a", "_b"))
-        if len(m) == 0:
-            return pa.table(
-                {
-                    query_col: pa.array([], pa.string()),
-                    "n_shared": pa.array([], pa.int64()),
-                    "n_disc": pa.array([], pa.int64()),
-                }
-            )
-        m = m.sort_values(["_q", "_r_a"], kind="mergesort")
-        q_codes, q_uniq = pd.factorize(m["_q"], sort=True)
-        ra = m["_r_a"].to_numpy(np.int64)
-        rb = m["_r_b"].to_numpy(np.int64)
-        counts = np.bincount(q_codes)
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        # all within-query (i, j) pairs with i before j in A-rank order
-        reps = (
-            counts[q_codes]
-            - (np.arange(len(m), dtype=np.int64) - starts[q_codes])
-            - 1
-        )
-        i_idx = np.repeat(np.arange(len(m), dtype=np.int64), reps)
-        off = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
-            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
-        )
-        j_idx = i_idx + 1 + off
-        disc = rb[i_idx] > rb[j_idx]  # A says i<j; discordant if B flips
-        n_disc = np.zeros(len(q_uniq), np.int64)
-        np.add.at(n_disc, q_codes[i_idx], disc.astype(np.int64))
-        return pa.table(
-            {
-                query_col: pa.array(np.asarray(q_uniq, object),
-                                    pa.string()),
-                "n_shared": pa.array(counts.astype(np.int64)),
-                "n_disc": pa.array(n_disc),
-            }
-        )
-
-    tagged = ranked_a.map_batches(tag(0), batch_format="pandas").union(
-        ranked_b.map_batches(tag(1), batch_format="pandas")
-    )
-    return tagged.groupby("_bucket").map_groups(fold, batch_format="pandas")
-
-
-def kendall_disagreement(
-    ranked_a,
-    ranked_b,
-    cfg: EngineConfig,
-    *,
-    query_col: str = "query_id",
-    item_col: str = "neighbor_id",
-    rank_col: str = "rank",
-):
-    """Kendall-tau disagreement between two per-query rankings — the
-    ranker-drift diagnostic next to ``rank_fusion`` (fuse) and
-    ``blocker_agreement`` (set overlap): per query, over the items BOTH
-    rankers returned, the exact discordant-pair count
-
-        n_disc = |{(i, j) : i < j by ranker A, j < i by ranker B}|
-
     plus n_shared, so Kendall's tau over the shared set is one formula
     away (1 - 4*n_disc / (s*(s-1))). Ranks are distinct within a ranker,
     so there are no ties to correct for. Queries present in both inputs
-    emit one row even when n_shared < 2 (n_disc = 0).
+    with ≥ 1 shared item emit one row (n_shared = 1 gives n_disc = 0);
+    a query whose two lists are disjoint emits nothing — the same rule
+    as the SQL twin's inner shared-join.
 
     Scale shape: candidate lists are <= L rows per query; ONE hash(query)
     bucket exchange co-locates a query's rows, then pairs enumerate by
