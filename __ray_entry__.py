@@ -3123,6 +3123,20 @@ def q_cube(sf_dir: str):
     )
 
 
+def q_media_overlap(sf_dir: str):
+    """Partial-duplicate binaries: media pairs sharing ≥ 2 distinct
+    32-byte aligned payload blocks (block df ≤ 50)."""
+    from deepblocker_ray.stages.multimodal import (
+        media_block_overlap,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_documents(sf_dir))
+    return media_block_overlap(
+        media, _cfg(), block=32, min_shared=2, df_cap=50
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3341,6 +3355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_shared_pairs": q_top_shared_pairs,
         "tail_risk": q_tail_risk,
         "cube": q_cube,
+        "media_overlap": q_media_overlap,
     }
 
 
@@ -4204,6 +4219,36 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # aligned-block binary overlap (stages/multimodal.py:
+        # media_block_overlap): ASCII payload derivation makes byte
+        # blocks == substr char blocks; cardinalities hash-invariant
+        "media_overlap": """
+            WITH med AS (
+                SELECT 'm-' || CAST(doc_id AS VARCHAR) AS media_id,
+                       (CASE WHEN doc_id % 7 = 0 THEN ''
+                             ELSE CASE doc_id % 3 WHEN 0 THEN 'GIF89a'
+                                                  WHEN 1 THEN 'RIFF'
+                                                  ELSE '0000ftyp' END END)
+                       || regexp_replace(text, '[^ -~]', '', 'g')
+                           AS payload
+                FROM documents
+            ), blk AS (
+                SELECT media_id,
+                       unnest(list_distinct(
+                           [substr(payload, 1 + 32*x, 32)
+                            for x in generate_series(
+                                0, strlen(payload) // 32 - 1)])) AS b
+                FROM med WHERE strlen(payload) >= 32
+            ), df AS (
+                SELECT b, count(*) AS d FROM blk GROUP BY b
+            )
+            SELECT a.media_id AS left_id, c.media_id AS right_id,
+                   CAST(count(*) AS BIGINT) AS n_shared_blocks
+            FROM blk a
+            JOIN blk c ON c.b = a.b AND c.media_id > a.media_id
+            JOIN df ON df.b = a.b AND df.d BETWEEN 2 AND 50
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         # upper-tail CVaR statistics (stages/relational.py:
         # tail_risk_by_group): k = ceil(n·5/100) largest occurrences;

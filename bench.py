@@ -313,6 +313,7 @@ def main() -> None:
         "top_shared_pairs",
         "tail_risk",
         "cube",
+        "media_overlap",
     ]
     for name in query_names:
         r = bench_query(q[name])

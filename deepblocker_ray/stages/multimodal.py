@@ -386,3 +386,142 @@ def sample_media_frames(ds, cfg: EngineConfig | None = None,
         batch_size=32,
         concurrency=actor_pool_size(None),
     )
+
+
+def media_block_overlap(media_ds, cfg=None, *, block: int = 32,
+                        min_shared: int = 2, df_cap: int = 50,
+                        id_col: str = "media_id",
+                        payload_col: str = "payload"):
+    """Partial-duplicate detection for BINARY payloads — the fixed-block
+    complement to text shingling (codecs unavailable, bytes are the
+    truth): media pairs sharing ≥ ``min_shared`` distinct ``block``-byte
+    ALIGNED blocks (block j = payload[j·B : (j+1)·B], full blocks only —
+    the dedup signal for re-containerized / header-swapped copies whose
+    bodies align). Blocks with document frequency > ``df_cap`` are
+    purged (container boilerplate; the block-purging rule). Output
+    (left_id, right_id, n_shared_blocks:int64), left < right as strings.
+
+    Scale shape: one vectorized pass hashes every aligned block (gather
+    + one uint64 polynomial matmul per batch, no per-media loop); ONE
+    hash(block) exchange fans ≤ C(df_cap, 2) pairs per block with
+    per-bucket pre-reduce; ONE hash(pair) exchange sums and applies the
+    threshold."""
+    import pandas as pd
+
+    from .canonicalize import bucket_of
+    from .dedup import _POLY
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    if block < 1:
+        raise ValueError(f"block must be >= 1, got {block}")
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+
+    pows = np.empty(block, np.uint64)
+    pows[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(1, block):
+            pows[i] = pows[i - 1] * _POLY
+    rev_pows = pows[::-1].copy()
+
+    def emit(t: pa.Table) -> pd.DataFrame:
+        payloads = t.column(payload_col).to_pylist()
+        ids = t.column(id_col).to_pandas().astype(str)
+        bufs = [p or b"" for p in payloads]
+        nblk = np.fromiter(
+            (len(b) // block for b in bufs), np.int64, len(bufs)
+        )
+        total = int(nblk.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"h": pd.Series(dtype=np.uint64),
+                 "doc": pd.Series(dtype=object),
+                 "_bucket": pd.Series(dtype=np.int32)}
+            )
+        cat = np.frombuffer(b"".join(bufs), np.uint8)
+        media_starts = np.concatenate(
+            ([0], np.cumsum([len(b) for b in bufs])[:-1])
+        ).astype(np.int64)
+        # start offset of every full block: per media j·B + its start
+        first = np.concatenate(
+            ([0], np.cumsum(nblk)[:-1])
+        )
+        j = np.arange(total, dtype=np.int64) - np.repeat(first, nblk)
+        starts = np.repeat(media_starts, nblk) + j * block
+        with np.errstate(over="ignore"):
+            mat = cat[starts[:, None] + np.arange(block)]
+            h = (mat.astype(np.uint64) * rev_pows[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        df = pd.DataFrame(
+            {
+                "h": h,
+                "doc": np.repeat(ids.to_numpy(object), nblk),
+            }
+        ).drop_duplicates()
+        df["_bucket"] = (
+            df["h"].to_numpy(np.uint64) % np.uint64(nb)
+        ).astype(np.int32)
+        return df
+
+    def fan_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["h", "doc"]).sort_values(
+            ["h", "doc"], kind="mergesort"
+        )
+        h = g["h"].to_numpy(np.uint64)
+        doc = g["doc"].to_numpy(object)
+        starts = np.nonzero(
+            np.concatenate(([True], h[1:] != h[:-1]))
+        )[0]
+        cnt = np.diff(np.concatenate((starts, [len(h)])))
+        ok = (cnt >= 2) & (cnt <= df_cap)
+        row_in_run = np.arange(len(h), dtype=np.int64) - np.repeat(
+            starts, cnt
+        )
+        reps = np.where(
+            np.repeat(ok, cnt), np.repeat(cnt, cnt) - row_in_run - 1, 0
+        )
+        if int(reps.sum()) == 0:
+            return pd.DataFrame(
+                {"l": pd.Series(dtype=object),
+                 "r": pd.Series(dtype=object),
+                 "n": pd.Series(dtype=np.int64),
+                 "_pb": pd.Series(dtype=np.int32)}
+            )
+        i_idx = np.repeat(np.arange(len(h), dtype=np.int64), reps)
+        off = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        j_idx = i_idx + 1 + off
+        p = (
+            pd.DataFrame({"l": doc[i_idx], "r": doc[j_idx]})
+            .groupby(["l", "r"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        p["_pb"] = bucket_of(
+            p["l"].astype(str) + "|" + p["r"].astype(str), nb
+        )
+        return p
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["l", "r"], sort=False)["n"].sum().reset_index()
+        s = s[s["n"] >= min_shared]
+        return pa.table(
+            {
+                "left_id": pa.array(s["l"].to_numpy(object), pa.string()),
+                "right_id": pa.array(s["r"].to_numpy(object),
+                                     pa.string()),
+                "n_shared_blocks": pa.array(s["n"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        media_ds.map_batches(emit, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fan_pairs, batch_format="pandas")
+        .groupby("_pb")
+        .map_groups(fold, batch_format="pandas")
+    )

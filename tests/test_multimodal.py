@@ -235,3 +235,57 @@ class TestResizeFrameSamplePlumbing:
         ds2 = rd.from_arrow(synth_media_table(n=4, seed=1))
         with pytest.raises(ray.exceptions.RayTaskError):
             sample_media_frames(ds2, CFG, fake_decode=False).materialize()
+
+
+class TestMediaBlockOverlap:
+    def test_planted_shared_blocks(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.multimodal import media_block_overlap
+
+        blockA = b"A" * 32
+        blockB = b"B" * 32
+        blockC = b"C" * 32
+        media = pd.DataFrame(
+            {
+                "media_id": ["m1", "m2", "m3", "m4"],
+                "payload": [
+                    blockA + blockB,            # shares A,B with m2
+                    blockA + blockB + blockC,   # shares C with m3
+                    blockC + b"x" * 31,         # ragged tail ignored
+                    b"short",                   # < 1 block
+                ],
+            }
+        )
+        out = media_block_overlap(
+            rd.from_pandas(media).repartition(2),
+            EngineConfig(num_buckets=4),
+            block=32, min_shared=1, df_cap=50,
+        ).to_pandas()
+        got = {
+            (r["left_id"], r["right_id"]): r["n_shared_blocks"]
+            for _, r in out.iterrows()
+        }
+        assert got == {("m1", "m2"): 2, ("m2", "m3"): 1}
+
+    def test_min_shared_and_df_cap(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.multimodal import media_block_overlap
+
+        common = b"Z" * 32
+        media = pd.DataFrame(
+            {
+                "media_id": [f"m{i}" for i in range(4)],
+                "payload": [common] * 4,  # df = 4 > cap 3 -> purged
+            }
+        )
+        out = media_block_overlap(
+            rd.from_pandas(media), EngineConfig(num_buckets=4),
+            block=32, min_shared=1, df_cap=3,
+        ).to_pandas()
+        assert len(out) == 0
