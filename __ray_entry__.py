@@ -3137,6 +3137,18 @@ def q_media_overlap(sf_dir: str):
     )
 
 
+def q_cluster_medoid(sf_dir: str):
+    """Canonical-record election: per multi-member MinHash duplicate
+    cluster, the member minimizing total Levenshtein to its mates."""
+    from deepblocker_ray.stages.dedup import (
+        cluster_medoid,
+        minhash_lsh_dedup,
+    )
+
+    labeled = minhash_lsh_dedup(_documents(sf_dir), cfg=_cfg())
+    return cluster_medoid(labeled, _documents(sf_dir), _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3356,6 +3368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tail_risk": q_tail_risk,
         "cube": q_cube,
         "media_overlap": q_media_overlap,
+        "cluster_medoid": q_cluster_medoid,
     }
 
 
@@ -4219,6 +4232,37 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # per-cluster medoid election (stages/dedup.py:cluster_medoid):
+        # the minhash CC labels + within-cluster native levenshtein
+        "cluster_medoid": f"""
+            WITH lab AS ({_cc_sql(minhash_pairs, "documents", "doc_id")}),
+            multi AS (
+                SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+                FROM lab GROUP BY cluster_id HAVING count(*) >= 2
+            ), cand AS (
+                SELECT l1.cluster_id, l1.doc_id AS cand,
+                       CAST(sum(levenshtein(d1.text, d2.text))
+                            AS BIGINT) AS tot
+                FROM lab l1
+                JOIN lab l2 ON l2.cluster_id = l1.cluster_id
+                           AND l2.doc_id <> l1.doc_id
+                JOIN documents d1
+                  ON CAST(d1.doc_id AS VARCHAR) = l1.doc_id
+                JOIN documents d2
+                  ON CAST(d2.doc_id AS VARCHAR) = l2.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT c.cluster_id, c.cand AS medoid_id,
+                   m.n AS n_members, c.tot AS total_lev
+            FROM (
+                SELECT cluster_id, cand, tot,
+                       row_number() OVER (
+                           PARTITION BY cluster_id ORDER BY tot, cand
+                       ) AS r
+                FROM cand) c
+            JOIN multi m ON m.cluster_id = c.cluster_id
+            WHERE c.r = 1
         """,
         # aligned-block binary overlap (stages/multimodal.py:
         # media_block_overlap): ASCII payload derivation makes byte

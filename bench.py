@@ -314,6 +314,7 @@ def main() -> None:
         "tail_risk",
         "cube",
         "media_overlap",
+        "cluster_medoid",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -2971,3 +2971,128 @@ def top_shared_pairs(ds, cfg=None, *, text_col: str = "text",
         .repartition(1)
         .map_batches(final, batch_format="pandas")
     )
+
+
+def cluster_medoid(labeled, docs, cfg=None, *, id_col: str = "doc_id",
+                   cluster_col: str = "cluster_id",
+                   text_col: str = "text"):
+    """Canonical-record election per duplicate cluster — the survivorship
+    step after any dedup's connected components: for every MULTI-member
+    cluster, the medoid = the member minimizing the total Levenshtein
+    distance to its cluster-mates (tie → smallest id), the standard
+    "most central copy" rule when no quality score exists. Emits
+    (cluster_id, medoid_id, n_members:int64, total_lev:int64 — the
+    medoid's distance sum, an exact cluster-tightness signal).
+
+    Scale shape: TWO bucketed exchanges — labels meet texts on
+    hash(doc), then members meet on hash(cluster); within each bucket
+    ALL clusters' i<j member pairs enumerate via the shared repeat/
+    offset arithmetic and ONE bit-parallel ``levenshtein_batch`` call
+    scores them (distances scatter-add to both endpoints). Work is
+    Σ C(cluster_size, 2) — bounded because dedup clusters are verified
+    near-duplicates, not arbitrary groups."""
+    import ray.data as rd
+
+    from ..functions.textsim import levenshtein_batch
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def tag_label(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].astype(str)
+        return pd.DataFrame(
+            {
+                "id": ids.to_numpy(object),
+                "payload": df[cluster_col].astype(str).to_numpy(object),
+                "_is_text": np.zeros(len(df), np.int8),
+                "_bucket": bucket_of(ids, nb),
+            }
+        )
+
+    def tag_text(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].astype(str)
+        return pd.DataFrame(
+            {
+                "id": ids.to_numpy(object),
+                "payload": df[text_col].astype(str).to_numpy(object),
+                "_is_text": np.ones(len(df), np.int8),
+                "_bucket": bucket_of(ids, nb),
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["_is_text"] == 0][["id", "payload"]].rename(
+            columns={"payload": "cluster"}
+        )
+        txt = g[g["_is_text"] == 1][["id", "payload"]].rename(
+            columns={"payload": "text"}
+        )
+        m = lab.merge(txt, on="id")
+        return pd.DataFrame(
+            {
+                "id": m["id"].to_numpy(object),
+                "cluster": m["cluster"].to_numpy(object),
+                "text": m["text"].to_numpy(object),
+                "_cb": bucket_of(m["cluster"], nb),
+            }
+        )
+
+    def medoids(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["cluster", "id"], kind="mergesort")
+        sizes = g.groupby("cluster", sort=False)["id"].transform("size")
+        g = g[sizes >= 2]
+        if len(g) == 0:
+            return pa.table(
+                {
+                    cluster_col: pa.array([], pa.string()),
+                    "medoid_id": pa.array([], pa.string()),
+                    "n_members": pa.array([], pa.int64()),
+                    "total_lev": pa.array([], pa.int64()),
+                }
+            )
+        cl = g["cluster"].to_numpy(object)
+        ids = g["id"].to_numpy(object)
+        txt = g["text"].to_numpy(object)
+        starts = np.nonzero(
+            np.concatenate(([True], cl[1:] != cl[:-1]))
+        )[0]
+        counts = np.diff(np.concatenate((starts, [len(cl)])))
+        # all i<j member pairs across every cluster in the bucket
+        reps = np.repeat(
+            counts - 1, counts
+        ) - (np.arange(len(cl), dtype=np.int64)
+             - np.repeat(starts, counts))
+        i_idx = np.repeat(np.arange(len(cl), dtype=np.int64), reps)
+        off = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps
+        )
+        j_idx = i_idx + 1 + off
+        lev = levenshtein_batch(list(txt[i_idx]), list(txt[j_idx]))
+        tot = np.zeros(len(cl), np.int64)
+        np.add.at(tot, i_idx, lev)
+        np.add.at(tot, j_idx, lev)
+        # per cluster: argmin (tot, id) — rows are id-sorted, so the
+        # first minimum within each segment is the tie winner
+        best = np.zeros(len(starts), np.int64)
+        for k, (s, c) in enumerate(zip(starts, counts)):
+            seg = tot[s : s + c]
+            best[k] = s + int(np.argmin(seg))
+        return pa.table(
+            {
+                cluster_col: pa.array(cl[starts], pa.string()),
+                "medoid_id": pa.array(ids[best], pa.string()),
+                "n_members": pa.array(counts.astype(np.int64)),
+                "total_lev": pa.array(tot[best]),
+            }
+        )
+
+    tagged = labeled.map_batches(tag_label, batch_format="pandas").union(
+        docs.map_batches(tag_text, batch_format="pandas")
+    )
+    return (
+        tagged.groupby("_bucket")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("_cb")
+        .map_groups(medoids, batch_format="pandas")
+    )

@@ -686,3 +686,46 @@ class TestTopSharedPairs:
             k_top=5, gram_k=8, df_cap=3,
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestClusterMedoid:
+    def test_hand_built_clusters_and_tie(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.dedup import cluster_medoid
+
+        labeled = pd.DataFrame(
+            {
+                "doc_id": ["1", "2", "3", "4", "5", "9"],
+                "cluster_id": ["c1", "c1", "c1", "c2", "c2", "9"],
+            }
+        )
+        docs = pd.DataFrame(
+            {
+                "doc_id": ["1", "2", "3", "4", "5", "9"],
+                "text": [
+                    "abcdef",     # lev to 2: 1, to 3: 3 -> tot 4
+                    "abcdefg",    # lev to 1: 1, to 3: 4 -> tot 5
+                    "abc",        # 3 + 4 = 7
+                    "same",       # c2: identical pair -> tie, min id wins
+                    "same",
+                    "singleton",
+                ],
+            }
+        )
+        out = (
+            cluster_medoid(
+                rd.from_pandas(labeled).repartition(2),
+                rd.from_pandas(docs).repartition(3),
+                EngineConfig(num_buckets=4),
+            )
+            .to_pandas()
+            .set_index("cluster_id")
+        )
+        assert len(out) == 2  # singleton excluded
+        assert out.loc["c1", "medoid_id"] == "1"
+        assert out.loc["c1", "n_members"] == 3
+        assert out.loc["c1", "total_lev"] == 4
+        assert out.loc["c2", "medoid_id"] == "4"  # tie -> smaller id
+        assert out.loc["c2", "total_lev"] == 0
