@@ -3149,6 +3149,28 @@ def q_cluster_medoid(sf_dir: str):
     return cluster_medoid(labeled, _documents(sf_dir), _cfg())
 
 
+def q_join_skew(sf_dir: str):
+    """Self-join skew profile of events on user_id: top-10 keys by
+    output contribution n²."""
+    from deepblocker_ray.stages.relational import join_skew
+
+    ev = _events(sf_dir, columns=["user_id"])
+    return join_skew(
+        ev, ev, _cfg(), left_key="user_id", right_key="user_id",
+        k_top=10,
+    )
+
+
+def q_autocorr(sf_dir: str):
+    """Daily-volume autocorrelation sufficient statistics at lags
+    1/2/7 (integer nonzero-histogram self-join)."""
+    from deepblocker_ray.stages.events import autocorr_counts
+
+    return autocorr_counts(
+        _events(sf_dir, columns=["ts"]), _cfg(), lags=(1, 2, 7)
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3369,6 +3391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube": q_cube,
         "media_overlap": q_media_overlap,
         "cluster_medoid": q_cluster_medoid,
+        "join_skew": q_join_skew,
+        "autocorr": q_autocorr,
     }
 
 
@@ -4232,6 +4256,38 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # join-key skew profile (stages/relational.py:join_skew):
+        # self-join on user_id, contribution = n²
+        "join_skew": """
+            WITH lc AS (
+                SELECT CAST(user_id AS VARCHAR) AS key,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1
+            )
+            SELECT key, n_left, n_right, contribution FROM (
+                SELECT key, n AS n_left, n AS n_right,
+                       CAST(n * n AS BIGINT) AS contribution,
+                       row_number() OVER (
+                           ORDER BY n * n DESC, key) AS r
+                FROM lc)
+            WHERE r <= 10
+        """,
+        # daily-volume autocorrelation (stages/events.py:autocorr_counts)
+        "autocorr": """
+            WITH h AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1
+            ), l AS (SELECT unnest([1, 2, 7]) AS lag)
+            SELECT CAST(l.lag AS BIGINT) AS lag,
+                   CAST(count(b.day) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(sum(a.n * b.n), 0) AS BIGINT)
+                       AS sum_prod
+            FROM l
+            LEFT JOIN h a ON TRUE
+            LEFT JOIN h b ON b.day = a.day + l.lag
+            GROUP BY l.lag
         """,
         # per-cluster medoid election (stages/dedup.py:cluster_medoid):
         # the minhash CC labels + within-cluster native levenshtein

@@ -315,6 +315,8 @@ def main() -> None:
         "cube",
         "media_overlap",
         "cluster_medoid",
+        "join_skew",
+        "autocorr",
     ]
     for name in query_names:
         r = bench_query(q[name])

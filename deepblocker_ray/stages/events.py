@@ -2818,3 +2818,73 @@ def cube_counts(ds, cfg: EngineConfig | None = None, *,
         .groupby("_bucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def autocorr_counts(ds, cfg: EngineConfig | None = None, *,
+                    lags: tuple = (1, 2, 7)):
+    """Integer autocorrelation sufficient statistics of the DAILY event
+    volume — the seasonality screen (a strong lag-7 product means weekly
+    rhythm): with c(d) the event count on UTC day index d,
+
+        (lag:int64, n_pairs:int64 = |{d : c(d)>0 ∧ c(d+lag)>0}|,
+         sum_prod:int64 = Σ_d c(d)·c(d+lag))
+
+    — zero days contribute nothing to either number, so the statistics
+    are exactly the nonzero-histogram self-join and every ingredient is
+    an exact integer (the Pearson autocorrelation needs means/variances
+    the existing co-moment ops already provide).
+
+    Scale shape: per-batch day-count partials (bounded by distinct
+    days), folded driver-side to the O(days) histogram — the output IS
+    O(lags), and a day histogram is tiny at any corpus size."""
+    import ray.data as rd
+
+    cfg = cfg or EngineConfig()
+    DAY = np.int64(86_400_000_000)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        day = (
+            np.asarray(
+                t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            )
+            // DAY
+        )
+        c = pd.Series(day).value_counts()
+        return pd.DataFrame(
+            {
+                "day": c.index.to_numpy(np.int64),
+                "n": c.to_numpy(np.int64),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("day")["n"]
+        .sum()
+    )
+    days = hist.index.to_numpy(np.int64)
+    cnt = hist.to_numpy(np.int64)
+    order = np.argsort(days)
+    days, cnt = days[order], cnt[order]
+    rows = []
+    for lag in lags:
+        pos = np.searchsorted(days, days + np.int64(lag))
+        pos_c = np.clip(pos, 0, len(days) - 1)
+        hit = (pos < len(days)) & (days[pos_c] == days + np.int64(lag))
+        rows.append(
+            (
+                int(lag),
+                int(hit.sum()),
+                int((cnt[hit] * cnt[pos_c[hit]]).sum()),
+            )
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lag": pa.array([r[0] for r in rows], pa.int64()),
+                "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+                "sum_prod": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    )

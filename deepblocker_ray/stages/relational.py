@@ -2099,3 +2099,88 @@ def tail_risk_by_group(ds, cfg: EngineConfig, *, group_col: str,
         .groupby("g")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def join_skew(left_ds, right_ds, cfg: EngineConfig, *,
+              left_key: str, right_key: str, k_top: int = 10):
+    """Join-key skew profile — the scale-planning diagnostic behind every
+    shuffle-join decision (``join_size`` gives the TOTAL output size;
+    this names the keys that dominate it): the top-``k_top`` keys by
+    output contribution n_left(key)·n_right(key), ordered (contribution
+    desc, key asc). Emits (key:string, n_left:int64, n_right:int64,
+    contribution:int64). Keys missing from one side contribute 0 and
+    never rank (inner-join semantics).
+
+    Scale shape: per-batch per-side key-count partials (bounded by
+    distinct keys), ONE hash(key) exchange folds both sides and forms
+    the product, map-side partial top-k per bucket → one tiny final
+    block (the group_topk global pattern)."""
+    from .canonicalize import bucket_of
+
+    if k_top < 1:
+        raise ValueError(f"k_top must be >= 1, got {k_top}")
+    nb = cfg.num_buckets
+
+    def counts(key: str, side: int):
+        def f(t: pa.Table) -> pd.DataFrame:
+            ks = t.column(key).to_pandas().astype(str)
+            c = ks.value_counts()
+            return pd.DataFrame(
+                {
+                    "key": c.index.to_numpy(object),
+                    "n": c.to_numpy(np.int64),
+                    "side": np.full(len(c), side, np.int8),
+                    "_bucket": bucket_of(
+                        pd.Series(c.index.to_numpy(object)), nb
+                    ),
+                }
+            )
+
+        return f
+
+    def topk_frame(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["contribution", "key"], ascending=[False, True],
+            kind="mergesort",
+        ).head(k_top)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = (
+            g.pivot_table(index="key", columns="side", values="n",
+                          aggfunc="sum")
+            .reindex(columns=[0, 1], fill_value=0)
+            .fillna(0)
+            .reset_index()
+        )
+        s["n_left"] = s[0].astype(np.int64)
+        s["n_right"] = s[1].astype(np.int64)
+        s["contribution"] = s["n_left"] * s["n_right"]
+        s = s[s["contribution"] > 0]
+        return topk_frame(
+            s[["key", "n_left", "n_right", "contribution"]]
+        )
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        top = topk_frame(df)
+        return pa.table(
+            {
+                "key": pa.array(top["key"].to_numpy(object), pa.string()),
+                "n_left": pa.array(top["n_left"].to_numpy(np.int64)),
+                "n_right": pa.array(top["n_right"].to_numpy(np.int64)),
+                "contribution": pa.array(
+                    top["contribution"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    tagged = left_ds.map_batches(
+        counts(left_key, 0), batch_format="pyarrow"
+    ).union(
+        right_ds.map_batches(counts(right_key, 1), batch_format="pyarrow")
+    )
+    return (
+        tagged.groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )

@@ -2086,3 +2086,30 @@ class TestCubeCounts:
             ("*", "0"): 2, ("*", "1"): 3,
             ("*", "*"): 5,
         }
+
+
+class TestAutocorrCounts:
+    def test_hand_built_days(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import autocorr_counts
+
+        # day counts: d0:2, d1:3, d2:1, d4:5 (gap at d3)
+        days = ["2026-01-01"] * 2 + ["2026-01-02"] * 3 + \
+               ["2026-01-03"] + ["2026-01-05"] * 5
+        ev = pd.DataFrame({"ts": pd.to_datetime(days)})
+        out = (
+            autocorr_counts(
+                rd.from_pandas(ev).repartition(2),
+                EngineConfig(num_buckets=4), lags=(1, 2, 7),
+            )
+            .to_pandas()
+            .set_index("lag")
+        )
+        # lag1: (d0,d1)+(d1,d2) -> 2*3 + 3*1 = 9, 2 pairs
+        assert tuple(out.loc[1]) == (2, 9)
+        # lag2: (d0,d2)=2, (d2,d4)=5 -> 7, 2 pairs
+        assert tuple(out.loc[2]) == (2, 7)
+        # lag7: none
+        assert tuple(out.loc[7]) == (0, 0)

@@ -1571,3 +1571,26 @@ class TestTailRisk:
             assert r["n"] == n
             assert r["n_tail"] == k
             assert r["sum_tail"] == cents[:k].sum()
+
+
+class TestJoinSkew:
+    def test_two_sided_counts_and_ranking(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import join_skew
+
+        left = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 2 + ["c"]})
+        right = pd.DataFrame({"j": ["a"] * 3 + ["b"] * 4 + ["d"]})
+        out = join_skew(
+            rd.from_pandas(left).repartition(2),
+            rd.from_pandas(right).repartition(2),
+            EngineConfig(num_buckets=4),
+            left_key="k", right_key="j", k_top=5,
+        ).to_pandas()
+        got = list(
+            map(tuple, out[["key", "n_left", "n_right",
+                            "contribution"]].to_numpy())
+        )
+        # a: 5*3=15, b: 2*4=8; c and d miss one side -> excluded
+        assert got == [("a", 5, 3, 15), ("b", 2, 4, 8)]
