@@ -3171,6 +3171,57 @@ def q_autocorr(sf_dir: str):
     )
 
 
+def q_k_anon(sf_dir: str):
+    """k-anonymity audit (k=5) over the (c_nationkey, c_mktsegment)
+    quasi-identifier pair."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.profile import k_anonymity
+
+    cols = ["c_nationkey", "c_mktsegment"]
+    return k_anonymity(
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=cols),
+        _cfg(),
+        columns=cols,
+        k=5,
+    )
+
+
+def q_l_diversity(sf_dir: str):
+    """l-diversity audit (l=2): (c_nationkey, c_mktsegment) classes
+    whose acctbal-bucket sensitive value is constant."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    import ray.data as rd
+
+    from deepblocker_ray.stages.profile import l_diversity
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    ).map_batches(
+        lambda t: t.append_column(
+            "bal_bucket",
+            _pc.cast(
+                _pc.floor(
+                    _pc.divide(
+                        _pc.cast(t.column("c_acctbal"), _pa.float64()),
+                        2000.0,
+                    )
+                ),
+                _pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return l_diversity(
+        cust, _cfg(),
+        qi_columns=["c_nationkey", "c_mktsegment"],
+        sensitive_col="bal_bucket", l=2,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3393,6 +3444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_medoid": q_cluster_medoid,
         "join_skew": q_join_skew,
         "autocorr": q_autocorr,
+        "k_anon": q_k_anon,
+        "l_diversity": q_l_diversity,
     }
 
 
@@ -4256,6 +4309,51 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # k-anonymity audit (stages/profile.py:k_anonymity)
+        "k_anon": """
+            WITH c AS (
+                SELECT COALESCE(CAST(c_nationkey AS VARCHAR),
+                                chr(0) || 'null')
+                       || chr(31) ||
+                       COALESCE(CAST(c_mktsegment AS VARCHAR),
+                                chr(0) || 'null') AS tup
+                FROM customer
+            ), g AS (
+                SELECT tup, CAST(count(*) AS BIGINT) AS n
+                FROM c GROUP BY tup
+            )
+            SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_small_classes,
+                   CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                       AS n_risky_rows
+            FROM g
+        """,
+        # l-diversity audit (stages/profile.py:l_diversity): sensitive
+        # value = floor(acctbal/2000) bucket, identical floor both sides
+        "l_diversity": """
+            WITH c AS (
+                SELECT COALESCE(CAST(c_nationkey AS VARCHAR),
+                                chr(0) || 'null')
+                       || chr(31) ||
+                       COALESCE(CAST(c_mktsegment AS VARCHAR),
+                                chr(0) || 'null') AS tup,
+                       CAST(CAST(floor(c_acctbal / 2000.0) AS BIGINT)
+                            AS VARCHAR) AS s
+                FROM customer
+            ), g AS (
+                SELECT tup, CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(DISTINCT s) AS BIGINT) AS d
+                FROM c GROUP BY tup
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(sum(CASE WHEN d < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_low_classes,
+                   CAST(sum(CASE WHEN d < 2 THEN n ELSE 0 END) AS BIGINT)
+                       AS n_risky_rows
+            FROM g
         """,
         # join-key skew profile (stages/relational.py:join_skew):
         # self-join on user_id, contribution = n²

@@ -317,6 +317,8 @@ def main() -> None:
         "cluster_medoid",
         "join_skew",
         "autocorr",
+        "k_anon",
+        "l_diversity",
     ]
     for name in query_names:
         r = bench_query(q[name])

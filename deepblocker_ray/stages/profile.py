@@ -737,3 +737,202 @@ def column_entropy(ds, cfg=None, *, columns: list[str]):
             }
         )
     )
+
+
+def k_anonymity(ds, cfg=None, *, columns: list[str], k: int = 5):
+    """k-anonymity audit over a quasi-identifier column set — the
+    privacy screen for training-data release: rows whose full
+    quasi-identifier tuple is shared by fewer than ``k`` rows are
+    re-identifiable. ONE summary row:
+    (n_rows, n_classes = distinct tuples, n_small_classes = classes
+    with < k rows, n_risky_rows = rows in them), all int64. Nulls
+    participate as ordinary values (stringified).
+
+    Scale shape: per-batch tuple-count partials (bounded by distinct
+    tuples), ONE hash(tuple) exchange so each class's global size folds
+    once, per-bucket 4-number partials, O(buckets) driver assembly."""
+    import ray.data as rd
+
+    from ..config import EngineConfig
+    from .dedup import hash64_strs
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        key = None
+        for c in columns:
+            col = pd.Series(
+                np.asarray(
+                    pc.fill_null(
+                        pc.cast(t.column(c), pa.string()), "\x00null"
+                    ),
+                    object,
+                )
+            )
+            key = col if key is None else key + "\x1f" + col
+        vc = key.value_counts()
+        u = vc.index.to_numpy(object)
+        return pd.DataFrame(
+            {
+                "tup": u,
+                "cnt": vc.to_numpy(np.int64),
+                "_bucket": (
+                    hash64_strs(u) % np.uint64(nb)
+                ).astype(np.int32),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("tup", sort=False)["cnt"].sum()
+        small = c < k
+        return pd.DataFrame(
+            {
+                "n_rows": [int(c.sum())],
+                "n_classes": [int(len(c))],
+                "n_small_classes": [int(small.sum())],
+                "n_risky_rows": [int(c[small].sum())],
+            }
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    sums = folded.sum() if len(folded) else None
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_rows": pa.array(
+                    [int(sums["n_rows"]) if sums is not None else 0],
+                    pa.int64(),
+                ),
+                "n_classes": pa.array(
+                    [int(sums["n_classes"]) if sums is not None else 0],
+                    pa.int64(),
+                ),
+                "n_small_classes": pa.array(
+                    [int(sums["n_small_classes"])
+                     if sums is not None else 0],
+                    pa.int64(),
+                ),
+                "n_risky_rows": pa.array(
+                    [int(sums["n_risky_rows"])
+                     if sums is not None else 0],
+                    pa.int64(),
+                ),
+            }
+        )
+    )
+
+
+def l_diversity(ds, cfg=None, *, qi_columns: list[str],
+                sensitive_col: str, l: int = 2):
+    """l-diversity audit — k-anonymity's stronger sibling: an
+    equivalence class (distinct quasi-identifier tuple) is risky when
+    its SENSITIVE attribute takes fewer than ``l`` distinct values
+    (every member leaks the sensitive value even when the class is
+    large). ONE summary row: (n_classes, n_low_classes, n_risky_rows),
+    all int64. Nulls stringify as ordinary values.
+
+    Scale shape: map-side DISTINCT (tuple, sensitive) rows plus tuple
+    row-count partials, ONE hash(tuple) exchange counting both distinct
+    sensitive values and rows per class, per-bucket 3-number partials."""
+    import ray.data as rd
+
+    from ..config import EngineConfig
+    from .dedup import hash64_strs
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    if not qi_columns:
+        raise ValueError("qi_columns must be non-empty")
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        key = None
+        for c in qi_columns:
+            col = pd.Series(
+                np.asarray(
+                    pc.fill_null(
+                        pc.cast(t.column(c), pa.string()), "\x00null"
+                    ),
+                    object,
+                )
+            )
+            key = col if key is None else key + "\x1f" + col
+        sens = pd.Series(
+            np.asarray(
+                pc.fill_null(
+                    pc.cast(t.column(sensitive_col), pa.string()),
+                    "\x00null",
+                ),
+                object,
+            )
+        )
+        df = pd.DataFrame({"tup": key, "s": sens})
+        rows = df.groupby("tup", sort=False).size().rename("cnt")
+        dist = df.drop_duplicates()
+        out = dist.assign(cnt=np.zeros(len(dist), np.int64))
+        marker = rows.reset_index().assign(s="\x00rows")
+        all_rows = pd.concat(
+            [out[["tup", "s", "cnt"]], marker[["tup", "s", "cnt"]]],
+            ignore_index=True,
+        )
+        codes, uniq = pd.factorize(all_rows["tup"], sort=False)
+        h = hash64_strs(uniq)[codes]
+        all_rows["_bucket"] = (h % np.uint64(nb)).astype(np.int32)
+        return all_rows
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows_per = (
+            g[g["s"] == "\x00rows"].groupby("tup", sort=False)["cnt"].sum()
+        )
+        nsens = (
+            g[g["s"] != "\x00rows"]
+            .drop_duplicates(["tup", "s"])
+            .groupby("tup", sort=False)
+            .size()
+        )
+        low = nsens < l
+        risky = rows_per.reindex(nsens.index[low]).fillna(0)
+        return pd.DataFrame(
+            {
+                "n_classes": [int(len(nsens))],
+                "n_low_classes": [int(low.sum())],
+                "n_risky_rows": [int(risky.sum())],
+            }
+        )
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    s = folded.sum() if len(folded) else None
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_classes": pa.array(
+                    [int(s["n_classes"]) if s is not None else 0],
+                    pa.int64(),
+                ),
+                "n_low_classes": pa.array(
+                    [int(s["n_low_classes"]) if s is not None else 0],
+                    pa.int64(),
+                ),
+                "n_risky_rows": pa.array(
+                    [int(s["n_risky_rows"]) if s is not None else 0],
+                    pa.int64(),
+                ),
+            }
+        )
+    )

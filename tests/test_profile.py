@@ -1594,3 +1594,45 @@ class TestJoinSkew:
         )
         # a: 5*3=15, b: 2*4=8; c and d miss one side -> excluded
         assert got == [("a", 5, 3, 15), ("b", 2, 4, 8)]
+
+
+class TestPrivacyAudits:
+    def test_k_anonymity_hand_built(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.profile import k_anonymity
+
+        df = pd.DataFrame(
+            {
+                "zip": ["11", "11", "11", "22", "22", "33", None],
+                "age": ["a", "a", "a", "b", "b", "c", "c"],
+            }
+        )
+        out = k_anonymity(
+            rd.from_pandas(df).repartition(3),
+            EngineConfig(num_buckets=4),
+            columns=["zip", "age"], k=3,
+        ).to_pandas()
+        # classes: (11,a):3  (22,b):2  (33,c):1  (null,c):1
+        assert tuple(out.iloc[0]) == (7, 4, 3, 4)
+
+    def test_l_diversity_hand_built(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.profile import l_diversity
+
+        df = pd.DataFrame(
+            {
+                "qi": ["x", "x", "x", "y", "y", "z"],
+                "dx": ["flu", "flu", "flu", "flu", "cold", "hiv"],
+            }
+        )
+        out = l_diversity(
+            rd.from_pandas(df).repartition(2),
+            EngineConfig(num_buckets=4),
+            qi_columns=["qi"], sensitive_col="dx", l=2,
+        ).to_pandas()
+        # x: 3 rows all 'flu' -> low; y: 2 distinct -> fine; z: 1 -> low
+        assert tuple(out.iloc[0]) == (3, 2, 4)
