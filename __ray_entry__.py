@@ -3222,6 +3222,36 @@ def q_l_diversity(sf_dir: str):
     )
 
 
+def q_quantile_map(sf_dir: str):
+    """Exact quantile normalization: map 1-URGENT order values onto the
+    5-LOW distribution (integer order statistics, no interpolation)."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import quantile_map
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return quantile_map(
+        orders, _cfg(), group_col="o_orderpriority",
+        value_col="o_totalprice",
+        from_group="1-URGENT", to_group="5-LOW",
+    )
+
+
+def q_regression_outliers(sf_dir: str):
+    """Top-3 largest-residual events per type under the per-type OLS
+    trend fit (pinned-IEEE residuals over the exact-integer fit)."""
+    from deepblocker_ray.stages.events import regression_outliers
+
+    return regression_outliers(
+        _events(sf_dir, columns=["event_id", "ts", "event_type", "value"]),
+        _cfg(),
+        k_top=3,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3446,6 +3476,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr": q_autocorr,
         "k_anon": q_k_anon,
         "l_diversity": q_l_diversity,
+        "quantile_map": q_quantile_map,
+        "regression_outliers": q_regression_outliers,
     }
 
 
@@ -4309,6 +4341,78 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # exact quantile normalization (stages/relational.py:
+        # quantile_map): ceil-rank order statistics, no interpolation
+        "quantile_map": """
+            WITH v AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                FROM orders
+                WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            ), ha AS (
+                SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM v
+                WHERE g = '1-URGENT' GROUP BY c
+            ), hb AS (
+                SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM v
+                WHERE g = '5-LOW' GROUP BY c
+            ), ca AS (
+                SELECT c, CAST(sum(cnt) OVER (ORDER BY c) AS BIGINT)
+                           AS cum
+                FROM ha
+            ), cb AS (
+                SELECT c, CAST(sum(cnt) OVER (ORDER BY c) AS BIGINT)
+                           AS cum
+                FROM hb
+            ), tot AS (
+                SELECT (SELECT CAST(sum(cnt) AS BIGINT) FROM ha) AS na,
+                       (SELECT CAST(sum(cnt) AS BIGINT) FROM hb) AS nb
+            )
+            SELECT ca.c AS cents_from,
+                   (SELECT min(cb.c) FROM cb
+                    WHERE cb.cum >= (ca.cum * t.nb + t.na - 1) // t.na)
+                       AS cents_to
+            FROM ca, tot t
+        """,
+        # per-type OLS residual outliers (stages/events.py:
+        # regression_outliers): the group_regression coefficients,
+        # residual = y − (intercept + slope·x) as identical doubles
+        "regression_outliers": """
+            WITH b AS (
+                SELECT event_type, event_id,
+                       epoch_us(ts) // 3600000000 AS x,
+                       CAST(round(value * 100) AS BIGINT) AS y
+                FROM events
+            ), s AS (
+                SELECT event_type, count(*) AS n, sum(x) AS sx,
+                       sum(y) AS sy, sum(x * y) AS sxy,
+                       sum(x * x) AS sxx
+                FROM b GROUP BY event_type
+            ), coef AS (
+                SELECT event_type,
+                       CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                       (CAST(sy AS DOUBLE)
+                        - (CAST(n * sxy - sx * sy AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE))
+                          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                           AS intercept
+                FROM s WHERE n * sxx - sx * sx <> 0
+            ), r AS (
+                SELECT b.event_type, b.event_id,
+                       CAST(b.y AS DOUBLE)
+                       - (c.intercept + c.slope * CAST(b.x AS DOUBLE))
+                           AS resid
+                FROM b JOIN coef c ON c.event_type = b.event_type
+            )
+            SELECT event_type, event_id, resid, rank FROM (
+                SELECT event_type, event_id, resid,
+                       CAST(row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY abs(resid) DESC, event_id)
+                       AS BIGINT) AS rank
+                FROM r)
+            WHERE rank <= 3
         """,
         # k-anonymity audit (stages/profile.py:k_anonymity)
         "k_anon": """

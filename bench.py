@@ -319,6 +319,8 @@ def main() -> None:
         "autocorr",
         "k_anon",
         "l_diversity",
+        "quantile_map",
+        "regression_outliers",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -2888,3 +2888,107 @@ def autocorr_counts(ds, cfg: EngineConfig | None = None, *,
             }
         )
     )
+
+
+def regression_outliers(ds, cfg: EngineConfig | None = None, *,
+                        k_top: int = 3):
+    """Largest-residual events under the per-type OLS trend fit — the
+    anomaly surface ``group_regression``'s coefficients exist to enable:
+    per event type, the ``k_top`` events with the largest
+    |cents − (intercept + slope·hours)|, ties by event_id. The residual
+    is a PINNED IEEE expression over the fit's bit-exact coefficients
+    (the group_regression contract), so the emitted doubles hash-match
+    the SQL twin. Degenerate types (NULL fit) emit nothing. Output
+    (event_type, event_id:int64, resid:double, rank:int64 1-based).
+
+    Scale shape: the O(types) coefficient table broadcasts via ray.put;
+    the corpus streams through one vectorized residual map with per-
+    batch per-type partial top-k; ONE tiny hash(type) exchange folds."""
+    import ray
+
+    from ..state.broadcast import cached_get
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    if k_top < 1:
+        raise ValueError(f"k_top must be >= 1, got {k_top}")
+
+    coeffs = group_regression(ds, cfg).to_pandas()
+    table = {
+        r["event_type"]: (float(r["slope"]), float(r["intercept"]))
+        for _, r in coeffs.iterrows()
+        if not (pd.isna(r["slope"]) or pd.isna(r["intercept"]))
+    }
+    ref = ray.put(table)
+
+    def topk_frame(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_a=np.abs(df["resid"].to_numpy(np.float64)))
+        out = df.sort_values(
+            ["event_type", "_a", "event_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        return out.groupby("event_type", sort=False).head(k_top).drop(
+            columns="_a"
+        )
+
+    def residuals(t: pa.Table) -> pd.DataFrame:
+        tab = cached_get(ref)
+        et = t.column("event_type").to_pandas().astype(str)
+        keep = et.isin(list(tab)).to_numpy()
+        if not keep.any():
+            return pd.DataFrame(
+                {"event_type": pd.Series(dtype=object),
+                 "event_id": pd.Series(dtype=np.int64),
+                 "resid": pd.Series(dtype=np.float64),
+                 "_bucket": pd.Series(dtype=np.int32)}
+            )
+        et = et[keep]
+        y = np.rint(
+            np.asarray(t.column("value"), np.float64)[keep] * 100.0
+        )
+        x = (
+            np.asarray(
+                t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            )[keep]
+            // 3_600_000_000
+        ).astype(np.float64)
+        slope = np.fromiter(
+            (tab[e][0] for e in et), np.float64, len(et)
+        )
+        inter = np.fromiter(
+            (tab[e][1] for e in et), np.float64, len(et)
+        )
+        res = y - (inter + slope * x)
+        df = pd.DataFrame(
+            {
+                "event_type": et.to_numpy(object),
+                "event_id": np.asarray(t.column("event_id"), np.int64)[
+                    keep
+                ],
+                "resid": res,
+            }
+        )
+        top = topk_frame(df)
+        top["_bucket"] = bucket_of(top["event_type"], nb)
+        return top
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        top = topk_frame(g)
+        rank = top.groupby("event_type", sort=False).cumcount() + 1
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    top["event_type"].to_numpy(object), pa.string()
+                ),
+                "event_id": pa.array(top["event_id"].to_numpy(np.int64)),
+                "resid": pa.array(top["resid"].to_numpy(np.float64)),
+                "rank": pa.array(rank.to_numpy(np.int64)),
+            }
+        )
+
+    out = ds.map_batches(residuals, batch_format="pyarrow").groupby(
+        "_bucket"
+    ).map_groups(fold, batch_format="pandas")
+    out._reg_pin = ref
+    return out

@@ -2184,3 +2184,77 @@ def join_skew(left_ds, right_ds, cfg: EngineConfig, *,
         .repartition(1)
         .map_batches(final, batch_format="pandas")
     )
+
+
+def quantile_map(ds, cfg: EngineConfig, *, group_col: str,
+                 value_col: str, from_group: str, to_group: str):
+    """Exact quantile normalization between two groups — map every
+    distinct value of ``from_group`` onto ``to_group``'s distribution
+    (the rank-preserving transform behind batch-effect correction and
+    cross-source score alignment): for a from-value v with cumulative
+    count r = |{u ≤ v}| out of n_a, the mapped value is the
+    ⌈r·n_b/n_a⌉-th smallest of the to-group — all integer order
+    statistics, no interpolation. Emits (cents_from:int64,
+    cents_to:int64), one row per distinct from-value.
+
+    Scale shape: value-histogram partials (bounded by distinct price
+    points); BOTH groups' histograms must meet, so the fold is one task
+    per group pair (the gini/mad per-group containment note — the
+    histogram, not the rows, is the task input)."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        g = t.column(group_col).to_pandas().astype(str)
+        keep = g.isin([from_group, to_group]).to_numpy()
+        cents = np.rint(
+            np.asarray(t.column(value_col), np.float64)[keep] * 100.0
+        ).astype(np.int64)
+        side = (g[keep] == to_group).to_numpy().astype(np.int8)
+        df = (
+            pd.DataFrame({"side": side, "cents": cents})
+            .groupby(["side", "cents"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        df["_b"] = np.zeros(len(df), np.int32)
+        return df
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        a = (
+            g[g["side"] == 0]
+            .groupby("cents", sort=False)["cnt"]
+            .sum()
+            .sort_index()
+        )
+        b = (
+            g[g["side"] == 1]
+            .groupby("cents", sort=False)["cnt"]
+            .sum()
+            .sort_index()
+        )
+        if len(a) == 0 or len(b) == 0:
+            return pa.table(
+                {
+                    "cents_from": pa.array([], pa.int64()),
+                    "cents_to": pa.array([], pa.int64()),
+                }
+            )
+        av = a.index.to_numpy(np.int64)
+        cum_a = np.cumsum(a.to_numpy(np.int64))
+        bv = b.index.to_numpy(np.int64)
+        cum_b = np.cumsum(b.to_numpy(np.int64))
+        n_a, n_b = int(cum_a[-1]), int(cum_b[-1])
+        target = (cum_a * n_b + n_a - 1) // n_a  # ceil, >= 1
+        mapped = bv[np.searchsorted(cum_b, target)]
+        return pa.table(
+            {
+                "cents_from": pa.array(av),
+                "cents_to": pa.array(mapped),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -2113,3 +2113,65 @@ class TestAutocorrCounts:
         assert tuple(out.loc[2]) == (2, 7)
         # lag7: none
         assert tuple(out.loc[7]) == (0, 0)
+
+
+class TestRegressionOutliers:
+    def test_planted_spike_ranks_first(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import (
+            group_regression,
+            regression_outliers,
+        )
+
+        r = np.random.RandomState(3)
+        n = 120
+        base = pd.to_datetime("2026-01-01")
+        ev = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "ts": base + pd.to_timedelta(np.arange(n), unit="h"),
+                "event_type": ["t"] * n,
+                "value": np.round(
+                    10.0 + 0.5 * np.arange(n) + r.normal(0, 0.5, n), 2
+                ),
+            }
+        )
+        ev.loc[60, "value"] += 500.0  # the spike
+        out = regression_outliers(
+            rd.from_pandas(ev).repartition(3),
+            EngineConfig(num_buckets=4), k_top=3,
+        ).to_pandas()
+        assert out.iloc[0]["event_id"] == 60
+        assert out.iloc[0]["rank"] == 1
+        assert len(out) == 3
+        # residual reproduces the pinned expression over the fit
+        co = group_regression(
+            rd.from_pandas(ev), EngineConfig(num_buckets=4)
+        ).to_pandas().iloc[0]
+        x = float(
+            (ev.loc[60, "ts"].value // 10**3) // 3_600_000_000
+        )
+        y = float(np.rint(ev.loc[60, "value"] * 100))
+        want = y - (float(co["intercept"]) + float(co["slope"]) * x)
+        assert out.iloc[0]["resid"] == want
+
+    def test_degenerate_type_emits_nothing(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import regression_outliers
+
+        ev = pd.DataFrame(
+            {
+                "event_id": np.arange(3, dtype=np.int64),
+                "ts": pd.to_datetime(["2026-01-01 05:10"] * 3),
+                "event_type": ["solo"] * 3,
+                "value": [1.0, 2.0, 3.0],
+            }
+        )
+        out = regression_outliers(
+            rd.from_pandas(ev), EngineConfig(num_buckets=4)
+        ).to_pandas()
+        assert len(out) == 0

@@ -1636,3 +1636,52 @@ class TestPrivacyAudits:
         ).to_pandas()
         # x: 3 rows all 'flu' -> low; y: 2 distinct -> fine; z: 1 -> low
         assert tuple(out.iloc[0]) == (3, 2, 4)
+
+
+class TestQuantileMap:
+    def test_rank_preserving_map(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import quantile_map
+
+        # A: 1,2,3,4 ; B: 10,20,30,40,50,60,70,80 (n_b = 2*n_a)
+        df = pd.DataFrame(
+            {
+                "grp": ["a"] * 4 + ["b"] * 8,
+                "val": [0.01, 0.02, 0.03, 0.04]
+                + [0.10, 0.20, 0.30, 0.40, 0.50, 0.60, 0.70, 0.80],
+            }
+        )
+        out = (
+            quantile_map(
+                rd.from_pandas(df).repartition(3),
+                EngineConfig(num_buckets=4),
+                group_col="grp", value_col="val",
+                from_group="a", to_group="b",
+            )
+            .to_pandas()
+            .set_index("cents_from")
+        )
+        # rank r of 4 -> target ceil(r*8/4) = 2r -> B's 2r-th smallest
+        assert dict(out["cents_to"]) == {1: 20, 2: 40, 3: 60, 4: 80}
+
+    def test_duplicates_and_identity(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import quantile_map
+
+        df = pd.DataFrame(
+            {
+                "grp": ["a"] * 4 + ["b"] * 4,
+                "val": [0.05, 0.05, 0.07, 0.09] * 2,
+            }
+        )
+        out = quantile_map(
+            rd.from_pandas(df), EngineConfig(num_buckets=4),
+            group_col="grp", value_col="val",
+            from_group="a", to_group="b",
+        ).to_pandas().set_index("cents_from")
+        # identical distributions map to themselves
+        assert dict(out["cents_to"]) == {5: 5, 7: 7, 9: 9}
