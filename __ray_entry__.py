@@ -3252,6 +3252,17 @@ def q_regression_outliers(sf_dir: str):
     )
 
 
+def q_active_users(sf_dir: str):
+    """Exact DAU plus trailing-7-day sliding distinct users (WAU) via
+    per-user coverage-interval diffs."""
+    from deepblocker_ray.stages.events import active_users
+
+    return active_users(
+        _events(sf_dir, columns=["user_id", "ts"]), _cfg(),
+        window_days=7,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3478,6 +3489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity": q_l_diversity,
         "quantile_map": q_quantile_map,
         "regression_outliers": q_regression_outliers,
+        "active_users": q_active_users,
     }
 
 
@@ -4341,6 +4353,22 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # exact DAU/sliding-WAU (stages/events.py:active_users)
+        "active_users": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ), days AS (
+                SELECT day, CAST(count(*) AS BIGINT) AS dau
+                FROM d GROUP BY day
+            )
+            SELECT g.day, g.dau,
+                   CAST((SELECT count(DISTINCT x.user_id) FROM d x
+                         WHERE x.day BETWEEN g.day - 6 AND g.day)
+                        AS BIGINT) AS wau
+            FROM days g
         """,
         # exact quantile normalization (stages/relational.py:
         # quantile_map): ceil-rank order statistics, no interpolation

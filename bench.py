@@ -321,6 +321,7 @@ def main() -> None:
         "l_diversity",
         "quantile_map",
         "regression_outliers",
+        "active_users",
     ]
     for name in query_names:
         r = bench_query(q[name])

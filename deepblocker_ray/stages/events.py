@@ -2992,3 +2992,122 @@ def regression_outliers(ds, cfg: EngineConfig | None = None, *,
     ).map_groups(fold, batch_format="pandas")
     out._reg_pin = ref
     return out
+
+
+def active_users(ds, cfg: EngineConfig | None = None, *,
+                 window_days: int = 7):
+    """Exact DAU/WAU — distinct users per day plus distinct users per
+    trailing ``window_days`` SLIDING window, the engagement pair every
+    product dashboard starts with. Tumbling distinct is easy
+    (``window_distinct``); the sliding count can't be summed from
+    per-day counts, so each user's presence converts to coverage
+    INTERVALS: an active day d covers windows d..d+w−1, a user's merged
+    intervals emit ±1 boundary diffs, and the global diff prefix-sum IS
+    the sliding distinct count — no per-window distinct pass, no user
+    double-counting by construction. Emits (day:int64, dau:int64,
+    wau:int64) for every day with ≥ 1 active user (the SQL-twin row
+    set).
+
+    Scale shape: map-side (user, day) dedup; ONE hash(user) exchange
+    where each user's sorted day list yields O(runs) boundary diffs and
+    per-day DAU partials; the O(days) diff/day table folds driver-side
+    (a day histogram is tiny at any corpus size)."""
+    import ray.data as rd
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    DAY = np.int64(86_400_000_000)
+    w = np.int64(window_days)
+
+    def project(t: pa.Table) -> pd.DataFrame:
+        uid = np.asarray(t.column("user_id"), np.int64)
+        day = (
+            np.asarray(
+                t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            )
+            // DAY
+        )
+        df = pd.DataFrame({"u": uid, "d": day}).drop_duplicates()
+        df["_bucket"] = _user_bucket(df["u"].to_numpy(np.int64), nb)
+        return df
+
+    def diffs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "d"]).sort_values(
+            ["u", "d"], kind="mergesort"
+        )
+        u = g["u"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        # per-user DAU partials
+        dau = (
+            pd.DataFrame({"d": d})
+            .groupby("d", sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        dau["kind"] = np.zeros(len(dau), np.int8)
+        # merged coverage intervals [d, d+w-1]: a new interval starts
+        # when the gap to the previous active day is >= w
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        new_run = new_user | np.concatenate(
+            ([True], (d[1:] - d[:-1]) >= w)
+        )
+        starts = d[new_run]
+        run_id = np.cumsum(new_run) - 1
+        last = np.zeros(run_id[-1] + 1, np.int64)
+        last[run_id] = d  # ascending within run: final write = run max
+        ends = last + w  # exclusive end of coverage
+        plus = pd.DataFrame(
+            {"d": starts, "n": np.ones(len(starts), np.int64)}
+        )
+        minus = pd.DataFrame(
+            {"d": ends, "n": -np.ones(len(ends), np.int64)}
+        )
+        diff = (
+            pd.concat([plus, minus], ignore_index=True)
+            .groupby("d", sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        diff["kind"] = np.ones(len(diff), np.int8)
+        return pd.concat([dau, diff], ignore_index=True)
+
+    parts = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(diffs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(parts) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "dau": pa.array([], pa.int64()),
+                    "wau": pa.array([], pa.int64()),
+                }
+            )
+        )
+    dau = (
+        parts[parts["kind"] == 0].groupby("d")["n"].sum().sort_index()
+    )
+    diff = (
+        parts[parts["kind"] == 1].groupby("d")["n"].sum().sort_index()
+    )
+    bdays = diff.index.to_numpy(np.int64)
+    cum = np.cumsum(diff.to_numpy(np.int64))
+    days = dau.index.to_numpy(np.int64)
+    # sliding count at day d = prefix of diffs at the last boundary <= d
+    pos = np.searchsorted(bdays, days, side="right") - 1
+    wau = np.where(pos >= 0, cum[np.clip(pos, 0, None)], 0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(days),
+                "dau": pa.array(dau.to_numpy(np.int64)),
+                "wau": pa.array(wau.astype(np.int64)),
+            }
+        )
+    )

@@ -2175,3 +2175,41 @@ class TestRegressionOutliers:
             rd.from_pandas(ev), EngineConfig(num_buckets=4)
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestActiveUsers:
+    def test_matches_brute_force_sliding_distinct(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import active_users
+
+        r = np.random.RandomState(37)
+        rows = []
+        for u in range(15):
+            for d in r.choice(30, r.randint(1, 12), replace=False):
+                rows.append((u, d))
+        ev = pd.DataFrame(rows, columns=["user_id", "dday"])
+        ev["ts"] = pd.to_datetime("2026-01-01") + pd.to_timedelta(
+            ev["dday"], unit="D"
+        )
+        ev["user_id"] = ev["user_id"].astype(np.int64)
+        out = (
+            active_users(
+                rd.from_pandas(ev[["user_id", "ts"]]).repartition(3),
+                EngineConfig(num_buckets=8), window_days=7,
+            )
+            .to_pandas()
+            .set_index("day")
+        )
+        base = pd.Timestamp("2026-01-01").value // 10**3 // 86_400_000_000
+        active = ev.drop_duplicates(["user_id", "dday"])
+        for dday in sorted(active["dday"].unique()):
+            dau = active[active.dday == dday]["user_id"].nunique()
+            wau = active[
+                (active.dday >= dday - 6) & (active.dday <= dday)
+            ]["user_id"].nunique()
+            row = out.loc[base + dday]
+            assert row["dau"] == dau
+            assert row["wau"] == wau, dday
+        assert len(out) == active["dday"].nunique()
