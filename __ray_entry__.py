@@ -3263,6 +3263,14 @@ def q_active_users(sf_dir: str):
     )
 
 
+def q_pair_lift(sf_dir: str):
+    """PMI/lift sufficient statistics for token pairs co-occurring in
+    ≥ 5 documents (pair counts + document-frequency marginals)."""
+    from deepblocker_ray.stages.textstats import pair_lift
+
+    return pair_lift(_documents(sf_dir), _cfg(), min_count=5)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3490,6 +3498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_map": q_quantile_map,
         "regression_outliers": q_regression_outliers,
         "active_users": q_active_users,
+        "pair_lift": q_pair_lift,
     }
 
 
@@ -4353,6 +4362,30 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # PMI/lift sufficient statistics (stages/textstats.py:pair_lift)
+        "pair_lift": f"""
+            WITH t AS (SELECT doc_id, {tokens} AS tk FROM documents),
+            e AS (
+                SELECT DISTINCT doc_id, unnest(tk) AS tok
+                FROM t WHERE len(tk) > 0
+            ), df AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS d
+                FROM e GROUP BY tok
+            ), p AS (
+                SELECT a.tok AS token_a, b.tok AS token_b,
+                       CAST(count(*) AS BIGINT) AS n_both
+                FROM e a JOIN e b
+                  ON b.doc_id = a.doc_id AND b.tok > a.tok
+                GROUP BY 1, 2 HAVING count(*) >= 5
+            )
+            SELECT p.token_a, p.token_b, p.n_both,
+                   da.d AS n_a, db.d AS n_b,
+                   CAST((SELECT count(*) FROM documents) AS BIGINT)
+                       AS n_docs
+            FROM p
+            JOIN df da ON da.tok = p.token_a
+            JOIN df db ON db.tok = p.token_b
         """,
         # exact DAU/sliding-WAU (stages/events.py:active_users)
         "active_users": """

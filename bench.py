@@ -322,6 +322,7 @@ def main() -> None:
         "quantile_map",
         "regression_outliers",
         "active_users",
+        "pair_lift",
     ]
     for name in query_names:
         r = bench_query(q[name])

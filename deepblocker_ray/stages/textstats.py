@@ -1840,3 +1840,101 @@ def vocab_growth(ds, cfg=None, *, text_col: str = "text",
         .groupby("_b2")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def pair_lift(ds, cfg=None, *, text_col: str = "text",
+              min_count: int = 5):
+    """PMI/lift sufficient statistics for cooccurring token pairs — the
+    collocation-mining table one float formula away from pointwise
+    mutual information: for every unordered pair with ≥ ``min_count``
+    co-documents, (token_a, token_b, n_both, n_a, n_b, n_docs) where
+    n_a/n_b are the tokens' document frequencies and n_docs the corpus
+    size — lift = n_both·N / (n_a·n_b), all ingredients exact int64.
+
+    Scale shape: ``cooccurrence``'s GEMM pair counts (the heavy part,
+    one vocabulary-bounded exchange) plus a vocabulary-bounded df
+    exchange whose sorted-hash plasma table attaches marginals map-side
+    — the pair stream never reshuffles for the join."""
+    from ..config import EngineConfig
+    from ..functions.tokenizer import tokenize_many
+    from ..state.lookup import HashedWeightsHandle
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    n_docs = ds.count()
+
+    # document-frequency table → plasma hash→count lookup
+    def df_partial(t: pa.Table) -> pd.DataFrame:
+        toks = tokenize_many(t.column(text_col).to_pylist())
+        c = pd.Series(
+            [tok for x in toks for tok in set(x)], dtype=object
+        ).value_counts()
+        return pd.DataFrame(
+            {
+                "token": c.index.to_numpy(object),
+                "count": c.to_numpy(np.int64),
+                "_bucket": bucket_of(
+                    pd.Series(c.index.to_numpy(object)), nb
+                ),
+            }
+        )
+
+    def df_combine(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("token", sort=False)["count"].sum()
+        return pd.DataFrame(
+            {"token": c.index.to_numpy(object),
+             "count": c.to_numpy(np.int64)}
+        )
+
+    def to_hashed(t: pa.Table) -> pa.Table:
+        from ..state.lookup import hash_tokens_2x
+
+        toks = np.asarray(t.column("token").to_pylist(), dtype=object)
+        h1, h2 = hash_tokens_2x(toks)
+        return pa.table(
+            {
+                "_h1": pa.array(h1),
+                "_h2": pa.array(h2),
+                "_w": pa.array(
+                    np.asarray(t.column("count"), np.int64).astype(
+                        np.float64
+                    )
+                ),
+            }
+        )
+
+    hashed = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(df_combine, batch_format="pandas")
+        .map_batches(to_hashed, batch_format="pyarrow")
+        .materialize()
+    )
+    handle = HashedWeightsHandle(
+        hashed.to_arrow_refs() if hashed.count() > 0 else []
+    )
+
+    pairs = cooccurrence(ds, cfg, text_col=text_col, min_count=min_count)
+
+    def attach(t: pa.Table) -> pa.Table:
+        w = handle.resolve()
+        ta = np.asarray(t.column("token_a").to_pylist(), dtype=object)
+        tb = np.asarray(t.column("token_b").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "token_a": t.column("token_a"),
+                "token_b": t.column("token_b"),
+                "n_both": t.column("n_both"),
+                "n_a": pa.array(w.get_many(ta).astype(np.int64)),
+                "n_b": pa.array(w.get_many(tb).astype(np.int64)),
+                "n_docs": pa.array(
+                    np.full(len(t), n_docs, np.int64)
+                ),
+            }
+        )
+
+    out = pairs.map_batches(attach, batch_format="pyarrow")
+    out._lift_pin = (hashed, handle)
+    return out

@@ -1685,3 +1685,33 @@ class TestQuantileMap:
         ).to_pandas().set_index("cents_from")
         # identical distributions map to themselves
         assert dict(out["cents_to"]) == {5: 5, 7: 7, 9: 9}
+
+
+class TestPairLift:
+    def test_counts_and_marginals(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.textstats import pair_lift
+
+        texts = ["a b", "a b", "a b c", "a c", "b", None]
+        out = (
+            pair_lift(
+                rd.from_pandas(pd.DataFrame({"text": texts})).repartition(
+                    3
+                ),
+                EngineConfig(num_buckets=4), min_count=2,
+            )
+            .to_pandas()
+        )
+        got = {
+            (r["token_a"], r["token_b"]): (
+                r["n_both"], r["n_a"], r["n_b"], r["n_docs"]
+            )
+            for _, r in out.iterrows()
+        }
+        # (a,b) co-docs 3; (a,c) 2; (b,c) only 1 -> filtered
+        assert got == {
+            ("a", "b"): (3, 4, 4, 6),
+            ("a", "c"): (2, 4, 2, 6),
+        }
