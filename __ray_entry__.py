@@ -2766,6 +2766,57 @@ def q_rank_fusion(sf_dir: str):
     return rank_fusion(a, b, _cfg(), k=10)
 
 
+def _adjacent_doc_pairs(sf_dir: str):
+    """(left_id, right_id, left_text, right_text) for even/odd adjacent
+    doc ids — the shared pair construction for the pairwise text
+    similarity queries (string_sims' bucket pattern)."""
+    nb = _cfg().num_buckets
+
+    def pair_key(df: pd.DataFrame) -> pd.DataFrame:
+        pair = df["doc_id"] // 2
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "text": df["text"],
+                "_pair": pair,
+                "_bucket": (pair % nb).astype("int32"),
+            }
+        )
+
+    def to_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        evens = g[g["doc_id"] % 2 == 0]
+        odds = g[g["doc_id"] % 2 == 1]
+        m = pd.merge(
+            evens.assign(_pair=evens["doc_id"] // 2),
+            odds.assign(_pair=odds["doc_id"] // 2),
+            on="_pair",
+            suffixes=("_l", "_r"),
+        )
+        return pd.DataFrame(
+            {
+                "left_id": m["doc_id_l"].astype("int64"),
+                "right_id": m["doc_id_r"].astype("int64"),
+                "left_text": m["text_l"].astype(str),
+                "right_text": m["text_r"].astype(str),
+            }
+        )
+
+    return (
+        _documents(sf_dir)
+        .map_batches(pair_key, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(to_pairs, batch_format="pandas")
+    )
+
+
+def q_weighted_jaccard(sf_dir: str):
+    """Weighted (multiset) Jaccard sufficient statistics on adjacent-
+    document pairs: Σ min / Σ max of per-token frequencies."""
+    from deepblocker_ray.stages.matching import weighted_jaccard
+
+    return weighted_jaccard(_adjacent_doc_pairs(sf_dir), _cfg())
+
+
 def q_monge_elkan(sf_dir: str):
     """Monge-Elkan token-set similarity (quantized-integer JW maxima,
     both directions) on adjacent-document pairs."""
@@ -3252,6 +3303,27 @@ def q_regression_outliers(sf_dir: str):
     )
 
 
+def q_type_trigrams(sf_dir: str):
+    """Second-order behavior: consecutive event-type trigram counts per
+    user stream, corpus-wide, n ≥ 5."""
+    from deepblocker_ray.stages.events import type_trigrams
+
+    return type_trigrams(
+        _events(sf_dir, columns=["event_id", "ts", "user_id",
+                                 "event_type"]),
+        _cfg(),
+        min_count=5,
+    )
+
+
+def q_peak_load(sf_dir: str):
+    """Global peak concurrency over event intervals plus the earliest
+    microsecond attaining it."""
+    from deepblocker_ray.stages.events import peak_load
+
+    return peak_load(_events(sf_dir, columns=["ts", "value"]), _cfg())
+
+
 def q_active_users(sf_dir: str):
     """Exact DAU plus trailing-7-day sliding distinct users (WAU) via
     per-user coverage-interval diffs."""
@@ -3499,6 +3571,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regression_outliers": q_regression_outliers,
         "active_users": q_active_users,
         "pair_lift": q_pair_lift,
+        "weighted_jaccard": q_weighted_jaccard,
+        "type_trigrams": q_type_trigrams,
+        "peak_load": q_peak_load,
     }
 
 
@@ -4362,6 +4437,76 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # weighted multiset Jaccard (stages/matching.py:weighted_jaccard)
+        "weighted_jaccard": f"""
+            WITH d AS (SELECT doc_id, {tokens} AS tk FROM documents),
+            p AS (
+                SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                       l.tk AS tka, r.tk AS tkb
+                FROM d l JOIN d r
+                  ON r.doc_id = l.doc_id + 1 AND l.doc_id % 2 = 0
+            ), ca AS (
+                SELECT left_id, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT left_id, unnest(tka) AS tok FROM p)
+                GROUP BY 1, 2
+            ), cb AS (
+                SELECT left_id, tok, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT left_id, unnest(tkb) AS tok FROM p)
+                GROUP BY 1, 2
+            ), j AS (
+                SELECT COALESCE(ca.left_id, cb.left_id) AS left_id,
+                       COALESCE(ca.tf, 0) AS fa, COALESCE(cb.tf, 0) AS fb
+                FROM ca FULL OUTER JOIN cb
+                  ON cb.left_id = ca.left_id AND cb.tok = ca.tok
+            ), agg AS (
+                SELECT left_id,
+                       CAST(sum(least(fa, fb)) AS BIGINT) AS sum_min,
+                       CAST(sum(greatest(fa, fb)) AS BIGINT) AS sum_max
+                FROM j GROUP BY left_id
+            )
+            SELECT p.left_id, p.right_id, a.sum_min, a.sum_max
+            FROM p JOIN agg a ON a.left_id = p.left_id
+            WHERE a.sum_max > 0
+        """,
+        # event-type trigrams (stages/events.py:type_trigrams)
+        "type_trigrams": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       lead(event_type, 1) OVER w AS t2,
+                       lead(event_type, 2) OVER w AS t3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_type AS t1, t2, t3,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE t3 IS NOT NULL
+            GROUP BY 1, 2, 3 HAVING count(*) >= 5
+        """,
+        # global peak concurrency (stages/events.py:peak_load):
+        # half-open intervals, −1 folds before +1 at equal times
+        "peak_load": """
+            WITH b AS (
+                SELECT epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + CAST(round(value * 100) AS BIGINT) * 10000 AS e
+                FROM events
+            ), d AS (
+                SELECT s AS t, 1 AS delta FROM b WHERE e > s
+                UNION ALL
+                SELECT e, -1 FROM b WHERE e > s
+            ), p AS (
+                SELECT t, sum(delta) OVER (
+                    ORDER BY t, delta
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS c
+                FROM d
+            )
+            SELECT CAST(max(c) AS BIGINT) AS peak,
+                   CAST((SELECT min(t) FROM p
+                         WHERE c = (SELECT max(c) FROM p)) AS BIGINT)
+                       AS at_us
+            FROM p
         """,
         # PMI/lift sufficient statistics (stages/textstats.py:pair_lift)
         "pair_lift": f"""

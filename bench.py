@@ -323,6 +323,9 @@ def main() -> None:
         "regression_outliers",
         "active_users",
         "pair_lift",
+        "weighted_jaccard",
+        "type_trigrams",
+        "peak_load",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -3111,3 +3111,202 @@ def active_users(ds, cfg: EngineConfig | None = None, *,
             }
         )
     )
+
+
+def type_trigrams(ds, cfg: EngineConfig | None = None, *,
+                  min_count: int = 5):
+    """Consecutive event-type TRIGRAM counts per user stream — one step
+    beyond ``transition_counts``' Markov edges (second-order behavior:
+    "view→add→buy" vs "view→add→drop"): triples of consecutive types in
+    each user's (ts, event_id) order, counted corpus-wide,
+    ≥ ``min_count``. Emits (t1, t2, t3, n:int64).
+
+    Scale shape: ONE hash(user) exchange, per bucket one lexsort + two
+    shifts count ALL users' triples at once with a per-bucket pre-reduce
+    (partials bounded by distinct type³); tiny second exchange."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    from .canonicalize import bucket_of
+
+    def project(t: pa.Table) -> pd.DataFrame:
+        uid = np.asarray(t.column("user_id"), np.int64)
+        return pd.DataFrame(
+            {
+                "u": uid,
+                "ts_us": np.asarray(
+                    t.column("ts").cast(pa.timestamp("us")).cast(
+                        pa.int64()
+                    )
+                ),
+                "id": np.asarray(t.column("event_id"), np.int64),
+                "ty": t.column("event_type").to_pandas().astype(str),
+                "_bucket": _user_bucket(uid, nb),
+            }
+        )
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "ts_us", "id"], kind="mergesort")
+        u = g["u"].to_numpy(np.int64)
+        ty = g["ty"].to_numpy(object)
+        same2 = u[2:] == u[:-2]
+        t1, t2, t3 = ty[:-2][same2], ty[1:-1][same2], ty[2:][same2]
+        c = (
+            pd.DataFrame({"t1": t1, "t2": t2, "t3": t3})
+            .groupby(["t1", "t2", "t3"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        c["_tb"] = bucket_of(
+            c["t1"].astype(str) + "|" + c["t2"].astype(str) + "|"
+            + c["t3"].astype(str),
+            nb,
+        )
+        return c
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        c = (
+            g.groupby(["t1", "t2", "t3"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        c = c[c["n"] >= min_count]
+        return pa.table(
+            {
+                "t1": pa.array(c["t1"].to_numpy(object), pa.string()),
+                "t2": pa.array(c["t2"].to_numpy(object), pa.string()),
+                "t3": pa.array(c["t3"].to_numpy(object), pa.string()),
+                "n": pa.array(c["n"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(partial, batch_format="pandas")
+        .groupby("_tb")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def peak_load(ds, cfg: EngineConfig | None = None):
+    """Global peak concurrency over event intervals — the capacity-
+    planning number: with each event active on [ts, ts + round(value·
+    100)·10⁴ µs) (the ``interval_coverage`` span convention), the
+    maximum number of simultaneously active events and the EARLIEST
+    microsecond attaining it. Half-open intervals: an interval ending at
+    t and one starting at t never overlap (−1 folds before +1 at equal
+    times). ONE row (peak:int64, at_us:int64).
+
+    Scale shape: the shared scan machinery — ±1 boundary diffs route to
+    time-RANGE shards (equal times co-shard), ``range_offsets`` with the
+    delta as weight gives each shard's entering concurrency, per shard
+    one sort + cumsum finds the local max, O(R) partials fold
+    driver-side."""
+    import ray
+    import ray.data as rd
+
+    from ..state.broadcast import cached_get
+    from .scan import range_offsets
+
+    cfg = cfg or EngineConfig()
+    nr = cfg.num_buckets
+
+    def bounds_rows(t: pa.Table) -> pa.Table:
+        s = np.asarray(
+            t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        dur = np.rint(
+            np.asarray(t.column("value"), np.float64) * 100.0
+        ).astype(np.int64) * 10_000
+        e = s + dur
+        keep = e > s  # zero-length intervals never active
+        return pa.table(
+            {
+                "t": pa.array(np.concatenate([s[keep], e[keep]])),
+                "delta": pa.array(
+                    np.concatenate(
+                        [
+                            np.ones(int(keep.sum()), np.int64),
+                            -np.ones(int(keep.sum()), np.int64),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    skinny = ds.map_batches(
+        bounds_rows, batch_format="pyarrow"
+    ).materialize()
+    empty = pa.table(
+        {"peak": pa.array([0], pa.int64()),
+         "at_us": pa.array([0], pa.int64())}
+    )
+    if skinny.count() == 0:
+        return rd.from_arrow(empty)
+
+    from ray.data.aggregate import Max, Min
+
+    b = skinny.aggregate(Min("t"), Max("t"))
+    lo, hi = int(b["min(t)"]), int(b["max(t)"])
+    span = float(hi - lo + 1)
+
+    def rng_of(ts: np.ndarray) -> np.ndarray:
+        r = ts.astype(np.float64) - float(lo)
+        return np.minimum(
+            np.maximum((r / span * nr).astype(np.int64), 0),
+            np.int64(nr - 1),
+        )
+
+    offsets, _ = range_offsets(
+        skinny,
+        lambda t: rng_of(np.asarray(t.column("t"), np.int64)),
+        nr,
+        weight_col="delta",
+    )
+    off_ref = ray.put(offsets)
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bucket",
+            pa.array(
+                rng_of(np.asarray(t.column("t"), np.int64)).astype(
+                    np.int32
+                )
+            ),
+        )
+
+    def local_max(g: pd.DataFrame) -> pd.DataFrame:
+        offs = cached_get(off_ref)
+        rng = int(g["_bucket"].iloc[0])
+        g = g.sort_values(["t", "delta"], kind="mergesort")
+        c = np.cumsum(g["delta"].to_numpy(np.int64)) + offs[rng]
+        j = int(np.argmax(c))
+        # earliest time attaining this shard's max: the argmax row's t
+        # (the running max is hit at the end of a +1 group, whose rows
+        # all share t; np.argmax returns the first max)
+        return pd.DataFrame(
+            {
+                "peak": [int(c[j])],
+                "at_us": [int(g["t"].to_numpy(np.int64)[j])],
+            }
+        )
+
+    parts = (
+        skinny.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(local_max, batch_format="pandas")
+        .to_pandas()
+    )
+    best = parts.sort_values(
+        ["peak", "at_us"], ascending=[False, True]
+    ).iloc[0]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "peak": pa.array([int(best["peak"])], pa.int64()),
+                "at_us": pa.array([int(best["at_us"])], pa.int64()),
+            }
+        )
+    )

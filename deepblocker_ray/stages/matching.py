@@ -655,3 +655,70 @@ def monge_elkan(pairs_ds, cfg: EngineConfig | None = None, *,
         )
 
     return pairs_ds.map_batches(score, batch_format="pandas")
+
+
+def weighted_jaccard(pairs_ds, cfg: EngineConfig | None = None, *,
+                     left_id: str = "left_id", right_id: str = "right_id",
+                     left_text: str = "left_text",
+                     right_text: str = "right_text"):
+    """Weighted (multiset) Jaccard over candidate pairs — the
+    frequency-aware similarity plain token-set Jaccard flattens (a doc
+    repeating "error" 50× vs once): per pair
+
+        sum_min = Σ_tok min(tf_a, tf_b),  sum_max = Σ_tok max(tf_a, tf_b)
+
+    so J_w = sum_min/sum_max is one division away and both ingredients
+    are exact int64. Pairs where both sides tokenize empty are dropped
+    (sum_max = 0 leaves the ratio undefined). Output (left_id, right_id,
+    sum_min:int64, sum_max:int64).
+
+    Scale shape: a pure per-batch map over an already-paired dataset —
+    per-side (pair, token) counts outer-merge and fold with one pandas
+    pass; no exchange, work bounded by tokens per pair."""
+    from ..functions.tokenizer import tokenize_many
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ta = tokenize_many(df[left_text].tolist())
+        tb = tokenize_many(df[right_text].tolist())
+
+        def side_counts(toks):
+            rows_i, rows_t = [], []
+            for i, x in enumerate(toks):
+                rows_i.extend([i] * len(x))
+                rows_t.extend(x)
+            return (
+                pd.DataFrame({"i": rows_i, "tok": rows_t})
+                .groupby(["i", "tok"], sort=False)
+                .size()
+                .rename("tf")
+                .reset_index()
+            )
+
+        ca, cb = side_counts(ta), side_counts(tb)
+        m = ca.merge(cb, on=["i", "tok"], how="outer",
+                     suffixes=("_a", "_b"))
+        fa = m["tf_a"].fillna(0).to_numpy(np.int64)
+        fb = m["tf_b"].fillna(0).to_numpy(np.int64)
+        agg = (
+            pd.DataFrame(
+                {
+                    "i": m["i"].to_numpy(np.int64),
+                    "mn": np.minimum(fa, fb),
+                    "mx": np.maximum(fa, fb),
+                }
+            )
+            .groupby("i", sort=False)
+            .sum()
+        )
+        keep = agg[agg["mx"] > 0]
+        idx = keep.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                left_id: df[left_id].to_numpy()[idx],
+                right_id: df[right_id].to_numpy()[idx],
+                "sum_min": keep["mn"].to_numpy(np.int64),
+                "sum_max": keep["mx"].to_numpy(np.int64),
+            }
+        )
+
+    return pairs_ds.map_batches(score, batch_format="pandas")

@@ -2213,3 +2213,61 @@ class TestActiveUsers:
             assert row["dau"] == dau
             assert row["wau"] == wau, dday
         assert len(out) == active["dday"].nunique()
+
+
+class TestTypeTrigramsAndPeakLoad:
+    def test_trigrams_respect_user_boundaries(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import type_trigrams
+
+        rows = []
+        eid = 0
+        for u, seq in [(1, "aabab"), (2, "abab"), (3, "ab")]:
+            for i, t in enumerate(seq):
+                rows.append((eid, u, i, t))
+                eid += 1
+        ev = pd.DataFrame(
+            rows, columns=["event_id", "user_id", "hour", "event_type"]
+        )
+        ev["ts"] = pd.to_datetime("2026-01-01") + pd.to_timedelta(
+            ev["hour"], unit="h"
+        )
+        out = type_trigrams(
+            rd.from_pandas(ev[["event_id", "ts", "user_id",
+                               "event_type"]]).repartition(3),
+            EngineConfig(num_buckets=4), min_count=2,
+        ).to_pandas()
+        got = {
+            (r["t1"], r["t2"], r["t3"]): r["n"]
+            for _, r in out.iterrows()
+        }
+        # u1: aab aba bab ; u2: aba bab ; u3 too short
+        # counts: aba 2, bab 2, aab 1(filtered)
+        assert got == {("a", "b", "a"): 2, ("b", "a", "b"): 2}
+
+    def test_peak_load_hand_built(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import peak_load
+
+        base = pd.Timestamp("2026-01-01")
+        # durations value*1s; intervals: [0,10) [5,15) [10,20) [12,13)
+        ev = pd.DataFrame(
+            {
+                "ts": [base, base + pd.Timedelta(seconds=5),
+                       base + pd.Timedelta(seconds=10),
+                       base + pd.Timedelta(seconds=12)],
+                "value": [10.0, 10.0, 10.0, 1.0],
+            }
+        )
+        out = peak_load(
+            rd.from_pandas(ev), EngineConfig(num_buckets=4)
+        ).to_pandas()
+        # peak 3 first attained at t=12s ([5,15),[10,20),[12,13));
+        # at t=10 exactly: [0,10) closed -> only 2 active
+        t0 = base.value // 10**3
+        assert out.iloc[0]["peak"] == 3
+        assert out.iloc[0]["at_us"] == t0 + 12_000_000

@@ -505,3 +505,27 @@ class TestMongeElkan:
         # exact token permutation: every max is JW=1.0 -> 10^6 each
         assert out["me_lr"].iloc[0] == 3 * 10**6
         assert out["me_rl"].iloc[0] == 3 * 10**6
+
+
+class TestWeightedJaccard:
+    def test_multiset_min_max(self, ray_session):
+        from deepblocker_ray.stages.matching import weighted_jaccard
+
+        pairs = pd.DataFrame(
+            {
+                "left_id": [0, 1, 2],
+                "right_id": [10, 11, 12],
+                "left_text": ["a a a b", "x y", ""],
+                "right_text": ["a b b", "x y", ""],
+            }
+        )
+        out = weighted_jaccard(
+            rd.from_pandas(pairs).repartition(2),
+            EngineConfig(num_buckets=4),
+        ).to_pandas().set_index("left_id")
+        # pair 0: a:(3,1) b:(1,2) -> min 1+1=2, max 3+2=5
+        assert tuple(out.loc[0][["sum_min", "sum_max"]]) == (2, 5)
+        # identical -> min == max == 2
+        assert tuple(out.loc[1][["sum_min", "sum_max"]]) == (2, 2)
+        # both empty -> dropped
+        assert 2 not in out.index
