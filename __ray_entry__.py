@@ -3343,6 +3343,45 @@ def q_pair_lift(sf_dir: str):
     return pair_lift(_documents(sf_dir), _cfg(), min_count=5)
 
 
+def q_order_balance(sf_dir: str):
+    """Header-vs-detail reconciliation: the 20 orders whose total most
+    disagrees with the sum of their line extended prices."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import order_balance
+
+    return order_balance(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_totalprice"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice"],
+        ),
+        _cfg(),
+        k_top=20,
+    )
+
+
+def q_tv_distance(sf_dir: str):
+    """Exact total-variation distance numerator between 1-URGENT and
+    5-LOW order-value distributions."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import tv_distance
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return tv_distance(
+        orders, _cfg(), group_col="o_orderpriority",
+        value_col="o_totalprice",
+        group_a="1-URGENT", group_b="5-LOW",
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3574,6 +3613,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_jaccard": q_weighted_jaccard,
         "type_trigrams": q_type_trigrams,
         "peak_load": q_peak_load,
+        "order_balance": q_order_balance,
+        "tv_distance": q_tv_distance,
     }
 
 
@@ -4437,6 +4478,55 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # header-vs-detail reconciliation (stages/relational.py:
+        # order_balance)
+        "order_balance": """
+            WITH ln AS (
+                SELECT l_orderkey,
+                       CAST(count(*) AS BIGINT) AS n_lines,
+                       CAST(sum(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS lines_cents
+                FROM lineitem GROUP BY l_orderkey
+            ), m AS (
+                SELECT o.o_orderkey, ln.n_lines,
+                       CAST(round(o.o_totalprice * 100) AS BIGINT)
+                           AS header_cents,
+                       ln.lines_cents
+                FROM orders o JOIN ln ON ln.l_orderkey = o.o_orderkey
+            )
+            SELECT o_orderkey, n_lines, header_cents, lines_cents,
+                   CAST(header_cents - lines_cents AS BIGINT) AS diff
+            FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY abs(header_cents - lines_cents) DESC,
+                             o_orderkey) AS r
+                FROM m)
+            WHERE r <= 20
+        """,
+        # total-variation numerator (stages/relational.py:tv_distance)
+        "tv_distance": """
+            WITH v AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                FROM orders
+                WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            ), h AS (
+                SELECT c,
+                       CAST(sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0
+                                END) AS BIGINT) AS ca,
+                       CAST(sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0
+                                END) AS BIGINT) AS cb
+                FROM v GROUP BY c
+            ), tot AS (
+                SELECT CAST(sum(ca) AS BIGINT) AS na,
+                       CAST(sum(cb) AS BIGINT) AS nb FROM h
+            )
+            SELECT t.na AS n_a, t.nb AS n_b,
+                   CAST(sum(abs(CAST(h.ca AS HUGEINT) * t.nb
+                                - CAST(h.cb AS HUGEINT) * t.na))
+                        AS BIGINT) AS tv_num
+            FROM h, tot t GROUP BY t.na, t.nb
         """,
         # weighted multiset Jaccard (stages/matching.py:weighted_jaccard)
         "weighted_jaccard": f"""

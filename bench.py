@@ -326,6 +326,8 @@ def main() -> None:
         "weighted_jaccard",
         "type_trigrams",
         "peak_load",
+        "order_balance",
+        "tv_distance",
     ]
     for name in query_names:
         r = bench_query(q[name])

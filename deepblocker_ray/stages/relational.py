@@ -2258,3 +2258,179 @@ def quantile_map(ds, cfg: EngineConfig, *, group_col: str,
         .groupby("_b")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def order_balance(orders, lineitem, cfg: EngineConfig, *,
+                  k_top: int = 20):
+    """Header-vs-detail reconciliation — the invoice audit every billing
+    pipeline runs: per order, the header total against the sum of its
+    line extended prices (both integer cents), emitting the ``k_top``
+    WORST orders by |diff| (desc, then orderkey asc):
+    (o_orderkey:int64, n_lines:int64, header_cents:int64,
+    lines_cents:int64, diff:int64 = header − lines). Orders without
+    lines are excluded (inner semantics; ``fk_audit`` owns missing-key
+    detection).
+
+    Scale shape: line rows pre-reduce to per-(batch, order) partial sums
+    map-side; ONE shared hash(orderkey) exchange co-locates header and
+    partials (the ship_latency pattern); per-bucket merge + partial
+    top-k → one tiny final block."""
+    from .canonicalize import bucket_of
+
+    if k_top < 1:
+        raise ValueError(f"k_top must be >= 1, got {k_top}")
+    nb = cfg.num_buckets
+
+    def tag_orders(t: pa.Table) -> pd.DataFrame:
+        okey = np.asarray(t.column("o_orderkey"), np.int64)
+        cents = np.rint(
+            np.asarray(t.column("o_totalprice"), np.float64) * 100.0
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "okey": okey,
+                "cents": cents,
+                "n": np.zeros(len(okey), np.int64),
+                "side": np.zeros(len(okey), np.int8),
+                "_bucket": bucket_of(pd.Series(okey), nb),
+            }
+        )
+
+    def tag_lines(t: pa.Table) -> pd.DataFrame:
+        okey = np.asarray(t.column("l_orderkey"), np.int64)
+        cents = np.rint(
+            np.asarray(t.column("l_extendedprice"), np.float64) * 100.0
+        ).astype(np.int64)
+        p = (
+            pd.DataFrame({"okey": okey, "cents": cents})
+            .groupby("okey", sort=False)["cents"]
+            .agg(cents="sum", n="size")
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "okey": p["okey"].to_numpy(np.int64),
+                "cents": p["cents"].to_numpy(np.int64),
+                "n": p["n"].to_numpy(np.int64),
+                "side": np.ones(len(p), np.int8),
+                "_bucket": bucket_of(p["okey"], nb),
+            }
+        )
+
+    def topk_frame(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_a=np.abs(df["diff"].to_numpy(np.int64)))
+        out = df.sort_values(
+            ["_a", "o_orderkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(k_top)
+        return out.drop(columns="_a")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        hd = g[g["side"] == 0][["okey", "cents"]].rename(
+            columns={"cents": "header_cents"}
+        )
+        ln = (
+            g[g["side"] == 1]
+            .groupby("okey", sort=False)[["cents", "n"]]
+            .sum()
+            .reset_index()
+            .rename(columns={"cents": "lines_cents", "n": "n_lines"})
+        )
+        m = hd.merge(ln, on="okey")
+        m["diff"] = m["header_cents"] - m["lines_cents"]
+        m = m.rename(columns={"okey": "o_orderkey"})
+        return topk_frame(
+            m[["o_orderkey", "n_lines", "header_cents",
+               "lines_cents", "diff"]]
+        )
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        top = topk_frame(df)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    top["o_orderkey"].to_numpy(np.int64)
+                ),
+                "n_lines": pa.array(top["n_lines"].to_numpy(np.int64)),
+                "header_cents": pa.array(
+                    top["header_cents"].to_numpy(np.int64)
+                ),
+                "lines_cents": pa.array(
+                    top["lines_cents"].to_numpy(np.int64)
+                ),
+                "diff": pa.array(top["diff"].to_numpy(np.int64)),
+            }
+        )
+
+    tagged = orders.map_batches(
+        tag_orders, batch_format="pyarrow"
+    ).union(lineitem.map_batches(tag_lines, batch_format="pyarrow"))
+    return (
+        tagged.groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
+
+
+def tv_distance(ds, cfg: EngineConfig, *, group_col: str,
+                value_col: str, group_a: str, group_b: str):
+    """Exact total-variation distance numerator between two groups'
+    value distributions — the categorical-friendly complement to
+    ``rank_tests``' KS (which needs an order): one row
+
+        (n_a:int64, n_b:int64, tv_num:int64 =
+         Σ_v |c_a(v)·n_b − c_b(v)·n_a|)
+
+    so TV = tv_num / (2·n_a·n_b) — cross-multiplied to stay integer,
+    summed over the union of observed values (a value absent from one
+    side contributes its full cross-count).
+
+    Scale shape: the quantile_map histogram fold — value-bounded
+    partials, one per-group-pair task over the joint histogram."""
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        g = t.column(group_col).to_pandas().astype(str)
+        keep = g.isin([group_a, group_b]).to_numpy()
+        cents = np.rint(
+            np.asarray(t.column(value_col), np.float64)[keep] * 100.0
+        ).astype(np.int64)
+        side = (g[keep] == group_b).to_numpy().astype(np.int8)
+        df = (
+            pd.DataFrame({"side": side, "cents": cents})
+            .groupby(["side", "cents"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        df["_b"] = np.zeros(len(df), np.int32)
+        return df
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        piv = (
+            g.groupby(["cents", "side"], sort=False)["cnt"]
+            .sum()
+            .unstack(fill_value=0)
+            .reindex(columns=[0, 1], fill_value=0)
+        )
+        ca = piv[0].to_numpy(np.int64)
+        cb = piv[1].to_numpy(np.int64)
+        n_a, n_b = int(ca.sum()), int(cb.sum())
+        tv = int(
+            np.abs(
+                ca.astype(object) * n_b - cb.astype(object) * n_a
+            ).sum()
+        )
+        return pa.table(
+            {
+                "n_a": pa.array([n_a], pa.int64()),
+                "n_b": pa.array([n_b], pa.int64()),
+                "tv_num": pa.array([tv], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(finish, batch_format="pandas")
+    )

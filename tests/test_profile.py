@@ -1715,3 +1715,72 @@ class TestPairLift:
             ("a", "b"): (3, 4, 4, 6),
             ("a", "c"): (2, 4, 2, 6),
         }
+
+
+class TestOrderBalanceAndTv:
+    def test_order_balance_hand_built(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import order_balance
+
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": np.array([1, 2, 3, 9], np.int64),
+                "o_totalprice": [10.0, 20.0, 5.0, 7.0],  # 9 has no lines
+            }
+        )
+        lines = pd.DataFrame(
+            {
+                "l_orderkey": np.array([1, 1, 2, 3], np.int64),
+                "l_extendedprice": [4.0, 5.0, 20.0, 6.0],
+            }
+        )
+        out = order_balance(
+            rd.from_pandas(orders).repartition(2),
+            rd.from_pandas(lines).repartition(2),
+            EngineConfig(num_buckets=4), k_top=10,
+        ).to_pandas()
+        got = list(
+            map(tuple, out[["o_orderkey", "n_lines", "header_cents",
+                            "lines_cents", "diff"]].to_numpy())
+        )
+        # |diff|: order1 100, order3 -100 (tie -> key asc), order2 0
+        assert got == [
+            (1, 2, 1000, 900, 100),
+            (3, 1, 500, 600, -100),
+            (2, 1, 2000, 2000, 0),
+        ]
+
+    def test_tv_distance_identical_and_disjoint(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.relational import tv_distance
+
+        same = pd.DataFrame(
+            {
+                "grp": ["a"] * 3 + ["b"] * 3,
+                "val": [1.0, 2.0, 3.0] * 2,
+            }
+        )
+        out = tv_distance(
+            rd.from_pandas(same), EngineConfig(num_buckets=4),
+            group_col="grp", value_col="val",
+            group_a="a", group_b="b",
+        ).to_pandas()
+        assert tuple(out.iloc[0]) == (3, 3, 0)
+        disjoint = pd.DataFrame(
+            {
+                "grp": ["a"] * 2 + ["b"] * 3,
+                "val": [1.0, 2.0, 7.0, 8.0, 9.0],
+            }
+        )
+        out2 = tv_distance(
+            rd.from_pandas(disjoint), EngineConfig(num_buckets=4),
+            group_col="grp", value_col="val",
+            group_a="a", group_b="b",
+        ).to_pandas()
+        # tv_num = sum over a-values c_a*n_b + b-values c_b*n_a
+        #        = 2*3 + 3*2 = 12 -> TV = 12/(2*2*3) = 1
+        assert tuple(out2.iloc[0]) == (2, 3, 12)
