@@ -3382,6 +3382,14 @@ def q_tv_distance(sf_dir: str):
     )
 
 
+def q_pair_divergence(sf_dir: str):
+    """Near-duplicate explain surface: exact common-prefix length (code
+    points) and both lengths for adjacent-document pairs."""
+    from deepblocker_ray.stages.matching import pair_divergence
+
+    return pair_divergence(_adjacent_doc_pairs(sf_dir), _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3615,6 +3623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_load": q_peak_load,
         "order_balance": q_order_balance,
         "tv_distance": q_tv_distance,
+        "pair_divergence": q_pair_divergence,
     }
 
 
@@ -4478,6 +4487,27 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # common-prefix divergence (stages/matching.py:pair_divergence):
+        # prefix equality is monotone, so counting equal-prefix depths
+        # IS the LCP; character semantics match the engine's code points
+        "pair_divergence": """
+            WITH d AS (SELECT doc_id, text FROM documents),
+            p AS (
+                SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                       l.text AS ta, r.text AS tb
+                FROM d l JOIN d r
+                  ON r.doc_id = l.doc_id + 1 AND l.doc_id % 2 = 0
+            )
+            SELECT left_id, right_id,
+                   CAST(len(list_filter(
+                       [substr(ta, 1, x) = substr(tb, 1, x)
+                        for x in generate_series(
+                            1, least(length(ta), length(tb)))],
+                       b -> b)) AS BIGINT) AS lcp,
+                   CAST(length(ta) AS BIGINT) AS len_l,
+                   CAST(length(tb) AS BIGINT) AS len_r
+            FROM p
         """,
         # header-vs-detail reconciliation (stages/relational.py:
         # order_balance)

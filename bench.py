@@ -328,6 +328,7 @@ def main() -> None:
         "peak_load",
         "order_balance",
         "tv_distance",
+        "pair_divergence",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -722,3 +722,61 @@ def weighted_jaccard(pairs_ds, cfg: EngineConfig | None = None, *,
         )
 
     return pairs_ds.map_batches(score, batch_format="pandas")
+
+
+def pair_divergence(pairs_ds, cfg: EngineConfig | None = None, *,
+                    left_id: str = "left_id", right_id: str = "right_id",
+                    left_text: str = "left_text",
+                    right_text: str = "right_text"):
+    """Where do near-duplicates start to differ — the explain/debug
+    surface for dedup review queues: per pair the exact common-prefix
+    length in CODE POINTS plus both lengths, so "same except a suffix
+    edit" (lcp ≈ min len) separates from "different from the start"
+    (lcp ≈ 0) at a glance. Output (left_id, right_id, lcp:int64,
+    len_l:int64, len_r:int64).
+
+    Scale shape: a pure per-batch map; all pairs compare through ONE
+    padded uint32 code-point matrix (equality + running cummin), no
+    per-pair Python loop."""
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        la = df[left_text].astype(str).tolist()
+        lb = df[right_text].astype(str).tolist()
+        n = len(df)
+        len_l = np.fromiter((len(s) for s in la), np.int64, n)
+        len_r = np.fromiter((len(s) for s in lb), np.int64, n)
+        m = int(max(np.maximum(len_l, len_r).max(), 1)) if n else 1
+
+        def mat(strs, lens):
+            out = np.zeros((n, m), np.uint32)
+            for i, s in enumerate(strs):
+                out[i, : lens[i]] = np.frombuffer(
+                    s.encode("utf-32-le"), np.uint32
+                )
+            return out
+
+        if n == 0:
+            return pd.DataFrame(
+                {left_id: df[left_id], right_id: df[right_id],
+                 "lcp": pd.Series(dtype=np.int64),
+                 "len_l": pd.Series(dtype=np.int64),
+                 "len_r": pd.Series(dtype=np.int64)}
+            )
+        A, B = mat(la, len_l), mat(lb, len_r)
+        minlen = np.minimum(len_l, len_r)
+        eq = (A == B) & (
+            np.arange(m, dtype=np.int64)[None, :] < minlen[:, None]
+        )
+        # lcp = leading run of equal positions
+        lcp = np.minimum.accumulate(eq, axis=1).sum(axis=1)
+        return pd.DataFrame(
+            {
+                left_id: df[left_id].to_numpy(),
+                right_id: df[right_id].to_numpy(),
+                "lcp": lcp.astype(np.int64),
+                "len_l": len_l,
+                "len_r": len_r,
+            }
+        )
+
+    return pairs_ds.map_batches(score, batch_format="pandas")

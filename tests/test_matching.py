@@ -529,3 +529,25 @@ class TestWeightedJaccard:
         assert tuple(out.loc[1][["sum_min", "sum_max"]]) == (2, 2)
         # both empty -> dropped
         assert 2 not in out.index
+
+
+class TestPairDivergence:
+    def test_lcp_edges(self, ray_session):
+        from deepblocker_ray.stages.matching import pair_divergence
+
+        pairs = pd.DataFrame(
+            {
+                "left_id": [0, 1, 2, 3],
+                "right_id": [10, 11, 12, 13],
+                "left_text": ["hello world", "abc", "", "same"],
+                "right_text": ["hello there", "xyz", "nonempty", "same"],
+            }
+        )
+        out = pair_divergence(
+            rd.from_pandas(pairs).repartition(2),
+            EngineConfig(num_buckets=4),
+        ).to_pandas().set_index("left_id")
+        assert tuple(out.loc[0]) == (10, 6, 11, 11)   # "hello " shared
+        assert tuple(out.loc[1]) == (11, 0, 3, 3)
+        assert tuple(out.loc[2]) == (12, 0, 0, 8)
+        assert tuple(out.loc[3]) == (13, 4, 4, 4)
