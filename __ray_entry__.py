@@ -3390,6 +3390,14 @@ def q_pair_divergence(sf_dir: str):
     return pair_divergence(_adjacent_doc_pairs(sf_dir), _cfg())
 
 
+def q_token_affinity(sf_dir: str):
+    """Token ↔ language affinity sufficient statistics (chi-square/PMI
+    ingredients) for pairs co-occurring in ≥ 5 documents."""
+    from deepblocker_ray.stages.textstats import token_lang_affinity
+
+    return token_lang_affinity(_documents(sf_dir), _cfg(), min_count=5)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3624,6 +3632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_balance": q_order_balance,
         "tv_distance": q_tv_distance,
         "pair_divergence": q_pair_divergence,
+        "token_affinity": q_token_affinity,
     }
 
 
@@ -4487,6 +4496,32 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # token-class affinity (stages/textstats.py:token_lang_affinity)
+        "token_affinity": f"""
+            WITH t AS (
+                SELECT doc_id, lang, {tokens} AS tk FROM documents
+            ), e AS (
+                SELECT DISTINCT doc_id, lang, unnest(tk) AS tok
+                FROM t WHERE len(tk) > 0
+            ), pc AS (
+                SELECT tok, lang, CAST(count(*) AS BIGINT) AS n_both
+                FROM e GROUP BY 1, 2
+            ), tm AS (
+                SELECT tok, CAST(sum(n_both) AS BIGINT) AS n_tok
+                FROM pc GROUP BY tok
+            ), lm AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+                FROM documents GROUP BY lang
+            )
+            SELECT pc.tok AS token, pc.lang, pc.n_both, tm.n_tok,
+                   lm.n_lang,
+                   CAST((SELECT count(*) FROM documents) AS BIGINT)
+                       AS n_docs
+            FROM pc
+            JOIN tm ON tm.tok = pc.tok
+            JOIN lm ON lm.lang = pc.lang
+            WHERE pc.n_both >= 5
         """,
         # common-prefix divergence (stages/matching.py:pair_divergence):
         # prefix equality is monotone, so counting equal-prefix depths

@@ -329,6 +329,7 @@ def main() -> None:
         "order_balance",
         "tv_distance",
         "pair_divergence",
+        "token_affinity",
     ]
     for name in query_names:
         r = bench_query(q[name])

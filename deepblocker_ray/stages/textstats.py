@@ -1938,3 +1938,93 @@ def pair_lift(ds, cfg=None, *, text_col: str = "text",
     out = pairs.map_batches(attach, batch_format="pyarrow")
     out._lift_pin = (hashed, handle)
     return out
+
+
+def token_lang_affinity(ds, cfg=None, *, text_col: str = "text",
+                        lang_col: str = "lang", min_count: int = 5):
+    """Token ↔ metadata-class affinity sufficient statistics — the
+    chi-square / PMI ingredients for "which tokens mark which language
+    (or source, or label)": for every (token, class) pair with ≥
+    ``min_count`` co-documents, (token, lang, n_both, n_tok, n_lang,
+    n_docs) — document-level counts, all exact int64, the expected-count
+    formula n_tok·n_lang/N one division away.
+
+    Scale shape: map-side DISTINCT (token, class, doc) collapses to
+    per-batch (token, class) partials; ONE token-hash exchange folds
+    pair counts AND per-token marginals together (class marginals are
+    O(classes), folded driver-side)."""
+    from ..config import EngineConfig
+    from ..functions.tokenizer import tokenize_many
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    n_docs = ds.count()
+
+    # class marginals: tiny, fold driver-side
+    def lang_partial(t: pa.Table) -> pd.DataFrame:
+        c = t.column(lang_col).to_pandas().astype(str).value_counts()
+        return pd.DataFrame(
+            {"lang": c.index.to_numpy(object),
+             "n": c.to_numpy(np.int64)}
+        )
+
+    lang_counts = (
+        ds.map_batches(lang_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("lang")["n"]
+        .sum()
+        .to_dict()
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks = tokenize_many(t.column(text_col).to_pylist())
+        langs = t.column(lang_col).to_pandas().astype(str)
+        rows_t, rows_l = [], []
+        for i, x in enumerate(toks):
+            for tok in set(x):
+                rows_t.append(tok)
+                rows_l.append(langs.iloc[i])
+        df = (
+            pd.DataFrame({"token": rows_t, "lang": rows_l}, dtype=object)
+            .groupby(["token", "lang"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        df["_bucket"] = bucket_of(df["token"], nb)
+        return df
+
+    lc_items = sorted(lang_counts.items())
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        c = (
+            g.groupby(["token", "lang"], sort=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        tok_tot = c.groupby("token", sort=False)["n"].transform("sum")
+        c["n_tok"] = tok_tot.to_numpy(np.int64)
+        c = c[c["n"] >= min_count]
+        n_lang = np.fromiter(
+            (dict(lc_items)[l] for l in c["lang"]), np.int64, len(c)
+        )
+        return pa.table(
+            {
+                "token": pa.array(c["token"].to_numpy(object),
+                                  pa.string()),
+                "lang": pa.array(c["lang"].to_numpy(object),
+                                 pa.string()),
+                "n_both": pa.array(c["n"].to_numpy(np.int64)),
+                "n_tok": pa.array(c["n_tok"].to_numpy(np.int64)),
+                "n_lang": pa.array(n_lang),
+                "n_docs": pa.array(np.full(len(c), n_docs, np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -1784,3 +1784,34 @@ class TestOrderBalanceAndTv:
         # tv_num = sum over a-values c_a*n_b + b-values c_b*n_a
         #        = 2*3 + 3*2 = 12 -> TV = 12/(2*2*3) = 1
         assert tuple(out2.iloc[0]) == (2, 3, 12)
+
+
+class TestTokenLangAffinity:
+    def test_doc_level_counts_and_marginals(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.textstats import token_lang_affinity
+
+        docs = pd.DataFrame(
+            {
+                "text": ["a b", "a a b", "a", "b", "c"],
+                "lang": ["en", "en", "es", "es", "en"],
+            }
+        )
+        out = token_lang_affinity(
+            rd.from_pandas(docs).repartition(2),
+            EngineConfig(num_buckets=4), min_count=2,
+        ).to_pandas()
+        got = {
+            (r["token"], r["lang"]): (
+                r["n_both"], r["n_tok"], r["n_lang"], r["n_docs"]
+            )
+            for _, r in out.iterrows()
+        }
+        # a: en docs 2, es 1 (filtered <2); b: en 2, es 1 (filtered);
+        # n_tok counts docs across ALL langs = 3 for both
+        assert got == {
+            ("a", "en"): (2, 3, 3, 5),
+            ("b", "en"): (2, 3, 3, 5),
+        }
