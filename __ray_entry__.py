@@ -3398,6 +3398,30 @@ def q_token_affinity(sf_dir: str):
     return token_lang_affinity(_documents(sf_dir), _cfg(), min_count=5)
 
 
+def q_seq_gaps(sf_dir: str):
+    """Line-number sequence integrity of lineitem per order (rows =
+    distinct = max), one summary row."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.profile import sequence_gap_audit
+
+    return sequence_gap_audit(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber"],
+        ),
+        _cfg(),
+    )
+
+
+def q_embedding_audit(sf_dir: str):
+    """Vector-table health: counts + quantized norm² extremes over the
+    embeddings table."""
+    from deepblocker_ray.stages.profile import embedding_audit
+
+    return embedding_audit(_embeddings(sf_dir), _cfg())
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3633,6 +3657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tv_distance": q_tv_distance,
         "pair_divergence": q_pair_divergence,
         "token_affinity": q_token_affinity,
+        "seq_gaps": q_seq_gaps,
+        "embedding_audit": q_embedding_audit,
     }
 
 
@@ -4496,6 +4522,43 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # sequence integrity summary (stages/profile.py:
+        # sequence_gap_audit)
+        "seq_gaps": """
+            WITH g AS (
+                SELECT l_orderkey,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(count(DISTINCT l_linenumber) AS BIGINT) AS d,
+                       CAST(max(l_linenumber) AS BIGINT) AS mx
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(CASE WHEN n <> d OR n <> mx THEN 1 ELSE 0
+                            END) AS BIGINT) AS n_violating,
+                   CAST(sum(n) AS BIGINT) AS n_rows
+            FROM g
+        """,
+        # vector-table health (stages/profile.py:embedding_audit):
+        # quantized norm² per vector, same round-to-int convention as
+        # dim_stats
+        "embedding_audit": """
+            WITH q AS (
+                SELECT list_aggregate(
+                           list_transform(embedding, x ->
+                               CAST(round(CAST(x AS DOUBLE) * 10000)
+                                    AS BIGINT)
+                               * CAST(round(CAST(x AS DOUBLE) * 10000)
+                                      AS BIGINT)),
+                           'sum') AS norm2q
+                FROM embeddings
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(sum(CASE WHEN norm2q = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero,
+                   CAST(min(norm2q) AS BIGINT) AS min_norm2q,
+                   CAST(max(norm2q) AS BIGINT) AS max_norm2q
+            FROM q
         """,
         # token-class affinity (stages/textstats.py:token_lang_affinity)
         "token_affinity": f"""

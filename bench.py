@@ -330,6 +330,8 @@ def main() -> None:
         "tv_distance",
         "pair_divergence",
         "token_affinity",
+        "seq_gaps",
+        "embedding_audit",
     ]
     for name in query_names:
         r = bench_query(q[name])

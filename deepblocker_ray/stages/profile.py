@@ -936,3 +936,140 @@ def l_diversity(ds, cfg=None, *, qi_columns: list[str],
             }
         )
     )
+
+
+def sequence_gap_audit(ds, cfg=None, *, group_col: str = "l_orderkey",
+                       seq_col: str = "l_linenumber"):
+    """Per-group sequence-integrity audit — detail lines should number
+    1..n with no gaps or duplicates (the classic ERP invariant): ONE
+    summary row (n_groups:int64, n_violating:int64, n_rows:int64) where
+    a clean group has rows = distinct = max(seq). Summary form (not a
+    violation list) so a fully-clean corpus still emits a stable row.
+
+    Scale shape: map-side DISTINCT (group, seq) rows plus per-group
+    count markers ride ONE hash(group) exchange; per-bucket 3-number
+    partials fold driver-side."""
+    import ray.data as rd
+
+    from ..config import EngineConfig
+    from .canonicalize import bucket_of
+
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        g = np.asarray(t.column(group_col), np.int64)
+        s = np.asarray(t.column(seq_col), np.int64)
+        df = pd.DataFrame({"g": g, "s": s})
+        dist = df.drop_duplicates()
+        cnt = df.groupby("g", sort=False).size().rename("n").reset_index()
+        dist = dist.assign(n=np.zeros(len(dist), np.int64), kind=0)
+        cnt = cnt.assign(s=np.zeros(len(cnt), np.int64), kind=1)
+        out = pd.concat(
+            [dist[["g", "s", "n", "kind"]], cnt[["g", "s", "n", "kind"]]],
+            ignore_index=True,
+        )
+        out["_bucket"] = bucket_of(out["g"], nb)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g[g["kind"] == 1].groupby("g", sort=False)["n"].sum()
+        d = g[g["kind"] == 0].drop_duplicates(["g", "s"])
+        stats = d.groupby("g", sort=False)["s"].agg(["size", "max"])
+        m = stats.join(rows, how="inner")
+        bad = (m["n"] != m["size"]) | (m["n"] != m["max"])
+        return pd.DataFrame(
+            {
+                "n_groups": [int(len(m))],
+                "n_violating": [int(bad.sum())],
+                "n_rows": [int(m["n"].sum())],
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    s = parts.sum() if len(parts) else None
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_groups": pa.array(
+                    [int(s["n_groups"]) if s is not None else 0],
+                    pa.int64(),
+                ),
+                "n_violating": pa.array(
+                    [int(s["n_violating"]) if s is not None else 0],
+                    pa.int64(),
+                ),
+                "n_rows": pa.array(
+                    [int(s["n_rows"]) if s is not None else 0],
+                    pa.int64(),
+                ),
+            }
+        )
+    )
+
+
+def embedding_audit(ds, cfg=None, *, list_col: str = "embedding",
+                    quant: int = 10_000):
+    """Vector-table health in ONE row — the pre-flight check before any
+    ANN/blocking run: (n_vecs, n_zero = all-zero vectors after 1e4
+    quantization, min_norm2q, max_norm2q) where norm2q = Σ round(x·q)²
+    per vector (the dim_stats integer-quantization convention, exact in
+    int64 for unit-scale embeddings).
+
+    Scale shape: pure map-side partials (4 numbers per batch), folded
+    driver-side."""
+    import ray.data as rd
+
+    from ..config import EngineConfig
+
+    cfg = cfg or EngineConfig()
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        col = t.column(list_col)
+        arr = col.combine_chunks()
+        flat = np.asarray(arr.flatten(), np.float64)
+        n = len(t)
+        dim = len(flat) // max(n, 1)
+        q = np.rint(flat * quant).astype(np.int64).reshape(n, dim)
+        norm2 = (q * q).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "n": [n],
+                "nz": [int((norm2 == 0).sum())],
+                "mn": [int(norm2.min()) if n else 0],
+                "mx": [int(norm2.max()) if n else 0],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0 or parts["n"].sum() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_vecs": pa.array([0], pa.int64()),
+                    "n_zero": pa.array([0], pa.int64()),
+                    "min_norm2q": pa.array([0], pa.int64()),
+                    "max_norm2q": pa.array([0], pa.int64()),
+                }
+            )
+        )
+    nz_rows = parts[parts["n"] > 0]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_vecs": pa.array([int(parts["n"].sum())], pa.int64()),
+                "n_zero": pa.array([int(parts["nz"].sum())], pa.int64()),
+                "min_norm2q": pa.array(
+                    [int(nz_rows["mn"].min())], pa.int64()
+                ),
+                "max_norm2q": pa.array(
+                    [int(nz_rows["mx"].max())], pa.int64()
+                ),
+            }
+        )
+    )

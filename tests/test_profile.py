@@ -1815,3 +1815,47 @@ class TestTokenLangAffinity:
             ("a", "en"): (2, 3, 3, 5),
             ("b", "en"): (2, 3, 3, 5),
         }
+
+
+class TestSequenceAndEmbeddingAudits:
+    def test_seq_gap_summary(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.profile import sequence_gap_audit
+
+        df = pd.DataFrame(
+            {
+                "g": np.array([1, 1, 1, 2, 2, 3, 3, 4], np.int64),
+                "s": np.array([1, 2, 3, 1, 3, 1, 1, 2], np.int64),
+                # g1 clean; g2 gap (max 3, n 2); g3 dup; g4 starts at 2
+            }
+        )
+        out = sequence_gap_audit(
+            rd.from_pandas(df).repartition(3),
+            EngineConfig(num_buckets=4),
+            group_col="g", seq_col="s",
+        ).to_pandas()
+        assert tuple(out.iloc[0]) == (4, 3, 8)
+
+    def test_embedding_audit_zero_vec(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.profile import embedding_audit
+
+        df = pd.DataFrame(
+            {
+                "embedding": [
+                    [1.0, 0.0],
+                    [0.0, 0.0],
+                    [0.5, -0.5],
+                ]
+            }
+        )
+        out = embedding_audit(
+            rd.from_pandas(df).repartition(2),
+            EngineConfig(num_buckets=4),
+        ).to_pandas()
+        # norms: 1e8, 0, 2*25e6 = 5e7
+        assert tuple(out.iloc[0]) == (3, 1, 0, 100_000_000)
