@@ -3422,6 +3422,17 @@ def q_embedding_audit(sf_dir: str):
     return embedding_audit(_embeddings(sf_dir), _cfg())
 
 
+def q_reshard_delta(sf_dir: str):
+    """Reshard movement audit: documents moving when the HRW ring grows
+    16 → 17 shards, per destination shard plus a (-1, total) row."""
+    from deepblocker_ray.stages.shuffle import reshard_delta
+
+    return reshard_delta(
+        _documents(sf_dir).select_columns(["doc_id"]), _cfg(),
+        n_from=16, n_to=17,
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3659,6 +3670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_affinity": q_token_affinity,
         "seq_gaps": q_seq_gaps,
         "embedding_audit": q_embedding_audit,
+        "reshard_delta": q_reshard_delta,
     }
 
 
@@ -4522,6 +4534,43 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # HRW reshard movement (stages/shuffle.py:reshard_delta):
+        # winners under 16 vs 17 shards, moved keys by destination
+        "reshard_delta": """
+            WITH p AS (
+                SELECT d.doc_id, s.s AS shard,
+                       CAST(md5_number_lower(
+                           CAST(d.doc_id AS VARCHAR) || '#'
+                           || CAST(s.s AS VARCHAR)) // 2 AS BIGINT)
+                           AS priority
+                FROM documents d,
+                     (SELECT unnest(generate_series(0, 16)) AS s) s
+            ), w16 AS (
+                SELECT doc_id, shard FROM (
+                    SELECT doc_id, shard, row_number() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY priority DESC, shard) AS rn
+                    FROM p WHERE shard < 16)
+                WHERE rn = 1
+            ), w17 AS (
+                SELECT doc_id, shard FROM (
+                    SELECT doc_id, shard, row_number() OVER (
+                        PARTITION BY doc_id
+                        ORDER BY priority DESC, shard) AS rn
+                    FROM p)
+                WHERE rn = 1
+            ), moved AS (
+                SELECT w17.shard, CAST(count(*) AS BIGINT) AS n
+                FROM w16 JOIN w17 ON w17.doc_id = w16.doc_id
+                WHERE w16.shard <> w17.shard
+                GROUP BY w17.shard
+            )
+            SELECT CAST(-1 AS INTEGER) AS shard,
+                   CAST(COALESCE(sum(n), 0) AS BIGINT) AS n_moved
+            FROM moved
+            UNION ALL
+            SELECT CAST(shard AS INTEGER), n FROM moved
         """,
         # sequence integrity summary (stages/profile.py:
         # sequence_gap_audit)

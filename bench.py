@@ -332,6 +332,7 @@ def main() -> None:
         "token_affinity",
         "seq_gaps",
         "embedding_audit",
+        "reshard_delta",
     ]
     for name in query_names:
         r = bench_query(q[name])

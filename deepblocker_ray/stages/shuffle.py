@@ -159,3 +159,82 @@ def rendezvous_assign(ds, cfg=None, *, id_col: str = "doc_id",
         )
 
     return ds.map_batches(assign, batch_format="pandas")
+
+
+def reshard_delta(ds, cfg=None, *, id_col: str = "doc_id",
+                  n_from: int = 16, n_to: int = 17):
+    """Reshard movement audit — the number consistent hashing exists to
+    minimize: per NEW shard, how many records it gains when the
+    rendezvous ring grows n_from → n_to (HRW's defining property is
+    that ONLY keys whose argmax becomes one of the new shards move —
+    expected moved fraction (n_to−n_from)/n_to). Emits one row per
+    destination shard of moved keys plus a (-1, total) row:
+    (shard:int32, n_moved:int64).
+
+    Scale shape: pure map-side — both assignments are n_to vectorized
+    hash passes per batch, moved-count partials are O(shards), tiny
+    driver fold."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from ..config import EngineConfig
+    from .dedup import hash64_strs
+
+    cfg = cfg or EngineConfig()
+    if not (0 < n_from < n_to):
+        raise ValueError(f"need 0 < n_from < n_to, got {n_from}/{n_to}")
+
+    def assign(ids: np.ndarray, n: int) -> np.ndarray:
+        best = np.full(len(ids), -1, np.int64)
+        best_p = np.full(len(ids), -1, np.int64)
+        for s in range(n):
+            p = (
+                hash64_strs(
+                    np.asarray([f"{i}#{s}" for i in ids], object)
+                )
+                >> np.uint64(1)
+            ).astype(np.int64)
+            win = p > best_p
+            best[win] = s
+            best_p[win] = p[win]
+        return best
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ids = t.column(id_col).to_pandas().astype(str).to_numpy(object)
+        a = assign(ids, n_from)
+        b = assign(ids, n_to)
+        moved = b[a != b]
+        c = pd.Series(moved).value_counts()
+        return pd.DataFrame(
+            {
+                "shard": c.index.to_numpy(np.int64),
+                "n_moved": c.to_numpy(np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("shard")["n_moved"]
+        .sum()
+        .sort_index()
+    )
+    shards = parts.index.to_numpy(np.int64)
+    counts = parts.to_numpy(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "shard": pa.array(
+                    np.concatenate(([np.int64(-1)], shards)).astype(
+                        np.int32
+                    )
+                ),
+                "n_moved": pa.array(
+                    np.concatenate(([counts.sum()], counts)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+    )

@@ -169,3 +169,31 @@ class TestRendezvous:
         counts = collections.Counter(a.values())
         assert set(counts) == set(range(8))   # every shard used
         assert max(counts.values()) < 3 * (400 // 8)
+
+
+class TestReshardDelta:
+    def test_only_new_shard_gains_and_fraction(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.shuffle import (
+            rendezvous_assign,
+            reshard_delta,
+        )
+
+        docs = pd.DataFrame({"doc_id": np.arange(600, dtype=np.int64)})
+        out = reshard_delta(
+            rd.from_pandas(docs).repartition(3),
+            EngineConfig(num_buckets=4), n_from=8, n_to=9,
+        ).to_pandas().set_index("shard")
+        # HRW property: ONLY the new shard gains
+        assert set(out.index) <= {-1, 8}
+        total = int(out.loc[-1, "n_moved"])
+        assert total == int(out.loc[8, "n_moved"])
+        # expected moved fraction 1/9 of 600 ≈ 67; loose band
+        assert 30 <= total <= 120
+        # consistency with rendezvous_assign at n_to
+        a9 = rendezvous_assign(
+            rd.from_pandas(docs), EngineConfig(num_buckets=4), n_shards=9
+        ).to_pandas()
+        assert total == int((a9["shard"] == 8).sum())
