@@ -3433,6 +3433,16 @@ def q_reshard_delta(sf_dir: str):
     )
 
 
+def q_trend_tau(sf_dir: str):
+    """Per-type Kendall concordance counts of value vs time (monotone
+    trend strength, outlier-robust)."""
+    from deepblocker_ray.stages.events import trend_concordance
+
+    return trend_concordance(
+        _events(sf_dir, columns=["ts", "event_type", "value"]), _cfg()
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: full transcript linkage."""
     return q_linkage_full("/root/testdata/sf0.001")
@@ -3671,6 +3681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_gaps": q_seq_gaps,
         "embedding_audit": q_embedding_audit,
         "reshard_delta": q_reshard_delta,
+        "trend_tau": q_trend_tau,
     }
 
 
@@ -4534,6 +4545,37 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(max(d.nd), 0) AS n_disc
             FROM shared s LEFT JOIN d ON d.query_id = s.query_id
             GROUP BY s.query_id
+        """,
+        # Kendall concordance counts (stages/events.py:trend_concordance)
+        "trend_tau": """
+            WITH b AS (
+                SELECT event_type AS g,
+                       epoch_us(ts) // 3600000000 AS t,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events
+            ), cells AS (
+                SELECT g, t, v, CAST(count(*) AS BIGINT) AS c
+                FROM b GROUP BY 1, 2, 3
+            ), tot AS (
+                SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cells
+                GROUP BY g
+            ), conc AS (
+                SELECT a.g, CAST(sum(a.c * x.c) AS BIGINT) AS nc
+                FROM cells a JOIN cells x
+                  ON x.g = a.g AND x.t > a.t AND x.v > a.v
+                GROUP BY a.g
+            ), disc AS (
+                SELECT a.g, CAST(sum(a.c * x.c) AS BIGINT) AS nd
+                FROM cells a JOIN cells x
+                  ON x.g = a.g AND x.t > a.t AND x.v < a.v
+                GROUP BY a.g
+            )
+            SELECT t.g AS event_type, t.n,
+                   COALESCE(c.nc, 0) AS n_conc,
+                   COALESCE(d.nd, 0) AS n_disc
+            FROM tot t
+            LEFT JOIN conc c ON c.g = t.g
+            LEFT JOIN disc d ON d.g = t.g
         """,
         # HRW reshard movement (stages/shuffle.py:reshard_delta):
         # winners under 16 vs 17 shards, moved keys by destination

@@ -333,6 +333,7 @@ def main() -> None:
         "seq_gaps",
         "embedding_audit",
         "reshard_delta",
+        "trend_tau",
     ]
     for name in query_names:
         r = bench_query(q[name])

@@ -3310,3 +3310,92 @@ def peak_load(ds, cfg: EngineConfig | None = None):
             }
         )
     )
+
+
+def trend_concordance(ds, cfg: EngineConfig | None = None):
+    """Exact Kendall concordance counts per event type — the monotone-
+    trend strength the OLS slope can't certify (a single outlier flips a
+    slope; concordant-vs-discordant pair counts don't): over points
+    (t = epoch-hour, v = cents),
+
+        (event_type, n:int64, n_conc:int64 = pairs with t AND v both
+         strictly greater, n_disc:int64 = t greater, v smaller)
+
+    — τ-b's tie corrections come from the existing rank machinery;
+    these two counts are the hard part, exact by sweeping the distinct
+    (t, v) CELL histogram in t order with a cumulative value histogram
+    (O(distinct_t · distinct_v) vector work, never O(n²) rows; pair
+    counts accumulate in Python ints, output bounded by n² < 2⁶³).
+
+    Scale shape: per-batch cell-count partials (bounded by distinct
+    (t, v) combos), ONE hash(type) exchange, per type the t-sweep."""
+    cfg = cfg or EngineConfig()
+    nb = cfg.num_buckets
+
+    from .canonicalize import bucket_of
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ty = t.column("event_type").to_pandas().astype(str)
+        hours = (
+            np.asarray(
+                t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            )
+            // 3_600_000_000
+        )
+        cents = _cents(np.asarray(t.column("value"), np.float64))
+        df = (
+            pd.DataFrame({"g": ty.to_numpy(object), "t": hours,
+                          "v": cents})
+            .groupby(["g", "t", "v"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        df["_bucket"] = bucket_of(df["g"], nb)
+        return df
+
+    def fold(grp: pd.DataFrame) -> pa.Table:
+        out_g, out_n, out_c, out_d = [], [], [], []
+        for g, gdf in grp.groupby("g", sort=False):
+            cells = (
+                gdf.groupby(["t", "v"], sort=False)["c"].sum().reset_index()
+            )
+            vs = np.unique(cells["v"].to_numpy(np.int64))
+            cum = np.zeros(len(vs), dtype=object)
+            n_conc, n_disc = 0, 0
+            cells = cells.sort_values(["t", "v"], kind="mergesort")
+            tvals = cells["t"].to_numpy(np.int64)
+            carr = cells["c"].to_numpy(np.int64)
+            vidx = np.searchsorted(vs, cells["v"].to_numpy(np.int64))
+            starts = np.nonzero(
+                np.concatenate(([True], tvals[1:] != tvals[:-1]))
+            )[0]
+            ends = np.concatenate((starts[1:], [len(cells)]))
+            for s, e in zip(starts, ends):
+                vi = vidx[s:e]
+                cc = carr[s:e]
+                # prefix sums of the cumulative value histogram
+                pref = np.concatenate(([0], np.cumsum(cum)))
+                below = pref[vi]            # strictly smaller v
+                above = pref[-1] - pref[vi + 1]
+                n_conc += int((cc * below).sum())
+                n_disc += int((cc * above).sum())
+                np.add.at(cum, vi, cc)
+            out_g.append(g)
+            out_n.append(int(carr.sum()))
+            out_c.append(n_conc)
+            out_d.append(n_disc)
+        return pa.table(
+            {
+                "event_type": pa.array(out_g, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "n_conc": pa.array(out_c, pa.int64()),
+                "n_disc": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -2271,3 +2271,53 @@ class TestTypeTrigramsAndPeakLoad:
         t0 = base.value // 10**3
         assert out.iloc[0]["peak"] == 3
         assert out.iloc[0]["at_us"] == t0 + 12_000_000
+
+
+class TestTrendConcordance:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.events import trend_concordance
+
+        r = np.random.RandomState(11)
+        n = 300
+        ev = pd.DataFrame(
+            {
+                "event_type": r.choice(["up", "noise"], n),
+                "ts": pd.to_datetime("2026-01-01")
+                + pd.to_timedelta(r.randint(0, 72, n), unit="h"),
+                "value": np.round(r.uniform(1, 50, n), 2),
+            }
+        )
+        up = ev.event_type == "up"
+        # make 'up' trend with time (value follows hour + noise)
+        hours = (ev["ts"] - ev["ts"].min()).dt.total_seconds() / 3600
+        ev.loc[up, "value"] = np.round(hours[up] * 0.5 + 1, 2)
+        out = (
+            trend_concordance(
+                rd.from_pandas(ev).repartition(3),
+                EngineConfig(num_buckets=4),
+            )
+            .to_pandas()
+            .set_index("event_type")
+        )
+        for g, gdf in ev.groupby("event_type"):
+            t = (
+                gdf["ts"].astype("datetime64[us]").astype(np.int64)
+                // 3_600_000_000
+            ).to_numpy()
+            v = np.rint(gdf["value"].to_numpy() * 100).astype(np.int64)
+            nc = nd = 0
+            for i in range(len(t)):
+                for j in range(len(t)):
+                    if t[j] > t[i] and v[j] > v[i]:
+                        nc += 1
+                    elif t[j] > t[i] and v[j] < v[i]:
+                        nd += 1
+            row = out.loc[g]
+            assert row["n"] == len(gdf)
+            assert row["n_conc"] == nc
+            assert row["n_disc"] == nd
+        # the planted trend is near-perfectly concordant
+        assert out.loc["up", "n_conc"] > 20 * max(out.loc["up", "n_disc"], 1)
