@@ -2991,8 +2991,6 @@ def cluster_medoid(labeled, docs, cfg=None, *, id_col: str = "doc_id",
     scores them (distances scatter-add to both endpoints). Work is
     Σ C(cluster_size, 2) — bounded because dedup clusters are verified
     near-duplicates, not arbitrary groups."""
-    import ray.data as rd
-
     from ..functions.textsim import levenshtein_batch
     from .canonicalize import bucket_of
 

@@ -2876,7 +2876,12 @@ def autocorr_counts(ds, cfg: EngineConfig | None = None, *,
             (
                 int(lag),
                 int(hit.sum()),
-                int((cnt[hit] * cnt[pos_c[hit]]).sum()),
+                # Python-int products: day counts at corpus scale make
+                # the int64 product sum wrap (trend_concordance rule)
+                sum(
+                    int(a) * int(b)
+                    for a, b in zip(cnt[hit], cnt[pos_c[hit]])
+                ),
             )
         )
     return rd.from_arrow(

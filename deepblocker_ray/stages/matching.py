@@ -735,9 +735,11 @@ def pair_divergence(pairs_ds, cfg: EngineConfig | None = None, *,
     (lcp ≈ 0) at a glance. Output (left_id, right_id, lcp:int64,
     len_l:int64, len_r:int64).
 
-    Scale shape: a pure per-batch map; all pairs compare through ONE
-    padded uint32 code-point matrix (equality + running cummin), no
-    per-pair Python loop."""
+    Scale shape: a pure per-batch map; pairs compare through padded
+    uint32 code-point matrices processed in FIXED-WIDTH position chunks
+    (memory bounded by batch × chunk regardless of one long outlier
+    text), pairs dropping out as soon as they diverge."""
+    CHUNK = 2048
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         la = df[left_text].astype(str).tolist()
@@ -745,15 +747,6 @@ def pair_divergence(pairs_ds, cfg: EngineConfig | None = None, *,
         n = len(df)
         len_l = np.fromiter((len(s) for s in la), np.int64, n)
         len_r = np.fromiter((len(s) for s in lb), np.int64, n)
-        m = int(max(np.maximum(len_l, len_r).max(), 1)) if n else 1
-
-        def mat(strs, lens):
-            out = np.zeros((n, m), np.uint32)
-            for i, s in enumerate(strs):
-                out[i, : lens[i]] = np.frombuffer(
-                    s.encode("utf-32-le"), np.uint32
-                )
-            return out
 
         if n == 0:
             return pd.DataFrame(
@@ -762,13 +755,38 @@ def pair_divergence(pairs_ds, cfg: EngineConfig | None = None, *,
                  "len_l": pd.Series(dtype=np.int64),
                  "len_r": pd.Series(dtype=np.int64)}
             )
-        A, B = mat(la, len_l), mat(lb, len_r)
         minlen = np.minimum(len_l, len_r)
-        eq = (A == B) & (
-            np.arange(m, dtype=np.int64)[None, :] < minlen[:, None]
-        )
-        # lcp = leading run of equal positions
-        lcp = np.minimum.accumulate(eq, axis=1).sum(axis=1)
+        lcp = np.zeros(n, np.int64)
+        active = minlen > 0
+        start = 0
+        while active.any():
+            idx = np.nonzero(active)[0]
+            width = min(CHUNK, int(minlen[idx].max()) - start)
+            A = np.zeros((len(idx), width), np.uint32)
+            B = np.zeros((len(idx), width), np.uint32)
+            for k, i in enumerate(idx):
+                end = min(start + width, int(minlen[i]))
+                if end > start:
+                    A[k, : end - start] = np.frombuffer(
+                        la[i].encode("utf-32-le"), np.uint32
+                    )[start:end]
+                    B[k, : end - start] = np.frombuffer(
+                        lb[i].encode("utf-32-le"), np.uint32
+                    )[start:end]
+            inb = (
+                np.arange(start, start + width, dtype=np.int64)[None, :]
+                < minlen[idx][:, None]
+            )
+            eq = (A == B) & inb
+            run = np.minimum.accumulate(eq, axis=1).sum(axis=1)
+            lcp[idx] += run
+            # a pair stays active only if its whole chunk matched AND
+            # it still has characters left
+            full = run == np.minimum(width, minlen[idx] - start)
+            start += width
+            nxt = np.zeros(n, bool)
+            nxt[idx[full & (minlen[idx] > start)]] = True
+            active = nxt
         return pd.DataFrame(
             {
                 left_id: df[left_id].to_numpy(),

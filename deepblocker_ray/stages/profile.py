@@ -880,10 +880,18 @@ def l_diversity(ds, cfg=None, *, qi_columns: list[str],
         df = pd.DataFrame({"tup": key, "s": sens})
         rows = df.groupby("tup", sort=False).size().rename("cnt")
         dist = df.drop_duplicates()
-        out = dist.assign(cnt=np.zeros(len(dist), np.int64))
-        marker = rows.reset_index().assign(s="\x00rows")
+        # out-of-band kind column (the sequence_gap_audit pattern) —
+        # an in-band sentinel sensitive value could collide with data
+        out = dist.assign(
+            cnt=np.zeros(len(dist), np.int64),
+            kind=np.zeros(len(dist), np.int8),
+        )
+        marker = rows.reset_index().assign(
+            s="", kind=np.int8(1)
+        )
         all_rows = pd.concat(
-            [out[["tup", "s", "cnt"]], marker[["tup", "s", "cnt"]]],
+            [out[["tup", "s", "cnt", "kind"]],
+             marker[["tup", "s", "cnt", "kind"]]],
             ignore_index=True,
         )
         codes, uniq = pd.factorize(all_rows["tup"], sort=False)
@@ -893,10 +901,10 @@ def l_diversity(ds, cfg=None, *, qi_columns: list[str],
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         rows_per = (
-            g[g["s"] == "\x00rows"].groupby("tup", sort=False)["cnt"].sum()
+            g[g["kind"] == 1].groupby("tup", sort=False)["cnt"].sum()
         )
         nsens = (
-            g[g["s"] != "\x00rows"]
+            g[g["kind"] == 0]
             .drop_duplicates(["tup", "s"])
             .groupby("tup", sort=False)
             .size()
@@ -1032,17 +1040,36 @@ def embedding_audit(ds, cfg=None, *, list_col: str = "embedding",
     def partial(t: pa.Table) -> pd.DataFrame:
         col = t.column(list_col)
         arr = col.combine_chunks()
-        flat = np.asarray(arr.flatten(), np.float64)
         n = len(t)
-        dim = len(flat) // max(n, 1)
-        q = np.rint(flat * quant).astype(np.int64).reshape(n, dim)
-        norm2 = (q * q).sum(axis=1)
+        # offsets-based per-vector sums: correct for RAGGED lists (the
+        # very defect this audit exists to catch) and NULL rows (which
+        # the SQL twin scores as NULL — counted in n_vecs, excluded
+        # from n_zero/min/max)
+        if isinstance(arr, pa.FixedSizeListArray):
+            sz = arr.type.list_size
+            offs = (
+                np.arange(n + 1, dtype=np.int64) + arr.offset
+            ) * sz
+        else:
+            offs = np.asarray(arr.offsets, np.int64)
+        valid = np.asarray(
+            arr.is_valid(), bool
+        ) if arr.null_count else np.ones(n, bool)
+        flat = np.asarray(arr.values, np.float64) if len(arr.values) \
+            else np.zeros(0, np.float64)
+        q = np.rint(flat * quant).astype(np.int64)
+        sq = q * q
+        csum = np.concatenate(([0], np.cumsum(sq)))
+        norm2 = csum[offs[1:]] - csum[offs[:-1]]
+        norm2 = norm2[valid]
+        nv = len(norm2)
         return pd.DataFrame(
             {
                 "n": [n],
                 "nz": [int((norm2 == 0).sum())],
-                "mn": [int(norm2.min()) if n else 0],
-                "mx": [int(norm2.max()) if n else 0],
+                "mn": [int(norm2.min()) if nv else 0],
+                "mx": [int(norm2.max()) if nv else 0],
+                "has": [int(nv > 0)],
             }
         )
 
@@ -1058,17 +1085,20 @@ def embedding_audit(ds, cfg=None, *, list_col: str = "embedding",
                 }
             )
         )
-    nz_rows = parts[parts["n"] > 0]
+    nz_rows = parts[parts["has"] > 0]
+    any_valid = len(nz_rows) > 0
     return rd.from_arrow(
         pa.table(
             {
                 "n_vecs": pa.array([int(parts["n"].sum())], pa.int64()),
                 "n_zero": pa.array([int(parts["nz"].sum())], pa.int64()),
                 "min_norm2q": pa.array(
-                    [int(nz_rows["mn"].min())], pa.int64()
+                    [int(nz_rows["mn"].min()) if any_valid else 0],
+                    pa.int64(),
                 ),
                 "max_norm2q": pa.array(
-                    [int(nz_rows["mx"].max())], pa.int64()
+                    [int(nz_rows["mx"].max()) if any_valid else 0],
+                    pa.int64(),
                 ),
             }
         )

@@ -2154,8 +2154,14 @@ def join_skew(left_ds, right_ds, cfg: EngineConfig, *,
         )
         s["n_left"] = s[0].astype(np.int64)
         s["n_right"] = s[1].astype(np.int64)
-        s["contribution"] = s["n_left"] * s["n_right"]
-        s = s[s["contribution"] > 0]
+        # products in PYTHON ints: a hot key at corpus scale overflows
+        # int64 (the tv_distance/group_regression overflow rule); the
+        # final int64 output cast then fails LOUDLY instead of wrapping
+        s["contribution"] = [
+            int(a) * int(b)
+            for a, b in zip(s["n_left"], s["n_right"])
+        ]
+        s = s[[c > 0 for c in s["contribution"]]]
         return topk_frame(
             s[["key", "n_left", "n_right", "contribution"]]
         )

@@ -185,26 +185,28 @@ def reshard_delta(ds, cfg=None, *, id_col: str = "doc_id",
     if not (0 < n_from < n_to):
         raise ValueError(f"need 0 < n_from < n_to, got {n_from}/{n_to}")
 
-    def assign(ids: np.ndarray, n: int) -> np.ndarray:
-        best = np.full(len(ids), -1, np.int64)
-        best_p = np.full(len(ids), -1, np.int64)
-        for s in range(n):
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ids = t.column(id_col).to_pandas().astype(str)
+        # ONE priority pass over all n_to shards (vectorized string
+        # concat, the rendezvous_assign convention); both winners derive
+        # from the same matrix — no duplicated hashing
+        best_a = np.full(len(ids), -1, np.int64)
+        pa_best = np.full(len(ids), -1, np.int64)
+        best_b = np.full(len(ids), -1, np.int64)
+        pb_best = np.full(len(ids), -1, np.int64)
+        for s in range(n_to):
             p = (
-                hash64_strs(
-                    np.asarray([f"{i}#{s}" for i in ids], object)
-                )
+                hash64_strs((ids + f"#{s}").to_numpy(object))
                 >> np.uint64(1)
             ).astype(np.int64)
-            win = p > best_p
-            best[win] = s
-            best_p[win] = p[win]
-        return best
-
-    def partial(t: pa.Table) -> pd.DataFrame:
-        ids = t.column(id_col).to_pandas().astype(str).to_numpy(object)
-        a = assign(ids, n_from)
-        b = assign(ids, n_to)
-        moved = b[a != b]
+            win_b = p > pb_best
+            best_b[win_b] = s
+            pb_best[win_b] = p[win_b]
+            if s < n_from:
+                win_a = p > pa_best
+                best_a[win_a] = s
+                pa_best[win_a] = p[win_a]
+        moved = best_b[best_a != best_b]
         c = pd.Series(moved).value_counts()
         return pd.DataFrame(
             {

@@ -2007,8 +2007,9 @@ def token_lang_affinity(ds, cfg=None, *, text_col: str = "text",
         tok_tot = c.groupby("token", sort=False)["n"].transform("sum")
         c["n_tok"] = tok_tot.to_numpy(np.int64)
         c = c[c["n"] >= min_count]
+        lut = dict(lc_items)
         n_lang = np.fromiter(
-            (dict(lc_items)[l] for l in c["lang"]), np.int64, len(c)
+            (lut[l] for l in c["lang"]), np.int64, len(c)
         )
         return pa.table(
             {
