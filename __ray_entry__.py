@@ -3856,19 +3856,24 @@ def oracle_sql() -> dict[str, str]:
     # ≤ 3); minhash r=4/b=32 misses a J=0.9 pair w.p. ~1e-15; anchor blocking
     # shares a smallest-hash gram w.h.p. — both verified empirically against
     # these twins on the driver tables.
-    # NOTE: the engine shingles UTF-8 BYTES (dedup._shingle_hashes_batch;
-    # short-doc rule is byte length < k) while substr/length below are
-    # CHARACTER-based — identical only on ASCII corpora, which the driver
-    # tables are (verified: 0 non-ASCII docs at every sf). A non-ASCII twin
-    # would need encode(text) + byte-window substrings.
+    # BYTE-exact twin: the engine shingles UTF-8 BYTES
+    # (dedup._shingle_hashes_batch; short-doc rule is byte length < k), so
+    # the twin windows hex(encode(text)) — 2 hex chars per byte, an
+    # injective byte-window representation — making the Jaccard sets match
+    # on non-ASCII corpora too (pinned by test_oracle_parity's non-ASCII
+    # fixture), not just the ASCII driver tables.
     minhash_pairs = """
-        WITH sh AS (
-            SELECT doc_id,
-                   list_distinct(CASE WHEN length(text) < 8 THEN [text]
-                        ELSE [substr(text, x, 8)
-                              for x in generate_series(1, length(text) - 7)]
-                        END) AS s
+        WITH hx AS (
+            SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+                   octet_length(encode(coalesce(text, ''))) AS bl
             FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct(CASE WHEN bl < 8 THEN [h]
+                        ELSE [substr(h, 2*x - 1, 16)
+                              for x in generate_series(1, bl - 7)]
+                        END) AS s
+            FROM hx
         )
         SELECT CAST(a.doc_id AS VARCHAR) AS left_id,
                CAST(b.doc_id AS VARCHAR) AS right_id
@@ -5130,15 +5135,18 @@ def oracle_sql() -> dict[str, str]:
         # global worst-offender duplication pairs (stages/dedup.py:
         # top_shared_pairs): discriminative grams only, 2 <= df <= 50
         "top_shared_pairs": """
-            WITH sh AS (
+            WITH hx AS (
+                SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+                       octet_length(encode(coalesce(text, ''))) AS bl
+                FROM documents
+            ), sh AS (
                 SELECT doc_id,
                        unnest(list_distinct(
-                           CASE WHEN length(text) < 8 THEN [text]
-                                ELSE [substr(text, x, 8)
-                                      for x in generate_series(
-                                          1, length(text) - 7)]
+                           CASE WHEN bl < 8 THEN [h]
+                                ELSE [substr(h, 2*x - 1, 16)
+                                      for x in generate_series(1, bl - 7)]
                            END)) AS g
-                FROM documents
+                FROM hx
             ), df AS (
                 SELECT g, count(*) AS d FROM sh GROUP BY g
             ), p AS (
@@ -5237,17 +5245,20 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY user_id
         """,
         # per-doc gram novelty (stages/dedup.py:gram_novelty): the
-        # minhash shingle convention (char-based twin; ASCII note applies)
+        # minhash shingle convention (byte-exact hex-window twin)
         "novelty": """
-            WITH sh AS (
+            WITH hx AS (
+                SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+                       octet_length(encode(coalesce(text, ''))) AS bl
+                FROM documents
+            ), sh AS (
                 SELECT doc_id,
                        unnest(list_distinct(
-                           CASE WHEN length(text) < 8 THEN [text]
-                                ELSE [substr(text, x, 8)
-                                      for x in generate_series(
-                                          1, length(text) - 7)]
+                           CASE WHEN bl < 8 THEN [h]
+                                ELSE [substr(h, 2*x - 1, 16)
+                                      for x in generate_series(1, bl - 7)]
                            END)) AS g
-                FROM documents
+                FROM hx
             ), df AS (
                 SELECT g, count(*) AS d FROM sh GROUP BY g
             )
@@ -6062,17 +6073,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT ev.event_id, ev.cents, b.band
             FROM ev JOIN bands b ON ev.cents >= b.lo AND ev.cents < b.hi
         """,
-        # span-dedup twin compares the strided window SUBSTRINGS themselves
-        # (the engine exchanges 64-bit polynomial hashes — collision odds
-        # ~n²/2⁻⁶⁴; byte-vs-character windows coincide on the ASCII driver
-        # corpora, same documented assumption as the minhash twin)
+        # span-dedup twin compares the strided BYTE windows themselves via
+        # hex(encode(text)) — 2 hex chars per byte, matching the engine's
+        # byte-strided windows exactly on non-ASCII too (the engine
+        # exchanges 64-bit polynomial hashes — collision odds ~n²·2⁻⁶⁴)
         "duplicate_spans": """
             WITH w AS (
-                SELECT doc_id, substr(text, x, 32) AS g
-                FROM (SELECT doc_id, coalesce(text, '') AS text,
+                SELECT doc_id, substr(h, 2*x - 1, 64) AS g
+                FROM (SELECT doc_id,
+                             hex(encode(coalesce(text, ''))) AS h,
                              unnest(generate_series(
-                                 1, length(coalesce(text, '')) - 31, 16))
-                                 AS x
+                                 1,
+                                 octet_length(encode(coalesce(text, '')))
+                                     - 31,
+                                 16)) AS x
                       FROM documents)
             ),
             tot AS (SELECT g, count(*) AS c FROM w GROUP BY g),

@@ -1311,13 +1311,21 @@ def degree_assortativity(pairs, cfg=None):
             np.int64
         )
         x = g["x"].to_numpy(np.int64)
+        # Per-bucket product sums in Python ints: hub degrees ~1e5 make
+        # x*y ~1e10 per edge, which wraps an int64 accumulator over a large
+        # bucket before the Python-int final fold ever sees it. The exact
+        # sums are split hi/lo at 2**62 for int64-safe Arrow transport.
+        sxy = sum(int(a) * int(b) for a, b in zip(x.tolist(), y.tolist()))
+        sxx = sum(int(a) * int(a) for a in x.tolist())
         return pd.DataFrame(
             {
                 "m": [np.int64(len(x))],
                 "nodes": [np.int64(g["dst"].nunique())],
                 "s1": [np.int64(x.sum())],
-                "sxy": [np.int64((x * y).sum())],
-                "sxx": [np.int64((x * x).sum())],
+                "sxy_hi": [np.int64(sxy >> 62)],
+                "sxy_lo": [np.int64(sxy & (2**62 - 1))],
+                "sxx_hi": [np.int64(sxx >> 62)],
+                "sxx_lo": [np.int64(sxx & (2**62 - 1))],
             }
         )
 
@@ -1325,8 +1333,14 @@ def degree_assortativity(pairs, cfg=None):
         m = int(df["m"].sum())
         nodes = int(df["nodes"].sum())
         s1 = sum(int(v) for v in df["s1"])
-        sxy = sum(int(v) for v in df["sxy"])
-        sxx = sum(int(v) for v in df["sxx"])
+        sxy = sum(
+            (int(h) << 62) + int(lo)
+            for h, lo in zip(df["sxy_hi"], df["sxy_lo"])
+        )
+        sxx = sum(
+            (int(h) << 62) + int(lo)
+            for h, lo in zip(df["sxx_hi"], df["sxx_lo"])
+        )
         den = m * sxx - s1 * s1
         r = float(m * sxy - s1 * s1) / float(den) if den != 0 else None
         return pa.table(

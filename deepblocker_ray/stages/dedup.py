@@ -2434,13 +2434,16 @@ def _lev_verify_fn(max_dist: int):
         from ..functions.textsim import levenshtein_batch
 
         valid = _pair_valid_mask(lp, rp)
-        a = pc.fill_null(lp, "").to_pylist()
-        b = pc.fill_null(rp, "").to_pylist()
-        la = np.fromiter((len(x) for x in a), np.int64, len(a))
-        lb = np.fromiter((len(x) for x in b), np.int64, len(b))
+        # length pre-filter in Arrow (no Python materialization): only
+        # survivors get to_pylist'd for the bit-parallel DP kernel
+        lp0 = pc.fill_null(lp, "")
+        rp0 = pc.fill_null(rp, "")
+        la = np.asarray(pc.utf8_length(lp0), dtype=np.int64)
+        lb = np.asarray(pc.utf8_length(rp0), dtype=np.int64)
         cand_idx = np.nonzero(valid & (np.abs(la - lb) <= max_dist))[0]
         dist = levenshtein_batch(
-            [a[i] for i in cand_idx], [b[i] for i in cand_idx]
+            pc.take(lp0, pa.array(cand_idx, pa.int64())).to_pylist(),
+            pc.take(rp0, pa.array(cand_idx, pa.int64())).to_pylist(),
         )
         keep = dist <= max_dist
         idx = cand_idx[keep]

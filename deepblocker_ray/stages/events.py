@@ -2307,7 +2307,11 @@ def funnel_steps(
 
 def interval_coverage(ds, cfg: EngineConfig | None = None):
     """Per-user union-of-intervals length: each event spans
-    [ts, ts + round(value·10⁶)µs) and overlaps within a user collapse —
+    [ts, ts + round(value·100)·10 000 µs) — value is quantized to integer
+    cents first, so durations are 10 ms-granular (this differs from a
+    straight round(value·10⁶) when value carries >2 decimal places; the
+    SQL twin uses the identical cents·10 000 convention) — and overlaps
+    within a user collapse —
     the busy-time / session-coverage statistic computed EXACTLY in int64
     (the gaps-and-islands sweep, summed). Emits (user_id,
     covered_us:int64).

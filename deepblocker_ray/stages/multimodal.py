@@ -405,7 +405,16 @@ def media_block_overlap(media_ds, cfg=None, *, block: int = 32,
     + one uint64 polynomial matmul per batch, no per-media loop); ONE
     hash(block) exchange fans ≤ C(df_cap, 2) pairs per block with
     per-bucket pre-reduce; ONE hash(pair) exchange sums and applies the
-    threshold."""
+    threshold.
+
+    Collision caveat: blocks are matched by their 64-bit polynomial hash,
+    not byte equality (raw blocks never ride the exchange), so two
+    distinct blocks colliding under the hash would inflate
+    n_shared_blocks vs the byte-equality contract the SQL twin checks.
+    At 64 bits the expected collision count stays < 1 below ~5·10⁹
+    distinct blocks per run (birthday bound); callers needing strict
+    byte equality at larger scale should verify shared blocks by
+    payload-slice comparison on the emitted pairs."""
     import pandas as pd
 
     from .canonicalize import bucket_of

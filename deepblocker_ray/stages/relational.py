@@ -2250,7 +2250,16 @@ def quantile_map(ds, cfg: EngineConfig, *, group_col: str,
         bv = b.index.to_numpy(np.int64)
         cum_b = np.cumsum(b.to_numpy(np.int64))
         n_a, n_b = int(cum_a[-1]), int(cum_b[-1])
-        target = (cum_a * n_b + n_a - 1) // n_a  # ceil, >= 1
+        # Overflow-safe cross-multiplication: cum_a * n_b can exceed int64
+        # when both groups are ~3e9+ rows; promote to Python ints in that
+        # regime (same rule as tv_distance / join_skew / group_regression).
+        if n_a * n_b <= 2**63 - 1:
+            target = (cum_a * n_b + n_a - 1) // n_a  # ceil, >= 1
+        else:
+            target = np.array(
+                [(int(c) * n_b + n_a - 1) // n_a for c in cum_a],
+                dtype=np.int64,
+            )
         mapped = bv[np.searchsorted(cum_b, target)]
         return pa.table(
             {

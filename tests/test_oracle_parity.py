@@ -262,3 +262,66 @@ class TestShipLatency:
         day = np.int64(2)
         days = np.where(diff < 0, -(-diff // day), diff // day)
         assert days.tolist() == [-3, 3, -2, 2]
+
+
+class TestNonAsciiByteShingleParity:
+    """Pin the byte-exact hex-window twins on a NON-ASCII corpus: the
+    engine shingles UTF-8 bytes (dedup._shingle_hashes_batch), so its
+    twins window hex(encode(text)). On multi-byte text a character-substr
+    twin would diverge; these fixtures prove the hex twins don't."""
+
+    QUERIES = ["minhash_dedup", "novelty", "top_shared_pairs",
+               "duplicate_spans"]
+
+    @pytest.fixture(scope="class")
+    def sf_dir(self, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = tmp_path_factory.mktemp("nonascii_sf")
+        base = (
+            "héllo wörld — naïve café über straße 東京タワー is tall. "
+            "Ĉiuj homoj estas denaske liberaj kaj egalaj laŭ digno. "
+        )
+        texts = []
+        for i in range(40):
+            if i % 4 == 0:
+                texts.append(base * 3)                    # exact dups
+            elif i % 4 == 1:
+                texts.append(base * 3 + f" extra{i % 8}")  # near dups
+            elif i % 4 == 2:
+                texts.append(f"уникальный документ №{i} с текстом "
+                             f"「{i * 37}」 αβγδε {i}" * 2)
+            else:
+                texts.append("☃" * (i % 7))                # short docs
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["xx"] * len(texts), pa.string()),
+            "source": pa.array(["t"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        })
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        return str(d)
+
+    @pytest.mark.parametrize("name", QUERIES)
+    def test_byte_twin_matches_on_non_ascii(self, ray_session, sf_dir,
+                                            name):
+        c = duckdb.connect()
+        c.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        got = canonical(to_pandas(entrymod.queries()[name](sf_dir)))
+        want = canonical(c.execute(entrymod.oracle_sql()[name]).df())
+        assert list(got.columns) == list(want.columns)
+        assert len(got) == len(want), (len(got), len(want))
+        for col in got.columns:
+            g, w = got[col], want[col]
+            if g.dtype.kind == "f" or w.dtype.kind == "f":
+                pd.testing.assert_series_equal(
+                    g.astype(float), w.astype(float), check_names=False,
+                    rtol=1e-12, atol=1e-12,
+                )
+            else:
+                assert g.astype(str).tolist() == w.astype(str).tolist()
