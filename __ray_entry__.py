@@ -309,6 +309,70 @@ def q_blocking_sif(sf_dir: str):
     return out.select_columns(["left_id", "right_id", "rank"])
 
 
+def q_blocking_ae(sf_dir: str):
+    """Transcript blocking candidates via the AutoEncoder tuple embedder
+    (T3, reference tuple_embedding_models.py:148-178): SIF aggregation →
+    seeded numpy autoencoder (300→150 bottleneck, Adam, reference
+    defaults: 50 epochs / batch 256 / lr 1e-3) fit on a distributed
+    sample, encode forward on an actor-pool stage, exact top-K=5
+    candidates. Fully deterministic (cfg.seed drives init + shuffles) but
+    hash-embedding-dependent → rows-only driver check; the trainer is
+    gradient-checked and bit-parity-pinned in tests/test_train.py."""
+    from deepblocker_ray.config import parallel_blocks_sized
+    from deepblocker_ray.stages.canonicalize import canonicalize
+    from deepblocker_ray.stages.deep_embed import AutoEncoderEmbedder
+    from deepblocker_ray.stages.pairing import ExactTopKPairer
+
+    cfg = _cfg()
+    tuples = parallel_blocks_sized(
+        canonicalize(_transcripts(sf_dir), cfg).materialize()
+    )
+    emb_model = AutoEncoderEmbedder(cfg).fit(tuples, text_col="tuple_text")
+    emb = emb_model.transform(tuples).materialize()
+    pairer = ExactTopKPairer(k=5, cfg=cfg, exclude_self=True).index(emb)
+    return pairer.query(emb).select_columns(["left_id", "right_id", "rank"])
+
+
+def q_linkage_ctt(sf_dir: str):
+    """Full linkage (blocking → scoring → clustering) with the CTT
+    embedder (T5, reference tuple_embedding_models.py:236-280):
+    synthetic-pair self-supervision (5 pos + 5 neg pairs per tuple, ≤40%
+    token perturbation, seeded) trains the cross-tuple classifier;
+    inference reproduces the released behavior (apply_summarizer=False →
+    the SIF aggregate serves as the embedding, :271-273). Deterministic
+    but hash-embedding-dependent → rows-only driver check; synthetic-pair
+    generation is bit-parity-pinned vs the reference algorithm in
+    tests/test_train.py."""
+    from deepblocker_ray.pipelines.linkage import link_transcripts
+
+    res = link_transcripts(_transcripts(sf_dir), _cfg(), embedder="ctt", k=8)
+    return res["clusters"]
+
+
+def q_blocking_hybrid(sf_dir: str):
+    """Transcript blocking with the Hybrid embedder (T6, reference
+    tuple_embedding_models.py:283-328: CTT over an AutoEncoder
+    aggregator) with apply_summarizer=True — the mode where the trained
+    summarizer actually runs at inference (input dim follows the AE's
+    150-dim output, fixing the reference's dim defect at :288,311).
+    Deterministic, hash-embedding-dependent → rows-only driver check."""
+    from deepblocker_ray.config import parallel_blocks_sized
+    from deepblocker_ray.stages.canonicalize import canonicalize
+    from deepblocker_ray.stages.deep_embed import HybridEmbedder
+    from deepblocker_ray.stages.pairing import ExactTopKPairer
+
+    cfg = _cfg()
+    tuples = parallel_blocks_sized(
+        canonicalize(_transcripts(sf_dir), cfg).materialize()
+    )
+    emb_model = HybridEmbedder(cfg, apply_summarizer=True).fit(
+        tuples, text_col="tuple_text"
+    )
+    emb = emb_model.transform(tuples).materialize()
+    pairer = ExactTopKPairer(k=5, cfg=cfg, exclude_self=True).index(emb)
+    return pairer.query(emb).select_columns(["left_id", "right_id", "rank"])
+
+
 def q_linkage_full(sf_dir: str):
     """Flagship: full linkage over synthetic planted-duplicate transcripts
     (clusters for every conversation)."""
@@ -3470,6 +3534,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "blocking_sif": q_blocking_sif,
+        "blocking_ae": q_blocking_ae,
+        "linkage_ctt": q_linkage_ctt,
+        "blocking_hybrid": q_blocking_hybrid,
         "linkage_full": q_linkage_full,
         "blocking_vec": q_blocking_vec,
         "linkage_vec": q_linkage_vec,

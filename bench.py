@@ -147,6 +147,9 @@ def main() -> None:
     query_names = [] if BENCH_ONLY == "linkage" else [
         "canonicalize",
         "blocking_sif",
+        "blocking_ae",
+        "linkage_ctt",
+        "blocking_hybrid",
         "dedup_exact",
         "minhash_dedup",
         "simhash_dedup",
