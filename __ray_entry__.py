@@ -1723,6 +1723,231 @@ def q_meta_blocking(sf_dir: str):
     return meta_blocking(_documents(sf_dir), cfg=_cfg())
 
 
+def q_order_priority(sf_dir: str):
+    """TPC-H Q4 shape: orders of 1996-1998 with ≥1 late lineitem
+    (shipdate > orderdate + 10 days), counted per priority — the
+    EXISTS-semi-join reduced to a per-order max through one shared
+    orderkey exchange."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import order_priority_check
+
+    return order_priority_check(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        ),
+        _cfg(),
+        date_lo_us=820454400000000,
+        date_hi_us=915148800000000,
+        late_days=10,
+    )
+
+
+def q_shipmode_priority(sf_dir: str):
+    """TPC-H Q12 shape (delay-class adaptation): per FAST/SLOW shipping
+    class (<10 / ≥10 days after order date), lineitem counts split by
+    order priority class — one shared orderkey exchange, 2×2 partials."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import shipmode_priority
+
+    return shipmode_priority(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        ),
+        _cfg(),
+        slow_days=10,
+    )
+
+
+def q_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape: customers-per-order-count histogram including
+    zero-order customers (left join via shared custkey exchange,
+    non-final orders excluded)."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import customer_distribution
+
+    return customer_distribution(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderstatus"],
+        ),
+        _cfg(),
+        exclude_status="F",
+    )
+
+
+def q_small_quantity(sf_dir: str):
+    """TPC-H Q17 shape: revenue of Brand#23 lineitems with quantity below
+    0.2× the part's average — correlated scalar aggregate decided by
+    exact integer cross-multiplication, one partkey exchange."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import small_quantity_revenue
+
+    return small_quantity_revenue(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        ),
+        _cfg(),
+        brand="Brand#23",
+    )
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size range,
+    quantity range) conjunctions — part broadcast once, zero exchanges,
+    scalar partial fold."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import disjunctive_revenue
+
+    return disjunctive_revenue(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_partkey", "l_quantity", "l_extendedprice", "l_discount",
+            ],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_size"],
+        ),
+        _cfg(),
+    )
+
+
+def q_waiting_supplier(sf_dir: str):
+    """TPC-H Q21 shape: per supplier, multi-supplier orders where it was
+    the ONLY late shipper (>20 days after order date) — semi+anti join
+    through one shared orderkey exchange."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import waiting_supplier
+
+    return waiting_supplier(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+        ),
+        _cfg(),
+        late_days=20,
+    )
+
+
+def q_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape: per nation, count + total balance of customers
+    above the average positive balance with no orders — division-free
+    integer threshold, distinct-key anti-join on one custkey exchange."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import sales_opportunity
+
+    return sales_opportunity(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_acctbal"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+        ),
+        _cfg(),
+    )
+
+
+def q_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape: shipped revenue between NATION_1 and NATION_2 per
+    (supp_nation, cust_nation, year) — two bucketed fact exchanges,
+    dims broadcast."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import volume_shipping
+
+    return volume_shipping(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount", "l_shipdate",
+            ],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        rd.read_parquet(f"{sf_dir}/nation.parquet"),
+        _cfg(),
+        nation_a="NATION_1",
+        nation_b="NATION_2",
+    )
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 shape: NATION_1's per-year share of PROMO-part revenue
+    sold to AFRICA customers — exact integer numerator/denominator with
+    the share as their single double quotient."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import market_share
+
+    return market_share(
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount",
+            ],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        rd.read_parquet(f"{sf_dir}/nation.parquet"),
+        rd.read_parquet(f"{sf_dir}/region.parquet"),
+        _cfg(),
+        region_name="AFRICA",
+        nation_name="NATION_1",
+        p_type="PROMO",
+        part=rd.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        ),
+    )
+
+
 def q_ship_latency(sf_dir: str):
     """Per-priority order-fulfilment latency (days from order date to the
     LAST lineitem shipment; trunc-division matching DuckDB //): n_orders,
@@ -3617,6 +3842,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_mode": q_group_mode,
         "meta_blocking": q_meta_blocking,
         "ship_latency": q_ship_latency,
+        "order_priority": q_order_priority,
+        "shipmode_priority": q_shipmode_priority,
+        "customer_distribution": q_customer_distribution,
+        "small_quantity": q_small_quantity,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "waiting_supplier": q_waiting_supplier,
+        "sales_opportunity": q_sales_opportunity,
+        "volume_shipping": q_volume_shipping,
+        "market_share": q_market_share,
         "one_to_one": q_one_to_one,
         "fs_patterns": q_fs_patterns,
         "shipping_priority": q_shipping_priority,
@@ -6931,6 +7165,172 @@ def oracle_sql() -> dict[str, str]:
             FROM e JOIN nodes na ON na.n = e.l
                    JOIN nodes nb ON nb.n = e.r
             WHERE e.w * na.deg >= na.sw OR e.w * nb.deg >= nb.sw
+        """,
+        # Q4 shape: EXISTS collapses to max(shipdate) per order
+        "order_priority": """
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1999-01-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND epoch_us(l.l_shipdate)
+                        > epoch_us(o.o_orderdate) + 10 * 86400000000
+              )
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Q12 shape: delay class instead of the missing l_shipmode
+        "shipmode_priority": """
+            SELECT CASE WHEN epoch_us(l.l_shipdate)
+                             >= epoch_us(o.o_orderdate) + 10 * 86400000000
+                        THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority NOT IN
+                                 ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS low_line_count
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Q13 shape: zero-order customers kept by the left join
+        "customer_distribution": """
+            WITH co AS (
+                SELECT c.c_custkey, count(o.o_custkey) AS c_count
+                FROM customer c LEFT JOIN orders o
+                     ON o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus <> 'F'
+                GROUP BY c.c_custkey
+            )
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM co GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        # Q17 shape: 0.2·avg threshold via integer cross-multiplication
+        "small_quantity": """
+            WITH li AS (
+                SELECT l_partkey,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS q100,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                FROM lineitem
+                WHERE l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
+            ), st AS (
+                SELECT l_partkey, count(*) AS n, sum(q100) AS sq
+                FROM li GROUP BY 1
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(coalesce(sum(li.cents), 0) AS BIGINT) AS total_cents
+            FROM li JOIN st USING (l_partkey)
+            WHERE 5 * li.q100 * st.n < st.sq
+        """,
+        # Q19 shape: OR of (brand, size, quantity) conjunctions
+        "disjunctive_revenue": """
+            SELECT CAST(coalesce(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   ), 0) AS BIGINT) AS revenue_e4
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+                   AND CAST(round(l.l_quantity * 100) AS BIGINT)
+                       BETWEEN 100 AND 1100)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+                   AND CAST(round(l.l_quantity * 100) AS BIGINT)
+                       BETWEEN 1000 AND 2000)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 30
+                   AND CAST(round(l.l_quantity * 100) AS BIGINT)
+                       BETWEEN 2000 AND 3000)
+        """,
+        # Q21 shape: the only late supplier of a multi-supplier order
+        "waiting_supplier": """
+            WITH per AS (
+                SELECT l.l_orderkey, l.l_suppkey,
+                       max(CASE WHEN epoch_us(l.l_shipdate)
+                                     > epoch_us(o.o_orderdate)
+                                       + 20 * 86400000000
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                GROUP BY 1, 2
+            ), st AS (
+                SELECT l_orderkey, count(*) AS nsupp, sum(late) AS nlate
+                FROM per GROUP BY 1
+            )
+            SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM per
+            JOIN st USING (l_orderkey)
+            JOIN supplier s ON s.s_suppkey = per.l_suppkey
+            WHERE st.nsupp >= 2 AND st.nlate = 1 AND per.late = 1
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
+        """,
+        # Q22 shape: strict above-positive-average balance, no orders;
+        # threshold as integer cross-multiplication (cents·n > Σcents)
+        "sales_opportunity": """
+            WITH c AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer
+            ), avgp AS (
+                SELECT sum(cents) AS s, count(*) AS n
+                FROM c WHERE cents > 0
+            )
+            SELECT c.c_nationkey,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(c.cents) AS BIGINT) AS totacctbal_cents
+            FROM c, avgp
+            WHERE c.cents * avgp.n > avgp.s
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Q7 shape: both directions between the two nations, by ship year
+        "volume_shipping": """
+            SELECT ns.n_name AS supp_nation,
+                   nc.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                   ) AS BIGINT) AS revenue_e4
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            WHERE (nc.n_name = 'NATION_1' AND ns.n_name = 'NATION_2')
+               OR (nc.n_name = 'NATION_2' AND ns.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # Q8 shape: exact int numerator/denominator, one double quotient
+        "market_share": """
+            WITH rev AS (
+                SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                           AS rev,
+                       CASE WHEN ns.n_name = 'NATION_1' THEN 1 ELSE 0 END
+                           AS tgt
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+                JOIN region r ON r.r_regionkey = nc.n_regionkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+                WHERE r.r_name = 'AFRICA' AND p.p_type = 'PROMO'
+            )
+            SELECT o_year,
+                   CAST(sum(rev * tgt) AS BIGINT) AS target_e4,
+                   CAST(sum(rev) AS BIGINT) AS total_e4,
+                   CAST(sum(rev * tgt) AS BIGINT)
+                       / CAST(greatest(sum(rev), 1) AS DOUBLE) AS mkt_share
+            FROM rev GROUP BY 1 ORDER BY 1
         """,
         "ship_latency": """
             WITH lat AS (

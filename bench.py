@@ -253,6 +253,15 @@ def main() -> None:
         "group_mode",
         "meta_blocking",
         "ship_latency",
+        "order_priority",
+        "shipmode_priority",
+        "customer_distribution",
+        "small_quantity",
+        "disjunctive_revenue",
+        "waiting_supplier",
+        "sales_opportunity",
+        "volume_shipping",
+        "market_share",
         "one_to_one",
         "fs_patterns",
         "shipping_priority",

@@ -1076,10 +1076,15 @@ def local_supplier_revenue(
         c.union(o).groupby("_bucket").map_groups(semi, batch_format="pandas")
     )
     lp = li.map_batches(l_partial, batch_format="pandas")
+    sentinel = _sentinel_ds(
+        {"yr": (-1, pa.int64()), "target": (0, pa.int64()),
+         "total": (0, pa.int64())}
+    )
     return (
         winners.union(lp)
         .groupby("_bucket2")
         .map_groups(match, batch_format="pandas")
+        .union(sentinel)
         .repartition(1)
         .map_batches(final, batch_format="pandas")
     )
@@ -2448,4 +2453,1138 @@ def tv_distance(ds, cfg: EngineConfig, *, group_col: str,
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("_b")
         .map_groups(finish, batch_format="pandas")
+    )
+
+
+# ------------------------------------------------------ TPC-H join shapes --
+
+def _sentinel_ds(cols: dict):
+    """One-row marker dataset unioned in before a final fold so the fold
+    ALWAYS executes (a fully-empty upstream otherwise yields zero blocks
+    and the pipeline loses its output schema — the suffix_blocking
+    sentinel rule). ``cols`` maps name → (value, pyarrow type); the final
+    stage drops the marker row by its impossible value. Arrow block, like
+    every stage output in these pipelines: Ray treats a typed EMPTY
+    pandas block as schema-less (PandasBlockSchema(names=[])), which
+    loses the output schema when a whole branch is empty, and mixing
+    arrow and pandas blocks in one union breaks the sort sampler — so
+    these operators return pa.Table from every stage."""
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({k: pa.array([v], t) for k, (v, t) in cols.items()})
+    )
+
+
+def _pat(df: pd.DataFrame) -> pa.Table:
+    """pandas → arrow block (schema survives empty frames)."""
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+
+_DAY_US = np.int64(86_400_000_000)
+
+
+def order_priority_check(orders, lineitem, cfg: EngineConfig, *,
+                         date_lo_us: int, date_hi_us: int,
+                         late_days: int = 10):
+    """TPC-H Q4 shape (adapted: no l_commitdate in the schema — "late" is
+    l_shipdate > o_orderdate + ``late_days``): per o_orderpriority, count
+    orders in [date_lo, date_hi) with AT LEAST ONE late lineitem. The
+    EXISTS-semi-join pattern, reduced to a per-order MAX: EXISTS(ship >
+    odate + d) ⟺ max(ship) > odate + d, so lineitem pre-aggregates to one
+    row per order before the match.
+
+    Scale shape: date-filtered orders and per-order max-shipdate partials
+    (pre-reduced map-side) meet in ONE shared hash(orderkey) exchange;
+    per-priority partial counts (≤ |priorities| rows per bucket) merge in
+    a tiny final exchange keyed on the priority string."""
+    from .canonicalize import bucket_of
+
+    nb = cfg.num_buckets
+    late_us = np.int64(late_days) * _DAY_US
+
+    def o_rows(t: pa.Table) -> pd.DataFrame:
+        od = np.asarray(
+            t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        keep = (od >= date_lo_us) & (od < date_hi_us)
+        k = np.asarray(t.column("o_orderkey"), np.int64)[keep]
+        return _pat(pd.DataFrame(
+            {
+                "k": k,
+                "ts": od[keep],
+                "pri": t.column("o_orderpriority").to_pandas()[keep]
+                .astype(str).to_numpy(object),
+                "_side": np.zeros(len(k), np.int8),
+                "_bucket": (k % nb).astype(np.int32),
+            }
+        ))
+
+    def l_rows(t: pa.Table) -> pd.DataFrame:
+        k = np.asarray(t.column("l_orderkey"), np.int64)
+        sd = np.asarray(
+            t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        # map-side pre-reduce: one (order, max ship) row per order per batch
+        part = (
+            pd.DataFrame({"k": k, "ts": sd})
+            .groupby("k", sort=False)["ts"].max().reset_index()
+        )
+        part["pri"] = ""
+        part["_side"] = np.ones(len(part), np.int8)
+        part["_bucket"] = (part["k"].to_numpy(np.int64) % nb).astype(np.int32)
+        return _pat(part[["k", "ts", "pri", "_side", "_bucket"]])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"pri": pd.Series(dtype=object),
+             "cnt": pd.Series(dtype=np.int64),
+             "_b2": pd.Series(dtype=np.int32)}
+        )
+        ords = g[g["_side"] == 0]
+        lis = g[g["_side"] == 1]
+        if len(ords) == 0 or len(lis) == 0:
+            return _pat(empty)
+        last = lis.groupby("k", sort=False)["ts"].max().rename("ship")
+        m = ords.merge(last, left_on="k", right_index=True)
+        late = (
+            m["ship"].to_numpy(np.int64)
+            > m["ts"].to_numpy(np.int64) + late_us
+        )
+        m = m[late]
+        if len(m) == 0:
+            return _pat(empty)
+        c = (
+            m.groupby("pri", sort=False).size().rename("cnt").reset_index()
+        )
+        c["_b2"] = bucket_of(c["pri"].astype(str), nb)
+        return _pat(c[["pri", "cnt", "_b2"]])
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        g = g[g["cnt"] > 0]  # drop the schema sentinel
+        if len(g) == 0:
+            return pa.table(
+                {"o_orderpriority": pa.array([], pa.string()),
+                 "order_count": pa.array([], pa.int64())}
+            )
+        s = g.groupby("pri", sort=False)["cnt"].sum().reset_index()
+        s = s.sort_values("pri", kind="mergesort")
+        return pa.table(
+            {"o_orderpriority": pa.array(s["pri"], pa.string()),
+             "order_count": pa.array(s["cnt"].to_numpy(np.int64))}
+        )
+
+    o = orders.map_batches(o_rows, batch_format="pyarrow")
+    li = lineitem.map_batches(l_rows, batch_format="pyarrow")
+    sentinel = _sentinel_ds(
+        {"pri": ("", pa.string()), "cnt": (0, pa.int64()),
+         "_b2": (0, pa.int32())}
+    )
+    return (
+        o.union(li)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .union(sentinel)
+        .groupby("_b2")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def shipmode_priority(orders, lineitem, cfg: EngineConfig, *,
+                      slow_days: int = 10):
+    """TPC-H Q12 shape (adapted: no l_shipmode — lineitems classify by
+    shipping delay instead: 'FAST' when ship < odate + ``slow_days``
+    days, else 'SLOW'): per class, count lineitems of high-priority
+    orders ('1-URGENT'/'2-HIGH') and of lower-priority orders.
+
+    Scale shape: ONE shared hash(orderkey) exchange (orders project to
+    (key, date, is_high) map-side; lineitems to (key, shipdate)); the
+    per-class partial counts collapse to ≤ 2×2 rows per bucket and merge
+    in one tiny final task."""
+    nb = cfg.num_buckets
+
+    def o_rows(t: pa.Table) -> pd.DataFrame:
+        k = np.asarray(t.column("o_orderkey"), np.int64)
+        pri = t.column("o_orderpriority").to_pandas().astype(str)
+        high = pri.isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        od = np.asarray(
+            t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        return _pat(pd.DataFrame(
+            {
+                "k": k,
+                "ts": od,
+                "high": high.astype(np.int8),
+                "_side": np.zeros(len(k), np.int8),
+                "_bucket": (k % nb).astype(np.int32),
+            }
+        ))
+
+    def l_rows(t: pa.Table) -> pd.DataFrame:
+        k = np.asarray(t.column("l_orderkey"), np.int64)
+        sd = np.asarray(
+            t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        return _pat(pd.DataFrame(
+            {
+                "k": k,
+                "ts": sd,
+                "high": np.zeros(len(k), np.int8),
+                "_side": np.ones(len(k), np.int8),
+                "_bucket": (k % nb).astype(np.int32),
+            }
+        ))
+
+    slow_us = np.int64(slow_days) * _DAY_US
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"cls": pd.Series(dtype=object),
+             "high_cnt": pd.Series(dtype=np.int64),
+             "low_cnt": pd.Series(dtype=np.int64)}
+        )
+        ords = g[g["_side"] == 0][["k", "ts", "high"]]
+        lis = g[g["_side"] == 1][["k", "ts"]]
+        if len(ords) == 0 or len(lis) == 0:
+            return _pat(empty)
+        m = lis.merge(ords, on="k", suffixes=("", "_o"))
+        if len(m) == 0:
+            return _pat(empty)
+        slow = (
+            m["ts"].to_numpy(np.int64)
+            >= m["ts_o"].to_numpy(np.int64) + slow_us
+        )
+        high = m["high"].to_numpy(np.int8) == 1
+        out = pd.DataFrame(
+            {
+                "cls": np.where(slow, "SLOW", "FAST"),
+                "h": high.astype(np.int64),
+                "l": (~high).astype(np.int64),
+            }
+        )
+        c = out.groupby("cls", sort=False).agg(
+            high_cnt=("h", "sum"), low_cnt=("l", "sum")
+        ).reset_index()
+        return _pat(c)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        df = df[(df["high_cnt"] + df["low_cnt"]) > 0]  # drop sentinel
+        if len(df) == 0:
+            return pa.table(
+                {"ship_class": pa.array([], pa.string()),
+                 "high_line_count": pa.array([], pa.int64()),
+                 "low_line_count": pa.array([], pa.int64())}
+            )
+        s = df.groupby("cls", sort=False).agg(
+            high_line_count=("high_cnt", "sum"),
+            low_line_count=("low_cnt", "sum"),
+        ).reset_index().sort_values("cls", kind="mergesort")
+        return pa.table(
+            {"ship_class": pa.array(s["cls"], pa.string()),
+             "high_line_count": pa.array(
+                 s["high_line_count"].to_numpy(np.int64)),
+             "low_line_count": pa.array(
+                 s["low_line_count"].to_numpy(np.int64))}
+        )
+
+    o = orders.map_batches(o_rows, batch_format="pyarrow")
+    li = lineitem.map_batches(l_rows, batch_format="pyarrow")
+    sentinel = _sentinel_ds(
+        {"cls": ("", pa.string()), "high_cnt": (0, pa.int64()),
+         "low_cnt": (0, pa.int64())}
+    )
+    return (
+        o.union(li)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .union(sentinel)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
+
+
+def customer_distribution(customer, orders, cfg: EngineConfig, *,
+                          exclude_status: str = "F"):
+    """TPC-H Q13 shape: distribution of customers by order count — LEFT
+    join customers to their orders (excluding ``exclude_status`` orders),
+    emit (c_count, custdist) INCLUDING the zero-order customers, sorted
+    custdist DESC then c_count DESC.
+
+    Scale shape: orders pre-aggregate map-side to (custkey, partial
+    count); customers ride the same ONE hash(custkey) exchange as bare
+    keys; per bucket the left join + fillna(0) reduces to a (c_count,
+    ncust) histogram partial (≤ |distinct counts| rows), merged in one
+    tiny final task."""
+    nb = cfg.num_buckets
+
+    def c_rows(t: pa.Table) -> pd.DataFrame:
+        k = np.asarray(t.column("c_custkey"), np.int64)
+        return _pat(pd.DataFrame(
+            {
+                "k": k,
+                "cnt": np.zeros(len(k), np.int64),
+                "_side": np.zeros(len(k), np.int8),
+                "_bucket": (k % nb).astype(np.int32),
+            }
+        ))
+
+    def o_rows(t: pa.Table) -> pd.DataFrame:
+        st = t.column("o_orderstatus").to_pandas().astype(str)
+        keep = (st != exclude_status).to_numpy()
+        k = np.asarray(t.column("o_custkey"), np.int64)[keep]
+        part = (
+            pd.DataFrame({"k": k})
+            .groupby("k", sort=False).size().rename("cnt").reset_index()
+        )
+        part["_side"] = np.ones(len(part), np.int8)
+        part["_bucket"] = (part["k"].to_numpy(np.int64) % nb).astype(np.int32)
+        return _pat(part[["k", "cnt", "_side", "_bucket"]])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g[g["_side"] == 0][["k"]]
+        if len(cust) == 0:
+            return _pat(pd.DataFrame(
+                {"c_count": pd.Series(dtype=np.int64),
+                 "ncust": pd.Series(dtype=np.int64)}
+            ))
+        ords = (
+            g[g["_side"] == 1].groupby("k", sort=False)["cnt"].sum()
+        )
+        cc = cust["k"].map(ords).fillna(0).astype(np.int64)
+        return _pat(
+            pd.DataFrame({"c_count": cc})
+            .groupby("c_count", sort=False).size().rename("ncust")
+            .reset_index()
+        )
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        df = df[df["ncust"] > 0]  # drop the schema sentinel
+        if len(df) == 0:
+            return pa.table(
+                {"c_count": pa.array([], pa.int64()),
+                 "custdist": pa.array([], pa.int64())}
+            )
+        s = df.groupby("c_count", sort=False)["ncust"].sum().reset_index()
+        s = s.sort_values(
+            ["ncust", "c_count"], ascending=[False, False], kind="mergesort"
+        )
+        return pa.table(
+            {"c_count": pa.array(s["c_count"].to_numpy(np.int64)),
+             "custdist": pa.array(s["ncust"].to_numpy(np.int64))}
+        )
+
+    c = customer.map_batches(c_rows, batch_format="pyarrow")
+    o = orders.map_batches(o_rows, batch_format="pyarrow")
+    sentinel = _sentinel_ds(
+        {"c_count": (0, pa.int64()), "ncust": (0, pa.int64())}
+    )
+    return (
+        c.union(o)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .union(sentinel)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
+
+
+def small_quantity_revenue(lineitem, part, cfg: EngineConfig, *,
+                           brand: str = "Brand#23"):
+    """TPC-H Q17 shape: total revenue (exact integer cents) of ``brand``
+    lineitems whose quantity is below 0.2 × the part's average lineitem
+    quantity — the correlated-scalar-aggregate filter. The fractional
+    threshold is decided in exact integers: with q100 = round(qty·100),
+    qty_i < 0.2·avg ⟺ 5·q100_i·n < Σ q100 (cross-multiplication, no
+    division). Output one row (n_lines, total_cents).
+
+    Scale shape: the brand's partkey set broadcasts (dimension side);
+    surviving lineitems project to (partkey, q100, cents) and take ONE
+    hash(partkey) exchange; each bucket computes per-part (n, Σq100) with
+    a hash groupby and filters locally; the two scalar partials per
+    bucket merge in one tiny final task."""
+    nb = cfg.num_buckets
+
+    pdf = part.to_pandas()
+    keys = np.sort(
+        pdf.loc[pdf["p_brand"].astype(str) == brand, "p_partkey"]
+        .to_numpy(np.int64)
+    )
+    keys_ref = ray.put(keys)
+
+    def l_rows(t: pa.Table) -> pd.DataFrame:
+        from ..state.broadcast import cached_get
+
+        ks = cached_get(keys_ref)
+        pk = np.asarray(t.column("l_partkey"), np.int64)
+        if len(ks) == 0:
+            keep = np.zeros(len(pk), bool)
+        else:
+            pos = np.minimum(np.searchsorted(ks, pk), len(ks) - 1)
+            keep = ks[pos] == pk
+        pk = pk[keep]
+        q100 = np.round(
+            np.asarray(t.column("l_quantity"), np.float64)[keep] * 100
+        ).astype(np.int64)
+        cents = np.round(
+            np.asarray(t.column("l_extendedprice"), np.float64)[keep] * 100
+        ).astype(np.int64)
+        return _pat(pd.DataFrame(
+            {
+                "pk": pk,
+                "q100": q100,
+                "cents": cents,
+                "_bucket": (pk % nb).astype(np.int32),
+            }
+        ))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return _pat(pd.DataFrame(
+                {"n": pd.Series(dtype=np.int64),
+                 "cents": pd.Series(dtype=np.int64)}
+            ))
+        agg = g.groupby("pk", sort=False)["q100"].agg(["count", "sum"])
+        m = g.merge(agg, left_on="pk", right_index=True)
+        keep = (
+            5 * m["q100"].to_numpy(np.int64) * m["count"].to_numpy(np.int64)
+            < m["sum"].to_numpy(np.int64)
+        )
+        kept = m[keep]
+        return _pat(pd.DataFrame(
+            {"n": [np.int64(len(kept))],
+             "cents": [np.int64(kept["cents"].sum())]}
+        ))
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {"n_lines": pa.array(
+                 [int(df["n"].sum()) if len(df) else 0], pa.int64()),
+             "total_cents": pa.array(
+                 [int(df["cents"].sum()) if len(df) else 0], pa.int64())}
+        )
+
+    sentinel = _sentinel_ds(
+        {"n": (0, pa.int64()), "cents": (0, pa.int64())}
+    )
+    return (
+        lineitem.map_batches(l_rows, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .union(sentinel)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
+
+
+_Q19_PREDICATES = (
+    ("Brand#12", 1, 10, 100, 1100),   # brand, size_lo, size_hi, q100_lo, q100_hi
+    ("Brand#23", 1, 20, 1000, 2000),
+    ("Brand#34", 1, 30, 2000, 3000),
+)
+
+
+def disjunctive_revenue(lineitem, part, cfg: EngineConfig, *,
+                        predicates=_Q19_PREDICATES):
+    """TPC-H Q19 shape: revenue (exact 1e-4 dollars, price·(100−disc)
+    integer units) of lineitems matching ANY of the (brand, size range,
+    quantity range) conjunctions — the disjunctive multi-predicate join.
+    Quantity bounds compare as q100 ints: q100_lo ≤ round(qty·100) ≤
+    q100_hi.
+
+    Scale shape: zero exchanges — part projects to (partkey → brand,
+    size) and broadcasts once; every lineitem batch evaluates the OR of
+    ANDs vectorized and emits one scalar partial; a single final task
+    folds the partials."""
+    pdf = part.to_pandas()
+    side = pd.DataFrame(
+        {
+            "pk": pdf["p_partkey"].to_numpy(np.int64),
+            "brand": pdf["p_brand"].astype(str).to_numpy(object),
+            "size": pdf["p_size"].to_numpy(np.int64),
+        }
+    )
+    side_ref = ray.put(side)
+    preds = tuple(predicates)
+
+    def l_rows(t: pa.Table) -> pd.DataFrame:
+        from ..state.broadcast import cached_get
+
+        s = cached_get(side_ref)
+        df = pd.DataFrame(
+            {
+                "pk": np.asarray(t.column("l_partkey"), np.int64),
+                "q100": np.round(
+                    np.asarray(t.column("l_quantity"), np.float64) * 100
+                ).astype(np.int64),
+                "cents": np.round(
+                    np.asarray(t.column("l_extendedprice"), np.float64) * 100
+                ).astype(np.int64),
+                "disc": np.round(
+                    np.asarray(t.column("l_discount"), np.float64) * 100
+                ).astype(np.int64),
+            }
+        )
+        m = df.merge(s, on="pk", how="inner")
+        if len(m) == 0:
+            return _pat(pd.DataFrame({"rev": [np.int64(0)]}))
+        q = m["q100"].to_numpy(np.int64)
+        sz = m["size"].to_numpy(np.int64)
+        br = m["brand"].to_numpy(object)
+        keep = np.zeros(len(m), bool)
+        for brand, slo, shi, qlo, qhi in preds:
+            keep |= (
+                (br == brand) & (sz >= slo) & (sz <= shi)
+                & (q >= qlo) & (q <= qhi)
+            )
+        rev = (
+            m["cents"].to_numpy(np.int64)[keep]
+            * (100 - m["disc"].to_numpy(np.int64)[keep])
+        )
+        return _pat(pd.DataFrame({"rev": [np.int64(rev.sum())]}))
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {"revenue_e4": pa.array(
+                 [int(df["rev"].sum()) if len(df) else 0], pa.int64())}
+        )
+
+    sentinel = _sentinel_ds({"rev": (0, pa.int64())})
+    return (
+        lineitem.map_batches(l_rows, batch_format="pyarrow")
+        .union(sentinel)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
+
+
+def waiting_supplier(orders, lineitem, supplier, cfg: EngineConfig, *,
+                     late_days: int = 20):
+    """TPC-H Q21 shape (adapted: no commit/receipt dates — a lineitem is
+    "late" when l_shipdate > o_orderdate + ``late_days``): per supplier,
+    count multi-supplier orders (≥ 2 distinct suppliers) where this
+    supplier is the ONLY late one — the semi-join + anti-join
+    combination. Output (s_name, numwait) sorted numwait DESC, name ASC.
+
+    Scale shape: orders project to (key, date); lineitems pre-reduce
+    map-side to per-(order, supplier) max-shipdate rows — both ride ONE
+    shared hash(orderkey) exchange; per bucket the per-order supplier
+    stats collapse to (suppkey, count) partials (≤ |suppliers| rows per
+    bucket), folded in one tiny final task with the constant-size
+    supplier name map attached driver-side."""
+    nb = cfg.num_buckets
+
+    sdf = supplier.to_pandas()
+    names = dict(
+        zip(sdf["s_suppkey"].to_numpy(np.int64), sdf["s_name"].astype(str))
+    )
+
+    def o_rows(t: pa.Table) -> pd.DataFrame:
+        k = np.asarray(t.column("o_orderkey"), np.int64)
+        od = np.asarray(
+            t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        return _pat(pd.DataFrame(
+            {
+                "k": k,
+                "sk": np.zeros(len(k), np.int64),
+                "ts": od,
+                "_side": np.zeros(len(k), np.int8),
+                "_bucket": (k % nb).astype(np.int32),
+            }
+        ))
+
+    def l_rows(t: pa.Table) -> pd.DataFrame:
+        k = np.asarray(t.column("l_orderkey"), np.int64)
+        sk = np.asarray(t.column("l_suppkey"), np.int64)
+        sd = np.asarray(
+            t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        # map-side pre-reduce to one row per (order, supplier)
+        part = (
+            pd.DataFrame({"k": k, "sk": sk, "ts": sd})
+            .groupby(["k", "sk"], sort=False)["ts"].max().reset_index()
+        )
+        part["_side"] = np.ones(len(part), np.int8)
+        part["_bucket"] = (part["k"].to_numpy(np.int64) % nb).astype(np.int32)
+        return _pat(part[["k", "sk", "ts", "_side", "_bucket"]])
+
+    late_us = np.int64(late_days) * _DAY_US
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"sk": pd.Series(dtype=np.int64),
+             "cnt": pd.Series(dtype=np.int64),
+             "_b2": pd.Series(dtype=np.int32)}
+        )
+        ords = g[g["_side"] == 0][["k", "ts"]]
+        lis = g[g["_side"] == 1][["k", "sk", "ts"]]
+        if len(ords) == 0 or len(lis) == 0:
+            return _pat(empty)
+        per = lis.groupby(["k", "sk"], sort=False)["ts"].max().reset_index()
+        m = per.merge(ords, on="k", suffixes=("", "_o"))
+        m["late"] = (
+            m["ts"].to_numpy(np.int64)
+            > m["ts_o"].to_numpy(np.int64) + late_us
+        ).astype(np.int64)
+        st = m.groupby("k", sort=False).agg(
+            nsupp=("sk", "size"), nlate=("late", "sum")
+        )
+        win_orders = st[(st["nsupp"] >= 2) & (st["nlate"] == 1)].index
+        w = m[m["k"].isin(win_orders) & (m["late"] == 1)]
+        if len(w) == 0:
+            return _pat(empty)
+        c = w.groupby("sk", sort=False).size().rename("cnt").reset_index()
+        c["_b2"] = (c["sk"].to_numpy(np.int64) % nb).astype(np.int32)
+        return _pat(c[["sk", "cnt", "_b2"]])
+
+    def final(g: pd.DataFrame) -> pa.Table:
+        g = g[g["cnt"] > 0]  # drop the schema sentinel
+        if len(g) == 0:
+            return pa.table(
+                {"s_name": pa.array([], pa.string()),
+                 "numwait": pa.array([], pa.int64())}
+            )
+        s = g.groupby("sk", sort=False)["cnt"].sum().reset_index()
+        s["s_name"] = s["sk"].map(names)
+        s = s.sort_values(
+            ["cnt", "s_name"], ascending=[False, True], kind="mergesort"
+        )
+        return pa.table(
+            {"s_name": pa.array(s["s_name"], pa.string()),
+             "numwait": pa.array(s["cnt"].to_numpy(np.int64))}
+        )
+
+    o = orders.map_batches(o_rows, batch_format="pyarrow")
+    li = lineitem.map_batches(l_rows, batch_format="pyarrow")
+    sentinel = _sentinel_ds(
+        {"sk": (-1, pa.int64()), "cnt": (0, pa.int64()),
+         "_b2": (0, pa.int32())}
+    )
+    return (
+        o.union(li)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .union(sentinel)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
+
+
+def sales_opportunity(customer, orders, cfg: EngineConfig):
+    """TPC-H Q22 shape (adapted: grouped by c_nationkey instead of the
+    missing phone country code): customers with account balance above the
+    average POSITIVE balance and NO orders — per nation, (numcust,
+    totacctbal_cents). The above-global-average threshold compares exact
+    integers by cross-multiplication (cents_i · n > Σcents, strict), so
+    the filter is division-free; balances are integer cents throughout.
+
+    Scale shape: pass 1 streams customer once for the two-number scalar
+    aggregate (Σ positive cents, n) — map partials, tiny fold; pass 2
+    anti-joins rich customers against the DISTINCT order custkeys
+    (pre-deduped map-side) in ONE hash(custkey) exchange; per-nation
+    partials merge in one tiny final task."""
+    nb = cfg.num_buckets
+
+    def bal_partial(t: pa.Table) -> pd.DataFrame:
+        cents = np.round(
+            np.asarray(t.column("c_acctbal"), np.float64) * 100
+        ).astype(np.int64)
+        pos = cents > 0
+        return _pat(pd.DataFrame(
+            {"s": [np.int64(cents[pos].sum())],
+             "n": [np.int64(pos.sum())]}
+        ))
+
+    parts = (
+        customer.map_batches(bal_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sum_cents = int(parts["s"].sum())
+    n_pos = int(parts["n"].sum())
+
+    def c_rows(t: pa.Table) -> pd.DataFrame:
+        cents = np.round(
+            np.asarray(t.column("c_acctbal"), np.float64) * 100
+        ).astype(np.int64)
+        # strict above-average in exact ints: cents·n > Σcents
+        keep = cents * np.int64(max(n_pos, 1)) > np.int64(sum_cents)
+        if n_pos == 0:
+            keep = np.zeros(len(cents), bool)
+        k = np.asarray(t.column("c_custkey"), np.int64)[keep]
+        return _pat(pd.DataFrame(
+            {
+                "k": k,
+                "nat": np.asarray(t.column("c_nationkey"), np.int64)[keep],
+                "cents": cents[keep],
+                "_side": np.zeros(keep.sum(), np.int8),
+                "_bucket": (k % nb).astype(np.int32),
+            }
+        ))
+
+    def o_rows(t: pa.Table) -> pd.DataFrame:
+        k = np.unique(np.asarray(t.column("o_custkey"), np.int64))
+        return _pat(pd.DataFrame(
+            {
+                "k": k,
+                "nat": np.zeros(len(k), np.int64),
+                "cents": np.zeros(len(k), np.int64),
+                "_side": np.ones(len(k), np.int8),
+                "_bucket": (k % nb).astype(np.int32),
+            }
+        ))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g[g["_side"] == 0]
+        if len(cust) == 0:
+            return _pat(pd.DataFrame(
+                {"nat": pd.Series(dtype=np.int64),
+                 "numcust": pd.Series(dtype=np.int64),
+                 "tot": pd.Series(dtype=np.int64)}
+            ))
+        have = set(g.loc[g["_side"] == 1, "k"].to_numpy(np.int64).tolist())
+        keep = ~cust["k"].isin(have)
+        kept = cust[keep]
+        return _pat(
+            kept.groupby("nat", sort=False).agg(
+                numcust=("k", "size"), tot=("cents", "sum")
+            ).reset_index()
+        )
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        df = df[df["numcust"] > 0]  # drop the schema sentinel
+        if len(df) == 0:
+            return pa.table(
+                {"c_nationkey": pa.array([], pa.int64()),
+                 "numcust": pa.array([], pa.int64()),
+                 "totacctbal_cents": pa.array([], pa.int64())}
+            )
+        s = df.groupby("nat", sort=False).agg(
+            numcust=("numcust", "sum"), tot=("tot", "sum")
+        ).reset_index().sort_values("nat", kind="mergesort")
+        return pa.table(
+            {"c_nationkey": pa.array(s["nat"].to_numpy(np.int64)),
+             "numcust": pa.array(s["numcust"].to_numpy(np.int64)),
+             "totacctbal_cents": pa.array(s["tot"].to_numpy(np.int64))}
+        )
+
+    c = customer.map_batches(c_rows, batch_format="pyarrow")
+    o = orders.map_batches(o_rows, batch_format="pyarrow")
+    sentinel = _sentinel_ds(
+        {"nat": (-1, pa.int64()), "numcust": (0, pa.int64()),
+         "tot": (0, pa.int64())}
+    )
+    return (
+        c.union(o)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .union(sentinel)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
+
+
+def volume_shipping(customer, orders, lineitem, supplier, nation,
+                    cfg: EngineConfig, *, nation_a: str, nation_b: str):
+    """TPC-H Q7 shape: shipped revenue (exact 1e-4 dollars) between two
+    nations — lineitems whose supplier nation and ordering customer's
+    nation are {a, b} in either direction, grouped by (supp_nation,
+    cust_nation, ship year). Output sorted by the three group columns.
+
+    Scale shape: nation is constant-size → driver-side key↔name maps;
+    supplier attaches to lineitem via the guarded ``broadcast_join``.
+    Two bucketed fact exchanges, each forced by a key change: customers
+    (filtered to the two nations map-side) meet orders on hash(custkey);
+    the surviving (orderkey, cust_nation) rows meet per-(orderkey,
+    supp_nation, year) pre-summed lineitem partials on hash(orderkey).
+    Per-(nation, nation, year) partials merge in one tiny final task."""
+    nb = cfg.num_buckets
+
+    nat = nation.to_pandas()
+    name_of = dict(
+        zip(nat["n_nationkey"].to_numpy(np.int64), nat["n_name"].astype(str))
+    )
+    key_of = {v: k for k, v in name_of.items()}
+    ka, kb = key_of[nation_a], key_of[nation_b]
+    pair = np.sort(np.array([ka, kb], np.int64))
+    pair_ref = ray.put(pair)
+
+    def c_rows(t: pa.Table) -> pd.DataFrame:
+        from ..state.broadcast import cached_get
+
+        p = cached_get(pair_ref)
+        cn = np.asarray(t.column("c_nationkey"), np.int64)
+        keep = (cn == p[0]) | (cn == p[1])
+        ck = np.asarray(t.column("c_custkey"), np.int64)[keep]
+        return _pat(pd.DataFrame(
+            {
+                "k": ck,
+                "okey": np.zeros(keep.sum(), np.int64),
+                "nat": cn[keep],
+                "_side": np.zeros(keep.sum(), np.int8),
+                "_bucket": (ck % nb).astype(np.int32),
+            }
+        ))
+
+    def o_rows(t: pa.Table) -> pd.DataFrame:
+        ck = np.asarray(t.column("o_custkey"), np.int64)
+        return _pat(pd.DataFrame(
+            {
+                "k": ck,
+                "okey": np.asarray(t.column("o_orderkey"), np.int64),
+                "nat": np.zeros(len(ck), np.int64),
+                "_side": np.ones(len(ck), np.int8),
+                "_bucket": (ck % nb).astype(np.int32),
+            }
+        ))
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g[g["_side"] == 0][["k", "nat"]]
+        ords = g[g["_side"] == 1]
+        m = ords.merge(cust, on="k", suffixes=("", "_c"))
+        okey = m["okey"].to_numpy(np.int64)
+        return _pat(pd.DataFrame(
+            {
+                "okey": okey,
+                "cnat": m["nat_c"].to_numpy(np.int64),
+                "snat": np.zeros(len(m), np.int64),
+                "yr": np.zeros(len(m), np.int64),
+                "rev": np.zeros(len(m), np.int64),
+                "_side": np.zeros(len(m), np.int8),
+                "_bucket2": (okey % nb).astype(np.int32),
+            }
+        ))
+
+    li = broadcast_join(
+        lineitem,
+        supplier,
+        big_key="l_suppkey",
+        small_key="s_suppkey",
+        payload_cols=["s_nationkey"],
+        cfg=cfg,
+    )
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sn = df["s_nationkey"].to_numpy(np.int64)
+        keep = (sn == int(pair[0])) | (sn == int(pair[1]))
+        df = df[keep]
+        cents = np.round(
+            df["l_extendedprice"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        disc = np.round(
+            df["l_discount"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        yr = (
+            pd.Series(df["l_shipdate"].to_numpy())
+            .dt.year.to_numpy(np.int64)
+        )
+        part = (
+            pd.DataFrame(
+                {
+                    "okey": df["l_orderkey"].to_numpy(np.int64),
+                    "snat": df["s_nationkey"].to_numpy(np.int64),
+                    "yr": yr,
+                    "rev": cents * (100 - disc),
+                }
+            )
+            .groupby(["okey", "snat", "yr"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        part["cnat"] = np.zeros(len(part), np.int64)
+        part["_side"] = np.ones(len(part), np.int8)
+        part["_bucket2"] = (part["okey"].to_numpy(np.int64) % nb).astype(
+            np.int32
+        )
+        return _pat(part[
+            ["okey", "cnat", "snat", "yr", "rev", "_side", "_bucket2"]
+        ])
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"snat": pd.Series(dtype=np.int64),
+             "cnat": pd.Series(dtype=np.int64),
+             "yr": pd.Series(dtype=np.int64),
+             "rev": pd.Series(dtype=np.int64)}
+        )
+        ords = g[g["_side"] == 0][["okey", "cnat"]]
+        lis = g[g["_side"] == 1]
+        if len(ords) == 0 or len(lis) == 0:
+            return _pat(empty)
+        m = lis.merge(ords, on="okey", suffixes=("", "_o"))
+        # cross-nation flows only: (c=a, s=b) or (c=b, s=a)
+        m = m[m["cnat_o"].to_numpy(np.int64) != m["snat"].to_numpy(np.int64)]
+        if len(m) == 0:
+            return _pat(empty)
+        out = (
+            m.groupby(["snat", "cnat_o", "yr"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+            .rename(columns={"cnat_o": "cnat"})
+        )
+        return _pat(out.astype(
+            {"snat": np.int64, "cnat": np.int64,
+             "yr": np.int64, "rev": np.int64}
+        ))
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        df = df[df["snat"] >= 0]  # drop the schema sentinel
+        if len(df) == 0:
+            return pa.table(
+                {"supp_nation": pa.array([], pa.string()),
+                 "cust_nation": pa.array([], pa.string()),
+                 "l_year": pa.array([], pa.int64()),
+                 "revenue_e4": pa.array([], pa.int64())}
+            )
+        s = (
+            df.groupby(["snat", "cnat", "yr"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        s["supp_nation"] = s["snat"].map(name_of)
+        s["cust_nation"] = s["cnat"].map(name_of)
+        s = s.sort_values(
+            ["supp_nation", "cust_nation", "yr"], kind="mergesort"
+        )
+        return pa.table(
+            {"supp_nation": pa.array(s["supp_nation"], pa.string()),
+             "cust_nation": pa.array(s["cust_nation"], pa.string()),
+             "l_year": pa.array(s["yr"].to_numpy(np.int64)),
+             "revenue_e4": pa.array(s["rev"].to_numpy(np.int64))}
+        )
+
+    c = customer.map_batches(c_rows, batch_format="pyarrow")
+    o = orders.map_batches(o_rows, batch_format="pyarrow")
+    winners = (
+        c.union(o).groupby("_bucket").map_groups(semi, batch_format="pandas")
+    )
+    lp = li.map_batches(l_partial, batch_format="pandas")
+    sentinel = _sentinel_ds(
+        {"snat": (-1, pa.int64()), "cnat": (-1, pa.int64()),
+         "yr": (0, pa.int64()), "rev": (0, pa.int64())}
+    )
+    return (
+        winners.union(lp)
+        .groupby("_bucket2")
+        .map_groups(match, batch_format="pandas")
+        .union(sentinel)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
+
+
+def market_share(customer, orders, lineitem, supplier, nation, region,
+                 cfg: EngineConfig, *, region_name: str,
+                 nation_name: str, p_type: str, part):
+    """TPC-H Q8 shape: ``nation_name``'s market share — per order year,
+    the fraction of revenue (exact 1e-4-dollar integer sums; the share is
+    ONE double division of the two exact ints, identical on both sides)
+    of ``p_type`` parts sold to ``region_name`` customers that came from
+    suppliers of ``nation_name``. Output (o_year, target_e4, total_e4,
+    mkt_share) — numerator and denominator ride along so the quotient is
+    auditable.
+
+    Scale shape: nation⋈region and the typed partkey set collapse
+    driver-side / broadcast; supplier nation attaches to lineitem via the
+    guarded ``broadcast_join``. Two bucketed fact exchanges: in-region
+    customers meet orders on hash(custkey) (winners carry the ORDER
+    year); per-(orderkey, is_target) pre-summed lineitem partials meet
+    the winners on hash(orderkey). Per-year partials fold in one tiny
+    final task."""
+    nb = cfg.num_buckets
+
+    nat = nation.to_pandas()
+    reg = region.to_pandas()
+    rkeys = set(
+        reg.loc[reg["r_name"] == region_name, "r_regionkey"].to_numpy()
+    )
+    in_region = np.sort(
+        nat.loc[nat["n_regionkey"].isin(rkeys), "n_nationkey"]
+        .to_numpy(np.int64)
+    )
+    target_key = int(
+        nat.loc[nat["n_name"].astype(str) == nation_name, "n_nationkey"]
+        .iloc[0]
+    )
+    region_ref = ray.put(in_region)
+
+    pdf = part.to_pandas()
+    pkeys = np.sort(
+        pdf.loc[pdf["p_type"].astype(str) == p_type, "p_partkey"]
+        .to_numpy(np.int64)
+    )
+    pkeys_ref = ray.put(pkeys)
+
+    def c_rows(t: pa.Table) -> pd.DataFrame:
+        from ..state.broadcast import cached_get
+
+        ks = cached_get(region_ref)
+        cn = np.asarray(t.column("c_nationkey"), np.int64)
+        if len(ks) == 0:
+            keep = np.zeros(len(cn), bool)
+        else:
+            pos = np.minimum(np.searchsorted(ks, cn), len(ks) - 1)
+            keep = ks[pos] == cn
+        ck = np.asarray(t.column("c_custkey"), np.int64)[keep]
+        return _pat(pd.DataFrame(
+            {
+                "k": ck,
+                "okey": np.zeros(len(ck), np.int64),
+                "yr": np.zeros(len(ck), np.int64),
+                "_side": np.zeros(len(ck), np.int8),
+                "_bucket": (ck % nb).astype(np.int32),
+            }
+        ))
+
+    def o_rows(t: pa.Table) -> pd.DataFrame:
+        ck = np.asarray(t.column("o_custkey"), np.int64)
+        yr = (
+            pd.Series(t.column("o_orderdate").to_pandas())
+            .dt.year.to_numpy(np.int64)
+        )
+        return _pat(pd.DataFrame(
+            {
+                "k": ck,
+                "okey": np.asarray(t.column("o_orderkey"), np.int64),
+                "yr": yr,
+                "_side": np.ones(len(ck), np.int8),
+                "_bucket": (ck % nb).astype(np.int32),
+            }
+        ))
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g[g["_side"] == 0][["k"]]
+        ords = g[g["_side"] == 1]
+        m = ords.merge(cust, on="k")
+        okey = m["okey"].to_numpy(np.int64)
+        return _pat(pd.DataFrame(
+            {
+                "okey": okey,
+                "yr": m["yr"].to_numpy(np.int64),
+                "tgt": np.zeros(len(m), np.int64),
+                "rev": np.zeros(len(m), np.int64),
+                "_side": np.zeros(len(m), np.int8),
+                "_bucket2": (okey % nb).astype(np.int32),
+            }
+        ))
+
+    li = broadcast_join(
+        lineitem,
+        supplier,
+        big_key="l_suppkey",
+        small_key="s_suppkey",
+        payload_cols=["s_nationkey"],
+        cfg=cfg,
+    )
+
+    def l_partial(df: pd.DataFrame) -> pd.DataFrame:
+        from ..state.broadcast import cached_get
+
+        ks = cached_get(pkeys_ref)
+        pk = df["l_partkey"].to_numpy(np.int64)
+        if len(ks) == 0:
+            keep = np.zeros(len(pk), bool)
+        else:
+            pos = np.minimum(np.searchsorted(ks, pk), len(ks) - 1)
+            keep = ks[pos] == pk
+        df = df[keep]
+        cents = np.round(
+            df["l_extendedprice"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        disc = np.round(
+            df["l_discount"].to_numpy(np.float64) * 100
+        ).astype(np.int64)
+        part_df = (
+            pd.DataFrame(
+                {
+                    "okey": df["l_orderkey"].to_numpy(np.int64),
+                    "tgt": (
+                        df["s_nationkey"].to_numpy(np.int64) == target_key
+                    ).astype(np.int64),
+                    "rev": cents * (100 - disc),
+                }
+            )
+            .groupby(["okey", "tgt"], sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        part_df["yr"] = np.zeros(len(part_df), np.int64)
+        part_df["_side"] = np.ones(len(part_df), np.int8)
+        part_df["_bucket2"] = (
+            part_df["okey"].to_numpy(np.int64) % nb
+        ).astype(np.int32)
+        return _pat(part_df[["okey", "yr", "tgt", "rev", "_side", "_bucket2"]])
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"yr": pd.Series(dtype=np.int64),
+             "target": pd.Series(dtype=np.int64),
+             "total": pd.Series(dtype=np.int64)}
+        )
+        ords = g[g["_side"] == 0][["okey", "yr"]]
+        lis = g[g["_side"] == 1]
+        if len(ords) == 0 or len(lis) == 0:
+            return _pat(empty)
+        m = lis.merge(ords, on="okey", suffixes=("", "_o"))
+        if len(m) == 0:
+            return _pat(empty)
+        rev = m["rev"].to_numpy(np.int64)
+        tgt = m["tgt"].to_numpy(np.int64)
+        out = (
+            pd.DataFrame(
+                {"yr": m["yr_o"].to_numpy(np.int64),
+                 "target": rev * tgt, "total": rev}
+            )
+            .groupby("yr", sort=False)
+            .agg(target=("target", "sum"), total=("total", "sum"))
+            .reset_index()
+        )
+        return _pat(out.astype(
+            {"yr": np.int64, "target": np.int64, "total": np.int64}
+        ))
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        df = df[df["yr"] >= 0]  # drop the schema sentinel
+        if len(df) == 0:
+            return pa.table(
+                {"o_year": pa.array([], pa.int64()),
+                 "target_e4": pa.array([], pa.int64()),
+                 "total_e4": pa.array([], pa.int64()),
+                 "mkt_share": pa.array([], pa.float64())}
+            )
+        s = (
+            df.groupby("yr", sort=False)
+            .agg(target=("target", "sum"), total=("total", "sum"))
+            .reset_index()
+            .sort_values("yr", kind="mergesort")
+        )
+        tot = s["total"].to_numpy(np.int64)
+        tgt = s["target"].to_numpy(np.int64)
+        share = np.where(
+            tot > 0, tgt.astype(np.float64) / np.maximum(tot, 1), 0.0
+        )
+        return pa.table(
+            {"o_year": pa.array(s["yr"].to_numpy(np.int64)),
+             "target_e4": pa.array(tgt),
+             "total_e4": pa.array(tot),
+             "mkt_share": pa.array(share)}
+        )
+
+    c = customer.map_batches(c_rows, batch_format="pyarrow")
+    o = orders.map_batches(o_rows, batch_format="pyarrow")
+    winners = (
+        c.union(o).groupby("_bucket").map_groups(semi, batch_format="pandas")
+    )
+    lp = li.map_batches(l_partial, batch_format="pandas")
+    sentinel = _sentinel_ds(
+        {"yr": (-1, pa.int64()), "target": (0, pa.int64()),
+         "total": (0, pa.int64())}
+    )
+    return (
+        winners.union(lp)
+        .groupby("_bucket2")
+        .map_groups(match, batch_format="pandas")
+        .union(sentinel)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
     )
