@@ -1306,6 +1306,15 @@ def q_ngram_counts(sf_dir: str):
     )
 
 
+def q_ngram_diversity(sf_dir: str):
+    """Corpus n-gram diversity for n=1..4: total vs distinct word-n-gram
+    counts (the distinct-n generation-diversity / memorization statistic),
+    exact integers, one gram-hash exchange."""
+    from deepblocker_ray.stages.textstats import ngram_diversity
+
+    return ngram_diversity(_documents(sf_dir), _cfg(), max_n=4)
+
+
 def q_kmeans_assign(sf_dir: str):
     """One deterministic Lloyd assignment step over the embeddings table
     (seeds = vec_id < 8, integer squared-L2 on quantized coords): seeds
@@ -1539,6 +1548,29 @@ def q_value_outliers(sf_dir: str):
 
     ev = _events(sf_dir, columns=["event_id", "event_type", "value"])
     return value_outliers(ev, _cfg(), k=3)
+
+
+def q_dice_join(sf_dir: str):
+    """Prefix-filtered set-similarity self-join under DICE similarity
+    (2|∩|/(|x|+|y|) ≥ 9/10): the same AllPairs/PPJoin machinery with the
+    dice-effective prefix/length bound t/(2−t) — still a proof, still
+    integer-exact (2·inter·den ≥ num·(na+nb))."""
+    from deepblocker_ray.stages.setjoin import set_similarity_join
+
+    return set_similarity_join(
+        _documents(sf_dir), _cfg(), tau_num=9, tau_den=10, sim="dice"
+    )
+
+
+def q_cosine_join(sf_dir: str):
+    """Prefix-filtered set-similarity self-join under SET-COSINE
+    similarity (|∩|/√(|x|·|y|) ≥ 9/10): prefix/length bound t², verify by
+    inter²·den² ≥ num²·na·nb — division- and sqrt-free."""
+    from deepblocker_ray.stages.setjoin import set_similarity_join
+
+    return set_similarity_join(
+        _documents(sf_dir), _cfg(), tau_num=9, tau_den=10, sim="cosine"
+    )
 
 
 def q_set_sim_join(sf_dir: str):
@@ -3827,6 +3859,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_windows": q_turn_windows,
         "kmeans_assign": q_kmeans_assign,
         "set_sim_join": q_set_sim_join,
+        "dice_join": q_dice_join,
+        "cosine_join": q_cosine_join,
         "transitions": q_transitions,
         "cluster_contingency": q_cluster_contingency,
         "session_paths": q_session_paths,
@@ -3909,6 +3943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_eval": q_cluster_eval,
         "fuzzy_join": q_fuzzy_join,
         "ngram_counts": q_ngram_counts,
+        "ngram_diversity": q_ngram_diversity,
         "rolling_agg": q_rolling_agg,
         "tfidf_search": q_tfidf_search,
         "sft_pairs": q_sft_pairs,
@@ -7039,6 +7074,70 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = l
             JOIN sizes sb ON sb.doc_id = r
             WHERE i * 10 >= 9 * (sa.n + sb.n - i)
+        """,
+        "dice_join": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_distinct({tokens})) AS tok
+                FROM documents
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i
+                FROM toks a JOIN toks b
+                  ON a.tok = b.tok
+                 AND CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+                GROUP BY 1, 2
+            )
+            SELECT CAST(l AS VARCHAR) AS left_id,
+                   CAST(r AS VARCHAR) AS right_id,
+                   CAST(i AS BIGINT) AS n_inter,
+                   CAST(sa.n AS BIGINT) AS n_left,
+                   CAST(sb.n AS BIGINT) AS n_right
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = l
+            JOIN sizes sb ON sb.doc_id = r
+            WHERE 2 * i * 10 >= 9 * (sa.n + sb.n)
+        """,
+        "cosine_join": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_distinct({tokens})) AS tok
+                FROM documents
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS l, b.doc_id AS r, count(*) AS i
+                FROM toks a JOIN toks b
+                  ON a.tok = b.tok
+                 AND CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+                GROUP BY 1, 2
+            )
+            SELECT CAST(l AS VARCHAR) AS left_id,
+                   CAST(r AS VARCHAR) AS right_id,
+                   CAST(i AS BIGINT) AS n_inter,
+                   CAST(sa.n AS BIGINT) AS n_left,
+                   CAST(sb.n AS BIGINT) AS n_right
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = l
+            JOIN sizes sb ON sb.doc_id = r
+            WHERE i * i * 100 >= 81 * sa.n * sb.n
+        """,
+        # distinct-n diversity: same gram-string convention as the ngram
+        # twins (engine compares md5-64 gram hashes; collision caveat)
+        "ngram_diversity": f"""
+            WITH d AS (SELECT {tokens} AS tk FROM documents),
+            g AS (
+                SELECT ns.n AS n,
+                       unnest(CASE WHEN len(tk) < ns.n THEN []
+                            ELSE [array_to_string(tk[x : x + ns.n - 1], ' ')
+                                  for x in generate_series(
+                                      1, len(tk) - ns.n + 1)]
+                            END) AS gram
+                FROM d, (SELECT range AS n FROM range(1, 5)) ns
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS total_ngrams,
+                   CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams
+            FROM g GROUP BY n ORDER BY n
         """,
         # fuzzy-join twin: DuckDB's jaro_winkler_similarity is value-
         # identical to the engine's batch kernel (string_sims pins it), so

@@ -91,11 +91,14 @@ def _tok_explode(id_col: str, text_col: str):
     return fn
 
 
-def _setjoin_verify_fn(tau_num: int, tau_den: int):
-    """pair_fn: exact |∩| / |∪| over sorted-unique uint64 token sets, kept
-    by integer cross-multiplication. Null payloads (id missing from the
-    token side, i.e. an empty doc) drop the pair — the twin has no rows
-    for empty docs either."""
+def _setjoin_verify_fn(tau_num: int, tau_den: int, sim: str = "jaccard"):
+    """pair_fn: exact |∩| plus set sizes over sorted-unique uint64 token
+    sets; the threshold is decided by integer cross-multiplication for
+    every similarity family — jaccard: inter·den ≥ num·union; dice:
+    2·inter·den ≥ num·(na+nb); cosine: inter²·den² ≥ num²·na·nb (squares
+    stay far under 2⁶³ for any realistic token-set size). Null payloads
+    (id missing from the token side, i.e. an empty doc) drop the pair —
+    the twin has no rows for empty docs either."""
 
     def fn(ls, rs, lp, rp) -> pa.Table:
         import pyarrow.compute as pc
@@ -112,19 +115,31 @@ def _setjoin_verify_fn(tau_num: int, tau_den: int):
         pool, li, ri = _uniquify_pair_payloads(ls, rs, lp, rp)
         inter, na, nb = _pairwise_intersect_indexed(pool, li, ri)
         union = na + nb - inter
-        keep = np.nonzero(
-            valid & (inter * tau_den >= tau_num * union) & (union > 0)
-        )[0]
+        if sim == "jaccard":
+            ok = (inter * tau_den >= tau_num * union) & (union > 0)
+        elif sim == "dice":
+            ok = (2 * inter * tau_den >= tau_num * (na + nb)) & (
+                na + nb > 0
+            )
+        else:  # cosine
+            ok = (
+                inter * inter * (tau_den * tau_den)
+                >= (tau_num * tau_num) * na * nb
+            ) & (na > 0) & (nb > 0)
+        keep = np.nonzero(valid & ok)[0]
         ls = np.asarray(ls, object)
         rs = np.asarray(rs, object)
-        return pa.table(
-            {
-                "left_id": pa.array(ls[keep], pa.string()),
-                "right_id": pa.array(rs[keep], pa.string()),
-                "n_inter": pa.array(inter[keep]),
-                "n_union": pa.array(union[keep]),
-            }
-        )
+        cols = {
+            "left_id": pa.array(ls[keep], pa.string()),
+            "right_id": pa.array(rs[keep], pa.string()),
+            "n_inter": pa.array(inter[keep]),
+        }
+        if sim == "jaccard":
+            cols["n_union"] = pa.array(union[keep])
+        else:
+            cols["n_left"] = pa.array(na[keep])
+            cols["n_right"] = pa.array(nb[keep])
+        return pa.table(cols)
 
     return fn
 
@@ -140,13 +155,25 @@ def set_similarity_join(
     max_bucket: int = 64,
     hard_mult: int = 1 << 16,
     stats_out: dict | None = None,
+    sim: str = "jaccard",
 ):
-    """All pairs with token-set Jaccard >= tau_num/tau_den.
+    """All pairs with token-set similarity >= tau_num/tau_den under
+    ``sim`` ∈ {"jaccard", "dice", "cosine"} (Dice = 2|∩|/(|x|+|y|),
+    set-cosine = |∩|/√(|x|·|y|)).
 
-    Output: (left_id, right_id, n_inter, n_union) with left_id < right_id
-    as STRINGS (ids are stringified; the SQL twin must orient pairs with a
-    VARCHAR compare). Jaccard itself is recoverable as n_inter/n_union; it
-    is deliberately not emitted so the output stays integer-exact.
+    Output: (left_id, right_id, n_inter, n_union) for jaccard /
+    (left_id, right_id, n_inter, n_left, n_right) for dice & cosine,
+    with left_id < right_id as STRINGS (ids are stringified; the SQL twin
+    must orient pairs with a VARCHAR compare). The similarity itself is
+    recoverable from the integer columns; it is deliberately not emitted
+    so the output stays integer-exact.
+
+    The prefix filter stays a PROOF for all three families via an
+    effective rational bound eff_num/eff_den on the per-side minimum
+    overlap (sim ≥ t ⇒ O ≥ ns·eff): jaccard eff = t (O ≥ t·ns); dice
+    eff = t/(2−t) (2O ≥ t(ns+no), no ≥ O ⇒ O(2−t) ≥ t·ns); cosine
+    eff = t² (O ≥ t√(ns·no), no ≥ O ⇒ O ≥ t²·ns). The same effective
+    ratio drives the PPJoin length filter (|small| ≥ eff·|large|).
 
     ``max_bucket`` bounds per-task all-pairs work on hot prefix keys via
     exact salting; ``hard_mult`` defaults high enough that the lossy
@@ -154,6 +181,14 @@ def set_similarity_join(
     """
     if not (0 < tau_num <= tau_den):
         raise ValueError(f"need 0 < tau_num <= tau_den, got {tau_num}/{tau_den}")
+    if sim == "jaccard":
+        eff_num, eff_den = tau_num, tau_den
+    elif sim == "dice":
+        eff_num, eff_den = tau_num, 2 * tau_den - tau_num
+    elif sim == "cosine":
+        eff_num, eff_den = tau_num * tau_num, tau_den * tau_den
+    else:
+        raise KeyError(f"unknown sim {sim!r}")
 
     from ..config import parallel_blocks
 
@@ -210,7 +245,7 @@ def set_similarity_join(
             np.concatenate(([True], ids[1:] != ids[:-1]))
         )[0]
         counts = np.diff(np.concatenate((starts, [len(ids)])))
-        need = (tau_num * counts + tau_den - 1) // tau_den  # ceil(t*n)
+        need = (eff_num * counts + eff_den - 1) // eff_den  # ceil(eff*n)
         plen = counts - need + 1
         pos = np.arange(len(ids), dtype=np.int64) - np.repeat(starts, counts)
         pmask = pos < np.repeat(plen, counts)
@@ -272,7 +307,7 @@ def set_similarity_join(
     cand = _pairs_from_keys(
         keys, "doc_id", max_bucket, cfg, hard_mult=hard_mult,
         stats_out=stats_out,
-        size_col="n_toks", size_tau=(tau_num, tau_den),
+        size_col="n_toks", size_tau=(eff_num, eff_den),
     )
     # a pair can surface under several shared prefix tokens and, unlike the
     # dedup family, there is no connected-components step downstream to
@@ -280,5 +315,5 @@ def set_similarity_join(
     cand = _dedup_pairs(cand, cfg)
     return _verify_pairs(
         cand, docs, "doc_id", "toks", cfg,
-        _setjoin_verify_fn(tau_num, tau_den),
+        _setjoin_verify_fn(tau_num, tau_den, sim),
     )

@@ -2029,3 +2029,150 @@ def token_lang_affinity(ds, cfg=None, *, text_col: str = "text",
         .groupby("_bucket")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def ngram_diversity(ds, cfg, *, text_col: str = "text", max_n: int = 4):
+    """Corpus n-gram diversity (the distinct-n statistic behind
+    self-BLEU-style generation-diversity and memorization audits): for
+    each n in 1..``max_n``, the total number of word-n-gram occurrences
+    and the number of DISTINCT n-grams, both exact integers (the
+    distinct/total ratio is derivable and deliberately not emitted).
+    Docs shorter than n tokens contribute nothing at that n (the
+    ngram_counts convention). Output (n, total_ngrams, distinct_ngrams).
+
+    Scale shape: each batch builds all n levels' gram hashes in one
+    vectorized pass over its concatenated token array (cross-doc windows
+    masked) and pre-combines to (n, gram-hash, count) partials; ONE
+    exchange bucketed on the gram hash (so each distinct gram lands in
+    exactly one bucket) reduces to ≤ max_n rows per bucket of
+    (n, distinct_part, total_part); the ≤ max_n × nb partials fold in
+    one tiny final task. Gram identity is the 64-bit md5 of the gram
+    string — the shared hashed-token twin caveat (collision odds
+    ~n²·2⁻⁶⁵) applies.
+    """
+    from ..functions.tokenizer import tokenize_many
+    from .dedup import hash64_strs
+
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1, got {max_n}")
+    nb = cfg.num_buckets
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        texts = batch.column(text_col).to_pylist()
+        tok_lists = tokenize_many(texts)
+        counts = np.fromiter(
+            (len(t) for t in tok_lists), np.int64, len(tok_lists)
+        )
+        total = int(counts.sum())
+        flat = np.empty(total, object)
+        p = 0
+        for ts in tok_lists:
+            flat[p : p + len(ts)] = ts
+            p += len(ts)
+        starts = np.zeros(len(tok_lists) + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        frames = []
+        for n in range(1, max_n + 1):
+            nw = total - n + 1
+            if nw <= 0:
+                continue
+            grams = flat[:nw].copy()
+            for j in range(1, n):
+                grams = grams + " "
+                grams = grams + flat[j : nw + j]
+            doc_idx = np.repeat(
+                np.arange(len(tok_lists), dtype=np.int64), counts
+            )[:nw]
+            keep = starts[doc_idx + 1] - np.arange(nw, dtype=np.int64) >= n
+            if not keep.any():
+                continue
+            vc = pd.Series(
+                hash64_strs(grams[keep])
+            ).value_counts(sort=False)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "n": np.full(len(vc), n, np.int64),
+                        "h": vc.index.to_numpy(np.uint64),
+                        "cnt": vc.to_numpy(np.int64),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "n": pd.Series(dtype=np.int64),
+                    "h": pd.Series(dtype=np.uint64),
+                    "cnt": pd.Series(dtype=np.int64),
+                    "_bucket": pd.Series(dtype=np.int32),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["_bucket"] = (
+            out["h"].to_numpy(np.uint64) % np.uint64(nb)
+        ).astype(np.int32)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # a gram's every partial lands here → global distinct per bucket
+        agg = g.groupby(["n", "h"], sort=False)["cnt"].sum().reset_index()
+        return (
+            agg.groupby("n", sort=False)
+            .agg(distinct_part=("h", "size"), total_part=("cnt", "sum"))
+            .reset_index()
+        )
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        df = df[df["total_part"] > 0]  # drop the schema sentinel
+        if len(df) == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "total_ngrams": pa.array([], pa.int64()),
+                    "distinct_ngrams": pa.array([], pa.int64()),
+                }
+            )
+        s = (
+            df.groupby("n", sort=False)
+            .agg(total_ngrams=("total_part", "sum"),
+                 distinct_ngrams=("distinct_part", "sum"))
+            .reset_index()
+            .sort_values("n", kind="mergesort")
+        )
+        return pa.table(
+            {
+                "n": pa.array(s["n"].to_numpy(np.int64)),
+                "total_ngrams": pa.array(
+                    s["total_ngrams"].to_numpy(np.int64)
+                ),
+                "distinct_ngrams": pa.array(
+                    s["distinct_ngrams"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    import ray.data as rd
+
+    sentinel = rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([0], pa.int64()),
+                "distinct_part": pa.array([0], pa.int64()),
+                "total_part": pa.array([0], pa.int64()),
+            }
+        )
+    )
+
+    def to_arrow(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: to_arrow(per_bucket(g)), batch_format="pandas"
+        )
+        .union(sentinel)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
