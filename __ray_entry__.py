@@ -1573,6 +1573,19 @@ def q_cosine_join(sf_dir: str):
     )
 
 
+def q_minhash_delta(sf_dir: str):
+    """Incremental (daily-delta) MinHash near-dup: verified J≥0.6 pairs
+    touching at least one NEW doc (doc_id % 10 == 0 plays the delta);
+    existing↔existing pairs are never generated — the pair fan is the
+    bipartite new×all product per LSH band key."""
+    from deepblocker_ray.stages.dedup import minhash_delta_pairs
+
+    docs = _documents(sf_dir)
+    delta = _mod_split(docs, 10, True, id_col="doc_id")
+    corpus = _mod_split(docs, 10, False, id_col="doc_id")
+    return minhash_delta_pairs(corpus, delta, cfg=_cfg())
+
+
 def q_set_sim_join(sf_dir: str):
     """Exact prefix-filtered set-similarity self-join (AllPairs/PPJoin):
     every document pair with token-set Jaccard ≥ 9/10, kept by integer
@@ -3859,6 +3872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_windows": q_turn_windows,
         "kmeans_assign": q_kmeans_assign,
         "set_sim_join": q_set_sim_join,
+        "minhash_delta": q_minhash_delta,
         "dice_join": q_dice_join,
         "cosine_join": q_cosine_join,
         "transitions": q_transitions,
@@ -7120,6 +7134,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = l
             JOIN sizes sb ON sb.doc_id = r
             WHERE i * i * 100 >= 81 * sa.n * sb.n
+        """,
+        # delta-dedup twin: brute-force byte-shingle Jaccard >= 0.6 pairs
+        # restricted to >=1 delta side (doc_id % 10 == 0), VARCHAR-oriented
+        # like the engine's string pair orientation
+        "minhash_delta": """
+            WITH hx AS (
+                SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+                       octet_length(encode(coalesce(text, ''))) AS bl
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(CASE WHEN bl < 8 THEN [h]
+                            ELSE [substr(h, 2*x - 1, 16)
+                                  for x in generate_series(1, bl - 7)]
+                            END) AS s
+                FROM hx
+            )
+            SELECT CAST(a.doc_id AS VARCHAR) AS left_id,
+                   CAST(b.doc_id AS VARCHAR) AS right_id
+            FROM sh a JOIN sh b
+              ON CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+            WHERE (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+              AND CASE
+                WHEN len(a.s) = 0 AND len(b.s) = 0 THEN TRUE
+                ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                     >= 0.6 END
         """,
         # distinct-n diversity: same gram-string convention as the ngram
         # twins (engine compares md5-64 gram hashes; collision caveat)

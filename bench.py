@@ -238,6 +238,9 @@ def main() -> None:
         "turn_windows",
         "kmeans_assign",
         "set_sim_join",
+        "dice_join",
+        "cosine_join",
+        "ngram_diversity",
         "transitions",
         "cluster_contingency",
         "session_paths",

@@ -1076,15 +1076,10 @@ def local_supplier_revenue(
         c.union(o).groupby("_bucket").map_groups(semi, batch_format="pandas")
     )
     lp = li.map_batches(l_partial, batch_format="pandas")
-    sentinel = _sentinel_ds(
-        {"yr": (-1, pa.int64()), "target": (0, pa.int64()),
-         "total": (0, pa.int64())}
-    )
     return (
         winners.union(lp)
         .groupby("_bucket2")
         .map_groups(match, batch_format="pandas")
-        .union(sentinel)
         .repartition(1)
         .map_batches(final, batch_format="pandas")
     )
@@ -2477,8 +2472,12 @@ def _sentinel_ds(cols: dict):
 
 
 def _pat(df: pd.DataFrame) -> pa.Table:
-    """pandas → arrow block (schema survives empty frames)."""
-    return pa.Table.from_pandas(df, preserve_index=False)
+    """pandas → arrow block (schema survives empty frames). Metadata is
+    stripped: the pandas schema-metadata dict defeats Ray's schema
+    dedup hashing (it logs 'Failed to hash the schemas' per block)."""
+    return pa.Table.from_pandas(
+        df, preserve_index=False
+    ).replace_schema_metadata(None)
 
 
 

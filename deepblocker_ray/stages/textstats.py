@@ -2164,7 +2164,9 @@ def ngram_diversity(ds, cfg, *, text_col: str = "text", max_n: int = 4):
     )
 
     def to_arrow(df: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
