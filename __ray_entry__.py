@@ -2502,6 +2502,21 @@ def q_modularity(sf_dir: str):
     )
 
 
+def q_leakage_split(sf_dir: str):
+    """Leakage-safe 90/5/5 split: split labels derive from the minhash
+    near-dup CLUSTER hash, so near-duplicates never straddle train/test —
+    the dedup-aware dataset-versioning step a per-row split gets wrong."""
+    from deepblocker_ray.stages.dedup import minhash_lsh_dedup
+    from deepblocker_ray.stages.sampling import leakage_safe_split
+
+    clusters = minhash_lsh_dedup(_documents(sf_dir), cfg=_cfg())
+    return leakage_safe_split(
+        clusters.select_columns(["doc_id", "cluster_id"]),
+        id_col="doc_id", group_col="cluster_id",
+        seed=7, train_pct=90, val_pct=5,
+    )
+
+
 def q_three_way_split(sf_dir: str):
     """Deterministic 80/10/10 train/val/test assignment from the stable
     id-hash — disjoint by construction, stable under corpus growth."""
@@ -3932,6 +3947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": q_segment_dedup,
         "modularity": q_modularity,
         "three_way_split": q_three_way_split,
+        "leakage_split": q_leakage_split,
         "kcore": q_kcore,
         "large_orders": q_large_orders,
         "blocklist": q_blocklist,
@@ -7027,6 +7043,20 @@ def oracle_sql() -> dict[str, str]:
             "doc_id",
         ),
         "minhash_dedup": _cc_sql(minhash_pairs, "documents", "doc_id"),
+        # leakage-safe split twin: the minhash CC labels + the hash_sample
+        # md5 split rule applied to cluster_id (thresholds from
+        # split_thresholds(90, 5) — engine and twin share the constants)
+        "leakage_split": f"""
+            WITH lab AS ({_cc_sql(minhash_pairs, "documents", "doc_id")})
+            SELECT doc_id, cluster_id,
+                   CASE WHEN h < {split_thresholds(90, 5)[0]} THEN 'train'
+                        WHEN h < {split_thresholds(90, 5)[1]} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id, cluster_id,
+                         md5_number_lower(cluster_id || '|7')
+                             % 4294967296 AS h
+                  FROM lab)
+        """,
         "length_batches": r"""
             WITH t AS (
                 SELECT doc_id,

@@ -306,3 +306,44 @@ def split_assign(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def leakage_safe_split(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "cluster_id",
+    seed: int = 7,
+    train_pct: int = 90,
+    val_pct: int = 5,
+):
+    """Leakage-safe train/val/test split: every row's split label derives
+    from its GROUP's stable hash (near-dup cluster, conversation,
+    source…), so all members of a group land in the SAME split and
+    near-duplicates can never straddle train/test — the contamination
+    failure the plain per-row split invites. Feed it a clustering output
+    (e.g. minhash_lsh_dedup's (doc_id, cluster_id)); the assignment is
+    shuffle-free (one stateless map over already-labeled rows), rerun-
+    stable, and disjoint by construction (one hash, three bands — the
+    split_assign rule applied to the group key). Output (id, group,
+    split); same md5-lower64 identity as hash_sample → exactly
+    SQL-twinnable."""
+    t1, t2 = split_thresholds(train_pct, val_pct)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = _id_hashes(batch.column(group_col).cast(pa.string()), seed)
+        h32 = (h % _DENOM).astype(np.uint64)
+        lab = np.where(
+            h32 < np.uint64(t1),
+            "train",
+            np.where(h32 < np.uint64(t2), "val", "test"),
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                group_col: batch.column(group_col),
+                "split": pa.array(lab, pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
