@@ -342,10 +342,16 @@ def q_linkage_ctt(sf_dir: str):
     the SIF aggregate serves as the embedding, :271-273). Deterministic
     but hash-embedding-dependent → rows-only driver check; synthetic-pair
     generation is bit-parity-pinned vs the reference algorithm in
-    tests/test_train.py."""
+    tests/test_train.py. train_sample_cap=4000 here is the DRIVER-QUERY
+    scale knob (engine default stays the reference-faithful 100k): CTT
+    fit cost is 10 synthetic pairs × 2 aggregate-embedding passes ×
+    50 epochs per sampled tuple, and the fit sample is a hyperparameter,
+    not a function of corpus size."""
+    from deepblocker_ray.config import EngineConfig
     from deepblocker_ray.pipelines.linkage import link_transcripts
 
-    res = link_transcripts(_transcripts(sf_dir), _cfg(), embedder="ctt", k=8)
+    cfg = EngineConfig(num_buckets=32, train_sample_cap=4000)
+    res = link_transcripts(_transcripts(sf_dir), cfg, embedder="ctt", k=8)
     return res["clusters"]
 
 
@@ -355,13 +361,16 @@ def q_blocking_hybrid(sf_dir: str):
     aggregator) with apply_summarizer=True — the mode where the trained
     summarizer actually runs at inference (input dim follows the AE's
     150-dim output, fixing the reference's dim defect at :288,311).
-    Deterministic, hash-embedding-dependent → rows-only driver check."""
-    from deepblocker_ray.config import parallel_blocks_sized
+    Deterministic, hash-embedding-dependent → rows-only driver check.
+    train_sample_cap=4000 is the driver-query scale knob (see
+    q_linkage_ctt) — the Hybrid fit additionally AE-encodes every
+    synthetic pair text, the costliest fit in the family."""
+    from deepblocker_ray.config import EngineConfig, parallel_blocks_sized
     from deepblocker_ray.stages.canonicalize import canonicalize
     from deepblocker_ray.stages.deep_embed import HybridEmbedder
     from deepblocker_ray.stages.pairing import ExactTopKPairer
 
-    cfg = _cfg()
+    cfg = EngineConfig(num_buckets=32, train_sample_cap=4000)
     tuples = parallel_blocks_sized(
         canonicalize(_transcripts(sf_dir), cfg).materialize()
     )

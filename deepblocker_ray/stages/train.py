@@ -40,6 +40,53 @@ from ..config import (
 from ..functions.tokenizer import tokenize
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def blas_threads(n: int = 8):
+    """Temporarily raise OpenBLAS's thread count around the seeded
+    training loops. The session pins OMP_NUM_THREADS=1 (right for Ray
+    map tasks — oversubscribed BLAS threads fight the task pool), but
+    the driver-side trainer is ONE process doing thousands of small
+    GEMMs; threaded OpenBLAS splits the OUTPUT matrix across threads
+    while each element's K-accumulation order is unchanged, so results
+    stay BIT-IDENTICAL (pinned by the bit-parity tests in
+    tests/test_train.py) and the wall drops ~3-4×. No-ops gracefully if
+    the OpenBLAS control symbols can't be found."""
+    import ctypes
+    import glob
+    import os
+
+    import numpy as _np
+
+    setn = getn = None
+    try:
+        libdir = os.path.join(
+            os.path.dirname(os.path.dirname(_np.__file__)), "numpy.libs"
+        )
+        for so in glob.glob(os.path.join(libdir, "*openblas*")):
+            lib = ctypes.CDLL(so)
+            setn = getattr(lib, "openblas_set_num_threads64_", None) or \
+                getattr(lib, "openblas_set_num_threads", None)
+            getn = getattr(lib, "openblas_get_num_threads64_", None) or \
+                getattr(lib, "openblas_get_num_threads", None)
+            if setn is not None:
+                break
+    except Exception:
+        setn = getn = None
+    if setn is None or getn is None:
+        yield
+        return
+    prev = getn()
+    setn(int(n))
+    try:
+        yield
+    finally:
+        setn(prev)
+
+
+
 def _init_linear(
     rng: np.random.Generator, fan_in: int, fan_out: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -198,11 +245,14 @@ def train_autoencoder(
     net = AutoEncoderNet(x.shape[1], hidden_dims, seed)
     opt = Adam(net.params, lr)
     rng = np.random.default_rng(seed)
-    for _epoch in range(num_epochs):
-        order = rng.permutation(len(x))
-        for s in range(0, len(x), batch_size):
-            _loss, grads = net.forward_backward(x[order[s : s + batch_size]])
-            opt.step(grads)
+    with blas_threads():
+        for _epoch in range(num_epochs):
+            order = rng.permutation(len(x))
+            for s in range(0, len(x), batch_size):
+                _loss, grads = net.forward_backward(
+                    x[order[s : s + batch_size]]
+                )
+                opt.step(grads)
     return net.params
 
 
@@ -224,12 +274,13 @@ def train_ctt(
     opt = Adam(net.params, lr)
     rng = np.random.default_rng(seed)
     y = np.asarray(labels, np.float64)
-    for _epoch in range(num_epochs):
-        order = rng.permutation(len(left))
-        for s in range(0, len(left), batch_size):
-            b = order[s : s + batch_size]
-            _loss, grads = net.forward_backward(left[b], right[b], y[b])
-            opt.step(grads)
+    with blas_threads():
+        for _epoch in range(num_epochs):
+            order = rng.permutation(len(left))
+            for s in range(0, len(left), batch_size):
+                b = order[s : s + batch_size]
+                _loss, grads = net.forward_backward(left[b], right[b], y[b])
+                opt.step(grads)
     return net.params
 
 
