@@ -2002,6 +2002,53 @@ def q_market_share(sf_dir: str):
     )
 
 
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape (acctbal as the cost proxy): per shipped part, the
+    minimum-balance supplier among its shippers (ties by suppkey) — the
+    argmin-per-key join; lineitem pre-reduced to distinct pairs map-side."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import min_balance_supplier
+
+    return min_balance_supplier(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey", "s_name", "s_acctbal"],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+        ),
+        _cfg(),
+    )
+
+
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with maximum 1997 shipped revenue
+    (exact integer 1e-4 dollars, ALL ties kept) — global argmax over tiny
+    per-supplier partials."""
+    import ray.data as rd
+
+    from deepblocker_ray.stages.relational import top_revenue_supplier
+
+    return top_revenue_supplier(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount",
+            ],
+        ),
+        rd.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+        ),
+        _cfg(),
+        date_lo_us=852076800000000,
+        date_hi_us=883612800000000,
+    )
+
+
 def q_ship_latency(sf_dir: str):
     """Per-priority order-fulfilment latency (days from order date to the
     LAST lineitem shipment; trunc-division matching DuckDB //): n_orders,
@@ -3914,6 +3961,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_mode": q_group_mode,
         "meta_blocking": q_meta_blocking,
         "ship_latency": q_ship_latency,
+        "min_cost_supplier": q_min_cost_supplier,
+        "top_supplier": q_top_supplier,
         "order_priority": q_order_priority,
         "shipmode_priority": q_shipmode_priority,
         "customer_distribution": q_customer_distribution,
@@ -7510,6 +7559,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(rev * tgt) AS BIGINT)
                        / CAST(greatest(sum(rev), 1) AS DOUBLE) AS mkt_share
             FROM rev GROUP BY 1 ORDER BY 1
+        """,
+        # Q2 shape: argmin supplier per shipped part (acctbal proxy)
+        "min_cost_supplier": """
+            WITH ps AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            ), r AS (
+                SELECT ps.l_partkey, ps.l_suppkey,
+                       CAST(round(s.s_acctbal * 100) AS BIGINT) AS cents,
+                       row_number() OVER (
+                           PARTITION BY ps.l_partkey
+                           ORDER BY round(s.s_acctbal * 100), ps.l_suppkey
+                       ) AS rn
+                FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+            )
+            SELECT r.l_partkey AS p_partkey, p.p_name,
+                   r.l_suppkey AS s_suppkey, s.s_name,
+                   r.cents AS acctbal_cents
+            FROM r
+            JOIN part p ON p.p_partkey = r.l_partkey
+            JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.rn = 1
+        """,
+        # Q15 shape: all max-revenue suppliers in the 1997 window
+        "top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum(
+                           CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       ) AS BIGINT) AS total_revenue_e4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1
+            )
+            SELECT rev.l_suppkey AS s_suppkey, s.s_name,
+                   rev.total_revenue_e4
+            FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+            WHERE rev.total_revenue_e4 = (
+                SELECT max(total_revenue_e4) FROM rev)
+            ORDER BY 1
         """,
         "ship_latency": """
             WITH lat AS (

@@ -3587,3 +3587,170 @@ def market_share(customer, orders, lineitem, supplier, nation, region,
         .repartition(1)
         .map_batches(final, batch_format="pandas")
     )
+
+
+def min_balance_supplier(lineitem, supplier, part, cfg: EngineConfig):
+    """TPC-H Q2 shape (adapted: no partsupp/supplycost — the cost proxy is
+    the supplier's account balance): for every part that shipped at least
+    once, the supplier with MINIMUM s_acctbal (integer cents) among the
+    suppliers who shipped it, ties by smaller s_suppkey — the
+    argmin-per-key over a fact-derived many-to-many. Output (p_partkey,
+    p_name, s_suppkey, s_name, acctbal_cents) sorted by partkey.
+
+    Scale shape: lineitem pre-reduces map-side to DISTINCT (partkey,
+    suppkey) rows per batch; the constant-size supplier table broadcasts
+    its (key → cents, name); ONE hash(partkey) exchange and a per-bucket
+    lexsort-head argmin; part names attach via the guarded broadcast
+    join. No fact table ever carries payload through an exchange."""
+    nb = cfg.num_buckets
+
+    sdf = supplier.to_pandas()
+    s_cents = dict(
+        zip(
+            sdf["s_suppkey"].to_numpy(np.int64),
+            np.round(sdf["s_acctbal"].to_numpy(np.float64) * 100)
+            .astype(np.int64),
+        )
+    )
+    s_name = dict(
+        zip(sdf["s_suppkey"].to_numpy(np.int64), sdf["s_name"].astype(str))
+    )
+    pdf = part.to_pandas()
+    p_name = dict(
+        zip(pdf["p_partkey"].to_numpy(np.int64), pdf["p_name"].astype(str))
+    )
+
+    def l_rows(t: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "pk": np.asarray(t.column("l_partkey"), np.int64),
+                    "sk": np.asarray(t.column("l_suppkey"), np.int64),
+                }
+            )
+            .drop_duplicates()
+        )
+        df["_bucket"] = (df["pk"].to_numpy(np.int64) % nb).astype(np.int32)
+        return _pat(df)
+
+    def argmin(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["pk", "sk"]).copy()
+        g["cents"] = g["sk"].map(s_cents)
+        g = g.dropna(subset=["cents"])
+        if len(g) == 0:
+            return pa.table(
+                {
+                    "p_partkey": pa.array([], pa.int64()),
+                    "p_name": pa.array([], pa.string()),
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "s_name": pa.array([], pa.string()),
+                    "acctbal_cents": pa.array([], pa.int64()),
+                }
+            )
+        g["cents"] = g["cents"].astype(np.int64)
+        g = g.sort_values(["pk", "cents", "sk"], kind="mergesort")
+        w = g.drop_duplicates("pk", keep="first").sort_values("pk")
+        return pa.table(
+            {
+                "p_partkey": pa.array(w["pk"].to_numpy(np.int64)),
+                "p_name": pa.array(
+                    w["pk"].map(p_name).astype(str), pa.string()
+                ),
+                "s_suppkey": pa.array(w["sk"].to_numpy(np.int64)),
+                "s_name": pa.array(
+                    w["sk"].map(s_name).astype(str), pa.string()
+                ),
+                "acctbal_cents": pa.array(w["cents"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        lineitem.map_batches(l_rows, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(argmin, batch_format="pandas")
+    )
+
+
+def top_revenue_supplier(lineitem, supplier, cfg: EngineConfig, *,
+                         date_lo_us: int, date_hi_us: int):
+    """TPC-H Q15 shape: the supplier(s) achieving MAXIMUM revenue (exact
+    1e-4-dollar integers) over lineitems shipped in [date_lo, date_hi) —
+    the global-argmax-with-ties view. Output (s_suppkey, s_name,
+    total_revenue_e4), ALL max-achieving suppliers, suppkey ASC.
+
+    Scale shape: date-filtered revenue partials pre-summed per supplier
+    map-side; ONE tiny exchange of (suppkey, partial) rows; the global
+    max + tie filter run in the single final fold (O(|suppliers|));
+    names attach from the constant-size supplier map driver-side."""
+    nb = cfg.num_buckets
+
+    sdf = supplier.to_pandas()
+    s_name = dict(
+        zip(sdf["s_suppkey"].to_numpy(np.int64), sdf["s_name"].astype(str))
+    )
+
+    def l_rows(t: pa.Table) -> pa.Table:
+        sd = np.asarray(
+            t.column("l_shipdate").cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        keep = (sd >= date_lo_us) & (sd < date_hi_us)
+        cents = np.round(
+            np.asarray(t.column("l_extendedprice"), np.float64)[keep] * 100
+        ).astype(np.int64)
+        disc = np.round(
+            np.asarray(t.column("l_discount"), np.float64)[keep] * 100
+        ).astype(np.int64)
+        part = (
+            pd.DataFrame(
+                {
+                    "sk": np.asarray(t.column("l_suppkey"), np.int64)[keep],
+                    "rev": cents * (100 - disc),
+                }
+            )
+            .groupby("sk", sort=False)["rev"]
+            .sum()
+            .reset_index()
+        )
+        part["_bucket"] = (part["sk"].to_numpy(np.int64) % nb).astype(
+            np.int32
+        )
+        return _pat(part)
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("sk", sort=False)["rev"].sum().reset_index()
+        return _pat(s)
+
+    def final(df: pd.DataFrame) -> pa.Table:
+        df = df[df["sk"] >= 0]  # drop the schema sentinel
+        if len(df) == 0:
+            return pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "s_name": pa.array([], pa.string()),
+                    "total_revenue_e4": pa.array([], pa.int64()),
+                }
+            )
+        s = df.groupby("sk", sort=False)["rev"].sum().reset_index()
+        mx = int(s["rev"].max())
+        w = s[s["rev"] == mx].sort_values("sk")
+        return pa.table(
+            {
+                "s_suppkey": pa.array(w["sk"].to_numpy(np.int64)),
+                "s_name": pa.array(
+                    w["sk"].map(s_name).astype(str), pa.string()
+                ),
+                "total_revenue_e4": pa.array(w["rev"].to_numpy(np.int64)),
+            }
+        )
+
+    sentinel = _sentinel_ds(
+        {"sk": (-1, pa.int64()), "rev": (0, pa.int64())}
+    )
+    return (
+        lineitem.map_batches(l_rows, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .union(sentinel)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )
