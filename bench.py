@@ -241,6 +241,10 @@ def main() -> None:
         "dice_join",
         "cosine_join",
         "ngram_diversity",
+        "minhash_delta",
+        "leakage_split",
+        "min_cost_supplier",
+        "top_supplier",
         "transitions",
         "cluster_contingency",
         "session_paths",
