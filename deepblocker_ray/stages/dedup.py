@@ -3109,7 +3109,6 @@ def minhash_delta_pairs(
     bands: int = 32,
     shingle_k: int = 8,
     threshold: float = 0.6,
-    stats_out: dict | None = None,
 ):
     """Delta (daily-ingest) MinHash near-dup: verified pairs with Jaccard
     ≥ ``threshold`` where AT LEAST ONE side is a ``delta`` doc — the
@@ -3119,6 +3118,10 @@ def minhash_delta_pairs(
     (old×old skipped before any pair materializes), so per-band work is
     O(|new_k| · |all_k|) — proportional to the answer on degenerate
     corpora and to the delta size on healthy ones, not to |corpus|².
+    Degenerate band keys are memory-bounded, not truncated: the bipartite
+    merge materializes in ~4M-row slices of the new side, so a
+    duplicate-heavy delta peaks at a bounded working set per task while
+    the emitted pair set stays exact.
     Output (left_id, right_id) with left < right as strings,
     integer-exact (the float similarity deliberately not emitted).
 
@@ -3182,24 +3185,49 @@ def minhash_delta_pairs(
 
     keys = sigs.map_batches(explode, batch_format="pyarrow").materialize()
 
+    pair_chunk = 4_000_000  # rows materialized per merge slice (~bounded MB)
+
     def fan(g: pd.DataFrame) -> pa.Table:
         g = g.drop_duplicates(["bkey", "doc_id"])
         new = g[g["is_new"] == 1][["bkey", "doc_id"]]
+        empty = pa.table(
+            {
+                "left_id": pa.array([], pa.string()),
+                "right_id": pa.array([], pa.string()),
+            }
+        )
         if len(new) == 0:
-            return pa.table(
-                {
-                    "left_id": pa.array([], pa.string()),
-                    "right_id": pa.array([], pa.string()),
-                }
+            return empty
+        allk = g[["bkey", "doc_id"]]
+        # per-task memory bound on degenerate band keys: the bipartite
+        # |new_k|·|all_k| product is the TRUE candidate count (exactness
+        # keeps every pair), but it is materialized in bounded slices of
+        # the new side — a duplicate-heavy delta on a shared band key
+        # peaks around pair_chunk rows per merge instead of the full
+        # product held at once
+        all_sizes = allk.groupby("bkey", sort=False)["doc_id"].size()
+        frames = []
+        rows_per_slice = max(
+            1, pair_chunk // max(int(all_sizes.max()) if len(all_sizes)
+                                 else 1, 1)
+        )
+        for s in range(0, len(new), rows_per_slice):
+            m = new.iloc[s : s + rows_per_slice].merge(allk, on="bkey")
+            if len(m) == 0:
+                continue
+            a = m["doc_id_x"].to_numpy(object)
+            b = m["doc_id_y"].to_numpy(object)
+            keep = a != b
+            a, b = a[keep], b[keep]
+            lo = np.where(a < b, a, b)
+            hi = np.where(a < b, b, a)
+            frames.append(
+                pd.DataFrame({"left_id": lo, "right_id": hi})
+                .drop_duplicates()
             )
-        m = new.merge(g[["bkey", "doc_id"]], on="bkey")
-        a = m["doc_id_x"].to_numpy(object)
-        b = m["doc_id_y"].to_numpy(object)
-        keep = a != b
-        a, b = a[keep], b[keep]
-        lo = np.where(a < b, a, b)
-        hi = np.where(a < b, b, a)
-        out = pd.DataFrame({"left_id": lo, "right_id": hi}).drop_duplicates()
+        if not frames:
+            return empty
+        out = pd.concat(frames, ignore_index=True).drop_duplicates()
         return pa.table(
             {
                 "left_id": pa.array(out["left_id"].to_numpy(object),

@@ -2253,7 +2253,7 @@ def quantile_map(ds, cfg: EngineConfig, *, group_col: str,
         # Overflow-safe cross-multiplication: cum_a * n_b can exceed int64
         # when both groups are ~3e9+ rows; promote to Python ints in that
         # regime (same rule as tv_distance / join_skew / group_regression).
-        if n_a * n_b <= 2**63 - 1:
+        if n_a * n_b + n_a - 1 <= 2**63 - 1:
             target = (cum_a * n_b + n_a - 1) // n_a  # ceil, >= 1
         else:
             target = np.array(
@@ -2537,7 +2537,7 @@ def order_priority_check(orders, lineitem, cfg: EngineConfig, *,
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
-            {"pri": pd.Series(dtype=object),
+            {"pri": pd.Series(dtype="string"),
              "cnt": pd.Series(dtype=np.int64),
              "_b2": pd.Series(dtype=np.int32)}
         )
@@ -2639,7 +2639,7 @@ def shipmode_priority(orders, lineitem, cfg: EngineConfig, *,
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
-            {"cls": pd.Series(dtype=object),
+            {"cls": pd.Series(dtype="string"),
              "high_cnt": pd.Series(dtype=np.int64),
              "low_cnt": pd.Series(dtype=np.int64)}
         )
@@ -3605,19 +3605,28 @@ def min_balance_supplier(lineitem, supplier, part, cfg: EngineConfig):
     nb = cfg.num_buckets
 
     sdf = supplier.to_pandas()
-    s_cents = dict(
-        zip(
-            sdf["s_suppkey"].to_numpy(np.int64),
-            np.round(sdf["s_acctbal"].to_numpy(np.float64) * 100)
-            .astype(np.int64),
-        )
-    )
-    s_name = dict(
-        zip(sdf["s_suppkey"].to_numpy(np.int64), sdf["s_name"].astype(str))
-    )
     pdf = part.to_pandas()
-    p_name = dict(
-        zip(pdf["p_partkey"].to_numpy(np.int64), pdf["p_name"].astype(str))
+    # dimension maps ride the object store ONCE (ray.put + per-process
+    # cached_get), not pickled into every per-bucket task closure — at
+    # sf1 the part-name map alone is multi-MB × num_buckets otherwise
+    dims_ref = ray.put(
+        {
+            "s_cents": dict(
+                zip(
+                    sdf["s_suppkey"].to_numpy(np.int64),
+                    np.round(sdf["s_acctbal"].to_numpy(np.float64) * 100)
+                    .astype(np.int64),
+                )
+            ),
+            "s_name": dict(
+                zip(sdf["s_suppkey"].to_numpy(np.int64),
+                    sdf["s_name"].astype(str))
+            ),
+            "p_name": dict(
+                zip(pdf["p_partkey"].to_numpy(np.int64),
+                    pdf["p_name"].astype(str))
+            ),
+        }
     )
 
     def l_rows(t: pa.Table) -> pa.Table:
@@ -3634,6 +3643,12 @@ def min_balance_supplier(lineitem, supplier, part, cfg: EngineConfig):
         return _pat(df)
 
     def argmin(g: pd.DataFrame) -> pa.Table:
+        from ..state.broadcast import cached_get
+
+        dims = cached_get(dims_ref)
+        s_cents, s_name, p_name = (
+            dims["s_cents"], dims["s_name"], dims["p_name"]
+        )
         g = g.drop_duplicates(["pk", "sk"]).copy()
         g["cents"] = g["sk"].map(s_cents)
         g = g.dropna(subset=["cents"])

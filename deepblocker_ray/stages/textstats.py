@@ -2052,6 +2052,7 @@ def ngram_diversity(ds, cfg, *, text_col: str = "text", max_n: int = 4):
     """
     from ..functions.tokenizer import tokenize_many
     from .dedup import hash64_strs
+    from .relational import _pat, _sentinel_ds
 
     if max_n < 1:
         raise ValueError(f"max_n must be >= 1, got {max_n}")
@@ -2099,19 +2100,19 @@ def ngram_diversity(ds, cfg, *, text_col: str = "text", max_n: int = 4):
                 )
             )
         if not frames:
-            return pd.DataFrame(
+            return _pat(pd.DataFrame(
                 {
                     "n": pd.Series(dtype=np.int64),
                     "h": pd.Series(dtype=np.uint64),
                     "cnt": pd.Series(dtype=np.int64),
                     "_bucket": pd.Series(dtype=np.int32),
                 }
-            )
+            ))
         out = pd.concat(frames, ignore_index=True)
         out["_bucket"] = (
             out["h"].to_numpy(np.uint64) % np.uint64(nb)
         ).astype(np.int32)
-        return out
+        return _pat(out)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # a gram's every partial lands here → global distinct per bucket
@@ -2151,28 +2152,16 @@ def ngram_diversity(ds, cfg, *, text_col: str = "text", max_n: int = 4):
             }
         )
 
-    import ray.data as rd
-
-    sentinel = rd.from_arrow(
-        pa.table(
-            {
-                "n": pa.array([0], pa.int64()),
-                "distinct_part": pa.array([0], pa.int64()),
-                "total_part": pa.array([0], pa.int64()),
-            }
-        )
+    sentinel = _sentinel_ds(
+        {"n": (0, pa.int64()), "distinct_part": (0, pa.int64()),
+         "total_part": (0, pa.int64())}
     )
-
-    def to_arrow(df: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(
-            df, preserve_index=False
-        ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(
-            lambda g: to_arrow(per_bucket(g)), batch_format="pandas"
+            lambda g: _pat(per_bucket(g)), batch_format="pandas"
         )
         .union(sentinel)
         .repartition(1)

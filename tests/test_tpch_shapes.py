@@ -131,9 +131,8 @@ class TestSmallQuantity:
         part = pd.DataFrame(
             {"p_partkey": [1, 2], "p_brand": ["Brand#23", "Other"]}
         )
-        # part 1 lineitems: qty 1, 4, 5 -> avg 10/3; 0.2*avg = 2/3.
-        # qty < 2/3 ⟺ 5*q100*3 < 1000 ⟺ q100 < 66.67 -> only qty .5 would
-        # qualify; use qty 0.5 row to test the q100 granularity.
+        # part 1 lineitems: qty 0.5, 1, 4, 5 (n=4, sum_q100=1050) —
+        # the qty-0.5 row tests the q100 (hundredth-unit) granularity.
         li = pd.DataFrame(
             {
                 "l_partkey": [1, 1, 1, 1, 2],
