@@ -649,9 +649,204 @@ def stages() -> None:
     )
 
 
+def _shmem_kb() -> int:
+    """Current tmpfs usage (kB) — Ray's plasma store is /dev/shm-backed, so
+    sampling this around a run gives the object-store peak on an otherwise
+    idle box."""
+    with open("/proc/meminfo") as f:
+        for line in f:
+            if line.startswith("Shmem:"):
+                return int(line.split()[1])
+    return 0
+
+
+def stream() -> None:
+    """Round-4 streaming demo (VERDICT #6): run the headline linkage on a
+    corpus ~10× the largest measured point (default ~40M turns), per-stage
+    timed, with the object store CAPPED below the pipeline's total
+    materialized bytes so Ray's spill path is actually exercised — the
+    regime a 100-TB job lives in permanently. Records per-stage walls, peak
+    /dev/shm (plasma) usage, spill volume from Ray's own accounting, and
+    the output row counts (comparable across capped/uncapped runs to show
+    spill never changes results).
+
+    Env knobs: GRAFT_STREAM_BASE (base conversations, default 3,750,000 →
+    ~40M turns), GRAFT_STREAM_SHARDS (64), GRAFT_STREAM_PAIRING
+    ("ivf" — the north-star scale path — or "exact"), GRAFT_STREAM_OBJ_GB
+    (plasma cap in GiB; empty = Ray default 30% RAM), GRAFT_STREAM_CELLS /
+    GRAFT_STREAM_NPROBE (IVF geometry, default √n_convs cells, cells/32
+    probes), RAY_GRAFT_CPUS."""
+    import threading
+
+    import ray
+
+    base = int(os.environ.get("GRAFT_STREAM_BASE", "3750000"))
+    n_shards = int(os.environ.get("GRAFT_STREAM_SHARDS", "64"))
+    pairing = os.environ.get("GRAFT_STREAM_PAIRING", "ivf")
+    obj_gb = os.environ.get("GRAFT_STREAM_OBJ_GB", "")
+    init_kwargs = {}
+    if obj_gb:
+        init_kwargs["object_store_memory"] = int(float(obj_gb) * 2**30)
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        **init_kwargs,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from deepblocker_ray.fixtures import synth_transcripts_sharded
+
+    cache = f"/tmp/graft_bench/stream_{base}_{n_shards}"
+    t_gen = time.perf_counter()
+    synth_transcripts_sharded(cache, base, n_shards=n_shards)
+    gen_s = round(time.perf_counter() - t_gen, 1)
+
+    import glob
+
+    sess_dir = ray._private.worker._global_node.get_session_dir_path()
+
+    def _spill_bytes() -> int:
+        return sum(
+            os.path.getsize(f)
+            for d in glob.glob(os.path.join(sess_dir, "ray_spilled_objects*"))
+            for f in glob.glob(os.path.join(d, "**", "*"), recursive=True)
+            if os.path.isfile(f)
+        )
+
+    shmem0 = _shmem_kb()
+    peak = [shmem0]
+    peak_spill = [0]
+    stop = threading.Event()
+
+    def sampler():
+        # peak, not final: spill files are deleted as objects are freed
+        while not stop.is_set():
+            peak[0] = max(peak[0], _shmem_kb())
+            try:
+                peak_spill[0] = max(peak_spill[0], _spill_bytes())
+            except OSError:  # a file vanished mid-walk
+                pass
+            stop.wait(0.25)
+
+    th = threading.Thread(target=sampler, daemon=True)
+    th.start()
+
+    from deepblocker_ray.config import EngineConfig, parallel_blocks_sized
+    from deepblocker_ray.pipelines.evaluate import normalize_pairs
+    from deepblocker_ray.pipelines.linkage import (
+        _dedup_candidates,
+        assign_cluster_labels,
+    )
+    from deepblocker_ray.stages.canonicalize import canonicalize
+    from deepblocker_ray.stages.cluster import connected_components
+    from deepblocker_ray.stages.embed import SIFEmbedder
+    from deepblocker_ray.stages.pairing import ExactTopKPairer, IVFTopKPairer
+    from deepblocker_ray.stages.scoring import score_candidates
+
+    cfg = EngineConfig()
+    ds = rd.read_parquet(os.path.join(cache, "transcripts"))
+    n_turns = ds.count()
+
+    times: dict[str, float] = {}
+    steals: dict[str, float] = {}
+    t = time.perf_counter()
+    s = _cpu_stat()
+
+    def mark(name: str) -> None:
+        nonlocal t, s
+        now = time.perf_counter()
+        s2 = _cpu_stat()
+        times[name] = round(now - t, 2)
+        steals[name] = _steal_frac(s, s2)
+        t, s = now, s2
+
+    tuples = parallel_blocks_sized(
+        canonicalize(ds, cfg, turn_cap=10_000).materialize()
+    )
+    n_convs = tuples.count()
+    mark("canonicalize")
+    model = SIFEmbedder(cfg).fit(tuples, text_col="tuple_text")
+    mark("sif_fit")
+    emb = model.transform(tuples, id_col="conv_id").materialize()
+    mark("sif_transform")
+    if pairing == "ivf":
+        cfg.ivf_cells = int(
+            os.environ.get(
+                "GRAFT_STREAM_CELLS", str(max(64, int(n_convs**0.5)))
+            )
+        )
+        cfg.ivf_nprobe = int(
+            os.environ.get(
+                "GRAFT_STREAM_NPROBE", str(max(8, cfg.ivf_cells // 32))
+            )
+        )
+        pairer = IVFTopKPairer(k=8, cfg=cfg, exclude_self=True)
+    else:
+        pairer = ExactTopKPairer(k=8, cfg=cfg, exclude_self=True)
+    pairer.index(emb, id_col="conv_id")
+    mark("index")
+    raw = pairer.query(emb, id_col="conv_id").materialize()
+    n_raw = raw.count()
+    mark("query")
+    cand = _dedup_candidates(raw, cfg).materialize()
+    mark("cand_dedup")
+    scored = score_candidates(cand, tuples, cfg=cfg).materialize()
+    mark("score")
+    matches = normalize_pairs(
+        scored.filter(expr="is_match == True")
+    ).materialize()
+    n_matches = matches.count()
+    mark("matches")
+    comp = connected_components(matches, cfg, src="ltable_id", dst="rtable_id")
+    n_clusters = assign_cluster_labels(tuples, comp, cfg).count()
+    mark("cluster")
+    times["total"] = round(sum(times.values()), 2)
+
+    stop.set()
+    th.join()
+    try:
+        peak_spill[0] = max(peak_spill[0], _spill_bytes())
+    except OSError:
+        pass
+    spill_gb = round(peak_spill[0] / 2**30, 2)
+    print(
+        json.dumps(
+            {
+                "metric": "stream_demo",
+                "input_turns": n_turns,
+                "n_convs": n_convs,
+                "pairing": pairing,
+                "ivf_cells": cfg.ivf_cells if pairing == "ivf" else None,
+                "ivf_nprobe": cfg.ivf_nprobe if pairing == "ivf" else None,
+                "object_store_cap_gb": float(obj_gb) if obj_gb else None,
+                "stages": times,
+                "steal": steals,
+                "gen_s": gen_s,
+                "raw_candidates": n_raw,
+                "matches": n_matches,
+                "labeled_convs": n_clusters,
+                "turns_per_sec": round(n_turns / times["total"], 1),
+                "peak_shmem_gb": round((peak[0] - shmem0) / 2**20, 2),
+                "peak_spill_gb": spill_gb,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--stream" in sys.argv:
+        stream()
     elif "--stages-leg" in sys.argv:
         _stages_leg()
     elif "--stages" in sys.argv:

@@ -207,6 +207,64 @@ def golden_pairs(clusters: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def synth_transcripts_sharded(
+    out_dir: str,
+    n_base_total: int,
+    n_shards: int = 64,
+    seed: int = 7,
+    dup_fraction: float = 0.3,
+    big_cluster: int = 50,
+) -> None:
+    """Large-corpus variant of ``synth_transcripts``: each shard is an
+    independent ``synth_transcripts(seed + shard)`` run whose conv/entity ids
+    get a ``s{shard:03d}-`` prefix (globally unique; planted duplicate
+    clusters never span shards, matching how real corpora arrive
+    partition-local). Generation fans out as Ray tasks — the sequential
+    generator is driver-bound past ~1M base conversations — and each task
+    writes its own parquet shard (transcripts/ + clusters/), so the output
+    is the resumable partitioned layout the engine reads natively.
+
+    Deterministic in (n_base_total, n_shards, seed, ...); caller owns the
+    Ray session. Skips shards whose files already exist (resumable)."""
+    import os
+
+    import ray
+
+    os.makedirs(os.path.join(out_dir, "transcripts"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "clusters"), exist_ok=True)
+    per = -(-n_base_total // n_shards)
+
+    @ray.remote(num_cpus=1)
+    def gen(shard: int, n_base: int) -> int:
+        tp = os.path.join(out_dir, "transcripts", f"part-{shard:04d}.parquet")
+        cp = os.path.join(out_dir, "clusters", f"part-{shard:04d}.parquet")
+        if os.path.exists(tp) and os.path.exists(cp):
+            return 0
+        df, cl = synth_transcripts(
+            n_base=n_base,
+            seed=seed + shard,
+            dup_fraction=dup_fraction,
+            big_cluster=big_cluster if shard == 0 else 0,
+        )
+        pre = f"s{shard:03d}-"
+        df["conv_id"] = pre + df["conv_id"]
+        cl["conv_id"] = pre + cl["conv_id"]
+        cl["entity_id"] = pre + cl["entity_id"]
+        df.to_parquet(tp + ".tmp")
+        cl.to_parquet(cp + ".tmp")
+        os.replace(tp + ".tmp", tp)
+        os.replace(cp + ".tmp", cp)
+        return len(df)
+
+    ray.get(
+        [
+            gen.remote(s, min(per, n_base_total - s * per))
+            for s in range(n_shards)
+            if n_base_total - s * per > 0
+        ]
+    )
+
+
 def flat_tables(
     n: int = 300, seed: int = 11, n_matches: int = 80
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
