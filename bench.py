@@ -751,6 +751,14 @@ def stream() -> None:
     from deepblocker_ray.stages.scoring import score_candidates
 
     cfg = EngineConfig()
+    # key-grouped-exchange width: at 40M turns the default 128 buckets make
+    # individual canonicalize reduce groups big enough that 32 concurrent
+    # pandas group tasks OOM a 125-GB box (measured: workers killed at ~7 GB
+    # anon each); buckets must scale with the corpus like any real
+    # partitioning decision — default here targets ~100k turns per bucket
+    cfg.num_buckets = int(
+        os.environ.get("GRAFT_STREAM_BUCKETS", "0")
+    ) or max(128, 1 << max(0, (base // 10_000) - 1).bit_length())
     ds = rd.read_parquet(os.path.join(cache, "transcripts"))
     n_turns = ds.count()
 

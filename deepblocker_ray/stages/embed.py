@@ -51,9 +51,17 @@ def emb_to_numpy(col: pa.ChunkedArray | pa.Array, dim: int | None = None) -> np.
     instead of ``.flatten()``: flatten() on a SLICED FixedSizeListArray takes
     pyarrow's element-wise copy path, and Ray's batch_size slicing plus the
     query stage's internal ``table.slice`` make sliced inputs the common
-    case. The values view is zero-copy for every offset."""
+    case. The values view is zero-copy for every offset.
+
+    Single-chunk ChunkedArrays (every ``table.column(...)`` of a plasma
+    block) take ``chunk(0)``, NOT ``combine_chunks()`` — pyarrow's
+    combine_chunks copies even when there is exactly one chunk, which
+    silently privatized the full index matrix into EVERY query worker
+    (6.5 GB/worker at 5.4M vectors → OOM at 32 workers on the 40M-turn
+    streaming run). Multi-chunk columns still pay the one concatenation
+    copy; writers keep blocks single-chunk precisely so this stays free."""
     if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
+        col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
     if dim is None:
         dim = col.type.list_size
     flat = np.asarray(col.values).reshape(-1, dim)

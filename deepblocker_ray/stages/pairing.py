@@ -133,9 +133,11 @@ def _parse_shards(shard_refs) -> tuple[list, np.ndarray]:
     shards = []
     offsets = [0]
     total = 0
+    from ..state.lookup import one_chunk
+
     for ref in shard_refs:
         t = ray.get(ref)
-        ids = t.column("_pair_id").combine_chunks()
+        ids = one_chunk(t.column("_pair_id"))
         mat = emb_to_numpy(t.column("emb"))
         total += mat.nbytes
         shards.append((ids, mat))

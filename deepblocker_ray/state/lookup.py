@@ -28,6 +28,20 @@ import pyarrow as pa
 import ray
 
 
+def one_chunk(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """ChunkedArray → Array WITHOUT copying the single-chunk case: pyarrow's
+    ``combine_chunks()`` concatenates (copies) even when there is exactly one
+    chunk, which turned every per-worker "zero-copy plasma view" built from
+    ``table.column(...)`` into a private copy of the whole column — measured
+    6.5 GB/worker on the index matrices of the 40M-turn streaming run.
+    Plasma blocks are single-chunk by construction, so this is the
+    zero-copy path everywhere that matters; genuinely multi-chunk input
+    still pays the one concatenation."""
+    if isinstance(col, pa.ChunkedArray):
+        return col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+    return col
+
+
 class ColumnLookup:
     """id → payload-column lookup built from plasma block refs.
 
@@ -57,11 +71,11 @@ class ColumnLookup:
             self.chunk_starts = np.zeros(0, np.int64)
             self.payload_type = pa.null()
             return
-        # one aligned chunk pair per BLOCK (combine per table is a no-op for
-        # the usual single-chunk blocks and guarantees id/payload alignment)
-        self.id_chunks = [t.column(id_col).combine_chunks() for t in tbls]
+        # one aligned chunk pair per BLOCK (one_chunk is zero-copy for the
+        # usual single-chunk blocks and guarantees id/payload alignment)
+        self.id_chunks = [one_chunk(t.column(id_col)) for t in tbls]
         self.payload_chunks = [
-            t.column(payload_col).combine_chunks() for t in tbls
+            one_chunk(t.column(payload_col)) for t in tbls
         ]
         self.payload_type = self.payload_chunks[0].type
         if hash_col is not None and hash_col in tbls[0].column_names:
