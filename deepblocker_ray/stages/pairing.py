@@ -444,13 +444,21 @@ class _IVFQuery:
         self.centroids = ray.get(centroids_ref)
         self.shards = []
         n_cells = len(self.centroids)
+        from ..state.lookup import one_chunk
+
         for ref in shard_refs:
             t = ray.get(ref)
-            ids = np.asarray(t.column("_pair_id").to_pylist(), dtype=object)
+            if len(t) == 0:
+                continue
+            ids = np.asarray(one_chunk(t.column("_pair_id")), dtype=object)
             mat = emb_to_numpy(t.column("emb"))
-            cells = np.asarray(t.column("cell"))
+            cells = np.asarray(one_chunk(t.column("cell")))
             offsets = np.searchsorted(cells, np.arange(n_cells + 1))
-            self.shards.append((ids, mat, offsets))
+            # cell-contiguous layout: a shard holds a contiguous cell range,
+            # so most cells are empty here — precompute the nonempty set for
+            # the per-batch probed-cell intersection
+            nonempty = np.nonzero(np.diff(offsets))[0]
+            self.shards.append((ids, mat, offsets, nonempty))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         left_ids = np.asarray(
@@ -484,8 +492,11 @@ class _IVFQuery:
         )
         cells_used = np.unique(flat_cells)
 
-        for ids, mat, offsets in self.shards:
-            for c in cells_used:
+        for ids, mat, offsets, nonempty in self.shards:
+            # probed ∩ present (both sorted unique): skips the ~n_cells empty
+            # iterations per shard that the contiguous layout would otherwise
+            # pay as Python-loop overhead
+            for c in np.intersect1d(cells_used, nonempty, assume_unique=True):
                 qs = flat_q[bounds[c] : bounds[c + 1]]
                 s, e = offsets[c], offsets[c + 1]
                 if e <= s or len(qs) == 0:
@@ -552,8 +563,6 @@ class IVFTopKPairer:
         # data-sized shard count (see ExactTopKPairer.index): identical
         # index layout at every parallelism level, no CPU-scaled fan-out
         target = max(1, -(-n // cfg.index_shard_rows))
-        if right_ds.num_blocks() != target:
-            right_ds = right_ds.repartition(target).materialize()
         frac = min(1.0, self.sample_rows / max(n, 1))
         sample = right_ds.random_sample(frac, seed=cfg.seed).to_pandas()
         x = np.stack([np.asarray(e, np.float32) for e in sample["emb"]])
@@ -565,26 +574,33 @@ class IVFTopKPairer:
             c = ray.get(centroids_ref)
             mat = _normalize_rows(emb_to_numpy(batch.column("emb")))
             cells = np.argmax(mat @ c.T, axis=1).astype(np.int32)
-            ids = np.asarray(
-                batch.column(id_col).cast(pa.string()).to_pylist(), object
-            )
-            # (cell, id) order: positional tie-breaks inside a cell follow the
-            # id rule, matching the exact pairer's globally-sorted index
-            order = np.lexsort((ids, cells))
             return pa.table(
                 {
-                    "_pair_id": pa.array(ids[order], pa.string()),
-                    "emb": numpy_to_emb(mat[order]),
-                    "cell": pa.array(cells[order]),
+                    "_pair_id": batch.column(id_col).cast(pa.string()),
+                    "emb": numpy_to_emb(mat),
+                    "cell": pa.array(cells),
                 }
             )
 
-        # batch_size=None → one batch per (repartitioned) block, so the
-        # in-batch (cell, id) sort IS the shard layout; a fixed batch_size
-        # would bundle/split across shard boundaries
-        shards = right_ds.map_batches(
-            assign, batch_format="pyarrow", batch_size=None
-        ).materialize()
+        # GLOBAL (cell, id) sort + order-preserving repartition: each
+        # data-sized shard covers a contiguous CELL RANGE — the "repartition
+        # keyed on ANN cell" exchange. The first layout (row-range shards,
+        # each sub-sorted by cell) fragmented every cell across every shard:
+        # at 5.4M vectors / 84 shards / 2331 cells a probed cell was ~28
+        # rows per shard, so the query degenerated into ~200k tiny GEMM +
+        # merge steps per 512-query batch (measured >90 min at 32 CPUs on
+        # the 40M-turn corpus). Cell-contiguous shards make a probed cell
+        # ONE slice in (at most two) shards, so per-batch work is ~n_cells
+        # large GEMMs. Positional tie-breaks inside a cell follow global id
+        # order — same (−cos, right_id) rule as before, so nprobe=n_cells
+        # stays bit-identical to exact search. Layout depends only on the
+        # data, not the session's parallelism.
+        shards = (
+            right_ds.map_batches(assign, batch_format="pyarrow")
+            .sort(["cell", "_pair_id"])
+            .repartition(target)
+            .materialize()
+        )
         self.shard_refs = shards.to_arrow_refs()
         return self
 
