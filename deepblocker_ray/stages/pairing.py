@@ -595,10 +595,19 @@ class IVFTopKPairer:
         # order — same (−cos, right_id) rule as before, so nprobe=n_cells
         # stays bit-identical to exact search. Layout depends only on the
         # data, not the session's parallelism.
+        def combine(block: pa.Table) -> pa.Table:
+            # repartition merges sort-output blocks into MULTI-chunk tables;
+            # rewrite each shard single-chunk ONCE here at write time, so
+            # every query worker's one_chunk/emb_to_numpy view stays
+            # zero-copy (a multi-chunk emb column re-copied 6.5 GB into
+            # every worker — the OOM this layout was built to avoid)
+            return block.combine_chunks()
+
         shards = (
             right_ds.map_batches(assign, batch_format="pyarrow")
             .sort(["cell", "_pair_id"])
             .repartition(target)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
             .materialize()
         )
         self.shard_refs = shards.to_arrow_refs()
