@@ -22,7 +22,6 @@ import ray
 from ..config import (
     EngineConfig,
     actor_pool_size,
-    join_partitions,
     parallel_blocks,
 )
 from ..functions.textsim import (
@@ -213,29 +212,171 @@ def score_candidates(
     )
 
 
+def _pack_turns_fn(id_col: str, out_id: str, prefix: str):
+    """map_batches fn: (id, turn_texts) → (out_id, {prefix}tx, {prefix}tl).
+
+    pyarrow's hash join rejects list<string> non-key fields, so the turn
+    lists are packed into two PLAIN STRING columns around the join:
+    ``tx`` = the texts joined by a 1-byte filler (\\x1f), ``tl`` = the
+    comma-joined decimal BYTE lengths. Decoding slices ``tx`` by the
+    lengths — the filler is never interpreted as data, so the round-trip is
+    exact for ANY text content (including texts containing \\x1f), and []
+    vs [""] stays unambiguous (tl "" vs "0"). Both encodes are vectorized
+    Arrow kernels; null lists pack to null and decode to []."""
+    import pyarrow.compute as pc
+
+    from ..state.lookup import one_chunk
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = one_chunk(batch.column("turn_texts"))
+        if pa.types.is_null(col.type.value_type):  # all-empty block
+            col = col.cast(pa.list_(pa.string()))
+        tx = pc.binary_join(col, "\x1f")
+        lens = pc.cast(pc.binary_length(col.values), pa.string())
+        tl = pc.binary_join(
+            pa.ListArray.from_arrays(col.offsets, lens), ","
+        )
+        return pa.table(
+            {
+                out_id: batch.column(id_col).cast(pa.string()),
+                prefix + "tx": tx,
+                prefix + "tl": tl,
+            }
+        )
+
+    return fn
+
+
+def _unpack_turns(txs: list, tls: list) -> list[list[str]]:
+    out = []
+    for tx, tl in zip(txs, tls):
+        if tx is None or tl is None or tl == "":
+            out.append([])
+            continue
+        b = tx.encode("utf-8")
+        row, pos = [], 0
+        for ls in tl.split(","):
+            n = int(ls)
+            row.append(b[pos : pos + n].decode("utf-8"))
+            pos += n + 1  # skip the 1-byte filler
+        out.append(row)
+    return out
+
+
+def _attach_packed(cands, packed, key_col, prefix, cfg, cand_schema):
+    """Inner-attach a packed-turns side (key, {prefix}tx, {prefix}tl) onto
+    candidate rows via ONE bucketed hash exchange + in-bucket merges — NOT
+    ``Dataset.join``, whose hash aggregator crashes on any partition where
+    one side is empty (schemaless empty table → FieldRef error, observed on
+    ray 2.49 even at toy scale). Both sides are tagged into an identical
+    arrow schema (typed null padding), unioned, bucketed on hash(key), and
+    merged per bucket; the packed text rides the exchange exactly once."""
+    import pandas as pd
+
+    from .canonicalize import bucket_of
+
+    nb = cfg.num_buckets
+    names = [f.name for f in cand_schema]
+    out_schema = pa.schema(
+        list(cand_schema)
+        + [
+            pa.field(prefix + "tx", pa.string()),
+            pa.field(prefix + "tl", pa.string()),
+        ]
+    )
+    tx, tl = prefix + "tx", prefix + "tl"
+
+    def tag_c(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        b = bucket_of(batch.column(key_col).to_pandas(), nb)
+        return pa.table(
+            [batch.column(nm) for nm in names]
+            + [
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.string()),
+                pa.array(np.zeros(n, np.int8)),
+                pa.array(b),
+            ],
+            names=names + [tx, tl, "_src", "_b"],
+        )
+
+    def tag_p(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        b = bucket_of(batch.column(key_col).to_pandas(), nb)
+        cols = [
+            batch.column(key_col).cast(f.type)
+            if f.name == key_col
+            else pa.nulls(n, f.type)
+            for f in cand_schema
+        ]
+        return pa.table(
+            cols
+            + [
+                batch.column(tx),
+                batch.column(tl),
+                pa.array(np.ones(n, np.int8)),
+                pa.array(b),
+            ],
+            names=names + [tx, tl, "_src", "_b"],
+        )
+
+    def attach(df: pd.DataFrame) -> pa.Table:
+        c = df[df["_src"] == 0].drop(columns=[tx, tl])
+        p = df[df["_src"] == 1]
+        m = c.merge(p[[key_col, tx, tl]], on=key_col, how="inner")
+        m = m[names + [tx, tl]]
+        return pa.Table.from_pandas(
+            m, schema=out_schema, preserve_index=False
+        )
+
+    tagged = cands.map_batches(tag_c, batch_format="pyarrow").union(
+        packed.map_batches(tag_p, batch_format="pyarrow")
+    )
+    return tagged.groupby("_b").map_groups(attach, batch_format="pandas")
+
+
 def _score_via_join(candidates, tuples_ds, right_tuples_ds, cfg, threshold, id_col):
-    """Large-side path: two hash joins to attach turn texts, then a stateless
-    scoring map. Partition count sized to the session parallelism."""
-    nparts = join_partitions()
-    left_side = tuples_ds.select_columns([id_col, "turn_texts"]).rename_columns(
-        {id_col: "left_id", "turn_texts": "_lt"}
+    """Beyond-plasma path: attach PACKED turn texts (see _pack_turns_fn —
+    arrow carries no list<string> through exchanges here) to the candidate
+    pairs with two bucketed exchanges, then a stateless scoring map."""
+    cand_schema = pa.schema(
+        [
+            pa.field(nm, t)
+            for nm, t in zip(
+                candidates.schema().names, candidates.schema().types
+            )
+        ]
+    )
+    left_side = tuples_ds.select_columns([id_col, "turn_texts"]).map_batches(
+        _pack_turns_fn(id_col, "left_id", "_l"), batch_format="pyarrow"
     )
     right_src = right_tuples_ds if right_tuples_ds is not None else tuples_ds
-    right_side = right_src.select_columns([id_col, "turn_texts"]).rename_columns(
-        {id_col: "right_id", "turn_texts": "_rt"}
+    right_side = right_src.select_columns([id_col, "turn_texts"]).map_batches(
+        _pack_turns_fn(id_col, "right_id", "_r"), batch_format="pyarrow"
     )
-    joined = candidates.join(
-        left_side, join_type="inner", num_partitions=nparts, on=("left_id",)
-    ).join(right_side, join_type="inner", num_partitions=nparts, on=("right_id",))
+    half = _attach_packed(
+        candidates, left_side, "left_id", "_l", cfg, cand_schema
+    )
+    half_schema = pa.schema(
+        list(cand_schema)
+        + [pa.field("_ltx", pa.string()), pa.field("_ltl", pa.string())]
+    )
+    joined = _attach_packed(
+        half, right_side, "right_id", "_r", cfg, half_schema
+    )
 
     cap = cfg.score_text_cap
 
     def score_batch(batch: pa.Table) -> pa.Table:
-        lts = [t or [] for t in batch.column("_lt").to_pylist()]
-        rts = [t or [] for t in batch.column("_rt").to_pylist()]
+        lts = _unpack_turns(
+            batch.column("_ltx").to_pylist(), batch.column("_ltl").to_pylist()
+        )
+        rts = _unpack_turns(
+            batch.column("_rtx").to_pylist(), batch.column("_rtl").to_pylist()
+        )
         cosines = batch.column("cosine").to_pylist()
         jw, lev, score = score_pairs_batch(lts, rts, cosines, cap)
-        batch = batch.drop_columns(["_lt", "_rt"])
+        batch = batch.drop_columns(["_ltx", "_ltl", "_rtx", "_rtl"])
         return batch.append_column(
             "jw", pa.array(jw.astype(np.float32))
         ).append_column("lev", pa.array(lev.astype(np.float32))).append_column(

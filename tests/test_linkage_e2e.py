@@ -305,3 +305,73 @@ class TestLinkageDeepEmbedders:
             else 0.0
         )
         assert f1 >= 0.99, (embedder, f1, precision, recall)
+
+
+class TestScoreViaJoin:
+    """The above-broadcast-cap scorer path: turn lists must survive the hash
+    join exactly (pyarrow joins reject list<string> payloads, so they ride
+    packed — see scoring._pack_turns_fn)."""
+
+    def test_join_path_matches_broadcast_path(self, ray_session):
+        import ray.data as rd
+
+        from deepblocker_ray.stages.scoring import score_candidates
+
+        tuples = rd.from_items(
+            [
+                # the filler byte INSIDE a text must survive the round-trip
+                {"conv_id": "a", "turn_texts": ["hel\x1flo wor", "x, y"]},
+                {"conv_id": "b", "turn_texts": ["hello world", "x y"]},
+                {"conv_id": "c", "turn_texts": []},       # [] vs [""] stays
+                {"conv_id": "d", "turn_texts": [""]},     # distinguishable
+                {"conv_id": "e", "turn_texts": ["héllo wörld"]},  # multibyte
+            ]
+        )
+        cands = rd.from_items(
+            [
+                {"left_id": "a", "right_id": "b", "rank": 0, "cosine": 0.91},
+                {"left_id": "c", "right_id": "d", "rank": 0, "cosine": 0.52},
+                {"left_id": "a", "right_id": "d", "rank": 1, "cosine": 0.20},
+                {"left_id": "e", "right_id": "b", "rank": 0, "cosine": 0.77},
+            ]
+        )
+
+        def run(cfg):
+            out = score_candidates(cands, tuples, cfg=cfg).to_pandas()
+            return (
+                out.sort_values(["left_id", "right_id"])
+                .reset_index(drop=True)[
+                    ["left_id", "right_id", "jw", "lev", "score", "is_match"]
+                ]
+            )
+
+        broad = run(EngineConfig())
+        joined = run(EngineConfig(broadcast_rows_max=0))
+        pd.testing.assert_frame_equal(broad, joined)
+
+    def test_pack_unpack_roundtrip_exact(self):
+        import pyarrow as pa
+
+        from deepblocker_ray.stages.scoring import (
+            _pack_turns_fn,
+            _unpack_turns,
+        )
+
+        rows = [
+            ["plain", "two words"],
+            ["has\x1ffiller", ""],
+            [],
+            [""],
+            ["héllo wörld", "\x1f\x1f"],
+        ]
+        batch = pa.table(
+            {
+                "conv_id": pa.array([f"c{i}" for i in range(len(rows))]),
+                "turn_texts": pa.array(rows, pa.list_(pa.string())),
+            }
+        )
+        packed = _pack_turns_fn("conv_id", "left_id", "_l")(batch)
+        got = _unpack_turns(
+            packed.column("_ltx").to_pylist(), packed.column("_ltl").to_pylist()
+        )
+        assert got == rows
