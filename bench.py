@@ -12,7 +12,12 @@ sandbox substitute for the north_rule's N vs 4N node criterion (BASELINE.md).
 The 2→8 pair is the default because it is the widest N/4N pair on this
 shared 32-vCPU box whose big leg escapes co-tenant steal and single-DRAM-bus
 saturation (measured: 0.816 raw @ 2→8, 0.706 @ 4→16, 0.519 @ 8→32 with
-identical code on identical input); override with GRAFT_SCALING_CPUS.
+identical code on identical input — and 0.876 raw @ 8→32 on an 8.6M-turn
+corpus in round 4's quiet window); override with GRAFT_SCALING_CPUS.
+
+``--stream`` runs the round-4 larger-than-memory streaming demo (default
+~40M turns, IVF pairing, per-stage walls + peak plasma + spill accounting;
+see stream() docstring for the env knobs).
 """
 
 from __future__ import annotations
@@ -759,6 +764,12 @@ def stream() -> None:
     cfg.num_buckets = int(
         os.environ.get("GRAFT_STREAM_BUCKETS", "0")
     ) or max(128, 1 << max(0, (base // 10_000) - 1).bit_length())
+    # scorer text attachment: the plasma-broadcast TurnLookup holds
+    # zero-copy views over the pinned turn-text blocks (per-worker private
+    # state is only the 16 B/id hash index — ~90 MB at 5.4M convs), so it
+    # remains the right path as long as the text column fits the object
+    # store; the join fallback is for corpora beyond plasma
+    cfg.broadcast_rows_max = max(cfg.broadcast_rows_max, 2 * base)
     ds = rd.read_parquet(os.path.join(cache, "transcripts"))
     n_turns = ds.count()
 
