@@ -158,6 +158,34 @@ def _ids_for_positions(shards, offsets, pos: np.ndarray) -> pa.Array:
     return pa.array(out, pa.string())
 
 
+def _enumerate_sorted(ds):
+    """Attach a dense global row-rank column ``_rank`` to a materialized,
+    globally-sorted dataset. Per-block offsets are prefix sums of the block
+    lengths (a sorted Dataset's block list is in range order — the same
+    invariant ExactTopKPairer.index relies on for its position==id-rank
+    rule); the attach is one tiny Ray task per block reading its plasma
+    block locally — metadata-scale work, no exchange."""
+    import ray.data as rd
+
+    refs = ds.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def _blk_len(t: pa.Table) -> int:
+        return len(t)
+
+    @ray.remote(num_cpus=0.25)
+    def _tag(t: pa.Table, off: int) -> pa.Table:
+        return t.append_column(
+            "_rank", pa.array(np.arange(off, off + len(t), dtype=np.int64))
+        )
+
+    counts = ray.get([_blk_len.remote(r) for r in refs])
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    return rd.from_arrow_refs(
+        [_tag.remote(r, int(o)) for r, o in zip(refs, offs)]
+    )
+
+
 _EMPTY_CANDIDATES = pa.table(
     {
         "left_id": pa.array([], pa.string()),
@@ -425,13 +453,19 @@ def kmeans_lite(
 class _IVFQuery:
     """IVF query actor: probes only top-nprobe cells per query per shard.
 
-    Each shard stores rows sorted by (cell, right_id) + a (n_cells+1) offsets
-    array, so a cell's rows are a contiguous zero-copy slice and positional
-    tie-breaks inside a cell follow id order. The running top-K merge uses
-    the SAME (−cosine, right_id) lexsort rule as the exact pairer, so with
-    nprobe = n_cells the output is bit-identical to exact search (the basis
-    of the knn_ivf driver oracle); with smaller nprobe the only deviation is
-    recall, never tie order.
+    Each shard stores rows sorted by (cell, right_id) plus a (n_cells+1)
+    offsets array, so a cell's rows are a contiguous zero-copy slice and
+    positional tie-breaks inside a cell follow id order. The running top-K
+    merge is INTEGER-keyed: each row carries its global id-rank (``_rank``,
+    written at index build — the row's position in the id-sorted order), so
+    the per-cell running merge lexsorts (−sim, id_rank) over int64/float32
+    arrays and string ids are resolved ONCE per emitted candidate. The rank
+    order equals lexicographic right_id order, so the tie rule is still the
+    exact pairer's (−cosine, right_id): with nprobe = n_cells the output is
+    bit-identical to exact search (the basis of the knn_ivf driver oracle);
+    with smaller nprobe the only deviation is recall, never tie order.
+    (Round-4 profiling: the previous object-dtype string-id merge was 70% of
+    the 40M-turn query wall — the merge, not the GEMM, bounded the stage.)
     """
 
     def __init__(
@@ -446,26 +480,53 @@ class _IVFQuery:
         n_cells = len(self.centroids)
         from ..state.lookup import one_chunk
 
+        base = 0
+        bases = []
         for ref in shard_refs:
             t = ray.get(ref)
             if len(t) == 0:
                 continue
-            ids = np.asarray(one_chunk(t.column("_pair_id")), dtype=object)
+            ids = one_chunk(t.column("_pair_id"))
             mat = emb_to_numpy(t.column("emb"))
             cells = np.asarray(one_chunk(t.column("cell")))
+            ranks = np.asarray(one_chunk(t.column("_rank")))
             offsets = np.searchsorted(cells, np.arange(n_cells + 1))
             # cell-contiguous layout: a shard holds a contiguous cell range,
             # so most cells are empty here — precompute the nonempty set for
             # the per-batch probed-cell intersection
             nonempty = np.nonzero(np.diff(offsets))[0]
-            self.shards.append((ids, mat, offsets, nonempty))
+            self.shards.append((ids, mat, offsets, nonempty, ranks, base))
+            bases.append(base)
+            base += len(t)
+        self._bases = np.asarray(bases, np.int64)
+
+    def _resolve(self, pos: np.ndarray) -> pa.Array:
+        """Global storage positions → right_id strings (one pa ``take`` per
+        touched shard + one splice; id values never round-trip through
+        Python objects)."""
+        si = np.searchsorted(self._bases, pos, side="right") - 1
+        parts: list[pa.Array] = []
+        out_pos = np.empty(len(pos), np.int64)
+        cursor = 0
+        for s in np.unique(si):
+            m = si == s
+            local = pa.array(pos[m] - self._bases[s])
+            parts.append(self.shards[s][0].take(local))
+            out_pos[m] = np.arange(cursor, cursor + int(m.sum()))
+            cursor += int(m.sum())
+        if not parts:
+            return pa.array([], pa.string())
+        pool = parts[0] if len(parts) == 1 else pa.concat_arrays(parts)
+        return pool.take(pa.array(out_pos))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        left_ids = np.asarray(
-            batch.column(self.id_col).cast(pa.string()).to_pylist(), object
-        )
+        import pyarrow.compute as pc
+
+        from ..state.lookup import one_chunk
+
+        left_col = one_chunk(batch.column(self.id_col).cast(pa.string()))
         q = _normalize_rows(emb_to_numpy(batch.column("emb")))
-        nq = len(left_ids)
+        nq = len(left_col)
         if nq == 0:
             return _EMPTY_CANDIDATES
         fetch = self.k + 1 if self.exclude_self else self.k
@@ -479,7 +540,9 @@ class _IVFQuery:
         probed = np.argsort(-cell_sims, axis=1, kind="stable")[:, :np_]
 
         run_sims = np.full((nq, fetch), -np.inf, np.float32)
-        run_ids = np.full((nq, fetch), "", dtype=object)
+        # -inf pads sort last regardless of rank, so the pad rank is inert
+        run_rank = np.full((nq, fetch), np.iinfo(np.int64).max, np.int64)
+        run_pos = np.full((nq, fetch), -1, np.int64)
 
         # invert: cell → queries probing it (vectorized bucketing)
         flat_cells = probed.reshape(-1)
@@ -492,7 +555,7 @@ class _IVFQuery:
         )
         cells_used = np.unique(flat_cells)
 
-        for ids, mat, offsets, nonempty in self.shards:
+        for _ids, mat, offsets, nonempty, ranks, base in self.shards:
             # probed ∩ present (both sorted unique): skips the ~n_cells empty
             # iterations per shard that the contiguous layout would otherwise
             # pay as Python-loop overhead
@@ -501,37 +564,61 @@ class _IVFQuery:
                 s, e = offsets[c], offsets[c + 1]
                 if e <= s or len(qs) == 0:
                     continue
+                # streaming-top-K skip (same rule as the exact path): a cell
+                # can only change rows whose cell max reaches the row's
+                # current kth sim (>= keeps equal-sim ties eligible for the
+                # rank rule)
                 sub = mat[s:e]
                 sims = q[qs] @ sub.T
+                kth = run_sims[qs, -1]
+                need = sims.max(axis=1) >= kth
+                if not need.any():
+                    continue
+                if not need.all():
+                    qs = qs[need]
+                    sims = sims[need]
                 ks = min(fetch, sub.shape[0])
                 part = _select_topk_tieaware(sims, ks)
                 psims = np.take_along_axis(sims, part, axis=1)
-                pids = ids[s:e][part]
+                prank = ranks[s:e][part]
+                ppos = base + s + part.astype(np.int64)
                 merged_s = np.concatenate(
                     [run_sims[qs], psims.astype(np.float32)], axis=1
                 )
-                merged_i = np.concatenate([run_ids[qs], pids], axis=1)
-                # deterministic running merge: same (−sim, right_id) rule as
-                # _merge_topk_pos; the -inf pads sort last regardless of id
-                morder = np.lexsort((merged_i, -merged_s), axis=1)[:, :fetch]
+                merged_r = np.concatenate([run_rank[qs], prank], axis=1)
+                merged_p = np.concatenate([run_pos[qs], ppos], axis=1)
+                # deterministic running merge on INTEGER keys: (−sim,
+                # id_rank) == (−sim, right_id) by the index-build rank rule
+                morder = np.lexsort((merged_r, -merged_s), axis=1)[:, :fetch]
                 run_sims[qs] = np.take_along_axis(merged_s, morder, axis=1)
-                run_ids[qs] = np.take_along_axis(merged_i, morder, axis=1)
+                run_rank[qs] = np.take_along_axis(merged_r, morder, axis=1)
+                run_pos[qs] = np.take_along_axis(merged_p, morder, axis=1)
 
-        # vectorized long-form emit (mirror of the exact path's)
-        flat_r = run_ids.reshape(-1)
+        # vectorized long-form emit: resolve string ids only for the ≤k·nq
+        # survivors (mirror of the exact path's position→id gather)
         flat_s = run_sims.reshape(-1)
-        flat_l = np.repeat(left_ids, fetch)
-        keep = flat_s > -np.inf
+        flat_p = run_pos.reshape(-1)
+        valid = flat_s > -np.inf
+        idx_v = np.nonzero(valid)[0]
+        r_valid = self._resolve(flat_p[idx_v])
+        keep_v = np.ones(len(idx_v), bool)
         if self.exclude_self:
-            keep &= flat_r != flat_l
-        ranks = (keep.reshape(nq, fetch).cumsum(axis=1) - 1).reshape(-1)
-        keep &= ranks < self.k
+            l_valid = left_col.take(pa.array(idx_v // fetch))
+            keep_v &= ~pc.equal(l_valid, r_valid).to_numpy(
+                zero_copy_only=False
+            )
+        keep = np.zeros(nq * fetch, bool)
+        keep[idx_v] = keep_v
+        rank_of = (keep.reshape(nq, fetch).cumsum(axis=1) - 1).reshape(-1)
+        keep &= rank_of < self.k
         idx = np.nonzero(keep)[0]
+        # survivors are a subset of idx_v: subselect the resolved pool
+        sub_pos = np.searchsorted(idx_v, idx)
         return pa.table(
             {
-                "left_id": pa.array(flat_l[idx], pa.string()),
-                "right_id": pa.array(flat_r[idx], pa.string()),
-                "rank": pa.array(ranks[idx].astype(np.int32)),
+                "left_id": left_col.take(pa.array(idx // fetch)),
+                "right_id": r_valid.take(pa.array(sub_pos)),
+                "rank": pa.array(rank_of[idx].astype(np.int32)),
                 "cosine": pa.array(flat_s[idx].astype(np.float32)),
             },
             schema=CANDIDATE_SCHEMA,
@@ -590,11 +677,19 @@ class IVFTopKPairer:
         # rows per shard, so the query degenerated into ~200k tiny GEMM +
         # merge steps per 512-query batch (measured >90 min at 32 CPUs on
         # the 40M-turn corpus). Cell-contiguous shards make a probed cell
-        # ONE slice in (at most two) shards, so per-batch work is ~n_cells
-        # large GEMMs. Positional tie-breaks inside a cell follow global id
-        # order — same (−cos, right_id) rule as before, so nprobe=n_cells
-        # stays bit-identical to exact search. Layout depends only on the
-        # data, not the session's parallelism.
+        # ONE contiguous slice spanning ceil(cell_rows/shard_rows)+1 shards
+        # — typically ≤2; an outsize cell spans more and the per-shard
+        # running merge handles it — so per-batch work is ~n_cells large
+        # GEMMs. Layout depends only on the data, not session parallelism.
+        #
+        # An id-only sort runs FIRST to stamp each row's global id-rank
+        # (``_rank``): the query stage's running top-K merges on that int64
+        # key instead of object-dtype id strings (the (−cos, right_id) tie
+        # rule is preserved because rank order == lexicographic id order),
+        # and resolves rank→string once per emitted candidate. The second
+        # sort this costs is index-side and pays for itself ~10× over in
+        # the query stage (70% of the 40M-turn wall was the object-dtype
+        # merge).
         def combine(block: pa.Table) -> pa.Table:
             # repartition merges sort-output blocks into MULTI-chunk tables;
             # rewrite each shard single-chunk ONCE here at write time, so
@@ -603,9 +698,13 @@ class IVFTopKPairer:
             # every worker — the OOM this layout was built to avoid)
             return block.combine_chunks()
 
-        shards = (
+        ranked = _enumerate_sorted(
             right_ds.map_batches(assign, batch_format="pyarrow")
-            .sort(["cell", "_pair_id"])
+            .sort("_pair_id")
+            .materialize()
+        )
+        shards = (
+            ranked.sort(["cell", "_rank"])
             .repartition(target)
             .map_batches(combine, batch_format="pyarrow", batch_size=None)
             .materialize()
