@@ -77,7 +77,25 @@ class ColumnLookup:
         self.payload_chunks = [
             one_chunk(t.column(payload_col)) for t in tbls
         ]
-        self.payload_type = self.payload_chunks[0].type
+        # a block whose payload rows are all empty/null infers a degenerate
+        # type (e.g. list<null> instead of list<string>); normalize every
+        # chunk to the first concrete type so cross-chunk concat/splice in
+        # take_arrow stays valid (casting a degenerate chunk is value-free)
+        def _degenerate(t: pa.DataType) -> bool:
+            if pa.types.is_null(t):
+                return True
+            if pa.types.is_list(t) or pa.types.is_large_list(t):
+                return _degenerate(t.value_type)
+            return False
+
+        self.payload_type = next(
+            (c.type for c in self.payload_chunks if not _degenerate(c.type)),
+            self.payload_chunks[0].type,
+        )
+        self.payload_chunks = [
+            c if c.type == self.payload_type else c.cast(self.payload_type)
+            for c in self.payload_chunks
+        ]
         if hash_col is not None and hash_col in tbls[0].column_names:
             h = np.concatenate(
                 [np.asarray(t.column(hash_col)) for t in tbls]

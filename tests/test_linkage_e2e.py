@@ -355,6 +355,7 @@ class TestScoreViaJoin:
         from deepblocker_ray.stages.scoring import (
             _pack_turns_fn,
             _unpack_turns,
+            unpack_turns_arrow,
         )
 
         rows = [
@@ -363,6 +364,7 @@ class TestScoreViaJoin:
             [],
             [""],
             ["héllo wörld", "\x1f\x1f"],
+            ["日本語テキスト", "κείμενο", "текст"],  # multi-byte heavy
         ]
         batch = pa.table(
             {
@@ -375,3 +377,103 @@ class TestScoreViaJoin:
             packed.column("_ltx").to_pylist(), packed.column("_ltl").to_pylist()
         )
         assert got == rows
+        # the Arrow-native unpack (the hot path) must agree byte-exactly;
+        # null packed rows (a left-attached candidate with no tuple row)
+        # decode to []
+        arrow = unpack_turns_arrow(
+            packed.column("_ltx"), packed.column("_ltl")
+        )
+        assert arrow.to_pylist() == rows
+        with_null = pa.table(
+            {
+                "tx": pa.concat_arrays(
+                    [packed.column("_ltx").combine_chunks(),
+                     pa.array([None], pa.string())]
+                ),
+                "tl": pa.concat_arrays(
+                    [packed.column("_ltl").combine_chunks(),
+                     pa.array([None], pa.string())]
+                ),
+            }
+        )
+        got2 = unpack_turns_arrow(
+            with_null.column("tx"), with_null.column("tl")
+        )
+        assert got2.to_pylist() == rows + [[]]
+
+    def test_score_lists_arrow_matches_python_batch(self):
+        import pyarrow as pa
+
+        from deepblocker_ray.stages.scoring import (
+            score_lists_arrow,
+            score_pairs_batch,
+        )
+
+        ta = [
+            ["hello world", "second turn here"],
+            [],
+            ["ünïcode tëxt", "a" * 500],          # cap applies
+            ["x"],
+            ["same", "same", "extra on a side"],
+        ]
+        tb = [
+            ["hello wrld", "second turn ther"],
+            ["anything"],
+            ["ünïcode tëxt!", "b" * 300],
+            [],
+            ["same", "samey"],
+        ]
+        cos = [0.9, 0.5, 0.7, 0.2, 1.0]
+        jw0, lev0, s0 = score_pairs_batch(ta, tb, cos, cap=128)
+        jw1, lev1, s1 = score_lists_arrow(
+            pa.array(ta, pa.list_(pa.string())),
+            pa.array(tb, pa.list_(pa.string())),
+            cos,
+            cap=128,
+        )
+        np.testing.assert_array_equal(jw0, jw1)
+        np.testing.assert_array_equal(lev0, lev1)
+        np.testing.assert_array_equal(s0, s1)
+
+    def test_dangling_candidate_id_paths_agree(self, ray_session):
+        """A candidate whose left/right id has NO tuple row must be kept
+        and scored with empty turn lists (score = 0.4·cosine) on BOTH the
+        broadcast and the join path (round-4 ADVICE: the join path used to
+        inner-drop such rows)."""
+        import ray.data as rd
+
+        from deepblocker_ray.config import EngineConfig
+        from deepblocker_ray.stages.scoring import score_candidates
+
+        tuples = rd.from_items(
+            [
+                {"conv_id": "a", "turn_texts": ["hello world"]},
+                {"conv_id": "b", "turn_texts": ["hello word"]},
+            ]
+        )
+        cands = rd.from_items(
+            [
+                {"left_id": "a", "right_id": "b", "rank": 0, "cosine": 0.9},
+                {"left_id": "a", "right_id": "MISSING", "rank": 1,
+                 "cosine": 1.0},
+                {"left_id": "GONE", "right_id": "ALSO_GONE", "rank": 0,
+                 "cosine": 0.5},
+            ]
+        )
+
+        def run(cfg):
+            out = score_candidates(cands, tuples, cfg=cfg).to_pandas()
+            return (
+                out.sort_values(["left_id", "right_id"])
+                .reset_index(drop=True)[
+                    ["left_id", "right_id", "jw", "lev", "score", "is_match"]
+                ]
+            )
+
+        broad = run(EngineConfig())
+        joined = run(EngineConfig(broadcast_rows_max=0))
+        pd.testing.assert_frame_equal(broad, joined)
+        assert len(broad) == 3
+        dang = broad[broad["right_id"] == "MISSING"].iloc[0]
+        assert dang["jw"] == 0.0 and dang["lev"] == 0.0
+        assert abs(dang["score"] - 0.4 * 1.0) < 1e-6
