@@ -725,19 +725,75 @@ def stream() -> None:
             if os.path.isfile(f)
         )
 
+    import re
+
+    def _dmesg_oom_count() -> int:
+        """Kernel OOM-killer invocations visible in the ring buffer (count
+        before/after and diff — the authoritative 'were workers OOM-killed'
+        signal; raylet log scans can false-positive on config lines)."""
+        try:
+            out = subprocess.run(
+                ["dmesg"], capture_output=True, text=True, timeout=10
+            ).stdout
+            return len(
+                re.findall(r"oom-kill|Out of memory: Killed process", out)
+            )
+        except Exception:
+            return -1
+
+    def _raylet_worker_deaths() -> int:
+        """Unexpected worker-death lines in this session's raylet logs."""
+        n = 0
+        for f in glob.glob(os.path.join(sess_dir, "logs", "raylet*.out")):
+            try:
+                txt = open(f, errors="ignore").read()
+            except OSError:
+                continue
+            n += len(
+                re.findall(
+                    r"died or was killed|worker died unexpectedly", txt, re.I
+                )
+            )
+        return n
+
+    def _max_worker_rss_kb() -> int:
+        """Max VmRSS over live ray worker processes right now."""
+        top = 0
+        for d in glob.glob("/proc/[0-9]*"):
+            try:
+                with open(os.path.join(d, "cmdline"), "rb") as f:
+                    if b"ray::" not in f.read():
+                        continue
+                with open(os.path.join(d, "status")) as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            top = max(top, int(line.split()[1]))
+                            break
+            except OSError:
+                continue
+        return top
+
+    oom0 = _dmesg_oom_count()
     shmem0 = _shmem_kb()
     peak = [shmem0]
     peak_spill = [0]
+    peak_worker_rss = [0]
     stop = threading.Event()
 
     def sampler():
         # peak, not final: spill files are deleted as objects are freed
+        tick = 0
         while not stop.is_set():
             peak[0] = max(peak[0], _shmem_kb())
             try:
                 peak_spill[0] = max(peak_spill[0], _spill_bytes())
             except OSError:  # a file vanished mid-walk
                 pass
+            if tick % 4 == 0:  # /proc walk each ~1s
+                peak_worker_rss[0] = max(
+                    peak_worker_rss[0], _max_worker_rss_kb()
+                )
+            tick += 1
             stop.wait(0.25)
 
     th = threading.Thread(target=sampler, daemon=True)
@@ -854,6 +910,11 @@ def stream() -> None:
                 "turns_per_sec": round(n_turns / times["total"], 1),
                 "peak_shmem_gb": round((peak[0] - shmem0) / 2**20, 2),
                 "peak_spill_gb": spill_gb,
+                "peak_worker_rss_gb": round(peak_worker_rss[0] / 2**20, 2),
+                "oom_killed_workers": (
+                    _dmesg_oom_count() - oom0 if oom0 >= 0 else None
+                ),
+                "raylet_worker_deaths": _raylet_worker_deaths(),
                 "num_cpus": NUM_CPUS,
             }
         )

@@ -225,13 +225,40 @@ def synth_transcripts_sharded(
     is the resumable partitioned layout the engine reads natively.
 
     Deterministic in (n_base_total, n_shards, seed, ...); caller owns the
-    Ray session. Skips shards whose files already exist (resumable)."""
+    Ray session. Skips shards whose files already exist (resumable) — a
+    ``params.json`` manifest in ``out_dir`` records the generation params,
+    and a mismatch raises instead of silently serving stale shards (the
+    resume-by-file-existence check alone can't tell a seed/dup_fraction
+    change apart from a resumed run)."""
+    import json
     import os
 
     import ray
 
     os.makedirs(os.path.join(out_dir, "transcripts"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "clusters"), exist_ok=True)
+    params = {
+        "n_base_total": n_base_total,
+        "n_shards": n_shards,
+        "seed": seed,
+        "dup_fraction": dup_fraction,
+        "big_cluster": big_cluster,
+    }
+    manifest = os.path.join(out_dir, "params.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            prev = json.load(f)
+        if prev != params:
+            raise ValueError(
+                f"synth_transcripts_sharded: {out_dir} was generated with "
+                f"{prev}, requested {params} — use a different out_dir or "
+                "delete the stale shards"
+            )
+    else:
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+        os.replace(tmp, manifest)
     per = -(-n_base_total // n_shards)
 
     @ray.remote(num_cpus=1)

@@ -105,3 +105,19 @@ class TestManifest:
                 m2["stages"][stage]["finished_at"]
                 == m1["stages"][stage]["finished_at"]
             ), f"{stage} re-ran on resume"
+
+
+def test_sharded_fixture_params_manifest(ray_session, tmp_path):
+    """synth_transcripts_sharded resumes by file existence; the params.json
+    manifest must refuse a reuse of the same out_dir with different
+    generation params (stale-shard hazard, round-4 ADVICE)."""
+    import pytest
+
+    from deepblocker_ray.fixtures import synth_transcripts_sharded
+
+    out = str(tmp_path / "corpus")
+    synth_transcripts_sharded(out, 200, n_shards=2, seed=7)
+    # same params: silent resume
+    synth_transcripts_sharded(out, 200, n_shards=2, seed=7)
+    with pytest.raises(ValueError, match="generated with"):
+        synth_transcripts_sharded(out, 200, n_shards=2, seed=8)
