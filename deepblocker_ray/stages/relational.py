@@ -2797,36 +2797,39 @@ def small_quantity_revenue(lineitem, part, cfg: EngineConfig, *,
     qty_i < 0.2·avg ⟺ 5·q100_i·n < Σ q100 (cross-multiplication, no
     division). Output one row (n_lines, total_cents).
 
-    Scale shape: the brand's partkey set broadcasts (dimension side);
+    Scale shape: the brand filter runs DISTRIBUTED over the part read and
+    only the surviving partkey set reaches the semi-join (guarded: key set
+    ≤ broadcast cap → ray.put + map-side searchsorted; above → the
+    bucketed marker exchange — both inside broadcast_exists_join);
     surviving lineitems project to (partkey, q100, cents) and take ONE
     hash(partkey) exchange; each bucket computes per-part (n, Σq100) with
     a hash groupby and filters locally; the two scalar partials per
     bucket merge in one tiny final task."""
     nb = cfg.num_buckets
 
-    pdf = part.to_pandas()
-    keys = np.sort(
-        pdf.loc[pdf["p_brand"].astype(str) == brand, "p_partkey"]
-        .to_numpy(np.int64)
+    def brand_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(t.column("p_brand").cast(pa.string()), brand)
+        return pa.table(
+            {"p_partkey": t.column("p_partkey").filter(keep).cast(pa.int64())}
+        )
+
+    lineitem = broadcast_exists_join(
+        lineitem,
+        part.map_batches(brand_keys, batch_format="pyarrow"),
+        big_key="l_partkey",
+        small_key="p_partkey",
+        cfg=cfg,
     )
-    keys_ref = ray.put(keys)
 
     def l_rows(t: pa.Table) -> pd.DataFrame:
-        from ..state.broadcast import cached_get
-
-        ks = cached_get(keys_ref)
         pk = np.asarray(t.column("l_partkey"), np.int64)
-        if len(ks) == 0:
-            keep = np.zeros(len(pk), bool)
-        else:
-            pos = np.minimum(np.searchsorted(ks, pk), len(ks) - 1)
-            keep = ks[pos] == pk
-        pk = pk[keep]
         q100 = np.round(
-            np.asarray(t.column("l_quantity"), np.float64)[keep] * 100
+            np.asarray(t.column("l_quantity"), np.float64) * 100
         ).astype(np.int64)
         cents = np.round(
-            np.asarray(t.column("l_extendedprice"), np.float64)[keep] * 100
+            np.asarray(t.column("l_extendedprice"), np.float64) * 100
         ).astype(np.int64)
         return _pat(pd.DataFrame(
             {
@@ -2891,40 +2894,58 @@ def disjunctive_revenue(lineitem, part, cfg: EngineConfig, *,
     Quantity bounds compare as q100 ints: q100_lo ≤ round(qty·100) ≤
     q100_hi.
 
-    Scale shape: zero exchanges — part projects to (partkey → brand,
-    size) and broadcasts once; every lineitem batch evaluates the OR of
-    ANDs vectorized and emits one scalar partial; a single final task
-    folds the partials."""
-    pdf = part.to_pandas()
-    side = pd.DataFrame(
-        {
-            "pk": pdf["p_partkey"].to_numpy(np.int64),
-            "brand": pdf["p_brand"].astype(str).to_numpy(object),
-            "size": pdf["p_size"].to_numpy(np.int64),
-        }
-    )
-    side_ref = ray.put(side)
+    Scale shape: part filters DISTRIBUTED to the predicate brands (a
+    ~|preds|/25 slice) and projects to (partkey → brand, size); the
+    attach routes through the guarded ``broadcast_join`` (≤ cap →
+    ray.put + map-side merge with zero exchanges; above → hash-join
+    fallback). Every joined batch evaluates the OR of ANDs vectorized
+    and emits one scalar partial; a single final task folds the
+    partials."""
     preds = tuple(predicates)
+    pred_brands = sorted({p[0] for p in preds})
 
-    def l_rows(t: pa.Table) -> pd.DataFrame:
-        from ..state.broadcast import cached_get
+    def p_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-        s = cached_get(side_ref)
-        df = pd.DataFrame(
+        keep = pc.is_in(
+            t.column("p_brand").cast(pa.string()),
+            value_set=pa.array(pred_brands, pa.string()),
+        )
+        t = t.filter(keep)
+        return pa.table(
             {
-                "pk": np.asarray(t.column("l_partkey"), np.int64),
-                "q100": np.round(
-                    np.asarray(t.column("l_quantity"), np.float64) * 100
-                ).astype(np.int64),
-                "cents": np.round(
-                    np.asarray(t.column("l_extendedprice"), np.float64) * 100
-                ).astype(np.int64),
-                "disc": np.round(
-                    np.asarray(t.column("l_discount"), np.float64) * 100
-                ).astype(np.int64),
+                "pk": t.column("p_partkey").cast(pa.int64()),
+                "brand": t.column("p_brand").cast(pa.string()),
+                "size": t.column("p_size").cast(pa.int64()),
             }
         )
-        m = df.merge(s, on="pk", how="inner")
+
+    def l_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pk": t.column("l_partkey").cast(pa.int64()),
+                "q100": pa.array(np.round(
+                    np.asarray(t.column("l_quantity"), np.float64) * 100
+                ).astype(np.int64)),
+                "cents": pa.array(np.round(
+                    np.asarray(t.column("l_extendedprice"), np.float64) * 100
+                ).astype(np.int64)),
+                "disc": pa.array(np.round(
+                    np.asarray(t.column("l_discount"), np.float64) * 100
+                ).astype(np.int64)),
+            }
+        )
+
+    joined = broadcast_join(
+        lineitem.map_batches(l_proj, batch_format="pyarrow"),
+        part.map_batches(p_rows, batch_format="pyarrow"),
+        big_key="pk",
+        small_key="pk",
+        payload_cols=["brand", "size"],
+        cfg=cfg,
+    )
+
+    def l_rows(m: pd.DataFrame) -> pd.DataFrame:
         if len(m) == 0:
             return _pat(pd.DataFrame({"rev": [np.int64(0)]}))
         q = m["q100"].to_numpy(np.int64)
@@ -2950,7 +2971,7 @@ def disjunctive_revenue(lineitem, part, cfg: EngineConfig, *,
 
     sentinel = _sentinel_ds({"rev": (0, pa.int64())})
     return (
-        lineitem.map_batches(l_rows, batch_format="pyarrow")
+        joined.map_batches(l_rows, batch_format="pandas")
         .union(sentinel)
         .repartition(1)
         .map_batches(final, batch_format="pandas")
@@ -2969,14 +2990,10 @@ def waiting_supplier(orders, lineitem, supplier, cfg: EngineConfig, *,
     map-side to per-(order, supplier) max-shipdate rows — both ride ONE
     shared hash(orderkey) exchange; per bucket the per-order supplier
     stats collapse to (suppkey, count) partials (≤ |suppliers| rows per
-    bucket), folded in one tiny final task with the constant-size
-    supplier name map attached driver-side."""
+    bucket), folded in one tiny final task; supplier names attach to the
+    tiny count partials through the guarded ``broadcast_join`` (supplier
+    GROWS with scale factor — never materialized driver-side)."""
     nb = cfg.num_buckets
-
-    sdf = supplier.to_pandas()
-    names = dict(
-        zip(sdf["s_suppkey"].to_numpy(np.int64), sdf["s_name"].astype(str))
-    )
 
     def o_rows(t: pa.Table) -> pd.DataFrame:
         k = np.asarray(t.column("o_orderkey"), np.int64)
@@ -3044,27 +3061,48 @@ def waiting_supplier(orders, lineitem, supplier, cfg: EngineConfig, *,
                 {"s_name": pa.array([], pa.string()),
                  "numwait": pa.array([], pa.int64())}
             )
-        s = g.groupby("sk", sort=False)["cnt"].sum().reset_index()
-        s["s_name"] = s["sk"].map(names)
+        s = (
+            g.groupby(["sk", "s_name"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
         s = s.sort_values(
             ["cnt", "s_name"], ascending=[False, True], kind="mergesort"
         )
         return pa.table(
-            {"s_name": pa.array(s["s_name"], pa.string()),
+            {"s_name": pa.array(s["s_name"].astype(str), pa.string()),
              "numwait": pa.array(s["cnt"].to_numpy(np.int64))}
+        )
+
+    def s_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": t.column("s_suppkey").cast(pa.int64()),
+                "s_name": t.column("s_name").cast(pa.string()),
+            }
         )
 
     o = orders.map_batches(o_rows, batch_format="pyarrow")
     li = lineitem.map_batches(l_rows, batch_format="pyarrow")
-    sentinel = _sentinel_ds(
-        {"sk": (-1, pa.int64()), "cnt": (0, pa.int64()),
-         "_b2": (0, pa.int32())}
-    )
-    return (
+    counts = (
         o.union(li)
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
-        .union(sentinel)
+    )
+    named = broadcast_join(
+        counts,
+        supplier.map_batches(s_proj, batch_format="pyarrow"),
+        big_key="sk",
+        small_key="s_suppkey",
+        payload_cols=["s_name"],
+        cfg=cfg,
+    ).map_batches(_pat, batch_format="pandas")  # arrow block before union
+    sentinel = _sentinel_ds(
+        {"sk": (-1, pa.int64()), "cnt": (0, pa.int64()),
+         "_b2": (0, pa.int32()), "s_name": ("", pa.string())}
+    )
+    return (
+        named.union(sentinel)
         .repartition(1)
         .map_batches(final, batch_format="pandas")
     )
@@ -3407,12 +3445,18 @@ def market_share(customer, orders, lineitem, supplier, nation, region,
     )
     region_ref = ray.put(in_region)
 
-    pdf = part.to_pandas()
-    pkeys = np.sort(
-        pdf.loc[pdf["p_type"].astype(str) == p_type, "p_partkey"]
-        .to_numpy(np.int64)
-    )
-    pkeys_ref = ray.put(pkeys)
+    # the typed partkey set stays DISTRIBUTED: filter over the pruned part
+    # read, then the guarded semi-join (broadcast ≤ cap, bucketed marker
+    # exchange above) — part grows with scale factor
+    def typed_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(t.column("p_type").cast(pa.string()), p_type)
+        return pa.table(
+            {"p_partkey": t.column("p_partkey").filter(keep).cast(pa.int64())}
+        )
+
+    part_keys = part.map_batches(typed_keys, batch_format="pyarrow")
 
     def c_rows(t: pa.Table) -> pd.DataFrame:
         from ..state.broadcast import cached_get
@@ -3468,7 +3512,13 @@ def market_share(customer, orders, lineitem, supplier, nation, region,
         ))
 
     li = broadcast_join(
-        lineitem,
+        broadcast_exists_join(
+            lineitem,
+            part_keys,
+            big_key="l_partkey",
+            small_key="p_partkey",
+            cfg=cfg,
+        ),
         supplier,
         big_key="l_suppkey",
         small_key="s_suppkey",
@@ -3477,16 +3527,6 @@ def market_share(customer, orders, lineitem, supplier, nation, region,
     )
 
     def l_partial(df: pd.DataFrame) -> pd.DataFrame:
-        from ..state.broadcast import cached_get
-
-        ks = cached_get(pkeys_ref)
-        pk = df["l_partkey"].to_numpy(np.int64)
-        if len(ks) == 0:
-            keep = np.zeros(len(pk), bool)
-        else:
-            pos = np.minimum(np.searchsorted(ks, pk), len(ks) - 1)
-            keep = ks[pos] == pk
-        df = df[keep]
         cents = np.round(
             df["l_extendedprice"].to_numpy(np.float64) * 100
         ).astype(np.int64)
@@ -3598,36 +3638,14 @@ def min_balance_supplier(lineitem, supplier, part, cfg: EngineConfig):
     p_name, s_suppkey, s_name, acctbal_cents) sorted by partkey.
 
     Scale shape: lineitem pre-reduces map-side to DISTINCT (partkey,
-    suppkey) rows per batch; the constant-size supplier table broadcasts
-    its (key → cents, name); ONE hash(partkey) exchange and a per-bucket
-    lexsort-head argmin; part names attach via the guarded broadcast
-    join. No fact table ever carries payload through an exchange."""
+    suppkey) rows per batch; supplier (cents, name) attaches to those
+    skinny rows through the guarded ``broadcast_join`` (≤ cap → ray.put
+    map-side merge; above → hash-join fallback — supplier and part GROW
+    with scale factor, so neither is ever materialized driver-side); ONE
+    hash(partkey) exchange and a per-bucket lexsort-head argmin; part
+    names attach to the ≤|part| winner rows the same guarded way. No
+    fact table ever carries payload through an exchange."""
     nb = cfg.num_buckets
-
-    sdf = supplier.to_pandas()
-    pdf = part.to_pandas()
-    # dimension maps ride the object store ONCE (ray.put + per-process
-    # cached_get), not pickled into every per-bucket task closure — at
-    # sf1 the part-name map alone is multi-MB × num_buckets otherwise
-    dims_ref = ray.put(
-        {
-            "s_cents": dict(
-                zip(
-                    sdf["s_suppkey"].to_numpy(np.int64),
-                    np.round(sdf["s_acctbal"].to_numpy(np.float64) * 100)
-                    .astype(np.int64),
-                )
-            ),
-            "s_name": dict(
-                zip(sdf["s_suppkey"].to_numpy(np.int64),
-                    sdf["s_name"].astype(str))
-            ),
-            "p_name": dict(
-                zip(pdf["p_partkey"].to_numpy(np.int64),
-                    pdf["p_name"].astype(str))
-            ),
-        }
-    )
 
     def l_rows(t: pa.Table) -> pa.Table:
         df = (
@@ -3642,48 +3660,75 @@ def min_balance_supplier(lineitem, supplier, part, cfg: EngineConfig):
         df["_bucket"] = (df["pk"].to_numpy(np.int64) % nb).astype(np.int32)
         return _pat(df)
 
-    def argmin(g: pd.DataFrame) -> pa.Table:
-        from ..state.broadcast import cached_get
-
-        dims = cached_get(dims_ref)
-        s_cents, s_name, p_name = (
-            dims["s_cents"], dims["s_name"], dims["p_name"]
+    def s_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "sk": t.column("s_suppkey").cast(pa.int64()),
+                "cents": pa.array(np.round(
+                    np.asarray(t.column("s_acctbal"), np.float64) * 100
+                ).astype(np.int64)),
+                "s_name": t.column("s_name").cast(pa.string()),
+            }
         )
-        g = g.drop_duplicates(["pk", "sk"]).copy()
-        g["cents"] = g["sk"].map(s_cents)
-        g = g.dropna(subset=["cents"])
+
+    def p_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey").cast(pa.int64()),
+                "p_name": t.column("p_name").cast(pa.string()),
+            }
+        )
+
+    pairs = broadcast_join(
+        lineitem.map_batches(l_rows, batch_format="pyarrow"),
+        supplier.map_batches(s_proj, batch_format="pyarrow"),
+        big_key="sk",
+        small_key="sk",
+        payload_cols=["cents", "s_name"],
+        cfg=cfg,
+    )
+
+    def argmin(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["pk", "sk"])
         if len(g) == 0:
             return pa.table(
                 {
                     "p_partkey": pa.array([], pa.int64()),
-                    "p_name": pa.array([], pa.string()),
                     "s_suppkey": pa.array([], pa.int64()),
                     "s_name": pa.array([], pa.string()),
                     "acctbal_cents": pa.array([], pa.int64()),
                 }
             )
-        g["cents"] = g["cents"].astype(np.int64)
         g = g.sort_values(["pk", "cents", "sk"], kind="mergesort")
         w = g.drop_duplicates("pk", keep="first").sort_values("pk")
         return pa.table(
             {
                 "p_partkey": pa.array(w["pk"].to_numpy(np.int64)),
-                "p_name": pa.array(
-                    w["pk"].map(p_name).astype(str), pa.string()
-                ),
                 "s_suppkey": pa.array(w["sk"].to_numpy(np.int64)),
-                "s_name": pa.array(
-                    w["sk"].map(s_name).astype(str), pa.string()
-                ),
+                "s_name": pa.array(w["s_name"].astype(str), pa.string()),
                 "acctbal_cents": pa.array(w["cents"].to_numpy(np.int64)),
             }
         )
 
-    return (
-        lineitem.map_batches(l_rows, batch_format="pyarrow")
-        .groupby("_bucket")
+    winners = (
+        pairs.groupby("_bucket")
         .map_groups(argmin, batch_format="pandas")
     )
+    named = broadcast_join(
+        winners,
+        part.map_batches(p_proj, batch_format="pyarrow"),
+        big_key="p_partkey",
+        small_key="p_partkey",
+        payload_cols=["p_name"],
+        cfg=cfg,
+    )
+
+    def order_cols(t: pa.Table) -> pa.Table:
+        return t.select(
+            ["p_partkey", "p_name", "s_suppkey", "s_name", "acctbal_cents"]
+        )
+
+    return named.map_batches(order_cols, batch_format="pyarrow")
 
 
 def top_revenue_supplier(lineitem, supplier, cfg: EngineConfig, *,
@@ -3696,13 +3741,10 @@ def top_revenue_supplier(lineitem, supplier, cfg: EngineConfig, *,
     Scale shape: date-filtered revenue partials pre-summed per supplier
     map-side; ONE tiny exchange of (suppkey, partial) rows; the global
     max + tie filter run in the single final fold (O(|suppliers|));
-    names attach from the constant-size supplier map driver-side."""
+    names attach to the max-achieving winner rows (usually one) through
+    the guarded ``broadcast_join`` — supplier grows with scale factor and
+    is never materialized driver-side."""
     nb = cfg.num_buckets
-
-    sdf = supplier.to_pandas()
-    s_name = dict(
-        zip(sdf["s_suppkey"].to_numpy(np.int64), sdf["s_name"].astype(str))
-    )
 
     def l_rows(t: pa.Table) -> pa.Table:
         sd = np.asarray(
@@ -3741,7 +3783,6 @@ def top_revenue_supplier(lineitem, supplier, cfg: EngineConfig, *,
             return pa.table(
                 {
                     "s_suppkey": pa.array([], pa.int64()),
-                    "s_name": pa.array([], pa.string()),
                     "total_revenue_e4": pa.array([], pa.int64()),
                 }
             )
@@ -3751,17 +3792,28 @@ def top_revenue_supplier(lineitem, supplier, cfg: EngineConfig, *,
         return pa.table(
             {
                 "s_suppkey": pa.array(w["sk"].to_numpy(np.int64)),
-                "s_name": pa.array(
-                    w["sk"].map(s_name).astype(str), pa.string()
-                ),
                 "total_revenue_e4": pa.array(w["rev"].to_numpy(np.int64)),
             }
         )
 
+    def s_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s_suppkey": t.column("s_suppkey").cast(pa.int64()),
+                "s_name": t.column("s_name").cast(pa.string()),
+            }
+        )
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.select(["s_suppkey", "s_name", "total_revenue_e4"])
+        return t.take(pc.sort_indices(t.column("s_suppkey")))
+
     sentinel = _sentinel_ds(
         {"sk": (-1, pa.int64()), "rev": (0, pa.int64())}
     )
-    return (
+    winners = (
         lineitem.map_batches(l_rows, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(per_bucket, batch_format="pandas")
@@ -3769,3 +3821,11 @@ def top_revenue_supplier(lineitem, supplier, cfg: EngineConfig, *,
         .repartition(1)
         .map_batches(final, batch_format="pandas")
     )
+    return broadcast_join(
+        winners,
+        supplier.map_batches(s_proj, batch_format="pyarrow"),
+        big_key="s_suppkey",
+        small_key="s_suppkey",
+        payload_cols=["s_name"],
+        cfg=cfg,
+    ).repartition(1).map_batches(order_rows, batch_format="pyarrow")

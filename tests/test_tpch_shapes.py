@@ -208,3 +208,174 @@ class TestMinhashDelta:
         # (1,2) is old-old -> absent even though they are exact dups
         assert ("1", "2") not in pairs
         assert ("1", "3") in pairs and ("2", "3") in pairs
+
+
+class TestDimensionGuardPathsEqual:
+    """The round-5 scale guards: every operator that used to materialize a
+    scale-dependent dimension table (part / supplier) driver-side now
+    routes it through the guarded broadcast machinery. Force the
+    above-cap fallback (broadcast_rows_max=0 → hash-join / bucketed
+    marker exchange) and pin it equal to the broadcast path."""
+
+    def _li(self):
+        rng = np.random.default_rng(5)
+        n = 400
+        return pd.DataFrame(
+            {
+                "l_orderkey": rng.integers(1, 60, n),
+                "l_partkey": rng.integers(1, 40, n),
+                "l_suppkey": rng.integers(1, 12, n),
+                "l_quantity": rng.integers(1, 50, n).astype(float),
+                "l_extendedprice": np.round(rng.uniform(10, 2000, n), 2),
+                "l_discount": np.round(rng.integers(0, 10, n) / 100, 2),
+                "l_shipdate": pd.to_datetime("2020-01-01")
+                + pd.to_timedelta(rng.integers(0, 400, n), unit="D"),
+            }
+        ).astype({"l_shipdate": "datetime64[us]"})
+
+    def _part(self):
+        rng = np.random.default_rng(6)
+        n = 40
+        return pd.DataFrame(
+            {
+                "p_partkey": np.arange(1, n + 1),
+                "p_name": [f"part {i}" for i in range(1, n + 1)],
+                "p_brand": rng.choice(
+                    ["Brand#12", "Brand#23", "Brand#34", "Brand#45"], n
+                ),
+                "p_size": rng.integers(1, 35, n),
+                "p_type": rng.choice(
+                    ["ECONOMY ANODIZED STEEL", "SMALL PLATED COPPER"], n
+                ),
+            }
+        )
+
+    def _supp(self):
+        rng = np.random.default_rng(7)
+        n = 12
+        return pd.DataFrame(
+            {
+                "s_suppkey": np.arange(1, n + 1),
+                "s_name": [f"Supplier#{i:09d}" for i in range(1, n + 1)],
+                "s_acctbal": np.round(rng.uniform(-500, 5000, n), 2),
+                "s_nationkey": rng.integers(0, 5, n),
+            }
+        )
+
+    def _both(self, fn):
+        import dataclasses
+
+        broad = fn(_cfg())
+        joiny = fn(dataclasses.replace(_cfg(), broadcast_rows_max=0))
+
+        def norm(ds):
+            df = ds.to_pandas()
+            return (
+                df.sort_values(list(df.columns))
+                .reset_index(drop=True)
+                .astype(str)
+            )
+
+        pd.testing.assert_frame_equal(norm(broad), norm(joiny))
+        return broad.to_pandas()
+
+    def test_min_balance_supplier(self, ray_session):
+        from deepblocker_ray.stages.relational import min_balance_supplier
+
+        out = self._both(
+            lambda cfg: min_balance_supplier(
+                rd.from_pandas(self._li()), rd.from_pandas(self._supp()),
+                rd.from_pandas(self._part()), cfg,
+            )
+        )
+        assert len(out) > 0
+        assert list(out.columns) == [
+            "p_partkey", "p_name", "s_suppkey", "s_name", "acctbal_cents"
+        ]
+
+    def test_small_quantity_revenue(self, ray_session):
+        from deepblocker_ray.stages.relational import small_quantity_revenue
+
+        out = self._both(
+            lambda cfg: small_quantity_revenue(
+                rd.from_pandas(self._li()), rd.from_pandas(self._part()),
+                cfg, brand="Brand#23",
+            )
+        )
+        assert len(out) == 1
+
+    def test_disjunctive_revenue(self, ray_session):
+        from deepblocker_ray.stages.relational import disjunctive_revenue
+
+        out = self._both(
+            lambda cfg: disjunctive_revenue(
+                rd.from_pandas(self._li()), rd.from_pandas(self._part()), cfg,
+            )
+        )
+        assert len(out) == 1
+
+    def test_waiting_supplier(self, ray_session):
+        from deepblocker_ray.stages.relational import waiting_supplier
+
+        rng = np.random.default_rng(8)
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(1, 61),
+                "o_orderdate": pd.to_datetime("2020-01-01")
+                + pd.to_timedelta(rng.integers(0, 300, 60), unit="D"),
+            }
+        ).astype({"o_orderdate": "datetime64[us]"})
+        self._both(
+            lambda cfg: waiting_supplier(
+                rd.from_pandas(orders), rd.from_pandas(self._li()),
+                rd.from_pandas(self._supp()), cfg, late_days=20,
+            )
+        )
+
+    def test_top_revenue_supplier(self, ray_session):
+        from deepblocker_ray.stages.relational import top_revenue_supplier
+
+        lo = int(pd.Timestamp("2020-01-01").value // 1000)
+        hi = int(pd.Timestamp("2020-07-01").value // 1000)
+        out = self._both(
+            lambda cfg: top_revenue_supplier(
+                rd.from_pandas(self._li()), rd.from_pandas(self._supp()),
+                cfg, date_lo_us=lo, date_hi_us=hi,
+            )
+        )
+        assert len(out) >= 1
+
+    def test_market_share(self, ray_session):
+        from deepblocker_ray.stages.relational import market_share
+
+        rng = np.random.default_rng(9)
+        nation = pd.DataFrame(
+            {"n_nationkey": np.arange(5),
+             "n_name": ["ALPHA", "BETA", "GAMMA", "DELTA", "EPSILON"],
+             "n_regionkey": [0, 0, 1, 1, 1]}
+        )
+        region = pd.DataFrame(
+            {"r_regionkey": [0, 1], "r_name": ["AMERICA", "ASIA"]}
+        )
+        customer = pd.DataFrame(
+            {"c_custkey": np.arange(1, 31),
+             "c_nationkey": rng.integers(0, 5, 30)}
+        )
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(1, 61),
+                "o_custkey": rng.integers(1, 31, 60),
+                "o_orderdate": pd.to_datetime("2019-06-01")
+                + pd.to_timedelta(rng.integers(0, 600, 60), unit="D"),
+            }
+        ).astype({"o_orderdate": "datetime64[us]"})
+        self._both(
+            lambda cfg: market_share(
+                rd.from_pandas(customer), rd.from_pandas(orders),
+                rd.from_pandas(self._li()), rd.from_pandas(self._supp()),
+                rd.from_pandas(nation), rd.from_pandas(region), cfg,
+                region_name="ASIA", nation_name="BETA",
+                p_type="ECONOMY ANODIZED STEEL",
+                part=rd.from_pandas(self._part()),
+            )
+        )
