@@ -3874,11 +3874,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
         "quality": q_quality,
-        "blocking_sif": q_blocking_sif,
         "blocking_ae": q_blocking_ae,
         "linkage_ctt": q_linkage_ctt,
         "blocking_hybrid": q_blocking_hybrid,
-        "linkage_full": q_linkage_full,
         "blocking_vec": q_blocking_vec,
         "linkage_vec": q_linkage_vec,
         "linkage_vec_inc": q_linkage_vec_inc,
@@ -3904,10 +3902,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_gate": q_quantile_gate,
         "sequence_pack": q_sequence_pack,
         "hopping_window": q_hopping_window,
-        "linkage_incremental": q_linkage_incremental,
         "corpus_shuffle": q_corpus_shuffle,
         "dedup_keep_best": q_dedup_keep_best,
         "length_batches": q_length_batches,
+        # --- end of the driver's 50-query grading window. The three
+        # rows-only queries below are deliberately AFTER it (round-4
+        # verdict #4): blocking_sif / linkage_full are hash-embedding-
+        # dependent (their *_vec twins of the identical downstream chains
+        # ARE hash-graded above) and linkage_incremental is stateful; all
+        # three stay registered and rows-checked.
+        "blocking_sif": q_blocking_sif,
+        "linkage_full": q_linkage_full,
+        "linkage_incremental": q_linkage_incremental,
         "approx_distinct": q_approx_distinct,
         "heavy_hitters": q_heavy_hitters,
         "bloom_filter": q_bloom_filter,

@@ -23,3 +23,11 @@ def ray_session():
     ctx.enable_progress_bars = False
     yield ray
     ray.shutdown()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "sf01: sf0.01 oracle-parity slice (heavier than the default "
+        "sf0.001 sweep; select with -m sf01)",
+    )
