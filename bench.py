@@ -922,6 +922,208 @@ def stream() -> None:
     ray.shutdown()
 
 
+def _resume_leg() -> None:
+    """One run-to-completion (or until killed) of the manifest-checkpointed
+    flagship over GRAFT_RESUME_CORPUS into GRAFT_RESUME_RUN_DIR; prints one
+    JSON line with the output row counts."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from deepblocker_ray.config import EngineConfig
+    from deepblocker_ray.state.manifest import linkage_with_manifest
+
+    res = linkage_with_manifest(
+        os.environ["GRAFT_RESUME_CORPUS"],
+        os.environ["GRAFT_RESUME_RUN_DIR"],
+        cfg=EngineConfig(),
+    )
+    print(
+        json.dumps(
+            {
+                "clusters": res["clusters"].count(),
+                "matches": res["matches"].count(),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def resume_demo() -> None:
+    """North-rule resumability at measured scale (round-4 verdict #6): run
+    the manifest-checkpointed flagship over a ≥2M-turn corpus, SIGKILL the
+    whole process group mid-candidates (blocking query in flight), rerun,
+    and verify the resumed run (a) skips the finished tuple/embedding
+    stages and (b) produces value-identical matches + clusters to an
+    uninterrupted reference run (content digest over all rows).
+
+    Env knobs: GRAFT_RESUME_BASE (base conversations, default 200,000 →
+    ~2.1M turns), GRAFT_RESUME_KILL_AFTER (seconds into the candidates
+    stage to kill, default 15)."""
+    import hashlib
+    import shutil
+    import signal
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    base = int(os.environ.get("GRAFT_RESUME_BASE", "200000"))
+    kill_after = float(os.environ.get("GRAFT_RESUME_KILL_AFTER", "15"))
+    cache = f"/tmp/graft_bench/stream_{base}_16"
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from deepblocker_ray.fixtures import synth_transcripts_sharded
+
+    synth_transcripts_sharded(cache, base, n_shards=16)
+    ray.shutdown()
+    corpus = os.path.join(cache, "transcripts")
+
+    def digest(data_dir: str) -> tuple[str, int]:
+        t = pq.read_table(data_dir)
+        df = (
+            t.to_pandas()
+            .sort_values(list(t.column_names))
+            .reset_index(drop=True)
+        )
+        h = hashlib.sha256(
+            pd.util.hash_pandas_object(df, index=False).values.tobytes()
+        ).hexdigest()
+        return h, len(df)
+
+    def leg(run_dir: str) -> subprocess.Popen:
+        env = dict(
+            os.environ,
+            GRAFT_RESUME_CORPUS=corpus,
+            GRAFT_RESUME_RUN_DIR=run_dir,
+        )
+        return subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--resume-leg"],
+            env=env,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            start_new_session=True,  # killpg takes the ray daemons too
+        )
+
+    def manifest_of(run_dir: str) -> dict:
+        p = os.path.join(run_dir, "manifest.json")
+        if not os.path.exists(p):
+            return {"stages": {}}
+        try:
+            with open(p) as f:
+                return json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return {"stages": {}}
+
+    def stage_done(run_dir: str, name: str) -> bool:
+        return (
+            manifest_of(run_dir)["stages"].get(name, {}).get("status")
+            == "done"
+        )
+
+    run_a = "/tmp/graft_bench/resume_ref"
+    run_b = "/tmp/graft_bench/resume_killed"
+    for d in (run_a, run_b):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    # reference: uninterrupted
+    t0 = time.perf_counter()
+    pa_ = leg(run_a)
+    pa_.wait()
+    ref_wall = round(time.perf_counter() - t0, 1)
+    ref_m = manifest_of(run_a)
+
+    # killed leg: SIGKILL the process group kill_after seconds into the
+    # candidates stage (index+query in flight, no checkpoint yet)
+    t0 = time.perf_counter()
+    pb = leg(run_b)
+    killed_at = None
+    while pb.poll() is None:
+        if stage_done(run_b, "embeddings") and not stage_done(
+            run_b, "candidates"
+        ):
+            time.sleep(kill_after)
+            if pb.poll() is None and not stage_done(run_b, "candidates"):
+                os.killpg(pb.pid, signal.SIGKILL)
+                killed_at = round(time.perf_counter() - t0, 1)
+                break
+        time.sleep(0.5)
+    pb.wait()
+    interrupted_wall = round(time.perf_counter() - t0, 1)
+    m_killed = manifest_of(run_b)
+    done_at_kill = sorted(m_killed["stages"].keys())
+
+    # resume: must skip tuples/embeddings (finished_at unchanged) and
+    # finish the rest
+    t0 = time.perf_counter()
+    pb2 = leg(run_b)
+    pb2.wait()
+    resume_wall = round(time.perf_counter() - t0, 1)
+    m_res = manifest_of(run_b)
+    skipped = [
+        s
+        for s in done_at_kill
+        if m_res["stages"][s]["finished_at"]
+        == m_killed["stages"][s]["finished_at"]
+    ]
+
+    dg = {}
+    for stage_name in ("matches", "clusters"):
+        ha, na = digest(os.path.join(run_a, stage_name, "data"))
+        hb, nb_ = digest(os.path.join(run_b, stage_name, "data"))
+        dg[stage_name] = {
+            "rows": na,
+            "identical": bool(ha == hb and na == nb_),
+        }
+
+    n_turns = sum(
+        pq.ParquetFile(os.path.join(corpus, f)).metadata.num_rows
+        for f in os.listdir(corpus)
+        if f.endswith(".parquet")
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "resume_demo",
+                "input_turns": n_turns,
+                "ref_wall_s": ref_wall,
+                "ref_stage_walls": {
+                    k: v["wall_sec"] for k, v in ref_m["stages"].items()
+                },
+                "killed_at_s": killed_at,
+                "interrupted_wall_s": interrupted_wall,
+                "stages_done_at_kill": done_at_kill,
+                "resume_wall_s": resume_wall,
+                "stages_skipped_on_resume": skipped,
+                "resume_stage_walls": {
+                    k: v["wall_sec"]
+                    for k, v in m_res["stages"].items()
+                    if k not in skipped
+                },
+                "outputs_identical": dg,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
@@ -931,5 +1133,9 @@ if __name__ == "__main__":
         _stages_leg()
     elif "--stages" in sys.argv:
         stages()
+    elif "--resume-leg" in sys.argv:
+        _resume_leg()
+    elif "--resume-demo" in sys.argv:
+        resume_demo()
     else:
         main()
