@@ -756,8 +756,11 @@ def stream() -> None:
             )
         return n
 
-    def _max_worker_rss_kb() -> int:
-        """Max VmRSS over live ray worker processes right now."""
+    def _max_worker_anon_kb() -> int:
+        """Max RssAnon over live ray worker processes right now — the
+        per-worker HEAP bound (VmRSS would also count shared plasma mmap
+        pages the worker merely touched, ~the whole object store for a
+        query worker streaming the index)."""
         top = 0
         for d in glob.glob("/proc/[0-9]*"):
             try:
@@ -766,7 +769,7 @@ def stream() -> None:
                         continue
                 with open(os.path.join(d, "status")) as f:
                     for line in f:
-                        if line.startswith("VmRSS:"):
+                        if line.startswith("RssAnon:"):
                             top = max(top, int(line.split()[1]))
                             break
             except OSError:
@@ -777,7 +780,7 @@ def stream() -> None:
     shmem0 = _shmem_kb()
     peak = [shmem0]
     peak_spill = [0]
-    peak_worker_rss = [0]
+    peak_worker_anon = [0]
     stop = threading.Event()
 
     def sampler():
@@ -790,8 +793,8 @@ def stream() -> None:
             except OSError:  # a file vanished mid-walk
                 pass
             if tick % 4 == 0:  # /proc walk each ~1s
-                peak_worker_rss[0] = max(
-                    peak_worker_rss[0], _max_worker_rss_kb()
+                peak_worker_anon[0] = max(
+                    peak_worker_anon[0], _max_worker_anon_kb()
                 )
             tick += 1
             stop.wait(0.25)
@@ -826,6 +829,17 @@ def stream() -> None:
     # remains the right path as long as the text column fits the object
     # store; the join fallback is for corpora beyond plasma
     cfg.broadcast_rows_max = max(cfg.broadcast_rows_max, 2 * base)
+    # IVF query batch: per-batch cost has a fixed component linear in the
+    # number of probed cells (~n_cells small-GEMM/merge loop iterations),
+    # independent of batch rows. At √N cells the default 512-row batch
+    # leaves that fixed cost 4× under-amortized on multi-million-conv
+    # corpora (measured: 1387 s query wall at 5.4M convs / 2331 cells) —
+    # 2048 amortizes it while the per-cell similarity tiles stay MB-sized
+    # (|qs|≈batch·nprobe/cells rows per cell). A real cluster job sizes
+    # this with the corpus exactly the same way.
+    cfg.query_batch_size = int(
+        os.environ.get("GRAFT_STREAM_QBATCH", "2048")
+    )
     ds = rd.read_parquet(os.path.join(cache, "transcripts"))
     n_turns = ds.count()
 
@@ -910,7 +924,9 @@ def stream() -> None:
                 "turns_per_sec": round(n_turns / times["total"], 1),
                 "peak_shmem_gb": round((peak[0] - shmem0) / 2**20, 2),
                 "peak_spill_gb": spill_gb,
-                "peak_worker_rss_gb": round(peak_worker_rss[0] / 2**20, 2),
+                "peak_worker_anon_gb": round(
+                    peak_worker_anon[0] / 2**20, 2
+                ),
                 "oom_killed_workers": (
                     _dmesg_oom_count() - oom0 if oom0 >= 0 else None
                 ),
