@@ -463,11 +463,25 @@ def top_pc(emb_ds, dim: int) -> np.ndarray:
         lambda b: _gram_partial(b, dim), batch_format="pyarrow",
         batch_size=65536,
     )
-    gram = np.zeros((dim, dim), np.float64)
+    # DETERMINISTIC fold: iter_batches yields partials in task-completion
+    # order, and float64 addition is not associative — summing in arrival
+    # order perturbed the PC by ~1e-14 run to run, which shifted every
+    # embedding and flipped borderline is_match candidates (measured by the
+    # round-5 resume demo). The partial MULTISET is deterministic (batch
+    # boundaries are), so summing in content-hash order pins the result.
+    # Driver transient: one 720 KB row per 64k input rows (~440 MB at 40M
+    # rows; raise batch_size for corpora far beyond that).
+    parts: list[tuple[bytes, np.ndarray]] = []
     for b in partial.iter_batches(batch_format="pyarrow", batch_size=None):
         g = b.column("gram").combine_chunks()
         flat = np.asarray(g.flatten()).reshape(len(g), dim, dim)
-        gram += flat.sum(axis=0)
+        for i in range(len(g)):
+            arr = flat[i]
+            # full-bytes key: equal prefixes must not unpin the tie order
+            parts.append((arr.tobytes(), arr))
+    gram = np.zeros((dim, dim), np.float64)
+    for _key, arr in sorted(parts, key=lambda kv: kv[0]):
+        gram += arr
     _vals, vecs = np.linalg.eigh(gram)
     pc = vecs[:, -1]
     idx = int(np.argmax(np.abs(pc)))

@@ -380,7 +380,25 @@ class ExactTopKPairer:
         )
         if right_ds.num_blocks() != target:
             norm = norm.repartition(target)
-        shards = norm.sort("_pair_id").materialize()
+
+        def combine(block: pa.Table) -> pa.Table:
+            # single-chunk shards keep the per-worker views zero-copy
+            return block.combine_chunks()
+
+        # the order-preserving repartition AFTER the sort pins shard
+        # boundaries DETERMINISTICALLY (equal row splits of the global id
+        # order): Ray's sort samples its range boundaries, so without this
+        # the shard row-boundaries — and therefore the GEMM remainder-tile
+        # shapes — vary run to run, which flips borderline float32 cosines
+        # at the is_match threshold (~25 edges in 149k at 2.1M turns,
+        # observed by the round-5 resume demo). With pinned boundaries the
+        # whole blocking+scoring chain is bit-reproducible run to run.
+        shards = (
+            norm.sort("_pair_id")
+            .repartition(target)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
         self.shard_refs = shards.to_arrow_refs()
         return self
 
